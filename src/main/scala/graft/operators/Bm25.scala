@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text search as a derived postings table + BM25 ranking.
+  *
+  * The reference maintains an FTS5 inverted index with sync triggers
+  * (/root/reference/src/services/LibSQLDatabase.ts:730-733,886-913) and
+  * ranks with FTS5's BM25-family `rank` (:437,451). On Spark the inverted
+  * index is a *relational* artifact: a postings DataFrame
+  * `(term, docId, tf)` built with `explode` + `groupBy`, persisted/bucketed
+  * by term at scale so a query term probe is a pruned scan instead of a
+  * full pass. "Index maintenance" is an incremental append at ingest —
+  * no triggers.
+  *
+  * Scoring is standard BM25 (k1=1.2, b=0.75 — SURVEY.md §7.3 defines
+  * parity at the ranking level, not FTS5's exact constants):
+  * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+  * `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 - b + b·len/avgdl))`.
+  * All inputs (tf, df, N, len, avgdl) are exact integers/ratios, so the
+  * double math is per-row deterministic — reproducible across engines.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Build the postings table `(term, id, tf)` plus doc lengths
+    * `(id, doclen)` from a corpus `(idCol, textCol)`. */
+  def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  def docLengths(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      TextFunctions.wordCount(col(textCol)).as("doclen"))
+
+  /** Score the corpus for a bag of query terms; returns `(id, bm25)` for
+    * documents matching at least one term, ordered by score desc with a
+    * deterministic id tie-break.
+    *
+    * Plan shape: postings filtered to the query terms (a tiny slice of
+    * the index — term-bucketing makes this partition-pruned at scale),
+    * one map-side-combinable groupBy on id, a broadcast of the per-term
+    * df counts (|terms| rows), and a broadcast join of doc lengths.
+    */
+  def search(corpus: DataFrame, idCol: String, textCol: String,
+             terms: Seq[String], k: Int): DataFrame = {
+    val post = postings(corpus, idCol, textCol)
+    val lens = docLengths(corpus, idCol, textCol)
+    scoreFromIndex(post, lens, terms, k)
+  }
+
+  /** BM25 over prebuilt index tables (postings `(id, term, tf)`,
+    * lens `(id, doclen)`). */
+  def scoreFromIndex(post: DataFrame, lens: DataFrame,
+                     terms: Seq[String], k: Int): DataFrame = {
+    val n = lens.count() // corpus size: one cheap count over the lens table
+    val avgdl = lens.agg(sum(col("doclen")).cast("double") /
+      count(lit(1)).cast("double")).head().getDouble(0)
+
+    val hits = post.filter(col("term").isin(terms.map(_.toLowerCase): _*))
+    // document frequency per query term (tiny: |terms| rows -> broadcast)
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val tfNorm = (col("tf").cast("double") * (K1 + 1)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1 - B) + lit(B) * col("doclen").cast("double") / avgdl))
+
+    hits
+      .join(broadcast(dfs), "term")
+      .join(lens, "id")
+      // exact-decimal accumulation: per-term scores are deterministic
+      // scalar doubles, but a double SUM is ordering-sensitive; summing
+      // as decimal makes the result independent of partition order.
+      .withColumn("term_score", (idf * tfNorm).cast("decimal(18,9)"))
+      .groupBy("id")
+      .agg(sum(col("term_score")).cast("double").as("bm25"))
+      .orderBy(desc("bm25"), asc("id"))
+      .limit(k)
+  }
+}

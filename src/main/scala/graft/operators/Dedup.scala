@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Four families, in increasing fuzziness:
+  *   1. exact       — group on a content fingerprint (md5 of normalized text)
+  *   2. MinHash+LSH — shingle -> minhash signature -> band -> bucket join
+  *   3. SimHash     — near-dup via Hamming distance on a locality hash
+  *   4. n-gram Jaccard — exact set similarity on candidate pairs
+  *
+  * Scale design: every candidate-generation step is an equi-join on a
+  * hash-derived key (fingerprint, LSH band, simhash prefix), never a
+  * cartesian product. At 100 TB the shuffle is on (key, small-signature)
+  * pairs — a few hundred bytes/doc, not the documents themselves; the
+  * verify step joins text back only for the candidate pairs (a tiny
+  * fraction of the corpus). Hashes are md5-derived ([[graft.functions
+  * .TextFunctions.portableHash32]]) so every stage is reproducible
+  * cross-engine.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: fingerprint -> count, keeping the minimum id
+    * as the canonical representative. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("canonical_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Exact-dedup summary: total / unique / duplicate-group counts. */
+  def exactDupStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(fingerprint(col(textCol)).as("fp"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("fp")).as("n_unique"))
+      .withColumn("n_dup_rows", col("n_total") - col("n_unique"))
+
+  /** MinHash signature columns mh0..mh{k-1} over character `shingleK`-
+    * shingles of the lowercased text. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       numHashes: Int, shingleK: Int): DataFrame = {
+    val sh = shingles(lower(col(textCol)), shingleK)
+    val mhCols = (0 until numHashes).map(i => minhash(sh, i).as(s"mh$i"))
+    df.select((col(idCol).as("id") +: mhCols): _*)
+  }
+
+  /** LSH candidate pairs: band the signature into `numBands` bands of
+    * `rowsPerBand`, bucket-join per band, dedup pairs across bands.
+    * Docs agreeing on *all* hashes of any band become a candidate pair. */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
+    val banded = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        (lit(b.toString) +:
+          (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))): _*)
+      sig.select(col("id"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("band_key"), col("id").as("id_a"))
+    val r = banded.select(col("band_key"), col("id").as("id_b"))
+    l.join(r, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Verify candidate pairs with exact Jaccard over `shingleK`-shingles;
+    * keep pairs at/above `threshold`. `corpus` must carry (id, text). */
+  def verifyPairs(corpus: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    val sets = corpus.select(col(idCol).as("id"),
+      shingles(lower(col(textCol)), shingleK).as("sh"))
+    pairs
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** End-to-end MinHash LSH near-dup detection. */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 8, numBands: Int = 4,
+                      shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK)
+    val cands = lshCandidatePairs(sig, numHashes, numBands)
+    verifyPairs(df, idCol, textCol, cands, shingleK, threshold)
+  }
+
+  /** SimHash per document (over the distinct word set). Near-dups are
+    * pairs within `maxHamming`; candidate generation joins on the high
+    * bit-prefix so it stays an equi-join. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String,
+                bits: Int = 32): DataFrame =
+    df.select(col(idCol).as("id"),
+      simhash(tokenSet(col(textCol)), bits).as("simhash"))
+
+  def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 32, prefixBits: Int = 8,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(df, idCol, textCol, bits)
+      .withColumn("prefix", shiftright(col("simhash"), bits - prefixBits))
+    val l = sh.select(col("prefix"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = sh.select(col("prefix"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("prefix"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Word n-gram Jaccard similarity for pairs sharing a blocking key. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: Column, n: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), blockCol.as("block"),
+      wordNgrams(col(textCol), n).as("ng"))
+    val l = sets.select(col("block"), col("id").as("id_a"), col("ng").as("ng_a"))
+    val r = sets.select(col("block"), col("id").as("id_b"), col("ng").as("ng_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("ng_a"), col("ng_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("block", "id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus text analysis: language ID, quality scoring, token counting,
+  * fingerprinting. Pure narrow transformations (no shuffle) — at 100 TB
+  * these run as map-only stages fused into the parquet scan by
+  * whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — language ID at pipeline scale is a
+    * cheap prior, not a model. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo", "zai", "you", "ta"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column = {
+    val ts = tokens(lower(text))
+    size(filter(ts, t => t.isin(markers: _*)))
+  }
+
+  /** Predict language by marker-word hit count; ties break in language-
+    * code order, docs with zero hits everywhere get "und" (undetermined). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = LangMarkers.keys.toSeq.sorted
+    val withHits = langs.foldLeft(df.select(col(idCol).as("id"), col(textCol).as("__t"))) {
+      (d, l) => d.withColumn(s"hits_$l", markerHits(col("__t"), LangMarkers(l)))
+    }
+    val best = langs.map(l => col(s"hits_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"hits_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier languages priority on ties (first when wins)
+    withHits
+      .withColumn("pred_lang", pred)
+      .select((col("id") +: langs.map(l => col(s"hits_$l")) :+ col("pred_lang")): _*)
+  }
+
+  /** Quality metrics per document: length, word count, mean word length,
+    * stopword ratio, punctuation ratio, and a composite keep/drop flag
+    * in the spirit of Gopher/C4-style quality rules. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol).as("id"),
+      length(t).as("n_chars"),
+      wordCount(t).as("n_words"),
+      avgWordLen(t).as("avg_word_len"),
+      stopwordRatio(t).as("stopword_ratio"),
+      punctRatio(t).as("punct_ratio"))
+      .withColumn("keep",
+        (col("n_words") >= 10 &&
+          col("avg_word_len") >= 2.0 && col("avg_word_len") <= 12.0 &&
+          col("punct_ratio") <= 0.2).cast("int"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish lexer tokens. */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("id"),
+      wordCount(col(textCol)).as("ws_tokens"),
+      bpeishTokenCount(col(textCol)).as("bpe_tokens"))
+
+  /** Content fingerprints (md5 of normalized text). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Term-frequency keyword scoring, the reference's AutoTagger content
+    * path (/root/reference/src/services/AutoTagger.ts:463-495):
+    * tokenize, drop stop words/short words, count, score =
+    * count × (0.5 if freq>10% of words else 1) × min(len/8, 1.5),
+    * take top n. */
+  def topKeywords(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val words = df
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 3 && !col("word").isin(StopWords: _*))
+    val total = words.count().toDouble
+    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("score",
+        col("cnt").cast("double") *
+          when(col("cnt").cast("double") / total > 0.1, 0.5).otherwise(1.0) *
+          least(length(col("word")).cast("double") / 8.0, lit(1.5)))
+      .orderBy(desc("score"), asc("word"))
+      .limit(n)
+  }
+}

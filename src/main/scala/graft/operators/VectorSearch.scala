@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an `ArrayType(FloatType)` column.
+  *
+  * v1 is the exact brute-force scan: score every row against the query
+  * vector and take the top k. This mirrors the semantics of the
+  * reference's `vector_top_k` DiskANN probe
+  * (/root/reference/src/services/LibSQLDatabase.ts:325-337) but is *exact*
+  * rather than approximate. On Spark the plan is a single parquet scan ->
+  * projection -> `TakeOrderedAndProject`: no shuffle of the vectors, only
+  * k rows per partition travel to the driver-side merge, so it scales
+  * linearly with executors. Filters passed in are applied *below* the
+  * top-k (the reference over-fetches `limit×3` to post-filter,
+  * LibSQLDatabase.ts:227,340 — unnecessary here because Catalyst pushes
+  * the predicate under the sort).
+  *
+  * The scale path (IVF coarse quantization via k-means centroids +
+  * probe-time partition pruning) lives in [[IvfIndex]].
+  */
+object VectorSearch {
+
+  /** Literal column for a query vector (broadcast as part of the plan —
+    * 64–1024 floats is negligible plan size). */
+  def queryVec(v: Seq[Float]): Column = lit(v.toArray)
+
+  /** Exact top-k by cosine similarity.
+    *
+    * @param df        input with `vecCol`
+    * @param vecCol    embedding column name
+    * @param query     query vector
+    * @param k         number of neighbors
+    * @param filterOpt optional predicate applied before scoring
+    * @param tieCol    column providing a deterministic tie-break order
+    */
+  def topK(df: DataFrame, vecCol: String, query: Seq[Float], k: Int,
+           tieCol: String, filterOpt: Option[Column] = None): DataFrame = {
+    val base = filterOpt.map(df.filter).getOrElse(df)
+    base
+      .withColumn("cos_sim", cosineSim(col(vecCol), queryVec(query)))
+      .orderBy(desc("cos_sim"), asc(tieCol))
+      .limit(k)
+  }
+
+  /** All pairs within a partition-key block whose cosine similarity
+    * meets `threshold` — embedding-based near-duplicate detection.
+    *
+    * The `blockCol` equi-join key keeps the pair space tractable: the
+    * join is a shuffle hash join on the block key instead of a full
+    * cartesian product, which is the difference between O(n²) and
+    * O(sum of block²) at 100 TB. Callers choose the blocking key (an LSH
+    * bucket, a coarse cluster id, a label...).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineSim(col("vec_a"), col("vec_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select("block", "id_a", "id_b", "cos_sim")
+  }
+
+  /** Element-wise centroid (mean vector) per group — exact-decimal
+    * accumulation so the result is independent of partition/merge order.
+    * Output: (groupCol, pos, centroid_val). */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(groupCol, "pos")
+      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") /
+        count(lit(1)).cast("double")).as("centroid_val"))
+}

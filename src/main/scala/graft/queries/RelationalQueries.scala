@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Taxonomy
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A named query: the Spark implementation plus (optionally) the
+  * equivalent ANSI SQL for the DuckDB oracle. Column names and row order
+  * must agree exactly between the two (the driver sorts columns by name
+  * and hashes values).
+  *
+  * Cross-engine float parity rules used throughout:
+  *   - aggregate in exact decimal/integer arithmetic, cast to double once
+  *     at the end (double SUM is partition-order-sensitive; decimal isn't)
+  *   - per-row scalar double math is IEEE-deterministic and safe
+  *   - never emit raw timestamps (format to strings); never emit decimals
+  *     (schema widths differ) — only string/long/double/int columns
+  *   - every query ends in a total order (unique tie-break column)
+  */
+case class Q(name: String, oracle: Option[String],
+             fn: (SparkSession, String) => DataFrame)
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.7) expressed over the
+  * driver's TPC-H-ish tables. Each query names the operator family it
+  * certifies.
+  */
+object RelationalQueries {
+
+  // Money math parity rule: the source doubles carry <= 2 decimal places,
+  // so casting each INPUT to decimal(.,2) is exact in both engines; all
+  // products/sums then run in exact decimal arithmetic (order-independent)
+  // and convert to double once at the end. Casting a *computed double* to
+  // decimal instead would diverge: Spark rounds via the shortest string
+  // representation, DuckDB via the exact binary value.
+  private val dec = "decimal(23,8)" // for <=2dp inputs: exact in both engines
+  private def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // A: multi-aggregate groupBy with exact accumulation (TPC-H Q1 shape)
+    Q("q01_pricing_summary", Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))
+            * (lit(1) + d2(col("l_tax"))))
+            .cast("double").as("sum_charge"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // K: ORDER BY ... LIMIT compiles to TakeOrderedAndProject (no global sort)
+    Q("q02_top_orders", Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 10"""),
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)),
+
+    // J: 3-way join; customer is broadcast (dims stay broadcast-sized at
+    // any lineitem scale), lineitem⋈orders shuffles on the join key once
+    Q("q03_segment_revenue", Some("""
+      SELECT c_mktsegment,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment"""),
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+            .cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_mktsegment")),
+
+    // J/semi: EXISTS as left_semi — no fan-out, no dedup needed
+    Q("q04_priority_semi", Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // J/anti: NOT EXISTS as left_anti (reference orphan pattern J8)
+    Q("q05_custs_without_big_orders", Some("""
+      SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      GROUP BY n_name
+      ORDER BY n_name"""),
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy("n_name")),
+
+    // F: predicate pushdown — all three filters reach the parquet scan
+    Q("q06_filtered_revenue", Some("""
+      SELECT
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) = 1996
+        AND l_discount BETWEEN 0.03 AND 0.07
+        AND l_quantity < 24"""),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1996 &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          sum(d2(col("l_extendedprice")) * d2(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    // W/K8: per-group top-n via ranking window
+    Q("q07_top_orders_per_segment", Some("""
+      SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey) t
+      WHERE rn <= 3
+      ORDER BY c_mktsegment, rn"""),
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)),
+            col("o_custkey") === col("c_custkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("c_mktsegment", "rn")
+      }),
+
+    // W: running-sum window frame with exact accumulation
+    Q("q08_running_quantity", Some("""
+      SELECT l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(23,8)))
+          OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      FROM lineitem
+      WHERE l_orderkey % 50 = 0
+      ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 50 === 0)
+          .withColumn("running_qty",
+            sum(col("l_quantity").cast(dec)).over(w).cast("double"))
+          .select("l_orderkey", "l_linenumber", "running_qty")
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // U: union + distinct across two sources
+    Q("q09_active_nations", Some("""
+      SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier) t
+      ORDER BY nationkey"""),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
+    // J8: referential-integrity audit — both anti-join directions
+    Q("q10_orphan_audit", Some("""
+      SELECT check_name, n FROM (
+        SELECT 'lineitem_without_order' AS check_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'order_without_customer' AS check_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) t
+      ORDER BY check_name"""),
+      (s, d) => {
+        val a = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("check_name", lit("lineitem_without_order"))
+        val b = Tables.orders(s, d)
+          .join(Tables.customer(s, d).select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("check_name", lit("order_without_customer"))
+        a.unionByName(b).select("check_name", "n").orderBy("check_name")
+      }),
+
+    // A7 analog: group shares via window-total (single extra exchange)
+    Q("q11_event_type_share", Some("""
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy()).cast("double"))
+        .orderBy("event_type")),
+
+    // W: sessionization — lag + conditional cumulative flag (A8/W family)
+    Q("q13_user_sessions", Some("""
+      WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+      y AS (
+        SELECT user_id,
+          sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        FROM x)
+      SELECT user_id,
+        CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM y
+      GROUP BY user_id
+      ORDER BY user_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        Tables.events(s, d)
+          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("gap", col("sec") - lag("sec", 1).over(w))
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+              .as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      }),
+
+    // time-bucketed aggregation (streaming-window analog, batch form)
+    Q("q14_hourly_events", Some("""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(23,8))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour, event_type"""),
+      (s, d) => Tables.events(s, d)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // X9: JSON-ish props extraction (regexp — engine-portable)
+    Q("q15_props_extract", Some("""
+      SELECT event_type,
+        CAST(SUM(k) AS BIGINT) AS sum_k,
+        CAST(MAX(k) AS BIGINT) AS max_k,
+        CAST(COUNT(k) AS BIGINT) AS n
+      FROM (SELECT event_type,
+              CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k
+            FROM events) t
+      GROUP BY event_type
+      ORDER BY event_type"""),
+      (s, d) => Tables.events(s, d)
+        .withColumn("k",
+          regexp_extract(col("props"), "\"k\":\\s*([0-9]+)", 1).cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(col("k")).as("n"))
+        .orderBy("event_type")),
+
+    // J5: transitive closure over a 3-level hierarchy
+    // (customer -> nation -> region), iterative fixpoint == WITH RECURSIVE
+    Q("q16_geo_closure", Some("""
+      WITH RECURSIVE edges AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS child,
+               'n' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+               'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+      closure(node, ancestor) AS (
+        SELECT child, parent FROM edges
+        UNION
+        SELECT c.node, e.parent FROM closure c JOIN edges e ON c.ancestor = e.child)
+      SELECT node, ancestor FROM closure ORDER BY node, ancestor"""),
+      (s, d) => {
+        val custEdges = Tables.customer(s, d).select(
+          concat(lit("c"), col("c_custkey").cast("string")).as("child"),
+          concat(lit("n"), col("c_nationkey").cast("string")).as("parent"))
+        val natEdges = Tables.nation(s, d).select(
+          concat(lit("n"), col("n_nationkey").cast("string")).as("child"),
+          concat(lit("r"), col("n_regionkey").cast("string")).as("parent"))
+        Taxonomy.ancestorClosure(custEdges.unionByName(natEdges))
+          .orderBy("node", "ancestor")
+      }),
+
+    // K8: argmax per group (best customer per nation)
+    Q("q17_best_customer_per_nation", Some("""
+      SELECT n_name, c_custkey, c_acctbal FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+          ROW_NUMBER() OVER (PARTITION BY n_name
+                             ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer JOIN nation ON c_nationkey = n_nationkey) t
+      WHERE rn = 1
+      ORDER BY n_name"""),
+      (s, d) => {
+        val w = Window.partitionBy("n_name")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("n_name", "c_custkey", "c_acctbal")
+          .orderBy("n_name")
+      }),
+
+    // F5/F6 analog: label/text predicate + projection (pushdown visible
+    // in explain: PushedFilters + 3-column ReadSchema)
+    Q("q18_part_filter", Some("""
+      SELECT p_partkey, p_name, p_retailprice
+      FROM part
+      WHERE lower(p_type) LIKE '%economy%' AND p_size >= 5
+      ORDER BY p_partkey
+      LIMIT 20"""),
+      (s, d) => Tables.part(s, d)
+        .filter(lower(col("p_type")).contains("economy") && col("p_size") >= 5)
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .limit(20)),
+
+    // J4: broader-join (taxonomy parent lookup shape)
+    Q("q19_nation_region", Some("""
+      SELECT n_name, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      ORDER BY n_name"""),
+      (s, d) => Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name"))
+  )
+}
