@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Q, RelationalQueries}
+import graft.queries.{CorpusQueries, Q, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def allQueries: Seq[Q] = RelationalQueries.all
+  def allQueries: Seq[Q] = RelationalQueries.all ++ CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,12 +67,25 @@ object VectorSearch {
       .select("block", "id_a", "id_b", "cos_sim")
   }
 
-  /** Element-wise centroid (mean vector) per group — exact-decimal
-    * accumulation so the result is independent of partition/merge order.
-    * Output: (groupCol, pos, centroid_val). */
-  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
-    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+  /** Element-wise centroid (mean vector) per group.
+    * Output: (groupCol, pos, centroid_val).
+    *
+    * Double summation is partition-order-sensitive, so the reduction
+    * collects (orderId, value) per group and folds in orderId order — a
+    * deterministic left-fold, bit-reproducible run-to-run and
+    * engine-to-engine. Group fan-in is the cluster-member count; for
+    * groups too large to collect, swap the inner agg for a plain
+    * `avg` (order-sensitive in the last ulp but O(1) memory). */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String,
+                orderCol: String): DataFrame =
+    df.select(col(groupCol), col(orderCol).as("__ord"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(groupCol, "pos")
-      .agg((sum(col("v").cast("decimal(27,10)")).cast("double") /
-        count(lit(1)).cast("double")).as("centroid_val"))
+      .agg(
+        sort_array(collect_list(struct(col("__ord"), col("v")))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("pos"),
+        (aggregate(col("vs"), lit(0.0),
+          (acc, x) => acc + x.getField("v").cast("double")) /
+          col("n").cast("double")).as("centroid_val"))
 }

@@ -1,0 +1,408 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus/vector operator coverage over the `documents` and `embeddings`
+  * testdata tables: the reference's search stack (BM25 / vector top-k /
+  * hybrid fusion / context expansion) plus the training-data-pipeline
+  * operators (dedup in four flavors, similarity search, text analysis).
+  *
+  * Oracle notes: DuckDB's `list_dot_product` over `DOUBLE[]` is
+  * bit-identical to the sequential double left-fold that
+  * [[graft.functions.VectorFunctions.dot]] compiles to (verified
+  * empirically), so cosine scores compare exactly. MinHash/SimHash use
+  * md5-derived 32-bit hashes, identical in both engines.
+  */
+object CorpusQueries {
+
+  /** SQL fragment: lowercased whitespace tokens with empties removed —
+    * mirrors [[TextFunctions.tokens]](lower(_)). */
+  private def toksSql(c: String) =
+    s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
+  private def toksRawSql(c: String) =
+    s"list_filter(string_split($c, ' '), x -> x <> '')"
+  private val hash32Sql = (e: String) => s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
+  private val stopwordsSql = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // A1: corpus stats (counts + exact-int derived mean)
+    Q("q20_doc_stats", Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+      FROM documents"""),
+      (s, d) => Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"))),
+
+    // dedup/exact: fingerprint-group stats
+    Q("q21_exact_dedup", Some("""
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        CAST(COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS n_unique,
+        CAST(COUNT(*) - COUNT(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS n_dup_rows
+      FROM documents"""),
+      (s, d) => Dedup.exactDupStats(Tables.documents(s, d), "doc_id", "text")),
+
+    // dedup/minhash: 4-hash signature over 5-char shingles (map-only)
+    Q("q22_minhash_signatures", Some(s"""
+      WITH sh AS (
+        SELECT doc_id, substr(lower(text), i, 5) AS s
+        FROM documents, LATERAL (
+          SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t)
+      SELECT doc_id,
+        MIN(${hash32Sql("'0|' || s")}) AS mh0,
+        MIN(${hash32Sql("'1|' || s")}) AS mh1,
+        MIN(${hash32Sql("'2|' || s")}) AS mh2,
+        MIN(${hash32Sql("'3|' || s")}) AS mh3
+      FROM sh GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 4, shingleK = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // dedup/minhash+LSH: band -> bucket-join candidates -> exact Jaccard verify
+    Q("q23_minhash_lsh_dups", Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS s
+        FROM documents, LATERAL (
+          SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t),
+      counts AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+          MIN(${hash32Sql("'0|' || s")}) AS mh0, MIN(${hash32Sql("'1|' || s")}) AS mh1,
+          MIN(${hash32Sql("'2|' || s")}) AS mh2, MIN(${hash32Sql("'3|' || s")}) AS mh3
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bk FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT id_a, id_b, COUNT(*) AS i
+        FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b AND y.s = x.s
+        GROUP BY id_a, id_b)
+      SELECT id_a, id_b,
+        CAST(i AS DOUBLE) / CAST(ca.sz + cb.sz - i AS DOUBLE) AS jaccard
+      FROM inter JOIN counts ca ON ca.doc_id = id_a JOIN counts cb ON cb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(ca.sz + cb.sz - i AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.minhashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 4, numBands = 2, shingleK = 5, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // dedup/simhash: 16-bit locality hash over the word set
+    Q("q24_simhash", Some {
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n          ")
+      val bits = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, t
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u),
+      h AS (SELECT doc_id, ${hash32Sql("t")} AS hv FROM toks),
+      b AS (SELECT doc_id,
+          $sums
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      FROM b ORDER BY doc_id"""
+    },
+      (s, d) => Dedup.simhashes(Tables.documents(s, d), "doc_id", "text", bits = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // dedup/n-gram Jaccard: word-3-gram similarity, blocked by source
+    Q("q25_ngram_jaccard_dups", Some(s"""
+      WITH ng AS (
+        SELECT doc_id, source,
+          list_distinct([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+        FROM (SELECT doc_id, source, ${toksSql("text")} AS t FROM documents))
+      SELECT source, id_a, id_b, jaccard FROM (
+        SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+          CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+        FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id) p
+      WHERE jaccard >= 0.3
+      ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        col("source"), n = 3, threshold = 0.3)
+        .withColumnRenamed("block", "source")
+        .select("source", "id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")),
+
+    // similarity search: exact brute-force cosine top-k (TakeOrdered — no
+    // shuffle of vectors; the scan parallelizes, k rows/partition merge)
+    Q("q26_embedding_knn", Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label, round(cs, 6) AS cos_sim FROM (
+        SELECT vec_id, label,
+          list_dot_product(embedding::DOUBLE[], qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product(qv, qv))) AS cs
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cs DESC, vec_id
+        LIMIT 10) t
+      ORDER BY cos_sim DESC, vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        VectorSearch.topK(emb, "embedding", qv, 10, tieCol = "vec_id",
+          filterOpt = Some(col("vec_id") =!= 0))
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .select("vec_id", "label", "cos_sim")
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      }),
+
+    // embedding near-dup pairs within a blocking key (label) — the
+    // equi-join blocking pattern that replaces O(n²) at scale
+    Q("q28_embedding_neardups", Some("""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+      SELECT block, id_a, id_b, cos_sim FROM (
+        SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
+          list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) p
+      WHERE cos_sim >= 0.35
+      ORDER BY id_a, id_b"""),
+      (s, d) => VectorSearch.nearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // A3: per-cluster centroid components. Deterministic ordered fold
+    // (list ORDER BY vec_id + sequential sum) — bit-identical across
+    // engines, unlike a plain double SUM
+    Q("q27_label_centroids", Some("""
+      WITH x AS (
+        SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, LATERAL (
+          SELECT unnest(generate_series(1, len(embedding))) AS i) t)
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+        list_dot_product(list(v ORDER BY vec_id),
+                         list_transform(list(v ORDER BY vec_id), y -> 1.0)) /
+          CAST(COUNT(*) AS DOUBLE) AS centroid_val
+      FROM x
+      GROUP BY label, i
+      ORDER BY label, pos"""),
+      (s, d) => VectorSearch.centroids(Tables.embeddings(s, d), "label", "embedding",
+        orderCol = "vec_id")
+        .orderBy("label", "pos")),
+
+    // text analysis: language ID via marker-word hits
+    Q("q30_lang_id", Some {
+      val langs = TextAnalysis.LangMarkers.keys.toSeq.sorted
+      val hitCols = langs.map { l =>
+        val markers = TextAnalysis.LangMarkers(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(t, x -> list_contains([$markers], x))) AS hits_$l"
+      }.mkString(",\n          ")
+      val best = s"greatest(${langs.map(l => s"hits_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN hits_$l = $best THEN '$l'").mkString(" ")
+      s"""
+      WITH toks AS (SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      h AS (SELECT doc_id,
+          $hitCols
+        FROM toks)
+      SELECT doc_id, ${langs.map(l => s"CAST(hits_$l AS BIGINT) AS hits_$l").mkString(", ")},
+        CASE WHEN $best = 0 THEN 'und' $cases END AS pred_lang
+      FROM h ORDER BY doc_id"""
+    },
+      (s, d) => TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumns(TextAnalysis.LangMarkers.keys.toSeq.sorted
+          .map(l => s"hits_$l" -> col(s"hits_$l").cast("long")).toMap)
+        .orderBy("doc_id")),
+
+    // text analysis: quality metrics + keep/drop flag
+    Q("q31_quality_scores", Some(s"""
+      WITH m AS (
+        SELECT doc_id, length(text) AS n_chars,
+          CAST(len(t) AS BIGINT) AS n_words,
+          CASE WHEN len(t) > 0
+            THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS avg_word_len,
+          CASE WHEN len(t) > 0
+            THEN CAST(len(list_filter(t, x -> list_contains([$stopwordsSql], x))) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+            greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+        FROM (SELECT doc_id, text, ${toksRawSql("text")} AS t FROM documents) x)
+      SELECT doc_id, CAST(n_chars AS INT) AS n_chars, n_words, avg_word_len,
+        stopword_ratio, punct_ratio,
+        CAST((n_words >= 10 AND avg_word_len >= 2.0 AND avg_word_len <= 12.0
+              AND punct_ratio <= 0.2) AS INT) AS keep
+      FROM m ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_words", col("n_words").cast("long"))
+        .orderBy("doc_id")),
+
+    // text analysis: token counting (whitespace + BPE-ish lexer)
+    Q("q32_token_counts", Some(s"""
+      SELECT doc_id,
+        CAST(len(${toksRawSql("text")}) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("ws_tokens", col("ws_tokens").cast("long"))
+        .withColumn("bpe_tokens", col("bpe_tokens").cast("long"))
+        .orderBy("doc_id")),
+
+    // text analysis: content fingerprints
+    Q("q33_fingerprints", Some("""
+      SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // FTS: BM25 ranking over the derived postings table (K4)
+    Q("q41_bm25_search", Some(s"""
+      WITH lens AS (
+        SELECT doc_id AS id, CAST(len(${toksSql("text")}) AS BIGINT) AS doclen FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(doclen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM lens),
+      post AS (
+        SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        GROUP BY doc_id, t),
+      hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
+      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term)
+      SELECT id AS doc_id,
+        CAST(SUM(CAST(
+          ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+          (CAST(tf AS DOUBLE) * 2.2) /
+          (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl))
+          AS DECIMAL(18,9))) AS DOUBLE) AS bm25
+      FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats
+      GROUP BY id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 15"""),
+      (s, d) => Bm25.search(Tables.documents(s, d), "doc_id", "text",
+        Seq("hash", "join"), 15)
+        .withColumnRenamed("id", "doc_id")),
+
+    // W1: context expansion around hit rows in an ordered sequence
+    Q("q42_error_context", Some("""
+      WITH ranked AS (
+        SELECT event_id, user_id, event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts) // 1000000, event_id) AS ord
+        FROM events),
+      hits AS (
+        SELECT user_id, event_id AS hit_event_id, ord AS hit_ord
+        FROM ranked WHERE event_type = 'error')
+      SELECT hit_event_id, CAST(COUNT(*) AS BIGINT) AS n_context,
+        CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE) AS ctx_value
+      FROM hits h JOIN ranked r ON r.user_id = h.user_id
+        AND abs(r.ord - h.hit_ord) <= 2
+      GROUP BY hit_event_id
+      ORDER BY hit_event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        val ranked = Tables.events(s, d)
+          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("ord", row_number().over(w))
+        val hits = ranked.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("hit_event_id"),
+            col("ord").as("hit_ord"))
+        hits.join(ranked.select("user_id", "ord", "value"), Seq("user_id"))
+          .filter(abs(col("ord") - col("hit_ord")) <= 2)
+          .groupBy("hit_event_id")
+          .agg(count(lit(1)).as("n_context"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("ctx_value"))
+          .orderBy("hit_event_id")
+      }),
+
+    // J9/K5: hybrid fusion of vector top-k and BM25 top-k (flagship shape)
+    Q("q43_hybrid_search", Some(s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      vec AS (
+        SELECT vec_id AS doc_id,
+          (1.0 + list_dot_product(embedding::DOUBLE[], qv) /
+           (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+            sqrt(list_dot_product(qv, qv)))) / 2.0 AS vec_score
+        FROM embeddings, q WHERE vec_id <> 0
+        ORDER BY vec_score DESC, vec_id LIMIT 20),
+      lens AS (
+        SELECT doc_id AS id, CAST(len(${toksSql("text")}) AS BIGINT) AS doclen FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(doclen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM lens),
+      post AS (
+        SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        GROUP BY doc_id, t),
+      hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
+      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+      fts AS (
+        SELECT id AS doc_id,
+          CAST(SUM(CAST(
+            ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+            (CAST(tf AS DOUBLE) * 2.2) /
+            (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl))
+            AS DECIMAL(18,9))) AS DOUBLE) AS fts_score
+        FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats
+        GROUP BY id ORDER BY fts_score DESC, doc_id LIMIT 20),
+      fused AS (
+        SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
+          CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL THEN 'hybrid'
+               WHEN v.doc_id IS NOT NULL THEN 'vector' ELSE 'fts' END AS match_type,
+          CASE WHEN v.doc_id IS NOT NULL AND f.doc_id IS NOT NULL
+                 THEN LEAST(1.0, vec_score * 1.2)
+               WHEN v.doc_id IS NOT NULL THEN vec_score
+               ELSE fts_score END AS score
+        FROM vec v FULL OUTER JOIN fts f ON v.doc_id = f.doc_id)
+      SELECT doc_id, match_type, round(score, 6) AS score
+      FROM (SELECT * FROM fused ORDER BY score DESC, doc_id LIMIT 15) t
+      ORDER BY round(score, 6) DESC, doc_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val vec = VectorSearch.topK(emb, "embedding", qv, 20, tieCol = "vec_id",
+          filterOpt = Some(col("vec_id") =!= 0))
+          .select(col("vec_id").as("doc_id"),
+            ((lit(1.0) + col("cos_sim")) / lit(2.0)).as("score"))
+        val fts = Bm25.search(Tables.documents(s, d), "doc_id", "text",
+          Seq("hash", "join"), 20)
+          .select(col("id").as("doc_id"), col("bm25").as("score"))
+        HybridSearch.fuseTopK(vec, fts, Seq("doc_id"), 15)
+          .select(col("doc_id"), col("match_type"), round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), asc("doc_id"))
+      }),
+
+    // M5-extractive analog: representative summary per group
+    Q("q53_group_summaries", Some("""
+      SELECT lang,
+        'This cluster covers: ' ||
+          array_to_string((list_filter(string_split(min_by(text, doc_id), ' '),
+                                       x -> x <> ''))[1:8], ' ') AS summary
+      FROM documents GROUP BY lang ORDER BY lang"""),
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(min_by(col("text"), col("doc_id")).as("rep"))
+        .select(col("lang"),
+          concat(lit("This cluster covers: "),
+            concat_ws(" ", slice(TextFunctions.tokens(col("rep")), 1, 8)))
+            .as("summary"))
+        .orderBy("lang"))
+  )
+}
