@@ -1,0 +1,230 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.model._
+import graft.operators.{Bm25, ContextExpansion, HybridSearch, VectorSearch}
+import graft.sources.{Embedder, HashingEmbedder, MarkdownSource}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine facade — the Spark-native equivalent of the reference's
+  * `PDFLibrary` (/root/reference/src/index.ts). Owns a warehouse
+  * directory of Parquet tables (one per reference table) and exposes the
+  * CLI-level operations: add/ingest, search (vector / fts / hybrid),
+  * list/get/remove/tag, stats, integrity repair.
+  *
+  * Batch-append ingestion replaces the reference's WAL/checkpoint/
+  * backpressure machinery (SURVEY.md §3.2): atomicity is per-table
+  * Parquet writes; incremental FTS maintenance is an append to the
+  * postings table.
+  *
+  * Scale design: `documents` is broadcast-sized relative to `chunks`/
+  * `embeddings` (1:260 in the reference corpus), so every doc join is a
+  * broadcast; chunks and embeddings co-partition on `docId` so the
+  * chunk⋈embedding join is shuffle-free after load-time bucketing.
+  */
+class Library(val spark: SparkSession, val warehouse: String,
+              val embedder: Embedder = new HashingEmbedder(64)) {
+  import spark.implicits._
+
+  private def path(t: String) = s"$warehouse/$t"
+
+  def documents: DataFrame = spark.read.parquet(path("documents"))
+  def chunks: DataFrame = spark.read.parquet(path("chunks"))
+  def embeddings: DataFrame = spark.read.parquet(path("embeddings"))
+
+  private def tableExists(t: String) =
+    new java.io.File(s"${path(t)}/_SUCCESS").exists()
+
+  // ---------------------------------------------------------------- ingest
+
+  /** Ingest markdown documents given as (path, content) pairs — the S2
+    * scan path. Dedups against already-ingested paths with a left_anti
+    * join (reference J11), chunks + embeds per partition, and appends to
+    * the three tables. */
+  def addMarkdown(docs: Dataset[(String, String)]): Unit = {
+    val emb = embedder
+    val fresh = if (tableExists("documents")) {
+      docs.toDF("path", "content")
+        .join(documents.select("path"), Seq("path"), "left_anti")
+        .as[(String, String)]
+    } else docs.toDF("path", "content").as[(String, String)]
+
+    val rows = fresh.map { case (p, content) =>
+      val id = Library.docId(p)
+      val title = MarkdownSource.resolveTitle(content,
+        p.split("/").last.replaceAll("\\.(md|markdown)$", ""))
+      val fm = MarkdownSource.parseFrontmatter(content)
+      val chunkRows = MarkdownSource.extractChunks(content).map {
+        case (page, idx, c) => Chunk(s"$id-$idx", id, page, idx, c)
+      }
+      val doc = Document(id, title, p,
+        new java.sql.Timestamp(0L), // deterministic; caller may overwrite
+        chunkRows.map(_.page).maxOption.getOrElse(0),
+        content.length.toLong, fm.tags, "markdown", fm.extra)
+      (doc, chunkRows)
+    }.cache()
+
+    val docRows = rows.map(_._1)
+    val chunkRows = rows.flatMap(_._2)
+    val embRows = chunkRows.mapPartitions { it =>
+      it.map(c => Embedding(c.id, emb.embed(c.content)))
+    }
+
+    docRows.write.mode(SaveMode.Append).parquet(path("documents"))
+    chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
+    embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
+    rows.unpersist()
+  }
+
+  // ---------------------------------------------------------------- search
+
+  /** Exact vector top-k over chunks (J1 three-way join shape): score all
+    * embeddings, TakeOrdered k, then join chunk content and broadcast
+    * document metadata. Tag/threshold filters push below the top-k. */
+  def vectorSearch(queryVec: Array[Float], opts: SearchOptions): DataFrame = {
+    val ch = chunks
+    val docs = tagFiltered(opts.tags)
+      .select(col("id").as("docId"), col("title"))
+    val scored = embeddings
+      .withColumn("score",
+        VectorFunctions.distToScore(
+          VectorFunctions.cosineDist(col("embedding"),
+            VectorSearch.queryVec(queryVec.toSeq))))
+    val thresholded = opts.threshold.map(t => scored.filter(col("score") >= t))
+      .getOrElse(scored)
+
+    thresholded
+      .join(ch, col("chunkId") === ch("id"))
+      .join(broadcast(docs), Seq("docId"))
+      .select(col("docId"), col("title"), col("page"),
+        col("chunkIndex"), col("content"), col("score"),
+        lit("vector").as("matchType"))
+      .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+      .limit(opts.limit)
+  }
+
+  /** BM25 full-text search over chunk contents (J2/K4 shape). */
+  def ftsSearch(query: String, opts: SearchOptions): DataFrame = {
+    val ch = chunks
+    val docs = tagFiltered(opts.tags)
+      .select(col("id").as("docId"), col("title"))
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    Bm25.search(ch, "id", "content", terms, opts.limit * 2)
+      .join(ch, Seq("id"))
+      .join(broadcast(docs), Seq("docId"))
+      .select(col("docId"), col("title"), col("page"),
+        col("chunkIndex"), col("content"), col("bm25").as("score"),
+        lit("fts").as("matchType"))
+      .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+      .limit(opts.limit)
+  }
+
+  /** Hybrid search — the flagship path (reference §3.1): vector ∪ fts,
+    * fused on (docId, page, chunkIndex) with the 1.2× both-sources boost,
+    * final ranked top-k. The FTS score is intentionally unnormalized
+    * against the [0,1] vector score (reference quirk, preserved). */
+  def search(query: String, opts: SearchOptions = SearchOptions()): DataFrame = {
+    val vec = vectorSearch(embedder.embed(query), opts)
+      .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
+        col("content"), col("score"))
+    if (!opts.hybrid) return vec.withColumn("matchType", lit("vector"))
+
+    val fts = ftsSearch(query, opts)
+      .select(col("docId"), col("page"), col("chunkIndex"), col("score"))
+
+    HybridSearch.fuseTopK(
+      vec, fts, Seq("docId", "page", "chunkIndex"), opts.limit)
+      .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
+        col("content"), col("score"), col("match_type").as("matchType"))
+  }
+
+  /** Context expansion around hits (W1): set-based neighbor join under a
+    * character budget with the reference's 20% overflow tolerance. */
+  def expandContext(hits: DataFrame, maxChars: Int, window: Int = 8): DataFrame =
+    ContextExpansion.expand(hits, chunks, "docId", "chunkIndex", "content",
+      window, maxChars)
+
+  private def tagFiltered(tags: Seq[String]): DataFrame =
+    if (tags.isEmpty) documents
+    else documents.filter(arrays_overlap(col("tags"),
+      lit(tags.toArray))) // F2 semantics: any-tag-matches
+
+  // ------------------------------------------------------------- doc ops
+
+  def listDocuments(tag: Option[String] = None): DataFrame = {
+    val base = tag.map(t => documents.filter(array_contains(col("tags"), t)))
+      .getOrElse(documents)
+    base.orderBy(desc("addedAt"), asc("id")) // K6
+  }
+
+  /** F5: exact id, else case-insensitive title substring, else id prefix. */
+  def getDocument(q: String): DataFrame =
+    documents.filter(col("id") === q ||
+      lower(col("title")).contains(q.toLowerCase) ||
+      col("id").startsWith(q))
+      .orderBy("id").limit(1)
+
+  /** S13: cascade delete via anti-join rewrite (embeddings -> chunks ->
+    * documents order, mirroring the FK cascade). */
+  def removeDocument(id: String): Unit = {
+    val deadChunks = chunks.filter(col("docId") === id).select(col("id").as("chunkId"))
+    rewrite("embeddings",
+      embeddings.join(deadChunks, Seq("chunkId"), "left_anti"))
+    rewrite("chunks", chunks.filter(col("docId") =!= id))
+    rewrite("documents", documents.filter(col("id") =!= id))
+  }
+
+  /** S14: tag update via column rewrite. */
+  def setTags(id: String, tags: Seq[String]): Unit =
+    rewrite("documents", documents.withColumn("tags",
+      when(col("id") === id, lit(tags.toArray)).otherwise(col("tags"))))
+
+  /** A1: library stats. */
+  def stats(): (Long, Long, Long) =
+    (documents.count(), chunks.count(), embeddings.count())
+
+  /** J8: orphan detection + repair (chunks without documents, embeddings
+    * without chunks). Returns counts found before repair. */
+  def repair(): (Long, Long) = {
+    val orphanChunks = chunks.join(documents.select(col("id").as("docId")),
+      Seq("docId"), "left_anti")
+    val nOC = orphanChunks.count()
+    if (nOC > 0) rewrite("chunks",
+      chunks.join(documents.select(col("id").as("docId")), Seq("docId"), "left_semi"))
+    val orphanEmbs = embeddings.join(chunks.select(col("id").as("chunkId")),
+      Seq("chunkId"), "left_anti")
+    val nOE = orphanEmbs.count()
+    if (nOE > 0) rewrite("embeddings",
+      embeddings.join(chunks.select(col("id").as("chunkId")), Seq("chunkId"), "left_semi"))
+    (nOC, nOE)
+  }
+
+  /** Parquet has no in-place update: materialize, swap directories. */
+  private def rewrite(table: String, df: DataFrame): Unit = {
+    val tmp = path(table) + "_tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dir = new java.io.File(path(table))
+    val old = new java.io.File(path(table) + "_old")
+    if (old.exists()) delete(old)
+    if (dir.exists() && !dir.renameTo(old))
+      throw new java.io.IOException(s"swap failed for $table")
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"swap failed for $table")
+    delete(old)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+}
+
+object Library {
+  /** Reference id scheme: sha256(path) hex, first 12 chars
+    * (src/index.ts:111-114). */
+  def docId(path: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusQueries, Q, RelationalQueries}
+import graft.queries.{CorpusQueries, MlQueries, Q, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -12,11 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def allQueries: Seq[Q] = RelationalQueries.all ++ CorpusQueries.all
+  def allQueries: Seq[Q] =
+    RelationalQueries.all ++ CorpusQueries.all ++ MlQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Hybrid search — the reference's flagship path (SURVEY.md §3.1):
+    * vector top-k ∪ BM25 top-k, fused with the 1.2× both-sources boost. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_segment_revenue")(spark, "/root/testdata/sf0.001")
+    queries("q43_hybrid_search")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,160 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RAPTOR-style clustering (reference M1-M7) on MLlib.
+  *
+  * The reference hand-rolls Lloyd's k-means, a mini-batch variant, and
+  * LIMIT/OFFSET streaming purely because it is single-node
+  * (/root/reference/src/services/Clustering.ts:233-508,624-648). MLlib
+  * KMeans is already distributed (k-means|| init ≈ k-means++), so the
+  * mini-batch/pagination machinery disappears; everything is seeded for
+  * reproducibility (SURVEY.md §7.3).
+  */
+object ClusteringOps {
+
+  /** Fit k-means over an Array[Float] embedding column. */
+  def fit(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+          maxIter: Int = 100): KMeansModel =
+    new KMeans()
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features")
+      .fit(df.withColumn("__features",
+        array_to_vector(col(vecCol).cast("array<double>"))))
+
+  /** Hard assignments with distance to centroid — the reference's
+    * `chunk_clusters` rows (chunkId, clusterId, distance). */
+  def assign(model: KMeansModel, df: DataFrame, idCol: String,
+             vecCol: String): DataFrame = {
+    val withPred = model.transform(
+      df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>"))))
+    val centers = withPred.sparkSession.sparkContext
+      .broadcast(model.clusterCenters)
+    val dist = udf { (v: Seq[Double], c: Int) =>
+      math.sqrt(Vectors.sqdist(Vectors.dense(v.toArray), centers.value(c)))
+    }
+    withPred.select(
+      col(idCol).as("chunkId"),
+      col(model.getPredictionCol).as("clusterId"),
+      dist(col(vecCol).cast("array<double>"), col(model.getPredictionCol))
+        .as("distance"))
+  }
+
+  /** BIC for model selection over k (reference A5/M4,
+    * Clustering.ts:336-359): n·ln(RSS/n) + p·ln(n), p = k·dim + k. RSS =
+    * KMeans trainingCost (sum of squared distances). */
+  def bic(model: KMeansModel, n: Long, dim: Int): Double = {
+    val rss = math.max(model.summary.trainingCost, 1e-10)
+    val p = model.getK * dim + model.getK
+    n * math.log(rss / n) + p * math.log(n.toDouble)
+  }
+
+  /** Try k in [2, maxK], return the model minimizing BIC (driver loop —
+    * each fit is a distributed job). */
+  def fitBestK(df: DataFrame, vecCol: String, maxK: Int,
+               seed: Long = 42L): KMeansModel = {
+    val cached = df.cache()
+    val n = cached.count()
+    val dim = cached.select(size(col(vecCol))).head().getInt(0)
+    val best = (2 to math.min(maxK, n.toInt)).map { k =>
+      val m = fit(cached, vecCol, k, seed)
+      m -> bic(m, n, dim)
+    }.minBy(_._2)._1
+    cached.unpersist()
+    best
+  }
+
+  /** Soft membership probabilities (reference M3): softmax over negative
+    * distances with temperature, keep p >= minProbability. One row per
+    * (id, clusterId) retained membership. */
+  def softAssign(model: KMeansModel, df: DataFrame, idCol: String,
+                 vecCol: String, temperature: Double = 0.5,
+                 minProbability: Double = 0.01): DataFrame = {
+    val centers = df.sparkSession.sparkContext.broadcast(
+      model.clusterCenters.map(_.toArray))
+    val probs = udf { (v: Seq[Double]) =>
+      val ds = centers.value.map(c => math.sqrt(Vectors.sqdist(
+        Vectors.dense(v.toArray), Vectors.dense(c))))
+      val exps = ds.map(d => math.exp(-d / temperature))
+      val z = exps.sum
+      exps.map(_ / z)
+    }
+    df.select(col(idCol).as("chunkId"),
+      posexplode(probs(col(vecCol).cast("array<double>")))
+        .as(Seq("clusterId", "probability")))
+      .filter(col("probability") >= minProbability)
+  }
+
+  /** Extractive cluster summaries (reference M5 fallback,
+    * ClusterSummarizer.ts:150-196): first sentence of up to `take`
+    * lowest-id members, "This cluster covers: ..." prefix. */
+  def extractiveSummaries(assignments: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          take: Int = 3): DataFrame = {
+    val w = Window.partitionBy("clusterId").orderBy("chunkId")
+    assignments
+      .join(corpus.select(col(idCol).as("chunkId"), col(textCol).as("__text")),
+        Seq("chunkId"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= take)
+      .withColumn("first_sentence",
+        trim(split(col("__text"), "[.!?]").getItem(0)))
+      .groupBy("clusterId")
+      .agg(
+        concat(lit("This cluster covers: "),
+          concat_ws(" ", collect_list(col("first_sentence")))).as("summary"),
+        count(lit(1)).as("sampled"))
+  }
+}
+
+/** IVF (inverted-file) approximate nearest neighbor index — the scale
+  * path replacing the reference's DiskANN `vector_top_k` probe (K2).
+  *
+  * Build: k-means over the corpus -> coarse centroids; every vector is
+  * assigned to its nearest centroid (one int column). At 100 TB the
+  * assignment table is *partitioned by centroid id*, so a probe scans
+  * only nProbe/k of the data — partition pruning does the work, no
+  * bespoke index structure.
+  *
+  * Query: rank centroids against the query vector (driver-side — k is
+  * small), take the nProbe nearest, filter the corpus to those cells
+  * (partition-pruned scan), exact cosine top-k inside. `nProbe = k`
+  * degenerates to the exact brute-force scan (test mode).
+  */
+class IvfIndex(val model: KMeansModel, val assigned: DataFrame,
+               val vecCol: String, val idCol: String) {
+
+  def centroidIdsFor(query: Array[Float], nProbe: Int): Seq[Int] = {
+    val q = Vectors.dense(query.map(_.toDouble))
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> Vectors.sqdist(q, c) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+  }
+
+  def topK(query: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val cells = centroidIdsFor(query, nProbe)
+    VectorSearch.topK(
+      assigned.filter(col("__cell").isin(cells: _*)),
+      vecCol, query.toSeq, k, tieCol = idCol)
+  }
+}
+
+object IvfIndex {
+  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+            seed: Long = 42L): IvfIndex = {
+    val model = ClusteringOps.fit(df, vecCol, nCells, seed)
+    val assigned = model.transform(
+      df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>"))))
+      .withColumnRenamed("prediction", "__cell")
+      .drop("__features")
+      // at scale: .write.partitionBy("__cell").parquet(...) so probes prune
+      .cache()
+    new IvfIndex(model, assigned, vecCol, idCol)
+  }
+}

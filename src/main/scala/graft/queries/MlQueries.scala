@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{ClusteringOps, IvfIndex, Multimodal}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** ML (MLlib k-means / IVF-ANN), multimodal-stub, and streaming-operator
+  * coverage. k-means itself has no SQL oracle (driver records rows-only
+  * checks for those); the IVF probe with nProbe = nCells is exact, so it
+  * shares the brute-force KNN oracle — validating the index plumbing
+  * end-to-end against SQL.
+  */
+object MlQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // M1/M4: seeded distributed k-means, cluster size histogram
+    Q("q50_kmeans_sizes", None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = ClusteringOps.fit(emb, "embedding", k = 10)
+        ClusteringOps.assign(model, emb, "vec_id", "embedding")
+          .groupBy("clusterId")
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("distance")), 6).as("avg_distance"))
+          .orderBy("clusterId")
+      }),
+
+    // K2 scale path: IVF probe with nProbe = nCells ≡ exact brute force —
+    // same oracle as q26 (validates the coarse-quantize + prune + rerank
+    // plan produces identical results when nothing is pruned)
+    Q("q51_ivf_knn", Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label, round(cs, 6) AS cos_sim FROM (
+        SELECT vec_id, label,
+          list_dot_product(embedding::DOUBLE[], qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product(qv, qv))) AS cs
+        FROM embeddings, q
+        WHERE vec_id <> 0
+        ORDER BY cs DESC, vec_id
+        LIMIT 10) t
+      ORDER BY cos_sim DESC, vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val index = IvfIndex.build(emb.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", nCells = 8)
+        index.topK(qv, k = 10, nProbe = 8) // nProbe = nCells -> exact
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .select("vec_id", "label", "cos_sim")
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      }),
+
+    // M3: soft clustering membership counts (softmax over -dist/T)
+    Q("q52_soft_membership", None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = ClusteringOps.fit(emb, "embedding", k = 10)
+        ClusteringOps.softAssign(model, emb, "vec_id", "embedding")
+          .groupBy("chunkId")
+          .agg(count(lit(1)).as("n_memberships"))
+          .groupBy("n_memberships")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("n_memberships")
+      }),
+
+    // multimodal stub: binary column -> per-partition batched "decode" ->
+    // feature vector; bytes here are the utf-8 text (ASCII corpus), so
+    // the byte-histogram features are SQL-expressible and oracle-checked
+    Q("q54_media_features", Some("""
+      WITH b AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      h AS (SELECT doc_id, (ascii(substr(text, i, 1)) >> 4) AS bucket
+            FROM b, LATERAL (SELECT unnest(generate_series(1, len)) AS i) t),
+      c AS (SELECT doc_id,
+              SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2,
+              SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS c6,
+              SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS c7
+            FROM h GROUP BY doc_id)
+      SELECT b.doc_id AS media_id,
+        CAST(len % 1024 AS INT) AS width,
+        CAST(len // 1024 + 1 AS INT) AS height,
+        3 AS channels,
+        CAST(CAST(CAST(c2 AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f2,
+        CAST(CAST(CAST(c6 AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f6,
+        CAST(CAST(CAST(c7 AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f7
+      FROM b JOIN c ON b.doc_id = c.doc_id
+      ORDER BY media_id"""),
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"),
+          lit("image").as("modality"),
+          encode(col("text"), "utf-8").as("bytes"))
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("width"), col("height"), col("channels"),
+            element_at(col("features"), 3).cast("double").as("f2"),
+            element_at(col("features"), 7).cast("double").as("f6"),
+            element_at(col("features"), 8).cast("double").as("f7"))
+          .orderBy("media_id")
+      }),
+
+    // streaming operator (batch-mode execution of the same plan):
+    // watermarked tumbling-window counts over the event stream
+    Q("q55_stream_windows", Some("""
+      SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M') AS win_start,
+        event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type"""),
+      (s, d) => EventStreams.windowedCounts(Tables.events(s, d))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_start", "event_type"))
+  )
+}

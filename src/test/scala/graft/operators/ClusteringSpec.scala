@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Ports the reference clustering behavior tests
+  * (Clustering.test.ts:70-487) onto MLlib-backed operators. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated blobs around (0,0,..) and (10,10,..)
+  private lazy val blobs = {
+    val rnd = new scala.util.Random(7)
+    val near0 = (0 until 20).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat * 0.1f)))
+    val near10 = (20 until 40).map(i =>
+      (i.toLong, Array.fill(4)(10f + rnd.nextGaussian().toFloat * 0.1f)))
+    (near0 ++ near10).toDF("id", "vec")
+  }
+
+  test("k=2 recovers the separated blobs; seeded runs are identical") {
+    val m1 = ClusteringOps.fit(blobs, "vec", 2)
+    val a1 = ClusteringOps.assign(m1, blobs, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lows = (0L until 20L).map(a1)
+    val highs = (20L until 40L).map(a1)
+    assert(lows.distinct.size === 1)
+    assert(highs.distinct.size === 1)
+    assert(lows.head !== highs.head)
+
+    val m2 = ClusteringOps.fit(blobs, "vec", 2)
+    val a2 = ClusteringOps.assign(m2, blobs, "id", "vec")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2) // determinism with fixed seed
+  }
+
+  test("BIC model selection picks small k for well-separated data") {
+    val best = ClusteringOps.fitBestK(blobs, "vec", maxK = 6)
+    assert(best.getK === 2)
+  }
+
+  test("soft assignment: probabilities sum to ~1 and multi-membership works") {
+    val model = ClusteringOps.fit(blobs, "vec", 2)
+    val soft = ClusteringOps.softAssign(model, blobs, "id", "vec",
+      temperature = 0.5, minProbability = 0.0)
+    val sums = soft.groupBy("chunkId").agg(sum("probability").as("p"))
+      .collect().map(_.getDouble(1))
+    sums.foreach(p => assert(math.abs(p - 1.0) < 1e-9))
+  }
+
+  test("extractive summaries take first sentences of lowest-id members") {
+    val assignments = Seq(("c1", 0, 0.1), ("c2", 0, 0.2), ("c3", 1, 0.1))
+      .toDF("chunkId", "clusterId", "distance")
+    val corpus = Seq(
+      ("c1", "First sentence one. More text."),
+      ("c2", "Second doc opener! Extra."),
+      ("c3", "Other cluster text. Tail.")).toDF("id", "text")
+    val sums = ClusteringOps.extractiveSummaries(assignments, corpus, "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(sums(0) === "This cluster covers: First sentence one Second doc opener")
+    assert(sums(1) === "This cluster covers: Other cluster text")
+  }
+
+  test("IVF with full probe equals brute force; partial probe is a subset scan") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val exact = VectorSearch.topK(emb, "embedding", q.toSeq, 5, "vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val full = index.topK(q, 5, nProbe = 8).collect().map(_.getLong(0)).toSeq
+    assert(full === exact)
+    val partial = index.topK(q, 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
+    assert(partial.contains(1L)) // query point's own cell is always probed
+  }
+}

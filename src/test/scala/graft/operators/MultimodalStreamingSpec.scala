@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.streaming.EventStreams
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal: binary rows flow through batched decode stub") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", "hello bytes".getBytes("UTF-8"), Row("image/png", 4, 4, null)),
+        Row(2L, "image", null, Row(null, null, null, null)),
+        Row(3L, "audio", Array.fill(2048)(7.toByte), Row("audio/wav", null, null, 1000L)))),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    def features(r: org.apache.spark.sql.Row): Seq[Float] =
+      r.getAs[scala.collection.Seq[Float]]("features").toSeq
+    assert(math.abs(features(feats(1L)).sum - 1.0f) < 1e-6)
+    assert(feats(2L).getAs[Int]("width") === 0) // null bytes -> zero features
+    assert(feats(3L).getAs[Int]("height") === 3) // 2048/1024+1
+    // determinism: same bytes, same features
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> features(r)).toMap
+    assert(again(1L) === features(feats(1L)))
+  }
+
+  test("multimodal: frame sampling generates stride-spaced frames") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(9L, "video", Array.fill(5000)(1.toByte), Row("video/mp4", null, null, 5000L)))),
+      Multimodal.mediaSchema)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+  }
+
+  test("streaming: windowed counts over a MemoryStream match batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.windowedCounts(df, "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_test").start()
+    try {
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      stream.addData((t(0), "click", 1.0), (t(1), "click", 2.0),
+        (t(6), "click", 4.0), (t(7), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_test")
+        .select(col("window.start").cast("string").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 10:05:00", "click", 1L, 4.0),
+        ("2024-01-01 10:05:00", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming: stateful sessionization emits gap-separated sessions") {
+    val events = Seq((1L, 100L), (1L, 200L), (1L, 5000L), (2L, 50L))
+      .toDS()
+    import EventStreams._
+    implicit val e1 = org.apache.spark.sql.Encoders.product[SessionState]
+    implicit val e2 = org.apache.spark.sql.Encoders.product[SessionOut]
+    val sessions = EventStreams.sessionize(events, gapSec = 1800)
+      .collect().map(s => (s.userId, s.startSec, s.endSec, s.nEvents)).toSet
+    assert(sessions === Set(
+      (1L, 100L, 200L, 2), (1L, 5000L, 5000L, 1), (2L, 50L, 50L, 1)))
+  }
+}

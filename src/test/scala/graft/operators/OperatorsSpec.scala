@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
+
+/** Table-in/table-out behavior of the search/dedup operator layer,
+  * mirroring the reference DB tests (LibSQLDatabase.test.ts:439-793). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "spark sql executes hash join and sort merge join plans"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "spark sql executes hash join and sort merge join plan"), // near dup of 2
+    (5L, "completely different content about databases and storage")
+  ).toDF("id", "text")
+
+  test("exact dedup finds the duplicated text") {
+    val groups = Dedup.exactDupGroups(corpus, "id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("n_dups") === 2)
+    assert(groups.head.getAs[Long]("canonical_id") === 1L)
+    val stats = Dedup.exactDupStats(corpus, "id", "text").head()
+    assert(stats.getAs[Long]("n_total") === 5)
+    assert(stats.getAs[Long]("n_unique") === 4)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates") {
+    val pairs = Dedup.minhashDupPairs(corpus, "id", "text",
+      numHashes = 8, numBands = 4, shingleK = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // exact dup always survives
+    assert(pairs.contains((2L, 4L))) // near dup (1-char diff)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical texts agree, near texts are close") {
+    val sh = Dedup.simhashes(corpus, "id", "text", bits = 32)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(3L))
+    assert(java.lang.Long.bitCount(sh(2L) ^ sh(4L)) <= 6)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(5L)) > 6)
+  }
+
+  test("ngram jaccard pairs with blocking") {
+    val blocked = corpus.withColumn("grp", lit(1))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "id", "text", col("grp"),
+      n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("bm25 ranks term-bearing docs and respects tie-break") {
+    val hits = Bm25.search(corpus, "id", "text", Seq("join"), 10).collect()
+    assert(hits.map(_.getLong(0)).toSet === Set(2L, 4L))
+    // doc 2 has tf=2 for "join" with same length as doc 4 -> ranks first
+    assert(hits.head.getLong(0) === 2L)
+    assert(hits.forall(_.getDouble(1) > 0))
+  }
+
+  test("vector topK is exact and deterministically tie-broken") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(1f, 0f, 0f))
+    ).toDF("id", "vec")
+    val top = VectorSearch.topK(vecs, "vec", Seq(1f, 0f, 0f), 3, "id").collect()
+    assert(top.map(_.getLong(0)).toSeq === Seq(1L, 4L, 2L)) // ties by id
+    assert(top.head.getDouble(2) === 1.0 +- 1e-12)
+  }
+
+  test("hybrid fusion boosts both-source hits 1.2x capped at 1") {
+    val vec = Seq((1L, 0.9), (2L, 0.5)).toDF("doc", "score")
+    val fts = Seq((1L, 3.4), (3L, 2.0)).toDF("doc", "score")
+    val fused = HybridSearch.fuse(vec, fts, Seq("doc")).collect()
+      .map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("match_type"), r.getAs[Double]("score"))).toMap
+    assert(fused(1L) === ("hybrid", 1.0)) // min(1, 0.9*1.2)
+    assert(fused(2L) === ("vector", 0.5))
+    assert(fused(3L) === ("fts", 2.0)) // unnormalized fts kept (quirk)
+  }
+
+  test("context expansion respects char budget with 20% overflow rule") {
+    val chunks = (0 to 9).map(i => ("d1", i, s"chunk$i " + "x" * 93)) // 100 chars each
+      .toDF("docId", "chunkIndex", "content")
+    val hits = Seq(("d1", 5)).toDF("docId", "chunkIndex")
+    val out = ContextExpansion.expand(hits, chunks, "docId", "chunkIndex",
+      "content", window = 4, maxChars = 350).head()
+    // 100-char chunks, budget 350, cap 420: hit + 3 neighbors admitted
+    assert(out.getAs[Long]("n_chunks") === 4)
+    assert(out.getAs[Int]("start_index") <= 4 && out.getAs[Int]("end_index") >= 5)
+    val ctx = out.getAs[String]("context")
+    assert(ctx.contains("chunk5"))
+    // ordered concatenation by chunk index
+    val order = "chunk([0-9])".r.findAllMatchIn(ctx).map(_.group(1).toInt).toSeq
+    assert(order === order.sorted)
+  }
+
+  test("taxonomy closure: diamond polyhierarchy and depth") {
+    val edges = Seq(
+      ("leaf", "midA"), ("leaf", "midB"), // two parents
+      ("midA", "root"), ("midB", "root")
+    ).toDF("child", "parent")
+    val closure = Taxonomy.ancestorClosure(edges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closure === Set(
+      ("leaf", "midA"), ("leaf", "midB"), ("leaf", "root"),
+      ("midA", "root"), ("midB", "root")))
+    val roots = Taxonomy.roots(
+      Seq("leaf", "midA", "midB", "root").toDF("id"), edges).collect()
+    assert(roots.map(_.getString(0)).toSeq === Seq("root"))
+  }
+
+  test("threshold algebra: score >= t  <=>  distance <= 2(1-t)") {
+    val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+      .toDF("id", "vec")
+    val q = Seq(1f, 0f)
+    val scored = vecs.withColumn("dist",
+      VectorFunctions.cosineDist(col("vec"), VectorSearch.queryVec(q)))
+      .withColumn("score", VectorFunctions.distToScore(col("dist")))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("dist"),
+        r.getAs[Double]("score")))
+    scored.foreach { case (_, dist, score) =>
+      val t = 0.5
+      assert((score >= t) === (dist <= 2 * (1 - t)))
+    }
+    assert(scored.find(_._1 == 1L).get._3 === 1.0 +- 1e-12)
+    assert(scored.find(_._1 == 3L).get._3 === 0.0 +- 1e-12)
+  }
+}
