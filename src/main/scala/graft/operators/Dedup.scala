@@ -40,12 +40,25 @@ object Dedup {
       .withColumn("n_dup_rows", col("n_total") - col("n_unique"))
 
   /** MinHash signature columns mh0..mh{k-1} over character `shingleK`-
-    * shingles of the lowercased text. */
+    * shingles of the lowercased text.
+    *
+    * The k hash families derive from TWO md5-based hashes per shingle
+    * via h_i = (h1 + i·h2) mod 2^32 (Kirsch-Mitzenmacher) — same
+    * collision behavior as k independent hashes at a quarter of the
+    * hashing cost, and the shingle array is materialized in its own
+    * projection so it is computed once per row, not once per column. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleK: Int): DataFrame = {
-    val sh = shingles(lower(col(textCol)), shingleK)
-    val mhCols = (0 until numHashes).map(i => minhash(sh, i).as(s"mh$i"))
-    df.select((col(idCol).as("id") +: mhCols): _*)
+    val hashed = df
+      .select(col(idCol).as("id"),
+        shingles(lower(col(textCol)), shingleK).as("sh"))
+      .select(col("id"),
+        transform(col("sh"), e => portableHash32(e)).as("h1"),
+        transform(col("sh"), e => portableHash32(concat(lit("x|"), e))).as("h2"))
+    val mhCols = (0 until numHashes).map(i =>
+      array_min(zip_with(col("h1"), col("h2"),
+        (a, b) => (a + lit(i.toLong) * b) % lit(4294967296L))).as(s"mh$i"))
+    hashed.select((col("id") +: mhCols): _*)
   }
 
   /** LSH candidate pairs: band the signature into `numBands` bands of
@@ -54,12 +67,14 @@ object Dedup {
   def lshCandidatePairs(sig: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
     require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
-    val banded = (0 until numBands).map { b =>
-      val key = concat_ws("_",
+    // explode one band-key array rather than unioning per-band branches:
+    // a union would re-evaluate the whole signature plan once per band
+    val keys = (0 until numBands).map { b =>
+      concat_ws("_",
         (lit(b.toString) +:
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))): _*)
-      sig.select(col("id"), key.as("band_key"))
-    }.reduce(_ unionByName _)
+    }
+    val banded = sig.select(col("id"), explode(array(keys: _*)).as("band_key"))
     val l = banded.select(col("band_key"), col("id").as("id_a"))
     val r = banded.select(col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band_key"))
@@ -113,15 +128,27 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Word n-gram Jaccard similarity for pairs sharing a blocking key. */
+  /** Word n-gram Jaccard similarity for pairs sharing a blocking key.
+    *
+    * `maxLenDiff` (with `lenCol`) prunes pairs whose lengths differ too
+    * much *before* the expensive set intersection — near-duplicates are
+    * necessarily near-length, so this is the cheap second blocking
+    * dimension after the equi-join key (a pair at Jaccard j has relative
+    * length difference <= (1-j)/j). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        blockCol: Column, n: Int, threshold: Double): DataFrame = {
+                        blockCol: Column, n: Int, threshold: Double,
+                        lenCol: Option[String] = None,
+                        maxLenDiff: Int = Int.MaxValue): DataFrame = {
+    val len = lenCol.map(col).getOrElse(length(col(textCol)))
     val sets = df.select(col(idCol).as("id"), blockCol.as("block"),
-      wordNgrams(col(textCol), n).as("ng"))
-    val l = sets.select(col("block"), col("id").as("id_a"), col("ng").as("ng_a"))
-    val r = sets.select(col("block"), col("id").as("id_b"), col("ng").as("ng_b"))
+      len.as("len"), wordNgrams(col(textCol), n).as("ng"))
+    val l = sets.select(col("block"), col("id").as("id_a"),
+      col("len").as("len_a"), col("ng").as("ng_a"))
+    val r = sets.select(col("block"), col("id").as("id_b"),
+      col("len").as("len_b"), col("ng").as("ng_b"))
     l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxLenDiff)
       .withColumn("jaccard", jaccard(col("ng_a"), col("ng_b")))
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")

@@ -56,13 +56,18 @@ object VectorSearch {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
+    // norms are computed once per VECTOR (n rows) instead of once per
+    // PAIR (n² rows) — same doubles, quadratically less work
+    val withNorm = df.select(col(blockCol).as("block"), col(idCol),
+      col(vecCol), norm(col(vecCol)).as("nrm"))
+    val a = withNorm.select(col("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", cosineSim(col("vec_a"), col("vec_b")))
+      .withColumn("cos_sim",
+        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos_sim") >= threshold)
       .select("block", "id_a", "id_b", "cos_sim")
   }

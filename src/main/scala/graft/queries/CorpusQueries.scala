@@ -55,39 +55,42 @@ object CorpusQueries {
       FROM documents"""),
       (s, d) => Dedup.exactDupStats(Tables.documents(s, d), "doc_id", "text")),
 
-    // dedup/minhash: 4-hash signature over 5-char shingles (map-only)
+    // dedup/minhash: 4-hash signature over 5-char shingles (map-only);
+    // hash families derived as (h1 + i*h2) mod 2^32 from two md5 hashes
     Q("q22_minhash_signatures", Some(s"""
       WITH sh AS (
-        SELECT doc_id, substr(lower(text), i, 5) AS s
+        SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS s
         FROM documents, LATERAL (
-          SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t)
+          SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t),
+      h AS (SELECT doc_id, ${hash32Sql("s")} AS h1, ${hash32Sql("'x|' || s")} AS h2 FROM sh)
       SELECT doc_id,
-        MIN(${hash32Sql("'0|' || s")}) AS mh0,
-        MIN(${hash32Sql("'1|' || s")}) AS mh1,
-        MIN(${hash32Sql("'2|' || s")}) AS mh2,
-        MIN(${hash32Sql("'3|' || s")}) AS mh3
-      FROM sh GROUP BY doc_id ORDER BY doc_id"""),
+        ${(0 until 4).map(i => s"MIN((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n        ")}
+      FROM h GROUP BY doc_id ORDER BY doc_id"""),
       (s, d) => Dedup.minhashSignature(Tables.documents(s, d), "doc_id", "text",
         numHashes = 4, shingleK = 5)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // dedup/minhash+LSH: band -> bucket-join candidates -> exact Jaccard verify
+    // dedup/minhash+LSH: band -> bucket-join candidates -> exact Jaccard
+    // verify. 8 hashes in 2 bands of 4: a candidate needs 4 minhash
+    // agreements, which keeps the candidate set ~Jaccard-selective
+    // (bands of 2 flood the verify stage with false candidates — 50x
+    // more pairs at sf0.1)
     Q("q23_minhash_lsh_dups", Some(s"""
       WITH sh AS (
         SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS s
         FROM documents, LATERAL (
           SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t),
       counts AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+      h AS (SELECT doc_id, ${hash32Sql("s")} AS h1, ${hash32Sql("'x|' || s")} AS h2 FROM sh),
       sig AS (
         SELECT doc_id,
-          MIN(${hash32Sql("'0|' || s")}) AS mh0, MIN(${hash32Sql("'1|' || s")}) AS mh1,
-          MIN(${hash32Sql("'2|' || s")}) AS mh2, MIN(${hash32Sql("'3|' || s")}) AS mh3
-        FROM sh GROUP BY doc_id),
+          ${(0 until 8).map(i => s"MIN((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n          ")}
+        FROM h GROUP BY doc_id),
       bands AS (
-        SELECT doc_id, '0_' || CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bk FROM sig
+        SELECT doc_id, '0_' || ${(0 to 3).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")} AS bk FROM sig
         UNION ALL
-        SELECT doc_id, '1_' || CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) AS bk FROM sig),
+        SELECT doc_id, '1_' || ${(4 to 7).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")} AS bk FROM sig),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -101,7 +104,7 @@ object CorpusQueries {
       WHERE CAST(i AS DOUBLE) / CAST(ca.sz + cb.sz - i AS DOUBLE) >= 0.5
       ORDER BY id_a, id_b"""),
       (s, d) => Dedup.minhashDupPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 4, numBands = 2, shingleK = 5, threshold = 0.5)
+        numHashes = 8, numBands = 2, shingleK = 5, threshold = 0.5)
         .orderBy("id_a", "id_b")),
 
     // dedup/simhash: 16-bit locality hash over the word set
@@ -126,21 +129,24 @@ object CorpusQueries {
         .orderBy("doc_id")),
 
     // dedup/n-gram Jaccard: word-3-gram similarity, blocked by source
+    // plus a length-difference prune (near-dups are near-length) so the
+    // expensive intersections run on a small candidate set
     Q("q25_ngram_jaccard_dups", Some(s"""
       WITH ng AS (
-        SELECT doc_id, source,
+        SELECT doc_id, source, length(text) AS len,
           list_distinct([array_to_string(t[i:i+2], ' ')
                          for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
-        FROM (SELECT doc_id, source, ${toksSql("text")} AS t FROM documents))
+        FROM (SELECT doc_id, source, text, ${toksSql("text")} AS t FROM documents))
       SELECT source, id_a, id_b, jaccard FROM (
         SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
           CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
-        FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id) p
+        FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+          AND abs(a.len - b.len) <= 20) p
       WHERE jaccard >= 0.3
       ORDER BY id_a, id_b"""),
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        col("source"), n = 3, threshold = 0.3)
+        col("source"), n = 3, threshold = 0.3, maxLenDiff = 20)
         .withColumnRenamed("block", "source")
         .select("source", "id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")),
