@@ -88,8 +88,8 @@ class Library(val spark: SparkSession, val warehouse: String,
       .select(col("id").as("docId"), col("title"))
     val scored = embeddings
       .withColumn("score",
-        VectorFunctions.distToScore(
-          VectorFunctions.cosineDist(col("embedding"),
+        VectorFunctions.distToScore(lit(1.0) -
+          graft.plans.CosineSimilarity(col("embedding"),
             VectorSearch.queryVec(queryVec.toSeq))))
     val thresholded = opts.threshold.map(t => scored.filter(col("score") >= t))
       .getOrElse(scored)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
+import graft.plans.CosineSimilarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +40,7 @@ object VectorSearch {
            tieCol: String, filterOpt: Option[Column] = None): DataFrame = {
     val base = filterOpt.map(df.filter).getOrElse(df)
     base
-      .withColumn("cos_sim", cosineSim(col(vecCol), queryVec(query)))
+      .withColumn("cos_sim", CosineSimilarity(col(vecCol), queryVec(query)))
       .orderBy(desc("cos_sim"), asc(tieCol))
       .limit(k)
   }
@@ -56,18 +56,13 @@ object VectorSearch {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double): DataFrame = {
-    // norms are computed once per VECTOR (n rows) instead of once per
-    // PAIR (n² rows) — same doubles, quadratically less work
-    val withNorm = df.select(col(blockCol).as("block"), col(idCol),
-      col(vecCol), norm(col(vecCol)).as("nrm"))
-    val a = withNorm.select(col("block"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("nrm").as("nrm_a"))
-    val b = withNorm.select(col("block"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("nrm").as("nrm_b"))
+    val a = df.select(col(blockCol).as("block"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val b = df.select(col(blockCol).as("block"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos_sim", CosineSimilarity(col("vec_a"), col("vec_b")))
       .filter(col("cos_sim") >= threshold)
       .select("block", "id_a", "id_b", "cos_sim")
   }

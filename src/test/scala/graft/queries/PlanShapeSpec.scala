@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Physical-plan shape guards: the scale properties the operators are
+  * designed around must be visible in `explain` output, not assumed —
+  * predicate pushdown reaching the parquet scan, column pruning, dims
+  * broadcast, ORDER BY+LIMIT compiling to TakeOrderedAndProject (k rows
+  * per partition, no global sort), and the cosine hot path inside
+  * whole-stage codegen. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q06: predicates push into the parquet scan (PushedFilters non-empty)") {
+    val p = plan("q06_filtered_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discou"), p) // plan string truncates
+  }
+
+  test("q18: filter + projection pushdown prunes the read schema") {
+    val p = plan("q18_part_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    // only needed columns read: p_brand is not in any scan/schema line
+    val scanLine = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scanLine.nonEmpty, p)
+    assert(!scanLine.contains("p_brand"), "p_brand should be pruned:\n" + scanLine)
+  }
+
+  test("q03: dimension joins are broadcast, fact join shuffles once") {
+    val p = plan("q03_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q02/q26: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q02_top_orders").contains("TakeOrderedAndProject"))
+    assert(plan("q26_embedding_knn").contains("TakeOrderedAndProject"))
+  }
+
+  test("q26: cosine scoring runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q26_embedding_knn")(spark, sf)
+    df.collect() // AQE finalizes the plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string;
+    // the cosine projection must sit inside one
+    val projLine = p.linesIterator.find(_.contains("cosinesimilarity")).getOrElse("")
+    assert(projLine.nonEmpty, p)
+    assert(projLine.contains("*("), s"cosine projection not codegen'd:\n$projLine")
+  }
+
+  test("q04/q05: semi and anti joins plan as join strategies, not subquery re-scans") {
+    assert(plan("q04_priority_semi").contains("LeftSemi"))
+    assert(plan("q05_custs_without_big_orders").contains("LeftAnti"))
+  }
+}
