@@ -145,6 +145,53 @@ class Library(val spark: SparkSession, val warehouse: String,
     ContextExpansion.expand(hits, chunks, "docId", "chunkIndex", "content",
       window, maxChars)
 
+  // ------------------------------------------------------- RAPTOR (M1-M7)
+
+  /** Build the clustering layer (reference chunk_clusters +
+    * cluster_summaries): seeded k-means over chunk embeddings, hard
+    * assignments with distance, extractive summaries, and summary
+    * embeddings so cluster summaries live in the same vector space and
+    * feed the same top-k operator (M7). */
+  def buildClusterSummaries(k: Int): Unit = {
+    val emb = embedder
+    val model = operators.ClusteringOps.fit(embeddings, "embedding", k)
+    val assignments = operators.ClusteringOps.assign(model, embeddings,
+      "chunkId", "embedding")
+    assignments.write.mode(SaveMode.Overwrite).parquet(path("chunk_clusters"))
+
+    val summaries = operators.ClusteringOps.extractiveSummaries(
+      assignments, chunks, "id", "content")
+    val withEmb = summaries.as[(Int, String, Long)].map { case (cid, text, n) =>
+      (cid, text, emb.embed(text), n)
+    }.toDF("clusterId", "summary", "embedding", "chunkCount")
+    withEmb.write.mode(SaveMode.Overwrite).parquet(path("cluster_summaries"))
+  }
+
+  def clusterSummaries: DataFrame = spark.read.parquet(path("cluster_summaries"))
+
+  /** J10 multi-scale search: ANN over chunks AND over cluster summaries,
+    * concatenated and re-ranked; summary rows carry the reference's
+    * synthetic identity (docId="", title="Cluster Summary", page=0,
+    * chunkIndex=clusterId) (LibSQLDatabase.ts:224-322). */
+  def multiScaleSearch(query: String, opts: SearchOptions = SearchOptions()): DataFrame = {
+    val qv = embedder.embed(query)
+    val chunkHits = vectorSearch(qv, opts)
+    val summaryHits = clusterSummaries
+      .withColumn("score",
+        VectorFunctions.distToScore(lit(1.0) -
+          graft.plans.CosineSimilarity(col("embedding"),
+            VectorSearch.queryVec(qv.toSeq))))
+      .select(lit("").as("docId"), lit("Cluster Summary").as("title"),
+        lit(0).as("page"), col("clusterId").as("chunkIndex"),
+        col("summary").as("content"), col("score"),
+        lit("cluster").as("matchType"))
+      .orderBy(desc("score"), asc("chunkIndex"))
+      .limit(opts.limit)
+    chunkHits.unionByName(summaryHits)
+      .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+      .limit(opts.limit)
+  }
+
   private def tagFiltered(tags: Seq[String]): DataFrame =
     if (tags.isEmpty) documents
     else documents.filter(arrays_overlap(col("tags"),

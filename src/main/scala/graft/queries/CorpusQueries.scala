@@ -278,6 +278,24 @@ object CorpusQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // A6: term-frequency keyword scoring (AutoTagger content path):
+    // count x (0.5 if >10% of corpus words) x min(len/8, 1.5), top-n
+    Q("q34_top_keywords", Some(s"""
+      WITH words AS (
+        SELECT t AS word FROM documents,
+          LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        WHERE length(t) > 3 AND t NOT IN ($stopwordsSql)),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM words),
+      c AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY word)
+      SELECT word, CAST(cnt AS BIGINT) AS cnt,
+        CAST(cnt AS DOUBLE) *
+          (CASE WHEN CAST(cnt AS DOUBLE) / n > 0.1 THEN 0.5 ELSE 1.0 END) *
+          least(CAST(length(word) AS DOUBLE) / 8.0, 1.5) AS score
+      FROM c, tot
+      ORDER BY score DESC, word
+      LIMIT 15"""),
+      (s, d) => TextAnalysis.topKeywords(Tables.documents(s, d), "text", 15)),
+
     // FTS: BM25 ranking over the derived postings table (K4)
     Q("q41_bm25_search", Some(s"""
       WITH lens AS (

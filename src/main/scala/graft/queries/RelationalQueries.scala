@@ -239,6 +239,25 @@ object RelationalQueries {
             sum(col("n")).over(Window.partitionBy()).cast("double"))
         .orderBy("event_type")),
 
+    // A8: exact interpolated percentiles (benchmark-style latency stats)
+    Q("q12_price_percentiles", Some("""
+      SELECT o_orderstatus,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.50) AS p50,
+        quantile_cont(o_totalprice, 0.95) AS p95,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""),
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          percentile(col("o_totalprice"), lit(0.25)).as("p25"),
+          percentile(col("o_totalprice"), lit(0.50)).as("p50"),
+          percentile(col("o_totalprice"), lit(0.95)).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")),
+
     // W: sessionization — lag + conditional cumulative flag (A8/W family)
     Q("q13_user_sessions", Some("""
       WITH x AS (

@@ -71,6 +71,22 @@ class LibrarySpec extends SparkSpec {
     assert(tagged.head.getAs[String]("id") === id)
   }
 
+  test("RAPTOR: cluster summaries build and join multi-scale search (J10/M7)") {
+    lib.buildClusterSummaries(k = 2)
+    val sums = lib.clusterSummaries.collect()
+    assert(sums.length === 2)
+    assert(sums.forall(_.getAs[String]("summary").startsWith("This cluster covers: ")))
+    val res = lib.multiScaleSearch("hash join strategies",
+      graft.model.SearchOptions(limit = 8)).collect()
+    assert(res.nonEmpty)
+    val types = res.map(_.getAs[String]("matchType")).toSet
+    assert(types.contains("vector"))
+    assert(types.contains("cluster")) // summary rows fused into ranking
+    val clusterRow = res.find(_.getAs[String]("matchType") === "cluster").get
+    assert(clusterRow.getAs[String]("docId") === "")
+    assert(clusterRow.getAs[String]("title") === "Cluster Summary")
+  }
+
   test("removeDocument cascades to chunks and embeddings (S13)") {
     val wh2 = Files.createTempDirectory("graft-wh2").toString
     val l2 = new Library(spark, wh2)
