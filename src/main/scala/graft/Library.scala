@@ -3,7 +3,8 @@ package graft
 import graft.functions.VectorFunctions
 import graft.model._
 import graft.operators.{Bm25, ContextExpansion, HybridSearch, VectorSearch}
-import graft.sources.{Embedder, HashingEmbedder, MarkdownSource}
+import graft.sources.{DocumentSources, Embedder, FakePdfExtractor, HashingEmbedder, MarkdownSource, PdfExtractor}
+import graft.sources.Chunker
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -75,6 +76,63 @@ class Library(val spark: SparkSession, val warehouse: String,
     chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
     embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
     rows.unpersist()
+  }
+
+  /** S4/S1 end-to-end directory ingest: distributed binaryFile discovery,
+    * anti-join dedup against already-ingested paths (J11), extension
+    * routing (F8), per-partition extract+chunk+embed, batch append. */
+  def ingestDirectory(dir: String,
+                      pdfExtractor: PdfExtractor = new FakePdfExtractor): Unit = {
+    val emb = embedder
+    val discovered = DocumentSources.discover(spark, dir)
+    val fresh = (if (tableExists("documents"))
+      DocumentSources.notYetIngested(discovered, documents)
+    else discovered).select("path", "sizeBytes", "content")
+      .as[(String, Long, Array[Byte])]
+
+    val rows = fresh.map { case (p, size, bytes) =>
+      val id = Library.docId(p)
+      val fileName = p.split("/").last
+      val (doc, chunkRows) = DocumentSources.fileTypeFor(p) match {
+        case "markdown" =>
+          val content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val fm = MarkdownSource.parseFrontmatter(content)
+          val cs = MarkdownSource.extractChunks(content).map {
+            case (page, idx, c) => Chunk(s"$id-$idx", id, page, idx, c)
+          }
+          (Document(id,
+            MarkdownSource.resolveTitle(content, fileName.replaceAll("\\.(md|markdown)$", "")),
+            p, new java.sql.Timestamp(0L), cs.map(_.page).maxOption.getOrElse(0),
+            size, fm.tags, "markdown", fm.extra), cs)
+        case _ =>
+          val (pageCount, pages) = pdfExtractor.extract(bytes)
+          var idx = -1
+          val cs = pages.flatMap { case (page, text) =>
+            Chunker.chunkPlain(text).map { c => idx += 1; Chunk(s"$id-$idx", id, page, idx, c) }
+          }
+          (Document(id, graft.operators.TextEnrichment.cleanTitle(fileName),
+            p, new java.sql.Timestamp(0L), pageCount, size,
+            graft.operators.TextEnrichment.extractFilenameTags(fileName),
+            "pdf", Map.empty), cs)
+      }
+      (doc, chunkRows)
+    }.cache()
+
+    rows.map(_._1).write.mode(SaveMode.Append).parquet(path("documents"))
+    val chunkRows = rows.flatMap(_._2)
+    chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
+    chunkRows.mapPartitions(it => it.map(c => Embedding(c.id, emb.embed(c.content))))
+      .write.mode(SaveMode.Append).parquet(path("embeddings"))
+    rows.unpersist()
+  }
+
+  /** S12 export: copy the warehouse tables to a destination directory
+    * (the reference tars its DB dir; Parquet dirs just copy/transfer). */
+  def exportTo(dest: String): Unit = {
+    Seq("documents", "chunks", "embeddings").filter(tableExists).foreach { t =>
+      spark.read.parquet(path(t)).write
+        .mode(SaveMode.Overwrite).parquet(s"$dest/$t")
+    }
   }
 
   // ---------------------------------------------------------------- search

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PDF extraction behind a trait (reference S1 shells out to pypdf —
+  * an environment liability isolated here per SURVEY.md §7.3). The
+  * engine-side contract is `bytes -> per-page text`; production wires a
+  * JVM extractor (e.g. pdfbox) or a per-partition subprocess, tests use
+  * [[FakePdfExtractor]]. */
+trait PdfExtractor extends Serializable {
+  /** @return (pageCount, Seq[(page, text)]) */
+  def extract(bytes: Array[Byte]): (Int, Seq[(Int, String)])
+}
+
+/** Deterministic stand-in: interprets the bytes as text and splits
+  * "pages" on form-feed characters — enough to exercise the full
+  * ingest pipeline (chunking, ids, embeddings) without a PDF codec. */
+class FakePdfExtractor extends PdfExtractor {
+  override def extract(bytes: Array[Byte]): (Int, Seq[(Int, String)]) = {
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val pages = text.split("\f", -1).toSeq
+    (pages.length, pages.zipWithIndex.map { case (t, i) => (i + 1, t) })
+  }
+}
+
+/** File discovery + routing + format sniffing (reference S3/S4/F8). */
+object DocumentSources {
+
+  /** F8: extension-based routing. */
+  def fileTypeFor(path: String): String =
+    if (path.toLowerCase.matches(".*\\.(md|markdown)$")) "markdown" else "pdf"
+
+  /** Reference MARKDOWN_INDICATORS (cli.ts:82-96): content sniffing on
+    * the first 4096 bytes when the extension is inconclusive. */
+  private val markdownIndicators = Seq(
+    "(?m)^#{1,6}\\s", "(?m)^[-*+]\\s", "(?m)^\\d+\\.\\s",
+    "(?m)^```", "(?m)^\\|.+\\|", "(?m)\\[.+\\]\\(.+\\)").map(_.r)
+
+  def looksLikeMarkdown(content: String): Boolean = {
+    val peek = content.take(4096)
+    markdownIndicators.exists(_.findFirstIn(peek).isDefined)
+  }
+
+  def hasMarkdownExtension(url: String): Boolean = {
+    val pathname = try new java.net.URI(url).getPath catch { case _: Exception => url }
+    val p = Option(pathname).getOrElse(url).toLowerCase
+    p.endsWith(".md") || p.endsWith(".markdown")
+  }
+
+  /** S4: recursive discovery of ingestable files as a binaryFile scan —
+    * at scale this is a distributed listing + splittable read, and the
+    * already-ingested filter is a left_anti join (J11), not a driver
+    * Set. */
+  def discover(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{pdf,md,markdown}")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("length").as("sizeBytes"), col("content"))
+
+  def notYetIngested(discovered: DataFrame, documents: DataFrame): DataFrame =
+    discovered.join(documents.select("path"), Seq("path"), "left_anti")
+}
