@@ -49,16 +49,11 @@ object Dedup {
     * projection so it is computed once per row, not once per column. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        numHashes: Int, shingleK: Int): DataFrame = {
-    val hashed = df
-      .select(col(idCol).as("id"),
-        shingles(lower(col(textCol)), shingleK).as("sh"))
-      .select(col("id"),
-        transform(col("sh"), e => portableHash32(e)).as("h1"),
-        transform(col("sh"), e => portableHash32(concat(lit("x|"), e))).as("h2"))
+    val sig = graft.plans.MinHashSignature(lower(col(textCol)), shingleK, numHashes)
     val mhCols = (0 until numHashes).map(i =>
-      array_min(zip_with(col("h1"), col("h2"),
-        (a, b) => (a + lit(i.toLong) * b) % lit(4294967296L))).as(s"mh$i"))
-    hashed.select((col("id") +: mhCols): _*)
+      element_at(col("__sig"), i + 1).as(s"mh$i"))
+    df.select(col(idCol).as("id"), sig.as("__sig"))
+      .select((col("id") +: mhCols): _*)
   }
 
   /** LSH candidate pairs: band the signature into `numBands` bands of
@@ -74,7 +69,10 @@ object Dedup {
         (lit(b.toString) +:
           (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))): _*)
     }
+    // materialize the (tiny) banded keys before the self-join: a join's
+    // two branches would otherwise each recompute the full signature scan
     val banded = sig.select(col("id"), explode(array(keys: _*)).as("band_key"))
+      .localCheckpoint(false)
     val l = banded.select(col("band_key"), col("id").as("id_a"))
     val r = banded.select(col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band_key"))
@@ -87,8 +85,10 @@ object Dedup {
     * keep pairs at/above `threshold`. `corpus` must carry (id, text). */
   def verifyPairs(corpus: DataFrame, idCol: String, textCol: String,
                   pairs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    // shingle sets are joined from both pair sides — materialize once
     val sets = corpus.select(col(idCol).as("id"),
       shingles(lower(col(textCol)), shingleK).as("sh"))
+      .localCheckpoint(false)
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -119,6 +119,7 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame = {
     val sh = simhashes(df, idCol, textCol, bits)
       .withColumn("prefix", shiftright(col("simhash"), bits - prefixBits))
+      .localCheckpoint(false) // joined from both sides below
     val l = sh.select(col("prefix"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = sh.select(col("prefix"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("prefix"))
@@ -142,6 +143,7 @@ object Dedup {
     val len = lenCol.map(col).getOrElse(length(col(textCol)))
     val sets = df.select(col(idCol).as("id"), blockCol.as("block"),
       len.as("len"), wordNgrams(col(textCol), n).as("ng"))
+      .localCheckpoint(false) // n-gram arrays join from both pair sides
     val l = sets.select(col("block"), col("id").as("id_a"),
       col("len").as("len_a"), col("ng").as("ng_a"))
     val r = sets.select(col("block"), col("id").as("id_b"),
