@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions
 import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -89,6 +89,23 @@ object ClusteringOps {
       posexplode(probs(col(vecCol).cast("array<double>")))
         .as(Seq("clusterId", "probability")))
       .filter(col("probability") >= minProbability)
+  }
+
+  /** True probabilistic soft clustering via MLlib GaussianMixture — the
+    * alternative SURVEY §2.9 M3 notes; the k-means+softmax port above is
+    * the output-parity default, GMM is the statistically-grounded
+    * option. */
+  def gmmAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                seed: Long = 42L): DataFrame = {
+    val gmm = new org.apache.spark.ml.clustering.GaussianMixture()
+      .setK(k).setSeed(seed).setFeaturesCol("__features")
+      .fit(df.withColumn("__features",
+        array_to_vector(col(vecCol).cast("array<double>"))))
+    gmm.transform(df.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>"))))
+      .select(col(idCol).as("chunkId"),
+        col("prediction").as("clusterId"),
+        vector_to_array(col("probability")).as("probabilities"))
   }
 
   /** Extractive cluster summaries (reference M5 fallback,

@@ -278,6 +278,46 @@ object CorpusQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // dedup/canonicalize: the standard pipeline shape — group candidates
+    // by a near-dup key (here: simhash bucket), keep one canonical row
+    // per group by a deterministic quality order. Window argmax, the
+    // shuffle is on the (small) key, never on pairs.
+    Q("q35_dedup_canonicalize", Some {
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n          ")
+      val bits = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, t
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u),
+      h AS (SELECT doc_id, ${hash32Sql("t")} AS hv FROM toks),
+      b AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+      sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b),
+      ranked AS (
+        SELECT d.doc_id, sh.simhash, d.n_chars,
+          ROW_NUMBER() OVER (PARTITION BY sh.simhash
+                             ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY sh.simhash) AS group_size
+        FROM documents d JOIN sh ON d.doc_id = sh.doc_id)
+      SELECT doc_id, simhash, CAST(group_size AS BIGINT) AS group_size
+      FROM ranked WHERE rn = 1 AND group_size > 1
+      ORDER BY doc_id"""
+    },
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.simhashes(docs, "doc_id", "text", bits = 16)
+          .withColumnRenamed("id", "doc_id")
+        val w = Window.partitionBy("simhash")
+        val ranked = docs.select("doc_id", "n_chars").join(sh, Seq("doc_id"))
+          .withColumn("rn", row_number().over(
+            w.orderBy(desc("n_chars"), asc("doc_id"))))
+          .withColumn("group_size", count(lit(1)).over(w))
+        ranked.filter(col("rn") === 1 && col("group_size") > 1)
+          .select("doc_id", "simhash", "group_size")
+          .orderBy("doc_id")
+      }),
+
     // A6: term-frequency keyword scoring (AutoTagger content path):
     // count x (0.5 if >10% of corpus words) x min(len/8, 1.5), top-n
     Q("q34_top_keywords", Some(s"""

@@ -367,6 +367,26 @@ object RelationalQueries {
           .orderBy("n_name")
       }),
 
+    // A: hierarchical aggregation (ROLLUP) — beyond the reference's
+    // surface, standard for pipeline reporting; exact decimal sums
+    Q("q36_rollup_revenue", Some("""
+      SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        COALESCE(l_linestatus, 'ALL') AS linestatus,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY returnflag, linestatus"""),
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(d2(col("l_extendedprice"))).cast("double").as("sum_base"),
+          count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_base"), col("n"))
+        .orderBy("returnflag", "linestatus")),
+
     // F5/F6 analog: label/text predicate + projection (pushdown visible
     // in explain: PushedFilters + 3-column ReadSchema)
     Q("q18_part_filter", Some("""

@@ -25,6 +25,28 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Incremental ingest as a file-source stream: watch a directory of
+    * markdown files, run the SAME extract/chunk transform as the batch
+    * path, and append to the chunks table layout. Batch and streaming
+    * share one schema and one chunker — the reference's batch-append
+    * ingest (SURVEY §3.2) becomes `readStream` with no semantic change. */
+  def markdownIngestStream(spark: org.apache.spark.sql.SparkSession,
+                           watchDir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", true)
+      .text(watchDir)
+      .as[String]
+      .flatMap { content =>
+        val id = graft.Library.docId(
+          java.util.UUID.nameUUIDFromBytes(content.getBytes("UTF-8")).toString)
+        graft.sources.MarkdownSource.extractChunks(content).map {
+          case (page, idx, c) => (s"$id-$idx", id, page, idx, c)
+        }
+      }
+      .toDF("id", "docId", "page", "chunkIndex", "content")
+  }
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(userId: Long, startSec: Long, endSec: Long, nEvents: Int)
 

@@ -62,6 +62,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: markdown file-source ingest runs the batch chunker incrementally") {
+    val watch = java.nio.file.Files.createTempDirectory("graft-stream")
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-out")
+    val q = EventStreams.markdownIngestStream(spark, watch.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_test").start()
+    try {
+      java.nio.file.Files.writeString(watch.resolve("a.md"),
+        "# Title\n" + ("streaming ingest content with words. " * 10))
+      q.processAllAvailable()
+      val rows = spark.table("ingest_test").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[String]("content").nonEmpty))
+      val n1 = rows.length
+      java.nio.file.Files.writeString(watch.resolve("b.md"),
+        "# Second\n" + ("more incremental content arrives later on. " * 10))
+      q.processAllAvailable()
+      assert(spark.table("ingest_test").count() > n1) // incremental append
+    } finally q.stop()
+  }
+
+  test("GMM soft clustering: probabilities per row sum to 1") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val pts = ((0 until 15).map(i => (i.toLong, Array.fill(3)(rnd.nextGaussian().toFloat))) ++
+      (15 until 30).map(i => (i.toLong, Array.fill(3)(8f + rnd.nextGaussian().toFloat))))
+      .toDF("id", "vec")
+    val out = ClusteringOps.gmmAssign(pts, "id", "vec", k = 2)
+    val sums = out.select(aggregate(col("probabilities"), lit(0.0), _ + _).as("s"))
+      .collect().map(_.getDouble(0))
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-6))
+    assert(out.select("clusterId").distinct().count() === 2)
+  }
+
   test("streaming: stateful sessionization emits gap-separated sessions") {
     val events = Seq((1L, 100L), (1L, 200L), (1L, 5000L), (2L, 50L))
       .toDS()
