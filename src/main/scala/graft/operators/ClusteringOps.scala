@@ -170,8 +170,22 @@ object IvfIndex {
       df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>"))))
       .withColumnRenamed("prediction", "__cell")
       .drop("__features")
-      // at scale: .write.partitionBy("__cell").parquet(...) so probes prune
       .cache()
     new IvfIndex(model, assigned, vecCol, idCol)
+  }
+
+  /** Persist the index as a hive-partitioned table (one directory per
+    * cell) and register it with [[graft.plans.IvfRegistry]]: any
+    * `ORDER BY cosine_similarity(vec, q) DESC LIMIT k` over the path is
+    * then rewritten by [[graft.plans.IvfProbeRule]] into a cell-pruned
+    * probe — partition pruning skips (nCells - nProbe)/nCells of the
+    * files. */
+  def persist(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+              path: String, nProbe: Int, seed: Long = 42L): IvfIndex = {
+    val idx = build(df, idCol, vecCol, nCells, seed)
+    idx.assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    graft.plans.IvfRegistry.register(path,
+      idx.model.clusterCenters.map(_.toArray), nProbe)
+    idx
   }
 }

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Descending, Expression, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** IVF index acceleration as a Catalyst optimizer rule — the SURVEY
+  * §4.2 "custom Rule/Strategy" tier: rewrite
+  *
+  *   ORDER BY cosine_similarity(vec, <query literal>) DESC LIMIT k
+  *
+  * over an IVF-partitioned table (written by
+  * [[graft.operators.IvfIndex.persist]], hive-partitioned on `__cell`)
+  * into the same plan with a `__cell IN (<nProbe nearest centroids>)`
+  * filter injected below the sort. Catalyst's partition pruning then
+  * skips every non-probed cell's files — the scan reads nProbe/k of the
+  * data, which is the entire point of an ANN index at 100 TB.
+  *
+  * The rewrite fires only for tables registered in [[IvfRegistry]] and
+  * changes RESULTS only when nProbe < nCells (approximate, like any IVF
+  * probe); nProbe = nCells is provably exact. Registration is explicit
+  * opt-in, mirroring the reference's explicit `vector_top_k` index probe
+  * (LibSQLDatabase.ts:325-337) — but here plain declarative SQL/DataFrame
+  * code gets accelerated without calling a special operator.
+  */
+object IvfRegistry {
+  case class Entry(centers: Array[Array[Double]], nProbe: Int)
+  private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  def register(pathPrefix: String, centers: Array[Array[Double]], nProbe: Int): Unit =
+    entries.put(normalize(pathPrefix), Entry(centers, nProbe))
+  def clear(): Unit = entries.clear()
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  def lookup(paths: Seq[String]): Option[Entry] = {
+    val it = entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (paths.exists(p => normalize(p).startsWith(e.getKey))) return Some(e.getValue)
+    }
+    None
+  }
+
+  /** nProbe nearest centroid ids to the query vector (squared-Euclidean,
+    * matching the k-means quantizer). */
+  def probeCells(centers: Array[Array[Double]], query: Array[Double],
+                 nProbe: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      var d = 0.0; var j = 0
+      while (j < c.length && j < query.length) {
+        val t = c(j) - query(j); d += t * t; j += 1
+      }
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+}
+
+case class IvfProbeRule() extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case gl @ GlobalLimit(_, LocalLimit(_, s: Sort))
+      if s.global && s.order.nonEmpty &&
+        s.order.head.direction == Descending &&
+        sortKeyQuery(s.order.head.child, s.child).isDefined =>
+      val queryLit = sortKeyQuery(s.order.head.child, s.child).get
+      rewrite(gl, s, s.child, queryLit).getOrElse(gl)
+  }
+
+  /** The sort key is either `cosine_similarity(col, <lit>)` directly or
+    * an attribute aliased to it in the child projection. */
+  private def sortKeyQuery(key: Expression, child: LogicalPlan): Option[Literal] =
+    key match {
+      case CosineSimilarity(_, l: Literal) => Some(l)
+      case a: Attribute => child match {
+        case p: Project => p.projectList.collectFirst {
+          case al @ Alias(CosineSimilarity(_, l: Literal), _)
+            if al.exprId == a.exprId => l
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def rewrite(top: LogicalPlan, sort: Sort, child: LogicalPlan,
+                      queryLit: Literal): Option[LogicalPlan] = {
+    // locate the file relation and its __cell partition attribute
+    val relOpt = child.collectFirst {
+      case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+        if lr.output.exists(_.name == "__cell") =>
+        (lr, fs.location.rootPaths.map(_.toString))
+    }
+    for {
+      (lr, paths) <- relOpt
+      entry <- IvfRegistry.lookup(paths)
+      query <- queryVector(queryLit)
+      if entry.nProbe < entry.centers.length // full probe: no-op, stay exact
+    } yield {
+      val cells = IvfRegistry.probeCells(entry.centers, query, entry.nProbe)
+      val cellAttr = lr.output.find(_.name == "__cell").get
+      val pruned = child.transformUp {
+        case l: LogicalRelation if l.eq(lr) =>
+          Filter(In(cellAttr, cells.map(c => Literal(c))), l)
+      }
+      top match {
+        case GlobalLimit(le, LocalLimit(ll, _)) =>
+          GlobalLimit(le, LocalLimit(ll, sort.copy(child = pruned)))
+      }
+    }
+  }
+
+  private def queryVector(lit: Literal): Option[Array[Double]] =
+    lit.value match {
+      case a: ArrayData => Some(a.toFloatArray().map(_.toDouble))
+      case _ => None
+    }
+}
+
+/** `SparkSession.builder().withExtensions(new IvfExtensions)` — or
+  * `spark.sql.extensions=graft.plans.IvfExtensions`. */
+class IvfExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => IvfProbeRule())
+}
