@@ -58,8 +58,15 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature into `numBands` bands of
     * `rowsPerBand`, bucket-join per band, dedup pairs across bands.
-    * Docs agreeing on *all* hashes of any band become a candidate pair. */
-  def lshCandidatePairs(sig: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+    * Docs agreeing on *all* hashes of any band become a candidate pair.
+    *
+    * `maxBucketSize` drops degenerate buckets (a band value shared by
+    * more than that many docs) before the self-join — a bucket of size m
+    * emits m²/2 pairs, so one hot bucket (boilerplate, empty docs) can
+    * dominate the whole job at corpus scale; such buckets carry no
+    * discriminative signal anyway (the skew guard, cf. stop-words). */
+  def lshCandidatePairs(sig: DataFrame, numHashes: Int, numBands: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / numBands
     require(numBands * rowsPerBand == numHashes, "bands must tile the signature")
     // explode one band-key array rather than unioning per-band branches:
@@ -73,8 +80,13 @@ object Dedup {
     // two branches would otherwise each recompute the full signature scan
     val banded = sig.select(col("id"), explode(array(keys: _*)).as("band_key"))
       .localCheckpoint(false)
-    val l = banded.select(col("band_key"), col("id").as("id_a"))
-    val r = banded.select(col("band_key"), col("id").as("id_b"))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
+    val l = capped.select(col("band_key"), col("id").as("id_a"))
+    val r = capped.select(col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -100,9 +112,10 @@ object Dedup {
   /** End-to-end MinHash LSH near-dup detection. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, numBands: Int = 4,
-                      shingleK: Int = 5, threshold: Double = 0.5): DataFrame = {
+                      shingleK: Int = 5, threshold: Double = 0.5,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK)
-    val cands = lshCandidatePairs(sig, numHashes, numBands)
+    val cands = lshCandidatePairs(sig, numHashes, numBands, maxBucketSize)
     verifyPairs(df, idCol, textCol, cands, shingleK, threshold)
   }
 

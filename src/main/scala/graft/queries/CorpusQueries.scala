@@ -91,9 +91,11 @@ object CorpusQueries {
         SELECT doc_id, '0_' || ${(0 to 3).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")} AS bk FROM sig
         UNION ALL
         SELECT doc_id, '1_' || ${(4 to 7).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")} AS bk FROM sig),
+      keep AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= 1000),
+      capped AS (SELECT bands.* FROM bands JOIN keep USING (bk)),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+        FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id),
       inter AS (
         SELECT id_a, id_b, COUNT(*) AS i
         FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b AND y.s = x.s
