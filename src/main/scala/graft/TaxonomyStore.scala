@@ -58,7 +58,9 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
     val newConcepts = raw.select(explode(col("concepts")).as("c"))
       .select(col("c.id").as("id"), col("c.prefLabel").as("prefLabel"),
         (if (cFields.contains("altLabels"))
-          coalesce(col("c.altLabels"), array()) else array()).as("altLabels"),
+          coalesce(col("c.altLabels").cast("array<string>"),
+            array().cast("array<string>"))
+        else array().cast("array<string>")).as("altLabels"),
         (if (cFields.contains("definition"))
           col("c.definition") else lit(null).cast("string")).as("definition"))
       .join(concepts.select("id"), Seq("id"), "left_anti")

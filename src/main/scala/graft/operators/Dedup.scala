@@ -99,12 +99,13 @@ object Dedup {
                   pairs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
     // shingle sets are joined from both pair sides — materialize once
     val sets = corpus.select(col(idCol).as("id"),
-      shingles(lower(col(textCol)), shingleK).as("sh"))
+      graft.plans.TextSetExpressions.shingleSet(lower(col(textCol)), shingleK).as("sh"))
       .localCheckpoint(false)
     pairs
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.plans.TextSetExpressions.arrayJaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -125,7 +126,8 @@ object Dedup {
   def simhashes(df: DataFrame, idCol: String, textCol: String,
                 bits: Int = 32): DataFrame =
     df.select(col(idCol).as("id"),
-      simhash(tokenSet(col(textCol)), bits).as("simhash"))
+      graft.plans.TextSetExpressions.simhash(lower(col(textCol)), bits)
+        .as("simhash"))
 
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 32, prefixBits: Int = 8,
@@ -155,7 +157,8 @@ object Dedup {
                         maxLenDiff: Int = Int.MaxValue): DataFrame = {
     val len = lenCol.map(col).getOrElse(length(col(textCol)))
     val sets = df.select(col(idCol).as("id"), blockCol.as("block"),
-      len.as("len"), wordNgrams(col(textCol), n).as("ng"))
+      len.as("len"),
+      graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n).as("ng"))
       .localCheckpoint(false) // n-gram arrays join from both pair sides
     val l = sets.select(col("block"), col("id").as("id_a"),
       col("len").as("len_a"), col("ng").as("ng_a"))
@@ -164,7 +167,8 @@ object Dedup {
     l.join(r, Seq("block"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxLenDiff)
-      .withColumn("jaccard", jaccard(col("ng_a"), col("ng_b")))
+      .withColumn("jaccard",
+        graft.plans.TextSetExpressions.arrayJaccard(col("ng_a"), col("ng_b")))
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }

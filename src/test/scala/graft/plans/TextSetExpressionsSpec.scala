@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Native set expressions must match the HOF formulations they replace:
+  * same sets, and bitwise-identical Jaccard values. */
+class TextSetExpressionsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet").limit(150)
+
+  test("shingleSet == HOF shingles as sets") {
+    val both = docs.select(
+      TextSetExpressions.shingleSet(lower(col("text")), 5).as("fast"),
+      TextFunctions.shingles(lower(col("text")), 5).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast").toSet ===
+        r.getAs[scala.collection.Seq[String]]("ref").toSet)
+    }
+  }
+
+  test("wordNgramSet == HOF wordNgrams as sets") {
+    val both = docs.select(
+      TextSetExpressions.wordNgramSet(lower(col("text")), 3).as("fast"),
+      TextFunctions.wordNgrams(col("text"), 3).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast").toSet ===
+        r.getAs[scala.collection.Seq[String]]("ref").toSet)
+    }
+  }
+
+  test("arrayJaccard == size(intersect)/size(union), bitwise") {
+    import spark.implicits._
+    val pairs = docs.limit(40).select(col("doc_id"), col("text"))
+      .crossJoin(docs.limit(40).select(col("doc_id").as("doc_id2"), col("text").as("text2")))
+      .filter(col("doc_id") < col("doc_id2"))
+    val both = pairs.select(
+      TextSetExpressions.arrayJaccard(
+        TextSetExpressions.shingleSet(lower(col("text")), 5),
+        TextSetExpressions.shingleSet(lower(col("text2")), 5)).as("fast"),
+      TextFunctions.jaccard(
+        TextFunctions.shingles(lower(col("text")), 5),
+        TextFunctions.shingles(lower(col("text2")), 5)).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native simhash == HOF simhash, bitwise") {
+    val both = docs.select(
+      TextSetExpressions.simhash(lower(col("text")), 16).as("fast"),
+      TextFunctions.simhash(TextFunctions.tokenSet(col("text")), 16).as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("edge cases: short text, empty text, fewer tokens than n") {
+    import spark.implicits._
+    val df = Seq("ab", "", "one two").toDF("t")
+    val rows = df.select(
+      TextSetExpressions.shingleSet(col("t"), 5).as("sh"),
+      TextSetExpressions.wordNgramSet(col("t"), 3).as("ng"))
+      .collect()
+    assert(rows(0).getAs[scala.collection.Seq[String]]("sh").toSeq === Seq("ab"))
+    assert(rows(1).getAs[scala.collection.Seq[String]]("sh").toSeq === Seq(""))
+    assert(rows(2).getAs[scala.collection.Seq[String]]("ng").toSeq === Seq("one two"))
+  }
+}
