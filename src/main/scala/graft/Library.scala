@@ -51,6 +51,11 @@ class Library(val spark: SparkSession, val warehouse: String,
         .as[(String, String)]
     } else docs.toDF("path", "content").as[(String, String)]
 
+    // localCheckpoint, NOT cache: the plan depends on the `documents`
+    // table through the anti-join, and the first append below refreshes
+    // that path, which would invalidate a cache entry and silently
+    // recompute the remaining writes against the already-updated table
+    // (dropping every new row). Checkpointing truncates the lineage.
     val rows = fresh.map { case (p, content) =>
       val id = Library.docId(p)
       val title = MarkdownSource.resolveTitle(content,
@@ -64,7 +69,7 @@ class Library(val spark: SparkSession, val warehouse: String,
         chunkRows.map(_.page).maxOption.getOrElse(0),
         content.length.toLong, fm.tags, "markdown", fm.extra)
       (doc, chunkRows)
-    }.cache()
+    }.localCheckpoint()
 
     val docRows = rows.map(_._1)
     val chunkRows = rows.flatMap(_._2)
@@ -75,7 +80,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     docRows.write.mode(SaveMode.Append).parquet(path("documents"))
     chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
     embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
-    rows.unpersist()
+    appendToFtsIndex(chunkRows.toDF())
   }
 
   /** S4/S1 end-to-end directory ingest: distributed binaryFile discovery,
@@ -116,14 +121,14 @@ class Library(val spark: SparkSession, val warehouse: String,
             "pdf", Map.empty), cs)
       }
       (doc, chunkRows)
-    }.cache()
+    }.localCheckpoint() // see addMarkdown: immune to the append's path refresh
 
     rows.map(_._1).write.mode(SaveMode.Append).parquet(path("documents"))
     val chunkRows = rows.flatMap(_._2)
     chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
     chunkRows.mapPartitions(it => it.map(c => Embedding(c.id, emb.embed(c.content))))
       .write.mode(SaveMode.Append).parquet(path("embeddings"))
-    rows.unpersist()
+    appendToFtsIndex(chunkRows.toDF())
   }
 
   /** S12 export: copy the warehouse tables to a destination directory
@@ -162,13 +167,45 @@ class Library(val spark: SparkSession, val warehouse: String,
       .limit(opts.limit)
   }
 
-  /** BM25 full-text search over chunk contents (J2/K4 shape). */
+  // ------------------------------------------------------------- FTS index
+
+  /** The persisted inverted index: postings (id, term, tf) + doc lengths.
+    * The reference keeps FTS5 in sync with triggers
+    * (LibSQLDatabase.ts:886-913); here maintenance is an append — ingest
+    * paths call [[appendToFtsIndex]] with just the new chunks. At scale
+    * the postings table is written bucketed by term so a query-term
+    * probe prunes to a few buckets. */
+  def rebuildFtsIndex(): Unit = {
+    val ch = chunks
+    Bm25.postings(ch, "id", "content").write
+      .mode(SaveMode.Overwrite).parquet(path("fts_postings"))
+    Bm25.docLengths(ch, "id", "content").write
+      .mode(SaveMode.Overwrite).parquet(path("fts_lens"))
+  }
+
+  private def appendToFtsIndex(newChunks: DataFrame): Unit =
+    if (tableExists("fts_postings")) {
+      Bm25.postings(newChunks, "id", "content").write
+        .mode(SaveMode.Append).parquet(path("fts_postings"))
+      Bm25.docLengths(newChunks, "id", "content").write
+        .mode(SaveMode.Append).parquet(path("fts_lens"))
+    }
+
+  /** BM25 full-text search over chunk contents (J2/K4 shape). Uses the
+    * persisted index when present (probe = pruned scan of the postings
+    * slice), falling back to an on-the-fly index over the chunk scan. */
   def ftsSearch(query: String, opts: SearchOptions): DataFrame = {
     val ch = chunks
     val docs = tagFiltered(opts.tags)
       .select(col("id").as("docId"), col("title"))
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    Bm25.search(ch, "id", "content", terms, opts.limit * 2)
+    val hits =
+      if (tableExists("fts_postings"))
+        Bm25.scoreFromIndex(
+          spark.read.parquet(path("fts_postings")),
+          spark.read.parquet(path("fts_lens")), terms, opts.limit * 2)
+      else Bm25.search(ch, "id", "content", terms, opts.limit * 2)
+    hits
       .join(ch, Seq("id"))
       .join(broadcast(docs), Seq("docId"))
       .select(col("docId"), col("title"), col("page"),
@@ -274,8 +311,15 @@ class Library(val spark: SparkSession, val warehouse: String,
     * documents order, mirroring the FK cascade). */
   def removeDocument(id: String): Unit = {
     val deadChunks = chunks.filter(col("docId") === id).select(col("id").as("chunkId"))
+      .localCheckpoint()
     rewrite("embeddings",
       embeddings.join(deadChunks, Seq("chunkId"), "left_anti"))
+    if (tableExists("fts_postings")) {
+      rewrite("fts_postings", spark.read.parquet(path("fts_postings"))
+        .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
+      rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
+        .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
+    }
     rewrite("chunks", chunks.filter(col("docId") =!= id))
     rewrite("documents", documents.filter(col("id") =!= id))
   }

@@ -1,0 +1,87 @@
+package graft
+
+import graft.model.SearchOptions
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Capstone integration: the real testdata corpus flows through the
+  * whole facade — ingest, persisted FTS index with incremental
+  * maintenance, hybrid search, clustering, multi-scale retrieval — and
+  * the SQL surface reaches the native functions. */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lib = {
+    val wh = Files.createTempDirectory("graft-int").toString
+    val l = new Library(spark, wh)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(120)
+      .select(concat(lit("/corpus/doc"), col("doc_id"), lit(".md")).as("path"),
+        col("text").as("content"))
+      .as[(String, String)]
+    l.addMarkdown(corpus)
+    l
+  }
+
+  test("testdata corpus: ingest + hybrid search end-to-end") {
+    val (nd, nc, ne) = lib.stats()
+    assert(nd === 120)
+    assert(nc >= nd && ne === nc)
+    val res = lib.search("hash join", SearchOptions(limit = 10)).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getAs[Double]("score") > 0))
+  }
+
+  test("persisted FTS index: same results as on-the-fly, appends on ingest") {
+    val onTheFly = lib.ftsSearch("merge sort", SearchOptions(limit = 10))
+      .collect().map(r => (r.getAs[String]("docId"), r.getAs[Double]("score"))).toSeq
+    lib.rebuildFtsIndex()
+    val indexed = lib.ftsSearch("merge sort", SearchOptions(limit = 10))
+      .collect().map(r => (r.getAs[String]("docId"), r.getAs[Double]("score"))).toSeq
+    assert(indexed === onTheFly)
+
+    // incremental maintenance: new doc becomes searchable without rebuild
+    lib.addMarkdown(Seq(("/corpus/fresh.md",
+      "# Fresh\n" + ("zanzibar unique token content for retrieval test. " * 8)))
+      .toDS())
+    val hit = lib.ftsSearch("zanzibar", SearchOptions(limit = 5)).collect()
+    assert(hit.nonEmpty)
+    assert(hit.head.getAs[String]("docId") === Library.docId("/corpus/fresh.md"))
+
+    // removal maintains the index (term disappears)
+    lib.removeDocument(Library.docId("/corpus/fresh.md"))
+    assert(lib.ftsSearch("zanzibar", SearchOptions(limit = 5)).count() === 0)
+  }
+
+  test("RAPTOR over the corpus: summaries fuse into multi-scale results") {
+    lib.buildClusterSummaries(k = 4)
+    assert(lib.clusterSummaries.count() === 4)
+    val top = lib.multiScaleSearch("window aggregation", SearchOptions(limit = 10))
+      .collect()
+    assert(top.length === 10) // merged ranking is well-formed
+    // summary rows compete in the same ranking: widening the limit past
+    // the chunk count must surface them with the synthetic identity
+    val wide = lib.multiScaleSearch("window aggregation", SearchOptions(limit = 200))
+      .collect()
+    val clusterRows = wide.filter(_.getAs[String]("matchType") === "cluster")
+    assert(clusterRows.nonEmpty)
+    assert(clusterRows.forall(_.getAs[String]("title") === "Cluster Summary"))
+  }
+
+  test("SQL surface: views + native functions compose in plain SQL") {
+    GraftSession.setup(spark, sf)
+    val knn = spark.sql("""
+      SELECT vec_id FROM embeddings
+      WHERE vec_id <> 0
+      ORDER BY cosine_similarity(embedding,
+        (SELECT first(embedding) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+      LIMIT 5""").collect().map(_.getLong(0))
+    assert(knn.length === 5)
+    val j = spark.sql("""
+      SELECT array_jaccard(shingle_set('abcdefgh'), shingle_set('abcdefgh')) AS j
+    """).head().getDouble(0)
+    assert(j === 1.0)
+    val sh = spark.sql("SELECT simhash('one two three') AS s").head().getLong(0)
+    assert(sh === spark.sql("SELECT simhash('three two one two') AS s").head().getLong(0))
+  }
+}
