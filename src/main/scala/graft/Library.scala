@@ -142,14 +142,50 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   // ---------------------------------------------------------------- search
 
+  // ---------------------------------------------------------- vector index
+
+  /** The reference's `embeddings_idx` analog: persist an IVF layout of
+    * the embeddings (hive-partitioned by cell) plus its centroids;
+    * vectorSearch then probes `nProbe` cells instead of scanning every
+    * vector. `nProbe = nCells` keeps search exact (the test mode); the
+    * index rebuilds wholesale (like RAPTOR summaries), which at scale is
+    * a periodic compaction job. */
+  def buildVectorIndex(nCells: Int, nProbe: Int): Unit = {
+    val idx = operators.IvfIndex.persist(embeddings, "chunkId", "embedding",
+      nCells, path("embeddings_ivf"), nProbe)
+    val centers = idx.model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }.toSeq
+    spark.createDataFrame(centers).toDF("cell", "center")
+      .withColumn("nProbe", lit(nProbe))
+      .write.mode(SaveMode.Overwrite).parquet(path("embeddings_ivf_meta"))
+  }
+
+  private def ivfScored(queryVec: Array[Float]): Option[DataFrame] =
+    if (!tableExists("embeddings_ivf_meta")) None
+    else {
+      // centroids persist with the index (tiny), so the probe survives
+      // session restarts; exact re-rank happens inside the probed cells
+      val meta = spark.read.parquet(path("embeddings_ivf_meta"))
+        .orderBy("cell").collect()
+      val centers = meta.map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+      val nProbe = meta.head.getAs[Int]("nProbe")
+      val cells = graft.plans.IvfRegistry.probeCells(
+        centers, queryVec.map(_.toDouble), nProbe)
+      Some(spark.read.parquet(path("embeddings_ivf"))
+        .filter(col("__cell").isin(cells: _*)))
+    }
+
   /** Exact vector top-k over chunks (J1 three-way join shape): score all
-    * embeddings, TakeOrdered k, then join chunk content and broadcast
-    * document metadata. Tag/threshold filters push below the top-k. */
+    * embeddings (or just the probed IVF cells when an index is built),
+    * TakeOrdered k, then join chunk content and broadcast document
+    * metadata. Tag/threshold filters push below the top-k. */
   def vectorSearch(queryVec: Array[Float], opts: SearchOptions): DataFrame = {
     val ch = chunks
     val docs = tagFiltered(opts.tags)
       .select(col("id").as("docId"), col("title"))
-    val scored = embeddings
+    val base = ivfScored(queryVec).getOrElse(embeddings)
+    val scored = base
       .withColumn("score",
         VectorFunctions.distToScore(lit(1.0) -
           graft.plans.CosineSimilarity(col("embedding"),

@@ -68,6 +68,18 @@ class IntegrationSpec extends SparkSpec {
     assert(clusterRows.forall(_.getAs[String]("title") === "Cluster Summary"))
   }
 
+  test("vector index: full-probe IVF search equals brute force; partial probe prunes") {
+    val exact = lib.search("hash join", SearchOptions(limit = 10, hybrid = false))
+      .collect().map(_.getAs[String]("docId") -> 0).map(_._1).toSeq
+    lib.buildVectorIndex(nCells = 6, nProbe = 6)
+    val viaIndex = lib.search("hash join", SearchOptions(limit = 10, hybrid = false))
+      .collect().map(_.getAs[String]("docId")).toSeq
+    assert(viaIndex === exact) // full probe is exact
+    lib.buildVectorIndex(nCells = 6, nProbe = 2)
+    val probed = lib.search("hash join", SearchOptions(limit = 10, hybrid = false))
+    assert(probed.count() > 0) // pruned probe still returns ranked hits
+  }
+
   test("SQL surface: views + native functions compose in plain SQL") {
     GraftSession.setup(spark, sf)
     val knn = spark.sql("""
