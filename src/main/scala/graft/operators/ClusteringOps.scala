@@ -91,6 +91,37 @@ object ClusteringOps {
       .filter(col("probability") >= minProbability)
   }
 
+  /** M6 cluster->concept mapping (reference ClusterConceptMapper.ts:
+    * 76-118): cosine between each cluster centroid and every concept
+    * embedding (both tiny — broadcast cross join), keep the best match
+    * at/above `threshold`, otherwise suggest a label from the cluster
+    * summary's first sentence trimmed to 50 chars. Output one row per
+    * cluster: (clusterId, conceptId?, similarity?, suggestedLabel?). */
+  def mapClustersToConcepts(centroids: DataFrame, // (clusterId, centroid)
+                            summaries: DataFrame, // (clusterId, summary)
+                            conceptEmbeddings: DataFrame, // (conceptId, embedding)
+                            threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("clusterId")
+      .orderBy(desc("similarity"), asc("conceptId"))
+    val best = centroids
+      .crossJoin(broadcast(conceptEmbeddings))
+      .withColumn("similarity", graft.plans.CosineSimilarity(
+        col("centroid").cast("array<float>"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("clusterId"), col("conceptId"), col("similarity"))
+    summaries.join(best, Seq("clusterId"), "left_outer")
+      .withColumn("matched", col("similarity").isNotNull &&
+        col("similarity") >= threshold)
+      .select(col("clusterId"),
+        when(col("matched"), col("conceptId")).as("conceptId"),
+        when(col("matched"), col("similarity")).as("similarity"),
+        when(!col("matched"),
+          substring(trim(split(col("summary"), "[.!?]").getItem(0)), 1, 50))
+          .as("suggestedLabel"))
+  }
+
   /** True probabilistic soft clustering via MLlib GaussianMixture — the
     * alternative SURVEY §2.9 M3 notes; the k-means+softmax port above is
     * the output-parity default, GMM is the statistically-grounded

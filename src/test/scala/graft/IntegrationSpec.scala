@@ -80,6 +80,15 @@ class IntegrationSpec extends SparkSpec {
     assert(probed.count() > 0) // pruned probe still returns ranked hits
   }
 
+  test("driver contract: entry() returns rows; every query has matching oracle columns") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key refers to a declared query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // query names are unique
+    assert(SparkEntry.allQueries.map(_.name).distinct.size ===
+      SparkEntry.allQueries.size)
+  }
+
   test("SQL surface: views + native functions compose in plain SQL") {
     GraftSession.setup(spark, sf)
     val knn = spark.sql("""

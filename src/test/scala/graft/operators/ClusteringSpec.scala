@@ -61,6 +61,31 @@ class ClusteringSpec extends SparkSpec {
     assert(sums(1) === "This cluster covers: Other cluster text")
   }
 
+  test("cluster->concept mapping: argmax above threshold, suggest-label fallback (M6)") {
+    val centroids = Seq(
+      (0, Array(1f, 0f, 0f)),   // aligns with concept A
+      (1, Array(0f, 0f, 1f))    // aligns with nothing
+    ).toDF("clusterId", "centroid")
+    val summaries = Seq(
+      (0, "Vector search techniques. And more."),
+      (1, "A very long first sentence that should be trimmed to fifty characters exactly! Tail.")
+    ).toDF("clusterId", "summary")
+    val concepts = Seq(
+      ("concept/a", Array(0.9f, 0.1f, 0f)),
+      ("concept/b", Array(0f, 1f, 0f))
+    ).toDF("conceptId", "embedding")
+    val out = ClusteringOps.mapClustersToConcepts(centroids, summaries, concepts,
+      threshold = 0.5)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[String]("conceptId") === "concept/a")
+    assert(out(0).getAs[Double]("similarity") > 0.9)
+    assert(out(0).getAs[String]("suggestedLabel") === null)
+    assert(out(1).getAs[String]("conceptId") === null)
+    val label = out(1).getAs[String]("suggestedLabel")
+    assert(label.length <= 50)
+    assert(label.startsWith("A very long first sentence"))
+  }
+
   test("IVF with full probe equals brute force; partial probe is a subset scan") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 1).select("embedding")
