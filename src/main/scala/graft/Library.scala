@@ -259,15 +259,31 @@ class Library(val spark: SparkSession, val warehouse: String,
     val vec = vectorSearch(embedder.embed(query), opts)
       .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
         col("content"), col("score"))
-    if (!opts.hybrid) return vec.withColumn("matchType", lit("vector"))
-
-    val fts = ftsSearch(query, opts)
-      .select(col("docId"), col("page"), col("chunkIndex"), col("score"))
-
-    HybridSearch.fuseTopK(
-      vec, fts, Seq("docId", "page", "chunkIndex"), opts.limit)
-      .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
-        col("content"), col("score"), col("match_type").as("matchType"))
+    val ranked =
+      if (!opts.hybrid) vec.withColumn("matchType", lit("vector"))
+      else {
+        val fts = ftsSearch(query, opts)
+          .select(col("docId"), col("page"), col("chunkIndex"), col("score"))
+        HybridSearch.fuseTopK(
+          vec, fts, Seq("docId", "page", "chunkIndex"), opts.limit)
+          .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
+            col("content"), col("score"), col("match_type").as("matchType"))
+      }
+    // reference --expand flag: replace each hit's content with the
+    // budget-bounded neighborhood (one set-based join for all hits)
+    opts.expandContext match {
+      case None => ranked
+      case Some(maxChars) =>
+        val hits = ranked.localCheckpoint() // small: top-k rows
+        val expanded = expandContext(
+          hits.select(col("docId"), col("chunkIndex")), maxChars)
+          .select(col("doc").as("docId"), col("hit_idx").as("chunkIndex"),
+            col("context"), col("start_index"), col("end_index"))
+        hits.drop("content")
+          .join(expanded, Seq("docId", "chunkIndex"), "left_outer")
+          .withColumnRenamed("context", "content")
+          .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+    }
   }
 
   /** Context expansion around hits (W1): set-based neighbor join under a

@@ -71,6 +71,19 @@ class LibrarySpec extends SparkSpec {
     assert(tagged.head.getAs[String]("id") === id)
   }
 
+  test("search with expandContext returns budgeted neighborhoods (W1 wired)") {
+    val res = lib.search("broadcast executor",
+      SearchOptions(limit = 3, expandContext = Some(600))).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val content = r.getAs[String]("content")
+      assert(content != null && content.nonEmpty)
+      assert(content.length <= (600 * 1.2).toInt + 10) // budget + overflow rule
+      assert(r.getAs[Int]("start_index") <= r.getAs[Int]("chunkIndex"))
+      assert(r.getAs[Int]("end_index") >= r.getAs[Int]("chunkIndex"))
+    }
+  }
+
   test("RAPTOR: cluster summaries build and join multi-scale search (J10/M7)") {
     lib.buildClusterSummaries(k = 2)
     val sums = lib.clusterSummaries.collect()

@@ -61,6 +61,26 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.forall(_.getDouble(1) > 0))
   }
 
+  test("bm25 golden values: hand-computed score with k1=1.2, b=0.75") {
+    // corpus: 3 docs; term "join": df=2, N=3, avgdl=(4+4+4)/3=4
+    val tiny = Seq(
+      (1L, "join join alpha beta"), // tf=2, len=4
+      (2L, "join gamma delta eps"), // tf=1, len=4
+      (3L, "zeta eta theta iota")   // tf=0
+    ).toDF("id", "text")
+    val got = Bm25.search(tiny, "id", "text", Seq("join"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def expected(tf: Double): Double = {
+      val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+      val tfn = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * 4.0 / 4.0))
+      BigDecimal(idf * tfn).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(math.abs(got(1L) - expected(2.0)) < 1e-9)
+    assert(math.abs(got(2L) - expected(1.0)) < 1e-9)
+    assert(!got.contains(3L))
+    assert(got(1L) > got(2L)) // higher tf ranks first at equal length
+  }
+
   test("vector topK is exact and deterministically tie-broken") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
