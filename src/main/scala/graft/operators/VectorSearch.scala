@@ -45,6 +45,29 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Batched exact top-k: score MANY query vectors in ONE corpus scan.
+    * This is the engine's throughput mode — the reference answers
+    * queries one at a time (~17ms each against its ANN index); here the
+    * per-job cost amortizes across the whole query batch: the (small)
+    * query set broadcasts, the corpus streams through once, and a
+    * per-query ranking window keeps k rows each. Throughput scales with
+    * executors × batch size rather than queries × per-call latency.
+    *
+    * @param queries (qidCol, vecCol) — must be broadcast-sized
+    */
+  def topKBatch(df: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(desc("cos_sim"), asc(idCol))
+    df.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("cos_sim", CosineSimilarity(col(vecCol), col(qvecCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col("rn"), col(idCol), col("cos_sim"))
+  }
+
   /** All pairs within a partition-key block whose cosine similarity
     * meets `threshold` — embedding-based near-duplicate detection.
     *
