@@ -51,7 +51,10 @@ object Bm25 {
   def search(corpus: DataFrame, idCol: String, textCol: String,
              terms: Seq[String], k: Int): DataFrame = {
     val post = postings(corpus, idCol, textCol)
-    val lens = docLengths(corpus, idCol, textCol)
+    // materialize the (tiny) lens table: it feeds three consumers
+    // (corpus size, avgdl, per-doc length join) that would otherwise
+    // each re-tokenize the corpus
+    val lens = docLengths(corpus, idCol, textCol).localCheckpoint(false)
     scoreFromIndex(post, lens, terms, k)
   }
 
