@@ -257,17 +257,28 @@ class Library(val spark: SparkSession, val warehouse: String,
     * against the [0,1] vector score (reference quirk, preserved). */
   def search(query: String, opts: SearchOptions = SearchOptions()): DataFrame = {
     val vec = vectorSearch(embedder.embed(query), opts)
-      .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
-        col("content"), col("score"))
+      .select(col("docId"), col("page"), col("chunkIndex"),
+        col("title").as("v_title"), col("content").as("v_content"),
+        col("score"))
     val ranked =
-      if (!opts.hybrid) vec.withColumn("matchType", lit("vector"))
+      if (!opts.hybrid)
+        vec.select(col("docId"), col("v_title").as("title"), col("page"),
+          col("chunkIndex"), col("v_content").as("content"), col("score"),
+          lit("vector").as("matchType"))
       else {
+        // fts rows carry their own title/content: an fts-only hit must
+        // arrive complete (reference appends fts results whole)
         val fts = ftsSearch(query, opts)
-          .select(col("docId"), col("page"), col("chunkIndex"), col("score"))
+          .select(col("docId"), col("page"), col("chunkIndex"),
+            col("title").as("f_title"), col("content").as("f_content"),
+            col("score"))
         HybridSearch.fuseTopK(
           vec, fts, Seq("docId", "page", "chunkIndex"), opts.limit)
-          .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
-            col("content"), col("score"), col("match_type").as("matchType"))
+          .select(col("docId"),
+            coalesce(col("v_title"), col("f_title")).as("title"),
+            col("page"), col("chunkIndex"),
+            coalesce(col("v_content"), col("f_content")).as("content"),
+            col("score"), col("match_type").as("matchType"))
       }
     // reference --expand flag: replace each hit's content with the
     // budget-bounded neighborhood (one set-based join for all hits)

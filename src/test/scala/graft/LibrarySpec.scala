@@ -71,6 +71,19 @@ class LibrarySpec extends SparkSpec {
     assert(tagged.head.getAs[String]("id") === id)
   }
 
+  test("fts-only hits arrive complete through hybrid fusion") {
+    // a high threshold empties the vector side, so every surviving hit
+    // is fts-only — each must still carry title and content
+    val res = lib.search("broadcast join",
+      SearchOptions(limit = 5, threshold = Some(0.999))).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      assert(r.getAs[String]("matchType") === "fts")
+      assert(r.getAs[String]("title") != null)
+      assert(r.getAs[String]("content") != null && r.getAs[String]("content").nonEmpty)
+    }
+  }
+
   test("search with expandContext returns budgeted neighborhoods (W1 wired)") {
     val res = lib.search("broadcast executor",
       SearchOptions(limit = 3, expandContext = Some(600))).collect()
