@@ -45,11 +45,14 @@ class Library(val spark: SparkSession, val warehouse: String,
     * the three tables. */
   def addMarkdown(docs: Dataset[(String, String)]): Unit = {
     val emb = embedder
+    // dedup within the batch too: two rows with the same path would both
+    // pass the anti-join and append duplicate ids everywhere
+    val batch = docs.toDF("path", "content").dropDuplicates("path")
     val fresh = if (tableExists("documents")) {
-      docs.toDF("path", "content")
+      batch
         .join(documents.select("path"), Seq("path"), "left_anti")
         .as[(String, String)]
-    } else docs.toDF("path", "content").as[(String, String)]
+    } else batch.as[(String, String)]
 
     // localCheckpoint, NOT cache: the plan depends on the `documents`
     // table through the anti-join, and the first append below refreshes
@@ -81,6 +84,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
     embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
     appendToFtsIndex(chunkRows.toDF())
+    invalidateVectorIndex()
   }
 
   /** S4/S1 end-to-end directory ingest: distributed binaryFile discovery,
@@ -129,6 +133,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     chunkRows.mapPartitions(it => it.map(c => Embedding(c.id, emb.embed(c.content))))
       .write.mode(SaveMode.Append).parquet(path("embeddings"))
     appendToFtsIndex(chunkRows.toDF())
+    invalidateVectorIndex()
   }
 
   /** S12 export: copy the warehouse tables to a destination directory
@@ -219,6 +224,17 @@ class Library(val spark: SparkSession, val warehouse: String,
       .mode(SaveMode.Overwrite).parquet(path("fts_lens"))
   }
 
+  /** The IVF layout cannot absorb appends (cell files are closed), so
+    * any embedding mutation invalidates it — search falls back to the
+    * exact scan until the next buildVectorIndex (a periodic compaction
+    * job at scale). Without this, vectors added after an index build
+    * would be silently invisible to vector search. */
+  private def invalidateVectorIndex(): Unit =
+    Seq("embeddings_ivf", "embeddings_ivf_meta").foreach { t =>
+      val dir = new java.io.File(path(t))
+      if (dir.exists()) delete(dir)
+    }
+
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
       Bm25.postings(newChunks, "id", "content").write
@@ -235,12 +251,18 @@ class Library(val spark: SparkSession, val warehouse: String,
     val docs = tagFiltered(opts.tags)
       .select(col("id").as("docId"), col("title"))
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    // FTS5 semantics: score globally, apply predicates (tags), THEN
+    // limit — limiting before the tag join would let untagged top
+    // scorers crowd out every tagged match
     val hits =
       if (tableExists("fts_postings"))
-        Bm25.scoreFromIndex(
+        Bm25.scoreAllFromIndex(
           spark.read.parquet(path("fts_postings")),
-          spark.read.parquet(path("fts_lens")), terms, opts.limit * 2)
-      else Bm25.search(ch, "id", "content", terms, opts.limit * 2)
+          spark.read.parquet(path("fts_lens")), terms)
+      else {
+        val lens = Bm25.docLengths(ch, "id", "content").localCheckpoint(false)
+        Bm25.scoreAllFromIndex(Bm25.postings(ch, "id", "content"), lens, terms)
+      }
     hits
       .join(ch, Seq("id"))
       .join(broadcast(docs), Seq("docId"))
@@ -363,12 +385,18 @@ class Library(val spark: SparkSession, val warehouse: String,
     base.orderBy(desc("addedAt"), asc("id")) // K6
   }
 
-  /** F5: exact id, else case-insensitive title substring, else id prefix. */
-  def getDocument(q: String): DataFrame =
-    documents.filter(col("id") === q ||
-      lower(col("title")).contains(q.toLowerCase) ||
-      col("id").startsWith(q))
+  /** F5: exact id, else case-insensitive title substring, else id
+    * prefix — tried in that order (a single OR-filter would let a
+    * lexicographically-smaller title match shadow an exact id). */
+  def getDocument(q: String): DataFrame = {
+    val d = documents
+    val exact = d.filter(col("id") === q).limit(1)
+    if (!exact.isEmpty) return exact
+    val byTitle = d.filter(lower(col("title")).contains(q.toLowerCase))
       .orderBy("id").limit(1)
+    if (!byTitle.isEmpty) return byTitle
+    d.filter(col("id").startsWith(q)).orderBy("id").limit(1)
+  }
 
   /** S13: cascade delete via anti-join rewrite (embeddings -> chunks ->
     * documents order, mirroring the FK cascade). */
@@ -385,6 +413,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     }
     rewrite("chunks", chunks.filter(col("docId") =!= id))
     rewrite("documents", documents.filter(col("id") =!= id))
+    invalidateVectorIndex()
   }
 
   /** S14: tag update via column rewrite. */
@@ -412,24 +441,10 @@ class Library(val spark: SparkSession, val warehouse: String,
     (nOC, nOE)
   }
 
-  /** Parquet has no in-place update: materialize, swap directories. */
-  private def rewrite(table: String, df: DataFrame): Unit = {
-    val tmp = path(table) + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path(table))
-    val old = new java.io.File(path(table) + "_old")
-    if (old.exists()) delete(old)
-    if (dir.exists() && !dir.renameTo(old))
-      throw new java.io.IOException(s"swap failed for $table")
-    if (!new java.io.File(tmp).renameTo(dir))
-      throw new java.io.IOException(s"swap failed for $table")
-    delete(old)
-  }
+  private def rewrite(table: String, df: DataFrame): Unit =
+    graft.util.TableSwap.rewrite(path(table), df)
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
-  }
+  private def delete(f: java.io.File): Unit = graft.util.TableSwap.delete(f)
 }
 
 object Library {

@@ -151,11 +151,7 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
       .unionByName(spark.createDataFrame(
         Seq((docId, conceptId, confidence, source)))
         .toDF("docId", "conceptId", "confidence", "source"))
-    val tmp = path("doc_concepts") + "_tmp"
-    updated.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dir = new java.io.File(path("doc_concepts"))
-    if (dir.exists()) { def del(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles().foreach(del); f.delete() }; del(dir) }
-    new java.io.File(tmp).renameTo(dir)
+    graft.util.TableSwap.rewrite(path("doc_concepts"), updated)
   }
 
   def conceptsForDoc(docId: String): DataFrame = {

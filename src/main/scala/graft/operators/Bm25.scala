@@ -26,18 +26,25 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Index tokenizer: split on ANY whitespace run. Chunk content keeps
+    * newlines (the markdown chunker only collapses spaces/tabs), so a
+    * single-space split would glue line-adjacent words into unmatchable
+    * terms — every heading word would vanish from the index. */
+  private def indexTokens(text: org.apache.spark.sql.Column) =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
   /** Build the postings table `(term, id, tf)` plus doc lengths
     * `(id, doclen)` from a corpus `(idCol, textCol)`. */
   def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus
       .select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+        explode(indexTokens(col(textCol))).as("term"))
       .groupBy("id", "term")
       .agg(count(lit(1)).as("tf"))
 
   def docLengths(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.select(col(idCol).as("id"),
-      TextFunctions.wordCount(col(textCol)).as("doclen"))
+      size(indexTokens(col(textCol))).as("doclen"))
 
   /** Score the corpus for a bag of query terms; returns `(id, bm25)` for
     * documents matching at least one term, ordered by score desc with a
@@ -58,10 +65,12 @@ object Bm25 {
     scoreFromIndex(post, lens, terms, k)
   }
 
-  /** BM25 over prebuilt index tables (postings `(id, term, tf)`,
-    * lens `(id, doclen)`). */
-  def scoreFromIndex(post: DataFrame, lens: DataFrame,
-                     terms: Seq[String], k: Int): DataFrame = {
+  /** BM25 over prebuilt index tables, unlimited: every matching doc with
+    * its score. Callers that post-filter (tags) MUST rank/limit after
+    * their filter — FTS5 semantics are global scoring, then predicate,
+    * then LIMIT (reference LibSQLDatabase.ts:426-437). */
+  def scoreAllFromIndex(post: DataFrame, lens: DataFrame,
+                        terms: Seq[String]): DataFrame = {
     val n = lens.count() // corpus size: one cheap count over the lens table
     val avgdl = lens.agg(sum(col("doclen")).cast("double") /
       count(lit(1)).cast("double")).head().getDouble(0)
@@ -86,7 +95,12 @@ object Bm25 {
       .withColumn("term_score", (idf * tfNorm).cast("decimal(18,9)"))
       .groupBy("id")
       .agg(sum(col("term_score")).cast("double").as("bm25"))
+  }
+
+  /** Ranked top-k over prebuilt index tables. */
+  def scoreFromIndex(post: DataFrame, lens: DataFrame,
+                     terms: Seq[String], k: Int): DataFrame =
+    scoreAllFromIndex(post, lens, terms)
       .orderBy(desc("bm25"), asc("id"))
       .limit(k)
-  }
 }

@@ -81,8 +81,12 @@ object TextAnalysis {
     val words = df
       .select(explode(tokens(lower(col(textCol)))).as("word"))
       .filter(length(col("word")) > 3 && !col("word").isin(StopWords: _*))
-    val total = words.count().toDouble
-    words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // one corpus scan: group first (small result), derive the total from
+    // the grouped counts instead of a second explode pass
+    val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val total = counts.agg(sum("cnt")).head().getLong(0).toDouble
+    counts
       .withColumn("score",
         col("cnt").cast("double") *
           when(col("cnt").cast("double") / total > 0.1, 0.5).otherwise(1.0) *

@@ -53,15 +53,20 @@ object VectorSearch {
     * per-query ranking window keeps k rows each. Throughput scales with
     * executors × batch size rather than queries × per-call latency.
     *
-    * @param queries (qidCol, vecCol) — must be broadcast-sized
+    * @param queries     (qidCol, vecCol) — must be broadcast-sized
+    * @param excludeSelf drop corpus rows whose id equals the query id —
+    *                    ONLY correct when queries are drawn from the
+    *                    corpus itself (self-search); external query
+    *                    batches whose ids happen to collide with corpus
+    *                    ids would silently lose true neighbors
     */
   def topKBatch(df: DataFrame, vecCol: String, idCol: String,
                 queries: DataFrame, qidCol: String, qvecCol: String,
-                k: Int): DataFrame = {
+                k: Int, excludeSelf: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(desc("cos_sim"), asc(idCol))
-    df.crossJoin(broadcast(queries))
-      .filter(col(idCol) =!= col(qidCol))
+    val paired = df.crossJoin(broadcast(queries))
+    (if (excludeSelf) paired.filter(col(idCol) =!= col(qidCol)) else paired)
       .withColumn("cos_sim", CosineSimilarity(col(vecCol), col(qvecCol)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

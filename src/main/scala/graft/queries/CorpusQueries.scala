@@ -202,7 +202,7 @@ object CorpusQueries {
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
         VectorSearch.topKBatch(emb, "embedding", "vec_id",
-          queries, "qid", "qvec", k = 3)
+          queries, "qid", "qvec", k = 3, excludeSelf = true)
           .withColumn("cos_sim", round(col("cos_sim"), 6))
           .orderBy("qid", "rn")
       }),

@@ -22,6 +22,13 @@ import scala.util.matching.Regex
   *
   * Pure Scala, used inside `flatMap`/UDFs — embarrassingly parallel at
   * any scale.
+  *
+  * Known reference-faithful quirk: the fixed-width hard splitter can
+  * bisect a `__CODE_BLOCK_N__` placeholder inside a very long
+  * punctuation-free paragraph, leaving the fragment unrestored — the
+  * reference has the identical behavior (its restore also requires the
+  * whole placeholder in one chunk), and chunk-identity parity takes
+  * precedence over papering it over (SURVEY.md §7.3).
   */
 object Chunker {
   val DefaultChunkSize = 512  // reference src/types.ts:129-130

@@ -33,13 +33,17 @@ object EventStreams {
   def markdownIngestStream(spark: org.apache.spark.sql.SparkSession,
                            watchDir: String): DataFrame = {
     import spark.implicits._
+    // docId derives from the FILE PATH (sha256, like the batch path) so
+    // stream- and batch-ingested copies of a file dedup against each
+    // other; a production pipeline writes documents+chunks+embeddings
+    // sinks per micro-batch via foreachBatch (Library.addMarkdown body)
     spark.readStream
       .option("wholetext", true)
       .text(watchDir)
-      .as[String]
-      .flatMap { content =>
-        val id = graft.Library.docId(
-          java.util.UUID.nameUUIDFromBytes(content.getBytes("UTF-8")).toString)
+      .select(col("value"), col("_metadata.file_path").as("path"))
+      .as[(String, String)]
+      .flatMap { case (content, path) =>
+        val id = graft.Library.docId(path)
         graft.sources.MarkdownSource.extractChunks(content).map {
           case (page, idx, c) => (s"$id-$idx", id, page, idx, c)
         }

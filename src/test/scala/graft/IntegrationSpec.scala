@@ -78,6 +78,15 @@ class IntegrationSpec extends SparkSpec {
     lib.buildVectorIndex(nCells = 6, nProbe = 2)
     val probed = lib.search("hash join", SearchOptions(limit = 10, hybrid = false))
     assert(probed.count() > 0) // pruned probe still returns ranked hits
+
+    // ingest after an index build invalidates it: the new doc must be
+    // visible to vector search (stale-index regression)
+    lib.addMarkdown(Seq(("/corpus/post-index.md",
+      "# PostIndex\n" + ("quetzal rare marker content for vector search. " * 8))).toDS())
+    val after = lib.search("quetzal rare marker",
+      SearchOptions(limit = 5, hybrid = false)).collect()
+    assert(after.map(_.getAs[String]("docId"))
+      .contains(Library.docId("/corpus/post-index.md")))
   }
 
   test("driver contract: entry() returns rows; every query has matching oracle columns") {

@@ -71,6 +71,62 @@ class LibrarySpec extends SparkSpec {
     assert(tagged.head.getAs[String]("id") === id)
   }
 
+  test("fts matches words adjacent to newlines (markdown keeps line breaks)") {
+    // two short paragraphs pack into ONE chunk joined by \n\n; a
+    // single-space tokenizer would glue "okay.\n\nSecond" into one
+    // unmatchable term, hiding every paragraph-initial word
+    val wh = Files.createTempDirectory("graft-nl").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(("/nl.md",
+      "Kumquat zested flavors appear here nicely okay.\n\n" +
+        "Second paragraph mentions tangerine and some more text.")).toDS())
+    val chunk = l.chunks.head().getAs[String]("content")
+    assert(chunk.contains("\n\n"), s"premise: newline inside chunk, got: $chunk")
+    val res = l.ftsSearch("second", SearchOptions(limit = 5)).collect()
+    assert(res.nonEmpty)
+  }
+
+  test("tag-filtered fts ranks within the tagged set, not after a global cut") {
+    val wh = Files.createTempDirectory("graft-tagfts").toString
+    val l = new Library(spark, wh)
+    // many untagged docs score much higher for "pepper"; the single
+    // tagged doc mentions it once — it must still be found
+    val loud = (1 to 30).map(i => (s"/loud$i.md",
+      "# Loud\n" + ("pepper pepper pepper pepper filler words here. " * 8)))
+    val tagged = Seq(("/quiet.md",
+      "---\ntags: [cooking]\n---\n# Quiet\n" +
+        ("a recipe that uses pepper once among other words. " * 8)))
+    l.addMarkdown((loud ++ tagged).toDS())
+    val res = l.ftsSearch("pepper",
+      SearchOptions(limit = 3, tags = Seq("cooking"))).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getAs[String]("title") === "Quiet"))
+  }
+
+  test("duplicate paths within one ingest batch collapse to one document") {
+    val wh = Files.createTempDirectory("graft-dup").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/same.md", "# Same\n" + ("identical content for the batch. " * 8)),
+      ("/same.md", "# Same\n" + ("identical content for the batch. " * 8))).toDS())
+    val (nd, nc, ne) = l.stats()
+    assert(nd === 1)
+    assert(nc === ne)
+    assert(l.chunks.select("id").distinct().count() === nc)
+  }
+
+  test("getDocument precedence: exact id beats a title-substring match") {
+    val wh = Files.createTempDirectory("graft-prec").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/b.md", "# Target\n" + ("target doc content words here okay. " * 8))).toDS())
+    val targetId = Library.docId("/b.md")
+    // a doc whose title CONTAINS the target's id, with a smaller own id
+    l.addMarkdown(Seq(
+      ("/a.md", s"# Notes on $targetId\n" + ("decoy doc content words. " * 8))).toDS())
+    assert(l.getDocument(targetId).head().getAs[String]("id") === targetId)
+  }
+
   test("fts-only hits arrive complete through hybrid fusion") {
     // a high threshold empties the vector side, so every surviving hit
     // is fts-only — each must still carry title and content
