@@ -72,6 +72,44 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
 
+  /** PII scrubbing for training corpora: emails, phone-like number
+    * runs, and IPv4 addresses replaced with typed placeholder tokens.
+    * Pure regexp_replace chain — codegen'd, map-only, reversible by
+    * re-ingest. Patterns are deliberately conservative (precision over
+    * recall); a production pipeline layers NER behind the same shape. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      countMatches(col(textCol), EmailRe).as("n_emails"),
+      countMatches(col(textCol), Ipv4Re).as("n_ips"),
+      redactPii(col(textCol)).as("redacted"))
+
+  /** Repetition scoring (Gopher-style): how dominated is a document by
+    * its single most frequent token? High ratios flag boilerplate/spam. */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(lower(col(textCol)))
+    val counts = df.select(col(idCol).as("id"), explode(ts).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("id")
+      .agg(max(col("cnt")).as("max_tf"),
+        sum(col("cnt")).as("n_words"),
+        countDistinct(col("word")).as("n_unique"))
+      .withColumn("top_token_ratio",
+        col("max_tf").cast("double") / col("n_words").cast("double"))
+      .withColumn("type_token_ratio",
+        col("n_unique").cast("double") / col("n_words").cast("double"))
+  }
+
   /** Term-frequency keyword scoring, the reference's AutoTagger content
     * path (/root/reference/src/services/AutoTagger.ts:463-495):
     * tokenize, drop stop words/short words, count, score =

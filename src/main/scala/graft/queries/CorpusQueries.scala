@@ -309,6 +309,44 @@ object CorpusQueries {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // text analysis: PII scan + redaction (emails / IPs / phone runs ->
+    // typed placeholders); md5 of the redacted text keeps output small
+    Q("q37_pii_scan", Some(s"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+        md5(regexp_replace(
+              regexp_replace(
+                regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS redacted_fp
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.piiScan(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_emails", col("n_emails").cast("long"))
+        .withColumn("n_ips", col("n_ips").cast("long"))
+        .withColumn("redacted_fp", md5(col("redacted")))
+        .drop("redacted")
+        .orderBy("doc_id")),
+
+    // text analysis: repetition/boilerplate scoring (Gopher-style
+    // top-token dominance + type-token ratio)
+    Q("q38_repetition", Some(s"""
+      WITH counts AS (
+        SELECT doc_id, t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        GROUP BY doc_id, t)
+      SELECT doc_id,
+        CAST(MAX(cnt) AS BIGINT) AS max_tf,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        CAST(COUNT(*) AS BIGINT) AS n_unique,
+        CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_token_ratio,
+        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS type_token_ratio
+      FROM counts GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // dedup/canonicalize: the standard pipeline shape — group candidates
     // by a near-dup key (here: simhash bucket), keep one canonical row
     // per group by a deterministic quality order. Window argmax, the

@@ -61,6 +61,35 @@ class OperatorsSpec extends SparkSpec {
     assert(hits.forall(_.getDouble(1) > 0))
   }
 
+  test("pii redaction replaces emails, ips, phone runs with typed tokens") {
+    val df = Seq(
+      (1L, "contact me at jane.doe+x@example.org or call +1 (555) 123-4567"),
+      (2L, "server at 192.168.1.100 responded"),
+      (3L, "nothing sensitive here at all")
+    ).toDF("id", "text")
+    val out = TextAnalysis.piiScan(df, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 1)
+    val red1 = out(1L).getAs[String]("redacted")
+    assert(red1.contains("<EMAIL>") && red1.contains("<PHONE>"))
+    assert(!red1.contains("example.org") && !red1.contains("555"))
+    assert(out(2L).getAs[Int]("n_ips") === 1)
+    assert(out(2L).getAs[String]("redacted").contains("<IP>"))
+    assert(out(3L).getAs[String]("redacted") === "nothing sensitive here at all")
+  }
+
+  test("repetition score flags token-dominated documents") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam once"),
+      (2L, "every word here appears exactly one time")
+    ).toDF("id", "text")
+    val out = TextAnalysis.repetitionScore(df, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Double]("top_token_ratio") > 0.8)
+    assert(out(2L).getAs[Double]("top_token_ratio") < 0.2)
+    assert(out(2L).getAs[Double]("type_token_ratio") === 1.0)
+  }
+
   test("bm25 golden values: hand-computed score with k1=1.2, b=0.75") {
     // corpus: 3 docs; term "join": df=2, N=3, avgdl=(4+4+4)/3=4
     val tiny = Seq(
