@@ -41,7 +41,12 @@ object IvfRegistry {
     val it = entries.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (paths.exists(p => normalize(p).startsWith(e.getKey))) return Some(e.getValue)
+      // exact dir or a path inside it — a bare startsWith would let a
+      // sibling like ".../emb2" match a registered ".../emb"
+      if (paths.exists { p =>
+        val n = normalize(p)
+        n == e.getKey || n.startsWith(e.getKey + "/")
+      }) return Some(e.getValue)
     }
     None
   }
