@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.VectorSearch
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Vector-search throughput economics: Spark pays a fixed per-job cost
+  * that dominates single-query latency at toy scale but amortizes across
+  * a batch (one corpus scan serves the whole query set). This harness
+  * measures sequential-loop latency vs batched amortized latency — the
+  * honest comparison against the reference's per-query ANN numbers
+  * (BASELINE.md: ~17 ms/query, prebuilt DiskANN index, 50k vectors). */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val emb = Tables.embeddings(spark, sfDir).cache()
+    val n = emb.count()
+    val queries = emb.limit(100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .collect()
+
+    // warm the plan
+    VectorSearch.topK(emb, "embedding",
+      queries(0).getSeq[Float](1), 10, "vec_id").count()
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val seq10 = time {
+      queries.take(10).foreach { q =>
+        VectorSearch.topK(emb, "embedding", q.getSeq[Float](1), 10, "vec_id").count()
+      }
+    }
+    import spark.implicits._
+    def batch(nq: Int): Double = {
+      val qdf = emb.limit(nq).select(col("vec_id").as("qid"),
+        col("embedding").as("qvec"))
+      time {
+        VectorSearch.topKBatch(emb, "embedding", "vec_id",
+          qdf, "qid", "qvec", k = 10).count()
+      }
+    }
+    val b1 = batch(1); val b10 = batch(10); val b100 = batch(100)
+    println(f"corpus=$n sequential 10 queries: $seq10%.2fs (${seq10 / 10 * 1000}%.0f ms/q)")
+    println(f"batch   1: $b1%.2fs | batch 10: $b10%.2fs (${b10 / 10 * 1000}%.0f ms/q) | batch 100: $b100%.2fs (${b100 / 100 * 1000}%.0f ms/q)")
+    spark.stop()
+  }
+}
