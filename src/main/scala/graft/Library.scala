@@ -46,8 +46,10 @@ class Library(val spark: SparkSession, val warehouse: String,
   def addMarkdown(docs: Dataset[(String, String)]): Unit = {
     val emb = embedder
     // dedup within the batch too: two rows with the same path would both
-    // pass the anti-join and append duplicate ids everywhere
-    val batch = docs.toDF("path", "content").dropDuplicates("path")
+    // pass the anti-join and append duplicate ids everywhere; max() makes
+    // the survivor deterministic (dropDuplicates keeps an arbitrary row)
+    val batch = docs.toDF("path", "content")
+      .groupBy("path").agg(max("content").as("content"))
     val fresh = if (tableExists("documents")) {
       batch
         .join(documents.select("path"), Seq("path"), "left_anti")
@@ -80,11 +82,13 @@ class Library(val spark: SparkSession, val warehouse: String,
       it.map(c => Embedding(c.id, emb.embed(c.content)))
     }
 
-    docRows.write.mode(SaveMode.Append).parquet(path("documents"))
-    chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
-    embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
-    appendToFtsIndex(chunkRows.toDF())
-    invalidateVectorIndex()
+    if (!rows.isEmpty) { // a fully-deduped batch must not touch indexes
+      docRows.write.mode(SaveMode.Append).parquet(path("documents"))
+      chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
+      embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
+      appendToFtsIndex(chunkRows.toDF())
+      invalidateVectorIndex()
+    }
   }
 
   /** S4/S1 end-to-end directory ingest: distributed binaryFile discovery,
@@ -127,13 +131,15 @@ class Library(val spark: SparkSession, val warehouse: String,
       (doc, chunkRows)
     }.localCheckpoint() // see addMarkdown: immune to the append's path refresh
 
-    rows.map(_._1).write.mode(SaveMode.Append).parquet(path("documents"))
-    val chunkRows = rows.flatMap(_._2)
-    chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
-    chunkRows.mapPartitions(it => it.map(c => Embedding(c.id, emb.embed(c.content))))
-      .write.mode(SaveMode.Append).parquet(path("embeddings"))
-    appendToFtsIndex(chunkRows.toDF())
-    invalidateVectorIndex()
+    if (!rows.isEmpty) { // nothing new discovered: leave indexes alone
+      rows.map(_._1).write.mode(SaveMode.Append).parquet(path("documents"))
+      val chunkRows = rows.flatMap(_._2)
+      chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
+      chunkRows.mapPartitions(it => it.map(c => Embedding(c.id, emb.embed(c.content))))
+        .write.mode(SaveMode.Append).parquet(path("embeddings"))
+      appendToFtsIndex(chunkRows.toDF())
+      invalidateVectorIndex()
+    }
   }
 
   /** S12 export: copy the warehouse tables to a destination directory
@@ -229,11 +235,15 @@ class Library(val spark: SparkSession, val warehouse: String,
     * exact scan until the next buildVectorIndex (a periodic compaction
     * job at scale). Without this, vectors added after an index build
     * would be silently invisible to vector search. */
-  private def invalidateVectorIndex(): Unit =
+  private def invalidateVectorIndex(): Unit = {
     Seq("embeddings_ivf", "embeddings_ivf_meta").foreach { t =>
       val dir = new java.io.File(path(t))
       if (dir.exists()) delete(dir)
     }
+    // drop the in-memory registration too, or the optimizer rule would
+    // keep probing with the dead build's centroids after a rebuild
+    graft.plans.IvfRegistry.unregister(path("embeddings_ivf"))
+  }
 
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
@@ -263,14 +273,19 @@ class Library(val spark: SparkSession, val warehouse: String,
         val lens = Bm25.docLengths(ch, "id", "content").localCheckpoint(false)
         Bm25.scoreAllFromIndex(Bm25.postings(ch, "id", "content"), lens, terms)
       }
-    hits
-      .join(ch, Seq("id"))
+    // rank on narrow columns (ids + score + tag predicate), and fetch
+    // the wide content column for only the k survivors
+    val ranked = hits
+      .join(ch.select("id", "docId", "page", "chunkIndex"), Seq("id"))
       .join(broadcast(docs), Seq("docId"))
+      .orderBy(desc("bm25"), asc("docId"), asc("chunkIndex"))
+      .limit(opts.limit)
+    ranked
+      .join(ch.select(col("id"), col("content")), Seq("id"))
       .select(col("docId"), col("title"), col("page"),
         col("chunkIndex"), col("content"), col("bm25").as("score"),
         lit("fts").as("matchType"))
       .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
-      .limit(opts.limit)
   }
 
   /** Hybrid search — the flagship path (reference §3.1): vector ∪ fts,

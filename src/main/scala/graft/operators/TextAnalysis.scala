@@ -78,7 +78,10 @@ object TextAnalysis {
     * re-ingest. Patterns are deliberately conservative (precision over
     * recall); a production pipeline layers NER behind the same shape. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+  // phone shape with explicit digit-group sizes (3-3-4 with optional
+  // country code) — a loose "9+ digit/dash run" class would also eat
+  // ISO dates and numeric IDs; no lookaheads (RE2/oracle compatible)
+  val PhoneRe = "\\+?[0-9]{1,3}[\\s\\-]?\\(?[0-9]{3}\\)?[\\s\\-]?[0-9]{3}[\\s\\-]?[0-9]{4}"
   val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   def redactPii(text: Column): Column =
@@ -123,7 +126,10 @@ object TextAnalysis {
     // the grouped counts instead of a second explode pass
     val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
-    val total = counts.agg(sum("cnt")).head().getLong(0).toDouble
+    // coalesce: sum over an empty frame is null, and an all-stop-word
+    // corpus must yield an empty result, not an NPE
+    val total = math.max(1L,
+      counts.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)).toDouble
     counts
       .withColumn("score",
         col("cnt").cast("double") *

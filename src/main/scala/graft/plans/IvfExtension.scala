@@ -32,6 +32,7 @@ object IvfRegistry {
 
   def register(pathPrefix: String, centers: Array[Array[Double]], nProbe: Int): Unit =
     entries.put(normalize(pathPrefix), Entry(centers, nProbe))
+  def unregister(pathPrefix: String): Unit = entries.remove(normalize(pathPrefix))
   def clear(): Unit = entries.clear()
 
   private def normalize(p: String): String =

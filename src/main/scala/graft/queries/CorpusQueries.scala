@@ -24,6 +24,13 @@ object CorpusQueries {
     * mirrors [[TextFunctions.tokens]](lower(_)). */
   private def toksSql(c: String) =
     s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
+
+  /** SQL fragment mirroring the FTS index tokenizer (split on ANY
+    * whitespace run — Bm25.indexTokens). The corpus is newline-free so
+    * both tokenizers agree on it today, but the oracle must encode the
+    * engine's actual semantics, not a coincidence of the data. */
+  private def wsToksSql(c: String) =
+    s"list_filter(string_split_regex(lower($c), '\\s+'), x -> x <> '')"
   private def toksRawSql(c: String) =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
   private val hash32Sql = (e: String) => s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
@@ -408,13 +415,13 @@ object CorpusQueries {
     // FTS: BM25 ranking over the derived postings table (K4)
     Q("q41_bm25_search", Some(s"""
       WITH lens AS (
-        SELECT doc_id AS id, CAST(len(${toksSql("text")}) AS BIGINT) AS doclen FROM documents),
+        SELECT doc_id AS id, CAST(len(${wsToksSql("text")}) AS BIGINT) AS doclen FROM documents),
       stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
           CAST(SUM(doclen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM lens),
       post AS (
         SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        FROM documents, LATERAL (SELECT unnest(${wsToksSql("text")}) AS t) u
         GROUP BY doc_id, t),
       hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
       dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term)
@@ -475,13 +482,13 @@ object CorpusQueries {
         FROM embeddings, q WHERE vec_id <> 0
         ORDER BY vec_score DESC, vec_id LIMIT 20),
       lens AS (
-        SELECT doc_id AS id, CAST(len(${toksSql("text")}) AS BIGINT) AS doclen FROM documents),
+        SELECT doc_id AS id, CAST(len(${wsToksSql("text")}) AS BIGINT) AS doclen FROM documents),
       stats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
           CAST(SUM(doclen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM lens),
       post AS (
         SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        FROM documents, LATERAL (SELECT unnest(${wsToksSql("text")}) AS t) u
         GROUP BY doc_id, t),
       hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
       dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),

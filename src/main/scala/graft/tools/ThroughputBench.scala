@@ -24,8 +24,11 @@ object ThroughputBench {
 
     val emb = Tables.embeddings(spark, sfDir).cache()
     val n = emb.count()
-    val queries = emb.limit(100)
+    // deterministic query set: filter by id (limit() picks arbitrary
+    // rows, which would make seq-vs-batch measure different workloads)
+    val queries = emb.filter(col("vec_id") < 100)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .orderBy("qid")
       .collect()
 
     // warm the plan
@@ -43,7 +46,7 @@ object ThroughputBench {
     }
     import spark.implicits._
     def batch(nq: Int): Double = {
-      val qdf = emb.limit(nq).select(col("vec_id").as("qid"),
+      val qdf = emb.filter(col("vec_id") < nq).select(col("vec_id").as("qid"),
         col("embedding").as("qvec"))
       time {
         VectorSearch.topKBatch(emb, "embedding", "vec_id",
