@@ -24,7 +24,6 @@ object Bench {
     Seq("lineitem", "orders", "documents", "embeddings", "events")
       .foreach(t => try Tables.table(spark, sfDir, t).count()
       catch { case _: Throwable => () })
-    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -18,10 +18,16 @@ object GraftSession {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     TableNames.foreach { t =>
-      try Tables.table(spark, dir, t) match {
-        case df if t == "events" => Tables.events(spark, dir).createOrReplaceTempView(t)
-        case df => df.createOrReplaceTempView(t)
-      } catch { case _: Exception => () }
+      // events must go through Tables.events (nanos timestamp handling);
+      // a raw read of it throws during schema inference.
+      try {
+        val df = if (t == "events") Tables.events(spark, dir)
+                 else Tables.table(spark, dir, t)
+        df.createOrReplaceTempView(t)
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[graft] registerViews: skipping '$t': ${e.getMessage}")
+      }
     }
 
   def registerFunctions(spark: SparkSession): Unit = {

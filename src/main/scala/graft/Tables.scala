@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events needs the nanos-timestamp workaround; routing it here makes
+    // a raw (throwing) read of events.parquet unreachable via this API.
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -26,10 +29,16 @@ object Tables {
     * rejects. Read nanos as long (legacy conf) and convert to a
     * microsecond timestamp with integer arithmetic — `div` stays in
     * long space (nanos ~1.7e18 would lose precision through a double)
-    * and truncation matches DuckDB's ns->us conversion. */
+    * and truncation matches DuckDB's ns->us conversion.
+    *
+    * The legacy conf must stay set on the session: the parquet reader
+    * consults it again when the scan RDD is materialized (first action),
+    * so a save/restore scoped to this call would break lazy execution.
+    * All events access routes through here (Tables.table delegates), so
+    * no raw read can observe the flag order-dependently. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
+    s.read.parquet(s"$d/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -52,14 +52,16 @@ object TextFunctions {
         i => text.substr(i, lit(k)))))
       .otherwise(array(text))
 
-  /** Word n-grams from the token sequence. */
+  /** Word n-grams from the token sequence; empty when fewer than n
+    * tokens exist (no n-gram is formable — a whole-text fallback would
+    * pair unrelated short docs at jaccard 1.0). */
   def wordNgrams(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))
     when(size(ts) >= n,
       array_distinct(transform(
         sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", ts)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Portable 32-bit hash: first 8 hex chars of md5, as an unsigned int

@@ -195,8 +195,8 @@ class IvfIndex(val model: KMeansModel, val assigned: DataFrame,
 
 object IvfIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-            seed: Long = 42L): IvfIndex = {
-    val model = ClusteringOps.fit(df, vecCol, nCells, seed)
+            seed: Long = 42L, maxIter: Int = 100): IvfIndex = {
+    val model = ClusteringOps.fit(df, vecCol, nCells, seed, maxIter)
     val assigned = model.transform(
       df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>"))))
       .withColumnRenamed("prediction", "__cell")

@@ -48,7 +48,9 @@ case class ShingleSet(child: Expression, shingleK: Int)
 /** Distinct word n-grams over whitespace tokens (empties dropped) —
   * single-pass replacement for the tokens/transform/slice/concat_ws
   * pipeline in [[graft.functions.TextFunctions.wordNgrams]]; fewer-than-
-  * n-token input yields the joined whole, matching the HOF fallback. */
+  * n-token input yields an empty set (no n-gram exists), matching both
+  * the HOF fallback and the DuckDB list-comprehension oracle, so short
+  * docs never form degenerate jaccard-1.0 pairs. */
 case class WordNgramSet(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -58,8 +60,7 @@ case class WordNgramSet(child: Expression, n: Int)
     val toks = input.asInstanceOf[UTF8String].toString
       .split(" ").filter(_.nonEmpty)
     val seen = new java.util.LinkedHashSet[String]()
-    if (toks.length < n) seen.add(toks.mkString(" "))
-    else {
+    if (toks.length >= n) {
       val sb = new java.lang.StringBuilder()
       var i = 0
       while (i <= toks.length - n) {

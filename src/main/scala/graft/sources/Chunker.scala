@@ -48,6 +48,8 @@ object Chunker {
   def chunkPlain(text: String,
                  chunkSize: Int = DefaultChunkSize,
                  overlap: Int = DefaultOverlap): Seq[String] = {
+    require(overlap < chunkSize,
+      s"overlap ($overlap) must be < chunkSize ($chunkSize)")
     val cleaned = sanitize(text)
       .replaceAll("\\s+", " ")
       .replaceAll("\\n{3,}", "\n\n")
@@ -61,6 +63,8 @@ object Chunker {
   def chunkMarkdown(text: String,
                     chunkSize: Int = DefaultChunkSize,
                     overlap: Int = DefaultOverlap): Seq[String] = {
+    require(overlap < chunkSize,
+      s"overlap ($overlap) must be < chunkSize ($chunkSize)")
     val maxElement = (chunkSize * 0.8).toInt
     val sanitized = sanitize(text)
     val preSplit = preprocessTables(

@@ -69,6 +69,9 @@ class TextSetExpressionsSpec extends SparkSpec {
       .collect()
     assert(rows(0).getAs[scala.collection.Seq[String]]("sh").toSeq === Seq("ab"))
     assert(rows(1).getAs[scala.collection.Seq[String]]("sh").toSeq === Seq(""))
-    assert(rows(2).getAs[scala.collection.Seq[String]]("ng").toSeq === Seq("one two"))
+    // fewer tokens than n: no n-gram is formable -> empty set (matches
+    // the DuckDB list-comprehension oracle; no degenerate 1.0 pairs)
+    assert(rows(2).getAs[scala.collection.Seq[String]]("ng").toSeq === Seq.empty)
+    assert(rows(1).getAs[scala.collection.Seq[String]]("ng").toSeq === Seq.empty)
   }
 }
