@@ -19,11 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object ClusteringOps {
 
-  /** Fit k-means over an Array[Float] embedding column. */
+  /** Fit k-means over an Array[Float] embedding column.
+    *
+    * `initMode` "k-means||" (default) buys better centroids at the cost
+    * of extra full passes over the data; "random" skips them — the right
+    * trade for index-build artifacts (IVF cells, cluster histograms)
+    * where each pass is a full distributed scan at corpus scale and
+    * centroid quality only shifts cell balance, not correctness. */
   def fit(df: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
-          maxIter: Int = 100): KMeansModel =
+          maxIter: Int = 100, initMode: String = "k-means||"): KMeansModel =
     new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setK(k).setSeed(seed).setMaxIter(maxIter).setInitMode(initMode)
       .setFeaturesCol("__features")
       .fit(df.withColumn("__features",
         array_to_vector(col(vecCol).cast("array<double>"))))

@@ -30,23 +30,32 @@ object Taxonomy {
 
   /** Full transitive closure of an edge table `(child, parent)`:
     * all (node, ancestor) pairs at any depth. Iterative fixpoint —
-    * `UNION`-dedup per step like the reference CTE. */
-  def ancestorClosure(edges: DataFrame, maxDepth: Int = 20): DataFrame = {
+    * `UNION`-dedup like the reference CTE, deferred to one final pass.
+    *
+    * `acyclic = true` (taxonomies are DAGs) drops the per-step
+    * `except(closure)` cycle guard: in a DAG path lengths strictly
+    * increase, so the frontier empties on its own and the except — a
+    * full shuffle of the whole closure per step — buys nothing. Results
+    * are identical either way (the guard only affects how much work a
+    * cyclic input wastes before maxDepth stops it). */
+  def ancestorClosure(edges: DataFrame, maxDepth: Int = 20,
+                      acyclic: Boolean = true): DataFrame = {
     val base = edges.select(col("child").as("node"), col("parent").as("ancestor"))
     var closure = base
     var frontier = base
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
-      val next = frontier.alias("f")
+      val stepped = frontier.alias("f")
         .join(base.alias("b"), col("f.ancestor") === col("b.node"))
         .select(col("f.node").as("node"), col("b.ancestor").as("ancestor"))
-        .except(closure)
+        .distinct() // collapse duplicate same-length paths (diamonds)
+      val next = (if (acyclic) stepped else stepped.except(closure))
         .localCheckpoint() // truncate lineage: loop plans grow exponentially otherwise
       frontier = next
-      closure = closure.unionByName(next).distinct()
+      closure = closure.unionByName(next)
       depth += 1
     }
-    closure
+    closure.distinct()
   }
 
   /** Ancestors of one node (reference getAncestors, J5). */

@@ -20,7 +20,10 @@ object MlQueries {
     scala.collection.concurrent.TrieMap.empty[(String, Int), org.apache.spark.ml.clustering.KMeansModel]
   private def cachedModel(s: org.apache.spark.sql.SparkSession, d: String, k: Int) =
     modelCache.getOrElseUpdate((d, k),
-      ClusteringOps.fit(Tables.embeddings(s, d), "embedding", k))
+      // random init: skips the k-means|| passes (each a full scan at
+      // corpus scale); quality only shifts cluster balance here
+      ClusteringOps.fit(Tables.embeddings(s, d), "embedding", k,
+        maxIter = 30, initMode = "random"))
 
   /** The IVF index is likewise a build-once artifact. Coarse-centroid
     * quality only affects pruning efficiency — with nProbe = nCells the
