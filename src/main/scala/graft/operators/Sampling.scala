@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.functions.TextFunctions.portableHash32
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and splitting.
+  *
+  * `df.sample` draws from a partition-seeded RNG: the selected set
+  * changes with partitioning, task retries, and engine — unusable for
+  * reproducible training corpora. Hashing a stable key instead gives a
+  * sample that is (a) identical on every run, cluster size, and engine
+  * (md5-derived [[graft.functions.TextFunctions.portableHash32]]),
+  * (b) consistent across tables — sampling `documents` and `embeddings`
+  * by the same key keeps them aligned, and (c) a pure narrow filter:
+  * no shuffle, pushes into the scan's evaluated predicate at any scale.
+  */
+object Sampling {
+
+  /** Keep rows whose hash lands in `[0, keep)` of `outOf` buckets —
+    * a deterministic ~keep/outOf fraction. */
+  def hashSample(df: DataFrame, key: Column, keep: Int,
+                 outOf: Int = 100): DataFrame = {
+    require(keep >= 0 && keep <= outOf, s"keep=$keep must be in [0, $outOf]")
+    df.filter(bucket(key, outOf) < keep)
+  }
+
+  /** Disjoint deterministic splits (train/val/test): one DataFrame per
+    * weight, covering all rows when weights sum to `outOf`. */
+  def splitByHash(df: DataFrame, key: Column, weights: Seq[Int],
+                  outOf: Int = 100): Seq[DataFrame] = {
+    require(weights.forall(_ >= 0) && weights.sum <= outOf,
+      s"weights $weights must be non-negative and sum to <= $outOf")
+    val bounds = weights.scanLeft(0)(_ + _)
+    bounds.zip(bounds.tail).map { case (lo, hi) =>
+      df.filter(bucket(key, outOf) >= lo && bucket(key, outOf) < hi)
+    }
+  }
+
+  /** The stable bucket of a key: portable 32-bit hash mod `outOf`.
+    * Non-negative (hash is an unsigned 32-bit value in a long). */
+  def bucket(key: Column, outOf: Int): Column =
+    portableHash32(key.cast("string")) % outOf
+}

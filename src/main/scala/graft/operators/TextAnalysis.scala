@@ -138,4 +138,31 @@ object TextAnalysis {
       .orderBy(desc("score"), asc("word"))
       .limit(n)
   }
+
+  /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations over one
+    * token explode — term frequencies per doc, then document frequencies
+    * from the per-doc rows (never a second corpus scan). N (corpus size)
+    * is a scalar broadcast into the plan, not a window over everything. */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // reused: df counts + join back
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(col(idCol)).distinct().count().toDouble
+    tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(lit(n) / col("df").cast("double")))
+      .select("id", "term", "tf", "df", "tfidf")
+  }
+
+  /** Top TF-IDF term per document (ties broken by term). */
+  def topTfIdfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(desc("tfidf"), asc("term"))
+    tfIdf(df, idCol, textCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
 }

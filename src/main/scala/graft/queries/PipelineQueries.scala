@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Quantization, RangeJoin, Sampling, Skew, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators, round 2: deterministic sampling,
+  * as-of / range joins over the event stream, TF-IDF, skew-salted
+  * aggregation, int8-quantized vector search, per-source quotas.
+  * Float-parity rules as in [[Q]]'s scaladoc; integer math end-to-end
+  * wherever a sum crosses rows (quantized dots, epoch arithmetic).
+  */
+object PipelineQueries {
+
+  /** Events projected to exact epoch-microsecond longs — all range/as-of
+    * arithmetic stays in integer space (`epoch_us` on the DuckDB side). */
+  private def eventsMicros(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(col("event_id"),
+      unix_micros(col("ts")).as("tus"), col("user_id"), col("event_type"))
+
+  val all: Seq[Q] = Seq(
+
+    // deterministic hash sampling: reproducible across runs, engines and
+    // partitionings (a pure narrow filter — no shuffle at any scale)
+    Q("q39_hash_sample", Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20
+      ORDER BY doc_id"""),
+      (s, d) => Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 20)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // as-of join (backward): the latest click at-or-before each error by
+    // the same user — union + carry-forward window, one shuffle, no
+    // per-key cross product (DuckDB ASOF JOIN is the oracle)
+    Q("q40_asof_click_before_error", Some("""
+      WITH ev AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type FROM events),
+      err AS (SELECT user_id, event_id AS error_id, tus AS err_tus FROM ev
+              WHERE event_type = 'error'),
+      clk AS (SELECT user_id, tus, max(event_id) AS click_id FROM ev
+              WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT e.error_id, c.click_id, (e.err_tus - c.tus) // 1000000 AS gap_s
+      FROM err e ASOF LEFT JOIN clk c
+        ON e.user_id = c.user_id AND e.err_tus >= c.tus
+      ORDER BY error_id"""),
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"), col("tus").as("err_tus"))
+        // one row per (user, ts): deterministic winner among equal-ts clicks
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "tus").agg(max("event_id").as("click_id"))
+          .withColumn("click_tus", col("tus"))
+        AsOfJoin.backward(errors, clicks, Seq("user_id"), "err_tus", "tus",
+          Seq("click_id", "click_tus"))
+          .withColumn("gap_s", expr("(err_tus - click_tus) div 1000000"))
+          .select("error_id", "click_id", "gap_s")
+          .orderBy("error_id")
+      }),
+
+    // TF-IDF: tf * ln(N/df), top term per doc (round-6 absorbs the
+    // <=1-ulp libm-vs-StrictMath ln difference)
+    Q("q44_tfidf_top_terms", Some("""
+      WITH tok AS (SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tok GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+      scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+          tf.tf * ln(n.n / dfreq.df) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored)
+      SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf
+      FROM ranked WHERE rn = 1 ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.topTfIdfTerm(Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id")),
+
+    // windowed event dedup (the batch form of streaming
+    // dropDuplicatesWithinWatermark): collapse retries/refires to one
+    // row per (user, type, minute)
+    Q("q45_event_dedup", Some("""
+      SELECT DISTINCT user_id, event_type,
+        strftime(ts, '%Y-%m-%d %H:%M') AS minute
+      FROM events ORDER BY user_id, event_type, minute"""),
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm").as("minute"))
+        .dropDuplicates("user_id", "event_type", "minute")
+        .orderBy("user_id", "event_type", "minute")),
+
+    // skew-salted two-phase aggregation over the 5 hot event_type keys:
+    // partials spread across 16 salt buckets, then merged — same result
+    // as a direct GROUP BY (the oracle), immune to one-hot-key stragglers.
+    // Sums in decimal (exact) — double sums are partition-order-sensitive
+    Q("q46_salted_hot_keys", Some("""
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => Skew.saltedAgg(
+        Tables.events(s, d).select(col("event_type"),
+          col("value").cast("decimal(18,2)").as("v")),
+        Seq("event_type"), 16,
+        partial = Seq(count(lit(1)).as("pn"), sum(col("v")).as("ps")),
+        merge = Seq(sum(col("pn")).as("n_events"),
+          sum(col("ps")).as("__total")))
+        .select(col("event_type"), col("n_events"),
+          col("__total").cast("double").as("total_value"))
+        .orderBy("event_type")),
+
+    // banded range join: clicks in the 10 minutes before each error by
+    // the same user — equi-join on (user, time band), never a per-key
+    // cross product (the oracle's inequality join IS that cross product)
+    Q("q47_range_click_context", Some("""
+      WITH ev AS (SELECT event_id, epoch_us(ts) AS tus, user_id, event_type FROM events)
+      SELECT e.event_id AS error_id, CAST(count(*) AS BIGINT) AS n_clicks
+      FROM ev e JOIN ev c ON e.user_id = c.user_id
+        AND e.event_type = 'error' AND c.event_type = 'click'
+        AND c.tus > e.tus - 600000000 AND c.tus <= e.tus
+      GROUP BY 1 ORDER BY 1"""),
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("error_id"), col("tus").as("err_tus"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("tus").as("click_tus"))
+        RangeJoin.trailingWindowPairs(errors, clicks, Seq("user_id"),
+          "err_tus", "click_tus", 600000000L)
+          .groupBy("error_id").agg(count(lit(1)).as("n_clicks"))
+          .orderBy("error_id")
+      }),
+
+    // int8-quantized vector search (reference float8 index compression
+    // analog): 4x smaller codes; integer dot products are exact and
+    // order-independent, so results are bit-reproducible cross-engine
+    Q("q48_quantized_knn", Some("""
+      WITH base AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      sc AS (SELECT vec_id, label, v,
+          127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS qs
+        FROM base),
+      qz AS (SELECT vec_id, label, list_transform(v, x -> floor(x * qs)) AS c FROM sc),
+      q AS (SELECT c AS qc FROM qz WHERE vec_id = 0),
+      s AS (SELECT vec_id, label,
+          list_dot_product(c, qc) AS dot,
+          list_dot_product(c, c) AS nc,
+          list_dot_product(qc, qc) AS nq
+        FROM qz, q WHERE vec_id <> 0),
+      top AS (SELECT vec_id, label,
+          CASE WHEN sqrt(nc) * sqrt(nq) = 0 THEN 0.0
+               ELSE dot / (sqrt(nc) * sqrt(nq)) END AS qcos
+        FROM s ORDER BY qcos DESC, vec_id LIMIT 10)
+      SELECT vec_id, label, round(qcos, 6) AS qcos FROM top
+      ORDER BY qcos DESC, vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qCodes = Quantization.quantized(emb.filter(col("vec_id") === 0), "embedding")
+          .select("codes").head().getAs[scala.collection.Seq[Long]](0).toSeq
+        val corpus = Quantization.quantized(emb.filter(col("vec_id") =!= 0), "embedding")
+        Quantization.topK(corpus, "codes", qCodes, 10, tieCol = "vec_id")
+          .withColumn("qcos", round(col("qcos"), 6))
+          .select("vec_id", "label", "qcos")
+          .orderBy(desc("qcos"), asc("vec_id"))
+      }),
+
+    // per-source quota (domain capping): keep the 5 largest docs per
+    // source — bounds any one domain's share of the training mix
+    Q("q49_source_quota", Some("""
+      SELECT doc_id, source, n_chars, CAST(rnk AS INT) AS rnk FROM (
+        SELECT doc_id, source, n_chars, row_number() OVER
+          (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM documents) t
+      WHERE rnk <= 5 ORDER BY source, rnk"""),
+      (s, d) => Tables.documents(s, d)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))))
+        .filter(col("rnk") <= 5)
+        .select("doc_id", "source", "n_chars", "rnk")
+        .orderBy("source", "rnk"))
+  )
+}

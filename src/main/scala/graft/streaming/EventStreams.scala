@@ -25,6 +25,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Streaming dedup: collapse retries/refires to one event per
+    * (user, type, minute). On a stream the watermark bounds the dedup
+    * state (keys older than the watermark are dropped — the only way
+    * dedup state stays finite on an unbounded stream); on a batch frame
+    * it degenerates to exact distinct — the q45 oracle form. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("minute", date_format(col("ts"), "yyyy-MM-dd HH:mm"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+
   /** Incremental ingest as a file-source stream: watch a directory of
     * markdown files, run the SAME extract/chunk transform as the batch
     * path, and append to the chunks table layout. Batch and streaming

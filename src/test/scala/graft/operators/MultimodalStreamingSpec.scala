@@ -62,6 +62,30 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: watermarked dedup collapses same-minute retries") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = stream.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.dedupedEvents(df).writeStream
+      .outputMode("append").format("memory").queryName("dedup_test").start()
+    try {
+      def t(min: Int, sec: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+      // three retries of the same (user, type) inside minute 0, one more
+      // in minute 1, a different user in minute 0
+      stream.addData((t(0, 1), 1L, "click"), (t(0, 30), 1L, "click"),
+        (t(0, 59), 1L, "click"), (t(1, 5), 1L, "click"), (t(0, 10), 2L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_test")
+        .select("user_id", "event_type", "minute")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows === Set(
+        (1L, "click", "2024-01-01 10:00"),
+        (1L, "click", "2024-01-01 10:01"),
+        (2L, "click", "2024-01-01 10:00")))
+    } finally q.stop()
+  }
+
   test("streaming: markdown file-source ingest runs the batch chunker incrementally") {
     val watch = java.nio.file.Files.createTempDirectory("graft-stream")
     val out = java.nio.file.Files.createTempDirectory("graft-stream-out")

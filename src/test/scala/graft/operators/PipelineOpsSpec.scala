@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-2 pipeline operators: deterministic sampling, as-of join,
+  * banded range join, int8 quantization. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Sampling ----
+
+  test("hashSample is deterministic and partitioning-independent") {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = Sampling.hashSample(df, col("id"), 20).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(7), col("id"), 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // ~20% within generous bounds
+    assert(a.size > 250 && a.size < 550, s"got ${a.size}")
+  }
+
+  test("hashSample is monotone in keep: smaller samples nest in larger") {
+    val df = spark.range(0, 1000).toDF("id")
+    val small = Sampling.hashSample(df, col("id"), 10).collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(df, col("id"), 30).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("splitByHash: disjoint, covering when weights sum to outOf") {
+    val df = spark.range(0, 1000).toDF("id")
+    val Seq(train, valid, testS) =
+      Sampling.splitByHash(df, col("id"), Seq(80, 10, 10))
+    val t = train.collect().map(_.getLong(0)).toSet
+    val v = valid.collect().map(_.getLong(0)).toSet
+    val e = testS.collect().map(_.getLong(0)).toSet
+    assert((t & v).isEmpty && (t & e).isEmpty && (v & e).isEmpty)
+    assert(t.size + v.size + e.size === 1000)
+  }
+
+  test("sampling aligns across tables sharing a key") {
+    val docs = spark.range(0, 500).toDF("id")
+    val embs = spark.range(0, 500).toDF("id").withColumn("x", col("id") * 2)
+    val d = Sampling.hashSample(docs, col("id"), 15).collect().map(_.getLong(0)).toSet
+    val e = Sampling.hashSample(embs, col("id"), 15).collect().map(_.getLong(0)).toSet
+    assert(d === e)
+  }
+
+  // ---- AsOfJoin ----
+
+  private def asOfFixture = {
+    // user 1: clicks at t=10,20,30; user 2: click at t=100; user 3: none
+    val right = Seq((1L, 10L, "c10"), (1L, 20L, "c20"), (1L, 30L, "c30"),
+      (2L, 100L, "c100"))
+      .toDF("user_id", "rts", "tag")
+    val left = Seq((1L, 5L, "e1"), (1L, 20L, "e2"), (1L, 25L, "e3"),
+      (1L, 99L, "e4"), (2L, 100L, "e5"), (3L, 50L, "e6"))
+      .toDF("user_id", "lts", "name")
+    (left, right)
+  }
+
+  test("asof backward: latest right at-or-before each left, inclusive, null when none") {
+    val (left, right) = asOfFixture
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "lts", "rts", Seq("tag"))
+      .select("name", "tag").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("e1") === null) // before any click
+    assert(out("e2") === "c20") // equal ts is inclusive
+    assert(out("e3") === "c20")
+    assert(out("e4") === "c30")
+    assert(out("e5") === "c100")
+    assert(out("e6") === null) // user with no right rows
+  }
+
+  test("asof backward matches the naive per-row formulation") {
+    val n = 400
+    val right = (0 until n).map(i => ((i % 5).toLong, (i * 7 % 97).toLong, i.toLong))
+      .toDF("k", "rts", "rid")
+      // one row per (k, ts): deterministic winner, as documented
+      .groupBy("k", "rts").agg(max("rid").as("rid"))
+    val left = (0 until n).map(i => ((i % 5).toLong, (i * 13 % 101).toLong, i.toLong))
+      .toDF("k", "lts", "lid")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts", Seq("rid"))
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val leftRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    leftRows.foreach { case (k, lts, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= lts)
+      val want = if (cands.isEmpty) -1L else cands.maxBy(r => (r._2, r._3))._3
+      assert(got(lid) === want, s"left $lid (k=$k, ts=$lts)")
+    }
+  }
+
+  // ---- RangeJoin ----
+
+  test("banded range join == naive inequality join, including band boundaries") {
+    val left = (0 until 60).map(i => (i.toLong % 3, i * 37L % 500, i.toLong))
+      .toDF("k", "lts", "lid")
+    val right = (0 until 60).map(i => (i.toLong % 3, i * 53L % 500, 1000L + i))
+      .toDF("k", "rts", "rid")
+    val w = 100L
+    val got = RangeJoin.trailingWindowPairs(left, right, Seq("k"), "lts", "rts", w)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      l <- left.collect(); r <- right.collect()
+      if l.getLong(0) == r.getLong(0)
+      if r.getLong(1) > l.getLong(1) - w && r.getLong(1) <= l.getLong(1)
+    } yield (l.getLong(2), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  // ---- Quantization ----
+
+  test("quantized codes stay in int8 range; zero vector is NaN-free") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.99f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(100f, -50f, 25f, -12.5f))
+    ).toDF("id", "v")
+    val q = Quantization.quantized(df, "v")
+    val rows = q.orderBy("id").collect()
+    rows.foreach { r =>
+      val codes = r.getAs[scala.collection.Seq[Long]]("codes")
+      assert(codes.forall(c => c >= -128 && c <= 127), s"codes $codes")
+    }
+    // zero vector: all-zero codes, cosine guarded to 0.0
+    val z = q.filter(col("id") === 2)
+    val cos = q.filter(col("id") === 1).select(col("codes").as("a"))
+      .crossJoin(z.select(col("codes").as("b")))
+      .select(Quantization.quantizedCosine(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(cos === 0.0)
+  }
+
+  test("quantized cosine approximates exact cosine on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val q = Quantization.quantized(emb, "embedding")
+    val qRow = q.head()
+    val qCodes = qRow.getAs[scala.collection.Seq[Long]]("codes").toSeq
+    val qVec = qRow.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val both = q.select(col("vec_id"),
+      Quantization.quantizedCosine(col("codes"),
+        array(qCodes.map(lit): _*)).as("qcos"),
+      graft.functions.VectorFunctions.cosineSim(col("embedding").cast("array<double>"),
+        array(qVec.map(v => lit(v.toDouble)): _*)).as("cos"))
+      .collect()
+    both.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.02,
+        s"vec ${r.get(0)}: qcos=${r.getDouble(1)} cos=${r.getDouble(2)}")
+    }
+  }
+
+  test("quantization shrinks the on-disk codes ~4x vs float32") {
+    // int8 codes as bytes: 64 dims -> 64 bytes vs 256 bytes float32;
+    // here codes are longs in memory, so assert the VALUE range admits
+    // a byte representation (the storage claim), not the long encoding
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val codes = Quantization.quantized(emb, "embedding")
+      .select(explode(col("codes"))).collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= Byte.MinValue && c <= Byte.MaxValue))
+  }
+}
