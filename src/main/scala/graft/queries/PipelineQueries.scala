@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Quantization, RangeJoin, Sampling, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Quantization, RangeJoin, Sampling, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,44 @@ object PipelineQueries {
           Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))))
         .filter(col("rnk") <= 5)
         .select("doc_id", "source", "n_chars", "rnk")
-        .orderBy("source", "rnk"))
+        .orderBy("source", "rnk")),
+
+    // connected components over the q25 near-dup pairs: pairwise dedup
+    // leaks transitively (A~B, B~C — dropping B keeps A and C); the
+    // component label (min member id) is the cluster's canonical doc.
+    // Min-label propagation vs the oracle's recursive reachability CTE
+    Q("q56_dup_components", Some("""
+      WITH RECURSIVE ng AS (
+        SELECT doc_id, source, length(text) AS len,
+          list_distinct([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+        FROM (SELECT doc_id, source, text,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+          FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+            AND abs(a.len - b.len) <= 20) p
+        WHERE jaccard >= 0.3),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b)
+      SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+      FROM reach GROUP BY node ORDER BY doc_id"""),
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", col("source"), n = 3, threshold = 0.3,
+          maxLenDiff = 20).select("id_a", "id_b")
+        Components.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      })
   )
 }

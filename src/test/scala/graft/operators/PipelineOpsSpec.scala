@@ -109,6 +109,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  // ---- Components ----
+
+  test("connectedComponents: chains, isolates-in-pairs, min labels") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("a", "b")
+    val got = Components.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents matches driver-side union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 300).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // union-find reference
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = parent.keys.map(n => n -> find(n)).toMap
+    // canonical label = min member per root
+    val minPerRoot = roots.groupMapReduce(_._2)(_._1)(math.min)
+    val want = roots.map { case (n, r) => n -> minPerRoot(r) }
+    assert(got === want)
+  }
+
+  test("canonicalPerComponent keeps exactly one doc per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val comp = Components.connectedComponents(pairs, "a", "b")
+    val canon = Components.canonicalPerComponent(comp)
+      .collect().map(_.getLong(0)).toSet
+    assert(canon === Set(1L, 7L))
+  }
+
   // ---- Quantization ----
 
   test("quantized codes stay in int8 range; zero vector is NaN-free") {
