@@ -24,7 +24,14 @@ object AsOfJoin {
   /** `payloadCols` of the latest right row (ts <= left ts) appended to
     * every left row (null when no prior right row exists — left join
     * semantics). `left`/`right` must share `keys`; `ts` columns must be
-    * mutually comparable (use epoch longs for exactness). */
+    * mutually comparable (use epoch longs for exactness).
+    *
+    * SQL join semantics on the keys: NULL never matches NULL — null-key
+    * left rows get null payloads (a bare window partition would group
+    * them together). All payload columns are carried as ONE struct
+    * tagged per right row, so (a) they always come from the same right
+    * row and (b) a genuinely-NULL payload value on the latest right row
+    * stays NULL instead of falling through to a staler row. */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
@@ -32,15 +39,18 @@ object AsOfJoin {
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns $payloadCols collide with left columns")
 
-    val r = right.select(
+    val someNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val outCols = keys ++ leftCols.filterNot(keys.contains) ++ payloadCols
+
+    val r = right.filter(!someNullKey).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        payloadCols.map(col) ++
+        Seq(struct(payloadCols.map(col): _*).as("__payload")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
-    val l = left.select(
+    val l = left.filter(!someNullKey).select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        payloadCols.map(c => lit(null).as(c)) ++
+        Seq(lit(null).as("__payload")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
     // right (side 0) sorts before left (side 1) at equal ts -> inclusive
@@ -48,13 +58,19 @@ object AsOfJoin {
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    r.unionByName(l)
+    val matched = r.unionByName(l, allowMissingColumns = false)
+      .withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(
         (keys.map(col) ++
           leftCols.filterNot(keys.contains).map(col) ++
-          payloadCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-          col("__side")): _*)
-      .filter(col("__side") === 1)
-      .drop("__side")
+          payloadCols.map(c => col(s"__last.$c").as(c))): _*)
+
+    val unmatched = left.filter(someNullKey).select(
+      (keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        payloadCols.map(c => lit(null).as(c))): _*)
+
+    matched.unionByName(unmatched).select(outCols.map(col): _*)
   }
 }

@@ -48,6 +48,12 @@ object Components {
       labels = next
       iter += 1
     }
+    // a silent non-fixpoint would return wrong labels (nodes > maxIter
+    // hops from their component minimum) — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter above the " +
+        "component diameter")
     labels
   }
 

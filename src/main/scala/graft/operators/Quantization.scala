@@ -34,6 +34,10 @@ object Quantization {
     df.withColumn("qscale", scaleFor(col(vecCol)))
       .withColumn("codes",
         transform(col(vecCol), x => floor(x.cast("double") * col("qscale")).cast("long")))
+      // self dot precomputed at quantization time: search scans read it
+      // instead of re-folding codes·codes per probe (codes is referenced
+      // twice — output + norm2 — so it is not inlined per element)
+      .withColumn("norm2", intDot(col("codes"), col("codes")))
 
   /** Integer dot product of two code arrays — exact, order-independent. */
   def intDot(a: Column, b: Column): Column =
@@ -48,11 +52,18 @@ object Quantization {
   }
 
   /** Top-k by quantized cosine against one query vector: a scan +
-    * TakeOrdered — the 4x-smaller codes column is all that's read. */
+    * TakeOrdered — the 4x-smaller codes column is all that's read.
+    * `df` must come from [[quantized]] (uses its `norm2` column); the
+    * query's norm is folded on the driver — the per-row work is ONE
+    * codes·query dot, not three folds. */
   def topK(df: DataFrame, codesCol: String, queryCodes: Seq[Long], k: Int,
            tieCol: String): DataFrame = {
     val q = array(queryCodes.map(lit): _*)
-    df.withColumn("qcos", quantizedCosine(col(codesCol), q))
+    val qNorm = math.sqrt(queryCodes.map(c => c * c).sum.toDouble)
+    val denom = sqrt(col("norm2").cast("double")) * lit(qNorm)
+    df.withColumn("qcos",
+        when(denom === 0.0, 0.0)
+          .otherwise(intDot(col(codesCol), q).cast("double") / denom))
       .orderBy(desc("qcos"), col(tieCol).asc)
       .limit(k)
   }

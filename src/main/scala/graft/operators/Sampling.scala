@@ -33,7 +33,11 @@ object Sampling {
       s"weights $weights must be non-negative and sum to <= $outOf")
     val bounds = weights.scanLeft(0)(_ + _)
     bounds.zip(bounds.tail).map { case (lo, hi) =>
-      df.filter(bucket(key, outOf) >= lo && bucket(key, outOf) < hi)
+      // isin evaluates the md5-derived bucket ONCE per row; a range
+      // predicate (>= lo && < hi) would hash twice after predicate
+      // pushdown inlines the bucket expression into both comparisons
+      if (lo == hi) df.filter(lit(false))
+      else df.filter(bucket(key, outOf).isin(lo until hi: _*))
     }
   }
 

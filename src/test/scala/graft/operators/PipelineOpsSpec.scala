@@ -91,6 +91,42 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("asof backward: NULL payload on the latest right row stays NULL") {
+    // regression: per-column last(ignoreNulls) used to fall through to a
+    // staler right row's value; SQL ASOF returns the matched row as-is
+    val right = Seq((1L, 10L, Some("a"), Some(100L)),
+      (1L, 20L, None, Some(200L)))
+      .toDF("k", "rts", "tag", "aux")
+    val left = Seq((1L, 25L, "e1")).toDF("k", "lts", "name")
+    val row = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts",
+      Seq("tag", "aux")).head()
+    assert(row.getAs[String]("tag") === null) // from ts=20 row, not ts=10
+    assert(row.getAs[Long]("aux") === 200L)   // same right row, coherent
+  }
+
+  test("asof backward: NULL keys never match (SQL join semantics)") {
+    val right = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 5L, "nullside"))
+      .toDF("k", "rts", "tag")
+    val left = Seq((Option(1L), 20L, "e1"), (Option.empty[Long], 20L, "e2"))
+      .toDF("k", "lts", "name")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "lts", "rts", Seq("tag"))
+      .collect().map(r => r.getAs[String]("name") -> r.getAs[String]("tag")).toMap
+    assert(out("e1") === "a")
+    assert(out("e2") === null) // not "nullside"
+  }
+
+  test("connectedComponents fails loudly instead of returning non-fixpoint labels") {
+    // path graph 0-1-2-...-25: diameter > default maxIter would silently
+    // mislabel; must throw, and converge with a higher bound
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "a", "b", maxIter = 5)
+    }
+    val ok = Components.connectedComponents(chain, "a", "b", maxIter = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(0L))
+  }
+
   // ---- RangeJoin ----
 
   test("banded range join == naive inequality join, including band boundaries") {
