@@ -53,4 +53,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q04_priority_semi").contains("LeftSemi"))
     assert(plan("q05_custs_without_big_orders").contains("LeftAnti"))
   }
+
+  test("hash sampling operator is a narrow filter — no shuffle in the plan") {
+    // the operator itself (the q39 query adds an ORDER BY on top)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.Sampling
+      .hashSample(docs, org.apache.spark.sql.functions.col("doc_id"), 20)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "sampling must not shuffle:\n" + p)
+  }
+
+  test("as-of join operator: ONE key shuffle (the window), no join node") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "rts", "tag")
+    val left = Seq((1L, 15L, "x"), (1L, 25L, "y")).toDF("k", "lts", "name")
+    val df = graft.operators.AsOfJoin.backward(
+      left, right, Seq("k"), "lts", "rts", Seq("tag"))
+    df.collect() // AQE finalizes on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin") && !p.contains("HashJoin"),
+      "as-of must not plan any join:\n" + p)
+    assert(p.contains("Window"), p)
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // count only the final plan
+    val finalPlan = p.split("== Initial Plan ==").head
+    val shuffles = finalPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 hash shuffle, got $shuffles:\n$p")
+  }
+
+  test("q47: banded range join is an equi-join, never a cross product") {
+    val df = SparkEntry.queries("q47_range_click_context")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range join must stay an equi-join:\n" + p)
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
+  test("q48: quantized top-k compiles to TakeOrderedAndProject") {
+    assert(plan("q48_quantized_knn").contains("TakeOrderedAndProject"))
+  }
 }
