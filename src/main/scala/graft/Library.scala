@@ -142,12 +142,21 @@ class Library(val spark: SparkSession, val warehouse: String,
     }
   }
 
-  /** S12 export: copy the warehouse tables to a destination directory
-    * (the reference tars its DB dir; Parquet dirs just copy/transfer). */
+  /** S12 export: copy the warehouse to a destination directory (the
+    * reference tars its WHOLE DB dir — parity means every table,
+    * including the taxonomy tables that share this warehouse and are
+    * not rebuildable, the cluster artifacts, and both persisted
+    * indexes; the IVF layout keeps its `__cell` hive partitioning). */
   def exportTo(dest: String): Unit = {
-    Seq("documents", "chunks", "embeddings").filter(tableExists).foreach { t =>
-      spark.read.parquet(path(t)).write
-        .mode(SaveMode.Overwrite).parquet(s"$dest/$t")
+    val tables = Seq("documents", "chunks", "embeddings",
+      "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
+      "embeddings_ivf", "embeddings_ivf_meta",
+      "concepts", "hierarchy", "relations", "doc_concepts",
+      "concept_embeddings")
+    tables.filter(tableExists).foreach { t =>
+      val w = spark.read.parquet(path(t)).write.mode(SaveMode.Overwrite)
+      (if (t == "embeddings_ivf") w.partitionBy("__cell") else w)
+        .parquet(s"$dest/$t")
     }
   }
 
@@ -204,9 +213,20 @@ class Library(val spark: SparkSession, val warehouse: String,
     val thresholded = opts.threshold.map(t => scored.filter(col("score") >= t))
       .getOrElse(scored)
 
-    thresholded
-      .join(ch, col("chunkId") === ch("id"))
+    // rank on narrow columns (ids + score + tag predicate) and fetch the
+    // wide content column for only the k survivors — same pattern as
+    // ftsSearch; the content of every candidate must not ride through
+    // the join and the top-k heap
+    val ranked = thresholded
+      .join(ch.select("id", "docId", "page", "chunkIndex"),
+        col("chunkId") === ch("id"))
       .join(broadcast(docs), Seq("docId"))
+      .select(col("chunkId"), col("docId"), col("title"), col("page"),
+        col("chunkIndex"), col("score"))
+      .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+      .limit(opts.limit)
+    ranked
+      .join(ch.select(col("id").as("chunkId"), col("content")), Seq("chunkId"))
       .select(col("docId"), col("title"), col("page"),
         col("chunkIndex"), col("content"), col("score"),
         lit("vector").as("matchType"))
@@ -371,11 +391,17 @@ class Library(val spark: SparkSession, val warehouse: String,
   def multiScaleSearch(query: String, opts: SearchOptions = SearchOptions()): DataFrame = {
     val qv = embedder.embed(query)
     val chunkHits = vectorSearch(qv, opts)
-    val summaryHits = clusterSummaries
+    val summaryScored = clusterSummaries
       .withColumn("score",
         VectorFunctions.distToScore(lit(1.0) -
           graft.plans.CosineSimilarity(col("embedding"),
             VectorSearch.queryVec(qv.toSeq))))
+    // the threshold applies to BOTH scales — chunk hits get it inside
+    // vectorSearch; without this, sub-threshold summaries could occupy
+    // top-k slots the caller explicitly excluded
+    val summaryHits = opts.threshold
+      .map(t => summaryScored.filter(col("score") >= t))
+      .getOrElse(summaryScored)
       .select(lit("").as("docId"), lit("Cluster Summary").as("title"),
         lit(0).as("page"), col("clusterId").as("chunkIndex"),
         col("summary").as("content"), col("score"),
@@ -453,6 +479,20 @@ class Library(val spark: SparkSession, val warehouse: String,
     val nOE = orphanEmbs.count()
     if (nOE > 0) rewrite("embeddings",
       embeddings.join(chunks.select(col("id").as("chunkId")), Seq("chunkId"), "left_semi"))
+    // the persisted indexes must track the repaired tables, same as
+    // removeDocument: stale postings/lens inflate df, N and avgdl and
+    // skew every later BM25 score; the IVF layout would keep serving
+    // deleted vectors
+    if (nOC > 0) {
+      val live = chunks.select(col("id"))
+      if (tableExists("fts_postings")) {
+        rewrite("fts_postings", spark.read.parquet(path("fts_postings"))
+          .join(live, Seq("id"), "left_semi"))
+        rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
+          .join(live, Seq("id"), "left_semi"))
+      }
+    }
+    if (nOC > 0 || nOE > 0) invalidateVectorIndex()
     (nOC, nOE)
   }
 

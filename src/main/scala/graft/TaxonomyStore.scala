@@ -63,12 +63,16 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
         else array().cast("array<string>")).as("altLabels"),
         (if (cFields.contains("definition"))
           col("c.definition") else lit(null).cast("string")).as("definition"))
+      // dedup within the incoming file too — a duplicated id in one
+      // JSON would otherwise append twice (both rows pass the anti-join)
+      .dropDuplicates("id")
       .join(concepts.select("id"), Seq("id"), "left_anti")
     newConcepts.write.mode(SaveMode.Append).parquet(path("concepts"))
 
     if (raw.columns.contains("hierarchy")) {
       raw.select(explode(col("hierarchy")).as("h"))
         .select(col("h.conceptId").as("child"), col("h.broaderId").as("parent"))
+        .dropDuplicates("child", "parent")
         .join(hierarchy, Seq("child", "parent"), "left_anti")
         .write.mode(SaveMode.Append).parquet(path("hierarchy"))
     }
@@ -79,6 +83,7 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
           (if (rFields.contains("relationType"))
             coalesce(col("r.relationType"), lit("related"))
           else lit("related")).as("relationType"))
+        .dropDuplicates("a", "b")
         .join(relations, Seq("a", "b"), "left_anti")
         .write.mode(SaveMode.Append).parquet(path("relations"))
     }

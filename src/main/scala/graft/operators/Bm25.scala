@@ -71,9 +71,12 @@ object Bm25 {
     * then LIMIT (reference LibSQLDatabase.ts:426-437). */
   def scoreAllFromIndex(post: DataFrame, lens: DataFrame,
                         terms: Seq[String]): DataFrame = {
-    val n = lens.count() // corpus size: one cheap count over the lens table
-    val avgdl = lens.agg(sum(col("doclen")).cast("double") /
-      count(lit(1)).cast("double")).head().getDouble(0)
+    // corpus size and total length in ONE job over the lens table (a
+    // count() + agg() pair would scan it twice per query)
+    val stats = lens.agg(count(lit(1)).as("n"), sum(col("doclen")).as("s")).head()
+    val n = stats.getLong(0)
+    val totalLen = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val avgdl = if (n > 0) totalLen.toDouble / n.toDouble else 1.0
 
     val hits = post.filter(col("term").isin(terms.map(_.toLowerCase): _*))
     // document frequency per query term (tiny: |terms| rows -> broadcast)
@@ -89,12 +92,19 @@ object Bm25 {
     hits
       .join(broadcast(dfs), "term")
       .join(lens, "id")
-      // exact-decimal accumulation: per-term scores are deterministic
-      // scalar doubles, but a double SUM is ordering-sensitive; summing
-      // as decimal makes the result independent of partition order.
-      .withColumn("term_score", (idf * tfNorm).cast("decimal(18,9)"))
+      .withColumn("term_score", idf * tfNorm)
       .groupBy("id")
-      .agg(sum(col("term_score")).cast("double").as("bm25"))
+      // deterministic accumulation: per-term scores are IEEE-exact
+      // scalar doubles, but a double SUM is partition-order-sensitive —
+      // fold in term order instead (collect the tiny per-doc term list,
+      // sort, left-fold). Bit-identical to DuckDB's
+      // list_dot_product(list(score ORDER BY term), ones) per the
+      // project's verified parity rule; a decimal cast of the computed
+      // double would round differently across engines (shortest-string
+      // vs exact-binary) and collapse sub-1e-9 score gaps into ties.
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("term_score")))),
+        lit(0.0), (acc, x) => acc + x.getField("term_score")).as("bm25"))
   }
 
   /** Ranked top-k over prebuilt index tables. */

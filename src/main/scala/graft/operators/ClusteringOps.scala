@@ -200,15 +200,19 @@ class IvfIndex(val model: KMeansModel, val assigned: DataFrame,
 }
 
 object IvfIndex {
+  /** `cache = false` for write-through builds ([[persist]]): the
+    * assignment table is consumed exactly once by the write, and a
+    * cached copy would pin executor memory for the session lifetime
+    * after the handle is dropped. */
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
-            seed: Long = 42L, maxIter: Int = 100): IvfIndex = {
+            seed: Long = 42L, maxIter: Int = 100,
+            cache: Boolean = true): IvfIndex = {
     val model = ClusteringOps.fit(df, vecCol, nCells, seed, maxIter)
-    val assigned = model.transform(
+    val assigned0 = model.transform(
       df.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>"))))
       .withColumnRenamed("prediction", "__cell")
       .drop("__features")
-      .cache()
-    new IvfIndex(model, assigned, vecCol, idCol)
+    new IvfIndex(model, if (cache) assigned0.cache() else assigned0, vecCol, idCol)
   }
 
   /** Persist the index as a hive-partitioned table (one directory per
@@ -219,7 +223,7 @@ object IvfIndex {
     * files. */
   def persist(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
               path: String, nProbe: Int, seed: Long = 42L): IvfIndex = {
-    val idx = build(df, idCol, vecCol, nCells, seed)
+    val idx = build(df, idCol, vecCol, nCells, seed, cache = false)
     idx.assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     graft.plans.IvfRegistry.register(path,
       idx.model.clusterCenters.map(_.toArray), nProbe)

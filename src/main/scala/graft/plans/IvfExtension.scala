@@ -72,19 +72,22 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
       if s.global && s.order.nonEmpty &&
         s.order.head.direction == Descending &&
         sortKeyQuery(s.order.head.child, s.child).isDefined =>
-      val queryLit = sortKeyQuery(s.order.head.child, s.child).get
-      rewrite(gl, s, s.child, queryLit).getOrElse(gl)
+      val (vecExpr, queryLit) = sortKeyQuery(s.order.head.child, s.child).get
+      rewrite(gl, s, s.child, vecExpr, queryLit).getOrElse(gl)
   }
 
   /** The sort key is either `cosine_similarity(col, <lit>)` directly or
-    * an attribute aliased to it in the child projection. */
-  private def sortKeyQuery(key: Expression, child: LogicalPlan): Option[Literal] =
+    * an attribute aliased to it in the child projection. Returns the
+    * vector-side expression too, so the rewrite can verify the sort
+    * actually scores THIS relation's vectors. */
+  private def sortKeyQuery(key: Expression,
+                           child: LogicalPlan): Option[(Expression, Literal)] =
     key match {
-      case CosineSimilarity(_, l: Literal) => Some(l)
+      case CosineSimilarity(v, l: Literal) => Some((v, l))
       case a: Attribute => child match {
         case p: Project => p.projectList.collectFirst {
-          case al @ Alias(CosineSimilarity(_, l: Literal), _)
-            if al.exprId == a.exprId => l
+          case al @ Alias(CosineSimilarity(v, l: Literal), _)
+            if al.exprId == a.exprId => (v, l)
         }
         case _ => None
       }
@@ -92,7 +95,14 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
     }
 
   private def rewrite(top: LogicalPlan, sort: Sort, child: LogicalPlan,
-                      queryLit: Literal): Option[LogicalPlan] = {
+                      vecExpr: Expression, queryLit: Literal): Option[LogicalPlan] = {
+    // idempotency: the fixed-point optimizer re-runs this rule on its
+    // own output — a plan already carrying a __cell filter must not
+    // stack another (it would never converge)
+    val alreadyPruned = child.collectFirst {
+      case Filter(In(a: Attribute, _), _) if a.name == "__cell" => ()
+    }.isDefined
+    if (alreadyPruned) return None
     // locate the file relation and its __cell partition attribute
     val relOpt = child.collectFirst {
       case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
@@ -101,6 +111,11 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
     }
     for {
       (lr, paths) <- relOpt
+      // the scored vector must come from THIS relation — a join that
+      // sorts by cosine over the OTHER side's vectors must not have the
+      // IVF side pruned against an unrelated query (conservative: any
+      // renaming in between also disables the rewrite)
+      if vecExpr.references.nonEmpty && vecExpr.references.subsetOf(lr.outputSet)
       entry <- IvfRegistry.lookup(paths)
       query <- queryVector(queryLit)
       if entry.nProbe < entry.centers.length // full probe: no-op, stay exact

@@ -424,20 +424,31 @@ object CorpusQueries {
         FROM documents, LATERAL (SELECT unnest(${wsToksSql("text")}) AS t) u
         GROUP BY doc_id, t),
       hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
-      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term)
-      SELECT id AS doc_id,
-        CAST(SUM(CAST(
+      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+      scored AS (
+        SELECT id, term,
           ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
           (CAST(tf AS DOUBLE) * 2.2) /
           (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl))
-          AS DECIMAL(18,9))) AS DOUBLE) AS bm25
-      FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats
-      GROUP BY id
-      ORDER BY bm25 DESC, doc_id
-      LIMIT 15"""),
+          AS score
+        FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats),
+      agg AS (
+        SELECT id AS doc_id,
+          list_dot_product(list(score ORDER BY term),
+                           list_transform(list(score ORDER BY term), y -> 1.0)) AS bm25
+        FROM scored
+        GROUP BY id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT 15)
+      SELECT doc_id, round(bm25, 6) AS bm25 FROM agg
+      ORDER BY bm25 DESC, doc_id"""),
+      // round-6 on the output (and the final order) absorbs the 1-ulp
+      // ln() gap between StrictMath and libm, like q26/q43/q44
       (s, d) => Bm25.search(Tables.documents(s, d), "doc_id", "text",
         Seq("hash", "join"), 15)
-        .withColumnRenamed("id", "doc_id")),
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("bm25", round(col("bm25"), 6))
+        .orderBy(desc("bm25"), asc("doc_id"))),
 
     // W1: context expansion around hit rows in an ordered sequence
     Q("q42_error_context", Some("""
@@ -492,14 +503,19 @@ object CorpusQueries {
         GROUP BY doc_id, t),
       hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
       dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+      term_scored AS (
+        SELECT id, term,
+          ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+          (CAST(tf AS DOUBLE) * 2.2) /
+          (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl))
+          AS tscore
+        FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats),
       fts AS (
         SELECT id AS doc_id,
-          CAST(SUM(CAST(
-            ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-            (CAST(tf AS DOUBLE) * 2.2) /
-            (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl))
-            AS DECIMAL(18,9))) AS DOUBLE) AS fts_score
-        FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats
+          list_dot_product(list(tscore ORDER BY term),
+                           list_transform(list(tscore ORDER BY term), y -> 1.0))
+            AS fts_score
+        FROM term_scored
         GROUP BY id ORDER BY fts_score DESC, doc_id LIMIT 20),
       fused AS (
         SELECT COALESCE(v.doc_id, f.doc_id) AS doc_id,
