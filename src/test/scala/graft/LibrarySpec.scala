@@ -2,6 +2,7 @@ package graft
 
 import graft.model.SearchOptions
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** End-to-end facade test: ingest markdown -> hybrid search -> expand ->
   * doc ops — the reference's minimum end-to-end slice (SURVEY.md §7.1
@@ -181,5 +182,57 @@ class LibrarySpec extends SparkSpec {
     assert(nd === 1)
     assert(l2.chunks.filter(s"docId = '$idA'").count() === 0)
     assert(nc === ne)
+  }
+
+  test("repair keeps the FTS index consistent with the repaired tables") {
+    val wh = Files.createTempDirectory("graft-wh-repair").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("alpha searchable content with unique tokens. " * 10)),
+      ("/b.md", "# B\n" + ("beta searchable content with other tokens. " * 10))).toDS())
+    l.rebuildFtsIndex()
+    // simulate a crash mid-remove: document row gone, chunks orphaned
+    val idA = Library.docId("/a.md")
+    graft.util.TableSwap.rewrite(s"$wh/documents",
+      l.documents.filter(col("id") =!= idA))
+    val (oc, _) = l.repair()
+    assert(oc > 0)
+    // postings/lens must only reference surviving chunks
+    val liveIds = l.chunks.select("id").collect().map(_.getString(0)).toSet
+    val postIds = spark.read.parquet(s"$wh/fts_postings")
+      .select("id").distinct().collect().map(_.getString(0)).toSet
+    val lenIds = spark.read.parquet(s"$wh/fts_lens")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(postIds.subsetOf(liveIds), "postings reference deleted chunks")
+    assert(lenIds === liveIds, "lens out of sync with chunks")
+  }
+
+  test("exportTo copies the whole warehouse including taxonomy tables") {
+    val wh = Files.createTempDirectory("graft-wh-exp").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("exportable content with some words. " * 10))).toDS())
+    // a taxonomy sharing the warehouse — its tables are not rebuildable
+    val tax = new TaxonomyStore(spark, wh, new graft.sources.HashingEmbedder(64))
+    val seedJson = Files.createTempFile("seed", ".json")
+    Files.write(seedJson,
+      """{"concepts": [{"id": "c1", "prefLabel": "Concept One"}]}""".getBytes)
+    tax.seed(seedJson.toString)
+    val dest = Files.createTempDirectory("graft-exp-dest").toString
+    l.exportTo(dest)
+    assert(spark.read.parquet(s"$dest/documents").count() === 1)
+    assert(spark.read.parquet(s"$dest/concepts").count() === 1)
+  }
+
+  test("multiScaleSearch applies the threshold to summary hits too") {
+    val wh = Files.createTempDirectory("graft-wh-ms").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("alpha topic content for clustering purposes. " * 10)),
+      ("/b.md", "# B\n" + ("beta topic content for clustering purposes. " * 10))).toDS())
+    l.buildClusterSummaries(2)
+    val out = l.multiScaleSearch("alpha topic",
+      SearchOptions(threshold = Some(1.1))) // impossible threshold
+    assert(out.isEmpty, "threshold must filter summary hits as well")
   }
 }

@@ -51,6 +51,24 @@ class TaxonomyStoreSpec extends SparkSpec {
     assert(store.concepts.count() === 4)
   }
 
+  test("seed dedups duplicate ids WITHIN one file (intra-batch)") {
+    val wh = Files.createTempDirectory("graft-tax-dup").toString
+    val s = new TaxonomyStore(spark, wh, new HashingEmbedder(64))
+    val f = Files.createTempFile("taxonomy-dup", ".json")
+    Files.writeString(f,
+      """{"concepts": [
+        {"id": "c1", "prefLabel": "One"},
+        {"id": "c1", "prefLabel": "One again"},
+        {"id": "c2", "prefLabel": "Two"}],
+      "hierarchy": [
+        {"conceptId": "c2", "broaderId": "c1"},
+        {"conceptId": "c2", "broaderId": "c1"}]}""")
+    s.seed(f.toString)
+    assert(s.concepts.count() === 2)
+    assert(s.hierarchy.count() === 1)
+    assert(s.conceptEmbeddings.count() === 2) // no duplicate embeddings
+  }
+
   test("polyhierarchy: rust has two parents; transitive ancestors") {
     val parents = store.broader("programming/rust")
       .collect().map(_.getAs[String]("id")).toSet

@@ -48,4 +48,47 @@ class IvfExtensionSpec extends SparkSpec {
       IvfRegistry.clear()
     }
   }
+
+  test("probe rule is idempotent: re-applying adds no second filter") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val idxPath = Files.createTempDirectory("graft-ivf2").toString + "/emb"
+    IvfIndex.persist(emb, "vec_id", "embedding", nCells = 4,
+      path = idxPath, nProbe = 1)
+    try {
+      val rule = IvfProbeRule()
+      val plan0 = topkDf(idxPath, q, 5).queryExecution.analyzed
+      val once = rule(plan0)
+      val twice = rule(once)
+      // the fixed-point optimizer re-runs rules on their own output; a
+      // non-idempotent rewrite stacks filters until the iteration cap
+      assert(once.toString.contains("__cell IN") ||
+        once.toString.contains("__cell#"), once.toString)
+      assert(twice.toString === once.toString,
+        "second application must be a no-op")
+    } finally IvfRegistry.clear()
+  }
+
+  test("probe rule leaves joins sorted by the OTHER side's vectors alone") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val idxPath = Files.createTempDirectory("graft-ivf3").toString + "/emb"
+    IvfIndex.persist(emb, "vec_id", "embedding", nCells = 4,
+      path = idxPath, nProbe = 1)
+    try {
+      val rule = IvfProbeRule()
+      val ivf = spark.read.parquet(idxPath).select(col("vec_id"), col("__cell"))
+      // sort key scores the NON-indexed side's vectors
+      val other = emb.select(col("vec_id"), col("embedding").as("other_vec"))
+      val joined = ivf.join(other, "vec_id")
+        .withColumn("cos_sim", CosineSimilarity(col("other_vec"), lit(q)))
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(5)
+      val plan = joined.queryExecution.analyzed
+      assert(rule(plan).toString === plan.toString,
+        "rule must not prune the IVF side against an unrelated query")
+    } finally IvfRegistry.clear()
+  }
 }
