@@ -356,7 +356,10 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   /** Context expansion around hits (W1): set-based neighbor join under a
     * character budget with the reference's 20% overflow tolerance. */
-  def expandContext(hits: DataFrame, maxChars: Int, window: Int = 8): DataFrame =
+  /** window = 32: the reference walks until the char budget stops it;
+    * with MinChunkChars ~20 a 600-char budget can admit ~30 chunks, so
+    * the candidate window must not bind before the budget does. */
+  def expandContext(hits: DataFrame, maxChars: Int, window: Int = 32): DataFrame =
     ContextExpansion.expand(hits, chunks, "docId", "chunkIndex", "content",
       window, maxChars)
 

@@ -6,27 +6,30 @@ import org.apache.spark.sql.functions._
 
 /** Set-based context expansion around search hits.
   *
-  * The reference expands each hit one chunk at a time (`idx±1, ±2, ...`)
-  * with per-row SQL fetches until a character budget is exhausted,
-  * hard-stopping at `maxChars * 1.2`
-  * (/root/reference/src/services/LibSQLDatabase.ts:459-535). That loop is
-  * a row-store artifact. Here the same semantics run as ONE distributed
-  * plan: join hits to their document's chunks within a window, order
-  * neighbors by distance from the hit, take a running character sum, and
-  * cut where the budget (with the 20% overflow tolerance) is crossed.
-  * One shuffle on the doc key; no driver round-trips — the operator cost
-  * is O(hits × window), independent of corpus size.
+  * The reference expands each hit one chunk at a time with per-row SQL
+  * fetches: the BEFORE side fills first (idx-1, idx-2, ... while the
+  * running total — separators included — is under `maxChars` and
+  * admitting the next chunk stays under `maxChars * 1.2`), then the
+  * AFTER side continues from that total; pieces join with "\n"
+  * (/root/reference/src/services/LibSQLDatabase.ts:459-535). That loop
+  * is a row-store artifact; here the same admit sequence runs as ONE
+  * distributed plan — group each hit's neighbors, fold the before list
+  * (nearest first) then the after list through the identical
+  * budget/cap conditions with `aggregate`, and slice the admitted
+  * range. One shuffle on the doc key; no driver round-trips — operator
+  * cost is O(hits × window), independent of corpus size.
   */
 object ContextExpansion {
 
   /** @param hits     (docCol, idxCol) rows to expand — plus any carry-through cols
     * @param chunks   (docCol, idxCol, contentCol) corpus
-    * @param window   max neighbor distance considered either side
-    * @param maxChars character budget; neighbors admitted in distance
-    *                 order while running total < maxChars, with a hard
-    *                 stop at 1.2 * maxChars (reference overflow rule)
-    * @return one row per hit: doc, hit_idx, start_index, end_index,
-    *         n_chunks, context (ordered concatenation)
+    * @param window   max neighbor distance considered either side — a
+    *                 cost bound; the reference walks until the budget
+    *                 stops it, so size this above maxChars/minChunkChars
+    * @param maxChars character budget (reference semantics: before side
+    *                 fills first, separators count, hard cap 1.2×)
+    * @return one row per hit with a target chunk: doc, hit_idx,
+    *         start_index, end_index, n_chunks, context ("\n"-joined)
     */
   def expand(hits: DataFrame, chunks: DataFrame, docCol: String,
              idxCol: String, contentCol: String,
@@ -37,41 +40,78 @@ object ContextExpansion {
 
     val joined = h.join(c, Seq("doc"))
       .filter(abs(col("c_idx") - col("hit_idx")) <= window)
-      .withColumn("dist", abs(col("c_idx") - col("hit_idx")))
 
-    // neighbors in distance order (after before: idx asc tie-break, i.e.
-    // the earlier chunk is admitted first at equal distance)
-    val w = Window.partitionBy("doc", "hit_idx")
-      .orderBy(col("dist"), col("c_idx"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val budgeted = joined
-      .withColumn("running_chars", sum(length(col("content"))).over(w))
-      // the hit chunk itself (dist 0) is always kept; a neighbor is kept
-      // if the budget wasn't exhausted before it and the hard cap holds
-      .filter(col("dist") === 0 ||
-        (col("running_chars") - length(col("content")) < maxChars &&
-          col("running_chars") <= (maxChars * 1.2).toInt))
+    val grouped = joined.groupBy("doc", "hit_idx").agg(
+      max(when(col("c_idx") === col("hit_idx"), length(col("content"))))
+        .as("target_len"),
+      // before neighbors nearest-first (idx desc == -idx asc)
+      array_sort(collect_list(when(col("c_idx") < col("hit_idx"),
+        struct((-col("c_idx")).as("k"), length(col("content")).as("len")))))
+        .as("before"),
+      array_sort(collect_list(when(col("c_idx") > col("hit_idx"),
+        struct(col("c_idx").as("k"), length(col("content")).as("len")))))
+        .as("after"),
+      array_sort(collect_list(struct(col("c_idx"), col("content"))))
+        .as("all_chunks"))
+      // reference returns empty context for a missing target chunk;
+      // hits without one simply don't expand
+      .filter(col("target_len").isNotNull)
 
-    budgeted
-      .groupBy("doc", "hit_idx")
-      .agg(
-        min(col("c_idx")).as("start_index"),
-        max(col("c_idx")).as("end_index"),
-        count(lit(1)).as("n_chunks"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("c_idx"), col("content")))),
-            s => s.getField("content"))).as("context"))
+    // the reference's admit loop as a fold: admit while total < maxChars
+    // AND total + len <= 1.2*maxChars; each admitted piece adds its
+    // length PLUS the "\n" separator to the running total
+    def admitFold(listCol: Column, init: Column): Column =
+      aggregate(listCol, init, (acc, x) => {
+        val total = acc.getField("total")
+        val cnt = acc.getField("cnt")
+        val stopped = acc.getField("stopped")
+        val len = x.getField("len").cast("long")
+        when(!stopped && total < maxChars &&
+          (total + len).cast("double") <= lit(maxChars * 1.2),
+          struct((total + len + 1L).as("total"), (cnt + 1).as("cnt"),
+            lit(false).as("stopped")))
+          .otherwise(struct(total.as("total"), cnt.as("cnt"),
+            lit(true).as("stopped")))
+      })
+
+    val folded = grouped
+      .withColumn("b", admitFold(col("before"),
+        struct(col("target_len").cast("long").as("total"),
+          lit(0).as("cnt"), lit(false).as("stopped"))))
+      .withColumn("a", admitFold(col("after"),
+        struct(col("b.total").as("total"),
+          lit(0).as("cnt"), lit(false).as("stopped"))))
+      .withColumn("start_index", col("hit_idx") - col("b.cnt"))
+      .withColumn("end_index", col("hit_idx") + col("a.cnt"))
+
+    folded
+      .withColumn("kept", filter(col("all_chunks"), s =>
+        s.getField("c_idx") >= col("start_index") &&
+          s.getField("c_idx") <= col("end_index")))
+      .select(col("doc"), col("hit_idx"),
+        col("start_index"), col("end_index"),
+        size(col("kept")).cast("long").as("n_chunks"),
+        concat_ws("\n", transform(col("kept"), s => s.getField("content")))
+          .as("context"))
   }
 
   /** Generic neighbor expansion over an event sequence: for each hit row,
-    * pull the `window` preceding/following rows in `orderCol` order within
-    * the same `partCol` group. Returns (part, hit_ord, ord, payload cols). */
-  def neighbors(df: DataFrame, partCol: String, orderCol: String,
-                isHit: Column, window: Int): DataFrame = {
-    val w = Window.partitionBy(partCol).orderBy(orderCol)
+    * pull the `window` preceding/following rows in `orderCols` order
+    * within the same `partCol` group. Pass a composite key (e.g.
+    * Seq(sec, event_id)) — a non-unique single key makes row_number, and
+    * therefore the neighborhoods, nondeterministic. `hitCarry` renames
+    * hit-row columns onto the output (e.g. "event_id" -> "hit_event_id")
+    * so callers can group per hit. Returns (part, hitCarry..., hit_ord,
+    * all df cols, ord). */
+  def neighbors(df: DataFrame, partCol: String, orderCols: Seq[Column],
+                isHit: Column, window: Int,
+                hitCarry: Seq[(String, String)] = Nil): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(orderCols: _*)
     val ranked = df.withColumn("ord", row_number().over(w))
     val hits = ranked.filter(isHit)
-      .select(col(partCol), col("ord").as("hit_ord"))
+      .select((col(partCol) +:
+        hitCarry.map { case (c, a) => col(c).as(a) } :+
+        col("ord").as("hit_ord")): _*)
     hits.join(ranked, Seq(partCol))
       .filter(abs(col("ord") - col("hit_ord")) <= window)
   }

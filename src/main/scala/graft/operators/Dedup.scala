@@ -97,11 +97,23 @@ object Dedup {
     * keep pairs at/above `threshold`. `corpus` must carry (id, text). */
   def verifyPairs(corpus: DataFrame, idCol: String, textCol: String,
                   pairs: DataFrame, shingleK: Int, threshold: Double): DataFrame = {
+    // only docs that appear in a candidate pair need shingling — at
+    // corpus scale the candidates are a small fraction, and the
+    // localCheckpoint below would otherwise materialize shingle sets
+    // for the whole corpus (the join can't push ids below the barrier).
+    // The (tiny) pair list materializes once: it feeds the id semi-join
+    // and both sides of the verify join
+    val p = pairs.localCheckpoint(false)
+    val pairIds = p.select(col("id_a").as("id"))
+      .unionByName(p.select(col("id_b").as("id")))
+      .distinct()
     // shingle sets are joined from both pair sides — materialize once
-    val sets = corpus.select(col(idCol).as("id"),
-      graft.plans.TextSetExpressions.shingleSet(lower(col(textCol)), shingleK).as("sh"))
+    val sets = corpus.select(col(idCol).as("id"), col(textCol))
+      .join(pairIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        graft.plans.TextSetExpressions.shingleSet(lower(col(textCol)), shingleK).as("sh"))
       .localCheckpoint(false)
-    pairs
+    p
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",

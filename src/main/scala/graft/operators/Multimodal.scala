@@ -74,11 +74,13 @@ object Multimodal {
   /** Frame sampling stub for video rows: emits every `stride`-th synthetic
     * frame reference (real impl: demux + decode). Generator shape:
     * one input row -> n frame rows, as a flatMap. */
-  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
     media.filter(col("modality") === "video")
       .withColumn("n_frames",
         greatest(lit(1), (length(col("bytes")) / lit(1000)).cast("int")))
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .select("media_id", "frame_idx", "meta")
+  }
 }

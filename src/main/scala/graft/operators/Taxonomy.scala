@@ -55,6 +55,12 @@ object Taxonomy {
       closure = closure.unionByName(next)
       depth += 1
     }
+    // a silently truncated closure is wrong query output, not a partial
+    // answer — fail loudly (same convention as Components)
+    require(frontier.isEmpty,
+      s"ancestorClosure did not reach fixpoint within maxDepth=$maxDepth " +
+        "— raise maxDepth above the graph depth; for cyclic inputs pass " +
+        "acyclic=false (the except-mode fixpoint terminates on cycles)")
     closure.distinct()
   }
 

@@ -281,7 +281,7 @@ object CorpusQueries {
             THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
                  / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS avg_word_len,
           CASE WHEN len(t) > 0
-            THEN CAST(len(list_filter(t, x -> list_contains([$stopwordsSql], x))) AS DOUBLE)
+            THEN CAST(len(list_filter(t, x -> list_contains([$stopwordsSql], lower(x)))) AS DOUBLE)
                  / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
             greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
@@ -467,15 +467,11 @@ object CorpusQueries {
       GROUP BY hit_event_id
       ORDER BY hit_event_id"""),
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-        val ranked = Tables.events(s, d)
-          .withColumn("sec", col("ts").cast("long"))
-          .withColumn("ord", row_number().over(w))
-        val hits = ranked.filter(col("event_type") === "error")
-          .select(col("user_id"), col("event_id").as("hit_event_id"),
-            col("ord").as("hit_ord"))
-        hits.join(ranked.select("user_id", "ord", "value"), Seq("user_id"))
-          .filter(abs(col("ord") - col("hit_ord")) <= 2)
+        val ev = Tables.events(s, d).withColumn("sec", col("ts").cast("long"))
+        graft.operators.ContextExpansion.neighbors(ev, "user_id",
+          Seq(col("sec"), col("event_id")),
+          col("event_type") === "error", window = 2,
+          hitCarry = Seq("event_id" -> "hit_event_id"))
           .groupBy("hit_event_id")
           .agg(count(lit(1)).as("n_context"),
             sum(col("value").cast("decimal(18,2)")).cast("double").as("ctx_value"))

@@ -105,10 +105,12 @@ object MlQueries {
         CAST(len % 1024 AS INT) AS width,
         CAST(len // 1024 + 1 AS INT) AS height,
         3 AS channels,
-        CAST(CAST(CAST(c2 AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f2,
-        CAST(CAST(CAST(c6 AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f6,
-        CAST(CAST(CAST(c7 AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f7
-      FROM b JOIN c ON b.doc_id = c.doc_id
+        CAST(CAST(CAST(coalesce(c2, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f2,
+        CAST(CAST(CAST(coalesce(c6, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f6,
+        CAST(CAST(CAST(coalesce(c7, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f7
+      -- LEFT join + coalesce: an empty-text doc has no h rows, but the
+      -- engine still emits its (zero-feature) media row
+      FROM b LEFT JOIN c ON b.doc_id = c.doc_id
       ORDER BY media_id"""),
       (s, d) => {
         val media = Tables.documents(s, d).select(

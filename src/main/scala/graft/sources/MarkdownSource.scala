@@ -75,7 +75,6 @@ object MarkdownSource {
     var heading = ""
     var level = 0
     var buf = ArrayBuffer.empty[String]
-    var sawHeading = false
     var inFence = false
 
     def flush(): Unit = {
@@ -93,7 +92,6 @@ object MarkdownSource {
             flush()
             heading = m.group(2).trim
             level = m.group(1).length
-            sawHeading = true
           case None => buf += line
         }
       } else buf += line

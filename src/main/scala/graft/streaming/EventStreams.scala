@@ -65,32 +65,88 @@ object EventStreams {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(userId: Long, startSec: Long, endSec: Long, nEvents: Int)
 
-  /** Stateful sessionization via flatMapGroupsWithState: emits a session
-    * when `gapSec` of inactivity passes (processing-time timeout in a
-    * real stream; final flush on timeout/close). */
+  /** Fold a sorted batch of event seconds into (closed sessions, open
+    * trailing session), continuing from `initial` when a prior session
+    * is still open. */
+  private def foldSessions(userId: Long, secs: Seq[Long], gapSec: Long,
+                           initial: Option[SessionState])
+      : (Seq[SessionOut], Option[SessionState]) = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    var st = initial
+    for (s <- secs) {
+      st match {
+        case Some(cur) if s - cur.last <= gapSec =>
+          st = Some(cur.copy(last = s, n = cur.n + 1))
+        case Some(cur) =>
+          out += SessionOut(userId, cur.start, cur.last, cur.n)
+          st = Some(SessionState(s, s, 1))
+        case None =>
+          st = Some(SessionState(s, s, 1))
+      }
+    }
+    (out.toSeq, st)
+  }
+
+  /** BATCH sessionization: one fold per user over the whole input, the
+    * trailing session emitted immediately (there is no "later" in a
+    * batch). This is the oracle-checkable form (q13); on a real stream
+    * use [[sessionizeStream]] — this formulation would split sessions
+    * at every micro-batch boundary. */
   def sessionize(events: Dataset[(Long, Long)], gapSec: Long)
                 (implicit enc1: org.apache.spark.sql.Encoder[SessionState],
                  enc2: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] =
     events.groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          // batch-mode semantics: fold the sorted events, emit closed sessions
-          val secs = rows.map(_._2).toSeq.sorted
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          var st: Option[SessionState] = None
-          for (s <- secs) {
-            st match {
-              case Some(cur) if s - cur.last <= gapSec =>
-                st = Some(cur.copy(last = s, n = cur.n + 1))
-              case Some(cur) =>
-                out += SessionOut(userId, cur.start, cur.last, cur.n)
-                st = Some(SessionState(s, s, 1))
-              case None =>
-                st = Some(SessionState(s, s, 1))
-            }
-          }
-          st.foreach(cur => out += SessionOut(userId, cur.start, cur.last, cur.n))
-          out.iterator
+        (userId: Long, rows: Iterator[(Long, Long)], _: GroupState[SessionState]) =>
+          val (closed, open) =
+            foldSessions(userId, rows.map(_._2).toSeq.sorted, gapSec, None)
+          (closed ++ open.map(c => SessionOut(userId, c.start, c.last, c.n)))
+            .iterator
       }
+
+  /** STREAMING sessionization: the open session lives in GroupState and
+    * continues across micro-batches; it closes when a later event's gap
+    * exceeds `gapSec`, or when the event-time WATERMARK passes the
+    * session end + gap (timeout flush). Sessions never split at batch
+    * boundaries — the failure mode of running the batch fold per
+    * micro-batch — and event-time timeouts make the behavior
+    * deterministic and replayable (processing-time timeouts would also
+    * livelock processAllAvailable with continuous empty batches). */
+  def sessionizeStream(events: Dataset[(Long, Long)], gapSec: Long,
+                       watermarkDelay: String = "0 seconds")
+                (implicit enc1: org.apache.spark.sql.Encoder[SessionState],
+                 enc2: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("userId", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, cur.start, cur.last, cur.n))
+          } else {
+            val (closed, open) = foldSessions(userId,
+              rows.map(_._2).toSeq.sorted, gapSec, state.getOption)
+            open match {
+              case Some(cur) =>
+                state.update(cur)
+                // flush when the watermark passes session end + gap
+                // (must stay above the current watermark or Spark rejects it)
+                state.setTimeoutTimestamp(math.max(
+                  (cur.last + gapSec) * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
 }

@@ -131,4 +131,32 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(sessions === Set(
       (1L, 100L, 200L, 2), (1L, 5000L, 5000L, 1), (2L, 50L, 50L, 1)))
   }
+
+  test("streaming: sessionizeStream carries the open session across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    implicit val e1 = org.apache.spark.sql.Encoders.product[SessionState]
+    implicit val e2 = org.apache.spark.sql.Encoders.product[SessionOut]
+    val stream = MemoryStream[(Long, Long)]
+    val q = EventStreams.sessionizeStream(stream.toDS(), gapSec = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_test").start()
+    try {
+      stream.addData((1L, 100L), (1L, 200L))
+      q.processAllAvailable()
+      // session still open — the batch fold would have emitted (100,200,2)
+      assert(spark.table("sess_test").isEmpty,
+        "open session must not emit at a micro-batch boundary")
+      stream.addData((1L, 300L))
+      q.processAllAvailable()
+      assert(spark.table("sess_test").isEmpty)
+      // a later event beyond the gap closes the SINGLE session spanning
+      // all three micro-batched events
+      stream.addData((1L, 50000L))
+      q.processAllAvailable()
+      val got = spark.table("sess_test").as[SessionOut].collect()
+        .map(s => (s.userId, s.startSec, s.endSec, s.nEvents)).toSet
+      assert(got === Set((1L, 100L, 300L, 3)))
+    } finally q.stop()
+  }
 }

@@ -149,6 +149,43 @@ class OperatorsSpec extends SparkSpec {
     assert(order === order.sorted)
   }
 
+  test("context expansion == reference admit loop (before fills first, \\n separators counted)") {
+    // varied lengths so the budget binds at different points per hit
+    val lens = Seq(40, 120, 60, 200, 30, 90, 150, 45, 80, 110)
+    val chunks = lens.zipWithIndex
+      .map { case (n, i) => ("d1", i, s"c$i" + "x" * (n - 2)) }
+      .toDF("docId", "chunkIndex", "content")
+    val contents = lens.zipWithIndex
+      .map { case (n, i) => i -> (s"c$i" + "x" * (n - 2)) }.toMap
+    // driver-side transcription of LibSQLDatabase.getExpandedContext
+    def reference(hit: Int, maxChars: Int): (Int, Int, String) = {
+      var total = contents(hit)
+      var start = hit; var end = hit
+      var b = hit - 1
+      while (total.length < maxChars && b >= 0 &&
+        total.length + contents(b).length <= maxChars * 1.2) {
+        total = contents(b) + "\n" + total; start = b; b -= 1
+      }
+      var a = hit + 1
+      while (total.length < maxChars && a < lens.length &&
+        total.length + contents(a).length <= maxChars * 1.2) {
+        total = total + "\n" + contents(a); end = a; a += 1
+      }
+      (start, end, total)
+    }
+    for (budget <- Seq(150, 300, 500)) {
+      val hits = Seq(("d1", 0), ("d1", 4), ("d1", 9)).toDF("docId", "chunkIndex")
+      val got = ContextExpansion.expand(hits, chunks, "docId", "chunkIndex",
+        "content", window = 10, maxChars = budget)
+        .collect().map(r => r.getAs[Int]("hit_idx") ->
+          ((r.getAs[Int]("start_index"), r.getAs[Int]("end_index"),
+            r.getAs[String]("context")))).toMap
+      for (hit <- Seq(0, 4, 9)) {
+        assert(got(hit) === reference(hit, budget), s"hit=$hit budget=$budget")
+      }
+    }
+  }
+
   test("taxonomy closure: diamond polyhierarchy and depth") {
     val edges = Seq(
       ("leaf", "midA"), ("leaf", "midB"), // two parents
