@@ -18,32 +18,45 @@ object GraftSession {
 
   def registerViews(spark: SparkSession, dir: String): Unit =
     TableNames.foreach { t =>
-      // events must go through Tables.events (nanos timestamp handling);
-      // a raw read of it throws during schema inference.
-      try {
-        val df = if (t == "events") Tables.events(spark, dir)
-                 else Tables.table(spark, dir, t)
-        df.createOrReplaceTempView(t)
-      } catch {
+      // Tables.table routes events through the nanos-timestamp workaround
+      try Tables.table(spark, dir, t).createOrReplaceTempView(t)
+      catch {
         case e: Exception =>
           System.err.println(s"[graft] registerViews: skipping '$t': ${e.getMessage}")
       }
+    }
+
+  /** An optional trailing integer argument (e.g. `simhash(text, 16)`)
+    * must be honored — silently dropping it would return values the
+    * caller's parameters say are impossible to compare against. */
+  private def intArg(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                     pos: Int, default: Int, fn: String): Int =
+    exprs.lift(pos) match {
+      case None => default
+      case Some(org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+        org.apache.spark.sql.types.IntegerType)) => v
+      case Some(other) => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
     }
 
   def registerFunctions(spark: SparkSession): Unit = {
     graft.plans.CosineSimilarity.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
-      exprs => graft.plans.MinHashSignature(exprs.head, 5, 8), "scala_udf")
+      exprs => graft.plans.MinHashSignature(exprs.head,
+        intArg(exprs, 1, 5, "minhash_signature"),
+        intArg(exprs, 2, 8, "minhash_signature")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_set",
-      exprs => graft.plans.ShingleSet(exprs.head, 5), "scala_udf")
+      exprs => graft.plans.ShingleSet(exprs.head,
+        intArg(exprs, 1, 5, "shingle_set")), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_jaccard",
       exprs => graft.plans.ArrayJaccard(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash",
-      exprs => graft.plans.SimHash(exprs.head, 32), "scala_udf")
+      exprs => graft.plans.SimHash(exprs.head,
+        intArg(exprs, 1, 32, "simhash")), "scala_udf")
   }
 
   def setup(spark: SparkSession, dir: String): Unit = {

@@ -44,23 +44,28 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Character k-shingles (contiguous substrings of length k). */
+  /** Character k-shingles (contiguous substrings of length k). NULL in,
+    * NULL out — matching the native [[graft.plans.ShingleSet]] (the
+    * otherwise-branch would turn NULL text into array(NULL)). */
   def shingles(text: Column, k: Int): Column =
-    when(length(text) >= k,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - (k - 1)),
-        i => text.substr(i, lit(k)))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(length(text) >= k,
+        array_distinct(transform(
+          sequence(lit(1), length(text) - (k - 1)),
+          i => text.substr(i, lit(k)))))
       .otherwise(array(text))
 
   /** Word n-grams from the token sequence; empty when fewer than n
     * tokens exist (no n-gram is formable — a whole-text fallback would
-    * pair unrelated short docs at jaccard 1.0). */
+    * pair unrelated short docs at jaccard 1.0). NULL in, NULL out,
+    * matching the native [[graft.plans.WordNgramSet]]. */
   def wordNgrams(text: Column, n: Int): Column = {
     val ts = tokens(lower(text))
-    when(size(ts) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+    when(text.isNull, lit(null).cast("array<string>"))
+      .when(size(ts) >= n,
+        array_distinct(transform(
+          sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
 

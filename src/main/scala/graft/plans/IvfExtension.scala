@@ -55,14 +55,19 @@ object IvfRegistry {
   /** nProbe nearest centroid ids to the query vector (squared-Euclidean,
     * matching the k-means quantizer). */
   def probeCells(centers: Array[Array[Double]], query: Array[Double],
-                 nProbe: Int): Seq[Int] =
+                 nProbe: Int): Seq[Int] = {
+    // a silent prefix-distance over mismatched dims probes the wrong
+    // cells (e.g. a stale index after an embedding-model change)
+    require(centers.isEmpty || centers.head.length == query.length,
+      s"query dim ${query.length} != index centroid dim ${centers.head.length}")
     centers.zipWithIndex.map { case (c, i) =>
       var d = 0.0; var j = 0
-      while (j < c.length && j < query.length) {
+      while (j < c.length) {
         val t = c(j) - query(j); d += t * t; j += 1
       }
       (i, d)
     }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+  }
 }
 
 case class IvfProbeRule() extends Rule[LogicalPlan] {
@@ -97,10 +102,15 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
   private def rewrite(top: LogicalPlan, sort: Sort, child: LogicalPlan,
                       vecExpr: Expression, queryLit: Literal): Option[LogicalPlan] = {
     // idempotency: the fixed-point optimizer re-runs this rule on its
-    // own output — a plan already carrying a __cell filter must not
-    // stack another (it would never converge)
+    // own output — a plan already carrying a __cell predicate must not
+    // get another (it would never converge). Match ANY filter touching
+    // __cell, not the exact In() shape: OptimizeIn rewrites a 1-element
+    // In to EqualTo and a long In to InSet, and CombineFilters merges
+    // the injected filter into the user's own predicates — a structural
+    // In-only guard stops seeing its own output after those rewrites.
+    // (Conservative: a user's own __cell filter also disables the probe.)
     val alreadyPruned = child.collectFirst {
-      case Filter(In(a: Attribute, _), _) if a.name == "__cell" => ()
+      case f: Filter if f.condition.references.exists(_.name == "__cell") => ()
     }.isDefined
     if (alreadyPruned) return None
     // locate the file relation and its __cell partition attribute
@@ -118,6 +128,9 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
       if vecExpr.references.nonEmpty && vecExpr.references.subsetOf(lr.outputSet)
       entry <- IvfRegistry.lookup(paths)
       query <- queryVector(queryLit)
+      // dim mismatch (stale index): skip the rewrite — the exact scan is
+      // correct; crashing the optimizer or probing wrong cells is not
+      if entry.centers.isEmpty || entry.centers.head.length == query.length
       if entry.nProbe < entry.centers.length // full probe: no-op, stay exact
     } yield {
       val cells = IvfRegistry.probeCells(entry.centers, query, entry.nProbe)

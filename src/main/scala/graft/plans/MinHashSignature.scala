@@ -34,12 +34,16 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val md = java.security.MessageDigest.getInstance("MD5")
     val prefix = "x|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = text.length
+    // shingle by Unicode CODE POINTS, not UTF-16 code units: Spark's
+    // substr/length and DuckDB count code points, and splitting a
+    // surrogate pair would also corrupt the hashed bytes
+    val cps = text.codePoints().toArray
+    val n = cps.length
     val last = if (n >= shingleK) n - shingleK else 0
     var i = 0
     while (i <= last) {
       val shingle =
-        if (n >= shingleK) text.substring(i, i + shingleK) else text
+        if (n >= shingleK) new String(cps, i, shingleK) else text
       val bytes = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       md.reset()
       val h1 = firstFourUnsigned(md.digest(bytes))

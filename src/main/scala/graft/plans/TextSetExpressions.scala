@@ -22,7 +22,11 @@ case class ShingleSet(child: Expression, shingleK: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val n = text.length
+    // code points, not UTF-16 code units — Spark substr/length and
+    // DuckDB count code points; a code-unit window would split
+    // surrogate pairs on astral-plane characters
+    val cps = text.codePoints().toArray
+    val n = cps.length
     if (n < shingleK) {
       new GenericArrayData(Array[Any](UTF8String.fromString(text)))
     } else {
@@ -30,7 +34,7 @@ case class ShingleSet(child: Expression, shingleK: Int)
       var i = 0
       val last = n - shingleK
       while (i <= last) {
-        seen.add(text.substring(i, i + shingleK))
+        seen.add(new String(cps, i, shingleK))
         i += 1
       }
       val out = new Array[Any](seen.size)

@@ -45,4 +45,26 @@ class CosineSimilaritySpec extends SparkSpec {
         "array(cast(1 as float), cast(0 as float)))").head().getDouble(0)
     assert(math.abs(r - 1.0) < 1e-12)
   }
+
+  test("mismatched vector lengths yield NULL, not a prefix cosine") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    val rows = df.select(CosineSimilarity(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0), "corrupt/truncated vectors must not rank")
+    assert(!rows(1).isNullAt(0))
+  }
+
+  test("SQL function args are honored: simhash(text, 16) uses 16 bits") {
+    graft.GraftSession.registerFunctions(spark)
+    val h16 = spark.sql("SELECT simhash('alpha beta gamma', 16)").head().getLong(0)
+    val h32 = spark.sql("SELECT simhash('alpha beta gamma')").head().getLong(0)
+    assert(h16 < (1L << 16), s"16-bit simhash out of range: $h16")
+    assert(h16 !== h32)
+    val sh7 = spark.sql("SELECT shingle_set('abcdefghij', 7)").head()
+      .getAs[scala.collection.Seq[String]](0)
+    assert(sh7.forall(_.length === 7))
+  }
 }

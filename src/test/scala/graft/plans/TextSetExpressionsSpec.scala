@@ -60,6 +60,37 @@ class TextSetExpressionsSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("astral-plane chars: native shingles == HOF shingles (code points, not code units)") {
+    import spark.implicits._
+    // U+1D11E (musical G clef) is a surrogate pair in UTF-16; a
+    // code-unit window would split it and corrupt the hashed bytes
+    val df = Seq("ab𝄞cd", "𝄞𝄞abc").toDF("t")
+    val rows = df.select(
+      TextSetExpressions.shingleSet(col("t"), 3).as("fast"),
+      TextFunctions.shingles(col("t"), 3).as("ref"),
+      graft.plans.MinHashSignature(col("t"), 3, 4).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast").toSet ===
+        r.getAs[scala.collection.Seq[String]]("ref").toSet)
+      assert(r.getAs[scala.collection.Seq[Long]]("sig").forall(_ != Long.MaxValue))
+    }
+  }
+
+  test("NULL text: native and HOF agree (NULL in, NULL out)") {
+    import spark.implicits._
+    val df = Seq(Option.empty[String], Some("hello world text")).toDF("t")
+    val rows = df.select(
+      TextSetExpressions.shingleSet(col("t"), 5).as("n_sh"),
+      TextFunctions.shingles(col("t"), 5).as("h_sh"),
+      TextSetExpressions.wordNgramSet(col("t"), 3).as("n_ng"),
+      TextFunctions.wordNgrams(col("t"), 3).as("h_ng"))
+      .collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1) &&
+      rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(!rows(1).isNullAt(0) && !rows(1).isNullAt(1))
+  }
+
   test("edge cases: short text, empty text, fewer tokens than n") {
     import spark.implicits._
     val df = Seq("ab", "", "one two").toDF("t")
