@@ -80,14 +80,14 @@ class Library(val spark: SparkSession, val warehouse: String,
     val chunkRows = rows.flatMap(_._2)
     val embRows = chunkRows.mapPartitions { it =>
       it.map(c => Embedding(c.id, emb.embed(c.content)))
-    }
+    }.localCheckpoint() // written twice: embeddings + index delta
 
     if (!rows.isEmpty) { // a fully-deduped batch must not touch indexes
       docRows.write.mode(SaveMode.Append).parquet(path("documents"))
       chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
       embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
       appendToFtsIndex(chunkRows.toDF())
-      invalidateVectorIndex()
+      appendToVectorIndex(embRows.toDF())
     }
   }
 
@@ -135,10 +135,12 @@ class Library(val spark: SparkSession, val warehouse: String,
       rows.map(_._1).write.mode(SaveMode.Append).parquet(path("documents"))
       val chunkRows = rows.flatMap(_._2)
       chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
-      chunkRows.mapPartitions(it => it.map(c => Embedding(c.id, emb.embed(c.content))))
-        .write.mode(SaveMode.Append).parquet(path("embeddings"))
+      val embRows = chunkRows.mapPartitions(
+        it => it.map(c => Embedding(c.id, emb.embed(c.content))))
+        .localCheckpoint() // written twice: embeddings + index delta
+      embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
       appendToFtsIndex(chunkRows.toDF())
-      invalidateVectorIndex()
+      appendToVectorIndex(embRows.toDF())
     }
   }
 
@@ -181,6 +183,9 @@ class Library(val spark: SparkSession, val warehouse: String,
       .write.mode(SaveMode.Overwrite).parquet(path("embeddings_ivf_meta"))
   }
 
+  /** Partition id of the IVF delta bucket (appends since last rebuild). */
+  private val DeltaCell = -1
+
   private def ivfScored(queryVec: Array[Float]): Option[DataFrame] =
     if (!tableExists("embeddings_ivf_meta")) None
     else {
@@ -192,8 +197,23 @@ class Library(val spark: SparkSession, val warehouse: String,
       val nProbe = meta.head.getAs[Int]("nProbe")
       val cells = graft.plans.IvfRegistry.probeCells(
         centers, queryVec.map(_.toDouble), nProbe)
+      // the delta bucket (appends since the last rebuild) is ALWAYS
+      // probed — see appendToVectorIndex
       Some(spark.read.parquet(path("embeddings_ivf"))
-        .filter(col("__cell").isin(cells: _*)))
+        .filter(col("__cell").isin((cells :+ DeltaCell): _*)))
+    }
+
+  /** Vectors appended after an index build land in an always-probed
+    * delta partition (`__cell = -1`) instead of invalidating the whole
+    * layout: search stays cell-pruned for the static bulk and exact for
+    * the delta, and the next [[buildVectorIndex]] (a periodic compaction
+    * job at scale) folds the delta into real cells. Deletes still
+    * invalidate — a tombstone partition can't un-probe closed cells. */
+  private def appendToVectorIndex(newEmbeddings: DataFrame): Unit =
+    if (tableExists("embeddings_ivf_meta")) {
+      newEmbeddings.withColumn("__cell", lit(DeltaCell))
+        .write.mode(SaveMode.Append).partitionBy("__cell")
+        .parquet(path("embeddings_ivf"))
     }
 
   /** Exact vector top-k over chunks (J1 three-way join shape): score all

@@ -79,13 +79,27 @@ class IntegrationSpec extends SparkSpec {
     val probed = lib.search("hash join", SearchOptions(limit = 10, hybrid = false))
     assert(probed.count() > 0) // pruned probe still returns ranked hits
 
-    // ingest after an index build invalidates it: the new doc must be
-    // visible to vector search (stale-index regression)
+    // ingest after an index build lands in the always-probed delta
+    // bucket: the new doc must be visible to vector search WITHOUT a
+    // rebuild, and the index must survive (stale-index regression +
+    // delta-bucket behavior)
     lib.addMarkdown(Seq(("/corpus/post-index.md",
       "# PostIndex\n" + ("quetzal rare marker content for vector search. " * 8))).toDS())
     val after = lib.search("quetzal rare marker",
       SearchOptions(limit = 5, hybrid = false)).collect()
     assert(after.map(_.getAs[String]("docId"))
+      .contains(Library.docId("/corpus/post-index.md")))
+    // index still present, new vectors in the delta partition
+    val ivf = spark.read.parquet(s"${lib.warehouse}/embeddings_ivf")
+    assert(ivf.filter(col("__cell") === -1).count() > 0,
+      "appended vectors must land in the delta bucket")
+    // a rebuild compacts the delta into real cells
+    lib.buildVectorIndex(nCells = 6, nProbe = 6)
+    val rebuilt = spark.read.parquet(s"${lib.warehouse}/embeddings_ivf")
+    assert(rebuilt.filter(col("__cell") === -1).count() === 0)
+    val again = lib.search("quetzal rare marker",
+      SearchOptions(limit = 5, hybrid = false)).collect()
+    assert(again.map(_.getAs[String]("docId"))
       .contains(Library.docId("/corpus/post-index.md")))
   }
 
