@@ -46,6 +46,34 @@ object Bm25 {
     corpus.select(col(idCol).as("id"),
       size(indexTokens(col(textCol))).as("doclen"))
 
+  /** Positional postings `(id, pos, term)` — the phrase-query tier of
+    * the index (FTS5 "exact phrase" support). `pos` is the 0-based
+    * ordinal in the same token stream as [[postings]]. */
+  def positionalPostings(corpus: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      posexplode(indexTokens(col(textCol))))
+      .select(col("id"), col("pos"), col("col").as("term"))
+
+  /** Exact-phrase occurrence counts: the i-th phrase term must sit at
+    * start+i, expressed as k-1 equi-joins on (id, start) where each side
+    * is pre-filtered to ONE term — a pruned probe per term on a
+    * term-bucketed index at scale, never a positional cross product.
+    * Returns (id, n_occurrences) for docs containing the phrase. */
+  def phraseOccurrences(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val base = post.filter(col("term") === terms.head)
+      .select(col("id"), col("pos").as("start"))
+    val matched = terms.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (t, i)) =>
+        acc.join(post.filter(col("term") === t)
+          .select(col("id"), (col("pos") - i).as("start")),
+          Seq("id", "start"))
+    }
+    matched.groupBy("id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Score the corpus for a bag of query terms; returns `(id, bm25)` for
     * documents matching at least one term, ordered by score desc with a
     * deterministic id tie-break.

@@ -555,6 +555,26 @@ object CorpusQueries {
           concat(lit("This cluster covers: "),
             concat_ws(" ", slice(TextFunctions.tokens(col("rep")), 1, 8)))
             .as("summary"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // K4 extension — FTS phrase queries (FTS5 "exact phrase"): adjacency
+    // joins on positional postings, each side pre-filtered to one term.
+    // Spark pos is 0-based and the oracle's 1-based, but the offset
+    // cancels in the adjacency equation; only counts are emitted
+    Q("q57_phrase_search", Some(s"""
+      WITH pos AS (
+        SELECT doc_id AS id, lst[i] AS term, i AS pos
+        FROM (SELECT doc_id, ${wsToksSql("text")} AS lst FROM documents) d,
+          LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) t),
+      a AS (SELECT id, pos AS start FROM pos WHERE term = 'hash'),
+      b AS (SELECT id, pos - 1 AS start FROM pos WHERE term = 'join')
+      SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM a JOIN b USING (id, start)
+      GROUP BY id ORDER BY doc_id"""),
+      (s, d) => Bm25.phraseOccurrences(
+        Bm25.positionalPostings(Tables.documents(s, d), "doc_id", "text"),
+        Seq("hash", "join"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 }

@@ -149,6 +149,27 @@ class OperatorsSpec extends SparkSpec {
     assert(order === order.sorted)
   }
 
+  test("phrase search: adjacency, overlaps, case-insensitivity, no-match") {
+    val docs = Seq(
+      (1L, "the hash join wins over sort merge"),
+      (2L, "hash  join\nhash join again"),   // 2 occurrences, ws runs/newline
+      (3L, "join hash reversed order here"), // terms present, not adjacent
+      (4L, "HASH JOIN uppercase"),           // tokenizer lowercases
+      (5L, "a a a repeated")                 // overlapping phrase "a a" -> 2
+    ).toDF("doc_id", "text")
+    val post = Bm25.positionalPostings(docs, "doc_id", "text")
+    val got = Bm25.phraseOccurrences(post, Seq("hash", "join"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+    val overlap = Bm25.phraseOccurrences(post, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(overlap === Map(5L -> 2L))
+    // three-term phrase
+    val tri = Bm25.phraseOccurrences(post, Seq("hash", "join", "wins"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(1L -> 1L))
+  }
+
   test("context expansion == reference admit loop (before fills first, \\n separators counted)") {
     // varied lengths so the budget binds at different points per hit
     val lens = Seq(40, 120, 60, 200, 30, 90, 150, 45, 80, 110)
