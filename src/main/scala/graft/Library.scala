@@ -155,9 +155,10 @@ class Library(val spark: SparkSession, val warehouse: String,
       "embeddings_ivf", "embeddings_ivf_meta",
       "concepts", "hierarchy", "relations", "doc_concepts",
       "concept_embeddings")
+    val partCols = Map("embeddings_ivf" -> "__cell", "fts_postings" -> "__tb")
     tables.filter(tableExists).foreach { t =>
       val w = spark.read.parquet(path(t)).write.mode(SaveMode.Overwrite)
-      (if (t == "embeddings_ivf") w.partitionBy("__cell") else w)
+      partCols.get(t).map(w.partitionBy(_)).getOrElse(w)
         .parquet(s"$dest/$t")
     }
   }
@@ -183,8 +184,9 @@ class Library(val spark: SparkSession, val warehouse: String,
       .write.mode(SaveMode.Overwrite).parquet(path("embeddings_ivf_meta"))
   }
 
-  /** Partition id of the IVF delta bucket (appends since last rebuild). */
-  private val DeltaCell = -1
+  /** Partition id of the IVF delta bucket (appends since last rebuild).
+    * Shared with the optimizer rule, which must also always probe it. */
+  private val DeltaCell = graft.plans.IvfRegistry.DeltaCell
 
   private def ivfScored(queryVec: Array[Float]): Option[DataFrame] =
     if (!tableExists("embeddings_ivf_meta")) None
@@ -264,10 +266,29 @@ class Library(val spark: SparkSession, val warehouse: String,
     * probe prunes to a few buckets. */
   def rebuildFtsIndex(): Unit = {
     val ch = chunks
-    Bm25.postings(ch, "id", "content").write
-      .mode(SaveMode.Overwrite).parquet(path("fts_postings"))
+    writeFtsPostings(Bm25.postings(ch, "id", "content"), SaveMode.Overwrite)
     Bm25.docLengths(ch, "id", "content").write
       .mode(SaveMode.Overwrite).parquet(path("fts_lens"))
+  }
+
+  /** Persisted-postings layout: hive-partitioned on the term's hash
+    * bucket (so a query-term probe is partition-pruned) and term-sorted
+    * within each bucket (so parquet row-group stats prune further).
+    * One shuffle on __tb keeps it at one file per bucket per write. */
+  private def writeFtsPostings(post: DataFrame, mode: SaveMode): Unit =
+    post.withColumn("__tb", Bm25.termBucketCol(col("term")))
+      .repartition(col("__tb"))
+      .sortWithinPartitions("term", "id")
+      .write.mode(mode).partitionBy("__tb").parquet(path("fts_postings"))
+
+  /** The persisted postings slice for `terms`: partition-pruned to the
+    * query terms' hash buckets, `__tb` dropped so downstream sees the
+    * plain (id, term, tf) shape. */
+  private def prunedPostings(terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(t => Bm25.termBucket(t.toLowerCase)).distinct
+    spark.read.parquet(path("fts_postings"))
+      .filter(col("__tb").isin(buckets: _*))
+      .drop("__tb")
   }
 
   /** The IVF layout cannot absorb appends (cell files are closed), so
@@ -287,8 +308,8 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
-      Bm25.postings(newChunks, "id", "content").write
-        .mode(SaveMode.Append).parquet(path("fts_postings"))
+      writeFtsPostings(Bm25.postings(newChunks, "id", "content"),
+        SaveMode.Append)
       Bm25.docLengths(newChunks, "id", "content").write
         .mode(SaveMode.Append).parquet(path("fts_lens"))
     }
@@ -307,7 +328,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     val hits =
       if (tableExists("fts_postings"))
         Bm25.scoreAllFromIndex(
-          spark.read.parquet(path("fts_postings")),
+          prunedPostings(terms),
           spark.read.parquet(path("fts_lens")), terms)
       else {
         val lens = Bm25.docLengths(ch, "id", "content").localCheckpoint(false)
@@ -470,7 +491,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     rewrite("embeddings",
       embeddings.join(deadChunks, Seq("chunkId"), "left_anti"))
     if (tableExists("fts_postings")) {
-      rewrite("fts_postings", spark.read.parquet(path("fts_postings"))
+      rewriteFts(spark.read.parquet(path("fts_postings"))
         .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
       rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
         .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
@@ -509,7 +530,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     if (nOC > 0) {
       val live = chunks.select(col("id"))
       if (tableExists("fts_postings")) {
-        rewrite("fts_postings", spark.read.parquet(path("fts_postings"))
+        rewriteFts(spark.read.parquet(path("fts_postings"))
           .join(live, Seq("id"), "left_semi"))
         rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
           .join(live, Seq("id"), "left_semi"))
@@ -521,6 +542,12 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   private def rewrite(table: String, df: DataFrame): Unit =
     graft.util.TableSwap.rewrite(path(table), df)
+
+  /** Postings rewrites must keep the term-bucketed hive layout. */
+  private def rewriteFts(df: DataFrame): Unit =
+    graft.util.TableSwap.rewrite(path("fts_postings"),
+      df.repartition(col("__tb")).sortWithinPartitions("term", "id"),
+      partitionBy = Seq("__tb"))
 
   private def delete(f: java.io.File): Unit = graft.util.TableSwap.delete(f)
 }

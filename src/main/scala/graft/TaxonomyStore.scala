@@ -64,8 +64,16 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
         (if (cFields.contains("definition"))
           col("c.definition") else lit(null).cast("string")).as("definition"))
       // dedup within the incoming file too — a duplicated id in one
-      // JSON would otherwise append twice (both rows pass the anti-join)
-      .dropDuplicates("id")
+      // JSON would otherwise append twice (both rows pass the anti-join).
+      // min-over-struct picks a DETERMINISTIC winner when the same id
+      // carries different payloads (dropDuplicates keeps an arbitrary
+      // row, varying across runs/partitionings)
+      .groupBy("id")
+      .agg(min(struct(col("prefLabel"), col("altLabels"), col("definition")))
+        .as("w"))
+      .select(col("id"), col("w.prefLabel").as("prefLabel"),
+        col("w.altLabels").as("altLabels"),
+        col("w.definition").as("definition"))
       .join(concepts.select("id"), Seq("id"), "left_anti")
     newConcepts.write.mode(SaveMode.Append).parquet(path("concepts"))
 
@@ -83,7 +91,9 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
           (if (rFields.contains("relationType"))
             coalesce(col("r.relationType"), lit("related"))
           else lit("related")).as("relationType"))
-        .dropDuplicates("a", "b")
+        // deterministic winner for a repeated edge with conflicting types
+        .groupBy("a", "b")
+        .agg(min(col("relationType")).as("relationType"))
         .join(relations, Seq("a", "b"), "left_anti")
         .write.mode(SaveMode.Append).parquet(path("relations"))
     }

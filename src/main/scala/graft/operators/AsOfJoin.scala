@@ -36,8 +36,15 @@ object AsOfJoin {
                leftTs: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(keys.nonEmpty, "as-of join requires at least one key column")
     require(!payloadCols.exists(leftCols.contains),
       s"payload columns $payloadCols collide with left columns")
+    // internal scratch names and the carried right columns must not
+    // collide with either input, or the union silently corrupts rows
+    val reserved = Seq("__ts", "__side", "__payload", "__last")
+    val allInput = leftCols ++ right.columns
+    require(!reserved.exists(allInput.contains),
+      s"reserved column names ${reserved.filter(allInput.contains)} present in inputs")
 
     val someNullKey = keys.map(col(_).isNull).reduce(_ || _)
     val outCols = keys ++ leftCols.filterNot(keys.contains) ++ payloadCols

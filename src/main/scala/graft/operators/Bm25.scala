@@ -26,6 +26,30 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** Bucket count for the persisted postings layout: the index is
+    * hive-partitioned on `__tb = portableHash32(term) % TermBuckets`, so
+    * a query-term probe computes its buckets driver-side and partition
+    * pruning skips (TermBuckets - |query buckets|)/TermBuckets of the
+    * index files — the relational analog of FTS5's term lookup
+    * (reference LibSQLDatabase.ts:410-437). Within each bucket the rows
+    * are term-sorted for parquet row-group pruning. */
+  val TermBuckets = 32
+
+  /** Driver-side twin of [[graft.functions.TextFunctions.portableHash32]]
+    * (first 8 md5 hex chars as an unsigned int) mod [[TermBuckets]] —
+    * MUST stay bit-identical to [[termBucketCol]] or probes read the
+    * wrong partitions. */
+  def termBucket(term: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % TermBuckets).toInt
+  }
+
+  /** Column-side bucket id, used when writing the persisted index. */
+  def termBucketCol(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(TextFunctions.portableHash32(term), lit(TermBuckets)).cast("int")
+
   /** Index tokenizer: split on ANY whitespace run. Chunk content keeps
     * newlines (the markdown chunker only collapses spaces/tabs), so a
     * single-space split would glue line-adjacent words into unmatchable

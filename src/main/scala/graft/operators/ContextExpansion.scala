@@ -38,49 +38,60 @@ object ContextExpansion {
     val c = chunks.select(col(docCol).as("doc"), col(idxCol).as("c_idx"),
       col(contentCol).as("content"))
 
-    val joined = h.join(c, Seq("doc"))
-      .filter(abs(col("c_idx") - col("hit_idx")) <= window)
+    // left join: a hit whose doc has no chunks at all still yields a row
+    // (reference returns empty context + start=end=hit for missing targets)
+    val joined = h.join(c, Seq("doc"), "left")
+      .filter(col("c_idx").isNull ||
+        abs(col("c_idx") - col("hit_idx")) <= window)
 
     val grouped = joined.groupBy("doc", "hit_idx").agg(
       max(when(col("c_idx") === col("hit_idx"), length(col("content"))))
         .as("target_len"),
       // before neighbors nearest-first (idx desc == -idx asc)
       array_sort(collect_list(when(col("c_idx") < col("hit_idx"),
-        struct((-col("c_idx")).as("k"), length(col("content")).as("len")))))
+        struct((-col("c_idx")).cast("long").as("k"),
+          length(col("content")).as("len")))))
         .as("before"),
       array_sort(collect_list(when(col("c_idx") > col("hit_idx"),
-        struct(col("c_idx").as("k"), length(col("content")).as("len")))))
+        struct(col("c_idx").cast("long").as("k"),
+          length(col("content")).as("len")))))
         .as("after"),
-      array_sort(collect_list(struct(col("c_idx"), col("content"))))
+      array_sort(collect_list(when(col("c_idx").isNotNull,
+        struct(col("c_idx"), col("content")))))
         .as("all_chunks"))
-      // reference returns empty context for a missing target chunk;
-      // hits without one simply don't expand
-      .filter(col("target_len").isNotNull)
 
     // the reference's admit loop as a fold: admit while total < maxChars
     // AND total + len <= 1.2*maxChars; each admitted piece adds its
-    // length PLUS the "\n" separator to the running total
+    // length PLUS the "\n" separator to the running total. The walk
+    // breaks at the FIRST missing index (the reference fetches idx-1,
+    // idx-2, ... and stops on an empty result) — `nxt` tracks the only
+    // admissible next key, so a gap in the ordinals stops the fold
+    // instead of skipping past it. A missing target never admits
+    // (total is null -> condition null -> stop).
     def admitFold(listCol: Column, init: Column): Column =
       aggregate(listCol, init, (acc, x) => {
         val total = acc.getField("total")
         val cnt = acc.getField("cnt")
         val stopped = acc.getField("stopped")
+        val nxt = acc.getField("nxt")
         val len = x.getField("len").cast("long")
-        when(!stopped && total < maxChars &&
+        when(!stopped && x.getField("k") === nxt && total < maxChars &&
           (total + len).cast("double") <= lit(maxChars * 1.2),
           struct((total + len + 1L).as("total"), (cnt + 1).as("cnt"),
-            lit(false).as("stopped")))
+            lit(false).as("stopped"), (nxt + 1L).as("nxt")))
           .otherwise(struct(total.as("total"), cnt.as("cnt"),
-            lit(true).as("stopped")))
+            lit(true).as("stopped"), nxt.as("nxt")))
       })
 
     val folded = grouped
       .withColumn("b", admitFold(col("before"),
         struct(col("target_len").cast("long").as("total"),
-          lit(0).as("cnt"), lit(false).as("stopped"))))
+          lit(0).as("cnt"), lit(false).as("stopped"),
+          (lit(1L) - col("hit_idx").cast("long")).as("nxt"))))
       .withColumn("a", admitFold(col("after"),
         struct(col("b.total").as("total"),
-          lit(0).as("cnt"), lit(false).as("stopped"))))
+          lit(0).as("cnt"), lit(false).as("stopped"),
+          (col("hit_idx").cast("long") + 1L).as("nxt"))))
       .withColumn("start_index", col("hit_idx") - col("b.cnt"))
       .withColumn("end_index", col("hit_idx") + col("a.cnt"))
 

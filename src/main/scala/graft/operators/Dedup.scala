@@ -80,11 +80,15 @@ object Dedup {
     // two branches would otherwise each recompute the full signature scan
     val banded = sig.select(col("id"), explode(array(keys: _*)).as("band_key"))
       .localCheckpoint(false)
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_key")))
-      .filter(col("__bsz") <= maxBucketSize)
-      .drop("__bsz")
+    // two-phase hot-bucket guard: a window over band_key would shuffle
+    // EVERY banded row into per-key partitions just to count them — the
+    // 100M-row boilerplate bucket the cap exists to drop would land on
+    // one task. groupBy+count map-side combines to one tiny row per hot
+    // key; the anti-join broadcasts it
+    val hotKeys = banded.groupBy("band_key").count()
+      .filter(col("count") > maxBucketSize)
+      .select("band_key")
+    val capped = banded.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
     val l = capped.select(col("band_key"), col("id").as("id_a"))
     val r = capped.select(col("band_key"), col("id").as("id_b"))
     l.join(r, Seq("band_key"))

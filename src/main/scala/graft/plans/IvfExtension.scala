@@ -27,6 +27,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * code gets accelerated without calling a special operator.
   */
 object IvfRegistry {
+  /** Partition id of the delta bucket: vectors appended after an index
+    * build land here (Library.appendToVectorIndex) and every probe —
+    * the registry path in ivfScored AND the optimizer-rule path below —
+    * must include it, or appended vectors silently vanish from
+    * rule-rewritten top-k's. Pruning a nonexistent `__cell=-1`
+    * directory costs nothing, so the rule adds it unconditionally. */
+  val DeltaCell = -1
+
   case class Entry(centers: Array[Array[Double]], nProbe: Int)
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
@@ -137,7 +145,9 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
       val cellAttr = lr.output.find(_.name == "__cell").get
       val pruned = child.transformUp {
         case l: LogicalRelation if l.eq(lr) =>
-          Filter(In(cellAttr, cells.map(c => Literal(c))), l)
+          // delta bucket always probed — appends must stay visible
+          Filter(In(cellAttr,
+            (cells :+ IvfRegistry.DeltaCell).map(c => Literal(c))), l)
       }
       top match {
         case GlobalLimit(le, LocalLimit(ll, _)) =>

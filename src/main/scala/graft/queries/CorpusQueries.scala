@@ -151,7 +151,8 @@ object CorpusQueries {
           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
           CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
         FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
-          AND abs(a.len - b.len) <= 20) p
+          AND abs(a.len - b.len) <= 20
+          AND len(a.g) + len(b.g) > 0) p
       WHERE jaccard >= 0.3
       ORDER BY id_a, id_b"""),
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",

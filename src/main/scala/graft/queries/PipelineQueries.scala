@@ -201,7 +201,8 @@ object PipelineQueries {
             CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
             CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
           FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
-            AND abs(a.len - b.len) <= 20) p
+            AND abs(a.len - b.len) <= 20
+            AND len(a.g) + len(b.g) > 0) p
         WHERE jaccard >= 0.3),
       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),

@@ -9,9 +9,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * `<table>_old`, never silently leave an empty table. */
 object TableSwap {
 
-  def rewrite(tablePath: String, df: DataFrame): Unit = {
+  def rewrite(tablePath: String, df: DataFrame,
+              partitionBy: Seq[String] = Nil): Unit = {
     val tmp = tablePath + "_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(tmp)
     val dir = new java.io.File(tablePath)
     val old = new java.io.File(tablePath + "_old")
     if (old.exists()) delete(old)

@@ -104,6 +104,37 @@ class LibrarySpec extends SparkSpec {
     assert(res.forall(_.getAs[String]("title") === "Quiet"))
   }
 
+  test("persisted FTS probe is partition-pruned to the query terms' buckets") {
+    val wh = Files.createTempDirectory("graft-ftsb").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("kumquat flavors appear in this document nicely. " * 10)),
+      ("/b.md", "# B\n" + ("tangerine words fill this other document fully. " * 10))).toDS())
+    // results must be identical with and without the persisted index
+    val opts = SearchOptions(limit = 5)
+    val fallback = l.ftsSearch("kumquat document", opts).collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
+        r.getAs[Double]("score"))).toSeq
+    l.rebuildFtsIndex()
+    val probe = l.ftsSearch("kumquat document", opts)
+    val indexed = probe.collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
+        r.getAs[Double]("score"))).toSeq
+    assert(indexed === fallback)
+    // the probe scan must be pruned on the __tb hive partition — the
+    // docstring's "term-bucketed at scale" promise, asserted
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [__tb"),
+      s"postings probe not partition-pruned:\n$p")
+    // append path keeps the layout: new terms remain findable
+    l.addMarkdown(Seq(
+      ("/c.md", "# C\n" + ("persimmon content arrives after the build. " * 10))).toDS())
+    assert(l.ftsSearch("persimmon", opts).collect().nonEmpty)
+    // __tb stayed a hive partition column, not a data column
+    assert(spark.read.parquet(s"$wh/fts_postings").columns.toSet ===
+      Set("id", "term", "tf", "__tb"))
+  }
+
   test("duplicate paths within one ingest batch collapse to one document") {
     val wh = Files.createTempDirectory("graft-dup").toString
     val l = new Library(spark, wh)

@@ -37,6 +37,27 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("LSH hot-bucket cap drops degenerate buckets without a window shuffle") {
+    // 20 identical docs -> every band bucket has 20 members; cap at 10
+    // must eliminate all candidate pairs
+    val boiler = (1L to 20L).map(i => (i, "identical boilerplate text body"))
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignature(boiler, "id", "text",
+      numHashes = 8, shingleK = 5)
+    val cands = Dedup.lshCandidatePairs(sig, numHashes = 8, numBands = 4,
+      maxBucketSize = 10)
+    assert(cands.count() === 0)
+    // the guard must be the two-phase groupBy+anti-join, not a window
+    // over band_key (which re-shuffles every banded row to one task per
+    // hot key — the exact skew the cap exists to avoid)
+    val plan = cands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window expected in LSH plan:\n$plan")
+    // under the cap, pairs still flow
+    val ok = Dedup.lshCandidatePairs(sig, numHashes = 8, numBands = 4,
+      maxBucketSize = 1000)
+    assert(ok.count() === 20L * 19 / 2)
+  }
+
   test("simhash: identical texts agree, near texts are close") {
     val sh = Dedup.simhashes(corpus, "id", "text", bits = 32)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -51,6 +72,16 @@ class OperatorsSpec extends SparkSpec {
       n = 2, threshold = 0.5)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(pairs.contains((1L, 3L)))
+  }
+
+  test("term bucket: driver-side hash is bit-identical to the column expression") {
+    val terms = Seq("join", "the", "a", "ётерм", "日本語", "x" * 500, "")
+    val fromCol = terms.toDF("t")
+      .select(col("t"), Bm25.termBucketCol(col("t")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    terms.foreach { t =>
+      assert(Bm25.termBucket(t) === fromCol(t), s"bucket mismatch for '$t'")
+    }
   }
 
   test("bm25 ranks term-bearing docs and respects tie-break") {
@@ -205,6 +236,29 @@ class OperatorsSpec extends SparkSpec {
         assert(got(hit) === reference(hit, budget), s"hit=$hit budget=$budget")
       }
     }
+  }
+
+  test("context expansion: missing target yields empty row, gap breaks the walk") {
+    // indices 0,1,2,4,5,6 — 3 is missing; 100 chars each
+    val chunks = Seq(0, 1, 2, 4, 5, 6)
+      .map(i => ("d1", i, s"chunk$i " + "x" * 93))
+      .toDF("docId", "chunkIndex", "content")
+    val hits = Seq(("d1", 4), ("d1", 3), ("d2", 0))
+      .toDF("docId", "chunkIndex")
+    val out = ContextExpansion.expand(hits, chunks, "docId", "chunkIndex",
+      "content", window = 6, maxChars = 5000)
+      .collect().map(r => (r.getAs[String]("doc"), r.getAs[Int]("hit_idx")) ->
+        ((r.getAs[Int]("start_index"), r.getAs[Int]("end_index"),
+          r.getAs[Long]("n_chunks"), r.getAs[String]("context")))).toMap
+    // hit 4: before-walk fetches 3 -> missing -> break (reference
+    // semantics); after-walk admits 5,6. Budget is ample, so without
+    // the gap-break it would have grabbed 0..2 as well.
+    assert(out(("d1", 4)) === ((4, 6, 3L,
+      Seq(4, 5, 6).map(i => s"chunk$i " + "x" * 93).mkString("\n"))))
+    // hit 3: target itself missing -> empty context, start=end=hit
+    assert(out(("d1", 3)) === ((3, 3, 0L, "")))
+    // hit on a doc with no chunks at all -> same empty-row shape
+    assert(out(("d2", 0)) === ((0, 0, 0L, "")))
   }
 
   test("taxonomy closure: diamond polyhierarchy and depth") {

@@ -49,6 +49,33 @@ class IvfExtensionSpec extends SparkSpec {
     }
   }
 
+  test("probe rule always probes the delta bucket: appends stay visible") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = Array.fill(64)(0.5f) // nowhere near any corpus vector
+    val idxPath = Files.createTempDirectory("graft-ivf4").toString + "/emb"
+    IvfIndex.persist(emb, "vec_id", "embedding", nCells = 8,
+      path = idxPath, nProbe = 2)
+    // append a vector equal to the query into the delta bucket, the way
+    // Library.appendToVectorIndex does
+    import spark.implicits._
+    Seq((99999L, q.toSeq)).toDF("vec_id", "embedding")
+      .withColumn("__cell", lit(IvfRegistry.DeltaCell))
+      .write.mode("append").partitionBy("__cell").parquet(idxPath)
+
+    spark.experimental.extraOptimizations = Seq(IvfProbeRule())
+    try {
+      val top = topkDf(idxPath, q, 3)
+      val scan = top.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [__cell"), scan) // still pruned
+      val ids = top.collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(ids.head === 99999L,
+        s"appended delta vector must win the rule-rewritten top-k, got $ids")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      IvfRegistry.clear()
+    }
+  }
+
   test("probe rule is idempotent: re-applying adds no second filter") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 3).select("embedding")
