@@ -3,7 +3,7 @@ package graft
 import graft.functions.VectorFunctions
 import graft.model._
 import graft.operators.{Bm25, ContextExpansion, HybridSearch, VectorSearch}
-import graft.sources.{DocumentSources, Embedder, FakePdfExtractor, HashingEmbedder, MarkdownSource, PdfExtractor}
+import graft.sources.{DocumentSources, Embedder, HashingEmbedder, JvmPdfExtractor, MarkdownSource, PdfExtractor}
 import graft.sources.Chunker
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -95,7 +95,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * anti-join dedup against already-ingested paths (J11), extension
     * routing (F8), per-partition extract+chunk+embed, batch append. */
   def ingestDirectory(dir: String,
-                      pdfExtractor: PdfExtractor = new FakePdfExtractor): Unit = {
+                      pdfExtractor: PdfExtractor = new JvmPdfExtractor): Unit = {
     val emb = embedder
     val discovered = DocumentSources.discover(spark, dir)
     val fresh = (if (tableExists("documents"))

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** PDF extraction behind a trait (reference S1 shells out to pypdf —
   * an environment liability isolated here per SURVEY.md §7.3). The
-  * engine-side contract is `bytes -> per-page text`; production wires a
-  * JVM extractor (e.g. pdfbox) or a per-partition subprocess, tests use
-  * [[FakePdfExtractor]]. */
+  * engine-side contract is `bytes -> per-page text`; the default is the
+  * pure-JVM [[JvmPdfExtractor]] (see [[PdfParser]] for its honest scope);
+  * deployments can swap a heavier codec (pdfbox, per-partition
+  * subprocess) through the same trait. [[FakePdfExtractor]] remains for
+  * plumbing tests that want text-as-bytes fixtures. */
 trait PdfExtractor extends Serializable {
   /** @return (pageCount, Seq[(page, text)]) */
   def extract(bytes: Array[Byte]): (Int, Seq[(Int, String)])

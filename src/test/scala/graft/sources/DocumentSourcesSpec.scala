@@ -29,9 +29,9 @@ class DocumentSourcesSpec extends SparkSpec {
     val srcDir = Files.createTempDirectory("graft-src")
     Files.writeString(srcDir.resolve("notes.md"),
       "# Notes\n" + ("markdown words for the chunker to process. " * 10))
-    Files.writeString(srcDir.resolve("paper.pdf"),
-      ("page one text with enough words to survive chunk filters. " * 5) +
-        "\f" + ("page two text also has plenty of words in it here. " * 5))
+    // a REAL two-page PDF (flate + plain content streams) through the
+    // default JvmPdfExtractor
+    Files.write(srcDir.resolve("paper.pdf"), PdfFixtures.twoPage())
     Files.writeString(srcDir.resolve("ignored.txt"), "not ingestable")
 
     val wh = Files.createTempDirectory("graft-wh-ing").toString
@@ -49,6 +49,14 @@ class DocumentSourcesSpec extends SparkSpec {
     val pages = lib.chunks.filter(s"docId = '$pdfId'")
       .collect().map(_.getAs[Int]("page")).toSet
     assert(pages === Set(1, 2))
+    // golden extraction: page-1 chunk carries the decoded operators
+    val p1chunk = lib.chunks.filter(s"docId = '$pdfId' and page = 1")
+      .collect().map(_.getAs[String]("content")).mkString("\n")
+    assert(p1chunk.contains("Hello (PDF) world!"))
+    assert(p1chunk.contains("Kerned words"))
+    // end-to-end: PDF-borne text is searchable
+    assert(lib.search("Kerned words").collect()
+      .exists(_.getAs[String]("content").contains("Kerned")))
     val (nd, nc, ne) = lib.stats()
     assert(nc === ne)
 

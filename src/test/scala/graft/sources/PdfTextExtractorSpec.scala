@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Builds real, spec-conformant PDFs byte-by-byte (valid xref tables,
+  * Flate streams, object streams) and golden-tests extraction. */
+object PdfFixtures {
+
+  private val L1 = StandardCharsets.ISO_8859_1
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Assemble numbered objects (bodies WITHOUT "N 0 obj"/"endobj") into
+    * a full PDF with a correct (per-object-subsection) xref table. */
+  def assembleNumbered(bodies: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(L1))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    val offsets = bodies.map { case (n, b) =>
+      val off = out.size()
+      w(s"$n 0 obj\n"); out.write(b); w("\nendobj\n")
+      n -> off
+    }
+    val xrefOff = out.size()
+    w("xref\n0 1\n0000000000 65535 f \n")
+    offsets.foreach { case (n, o) => w(f"$n 1\n$o%010d 00000 n \n") }
+    w(s"trailer\n<< /Size ${offsets.map(_._1).max + 1} /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  def assemble(bodies: Seq[Array[Byte]]): Array[Byte] =
+    assembleNumbered(bodies.zipWithIndex.map { case (b, i) => (i + 1, b) })
+
+  def streamObj(dict: String, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"<< $dict /Length ${data.length} >>\nstream\n".getBytes(L1))
+    out.write(data)
+    out.write("\nendstream".getBytes(L1))
+    out.toByteArray
+  }
+
+  /** Two-page PDF; page 1 content Flate-compressed, page 2 plain.
+    * Covers Tj escapes, hex strings, TJ kerning, ', Td line breaks. */
+  def twoPage(): Array[Byte] = {
+    val content1 =
+      """BT
+        |/F1 12 Tf
+        |72 720 Td
+        |(Hello \(PDF\) world!) Tj
+        |0 -14 Td
+        |[(Kerned) -250 (words) -50 (joined)] TJ
+        |0 -14 Td
+        |<48657820737472696E67> Tj
+        |ET""".stripMargin.getBytes(L1)
+    val content2 =
+      """BT
+        |72 720 Td
+        |(Second page line one.) Tj
+        |(continued on same line) Tj
+        |(next line via quote) '
+        |ET""".stripMargin.getBytes(L1)
+    assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(L1),
+      "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>".getBytes(L1),
+      "<< /Type /Page /Parent 2 0 R /Contents 5 0 R /MediaBox [0 0 612 792] >>".getBytes(L1),
+      "<< /Type /Page /Parent 2 0 R /Contents 6 0 R /MediaBox [0 0 612 792] >>".getBytes(L1),
+      streamObj("/Filter /FlateDecode", deflate(content1)),
+      streamObj("", content2)))
+  }
+
+  /** PDF 1.5-style: catalog/pages/page dicts live inside a Flate object
+    * stream (ObjStm); content stream is a direct object. No classic xref
+    * entries for the compressed objects — exercises the ObjStm path. */
+  def objStm(): Array[Byte] = {
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>"
+    val bodies = Seq(1 -> o1, 2 -> o2, 3 -> o3)
+    val offs = bodies.scanLeft(0)((acc, b) => acc + b._2.length + 1).init
+    val header = bodies.zip(offs).map { case ((n, _), o) => s"$n $o" }.mkString(" ")
+    val payload = bodies.map(_._2).mkString("\n") + "\n"
+    val full = header + "\n" + payload
+    val content = "BT 72 720 Td (From an object stream.) Tj ET".getBytes(L1)
+    // objects 1..3 exist ONLY inside the ObjStm, as in a real 1.5 file
+    assembleNumbered(Seq(
+      4 -> streamObj(
+        s"/Type /ObjStm /N 3 /First ${header.length + 1} /Filter /FlateDecode",
+        deflate(full.getBytes(L1))),
+      5 -> streamObj("", content)))
+  }
+}
+
+class PdfTextExtractorSpec extends AnyFunSuite {
+
+  private val ex = new JvmPdfExtractor
+
+  test("two-page golden extraction: flate + plain, escapes, hex, TJ, quote") {
+    val (n, pages) = ex.extract(PdfFixtures.twoPage())
+    assert(n === 2)
+    val p1 = pages.head._2
+    assert(p1.contains("Hello (PDF) world!"))
+    // TJ: -250 (>= 1/10 em) becomes a space; -50 does not
+    assert(p1.contains("Kerned wordsjoined"))
+    assert(p1.contains("Hex string"))
+    // Td with ty=-14 breaks lines
+    assert(p1.linesIterator.toSeq.count(_.nonEmpty) === 3)
+    val p2 = pages(1)._2
+    assert(p2.contains("Second page line one.continued on same line"))
+    // ' starts a new line before showing
+    assert(p2.linesIterator.toSeq.contains("next line via quote"))
+  }
+
+  test("object-stream (PDF 1.5) documents parse via ObjStm expansion") {
+    val (n, pages) = ex.extract(PdfFixtures.objStm())
+    assert(n === 1)
+    assert(pages.head._2.contains("From an object stream."))
+  }
+
+  test("stream /Length given as an indirect reference resolves") {
+    val content = "BT (Indirect length works.) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = PdfFixtures.assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      (s"<< /Length 5 0 R >>\nstream\n".getBytes(StandardCharsets.ISO_8859_1) ++
+        content ++ "\nendstream".getBytes(StandardCharsets.ISO_8859_1)),
+      s"${content.length}".getBytes(StandardCharsets.ISO_8859_1)))
+    val (n, pages) = ex.extract(pdf)
+    assert(n === 1)
+    assert(pages.head._2.contains("Indirect length works."))
+  }
+
+  test("UTF-16BE strings decode; control bytes are stripped") {
+    val txt = "Unicode: äöü €"
+    val utf16 = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+      txt.getBytes(StandardCharsets.UTF_16BE)
+    val hex = utf16.map(b => f"${b & 0xff}%02x").mkString
+    val content = s"BT <$hex> Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = PdfFixtures.assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      PdfFixtures.streamObj("", content)))
+    assert(ex.extract(pdf)._2.head._2.contains(txt))
+  }
+
+  test("garbage and truncated inputs return (0, Nil), never throw") {
+    assert(ex.extract("not a pdf at all".getBytes) === ((0, Seq())))
+    assert(ex.extract(Array.empty[Byte]) === ((0, Seq())))
+    val truncated = PdfFixtures.twoPage().take(80)
+    val (n, _) = ex.extract(truncated)
+    assert(n === 0)
+  }
+
+  test("ASCII85 and ASCIIHex filter chains decode") {
+    // ASCIIHex over the content bytes
+    val content = "BT (Hex filtered.) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
+    val hexed = (content.map(b => f"${b & 0xff}%02x").mkString + ">")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = PdfFixtures.assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      PdfFixtures.streamObj("/Filter /ASCIIHexDecode", hexed)))
+    assert(ex.extract(pdf)._2.head._2.contains("Hex filtered."))
+  }
+
+  test("PNG Up predictor reverses on a flate stream") {
+    // raw rows: 3 columns, values row0=[1,2,3], row1=[4,5,6]
+    // Up-predicted: row0 filter=2 deltas vs zero prev = [1,2,3];
+    // row1 deltas = [3,3,3]
+    val predicted = Array[Byte](2, 1, 2, 3, 2, 3, 3, 3)
+    val flated = PdfFixtures.deflate(predicted)
+    import PdfCos._
+    val s = PStream(PDict(Map(
+      "Filter" -> PName("FlateDecode"),
+      "DecodeParms" -> PDict(Map("Predictor" -> PNum(12), "Columns" -> PNum(3))))),
+      flated)
+    val out = PdfParser.decodeStream(s, _ => None)
+    assert(out.toSeq === Seq[Byte](1, 2, 3, 4, 5, 6))
+  }
+}
