@@ -34,17 +34,28 @@ object Bench {
         "embedding", 2, maxIter = 2)
     } catch { case _: Throwable => () }
 
+    // SPARK_GRAFT_BENCH_RUNS > 1: per-query median over that many runs —
+    // the mode for regression triage (single runs carry 0.05-0.2 s of
+    // scheduler/GC noise on short queries, see SCALE.md). Default 1 run,
+    // matching the driver's cold-ish measurement across rounds.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+
     // a throwing query must be VISIBLE: its near-zero elapsed time would
     // otherwise read as a speedup in the emitted numbers
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,7 +25,14 @@ import org.apache.spark.sql.functions._
   * chunk⋈embedding join is shuffle-free after load-time bucketing.
   */
 class Library(val spark: SparkSession, val warehouse: String,
-              val embedder: Embedder = new HashingEmbedder(64)) {
+              val embedder: Embedder = new HashingEmbedder(64),
+              /** IVF delta compaction triggers when the delta bucket
+                * exceeds this fraction of the indexed (non-delta) rows
+                * AND `ivfCompactMinRows` — the floor keeps tiny test
+                * corpora and trickle appends from rebuilding on every
+                * ingest; at scale the fraction dominates. */
+              val ivfCompactFraction: Double = 0.1,
+              val ivfCompactMinRows: Long = 10000L) {
   import spark.implicits._
 
   private def path(t: String) = s"$warehouse/$t"
@@ -96,7 +103,6 @@ class Library(val spark: SparkSession, val warehouse: String,
     * routing (F8), per-partition extract+chunk+embed, batch append. */
   def ingestDirectory(dir: String,
                       pdfExtractor: PdfExtractor = new JvmPdfExtractor): Unit = {
-    val emb = embedder
     val discovered = DocumentSources.discover(spark, dir)
     val fresh = (if (tableExists("documents"))
       DocumentSources.notYetIngested(discovered, documents)
@@ -104,33 +110,39 @@ class Library(val spark: SparkSession, val warehouse: String,
       .as[(String, Long, Array[Byte])]
 
     val rows = fresh.map { case (p, size, bytes) =>
-      val id = Library.docId(p)
-      val fileName = p.split("/").last
-      val (doc, chunkRows) = DocumentSources.fileTypeFor(p) match {
-        case "markdown" =>
-          val content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          val fm = MarkdownSource.parseFrontmatter(content)
-          val cs = MarkdownSource.extractChunks(content).map {
-            case (page, idx, c) => Chunk(s"$id-$idx", id, page, idx, c)
-          }
-          (Document(id,
-            MarkdownSource.resolveTitle(content, fileName.replaceAll("\\.(md|markdown)$", "")),
-            p, new java.sql.Timestamp(0L), cs.map(_.page).maxOption.getOrElse(0),
-            size, fm.tags, "markdown", fm.extra), cs)
-        case _ =>
-          val (pageCount, pages) = pdfExtractor.extract(bytes)
-          var idx = -1
-          val cs = pages.flatMap { case (page, text) =>
-            Chunker.chunkPlain(text).map { c => idx += 1; Chunk(s"$id-$idx", id, page, idx, c) }
-          }
-          (Document(id, graft.operators.TextEnrichment.cleanTitle(fileName),
-            p, new java.sql.Timestamp(0L), pageCount, size,
-            graft.operators.TextEnrichment.extractFilenameTags(fileName),
-            "pdf", Map.empty), cs)
-      }
-      (doc, chunkRows)
+      Library.extractRow(p, size, bytes, pdfExtractor)
     }.localCheckpoint() // see addMarkdown: immune to the append's path refresh
 
+    appendExtracted(rows)
+  }
+
+  /** S3: one-document URL ingest — driver-side fetch, reference routing
+    * (MIME, extension, markdown sniffing), then the same extract + chunk
+    * + embed + append path as directory ingest, with the URL as the
+    * document's path (so re-adding dedups through the same anti-join). */
+  def addUrl(url: String,
+             pdfExtractor: PdfExtractor = new JvmPdfExtractor): Unit = {
+    val (bytes, contentType) = graft.sources.UrlSource.fetch(url)
+    graft.sources.UrlSource.route(url, contentType, bytes) match {
+      case "markdown" =>
+        addMarkdown(Seq((url,
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))).toDS())
+      case _ =>
+        val already = tableExists("documents") &&
+          !documents.filter(col("path") === url).isEmpty
+        if (!already) {
+          val rows = Seq(
+            Library.extractRow(url, bytes.length.toLong, bytes, pdfExtractor))
+            .toDS().localCheckpoint()
+          appendExtracted(rows)
+        }
+    }
+  }
+
+  /** Shared tail of every bytes-ingest path: append docs/chunks, embed
+    * per partition, append embeddings and maintain both indexes. */
+  private def appendExtracted(rows: Dataset[(Document, Seq[Chunk])]): Unit = {
+    val emb = embedder
     if (!rows.isEmpty) { // nothing new discovered: leave indexes alone
       rows.map(_._1).write.mode(SaveMode.Append).parquet(path("documents"))
       val chunkRows = rows.flatMap(_._2)
@@ -216,7 +228,28 @@ class Library(val spark: SparkSession, val warehouse: String,
       newEmbeddings.withColumn("__cell", lit(DeltaCell))
         .write.mode(SaveMode.Append).partitionBy("__cell")
         .parquet(path("embeddings_ivf"))
+      maybeCompactVectorIndex()
     }
+
+  /** The delta bucket is exact but unpruned — every probe scans it — so
+    * left unbounded it erodes the index's entire benefit. When it
+    * outgrows the configured fraction of the indexed rows (and the
+    * absolute floor), fold it back in with a full rebuild, exactly the
+    * periodic compaction job the docstrings promise. One cheap
+    * metadata-ish job (two counts over the layout) decides. */
+  def maybeCompactVectorIndex(): Unit = {
+    val row = spark.read.parquet(path("embeddings_ivf"))
+      .agg(
+        sum(when(col("__cell") === DeltaCell, 1L).otherwise(0L)).as("delta"),
+        count(lit(1)).as("total")).head()
+    val delta = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val indexed = row.getLong(1) - delta
+    if (delta >= ivfCompactMinRows && delta > ivfCompactFraction * indexed) {
+      val meta = spark.read.parquet(path("embeddings_ivf_meta"))
+      val nProbe = meta.select("nProbe").head().getInt(0)
+      buildVectorIndex(meta.count().toInt, nProbe)
+    }
+  }
 
   /** Exact vector top-k over chunks (J1 three-way join shape): score all
     * embeddings (or just the probed IVF cells when an index is built),
@@ -553,6 +586,37 @@ class Library(val spark: SparkSession, val warehouse: String,
 }
 
 object Library {
+  /** One discovered file -> (document row, chunk rows). Static (not a
+    * Library method) so executor closures never capture the facade,
+    * which holds the non-serializable SparkSession. */
+  private[graft] def extractRow(p: String, size: Long, bytes: Array[Byte],
+                                pdfExtractor: PdfExtractor): (Document, Seq[Chunk]) = {
+    val id = docId(p)
+    val fileName = p.split("/").last
+    DocumentSources.fileTypeFor(p) match {
+      case "markdown" =>
+        val content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val fm = MarkdownSource.parseFrontmatter(content)
+        val cs = MarkdownSource.extractChunks(content).map {
+          case (page, idx, c) => Chunk(s"$id-$idx", id, page, idx, c)
+        }
+        (Document(id,
+          MarkdownSource.resolveTitle(content, fileName.replaceAll("\\.(md|markdown)$", "")),
+          p, new java.sql.Timestamp(0L), cs.map(_.page).maxOption.getOrElse(0),
+          size, fm.tags, "markdown", fm.extra), cs)
+      case _ =>
+        val (pageCount, pages) = pdfExtractor.extract(bytes)
+        var idx = -1
+        val cs = pages.flatMap { case (page, text) =>
+          Chunker.chunkPlain(text).map { c => idx += 1; Chunk(s"$id-$idx", id, page, idx, c) }
+        }
+        (Document(id, graft.operators.TextEnrichment.cleanTitle(fileName),
+          p, new java.sql.Timestamp(0L), pageCount, size,
+          graft.operators.TextEnrichment.extractFilenameTags(fileName),
+          "pdf", Map.empty), cs)
+    }
+  }
+
   /** Reference id scheme: sha256(path) hex, first 12 chars
     * (src/index.ts:111-114). */
   def docId(path: String): String =

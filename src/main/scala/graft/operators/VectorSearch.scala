@@ -98,16 +98,26 @@ object VectorSearch {
   /** Element-wise centroid (mean vector) per group.
     * Output: (groupCol, pos, centroid_val).
     *
-    * Double summation is partition-order-sensitive, so the reduction
-    * collects (orderId, value) per group and folds in orderId order — a
+    * Double summation is partition-order-sensitive, so small groups
+    * collect (orderId, value) and fold in orderId order — a
     * deterministic left-fold, bit-reproducible run-to-run and
-    * engine-to-engine. Group fan-in is the cluster-member count; for
-    * groups too large to collect, swap the inner agg for a plain
-    * `avg` (order-sensitive in the last ulp but O(1) memory). */
+    * engine-to-engine. That buffer is the cluster-member count, which
+    * at corpus scale can be millions of structs in ONE aggregation
+    * buffer (OOM, not slowness) — so groups larger than
+    * `maxExactGroup` route to a streaming `avg` instead: O(1) memory,
+    * map-side partial, order-sensitive only in the last ulp. The size
+    * gate is a cheap pre-agg on the UNEXPLODED rows (one narrow row
+    * per member), and the two branches union — per-group routing, not
+    * a global mode switch. */
   def centroids(df: DataFrame, groupCol: String, vecCol: String,
-                orderCol: String): DataFrame =
-    df.select(col(groupCol), col(orderCol).as("__ord"),
-      posexplode(col(vecCol)).as(Seq("pos", "v")))
+                orderCol: String, maxExactGroup: Long = 1000000L): DataFrame = {
+    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("__gn"))
+    val tagged = df.select(col(groupCol), col(orderCol).as("__ord"), col(vecCol))
+      .join(sizes, Seq(groupCol)) // AQE broadcasts the (tiny) size side
+    val exploded = tagged
+      .select(col(groupCol), col("__ord"), col("__gn"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val small = exploded.filter(col("__gn") <= maxExactGroup)
       .groupBy(groupCol, "pos")
       .agg(
         sort_array(collect_list(struct(col("__ord"), col("v")))).as("vs"),
@@ -116,4 +126,10 @@ object VectorSearch {
         (aggregate(col("vs"), lit(0.0),
           (acc, x) => acc + x.getField("v").cast("double")) /
           col("n").cast("double")).as("centroid_val"))
+    val large = exploded.filter(col("__gn") > maxExactGroup)
+      .groupBy(groupCol, "pos")
+      .agg(avg(col("v").cast("double")).as("centroid_val"))
+      .select(col(groupCol), col("pos"), col("centroid_val"))
+    small.unionByName(large)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Quantization, RangeJoin, Sampling, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Quantization, Quota, RangeJoin, Sampling, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -169,17 +169,19 @@ object PipelineQueries {
       }),
 
     // per-source quota (domain capping): keep the 5 largest docs per
-    // source — bounds any one domain's share of the training mix
+    // source — bounds any one domain's share of the training mix.
+    // Two-phase (partition-local pre-cap, then the exact window) so a
+    // dominant source never serializes through one window partition
     Q("q49_source_quota", Some("""
       SELECT doc_id, source, n_chars, CAST(rnk AS INT) AS rnk FROM (
         SELECT doc_id, source, n_chars, row_number() OVER
           (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
         FROM documents) t
       WHERE rnk <= 5 ORDER BY source, rnk"""),
-      (s, d) => Tables.documents(s, d)
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))))
-        .filter(col("rnk") <= 5)
+      (s, d) => Quota.perKeyTopN(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        keys = Seq("source"), order = Seq(desc("n_chars"), asc("doc_id")),
+        n = 5)
         .select("doc_id", "source", "n_chars", "rnk")
         .orderBy("source", "rnk")),
 

@@ -64,3 +64,56 @@ object DocumentSources {
   def notYetIngested(discovered: DataFrame, documents: DataFrame): DataFrame =
     discovered.join(documents.select("path"), Seq("path"), "left_anti")
 }
+
+/** S3: URL fetch + routing (reference cli.ts:358-408 `downloadFile`).
+  * Driver-side by design — `add <url>` is a one-document operation; bulk
+  * ingest goes through [[DocumentSources.discover]]. Supports http(s)
+  * via the JDK client and file:// for offline/test use. */
+object UrlSource {
+
+  final case class UnsupportedContentType(url: String, contentType: String)
+    extends RuntimeException(s"Unsupported content type: '$contentType' for $url")
+
+  /** @return (bytes, content-type header or "" when absent/file) */
+  def fetch(url: String, timeoutMs: Long = 30000L): (Array[Byte], String) = {
+    val uri = java.net.URI.create(url)
+    uri.getScheme match {
+      case "file" =>
+        (java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(uri)), "")
+      case "http" | "https" =>
+        val client = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+          .build()
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .timeout(java.time.Duration.ofMillis(timeoutMs)).GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(s"HTTP ${resp.statusCode()} fetching $url")
+        (resp.body(), resp.headers().firstValue("content-type").orElse(""))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported URL scheme: $other")
+    }
+  }
+
+  /** Reference routing order: PDF by MIME/extension (plus the %PDF-
+    * magic, needed for typeless file:// fetches), then markdown by
+    * explicit MIME or extension, then the text/plain content-sniffing
+    * fallback. Anything else is rejected, matching the reference. */
+  def route(url: String, contentType: String, bytes: Array[Byte]): String = {
+    val magic = bytes.take(5).map(_.toChar).mkString
+    if (contentType.contains("pdf") || url.endsWith(".pdf") || magic == "%PDF-")
+      "pdf"
+    else if (contentType.contains("text/markdown") ||
+      contentType.contains("text/x-markdown") ||
+      DocumentSources.hasMarkdownExtension(url))
+      "markdown"
+    else if (contentType.contains("text/plain") || contentType.isEmpty) {
+      val preview = new String(bytes.take(4096),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (DocumentSources.looksLikeMarkdown(preview)) "markdown"
+      else throw UnsupportedContentType(url, contentType)
+    } else throw UnsupportedContentType(url, contentType)
+  }
+}

@@ -103,6 +103,29 @@ class IntegrationSpec extends SparkSpec {
       .contains(Library.docId("/corpus/post-index.md")))
   }
 
+  test("IVF delta auto-compaction folds an outgrown delta to zero on ingest") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // floor of 1 row: at this corpus size the fraction gate decides
+    val l = new Library(spark, wh, ivfCompactMinRows = 1L)
+    l.addMarkdown((1 to 12).map(i => (s"/c/base$i.md",
+      s"# Base$i\n" + (s"baseline corpus doc number $i with words. " * 8))).toDS())
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    // one small doc: under 10% of indexed rows -> stays in the delta
+    l.addMarkdown(Seq(("/c/small.md",
+      "# Small\n" + ("tiny trickle append that should not compact. " * 8))).toDS())
+    val ivfPath = s"$wh/embeddings_ivf"
+    assert(spark.read.parquet(ivfPath).filter(col("__cell") === -1).count() > 0,
+      "sub-threshold append must stay in the delta bucket")
+    // a batch larger than 10% of the indexed rows -> auto-rebuild
+    l.addMarkdown((1 to 6).map(i => (s"/c/big$i.md",
+      s"# Big$i\n" + (s"large append batch doc $i forcing compaction. " * 8))).toDS())
+    assert(spark.read.parquet(ivfPath).filter(col("__cell") === -1).count() === 0,
+      "threshold-crossing append must trigger delta compaction")
+    // compacted index still serves the appended content
+    val hits = l.search("forcing compaction", SearchOptions(limit = 5, hybrid = false))
+    assert(hits.count() > 0)
+  }
+
   test("driver contract: entry() returns rows; every query has matching oracle columns") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key refers to a declared query

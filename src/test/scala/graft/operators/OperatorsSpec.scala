@@ -276,6 +276,24 @@ class OperatorsSpec extends SparkSpec {
     assert(roots.map(_.getString(0)).toSeq === Seq("root"))
   }
 
+  test("centroids: exact ordered fold and streaming avg agree to 1e-9") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(i =>
+      (i % 5, i.toLong, Array.fill(8)(rnd.nextFloat())))
+    val df = rows.toDF("g", "ord", "vec")
+    def collectC(maxExact: Long) =
+      VectorSearch.centroids(df, "g", "vec", "ord", maxExact)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exact = collectC(Long.MaxValue) // every group folds in order
+    val stream = collectC(0L)           // every group routes to avg
+    assert(exact.keySet === stream.keySet)
+    assert(exact.size === 5 * 8)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - stream(k)) <= 1e-9 * math.max(1.0, math.abs(v)),
+        s"paths disagree at $k: $v vs ${stream(k)}")
+    }
+  }
+
   test("threshold algebra: score >= t  <=>  distance <= 2(1-t)") {
     val vecs = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
       .toDF("id", "vec")

@@ -190,6 +190,29 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- Quantization ----
 
+  test("perKeyTopN equals the single-window form on any partitioning") {
+    val rnd = new scala.util.Random(11)
+    // skewed: key 0 dominates (the case the two-phase shape exists for)
+    val rows = (1 to 3000).map { i =>
+      val k = if (rnd.nextDouble() < 0.7) 0 else rnd.nextInt(8)
+      (i.toLong, k, rnd.nextInt(1000))
+    }
+    val df = rows.toDF("id", "src", "sz").repartition(13)
+    val got = Quota.perKeyTopN(df, Seq("src"),
+      Seq(desc("sz"), asc("id")), n = 5)
+      .select("id", "src", "sz", "rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val expect = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy(desc("sz"), asc("id"))))
+        .filter(col("rnk") <= 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    }
+    assert(got === expect)
+    assert(got.size === 8 * 5) // every key has >= 5 rows at these sizes
+  }
+
   test("quantized codes stay in int8 range; zero vector is NaN-free") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.99f)),

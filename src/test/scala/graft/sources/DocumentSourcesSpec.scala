@@ -71,4 +71,65 @@ class DocumentSourcesSpec extends SparkSpec {
     assert(copy.stats() === ((nd, nc, ne)))
     assert(copy.search("markdown words").count() > 0)
   }
+
+  test("URL routing matches the reference's downloadFile order") {
+    val pdfBytes = "%PDF-1.5 rest".getBytes
+    val mdBytes = "# Heading\ncontent".getBytes
+    assert(UrlSource.route("http://x/a.pdf", "", Array.emptyByteArray) === "pdf")
+    assert(UrlSource.route("http://x/a", "application/pdf", mdBytes) === "pdf")
+    assert(UrlSource.route("file:///x/a.bin", "", pdfBytes) === "pdf") // magic
+    assert(UrlSource.route("http://x/a.md", "", Array.emptyByteArray) === "markdown")
+    assert(UrlSource.route("http://x/a", "text/markdown", Array.emptyByteArray) === "markdown")
+    // text/plain sniffs content
+    assert(UrlSource.route("http://x/a", "text/plain", mdBytes) === "markdown")
+    intercept[UrlSource.UnsupportedContentType](
+      UrlSource.route("http://x/a", "text/plain", "just prose".getBytes))
+    intercept[UrlSource.UnsupportedContentType](
+      UrlSource.route("http://x/a", "image/png", Array.emptyByteArray))
+  }
+
+  test("addUrl ingests file:// markdown and PDF end-to-end (S3)") {
+    val src = Files.createTempDirectory("graft-url")
+    Files.writeString(src.resolve("notes.md"),
+      "# UrlNotes\n" + ("fetched markdown words to index and search. " * 10))
+    Files.write(src.resolve("paper.pdf"), PdfFixtures.twoPage())
+    val wh = Files.createTempDirectory("graft-wh-url").toString
+    val lib = new Library(spark, wh)
+
+    val mdUrl = src.resolve("notes.md").toUri.toString
+    val pdfUrl = src.resolve("paper.pdf").toUri.toString
+    lib.addUrl(mdUrl)
+    lib.addUrl(pdfUrl)
+    val docs = lib.documents.collect()
+    assert(docs.length === 2)
+    assert(docs.map(_.getAs[String]("path")).toSet === Set(mdUrl, pdfUrl))
+    assert(docs.map(_.getAs[String]("fileType")).toSet === Set("markdown", "pdf"))
+    assert(lib.search("fetched markdown").count() > 0)
+    assert(lib.search("Kerned words").count() > 0)
+    // idempotent by URL
+    lib.addUrl(mdUrl); lib.addUrl(pdfUrl)
+    assert(lib.stats()._1 === 2)
+  }
+
+  test("addUrl over http: text/plain markdown is sniffed and ingested") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val body = ("# HttpDoc\n" +
+      ("served over http with markdown indicators. " * 10)).getBytes("UTF-8")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/doc", (x: HttpExchange) => {
+      x.getResponseHeaders.add("Content-Type", "text/plain")
+      x.sendResponseHeaders(200, body.length)
+      x.getResponseBody.write(body)
+      x.close()
+    })
+    server.start()
+    try {
+      val wh = Files.createTempDirectory("graft-wh-http").toString
+      val lib = new Library(spark, wh)
+      lib.addUrl(s"http://127.0.0.1:${server.getAddress.getPort}/doc")
+      val doc = lib.documents.head()
+      assert(doc.getAs[String]("fileType") === "markdown")
+      assert(doc.getAs[String]("title") === "HttpDoc")
+    } finally server.stop(0)
+  }
 }
