@@ -131,8 +131,12 @@ class Library(val spark: SparkSession, val warehouse: String,
         val already = tableExists("documents") &&
           !documents.filter(col("path") === url).isEmpty
         if (!already) {
+          // route() decided "pdf" from MIME/magic — force it, or a
+          // misleading extension (.md serving application/pdf) would
+          // re-route through fileTypeFor and decode PDF bytes as UTF-8
           val rows = Seq(
-            Library.extractRow(url, bytes.length.toLong, bytes, pdfExtractor))
+            Library.extractRow(url, bytes.length.toLong, bytes, pdfExtractor,
+              forcedType = Some("pdf")))
             .toDS().localCheckpoint()
           appendExtracted(rows)
         }
@@ -162,6 +166,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * not rebuildable, the cluster artifacts, and both persisted
     * indexes; the IVF layout keeps its `__cell` hive partitioning). */
   def exportTo(dest: String): Unit = {
+    migrateLegacyFtsLayout()
     val tables = Seq("documents", "chunks", "embeddings",
       "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
       "embeddings_ivf", "embeddings_ivf_meta",
@@ -237,7 +242,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * absolute floor), fold it back in with a full rebuild, exactly the
     * periodic compaction job the docstrings promise. One cheap
     * metadata-ish job (two counts over the layout) decides. */
-  def maybeCompactVectorIndex(): Unit = {
+  def maybeCompactVectorIndex(): Unit = if (tableExists("embeddings_ivf_meta")) {
     val row = spark.read.parquet(path("embeddings_ivf"))
       .agg(
         sum(when(col("__cell") === DeltaCell, 1L).otherwise(0L)).as("delta"),
@@ -318,11 +323,23 @@ class Library(val spark: SparkSession, val warehouse: String,
     * query terms' hash buckets, `__tb` dropped so downstream sees the
     * plain (id, term, tf) shape. */
   private def prunedPostings(terms: Seq[String]): DataFrame = {
+    migrateLegacyFtsLayout()
     val buckets = terms.map(t => Bm25.termBucket(t.toLowerCase)).distinct
     spark.read.parquet(path("fts_postings"))
       .filter(col("__tb").isin(buckets: _*))
       .drop("__tb")
   }
+
+  /** A warehouse written before term-bucketing has flat (id, term, tf)
+    * postings; every current code path (probe filter, bucketed append,
+    * partitioned rewrite/export) assumes the `__tb` hive layout, and a
+    * bucketed append NEXT TO flat files would produce a mixed directory
+    * Spark cannot read. One rebuild from the chunks table upgrades the
+    * layout in place; detection is a schema peek, no data read. */
+  private def migrateLegacyFtsLayout(): Unit =
+    if (tableExists("fts_postings") &&
+      !spark.read.parquet(path("fts_postings")).columns.contains("__tb"))
+      rebuildFtsIndex()
 
   /** The IVF layout cannot absorb appends (cell files are closed), so
     * any embedding mutation invalidates it — search falls back to the
@@ -341,6 +358,7 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
+      migrateLegacyFtsLayout()
       writeFtsPostings(Bm25.postings(newChunks, "id", "content"),
         SaveMode.Append)
       Bm25.docLengths(newChunks, "id", "content").write
@@ -524,6 +542,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     rewrite("embeddings",
       embeddings.join(deadChunks, Seq("chunkId"), "left_anti"))
     if (tableExists("fts_postings")) {
+      migrateLegacyFtsLayout()
       rewriteFts(spark.read.parquet(path("fts_postings"))
         .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
       rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
@@ -563,6 +582,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     if (nOC > 0) {
       val live = chunks.select(col("id"))
       if (tableExists("fts_postings")) {
+        migrateLegacyFtsLayout()
         rewriteFts(spark.read.parquet(path("fts_postings"))
           .join(live, Seq("id"), "left_semi"))
         rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
@@ -576,7 +596,10 @@ class Library(val spark: SparkSession, val warehouse: String,
   private def rewrite(table: String, df: DataFrame): Unit =
     graft.util.TableSwap.rewrite(path(table), df)
 
-  /** Postings rewrites must keep the term-bucketed hive layout. */
+  /** Postings rewrites must keep the term-bucketed hive layout. Callers
+    * pass a plan over the CURRENT table, so the legacy migration (which
+    * swaps the table out underneath) cannot run here — both call sites
+    * re-derive their input after migrating. */
   private def rewriteFts(df: DataFrame): Unit =
     graft.util.TableSwap.rewrite(path("fts_postings"),
       df.repartition(col("__tb")).sortWithinPartitions("term", "id"),
@@ -590,10 +613,11 @@ object Library {
     * Library method) so executor closures never capture the facade,
     * which holds the non-serializable SparkSession. */
   private[graft] def extractRow(p: String, size: Long, bytes: Array[Byte],
-                                pdfExtractor: PdfExtractor): (Document, Seq[Chunk]) = {
+                                pdfExtractor: PdfExtractor,
+                                forcedType: Option[String] = None): (Document, Seq[Chunk]) = {
     val id = docId(p)
     val fileName = p.split("/").last
-    DocumentSources.fileTypeFor(p) match {
+    forcedType.getOrElse(DocumentSources.fileTypeFor(p)) match {
       case "markdown" =>
         val content = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         val fm = MarkdownSource.parseFrontmatter(content)

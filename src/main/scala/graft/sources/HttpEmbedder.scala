@@ -40,13 +40,19 @@ class HttpEmbedder(val host: String, val model: String,
       .connectTimeout(Duration.ofMillis(timeoutMs))
       .build()
 
-  /** 0 = not yet detected. AtomicInteger, not Option: embed() runs on
-    * many partition threads of one executor JVM concurrently. */
-  private val pinned =
-    new java.util.concurrent.atomic.AtomicInteger(pinnedDim.getOrElse(0))
+  /** The dimension pin must survive closure serialization: Spark
+    * deserializes a fresh HttpEmbedder copy per task, so an instance
+    * field would give every task its own "first embedding pins" state
+    * and a mid-job model swap could mix dimensions without an error.
+    * The pin therefore lives in a JVM-global registry keyed by
+    * (host, model) — every task in an executor JVM shares it. (Pin
+    * `pinnedDim` explicitly in production to also close the
+    * cross-executor window.) */
+  private def pinKey = s"$host|$model"
+  pinnedDim.foreach(d => HttpEmbedder.pins.putIfAbsent(pinKey, d))
 
   override def dim: Int = {
-    val d = pinned.get()
+    val d = HttpEmbedder.pins.getOrDefault(pinKey, 0)
     if (d > 0) d else probeDimension()
   }
 
@@ -92,9 +98,9 @@ class HttpEmbedder(val host: String, val model: String,
     if (v.exists(f => f.isNaN || f.isInfinite))
       throw new EmbedderException(
         "invalid embedding: contains non-finite values (NaN or Infinity)")
-    val expect = pinned.get()
-    if (expect == 0) pinned.compareAndSet(0, v.length)
-    else if (v.length != expect)
+    val expect = Option(HttpEmbedder.pins.putIfAbsent(pinKey, v.length))
+      .map(_.intValue).getOrElse(v.length)
+    if (v.length != expect)
       throw new EmbedderException(
         s"invalid embedding: dimension ${v.length} (expected $expect)")
     v
@@ -102,6 +108,11 @@ class HttpEmbedder(val host: String, val model: String,
 }
 
 object HttpEmbedder {
+
+  /** JVM-global (host, model) -> pinned dimension; see the instance
+    * docstring for why this cannot be per-instance state. */
+  private[sources] val pins =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Minimal JSON string escape (the request side needs nothing more). */
   private[sources] def jsonString(s: String): String = {
