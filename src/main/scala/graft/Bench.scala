@@ -57,12 +57,18 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision, NOT full doubles: the driver keeps only the last
+    // ~2000 chars of stdout and parses the JSON line out of that tail —
+    // 9-digit values pushed the 57-query line past the window and every
+    // round's bench came back parsed:null. 3 decimals keeps the whole
+    // line inside the tail with headroom for more queries.
+    def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
-    spark.stop()
+    spark.stop() // before the JSON line: shutdown logs must not push it out of the tail
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

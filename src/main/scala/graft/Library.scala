@@ -196,8 +196,13 @@ class Library(val spark: SparkSession, val warehouse: String,
     val centers = idx.model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }.toSeq
+    // indexedRows rides in the meta table so the compaction gate never
+    // has to count the full cell layout (a parquet-footer count here,
+    // once per rebuild, instead of a full-index scan per append)
+    val indexedRows = embeddings.count()
     spark.createDataFrame(centers).toDF("cell", "center")
       .withColumn("nProbe", lit(nProbe))
+      .withColumn("indexedRows", lit(indexedRows))
       .write.mode(SaveMode.Overwrite).parquet(path("embeddings_ivf_meta"))
   }
 
@@ -240,19 +245,24 @@ class Library(val spark: SparkSession, val warehouse: String,
     * left unbounded it erodes the index's entire benefit. When it
     * outgrows the configured fraction of the indexed rows (and the
     * absolute floor), fold it back in with a full rebuild, exactly the
-    * periodic compaction job the docstrings promise. One cheap
-    * metadata-ish job (two counts over the layout) decides. */
+    * periodic compaction job the docstrings promise. The gate itself is
+    * cheap: a partition-pruned count of the delta directory only (the
+    * floor short-circuits before anything else), with the indexed total
+    * read from meta — never a scan of every cell partition per append. */
   def maybeCompactVectorIndex(): Unit = if (tableExists("embeddings_ivf_meta")) {
-    val row = spark.read.parquet(path("embeddings_ivf"))
-      .agg(
-        sum(when(col("__cell") === DeltaCell, 1L).otherwise(0L)).as("delta"),
-        count(lit(1)).as("total")).head()
-    val delta = if (row.isNullAt(0)) 0L else row.getLong(0)
-    val indexed = row.getLong(1) - delta
-    if (delta >= ivfCompactMinRows && delta > ivfCompactFraction * indexed) {
+    val delta = spark.read.parquet(path("embeddings_ivf"))
+      .filter(col("__cell") === DeltaCell).count()
+    if (delta >= ivfCompactMinRows) {
       val meta = spark.read.parquet(path("embeddings_ivf_meta"))
-      val nProbe = meta.select("nProbe").head().getInt(0)
-      buildVectorIndex(meta.count().toInt, nProbe)
+      val indexed =
+        if (meta.columns.contains("indexedRows"))
+          meta.select("indexedRows").head().getLong(0)
+        else // pre-indexedRows meta: embeddings holds indexed + delta rows
+          math.max(0L, embeddings.count() - delta)
+      if (delta > ivfCompactFraction * indexed) {
+        val nProbe = meta.select("nProbe").head().getInt(0)
+        buildVectorIndex(meta.count().toInt, nProbe)
+      }
     }
   }
 
@@ -324,7 +334,11 @@ class Library(val spark: SparkSession, val warehouse: String,
     * plain (id, term, tf) shape. */
   private def prunedPostings(terms: Seq[String]): DataFrame = {
     migrateLegacyFtsLayout()
-    val buckets = terms.map(t => Bm25.termBucket(t.toLowerCase)).distinct
+    // Locale.ROOT, NOT the default locale: the indexed terms were lowered
+    // with Spark's locale-independent lower(); under tr/az 'I'.toLowerCase
+    // is 'ı', which hashes to a different bucket and silently drops hits
+    val buckets = terms
+      .map(t => Bm25.termBucket(t.toLowerCase(java.util.Locale.ROOT))).distinct
     spark.read.parquet(path("fts_postings"))
       .filter(col("__tb").isin(buckets: _*))
       .drop("__tb")
@@ -372,7 +386,8 @@ class Library(val spark: SparkSession, val warehouse: String,
     val ch = chunks
     val docs = tagFiltered(opts.tags)
       .select(col("id").as("docId"), col("title"))
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = query.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).toSeq
     // FTS5 semantics: score globally, apply predicates (tags), THEN
     // limit — limiting before the tag join would let untagged top
     // scorers crowd out every tagged match
@@ -528,7 +543,9 @@ class Library(val spark: SparkSession, val warehouse: String,
     val d = documents
     val exact = d.filter(col("id") === q).limit(1)
     if (!exact.isEmpty) return exact
-    val byTitle = d.filter(lower(col("title")).contains(q.toLowerCase))
+    // Locale.ROOT to match Spark's locale-independent lower()
+    val byTitle = d.filter(lower(col("title"))
+      .contains(q.toLowerCase(java.util.Locale.ROOT)))
       .orderBy("id").limit(1)
     if (!byTitle.isEmpty) return byTitle
     d.filter(col("id").startsWith(q)).orderBy("id").limit(1)

@@ -134,7 +134,7 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
 
   /** F6: label/altLabel substring search — the Ollama-down fallback. */
   def searchConcepts(q: String): DataFrame = {
-    val needle = q.toLowerCase
+    val needle = q.toLowerCase(java.util.Locale.ROOT) // match Spark lower()
     concepts.filter(
       lower(col("prefLabel")).contains(needle) ||
         org.apache.spark.sql.functions.exists(col("altLabels"),

@@ -56,6 +56,29 @@ case class DocConcept(docId: String, conceptId: String, confidence: Double, sour
 
 case class ClusterAssignment(chunkId: String, clusterId: Int, distance: Double)
 
+/** E6/E8: a concept the LLM proposes adding to the taxonomy
+  * (reference src/services/AutoTagger.ts ProposedConcept). */
+case class ProposedConcept(
+    id: String, // "parent/short-name" SKOS-style
+    prefLabel: String,
+    altLabels: Seq[String] = Nil,
+    definition: Option[String] = None)
+
+/** E6: full document enrichment (reference EnrichmentResult,
+  * src/types.ts). `confidence` is 0.3 for the pure-heuristic path, 0.7
+  * (local model) / 0.9 (gateway) for LLM-backed enrichment. */
+case class EnrichmentResult(
+    title: String,
+    author: Option[String],
+    summary: String,
+    documentType: String, // book|paper|tutorial|reference|guide|article|report|presentation|notes|other
+    category: String,
+    tags: Seq[String],
+    concepts: Seq[String],
+    proposedConcepts: Seq[ProposedConcept],
+    confidence: Double,
+    provider: String)
+
 case class ClusterSummary(
     id: Int,
     centroid: Array[Float],

@@ -86,7 +86,9 @@ object Bm25 {
     * Returns (id, n_occurrences) for docs containing the phrase. */
   def phraseOccurrences(post: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
-    val terms = phrase.map(_.toLowerCase)
+    // Locale.ROOT: index terms come from Spark's locale-independent
+    // lower(); the default locale (tr/az dotted-I) would miss them
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val base = post.filter(col("term") === terms.head)
       .select(col("id"), col("pos").as("start"))
     val matched = terms.zipWithIndex.drop(1).foldLeft(base) {
@@ -130,7 +132,8 @@ object Bm25 {
     val totalLen = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val avgdl = if (n > 0) totalLen.toDouble / n.toDouble else 1.0
 
-    val hits = post.filter(col("term").isin(terms.map(_.toLowerCase): _*))
+    val hits = post.filter(col("term")
+      .isin(terms.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
     // document frequency per query term (tiny: |terms| rows -> broadcast)
     val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
 

@@ -34,15 +34,20 @@ object ContextExpansion {
   def expand(hits: DataFrame, chunks: DataFrame, docCol: String,
              idxCol: String, contentCol: String,
              window: Int, maxChars: Int): DataFrame = {
+    // distinct: duplicate hits would multiply neighbor rows through the
+    // join and pollute the folded admit lists
     val h = hits.select(col(docCol).as("doc"), col(idxCol).as("hit_idx"))
+      .distinct()
     val c = chunks.select(col(docCol).as("doc"), col(idxCol).as("c_idx"),
       col(contentCol).as("content"))
 
-    // left join: a hit whose doc has no chunks at all still yields a row
-    // (reference returns empty context + start=end=hit for missing targets)
-    val joined = h.join(c, Seq("doc"), "left")
-      .filter(col("c_idx").isNull ||
-        abs(col("c_idx") - col("hit_idx")) <= window)
+    // inner join + window filter, then LEFT-join the grouped result back
+    // onto the hits: every input hit yields an output row — a chunk-less
+    // doc, a missing target, or a doc whose chunks all fall outside the
+    // window (e.g. a stale hit after chunk removal) each produce the
+    // empty-context row (start=end=hit) instead of vanishing
+    val joined = h.join(c, Seq("doc"))
+      .filter(abs(col("c_idx") - col("hit_idx")) <= window)
 
     val grouped = joined.groupBy("doc", "hit_idx").agg(
       max(when(col("c_idx") === col("hit_idx"), length(col("content"))))
@@ -83,7 +88,10 @@ object ContextExpansion {
             lit(true).as("stopped"), nxt.as("nxt")))
       })
 
-    val folded = grouped
+    // hits with no surviving neighbor rows re-enter here with null
+    // aggregate columns; the folds propagate the null and the coalesces
+    // below produce the empty-context row
+    val folded = h.join(grouped, Seq("doc", "hit_idx"), "left")
       .withColumn("b", admitFold(col("before"),
         struct(col("target_len").cast("long").as("total"),
           lit(0).as("cnt"), lit(false).as("stopped"),
@@ -92,8 +100,8 @@ object ContextExpansion {
         struct(col("b.total").as("total"),
           lit(0).as("cnt"), lit(false).as("stopped"),
           (col("hit_idx").cast("long") + 1L).as("nxt"))))
-      .withColumn("start_index", col("hit_idx") - col("b.cnt"))
-      .withColumn("end_index", col("hit_idx") + col("a.cnt"))
+      .withColumn("start_index", col("hit_idx") - coalesce(col("b.cnt"), lit(0)))
+      .withColumn("end_index", col("hit_idx") + coalesce(col("a.cnt"), lit(0)))
 
     folded
       .withColumn("kept", filter(col("all_chunks"), s =>
@@ -101,7 +109,8 @@ object ContextExpansion {
           s.getField("c_idx") <= col("end_index")))
       .select(col("doc"), col("hit_idx"),
         col("start_index"), col("end_index"),
-        size(col("kept")).cast("long").as("n_chunks"),
+        coalesce(size(col("kept")), lit(0)).cast("long").as("n_chunks"),
+        // concat_ws never returns null, so a null kept list reads as ""
         concat_ws("\n", transform(col("kept"), s => s.getField("content")))
           .as("context"))
   }

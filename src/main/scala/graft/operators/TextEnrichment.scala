@@ -15,7 +15,7 @@ object TextEnrichment {
 
   /** X15 normalizeTag: lowercase, non-alnum -> '-', collapse, trim. */
   def normalizeTag(tag: String): String =
-    tag.toLowerCase
+    tag.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^a-z0-9-]", "-")
       .replaceAll("-+", "-")
       .replaceAll("^-|-$", "")
@@ -30,9 +30,9 @@ object TextEnrichment {
     title = title.replaceAll("(?i)\\([^)]*(?:edition|ed\\.|vol\\.|volume|isbn)[^)]*\\)", "")
     title = title.replaceAll("\\s+", " ").trim
     title.split(" ").map { word =>
-      if (word == word.toUpperCase && word.length <= 4) word // acronym
-      else if (word.length <= 2) word.toLowerCase            // articles
-      else word.substring(0, 1).toUpperCase + word.substring(1).toLowerCase
+      if (word == word.toUpperCase(java.util.Locale.ROOT) && word.length <= 4) word // acronym
+      else if (word.length <= 2) word.toLowerCase(java.util.Locale.ROOT)           // articles
+      else word.substring(0, 1).toUpperCase(java.util.Locale.ROOT) + word.substring(1).toLowerCase(java.util.Locale.ROOT)
     }.mkString(" ")
   }
 
@@ -79,7 +79,7 @@ object TextEnrichment {
       .replaceAll("\\[[^\\]]*\\]", " ")
       .replaceAll("\\s+", " ").trim
     cleaned.split("\\s+")
-      .map(_.toLowerCase)
+      .map(_.toLowerCase(java.util.Locale.ROOT))
       .filter(_.length >= 3)
       .filterNot(TextFunctions.StopWords.contains)
       .filterNot(_.matches("^\\d+$"))
@@ -108,7 +108,7 @@ object TextEnrichment {
       !child.contains(" ") &&
       child.length <= 30 &&
       child != "concept" && child != "new" &&
-      id == id.toLowerCase &&
+      id == id.toLowerCase(java.util.Locale.ROOT) &&
       child.split("-").length <= 4
   }
 

@@ -31,7 +31,7 @@ object DocumentSources {
 
   /** F8: extension-based routing. */
   def fileTypeFor(path: String): String =
-    if (path.toLowerCase.matches(".*\\.(md|markdown)$")) "markdown" else "pdf"
+    if (path.toLowerCase(java.util.Locale.ROOT).matches(".*\\.(md|markdown)$")) "markdown" else "pdf"
 
   /** Reference MARKDOWN_INDICATORS (cli.ts:82-96): content sniffing on
     * the first 4096 bytes when the extension is inconclusive. */
@@ -46,7 +46,7 @@ object DocumentSources {
 
   def hasMarkdownExtension(url: String): Boolean = {
     val pathname = try new java.net.URI(url).getPath catch { case _: Exception => url }
-    val p = Option(pathname).getOrElse(url).toLowerCase
+    val p = Option(pathname).getOrElse(url).toLowerCase(java.util.Locale.ROOT)
     p.endsWith(".md") || p.endsWith(".markdown")
   }
 

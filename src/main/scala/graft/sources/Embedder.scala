@@ -24,7 +24,7 @@ trait Embedder extends Serializable {
 class HashingEmbedder(val dim: Int = 64) extends Embedder {
   override def embed(text: String): Array[Float] = {
     val v = new Array[Float](dim)
-    val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     for (t <- tokens) {
       val h = MessageDigest.getInstance("MD5")
         .digest(t.getBytes(StandardCharsets.UTF_8))

@@ -5,8 +5,12 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.time.Duration
 
-/** Embedding-service failure (E1-E4 error channel). */
-final case class EmbedderException(reason: String, cause: Throwable = null)
+/** Embedding-service failure (E1-E4 error channel). `transientFailure`
+  * marks errors worth retrying (HTTP 5xx/429); validation and client
+  * errors (empty/NaN/dimension-drift, 4xx, malformed responses) are
+  * permanent and must surface immediately — backoff cannot fix them. */
+final case class EmbedderException(reason: String, cause: Throwable = null,
+                                   transientFailure: Boolean = false)
   extends RuntimeException(reason, cause)
 
 /** HTTP embedding client with the reference's production semantics
@@ -59,6 +63,11 @@ class HttpEmbedder(val host: String, val model: String,
   /** E4: probe (and pin) the service's embedding dimension. */
   def probeDimension(): Int = embed("dimension probe").length
 
+  /** Retry policy: ONLY transient failures — connection-level
+    * IOExceptions and HTTP 5xx/429 — back off and retry. Permanent
+    * failures (E3 validation, 4xx, malformed responses) and fatal
+    * Errors (OOM) rethrow immediately: the 'fail loudly' contract
+    * must not hide behind seconds of pointless backoff. */
   override def embed(text: String): Array[Float] = {
     var attempt = 0
     var lastErr: Throwable = null
@@ -69,7 +78,9 @@ class HttpEmbedder(val host: String, val model: String,
         return validate(requestOnce(text))
       } catch {
         case e: InterruptedException => throw e
-        case e: Throwable => lastErr = e
+        case e: EmbedderException if e.transientFailure => lastErr = e
+        case e: java.io.IOException => lastErr = e // connect/read failures
+        case e: Throwable => throw e // permanent or fatal: no retry
       }
       attempt += 1
     }
@@ -86,8 +97,10 @@ class HttpEmbedder(val host: String, val model: String,
       .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
       .build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() / 100 != 2)
-      throw new EmbedderException(s"HTTP ${resp.statusCode()}: ${resp.body().take(200)}")
+    val status = resp.statusCode()
+    if (status / 100 != 2)
+      throw new EmbedderException(s"HTTP $status: ${resp.body().take(200)}",
+        transientFailure = status >= 500 || status == 429)
     HttpEmbedder.parseEmbedding(resp.body())
   }
 

@@ -227,18 +227,59 @@ object PdfParser {
   import PdfCos._
 
   /** All indirect objects, by tolerant scan + ObjStm expansion.
-    * Later direct definitions win (incremental updates append). */
+    * Later direct definitions win (incremental updates append) — but a
+    * match that falls INSIDE a stream payload is compressed-data noise,
+    * not a definition: a Flate body containing the bytes "5 0 obj" must
+    * not overwrite the real object 5 with junk (silently losing pages).
+    * A sweep in file order records each stream's payload span and drops
+    * matches inside one before either parsing pass runs. */
   def parseObjects(bytes: Array[Byte]): Map[Int, Obj] = {
     val view = new String(bytes, StandardCharsets.ISO_8859_1)
     val objPat = java.util.regex.Pattern.compile("(\\d{1,9})\\s+(\\d{1,5})\\s+obj\\b")
     val m = objPat.matcher(view)
     val objs = mutable.LinkedHashMap[Int, Obj]()
-    val lengthInts = mutable.Map[Int, Int]() // simple int objects, for /Length refs
-    val positions = mutable.ArrayBuffer[(Int, Int)]() // (objNum, bodyStart)
+    // (objNum, matchStart, bodyStart)
+    val candidates = mutable.ArrayBuffer[(Int, Int, Int)]()
     while (m.find()) {
-      positions += ((m.group(1).toInt, m.end()))
+      candidates += ((m.group(1).toInt, m.start(), m.end()))
+    }
+    // pass 0: provisional bare-integer objects from EVERY match — the
+    // sweep needs them to span streams whose /Length is an indirect ref.
+    // Junk matches can only contribute junk ints; a wrong provisional
+    // length fails endstreamNear below and falls back to the scan.
+    val lengthInts0 = mutable.Map[Int, Int]()
+    candidates.foreach { case (num, _, start) =>
+      try {
+        val lex = new PdfLexer(bytes, start)
+        lex.parseObject() match {
+          case PNum(v) if v == v.floor => lengthInts0(num) = v.toInt
+          case _ => ()
+        }
+      } catch { case _: Exception => () }
+    }
+    // sweep: accept matches in file order, skipping any that start
+    // inside the most recent accepted stream's payload
+    val positions = mutable.ArrayBuffer[(Int, Int)]() // (objNum, bodyStart)
+    var skipUntil = 0
+    candidates.foreach { case (num, matchStart, bodyStart) =>
+      if (matchStart >= skipUntil) {
+        positions += ((num, bodyStart))
+        try {
+          val lex = new PdfLexer(bytes, bodyStart)
+          lex.parseObject() match {
+            case d: PDict =>
+              streamSpanAt(bytes, view, lex, d, lengthInts0.get).foreach {
+                case (_, dataEnd) =>
+                  val endKw = view.indexOf("endstream", math.max(0, dataEnd - 2))
+                  skipUntil = if (endKw >= 0) endKw + "endstream".length else dataEnd
+              }
+            case _ => ()
+          }
+        } catch { case _: Exception => () }
+      }
     }
     // pass 1: collect bare-integer objects (stream /Length often lives there)
+    val lengthInts = mutable.Map[Int, Int]()
     positions.foreach { case (num, start) =>
       val lex = new PdfLexer(bytes, start)
       lex.skipWs()
@@ -258,26 +299,11 @@ object PdfParser {
         val obj = body match {
           case d: PDict =>
             val save = lex.pos
-            if (lex.keyword() == "stream") {
-              // EOL after 'stream': CRLF or LF
-              if (lex.pos < bytes.length && bytes(lex.pos) == '\r') lex.pos += 1
-              if (lex.pos < bytes.length && bytes(lex.pos) == '\n') lex.pos += 1
-              val dataStart = lex.pos
-              val len = d.m.get("Length") match {
-                case Some(PNum(v)) => Some(v.toInt)
-                case Some(PRef(n, _)) => lengthInts.get(n)
-                case _ => None
-              }
-              val dataEnd = len match {
-                case Some(l) if dataStart + l <= bytes.length &&
-                  endstreamNear(view, dataStart + l) => dataStart + l
-                case _ => // untrusted length: scan
-                  val idx = view.indexOf("endstream", dataStart)
-                  if (idx < 0) dataStart
-                  else trimEol(bytes, dataStart, idx)
-              }
-              PStream(d, java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
-            } else { lex.pos = save; d }
+            streamSpanAt(bytes, view, lex, d, lengthInts.get) match {
+              case Some((dataStart, dataEnd)) =>
+                PStream(d, java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd))
+              case None => lex.pos = save; d
+            }
           case o => o
         }
         objs(num) = obj // last definition wins
@@ -308,6 +334,35 @@ object PdfParser {
       case _ => ()
     }
     objs.toMap
+  }
+
+  /** If `lex` (positioned just after a parsed dict) sits on a `stream`
+    * keyword, the payload's [dataStart, dataEnd) span: trust /Length when
+    * `endstream` confirms it, else scan. `lex.pos` afterwards is
+    * unspecified — callers save/restore. */
+  private def streamSpanAt(bytes: Array[Byte], view: String, lex: PdfLexer,
+                           d: PDict, lengths: Int => Option[Int]): Option[(Int, Int)] = {
+    if (lex.keyword() != "stream") None
+    else {
+      // EOL after 'stream': CRLF or LF
+      if (lex.pos < bytes.length && bytes(lex.pos) == '\r') lex.pos += 1
+      if (lex.pos < bytes.length && bytes(lex.pos) == '\n') lex.pos += 1
+      val dataStart = lex.pos
+      val len = d.m.get("Length") match {
+        case Some(PNum(v)) => Some(v.toInt)
+        case Some(PRef(n, _)) => lengths(n)
+        case _ => None
+      }
+      val dataEnd = len match {
+        case Some(l) if dataStart + l <= bytes.length &&
+          endstreamNear(view, dataStart + l) => dataStart + l
+        case _ => // untrusted length: scan
+          val idx = view.indexOf("endstream", dataStart)
+          if (idx < 0) dataStart
+          else trimEol(bytes, dataStart, idx)
+      }
+      Some((dataStart, dataEnd))
+    }
   }
 
   private def endstreamNear(view: String, at: Int): Boolean = {

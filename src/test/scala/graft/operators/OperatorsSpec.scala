@@ -243,7 +243,7 @@ class OperatorsSpec extends SparkSpec {
     val chunks = Seq(0, 1, 2, 4, 5, 6)
       .map(i => ("d1", i, s"chunk$i " + "x" * 93))
       .toDF("docId", "chunkIndex", "content")
-    val hits = Seq(("d1", 4), ("d1", 3), ("d2", 0))
+    val hits = Seq(("d1", 4), ("d1", 3), ("d2", 0), ("d1", 50))
       .toDF("docId", "chunkIndex")
     val out = ContextExpansion.expand(hits, chunks, "docId", "chunkIndex",
       "content", window = 6, maxChars = 5000)
@@ -259,6 +259,9 @@ class OperatorsSpec extends SparkSpec {
     assert(out(("d1", 3)) === ((3, 3, 0L, "")))
     // hit on a doc with no chunks at all -> same empty-row shape
     assert(out(("d2", 0)) === ((0, 0, 0L, "")))
+    // stale hit: the doc HAS chunks but none within `window` of the hit
+    // (e.g. after chunk removal) — must NOT vanish from the output
+    assert(out(("d1", 50)) === ((50, 50, 0L, "")))
   }
 
   test("taxonomy closure: diamond polyhierarchy and depth") {

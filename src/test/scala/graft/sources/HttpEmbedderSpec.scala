@@ -11,8 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * validation failure modes (empty, non-finite, dimension drift). */
 class HttpEmbedderSpec extends AnyFunSuite {
 
-  /** Serve `responses` in sequence (last one repeats); returns host. */
-  private def withServer(responses: Seq[(Int, String)])(f: String => Unit): Unit = {
+  /** Serve `responses` in sequence (last one repeats); returns host and
+    * the served-request counter. */
+  private def withServerCount(responses: Seq[(Int, String)])
+                             (f: (String, AtomicInteger) => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val n = new AtomicInteger(0)
     server.createContext("/api/embeddings", (x: HttpExchange) => {
@@ -24,9 +26,12 @@ class HttpEmbedderSpec extends AnyFunSuite {
       x.close()
     })
     server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", n)
     finally server.stop(0)
   }
+
+  private def withServer(responses: Seq[(Int, String)])(f: String => Unit): Unit =
+    withServerCount(responses)((host, _) => f(host))
 
   private def emb(host: String) =
     new HttpEmbedder(host, "test-model", maxRetries = 2, baseBackoffMs = 1L)
@@ -47,7 +52,7 @@ class HttpEmbedderSpec extends AnyFunSuite {
     }
   }
 
-  test("E3: empty embedding rejected after exhausting retries") {
+  test("E3: empty embedding rejected") {
     withServer(Seq((200, """{"embedding":[]}"""))) { host =>
       val ex = intercept[EmbedderException](emb(host).embed("x"))
       assert(ex.getMessage.contains("dimension 0"))
@@ -91,6 +96,33 @@ class HttpEmbedderSpec extends AnyFunSuite {
     withServer(Seq((200, """{"error":"model not found"}"""))) { host =>
       val ex = intercept[EmbedderException](emb(host).embed("x"))
       assert(ex.getMessage.contains("no embedding field"))
+    }
+  }
+
+  test("permanent failures are NOT retried: 4xx throws on the first attempt") {
+    // a 200 follows the 404 — a retrying client would succeed and mask
+    // the bug; the fixed client must throw after exactly one request
+    withServerCount(Seq((404, "no such model"),
+      (200, """{"embedding":[1.0]}"""))) { (host, n) =>
+      val ex = intercept[EmbedderException](emb(host).embed("x"))
+      assert(ex.getMessage.contains("HTTP 404"))
+      assert(n.get() === 1)
+    }
+  }
+
+  test("permanent failures are NOT retried: E3 validation throws immediately") {
+    withServerCount(Seq((200, """{"embedding":[1.0,NaN]}"""),
+      (200, """{"embedding":[1.0,2.0]}"""))) { (host, n) =>
+      intercept[EmbedderException](emb(host).embed("x"))
+      assert(n.get() === 1)
+    }
+  }
+
+  test("429 is transient: retried until success") {
+    withServerCount(Seq((429, "rate limited"),
+      (200, """{"embedding":[3.0,4.0]}"""))) { (host, n) =>
+      assert(emb(host).embed("x").toSeq === Seq(3.0f, 4.0f))
+      assert(n.get() === 2)
     }
   }
 

@@ -162,6 +162,29 @@ class PdfTextExtractorSpec extends AnyFunSuite {
     assert(n === 0)
   }
 
+  test("'N G obj' bytes inside a stream payload do not overwrite real objects") {
+    // object 4 is the real content stream; object 5's PAYLOAD contains
+    // the bytes "4 0 obj (junk) endobj" — an uncompressed stand-in for a
+    // Flate body that happens to contain an object header. Last-wins
+    // without span tracking would replace object 4 with the junk and
+    // extract an empty page.
+    val content = "BT 72 720 Td (Real content survives.) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val junkPayload = "noise noise 4 0 obj\n(junk)\nendobj more noise"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val pdf = PdfFixtures.assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(StandardCharsets.ISO_8859_1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
+      PdfFixtures.streamObj("", content),
+      PdfFixtures.streamObj("", junkPayload)))
+    val objs = PdfParser.parseObjects(pdf)
+    assert(objs(4).isInstanceOf[PdfCos.PStream])
+    val (n, pages) = ex.extract(pdf)
+    assert(n === 1)
+    assert(pages.head._2.contains("Real content survives."))
+  }
+
   test("ASCII85 and ASCIIHex filter chains decode") {
     // ASCIIHex over the content bytes
     val content = "BT (Hex filtered.) Tj ET".getBytes(StandardCharsets.ISO_8859_1)
