@@ -115,6 +115,28 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
       .write.mode(SaveMode.Append).parquet(path("concept_embeddings"))
   }
 
+  /** Single-concept insert (reference taxonomy.addConcept, used by the
+    * E8 auto-accept loop) — idempotent on id, same anti-join semantics
+    * as [[seed]]. */
+  def addConcept(id: String, prefLabel: String, altLabels: Seq[String] = Nil,
+                 definition: Option[String] = None): Unit = {
+    import spark.implicits._
+    Seq((id, prefLabel, altLabels, definition))
+      .toDF("id", "prefLabel", "altLabels", "definition")
+      .join(concepts.select("id"), Seq("id"), "left_anti")
+      .write.mode(SaveMode.Append).parquet(path("concepts"))
+  }
+
+  /** S10: store/replace one concept's embedding (reference
+    * storeConceptEmbedding) — rewrite keeps exactly one vector per id. */
+  def storeConceptEmbedding(conceptId: String, embedding: Array[Float]): Unit = {
+    import spark.implicits._
+    val updated = conceptEmbeddings.filter(col("conceptId") =!= conceptId)
+      .unionByName(Seq((conceptId, embedding.toSeq))
+        .toDF("conceptId", "embedding"))
+    graft.util.TableSwap.rewrite(path("concept_embeddings"), updated)
+  }
+
   /** J3: concept ANN — same top-k operator as chunk search, with the
     * reference's threshold semantics (score = 1 - dist/2 >= minScore). */
   def findSimilarConcepts(queryVec: Array[Float], minScore: Double,

@@ -88,6 +88,30 @@ object TextEnrichment {
       .distinct.take(3).toSeq
   }
 
+  /** Content keyword extraction (AutoTagger.ts:463-495): frequency ×
+    * length-bonus scoring over stop-word-filtered words >= 4 chars; words
+    * above 10% of the text are discounted (boilerplate). Stable sort, so
+    * score ties keep first-occurrence order — same as the reference's
+    * insertion-ordered Map + stable JS sort. */
+  def extractContentKeywords(content: String, maxKeywords: Int = 5): Seq[String] = {
+    val words = content.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9\\s]", " ")
+      .split("\\s+")
+      .filter(w => w.length >= 4 &&
+        !TextFunctions.StopWords.contains(w) && !w.matches("^\\d+$"))
+    val freq = scala.collection.mutable.LinkedHashMap[String, Int]()
+    words.foreach(w => freq.update(w, freq.getOrElse(w, 0) + 1))
+    val total = math.max(1, words.length).toDouble
+    freq.toSeq
+      .map { case (w, c) =>
+        (w, c * (if (c / total > 0.1) 0.5 else 1.0) * math.min(w.length / 8.0, 1.5))
+      }
+      .sortBy(-_._2)
+      .take(maxKeywords)
+      .map(t => normalizeTag(t._1))
+      .filter(_.length >= 4)
+  }
+
   /** E9 merge: precedence LLM > path > filename > content, dedup, drop
     * short tags, cap 10 (AutoTagger.ts:1400-1410). */
   def mergeTags(llmTags: Seq[String], pathTags: Seq[String],

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Quantization, Quota, RangeJoin, Sampling, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Enrichment, Quantization, Quota, RangeJoin, Sampling, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -221,6 +221,31 @@ object PipelineQueries {
           maxLenDiff = 20).select("id_a", "id_b")
         Components.connectedComponents(pairs, "id_a", "id_b")
           .select(col("node").as("doc_id"), col("component"))
+          .orderBy("doc_id")
+      }),
+
+    // E6 heuristic enrichment tier (the fully-native fallback every
+    // LLM-backed path degrades to): title/category/summary are
+    // deterministic string transforms, so the oracle re-derives them in
+    // SQL over a synthesized "source/doc-id.md" path. A map-only stage —
+    // no shuffle at any scale. Tags/keyword scoring are covered by q34
+    // and the EnrichmentSpec unit tier.
+    Q("q58_enrich_heuristic", Some("""
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+        source AS category,
+        trim(regexp_replace(substring(text, 1, 200), '\s+', ' ', 'g')) || '...' AS summary,
+        CAST(0.3 AS DOUBLE) AS confidence
+      FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+          .as[(Long, String, String)]
+          .map { case (id, source, text) =>
+            val r = Enrichment.heuristic(s"$source/doc-$id.md", text)
+            (id, r.title, r.category, r.summary, r.confidence)
+          }
+          .toDF("doc_id", "title", "category", "summary", "confidence")
           .orderBy("doc_id")
       })
   )
