@@ -34,11 +34,12 @@ object Bench {
         "embedding", 2, maxIter = 2)
     } catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_BENCH_RUNS > 1: per-query median over that many runs —
-    // the mode for regression triage (single runs carry 0.05-0.2 s of
-    // scheduler/GC noise on short queries, see SCALE.md). Default 1 run,
-    // matching the driver's cold-ish measurement across rounds.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // Per-query MEDIAN over SPARK_GRAFT_BENCH_RUNS runs, default 3.
+    // Measured at sf0.1 (SCALE.md "Bench methodology"): single runs carry
+    // 0.05-2.3 s of scheduler/GC/first-touch noise per query — one round
+    // reported a 0.12 s filter query as 2.39 s — so medians are the only
+    // numbers stable enough to compare across rounds.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
 
     // a throwing query must be VISIBLE: its near-zero elapsed time would
     // otherwise read as a speedup in the emitted numbers

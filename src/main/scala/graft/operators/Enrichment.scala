@@ -118,11 +118,26 @@ object Enrichment {
   /** Parse an LLM enrichment response into a result with the reference's
     * per-field defaults (AutoTagger.ts:946-960): X21 code-fence/JSON
     * repair first, then field extraction — missing title falls back to
-    * X13, tags normalize and drop short ones, proposals validate. None
-    * means unparseable: the caller falls back to [[heuristic]].
-    * confidence/provider are the caller's to fill. */
+    * X13, tags normalize and drop short ones, proposals validate. An
+    * unparseable object whose tags array is still salvageable yields
+    * tags + defaults (the reference's parseJSONFromText salvage tier,
+    * AutoTagger.ts:545-568); None means nothing was salvageable and the
+    * caller falls back to [[heuristic]]. confidence/provider are the
+    * caller's to fill. */
   def parseEnrichment(raw: String, filename: String): Option[EnrichmentResult] =
-    TextEnrichment.repairLlmJson(raw).toOption.flatMap { json =>
+    (TextEnrichment.repairLlmJson(raw) match {
+      case Right(json) => Some(json)
+      case Left(salvagedTags) if salvagedTags.nonEmpty =>
+        return Some(EnrichmentResult(
+          title = TextEnrichment.cleanTitle(filename),
+          author = None, summary = "", documentType = "other",
+          category = "uncategorized",
+          tags = salvagedTags.map(TextEnrichment.normalizeTag)
+            .filter(_.length >= 2),
+          concepts = Nil, proposedConcepts = Nil,
+          confidence = 0.0, provider = ""))
+      case _ => None
+    }).flatMap { json =>
       val node = try new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(json) catch { case _: Exception => null }
       Option(node).filter(_.isObject).map { n =>

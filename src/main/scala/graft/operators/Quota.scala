@@ -46,4 +46,46 @@ object Quota {
         row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(order: _*)))
       .filter(col(rankCol) <= n)
   }
+
+  /** Token-budget quota (training-mix building): admit rows per key in
+    * `order` while the key's running token total stays <= `budget` —
+    * PREFIX admission, the SQL-window semantics: one oversized row
+    * blocks everything ranked after it in that key (deterministic;
+    * knapsack-style skipping is a different, order-unstable policy).
+    *
+    * Same two-phase shape as [[perKeyTopN]]: the partition-local
+    * running-sum pre-cap keeps a superset of the global admit set,
+    * because a row's local predecessors are a subset of its global
+    * predecessors and token counts are non-negative, so the local
+    * running total is never larger than the global one. The dominant
+    * key's exact window then sees only rows whose local prefix fit the
+    * budget, not the key's whole corpus.
+    *
+    * Output = input + `cumCol` (cumulative tokens through this row).
+    * `tokensCol` must be non-negative numeric. */
+  def perKeyTokenBudget(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                        tokensCol: String, budget: Long,
+                        cumCol: String = "cum_tokens"): DataFrame = {
+    require(keys.nonEmpty, "perKeyTokenBudget requires at least one key column")
+    require(budget > 0, "budget must be positive")
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tokIdx = schema.fieldIndex(tokensCol)
+    val localSorted = df.sortWithinPartitions(keys.map(col) ++ order: _*)
+    val preCapped = localSorted.mapPartitions { it =>
+      var prev: Seq[Any] = null
+      var run = 0L
+      it.filter { row =>
+        val k = keyIdx.map(row.get)
+        if (prev == null || k != prev) { prev = k; run = 0L }
+        run += row.get(tokIdx).asInstanceOf[Number].longValue
+        run <= budget
+      }
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    preCapped
+      .withColumn(cumCol, sum(col(tokensCol)).over(w))
+      .filter(col(cumCol) <= budget)
+  }
 }

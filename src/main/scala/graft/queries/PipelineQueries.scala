@@ -19,6 +19,14 @@ object PipelineQueries {
     Tables.events(s, d).select(col("event_id"),
       unix_micros(col("ts")).as("tus"), col("user_id"), col("event_type"))
 
+  /** SQL twins of the TextAnalysis tokenizer/stopword set (same
+    * fragments as the q31/q32 oracles — the q59 composition restates
+    * them per stage). */
+  private def toksRawSql(c: String) =
+    s"list_filter(string_split($c, ' '), x -> x <> '')"
+  private val stopwordsSql =
+    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+
   val all: Seq[Q] = Seq(
 
     // deterministic hash sampling: reproducible across runs, engines and
@@ -247,6 +255,68 @@ object PipelineQueries {
           }
           .toDF("doc_id", "title", "category", "summary", "confidence")
           .orderBy("doc_id")
+      }),
+
+    // the canonical training-mix build, end to end: exact dedup (keep
+    // min doc_id per fingerprint) -> quality gate -> per-source
+    // token-budget quota (admit by stopword-richness rank while the
+    // source's running ws-token total fits the budget). Composes q33 + q31 +
+    // q32 semantics with the two-phase budget window; every stage is
+    // map-side or a single keyed shuffle, and the dominant source never
+    // serializes its whole corpus through one window partition.
+    // stopword_ratio is a single int/int division — IEEE-identical in
+    // both engines, so it's safe as a sort key AND as output.
+    Q("q59_training_mix", Some(s"""
+      WITH fp AS (
+        SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+      q AS (
+        SELECT doc_id,
+          CASE WHEN len(t) > 0
+            THEN CAST(len(list_filter(t, x -> list_contains([${stopwordsSql}], lower(x)))) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS q,
+          CAST(len(t) AS BIGINT) AS n_words,
+          CASE WHEN len(t) > 0
+            THEN CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) ELSE 0.0 END AS avg_word_len,
+          CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) /
+            greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio
+        FROM (SELECT doc_id, text, ${toksRawSql("text")} AS t FROM documents) x),
+      base AS (
+        SELECT d.doc_id, d.source, q.q,
+          CAST(len(${toksRawSql("d.text")}) AS BIGINT) AS ws_tokens
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        WHERE d.doc_id IN (SELECT doc_id FROM canon)
+          AND q.n_words >= 10 AND q.avg_word_len >= 2.0
+          AND q.avg_word_len <= 12.0 AND q.punct_ratio <= 0.2),
+      ranked AS (
+        SELECT *, CAST(sum(ws_tokens) OVER (
+          PARTITION BY source ORDER BY q DESC, doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM base)
+      SELECT doc_id, source, q, ws_tokens, cum_tokens
+      FROM ranked WHERE cum_tokens <= 1000
+      ORDER BY source, doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val canonical = TextAnalysis.fingerprints(docs, "doc_id", "text")
+          .groupBy("fp").agg(min(col("id")).as("doc_id")).select("doc_id")
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"),
+            col("stopword_ratio").as("q"), col("keep"))
+        val toks = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"),
+            col("ws_tokens").cast("long").as("ws_tokens"))
+        val base = docs.select("doc_id", "source")
+          .join(canonical, Seq("doc_id"), "left_semi")
+          .join(quality, "doc_id").filter(col("keep") === 1).drop("keep")
+          .join(toks, "doc_id")
+        Quota.perKeyTokenBudget(base, Seq("source"),
+            Seq(desc("q"), asc("doc_id")), "ws_tokens", 1000L)
+          .select("doc_id", "source", "q", "ws_tokens", "cum_tokens")
+          .orderBy("source", "doc_id")
       })
   )
 }

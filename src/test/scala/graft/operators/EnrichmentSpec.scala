@@ -69,6 +69,15 @@ class EnrichmentSpec extends SparkSpec {
     assert(Enrichment.parseEnrichment("no json here at all", "f.pdf") === None)
   }
 
+  test("parseEnrichment: broken JSON with salvageable tags keeps the tags (reference salvage tier)") {
+    // bare unquoted value -> JSON never parses, but the tags array extracts
+    val raw = """{"title": oops!!, "tags":["Good Tag","also-good"]}"""
+    val r = Enrichment.parseEnrichment(raw, "file_one.pdf").get
+    assert(r.tags === Seq("good-tag", "also-good"))
+    assert(r.title === TextEnrichment.cleanTitle("file_one.pdf"))
+    assert(r.documentType === "other" && r.concepts.isEmpty)
+  }
+
   test("validateProposedConcepts enforces X22 id format and label brevity") {
     val ok = ProposedConcept("education/spaced-repetition", "Spaced Repetition")
     val bad = Seq(

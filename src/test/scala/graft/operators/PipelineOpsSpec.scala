@@ -213,6 +213,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.size === 8 * 5) // every key has >= 5 rows at these sizes
   }
 
+  test("perKeyTokenBudget equals the single-window form; prefix semantics") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map { i =>
+      val k = if (rnd.nextDouble() < 0.7) 0 else rnd.nextInt(8)
+      (i.toLong, k, rnd.nextInt(1000), 1L + rnd.nextInt(300))
+    }
+    val df = rows.toDF("id", "src", "score", "toks").repartition(13)
+    val got = Quota.perKeyTokenBudget(df, Seq("src"),
+      Seq(desc("score"), asc("id")), "toks", budget = 1500L)
+      .select("id", "cum_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("src").orderBy(desc("score"), asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn("cum_tokens", sum(col("toks")).over(w))
+        .filter(col("cum_tokens") <= 1500L)
+        .select("id", "cum_tokens")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got === expect)
+    assert(got.nonEmpty)
+
+    // prefix semantics: an oversized row BLOCKS later smaller rows of
+    // its key (rank order: id asc — row 2 overflows, so row 3 is out
+    // even though it alone would fit)
+    val tiny = Seq((1L, "a", 100L), (2L, "a", 950L), (3L, "a", 10L))
+      .toDF("id", "src", "toks")
+    val admitted = Quota.perKeyTokenBudget(tiny, Seq("src"), Seq(asc("id")),
+      "toks", budget = 1000L).select("id").collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L))
+  }
+
   test("quantized codes stay in int8 range; zero vector is NaN-free") {
     val df = Seq(
       (1L, Array(0.5f, -1.0f, 0.25f, 0.99f)),
