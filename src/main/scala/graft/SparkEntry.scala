@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CorpusQueries, MlQueries, PipelineQueries, Q, RelationalQueries}
+import graft.queries.{CorpusQueries, CurationQueries, MlQueries, PipelineQueries, Q, RelationalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -14,7 +14,7 @@ object SparkEntry {
 
   def allQueries: Seq[Q] =
     RelationalQueries.all ++ CorpusQueries.all ++ MlQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Hybrid search — the reference's flagship path (SURVEY.md §3.1):

@@ -139,6 +139,89 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Corpus-wide boilerplate n-grams: word n-grams occurring in at
+    * least `minDocs` DISTINCT documents (headers, footers, license
+    * blurbs, navigation chrome — the text that repeats across a crawl
+    * without being a document-level duplicate).
+    *
+    * Per-doc n-gram sets are distinct ([[graft.plans.TextSetExpressions
+    * .WordNgramSet]]), so a plain count per n-gram IS the distinct doc
+    * count — one map-only explode and one map-side-combined groupBy; no
+    * document text ever shuffles. */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocs: Long): DataFrame =
+    df.select(explode(
+        graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n)).as("ng"))
+      .groupBy("ng").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate contamination: what fraction of each
+    * doc's n-grams are corpus-wide boilerplate ([[boilerplateNgrams]]).
+    * High fractions flag template/chrome-dominated documents for
+    * removal or span-level cleaning.
+    *
+    * The corpus is scanned twice — both passes are map-only explodes
+    * (narrow, fused into the parquet scan) — rather than materializing
+    * the exploded n-gram stream, which at 100 TB would be ~10× the
+    * text size on local disk. The hot set joins back via broadcast:
+    * boilerplate n-grams are by construction few (frequency ≥ minDocs
+    * caps the set size at totalNgrams/minDocs). */
+  def boilerplateFraction(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Long): DataFrame = {
+    val hot = boilerplateNgrams(df, idCol, textCol, n, minDocs)
+      .select(col("ng"), lit(1).as("__hot"))
+    df.select(col(idCol).as("id"), explode_outer(
+        graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n)).as("ng"))
+      .join(broadcast(hot), Seq("ng"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("ng")).as("n_ngrams"),
+        coalesce(sum(col("__hot")), lit(0L)).cast("long").as("n_boiler"))
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") /
+          greatest(col("n_ngrams"), lit(1L)).cast("double"))
+  }
+
+  /** Gopher-style rule battery (Rae et al. 2021 §A1.1), the extended
+    * tier above [[qualityScore]]: per-doc metrics plus one flag per
+    * rule and the composite keep. All pure narrow string/array
+    * expressions — map-only, codegen'd, no shuffle at any scale.
+    *
+    * Rules (published Gopher thresholds):
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio (# or ellipsis) ≤ 0.1
+    *   - fraction of words with ≥1 alphabetic char ≥ 0.8
+    *   - stopword hits ≥ 2 (the "has real prose" prior)
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = tokens(col(textCol))
+    val lower_ts = tokens(lower(col(textCol)))
+    val nWords = size(ts)
+    val safeN = greatest(nWords, lit(1)).cast("double")
+    df.select(
+      col(idCol).as("id"),
+      nWords.as("n_words"),
+      (aggregate(ts, lit(0L), (acc, w) => acc + length(w)).cast("double") / safeN)
+        .as("mean_word_len"),
+      ((countMatches(col(textCol), "#") + countMatches(col(textCol), "\\.\\.\\."))
+        .cast("double") / safeN).as("symbol_ratio"),
+      (size(filter(ts, w => w.rlike("[A-Za-z]"))).cast("double") / safeN)
+        .as("alpha_word_frac"),
+      size(filter(lower_ts, w => w.isin(StopWords: _*))).as("stopword_hits"))
+      .withColumn("pass_word_count",
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int"))
+      .withColumn("pass_word_len",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).cast("int"))
+      .withColumn("pass_symbol", (col("symbol_ratio") <= 0.1).cast("int"))
+      .withColumn("pass_alpha", (col("alpha_word_frac") >= 0.8).cast("int"))
+      .withColumn("pass_stopword", (col("stopword_hits") >= 2).cast("int"))
+      .withColumn("keep",
+        (col("pass_word_count") === 1 && col("pass_word_len") === 1 &&
+          col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
+          col("pass_stopword") === 1).cast("int"))
+  }
+
   /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations over one
     * token explode — term frequencies per doc, then document frequencies
     * from the per-doc rows (never a second corpus scan). N (corpus size)

@@ -95,6 +95,64 @@ object VectorSearch {
       .select("block", "id_a", "id_b", "cos_sim")
   }
 
+  /** Embedding near-duplicate pairs with NO caller-supplied blocking
+    * key: sign-random-projection (hyperplane) LSH generates the blocks.
+    *
+    * Pipeline: one map-only pass computes a `bits`-bit SRP signature
+    * per vector ([[graft.plans.HyperplaneSignature]]); the signature
+    * splits into `numBands` byte-ish bands; vectors agreeing on ANY
+    * band become candidates via a per-band equi-join (never a
+    * cartesian product); exact cosine then verifies candidates against
+    * `threshold`. Collision probability per bit is 1-θ/π, so a
+    * 32-bit/4-band default gives ~90% recall at cos≥0.95 while a
+    * random pair passes a band at ~0.4% — the verify join stays tiny.
+    * Recall rises with more bands (more tables), precision with more
+    * bits per band; both are caller-tunable.
+    *
+    * Scale design mirrors [[Dedup.lshCandidatePairs]]: the banded rows
+    * are (id, band_key) only — vectors do NOT travel to the candidate
+    * join; the two-phase hot-bucket guard (map-side count, broadcast
+    * anti-join) drops degenerate buckets (e.g. the all-zeros signature
+    * from null-ish embeddings) before the self-join can square them;
+    * the verify stage joins vectors back for candidate ids only.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double,
+                      bits: Int = 32, numBands: Int = 4,
+                      maxBucketSize: Int = 10000): DataFrame = {
+    require(bits % numBands == 0, "bands must tile the signature")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val sig = df.select(col(idCol).as("id"),
+      graft.plans.HyperplaneSignature(col(vecCol), bits, dim).as("__sig"))
+    val keys = (0 until numBands).map { b =>
+      concat_ws("_", lit(b.toString),
+        (shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))).cast("string"))
+    }
+    // tiny (id, band_key) rows materialize once: they feed the hot-key
+    // count AND both sides of the candidate self-join
+    val banded = sig.filter(col("__sig").isNotNull)
+      .select(col("id"), explode(array(keys: _*)).as("band_key"))
+      .localCheckpoint(false)
+    val hotKeys = banded.groupBy("band_key").count()
+      .filter(col("count") > maxBucketSize)
+      .select("band_key")
+    val capped = banded.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
+    val cands = capped.select(col("band_key"), col("id").as("id_a"))
+      .join(capped.select(col("band_key"), col("id").as("id_b")), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // verify: vectors join back for candidate ids only
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    cands
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("__v", "__va"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("__v", "__vb"), "id_b")
+      .withColumn("cos_sim", CosineSimilarity(col("__va"), col("__vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Element-wise centroid (mean vector) per group.
     * Output: (groupCol, pos, centroid_val).
     *

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Decontamination, TextAnalysis, VectorSearch}
+import org.apache.spark.sql.functions._
+
+/** Round-4 corpus-curation operators: benchmark decontamination,
+  * blocking-free embedding near-dup via sign-random-projection LSH,
+  * corpus-wide boilerplate n-gram detection, and the extended
+  * Gopher-rule quality battery. Float-parity rules as in [[Q]]: every
+  * double that crosses the oracle boundary is either a single division
+  * of exact integers or a sequential-fold dot product that DuckDB's
+  * `list_dot_product` reproduces bit-for-bit.
+  */
+object CurationQueries {
+
+  private def toksSql(c: String) =
+    s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
+  private val stopwordsSql =
+    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // decontamination: train docs sharing any word 5-gram with the eval
+    // split (doc_id % 10 = 0 stands in for a benchmark set). The eval
+    // n-gram set broadcasts; train text never shuffles — one map-only
+    // explode, a broadcast join, one partial-aggregated groupBy
+    Q("q60_decontamination", Some("""
+      WITH ng AS (
+        SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ')
+                       for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS g
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      ev AS (SELECT DISTINCT unnest(g) AS ng FROM ng WHERE doc_id % 10 = 0),
+      tr AS (SELECT doc_id, unnest(g) AS ng FROM ng WHERE doc_id % 10 <> 0),
+      hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+               FROM tr JOIN ev USING (ng) GROUP BY tr.doc_id)
+      SELECT n.doc_id, CAST(len(n.g) AS BIGINT) AS n_ngrams,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(greatest(len(n.g), 1) AS DOUBLE) AS contamination,
+        CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM ng n LEFT JOIN hits h USING (doc_id)
+      WHERE n.doc_id % 10 <> 0
+      ORDER BY n.doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.contamination(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", n = 5)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      }),
+
+    // blocking-free embedding near-dup: SRP-LSH candidates -> exact
+    // cosine verify. 16 bits / 4 bands suits this corpus's low-cosine
+    // pairs (max pairwise cos ~0.5); production near-dup (cos >= 0.9)
+    // widens bands to 8 bits for a ~250x lower false-candidate rate
+    Q("q61_lsh_embedding_dups", Some("""
+      WITH hyper AS (
+        SELECT j, [CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                   THEN 1.0 ELSE -1.0 END for d in range(0, 64)] AS sv
+        FROM range(0, 16) t(j)),
+      emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      bit AS (
+        SELECT e.vec_id, h.j,
+          CASE WHEN list_dot_product(e.v, h.sv) > 0 THEN 1 ELSE 0 END AS b
+        FROM emb e CROSS JOIN hyper h),
+      sig AS (SELECT vec_id, CAST(sum(b * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS sg
+              FROM bit GROUP BY vec_id),
+      bands AS (
+        SELECT vec_id, CAST(bnd AS VARCHAR) || '_' ||
+          CAST((sg >> (bnd * 4)) & 15 AS VARCHAR) AS bk
+        FROM sig, range(0, 4) r(bnd)),
+      keep AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= 10000),
+      capped AS (SELECT bands.* FROM bands JOIN keep USING (bk)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b ON a.bk = b.bk AND a.vec_id < b.vec_id),
+      verified AS (
+        SELECT id_a, id_b,
+          list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos_sim
+        FROM cand JOIN emb x ON x.vec_id = id_a JOIN emb y ON y.vec_id = id_b)
+      SELECT id_a, id_b, cos_sim FROM verified
+      WHERE cos_sim >= 0.35
+      ORDER BY id_a, id_b"""),
+      (s, d) => VectorSearch.lshNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, threshold = 0.35,
+        bits = 16, numBands = 4, maxBucketSize = 10000)
+        .orderBy("id_a", "id_b")),
+
+    // corpus-wide boilerplate: word 2-grams in >= 40 distinct docs, and
+    // each doc's boilerplate fraction — the span-level cleanup signal
+    // exact/minhash dedup can't see (no doc-level duplicate needed)
+    Q("q62_boilerplate", Some("""
+      WITH ng AS (
+        SELECT doc_id, list_distinct([array_to_string(t[i:i+1], ' ')
+                       for i in range(1, greatest(len(t) - 1, 0) + 1)]) AS g
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      ex AS (SELECT doc_id, unnest(g) AS ng FROM ng),
+      hot AS (SELECT ng FROM ex GROUP BY ng HAVING count(*) >= 40),
+      hits AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+               FROM ex JOIN hot USING (ng) GROUP BY ex.doc_id)
+      SELECT n.doc_id, CAST(len(n.g) AS BIGINT) AS n_ngrams,
+        CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+        CAST(coalesce(h.n_boiler, 0) AS DOUBLE) / CAST(greatest(len(n.g), 1) AS DOUBLE) AS boiler_frac
+      FROM ng n LEFT JOIN hits h USING (doc_id)
+      ORDER BY n.doc_id"""),
+      (s, d) => TextAnalysis.boilerplateFraction(Tables.documents(s, d),
+        "doc_id", "text", n = 2, minDocs = 40L)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Gopher rule battery (Rae et al. 2021 A1.1): per-rule flags +
+    // composite keep. Pure map-only string/array expressions
+    Q("q63_gopher_rules", Some(s"""
+      WITH base AS (
+        SELECT doc_id, text,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t,
+          ${toksSql("text")} AS lt
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          CAST(len(t) AS INT) AS n_words,
+          CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+            / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+          CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+            / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
+          CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_word_frac,
+          CAST(len(list_filter(lt, x -> list_contains([$stopwordsSql], x))) AS INT) AS stopword_hits
+        FROM base)
+      SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, stopword_hits,
+        CAST(CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS INT) AS pass_word_count,
+        CAST(CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 10.0 THEN 1 ELSE 0 END AS INT) AS pass_word_len,
+        CAST(CASE WHEN symbol_ratio <= 0.1 THEN 1 ELSE 0 END AS INT) AS pass_symbol,
+        CAST(CASE WHEN alpha_word_frac >= 0.8 THEN 1 ELSE 0 END AS INT) AS pass_alpha,
+        CAST(CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS pass_stopword,
+        CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+          AND stopword_hits >= 2 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM m ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
+  )
+}

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.plans.HyperplaneSignature
+import org.apache.spark.sql.functions._
+
+/** Round-4 curation operators: decontamination, SRP-LSH embedding
+  * near-dup, boilerplate n-grams, Gopher rule battery. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Decontamination ----
+
+  test("contamination flags exactly the docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta unrelated tail here")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "prefix alpha beta gamma delta suffix"))
+      .toDF("doc_id", "text")
+    val out = Decontamination.contamination(train, "doc_id", "text", eval, "text", n = 4)
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 1: "alpha beta gamma delta" is shared
+    assert(byId(1L).getAs[Int]("contaminated") === 1)
+    assert(byId(2L).getAs[Int]("contaminated") === 0)
+    assert(byId(3L).getAs[Int]("contaminated") === 1)
+    // doc 2 has 6 tokens -> 3 4-grams, zero hits
+    assert(byId(2L).getAs[Long]("n_ngrams") === 3L)
+    assert(byId(2L).getAs[Long]("n_hit") === 0L)
+  }
+
+  test("contamination keeps short docs (no formable n-gram) with zero counts") {
+    val train = Seq((1L, "too short"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
+    val out = Decontamination.contamination(train, "doc_id", "text", eval, "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_ngrams"), r.getAs[Int]("contaminated"))).toMap
+    assert(out(1L) === ((0L, 0)))   // 2 tokens, no 5-gram
+    assert(out(2L) === ((1L, 1)))   // its single 5-gram is in eval
+  }
+
+  test("decontaminate drops contaminated docs and preserves columns") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon", "keepme"),
+      (2L, "one two three four five", "other")
+    ).toDF("doc_id", "text", "extra")
+    val eval = Seq((9L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = Decontamination.decontaminate(train, "doc_id", "text", eval, "text", n = 5)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "extra"))
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  // ---- HyperplaneSignature / SRP-LSH ----
+
+  test("hyperplane signature is deterministic and respects the md5 sign rule") {
+    val df = Seq((1L, Array.fill(8)(1.0f)), (2L, Array.fill(8)(1.0f)))
+      .toDF("id", "v")
+    val sigs = df.select(HyperplaneSignature(col("v"), bits = 8, dim = 8).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1)) // identical input, identical signature
+    // recompute bit 0 by hand from the md5 rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, d: Int): Double = {
+      val dg = md.digest(s"$j|$d".getBytes("UTF-8"))
+      val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+      if (h % 2 == 0) 1.0 else -1.0
+    }
+    val proj0 = (0 until 8).map(d => sign(0, d) * 1.0).sum
+    val expectedBit0 = if (proj0 > 0) 1L else 0L
+    assert((sigs(0) & 1L) === expectedBit0)
+  }
+
+  test("hyperplane signature: opposite vectors get complementary bits") {
+    val v = Array.tabulate(16)(i => (i + 1).toFloat)
+    val df = Seq((1L, v), (2L, v.map(-_))).toDF("id", "v")
+    val sigs = df.orderBy("id")
+      .select(HyperplaneSignature(col("v"), bits = 16, dim = 16).as("s"))
+      .collect().map(_.getLong(0))
+    // no projection is exactly zero for this input, so sign flips every bit
+    assert((sigs(0) ^ sigs(1)) === 0xffffL)
+  }
+
+  test("hyperplane signature NULLs on dimension mismatch") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val out = df.select(HyperplaneSignature(col("v"), bits = 8, dim = 64).as("s"))
+      .collect()
+    assert(out(0).isNullAt(0))
+  }
+
+  test("lshNearDupPairs finds identical vectors and verifies with exact cosine") {
+    val base = Array.tabulate(32)(i => math.sin(i * 1.7).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f
+    val far = Array.tabulate(32)(i => math.cos(i * 3.1).toFloat)
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "v")
+    val pairs = VectorSearch.lshNearDupPairs(df, "id", "v", dim = 32,
+      threshold = 0.99, bits = 16, numBands = 4)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("lshNearDupPairs candidates agree with the Column-level band recompute") {
+    // the signature path through bands must match a direct recompute
+    val emb = graft.Tables.embeddings(spark, sf)
+    val viaOp = VectorSearch.lshNearDupPairs(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.35, bits = 16, numBands = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force: all pairs sharing any 4-bit band of the signature
+    val sigs = emb.select(col("vec_id"),
+      HyperplaneSignature(col("embedding"), 16, 64).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if (0 until 4).exists(b => ((sa >> (b * 4)) & 15) == ((sb >> (b * 4)) & 15))
+      if cos(vecs(ia), vecs(ib)) >= 0.35
+    } yield (ia, ib)).toSet
+    assert(viaOp === expected)
+  }
+
+  // ---- Boilerplate ----
+
+  test("boilerplateNgrams counts distinct docs, not occurrences") {
+    // "x y" repeats twice inside doc 1 but counts once
+    val df = Seq(
+      (1L, "x y z x y"),
+      (2L, "x y q"),
+      (3L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val hot = TextAnalysis.boilerplateNgrams(df, "doc_id", "text", n = 2, minDocs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hot === Map("x y" -> 2L))
+  }
+
+  test("boilerplateFraction covers every doc and bounds the fraction") {
+    val df = Seq(
+      (1L, "x y z"),
+      (2L, "x y w"),
+      (3L, "ab")  // single token: no 2-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateFraction(df, "doc_id", "text", n = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_boiler"), r.getAs[Double]("boiler_frac"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
+  // ---- Gopher rules ----
+
+  test("gopherRules: each rule flips on its own violation") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      (1L, fifty + " the and of input with sample"),     // passes all
+      (2L, "short doc the and"),                          // fails word count
+      (3L, (1 to 60).map(_ => "a").mkString(" ") + " the and"), // mean word len < 3
+      (4L, fifty + " the and " + (1 to 12).map(_ => "#").mkString(" ")), // symbol ratio
+      (5L, (1 to 60).map(_ => "123").mkString(" ") + " the and")  // alpha frac
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("keep") === 1)
+    assert(out(2L).getAs[Int]("pass_word_count") === 0)
+    assert(out(3L).getAs[Int]("pass_word_len") === 0)
+    assert(out(4L).getAs[Int]("pass_symbol") === 0)
+    assert(out(5L).getAs[Int]("pass_alpha") === 0)
+    Seq(2L, 3L, 4L, 5L).foreach(id => assert(out(id).getAs[Int]("keep") === 0))
+  }
+
+  test("gopherRules: stopword rule needs two hits") {
+    val base = (1 to 55).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base + " the"), (2L, base + " the and")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("pass_stopword")).toMap
+    assert(out === Map(1L -> 0, 2L -> 1))
+  }
+}

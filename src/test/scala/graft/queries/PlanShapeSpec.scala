@@ -94,4 +94,29 @@ class PlanShapeSpec extends SparkSpec {
   test("q48: quantized top-k compiles to TakeOrderedAndProject") {
     assert(plan("q48_quantized_knn").contains("TakeOrderedAndProject"))
   }
+
+  test("q60: eval n-gram set joins via broadcast — train side never shuffles its text") {
+    val df = SparkEntry.queries("q60_decontamination")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "eval side must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q61: SRP-LSH candidate generation is an equi-join, never a cross product") {
+    val df = SparkEntry.queries("q61_lsh_embedding_dups")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "LSH must stay an equi-join:\n" + p)
+    // the hot-bucket guard is the two-phase shape: no window over band_key
+    assert(!p.contains("Window"), "hot-bucket cap must not be a window:\n" + p)
+  }
+
+  test("q63: gopher rules are map-only — no shuffle anywhere in the operator") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "gopher rules must not shuffle:\n" + p)
+  }
 }
