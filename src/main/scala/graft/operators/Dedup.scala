@@ -145,16 +145,61 @@ object Dedup {
       graft.plans.TextSetExpressions.simhash(lower(col(textCol)), bits)
         .as("simhash"))
 
+  /** Multi-table rotation blocking (Manku et al., WWW'07): table t
+    * rotates the simhash left by t·bits/numTables and blocks on the
+    * top `prefixBits` of the rotation, so each table keys on a
+    * different bit-span of the hash. A single prefix table misses any
+    * pair whose differing bits fall inside the prefix; with
+    * `numTables` disjoint spans (prefixBits ≤ bits/numTables), a pair
+    * within `maxHamming` < numTables differing bits cannot dirty every
+    * span — pigeonhole guarantees at least one table catches it, so
+    * recall is EXACT (identical output to the all-pairs hamming
+    * filter), while candidate generation stays an equi-join on ~
+    * numTables×n tiny (id, key) rows. The same two-phase hot-bucket
+    * guard as [[lshCandidatePairs]] drops degenerate buckets (e.g.
+    * near-empty docs all hashing to 0) before the self-join. */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       bits: Int = 32, prefixBits: Int = 8,
-                      maxHamming: Int = 3): DataFrame = {
-    val sh = simhashes(df, idCol, textCol, bits)
-      .withColumn("prefix", shiftright(col("simhash"), bits - prefixBits))
-      .localCheckpoint(false) // joined from both sides below
-    val l = sh.select(col("prefix"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = sh.select(col("prefix"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("prefix"))
+                      maxHamming: Int = 3, numTables: Int = 4,
+                      maxBucketSize: Int = 10000,
+                      blockCol: Option[Column] = None): DataFrame = {
+    require(bits <= 63 && prefixBits <= bits && numTables >= 1)
+    val mask = (1L << bits) - 1
+    val keys = (0 until numTables).map { t =>
+      val r = (t * bits) / numTables
+      val rot =
+        if (r == 0) col("simhash")
+        else shiftleft(col("simhash"), r)
+          .bitwiseOR(shiftright(col("simhash"), bits - r))
+          .bitwiseAND(lit(mask))
+      // an optional blocking key (source, language, shard...) prefixes
+      // every table key: near-dup detection within blocks is the
+      // standard corpus-scale scope and divides candidate volume by
+      // the block count
+      concat_ws("_",
+        (blockCol.map(_ => col("__blk")).toSeq :+ lit(t.toString) :+
+          shiftright(rot, bits - prefixBits).cast("string")): _*)
+    }
+    // tiny (id, simhash, key) rows materialize once: they feed the
+    // hot-key count AND both sides of the candidate self-join
+    val base = df.select(
+      (col(idCol).as("id") +:
+        graft.plans.TextSetExpressions.simhash(lower(col(textCol)), bits).as("simhash") +:
+        blockCol.map(_.as("__blk")).toSeq): _*)
+    val banded = base
+      .select(col("id"), col("simhash"), explode(array(keys: _*)).as("bk"))
+      .localCheckpoint(false)
+    val hotKeys = banded.groupBy("bk").count()
+      .filter(col("count") > maxBucketSize)
+      .select("bk")
+    val capped = banded.join(broadcast(hotKeys), Seq("bk"), "left_anti")
+    capped.select(col("bk"), col("id").as("id_a"), col("simhash").as("sh_a"))
+      .join(capped.select(col("bk"), col("id").as("id_b"), col("simhash").as("sh_b")),
+        Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      // dedup across tables BEFORE the hamming filter: a close pair
+      // collides in several tables and must not be scored repeatedly
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
       .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -45,4 +45,16 @@ object Sampling {
     * Non-negative (hash is an unsigned 32-bit value in a long). */
   def bucket(key: Column, outOf: Int): Column =
     portableHash32(key.cast("string")) % outOf
+
+  /** Deterministic global training order: a portable-hash rank keyed by
+    * `"<epoch>|<key>"` — the reproducible shuffle a training run needs.
+    * Same order on every engine, run, and partitioning; a different
+    * `epoch` salt yields an independent permutation (per-epoch
+    * reshuffling without RNG state). Returned as a COLUMN (plus the
+    * key as tie-break), not a sorted frame: the trainer sorts/range-
+    * partitions on it exactly once at write time, so the expensive
+    * total-order sort happens where the data is consumed, not before
+    * every intermediate stage. */
+  def trainOrder(key: Column, epoch: Int = 0): Column =
+    portableHash32(concat(lit(s"$epoch|"), key.cast("string")))
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, TextAnalysis, VectorSearch}
+import graft.operators.{Decontamination, Dedup, Quota, Sampling, TextAnalysis, VectorSearch}
 import org.apache.spark.sql.functions._
 
 /** Round-4 corpus-curation operators: benchmark decontamination,
@@ -18,6 +18,7 @@ object CurationQueries {
     s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
   private val stopwordsSql =
     graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+  private val hash32Sql = (e: String) => s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
   val all: Seq[Q] = Seq(
 
@@ -144,6 +145,121 @@ object CurationQueries {
       FROM m ORDER BY doc_id"""),
       (s, d) => TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // multi-table simhash near-dup: 4 rotated 8-bit prefix tables over
+    // a 32-bit simhash, blocked by source. prefixBits <= bits/numTables
+    // makes the table spans disjoint, so maxHamming=3 < numTables is
+    // EXACT within each block by pigeonhole — identical output to the
+    // all-pairs hamming filter — via equi-joins only (the single-prefix
+    // scheme this replaces missed any pair differing inside the prefix)
+    Q("q64_simhash_neardups", Some {
+      val sums = (0 until 32).map(b =>
+        s"SUM(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n          ")
+      val bits = (0 until 32).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, t
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u),
+      h AS (SELECT doc_id, ${hash32Sql("t")} AS hv FROM toks),
+      src AS (SELECT doc_id, source FROM documents),
+      b AS (SELECT doc_id,
+          $sums
+        FROM h GROUP BY doc_id),
+      sig AS (SELECT b.doc_id, src.source, CAST($bits AS BIGINT) AS sg
+              FROM b JOIN src ON src.doc_id = b.doc_id),
+      bands AS (
+        SELECT doc_id, sg, source || '_' || CAST(t AS VARCHAR) || '_' ||
+          CAST((((sg << (t * 8)) | (sg >> (32 - t * 8))) & 4294967295) >> 24 AS VARCHAR) AS bk
+        FROM sig, range(0, 4) r(t)),
+      keep AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= 10000),
+      capped AS (SELECT bands.* FROM bands JOIN keep USING (bk)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sg AS sh_a, b.sg AS sh_b
+        FROM capped a JOIN capped b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      ORDER BY id_a, id_b"""
+    },
+      (s, d) => Dedup.simhashDupPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = 32, prefixBits = 8, maxHamming = 3, numTables = 4,
+        maxBucketSize = 10000, blockCol = Some(col("source")))
+        .orderBy("id_a", "id_b")),
+
+    // the full curation pipeline, end to end: Gopher quality gate ->
+    // benchmark decontamination (eval = the doc_id%10 split) -> exact
+    // dedup canonicalization -> per-source token budget -> portable-
+    // hash training order (the reproducible epoch shuffle). Every
+    // stage is individually certified (q63/q60/q21/q59/q39 semantics);
+    // this certifies their composition. Map-only or single-keyed-
+    // shuffle stages throughout; the final total-order sort happens
+    // once, at the consumer
+    Q("q65_curation_pipeline", Some(s"""
+      WITH base AS (
+        SELECT doc_id, source, text,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t,
+          ${toksSql("text")} AS lt
+        FROM documents WHERE doc_id % 10 <> 0),
+      g AS (
+        SELECT doc_id FROM base WHERE
+          len(t) >= 50 AND len(t) <= 100000
+          AND CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) >= 3.0
+          AND CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) <= 10.0
+          AND CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) <= 0.1
+          AND CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) >= 0.8
+          AND len(list_filter(lt, x -> list_contains([$stopwordsSql], x))) >= 2),
+      ng AS (
+        SELECT doc_id, list_distinct([array_to_string(lt2[i:i+4], ' ')
+                       for i in range(1, greatest(len(lt2) - 4, 0) + 1)]) AS gg
+        FROM (SELECT doc_id, ${toksSql("text")} AS lt2 FROM documents)),
+      ev AS (SELECT DISTINCT unnest(gg) AS ngr FROM ng WHERE doc_id % 10 = 0),
+      dirty AS (
+        SELECT DISTINCT n.doc_id
+        FROM (SELECT doc_id, unnest(gg) AS ngr FROM ng WHERE doc_id % 10 <> 0) n
+        JOIN ev USING (ngr)),
+      clean AS (
+        SELECT b.doc_id, b.source, b.text, len(b.t) AS ws_tokens
+        FROM base b JOIN g USING (doc_id)
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM dirty)),
+      fp AS (SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+             FROM clean),
+      canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      cb AS (SELECT c.doc_id, c.source, c.ws_tokens
+             FROM clean c JOIN canon USING (doc_id)),
+      ranked AS (
+        SELECT *, CAST(sum(ws_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM cb)
+      SELECT doc_id, source, CAST(ws_tokens AS BIGINT) AS ws_tokens, cum_tokens,
+        CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS train_order
+      FROM ranked WHERE cum_tokens <= 2000
+      ORDER BY train_order, doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val eval = docs.filter(col("doc_id") % 10 === 0)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val keep = TextAnalysis.gopherRules(train, "doc_id", "text")
+          .filter(col("keep") === 1).select(col("id").as("doc_id"))
+        val kept = train.join(keep, Seq("doc_id"), "left_semi")
+        val clean = Decontamination.decontaminate(kept, "doc_id", "text",
+          eval, "text", n = 5)
+        val canon = TextAnalysis.fingerprints(clean, "doc_id", "text")
+          .groupBy("fp").agg(min(col("id")).as("doc_id")).select("doc_id")
+        val base = clean.join(canon, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.wordCount(col("text")).cast("long")
+              .as("ws_tokens"))
+        Quota.perKeyTokenBudget(base, Seq("source"), Seq(asc("doc_id")),
+            "ws_tokens", 2000L)
+          .withColumn("train_order", Sampling.trainOrder(col("doc_id")))
+          .select("doc_id", "source", "ws_tokens", "cum_tokens", "train_order")
+          .orderBy("train_order", "doc_id")
+      })
   )
 }

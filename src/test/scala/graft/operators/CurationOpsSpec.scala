@@ -130,6 +130,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(viaOp === expected)
   }
 
+  // ---- Multi-table SimHash ----
+
+  test("simhashDupPairs multi-table is EXACT at maxHamming < numTables (pigeonhole)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val viaOp = Dedup.simhashDupPairs(docs, "doc_id", "text",
+      bits = 16, prefixBits = 4, maxHamming = 1, numTables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: all pairs within hamming 1 of the 16-bit simhash
+    val sigs = Dedup.simhashes(docs, "doc_id", "text", bits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 1
+    } yield (ia, ib)).toSet
+    assert(viaOp === expected)
+  }
+
+  test("simhashDupPairs single-table misses pairs the multi-table scheme catches") {
+    // two docs whose simhashes differ in ONE bit inside the top prefix:
+    // the old single-prefix blocking can never pair them
+    val docs = graft.Tables.documents(spark, sf)
+    val multi = Dedup.simhashDupPairs(docs, "doc_id", "text",
+      bits = 16, prefixBits = 4, maxHamming = 1, numTables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Dedup.simhashDupPairs(docs, "doc_id", "text",
+      bits = 16, prefixBits = 4, maxHamming = 1, numTables = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi))
+    // on this corpus some near-pair differs inside the prefix span
+    assert(single.size < multi.size,
+      s"expected single-table recall loss, got ${single.size} == ${multi.size}")
+  }
+
   // ---- Boilerplate ----
 
   test("boilerplateNgrams counts distinct docs, not occurrences") {
@@ -157,6 +190,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1L) === ((2L, 1L, 0.5)))
     assert(out(2L) === ((2L, 1L, 0.5)))
     assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
+  // ---- trainOrder ----
+
+  test("trainOrder: deterministic, partitioning-independent, epoch-salted") {
+    val df = spark.range(0, 500).toDF("id")
+    def order(d: org.apache.spark.sql.DataFrame, epoch: Int): Seq[Long] =
+      d.withColumn("o", Sampling.trainOrder(col("id"), epoch))
+        .orderBy("o", "id").collect().map(_.getLong(0)).toSeq
+    val a = order(df, 0)
+    val b = order(df.repartition(7), 0)
+    assert(a === b)                       // partitioning-independent
+    val e1 = order(df, 1)
+    assert(a !== e1)                      // epochs permute independently
+    assert(a.toSet === e1.toSet)          // same elements, different order
   }
 
   // ---- Gopher rules ----
