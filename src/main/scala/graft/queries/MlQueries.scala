@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusteringOps, IvfIndex, Multimodal}
+import graft.operators.{ClusteringOps, IvfIndex, Multimodal, ProductQuantization}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -139,6 +139,23 @@ object MlQueries {
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
-        .orderBy("win_start", "event_type"))
+        .orderBy("win_start", "event_type")),
+
+    // product-quantized ANN (IVF-PQ's compression half): codes-only ADC
+    // scan -> TakeOrderedAndProject. Training is deterministic
+    // (sampled driver-local Lloyd's) but not reasonably expressible in
+    // ANSI SQL, so this is a rows-only driver check; the recall floor
+    // and ADC exactness properties live in ProductQuantizationSpec
+    Q("q66_pq_knn", None,
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = ProductQuantization.train(emb, "embedding", m = 8, k = 16)
+        val query = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val encoded = ProductQuantization.encode(
+          emb.filter(col("vec_id") =!= 0), "embedding", model)
+        ProductQuantization.topK(encoded, query, model, 10, tieCol = "vec_id")
+          .select("vec_id", "label", "adc_dist")
+      })
   )
 }
