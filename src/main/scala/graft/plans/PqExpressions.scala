@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, ShortType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
 /** Product-quantization expressions. The codebook/lookup table ride
   * inside the serialized expression (m×k×sub floats — 128 KiB at
@@ -111,9 +111,57 @@ case class PqAdc(child: Expression, table: Array[Array[Double]])
     copy(child = c)
 }
 
+/** ADC scoring against a PER-CELL lookup table — the IVF-PQ probe form,
+  * where codes quantize the RESIDUAL (vector − coarse centroid) and the
+  * query's table therefore differs per probed cell. `tables` holds one
+  * m×k table per probed cell (nProbe × m × k doubles — driver-built,
+  * closure-shipped). NULL for unprobed cells or code-arity mismatch. */
+case class PqAdcByCell(left: Expression, right: Expression,
+                       tables: Map[Int, Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+
+  private val m = tables.valuesIterator.next().length
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (IntegerType, ArrayType(ShortType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_by_cell needs (int cell, array<short> codes), got " +
+            s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def nullSafeEval(cell: Any, codesAny: Any): Any = {
+    tables.get(cell.asInstanceOf[Int]) match {
+      case None => null
+      case Some(table) =>
+        val codes = codesAny.asInstanceOf[ArrayData]
+        if (codes.numElements() != m) return null
+        var d = 0.0
+        var j = 0
+        while (j < m) {
+          d += table(j)(codes.getShort(j).toInt)
+          j += 1
+        }
+        d
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcByCell =
+    copy(left = l, right = r)
+}
+
 object PqExpressions {
   def pqEncode(vec: Column, codebook: Array[Array[Array[Float]]]): Column =
     GraftBridge.column(PqEncode(GraftBridge.expression(vec), codebook))
   def pqAdc(codes: Column, table: Array[Array[Double]]): Column =
     GraftBridge.column(PqAdc(GraftBridge.expression(codes), table))
+  def pqAdcByCell(cell: Column, codes: Column,
+                  tables: Map[Int, Array[Array[Double]]]): Column =
+    GraftBridge.column(PqAdcByCell(GraftBridge.expression(cell),
+      GraftBridge.expression(codes), tables))
 }
