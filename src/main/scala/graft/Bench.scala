@@ -72,7 +72,14 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             }
         }
-        (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // OUTSIDE the timer: drop materialized blocks (localCheckpoint /
+        // persist) the run left behind. Without this, 60+ queries x 3 runs
+        // accumulate checkpoint blocks in executor storage for the whole
+        // suite, and storage/GC pressure bleeds into later queries'
+        // medians (r4 measured q44 3.7x slower with identical code).
+        graft.util.Materialize.releaseAll(spark)
+        elapsed
       }.sorted
       name -> times(times.length / 2)
     }

@@ -7,6 +7,7 @@ import graft.sources.{DocumentSources, Embedder, HashingEmbedder, JvmPdfExtracto
 import graft.sources.Chunker
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** The engine facade — the Spark-native equivalent of the reference's
   * `PDFLibrary` (/root/reference/src/index.ts). Owns a warehouse
@@ -81,13 +82,13 @@ class Library(val spark: SparkSession, val warehouse: String,
         chunkRows.map(_.page).maxOption.getOrElse(0),
         content.length.toLong, fm.tags, "markdown", fm.extra)
       (doc, chunkRows)
-    }.localCheckpoint()
+    }.materializeOnce()
 
     val docRows = rows.map(_._1)
     val chunkRows = rows.flatMap(_._2)
     val embRows = chunkRows.mapPartitions { it =>
       it.map(c => Embedding(c.id, emb.embed(c.content)))
-    }.localCheckpoint() // written twice: embeddings + index delta
+    }.materializeOnce() // written twice: embeddings + index delta
 
     if (!rows.isEmpty) { // a fully-deduped batch must not touch indexes
       docRows.write.mode(SaveMode.Append).parquet(path("documents"))
@@ -111,7 +112,7 @@ class Library(val spark: SparkSession, val warehouse: String,
 
     val rows = fresh.map { case (p, size, bytes) =>
       Library.extractRow(p, size, bytes, pdfExtractor)
-    }.localCheckpoint() // see addMarkdown: immune to the append's path refresh
+    }.materializeOnce() // see addMarkdown: immune to the append's path refresh
 
     appendExtracted(rows)
   }
@@ -137,7 +138,7 @@ class Library(val spark: SparkSession, val warehouse: String,
           val rows = Seq(
             Library.extractRow(url, bytes.length.toLong, bytes, pdfExtractor,
               forcedType = Some("pdf")))
-            .toDS().localCheckpoint()
+            .toDS().materializeOnce()
           appendExtracted(rows)
         }
     }
@@ -153,7 +154,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       chunkRows.write.mode(SaveMode.Append).parquet(path("chunks"))
       val embRows = chunkRows.mapPartitions(
         it => it.map(c => Embedding(c.id, emb.embed(c.content))))
-        .localCheckpoint() // written twice: embeddings + index delta
+        .materializeOnce() // written twice: embeddings + index delta
       embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
       appendToFtsIndex(chunkRows.toDF())
       appendToVectorIndex(embRows.toDF())
@@ -397,7 +398,7 @@ class Library(val spark: SparkSession, val warehouse: String,
           prunedPostings(terms),
           spark.read.parquet(path("fts_lens")), terms)
       else {
-        val lens = Bm25.docLengths(ch, "id", "content").localCheckpoint(false)
+        val lens = Bm25.docLengths(ch, "id", "content").materializeOnce(eager = false)
         Bm25.scoreAllFromIndex(Bm25.postings(ch, "id", "content"), lens, terms)
       }
     // rank on narrow columns (ids + score + tag predicate), and fetch
@@ -449,7 +450,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     opts.expandContext match {
       case None => ranked
       case Some(maxChars) =>
-        val hits = ranked.localCheckpoint() // small: top-k rows
+        val hits = ranked.materializeOnce() // small: top-k rows
         val expanded = expandContext(
           hits.select(col("docId"), col("chunkIndex")), maxChars)
           .select(col("doc").as("docId"), col("hit_idx").as("chunkIndex"),
@@ -555,7 +556,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * documents order, mirroring the FK cascade). */
   def removeDocument(id: String): Unit = {
     val deadChunks = chunks.filter(col("docId") === id).select(col("id").as("chunkId"))
-      .localCheckpoint()
+      .materializeOnce()
     rewrite("embeddings",
       embeddings.join(deadChunks, Seq("chunkId"), "left_anti"))
     if (tableExists("fts_postings")) {

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** Full-text search as a derived postings table + BM25 ranking.
   *
@@ -70,6 +71,25 @@ object Bm25 {
     corpus.select(col(idCol).as("id"),
       size(indexTokens(col(textCol))).as("doclen"))
 
+  /** One-pass postings with DENORMALIZED doc length: `(id, term, tf,
+    * doclen)`. `doclen` rides the groupBy key (functionally dependent
+    * on `id`, so the key cardinality is unchanged — zero extra
+    * shuffle), which means a query's probe slice carries its own
+    * lengths and scoring never joins a corpus-sized lens table. This is
+    * the persisted-index write shape: at 100 TB the per-query cost of
+    * the old layout was a full `fts_lens` scan + corpus-wide join;
+    * with doclen in the postings row it is zero. Empty documents have
+    * no postings rows — corpus-level N/avgdl must come from the stats
+    * row / lens table, never from distinct postings ids. */
+  def postingsWithLen(corpus: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    corpus
+      .select(col(idCol).as("id"), indexTokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).as("doclen"),
+        explode(col("__toks")).as("term"))
+      .groupBy("id", "doclen", "term")
+      .agg(count(lit(1)).as("tf"))
+
   /** Positional postings `(id, pos, term)` — the phrase-query tier of
     * the index (FTS5 "exact phrase" support). `pos` is the 0-based
     * ordinal in the same token stream as [[postings]]. */
@@ -111,18 +131,63 @@ object Bm25 {
     */
   def search(corpus: DataFrame, idCol: String, textCol: String,
              terms: Seq[String], k: Int): DataFrame = {
-    val post = postings(corpus, idCol, textCol)
-    // materialize the (tiny) lens table: it feeds three consumers
-    // (corpus size, avgdl, per-doc length join) that would otherwise
-    // each re-tokenize the corpus
-    val lens = docLengths(corpus, idCol, textCol).localCheckpoint(false)
-    scoreFromIndex(post, lens, terms, k)
+    // one corpus-tokenize pass reduces to the TWO global numbers BM25
+    // needs (N, avgdl) — no lens table is materialized or joined; the
+    // second pass builds only the query-term hits slice, which carries
+    // its own doclen
+    val stats = docLengths(corpus, idCol, textCol)
+      .agg(count(lit(1)).as("n"), sum(col("doclen")).as("s")).head()
+    val n = stats.getLong(0)
+    val totalLen = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    val avgdl = if (n > 0) totalLen.toDouble / n.toDouble else 1.0
+    val hits = termSlice(postingsWithLen(corpus, idCol, textCol), terms)
+    scoreAllDenorm(hits, n, avgdl)
+      .orderBy(desc("bm25"), asc("id"))
+      .limit(k)
   }
 
-  /** BM25 over prebuilt index tables, unlimited: every matching doc with
-    * its score. Callers that post-filter (tags) MUST rank/limit after
-    * their filter — FTS5 semantics are global scoring, then predicate,
-    * then LIMIT (reference LibSQLDatabase.ts:426-437). */
+  /** The query-term slice of a postings table (Locale.ROOT-lowered to
+    * match the index tokenizer — default-locale lowering would miss
+    * terms under tr/az dotted-I). */
+  def termSlice(post: DataFrame, terms: Seq[String]): DataFrame =
+    post.filter(col("term")
+      .isin(terms.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
+
+  /** BM25 over a DENORMALIZED hits slice `(id, term, tf, doclen)` with
+    * precomputed corpus stats — the scale path. Every input is the
+    * pruned probe slice itself: the only shuffle is the per-doc
+    * groupBy, the only join a broadcast of |terms| df counts. */
+  def scoreAllDenorm(hits: DataFrame, n: Long, avgdl: Double): DataFrame = {
+    // document frequency per query term (tiny: |terms| rows -> broadcast)
+    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val tfNorm = (col("tf").cast("double") * (K1 + 1)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1 - B) + lit(B) * col("doclen").cast("double") / avgdl))
+    hits
+      .join(broadcast(dfs), "term")
+      .withColumn("term_score", idf * tfNorm)
+      .groupBy("id")
+      // deterministic accumulation: per-term scores are IEEE-exact
+      // scalar doubles, but a double SUM is partition-order-sensitive —
+      // fold in term order instead (collect the tiny per-doc term list,
+      // sort, left-fold). Bit-identical to DuckDB's
+      // list_dot_product(list(score ORDER BY term), ones) per the
+      // project's verified parity rule.
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("term_score")))),
+        lit(0.0), (acc, x) => acc + x.getField("term_score")).as("bm25"))
+  }
+
+  /** BM25 over prebuilt NON-denormalized index tables `(id, term, tf)` +
+    * `(id, doclen)`, unlimited: every matching doc with its score. The
+    * legacy shape — it pays a corpus-sized lens join per query; new
+    * index writes use [[postingsWithLen]] + a stats row and score via
+    * [[scoreAllDenorm]] instead. Callers that post-filter (tags) MUST
+    * rank/limit after their filter — FTS5 semantics are global scoring,
+    * then predicate, then LIMIT (reference LibSQLDatabase.ts:426-437). */
   def scoreAllFromIndex(post: DataFrame, lens: DataFrame,
                         terms: Seq[String]): DataFrame = {
     // corpus size and total length in ONE job over the lens table (a
@@ -131,35 +196,7 @@ object Bm25 {
     val n = stats.getLong(0)
     val totalLen = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val avgdl = if (n > 0) totalLen.toDouble / n.toDouble else 1.0
-
-    val hits = post.filter(col("term")
-      .isin(terms.map(_.toLowerCase(java.util.Locale.ROOT)): _*))
-    // document frequency per query term (tiny: |terms| rows -> broadcast)
-    val dfs = hits.groupBy("term").agg(count(lit(1)).as("df"))
-
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df").cast("double") + 0.5) /
-        (col("df").cast("double") + 0.5))
-    val tfNorm = (col("tf").cast("double") * (K1 + 1)) /
-      (col("tf").cast("double") +
-        lit(K1) * (lit(1 - B) + lit(B) * col("doclen").cast("double") / avgdl))
-
-    hits
-      .join(broadcast(dfs), "term")
-      .join(lens, "id")
-      .withColumn("term_score", idf * tfNorm)
-      .groupBy("id")
-      // deterministic accumulation: per-term scores are IEEE-exact
-      // scalar doubles, but a double SUM is partition-order-sensitive —
-      // fold in term order instead (collect the tiny per-doc term list,
-      // sort, left-fold). Bit-identical to DuckDB's
-      // list_dot_product(list(score ORDER BY term), ones) per the
-      // project's verified parity rule; a decimal cast of the computed
-      // double would round differently across engines (shortest-string
-      // vs exact-binary) and collapse sub-1e-9 score gaps into ties.
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("term"), col("term_score")))),
-        lit(0.0), (acc, x) => acc + x.getField("term_score")).as("bm25"))
+    scoreAllDenorm(termSlice(post, terms).join(lens, "id"), n, avgdl)
   }
 
   /** Ranked top-k over prebuilt index tables. */

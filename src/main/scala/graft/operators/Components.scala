@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** Connected components over an undirected edge list — the step that
   * turns near-duplicate PAIRS (MinHash/SimHash/n-gram verify output)
@@ -29,10 +30,10 @@ object Components {
     val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
-      .localCheckpoint(false) // reused every round
+      .materializeOnce(eager = false) // reused every round
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(false)
+      .materializeOnce(eager = false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -40,7 +41,7 @@ object Components {
         .select(sym("a").as("node"), col("component"))
       val next = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint() // eager: materialize before the change count
+        .materializeOnce() // eager: materialize before the change count
       changed = next.alias("n")
         .join(labels.alias("o"), Seq("node"))
         .filter(col("n.component") =!= col("o.component"))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -79,7 +80,7 @@ object Dedup {
     // materialize the (tiny) banded keys before the self-join: a join's
     // two branches would otherwise each recompute the full signature scan
     val banded = sig.select(col("id"), explode(array(keys: _*)).as("band_key"))
-      .localCheckpoint(false)
+      .materializeOnce(eager = false)
     // two-phase hot-bucket guard: a window over band_key would shuffle
     // EVERY banded row into per-key partitions just to count them — the
     // 100M-row boilerplate bucket the cap exists to drop would land on
@@ -107,7 +108,7 @@ object Dedup {
     // for the whole corpus (the join can't push ids below the barrier).
     // The (tiny) pair list materializes once: it feeds the id semi-join
     // and both sides of the verify join
-    val p = pairs.localCheckpoint(false)
+    val p = pairs.materializeOnce(eager = false)
     val pairIds = p.select(col("id_a").as("id"))
       .unionByName(p.select(col("id_b").as("id")))
       .distinct()
@@ -116,7 +117,7 @@ object Dedup {
       .join(pairIds, Seq("id"), "left_semi")
       .select(col("id"),
         graft.plans.TextSetExpressions.shingleSet(lower(col(textCol)), shingleK).as("sh"))
-      .localCheckpoint(false)
+      .materializeOnce(eager = false)
     p
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -180,15 +181,27 @@ object Dedup {
         (blockCol.map(_ => col("__blk")).toSeq :+ lit(t.toString) :+
           shiftright(rot, bits - prefixBits).cast("string")): _*)
     }
+    // the block value is hashed (after a NULL sentinel) before keying:
+    // concat_ws SKIPS a null argument, which would have collapsed
+    // null-block docs into unblocked keys that pair across blocks, and
+    // a raw block value containing '_' could alias keys across tables.
+    // The numeric hash has neither failure mode, and the oracle SQL
+    // applies the identical md5-derived hash for parity.
+    def blockKey(c: Column): Column = {
+      import graft.functions.TextFunctions.portableHash32
+      // \u0001 sentinel: cannot appear in a real block label, so NULL
+      // blocks get their own bucket instead of merging with "" blocks
+      portableHash32(coalesce(c.cast("string"), lit("\u0001"))).cast("string")
+    }
     // tiny (id, simhash, key) rows materialize once: they feed the
     // hot-key count AND both sides of the candidate self-join
     val base = df.select(
       (col(idCol).as("id") +:
         graft.plans.TextSetExpressions.simhash(lower(col(textCol)), bits).as("simhash") +:
-        blockCol.map(_.as("__blk")).toSeq): _*)
+        blockCol.map(c => blockKey(c).as("__blk")).toSeq): _*)
     val banded = base
       .select(col("id"), col("simhash"), explode(array(keys: _*)).as("bk"))
-      .localCheckpoint(false)
+      .materializeOnce(eager = false)
     val hotKeys = banded.groupBy("bk").count()
       .filter(col("count") > maxBucketSize)
       .select("bk")
@@ -220,7 +233,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"), blockCol.as("block"),
       len.as("len"),
       graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n).as("ng"))
-      .localCheckpoint(false) // n-gram arrays join from both pair sides
+      .materializeOnce(eager = false) // n-gram arrays join from both pair sides
     val l = sets.select(col("block"), col("id").as("id_a"),
       col("len").as("len_a"), col("ng").as("ng_a"))
     val r = sets.select(col("block"), col("id").as("id_b"),

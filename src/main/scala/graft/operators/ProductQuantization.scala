@@ -57,6 +57,8 @@ object ProductQuantization {
   def train(df: DataFrame, vecCol: String, m: Int, k: Int,
             seed: Long = 42L, maxIter: Int = 20,
             trainSample: Int = 65536): PqModel = {
+    require(k >= 1 && k <= Short.MaxValue,
+      s"k=$k out of range: codes are stored as shorts (k <= ${Short.MaxValue})")
     val sample = df
       .select(col(vecCol).as("__v"))
       .where(col("__v").isNotNull)
@@ -179,6 +181,12 @@ object ProductQuantization {
   def topK(df: DataFrame, query: Seq[Float], model: PqModel, k: Int,
            tieCol: String): DataFrame =
     df.withColumn("adc_dist", adcDistance(col("pq_codes"), query, model))
+      // NULL adc_dist marks a row whose vector was null/dim-mismatched at
+      // encode time (PqEncode's quarantine contract). Ascending sort is
+      // NULLS FIRST, which would put exactly those corrupt rows at the
+      // top of the k — drop them before the sort (the filter keeps the
+      // sort+limit eligible for TakeOrderedAndProject).
+      .filter(col("adc_dist").isNotNull)
       .orderBy(asc("adc_dist"), asc(tieCol))
       .limit(k)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** SKOS-style taxonomy graph operators.
   *
@@ -50,7 +51,7 @@ object Taxonomy {
         .select(col("f.node").as("node"), col("b.ancestor").as("ancestor"))
         .distinct() // collapse duplicate same-length paths (diamonds)
       val next = (if (acyclic) stepped else stepped.except(closure))
-        .localCheckpoint() // truncate lineage: loop plans grow exponentially otherwise
+        .materializeOnce() // truncate lineage: loop plans grow exponentially otherwise
       frontier = next
       closure = closure.unionByName(next)
       depth += 1

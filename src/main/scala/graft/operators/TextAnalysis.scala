@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** Corpus text analysis: language ID, quality scoring, token counting,
   * fingerprinting. Pure narrow transformations (no shuffle) — at 100 TB
@@ -125,7 +126,7 @@ object TextAnalysis {
     // one corpus scan: group first (small result), derive the total from
     // the grouped counts instead of a second explode pass
     val counts = words.groupBy("word").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .materializeOnce(eager = false)
     // coalesce: sum over an empty frame is null, and an all-stop-word
     // corpus must yield an empty result, not an NPE
     val total = math.max(1L,
@@ -163,16 +164,26 @@ object TextAnalysis {
     * The corpus is scanned twice — both passes are map-only explodes
     * (narrow, fused into the parquet scan) — rather than materializing
     * the exploded n-gram stream, which at 100 TB would be ~10× the
-    * text size on local disk. The hot set joins back via broadcast:
-    * boilerplate n-grams are by construction few (frequency ≥ minDocs
-    * caps the set size at totalNgrams/minDocs). */
+    * text size on local disk. The hot set joins back via broadcast by
+    * default: frequency ≥ minDocs caps the set size at
+    * totalNgrams/minDocs, which for sane thresholds (minDocs in the
+    * hundreds over a crawl) is broadcast-sized.
+    *
+    * With a SMALL minDocs over a 100 TB corpus that bound is billions
+    * of n-grams — far past broadcast range. Pass
+    * `broadcastHot = false` there: the hot set then joins via a
+    * regular shuffle join on `ng` (same result, corpus-sized shuffle of
+    * (id, ng) pairs — the honest cost of a hot set that big), exactly
+    * the fallback [[Decontamination]] documents for oversized eval
+    * sets. */
   def boilerplateFraction(df: DataFrame, idCol: String, textCol: String,
-                          n: Int, minDocs: Long): DataFrame = {
+                          n: Int, minDocs: Long,
+                          broadcastHot: Boolean = true): DataFrame = {
     val hot = boilerplateNgrams(df, idCol, textCol, n, minDocs)
       .select(col("ng"), lit(1).as("__hot"))
     df.select(col(idCol).as("id"), explode_outer(
         graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n)).as("ng"))
-      .join(broadcast(hot), Seq("ng"), "left")
+      .join(if (broadcastHot) broadcast(hot) else hot, Seq("ng"), "left")
       .groupBy("id")
       .agg(
         count(col("ng")).as("n_ngrams"),
@@ -230,7 +241,7 @@ object TextAnalysis {
     val tf = df
       .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false) // reused: df counts + join back
+      .materializeOnce(eager = false) // reused: df counts + join back
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.select(col(idCol)).distinct().count().toDouble
     tf.join(dfreq, "term")

@@ -3,6 +3,7 @@ package graft.operators
 import graft.plans.CosineSimilarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** Vector similarity search over an `ArrayType(FloatType)` column.
   *
@@ -133,7 +134,7 @@ object VectorSearch {
     // count AND both sides of the candidate self-join
     val banded = sig.filter(col("__sig").isNotNull)
       .select(col("id"), explode(array(keys: _*)).as("band_key"))
-      .localCheckpoint(false)
+      .materializeOnce(eager = false)
     val hotKeys = banded.groupBy("band_key").count()
       .filter(col("count") > maxBucketSize)
       .select("band_key")

@@ -27,6 +27,10 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
 
   private val m = codebook.length
   private val sub = codebook(0)(0).length
+  // codes are stored as shorts; a codebook trained with k > 32767 would
+  // silently wrap indices and corrupt every encoded vector
+  require(codebook.forall(_.length <= Short.MaxValue),
+    s"PQ codebook k must be <= ${Short.MaxValue} to fit short codes")
 
   override def dataType: DataType = ArrayType(ShortType, containsNull = false)
   override def nullable: Boolean = true

@@ -163,14 +163,17 @@ object CurationQueries {
         SELECT DISTINCT doc_id, t
         FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u),
       h AS (SELECT doc_id, ${hash32Sql("t")} AS hv FROM toks),
-      src AS (SELECT doc_id, source FROM documents),
+      src AS (SELECT doc_id,
+          CAST(${hash32Sql("coalesce(source, chr(1))")} AS VARCHAR) AS blk
+        FROM documents),
       b AS (SELECT doc_id,
           $sums
         FROM h GROUP BY doc_id),
-      sig AS (SELECT b.doc_id, src.source, CAST($bits AS BIGINT) AS sg
+      sig AS (SELECT b.doc_id, src.blk, CAST($bits AS BIGINT) AS sg
               FROM b JOIN src ON src.doc_id = b.doc_id),
       bands AS (
-        SELECT doc_id, sg, source || '_' || CAST(t AS VARCHAR) || '_' ||
+        -- blk mirrors Spark's hashed+NULL-sentinel block key (Dedup.blockKey)
+        SELECT doc_id, sg, blk || '_' || CAST(t AS VARCHAR) || '_' ||
           CAST((((sg << (t * 8)) | (sg >> (32 - t * 8))) & 4294967295) >> 24 AS VARCHAR) AS bk
         FROM sig, range(0, 4) r(t)),
       keep AS (SELECT bk FROM bands GROUP BY bk HAVING COUNT(*) <= 10000),
