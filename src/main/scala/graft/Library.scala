@@ -315,9 +315,30 @@ class Library(val spark: SparkSession, val warehouse: String,
     * probe prunes to a few buckets. */
   def rebuildFtsIndex(): Unit = {
     val ch = chunks
-    writeFtsPostings(Bm25.postings(ch, "id", "content"), SaveMode.Overwrite)
+    writeFtsPostings(Bm25.postingsWithLen(ch, "id", "content"), SaveMode.Overwrite)
+    // lens stays as the per-doc source of truth for stats rebuilds and
+    // N/avgdl (empty docs have no postings rows but DO count toward N)
     Bm25.docLengths(ch, "id", "content").write
       .mode(SaveMode.Overwrite).parquet(path("fts_lens"))
+    writeFtsStats(spark.read.parquet(path("fts_lens")), SaveMode.Overwrite)
+  }
+
+  /** The BM25 global stats row(s): each index write appends its batch's
+    * `(n_docs, total_len)`; readers sum. Keeps N/avgdl an O(#writes)
+    * read instead of the full `fts_lens` scan every query paid before
+    * (at corpus scale that scan + the corpus-wide doclen join were the
+    * per-query bottleneck). */
+  private def writeFtsStats(lensBatch: DataFrame, mode: SaveMode): Unit =
+    lensBatch.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("doclen")), lit(0L)).as("total_len"))
+      .coalesce(1)
+      .write.mode(mode).parquet(path("fts_stats"))
+
+  private def readFtsStats(): (Long, Long) = {
+    val r = spark.read.parquet(path("fts_stats"))
+      .agg(coalesce(sum(col("n_docs")), lit(0L)),
+        coalesce(sum(col("total_len")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Persisted-postings layout: hive-partitioned on the term's hash
@@ -346,15 +367,20 @@ class Library(val spark: SparkSession, val warehouse: String,
   }
 
   /** A warehouse written before term-bucketing has flat (id, term, tf)
-    * postings; every current code path (probe filter, bucketed append,
-    * partitioned rewrite/export) assumes the `__tb` hive layout, and a
-    * bucketed append NEXT TO flat files would produce a mixed directory
-    * Spark cannot read. One rebuild from the chunks table upgrades the
-    * layout in place; detection is a schema peek, no data read. */
+    * postings; one written before doclen denormalization lacks the
+    * `doclen` postings column and the `fts_stats` table. Every current
+    * code path (probe filter, bucketed append, partitioned rewrite/
+    * export, denormalized scoring) assumes the current layout, and an
+    * append in the new shape NEXT TO old files would produce a mixed
+    * directory Spark cannot read consistently. One rebuild from the
+    * chunks table upgrades the layout in place; detection is a schema
+    * peek, no data read. */
   private def migrateLegacyFtsLayout(): Unit =
-    if (tableExists("fts_postings") &&
-      !spark.read.parquet(path("fts_postings")).columns.contains("__tb"))
-      rebuildFtsIndex()
+    if (tableExists("fts_postings") && {
+      val cols = spark.read.parquet(path("fts_postings")).columns
+      !cols.contains("__tb") || !cols.contains("doclen") ||
+        !tableExists("fts_stats")
+    }) rebuildFtsIndex()
 
   /** The IVF layout cannot absorb appends (cell files are closed), so
     * any embedding mutation invalidates it — search falls back to the
@@ -374,10 +400,12 @@ class Library(val spark: SparkSession, val warehouse: String,
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
       migrateLegacyFtsLayout()
-      writeFtsPostings(Bm25.postings(newChunks, "id", "content"),
+      writeFtsPostings(Bm25.postingsWithLen(newChunks, "id", "content"),
         SaveMode.Append)
-      Bm25.docLengths(newChunks, "id", "content").write
-        .mode(SaveMode.Append).parquet(path("fts_lens"))
+      val batchLens = Bm25.docLengths(newChunks, "id", "content")
+        .materializeOnce(eager = false) // written twice: lens + stats row
+      batchLens.write.mode(SaveMode.Append).parquet(path("fts_lens"))
+      writeFtsStats(batchLens, SaveMode.Append)
     }
 
   /** BM25 full-text search over chunk contents (J2/K4 shape). Uses the
@@ -393,11 +421,14 @@ class Library(val spark: SparkSession, val warehouse: String,
     // limit — limiting before the tag join would let untagged top
     // scorers crowd out every tagged match
     val hits =
-      if (tableExists("fts_postings"))
-        Bm25.scoreAllFromIndex(
-          prunedPostings(terms),
-          spark.read.parquet(path("fts_lens")), terms)
-      else {
+      if (tableExists("fts_postings")) {
+        // the scale path: stats from the O(#writes) stats table, doclen
+        // from the probe slice itself — NO fts_lens scan or join
+        val (n, totalLen) = readFtsStats()
+        val avgdl = if (n > 0) totalLen.toDouble / n.toDouble else 1.0
+        Bm25.scoreAllDenorm(
+          Bm25.termSlice(prunedPostings(terms), terms), n, avgdl)
+      } else {
         val lens = Bm25.docLengths(ch, "id", "content").materializeOnce(eager = false)
         Bm25.scoreAllFromIndex(Bm25.postings(ch, "id", "content"), lens, terms)
       }
