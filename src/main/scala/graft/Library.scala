@@ -170,7 +170,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     migrateLegacyFtsLayout()
     val tables = Seq("documents", "chunks", "embeddings",
       "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
-      "embeddings_ivf", "embeddings_ivf_meta",
+      "fts_stats", "embeddings_ivf", "embeddings_ivf_meta",
       "concepts", "hierarchy", "relations", "doc_concepts",
       "concept_embeddings")
     val partCols = Map("embeddings_ivf" -> "__cell", "fts_postings" -> "__tb")
@@ -374,13 +374,19 @@ class Library(val spark: SparkSession, val warehouse: String,
     * append in the new shape NEXT TO old files would produce a mixed
     * directory Spark cannot read consistently. One rebuild from the
     * chunks table upgrades the layout in place; detection is a schema
-    * peek, no data read. */
-  private def migrateLegacyFtsLayout(): Unit =
-    if (tableExists("fts_postings") && {
+    * peek, no data read. Returns true iff a rebuild ran — callers that
+    * were about to append a batch already present in `chunks` (ingest
+    * writes chunks first) must skip their append, or the rebuild's
+    * full-corpus pass plus the append double-counts the batch. */
+  private def migrateLegacyFtsLayout(): Boolean = {
+    val stale = tableExists("fts_postings") && {
       val cols = spark.read.parquet(path("fts_postings")).columns
       !cols.contains("__tb") || !cols.contains("doclen") ||
         !tableExists("fts_stats")
-    }) rebuildFtsIndex()
+    }
+    if (stale) rebuildFtsIndex()
+    stale
+  }
 
   /** The IVF layout cannot absorb appends (cell files are closed), so
     * any embedding mutation invalidates it — search falls back to the
@@ -399,13 +405,18 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
-      migrateLegacyFtsLayout()
-      writeFtsPostings(Bm25.postingsWithLen(newChunks, "id", "content"),
-        SaveMode.Append)
-      val batchLens = Bm25.docLengths(newChunks, "id", "content")
-        .materializeOnce(eager = false) // written twice: lens + stats row
-      batchLens.write.mode(SaveMode.Append).parquet(path("fts_lens"))
-      writeFtsStats(batchLens, SaveMode.Append)
+      // a migration rebuild runs over the chunks table, which ALREADY
+      // holds this batch (ingest writes chunks before indexing) — the
+      // rebuild indexed it, so appending again would duplicate its
+      // postings/lens rows and double-count fts_stats
+      if (!migrateLegacyFtsLayout()) {
+        writeFtsPostings(Bm25.postingsWithLen(newChunks, "id", "content"),
+          SaveMode.Append)
+        val batchLens = Bm25.docLengths(newChunks, "id", "content")
+          .materializeOnce(eager = false) // written twice: lens + stats row
+        batchLens.write.mode(SaveMode.Append).parquet(path("fts_lens"))
+        writeFtsStats(batchLens, SaveMode.Append)
+      }
     }
 
   /** BM25 full-text search over chunk contents (J2/K4 shape). Uses the
@@ -422,6 +433,10 @@ class Library(val spark: SparkSession, val warehouse: String,
     // scorers crowd out every tagged match
     val hits =
       if (tableExists("fts_postings")) {
+        // migrate BEFORE reading stats: a pre-doclen warehouse has no
+        // fts_stats table yet, and readFtsStats would throw rather than
+        // upgrade in place (prunedPostings migrates too, but runs later)
+        migrateLegacyFtsLayout()
         // the scale path: stats from the O(#writes) stats table, doclen
         // from the probe slice itself — NO fts_lens scan or join
         val (n, totalLen) = readFtsStats()
@@ -596,6 +611,10 @@ class Library(val spark: SparkSession, val warehouse: String,
         .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
       rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
         .join(deadChunks.withColumnRenamed("chunkId", "id"), Seq("id"), "left_anti"))
+      // stats must track the rewritten lens or every later search
+      // scores with stale N/avgdl (the denormalized layout's one
+      // invariant: fts_stats == agg(fts_lens) at all times)
+      writeFtsStats(spark.read.parquet(path("fts_lens")), SaveMode.Overwrite)
     }
     rewrite("chunks", chunks.filter(col("docId") =!= id))
     rewrite("documents", documents.filter(col("id") =!= id))
@@ -636,6 +655,8 @@ class Library(val spark: SparkSession, val warehouse: String,
           .join(live, Seq("id"), "left_semi"))
         rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
           .join(live, Seq("id"), "left_semi"))
+        // same invariant as removeDocument: stats follow the lens
+        writeFtsStats(spark.read.parquet(path("fts_lens")), SaveMode.Overwrite)
       }
     }
     if (nOC > 0 || nOE > 0) invalidateVectorIndex()

@@ -2,7 +2,7 @@ package graft
 
 import graft.model.SearchOptions
 import java.nio.file.Files
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** End-to-end facade test: ingest markdown -> hybrid search -> expand ->
   * doc ops — the reference's minimum end-to-end slice (SURVEY.md §7.1
@@ -130,9 +130,21 @@ class LibrarySpec extends SparkSpec {
     l.addMarkdown(Seq(
       ("/c.md", "# C\n" + ("persimmon content arrives after the build. " * 10))).toDS())
     assert(l.ftsSearch("persimmon", opts).collect().nonEmpty)
-    // __tb stayed a hive partition column, not a data column
+    // __tb stayed a hive partition column, not a data column; doclen is
+    // denormalized into the postings row (the no-lens-join scale path)
     assert(spark.read.parquet(s"$wh/fts_postings").columns.toSet ===
-      Set("id", "term", "tf", "__tb"))
+      Set("id", "term", "tf", "doclen", "__tb"))
+    // the O(#writes) stats table exists and matches the lens table —
+    // N counts ALL docs (empty ones have no postings rows but do count)
+    val st = spark.read.parquet(s"$wh/fts_stats")
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("total_len")).head()
+    val lens = spark.read.parquet(s"$wh/fts_lens")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum("doclen")).head()
+    assert(st.getLong(0) === lens.getLong(0))
+    assert(st.getLong(1) === lens.getLong(1))
   }
 
   test("duplicate paths within one ingest batch collapse to one document") {
@@ -236,6 +248,67 @@ class LibrarySpec extends SparkSpec {
       .select("id").collect().map(_.getString(0)).toSet
     assert(postIds.subsetOf(liveIds), "postings reference deleted chunks")
     assert(lenIds === liveIds, "lens out of sync with chunks")
+    assertFtsStatsMatchLens(wh)
+  }
+
+  /** The denormalized layout's invariant: fts_stats == agg(fts_lens). */
+  private def assertFtsStatsMatchLens(wh: String): Unit = {
+    val st = spark.read.parquet(s"$wh/fts_stats")
+      .agg(sum("n_docs"), sum("total_len")).head()
+    val lens = spark.read.parquet(s"$wh/fts_lens")
+      .agg(count(lit(1)), sum("doclen")).head()
+    assert(st.getLong(0) === lens.getLong(0), "fts_stats n_docs stale vs lens")
+    assert(st.getLong(1) === lens.getLong(1), "fts_stats total_len stale vs lens")
+  }
+
+  test("removeDocument refreshes fts_stats so later BM25 N/avgdl are live") {
+    val wh = Files.createTempDirectory("graft-wh-rmstats").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("alpha searchable content with unique tokens. " * 10)),
+      ("/b.md", "# B\n" + ("beta searchable content with other tokens. " * 10))).toDS())
+    l.rebuildFtsIndex()
+    l.removeDocument(Library.docId("/a.md"))
+    assertFtsStatsMatchLens(wh)
+    // and the surviving doc still ranks (search runs on live stats)
+    assert(l.ftsSearch("beta", SearchOptions(limit = 5)).collect().nonEmpty)
+  }
+
+  test("pre-doclen warehouse migrates in place on first ftsSearch") {
+    val wh = Files.createTempDirectory("graft-wh-legacy").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("cardamom flavored legacy content here. " * 10))).toDS())
+    l.rebuildFtsIndex()
+    val expected = l.ftsSearch("cardamom", SearchOptions(limit = 5)).collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"))).toSeq
+    // downgrade to the pre-round-5 layout: flat postings (no __tb, no
+    // doclen), no fts_stats — what any older warehouse on disk looks like
+    val flat = operators.Bm25.postings(l.chunks, "id", "content")
+    graft.util.TableSwap.rewrite(s"$wh/fts_postings", flat)
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/fts_stats"))
+    val got = l.ftsSearch("cardamom", SearchOptions(limit = 5)).collect()
+      .map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"))).toSeq
+    assert(got === expected, "legacy warehouse search diverged after migration")
+    assertFtsStatsMatchLens(wh)
+  }
+
+  test("migration during a batch append does not double-index the batch") {
+    val wh = Files.createTempDirectory("graft-wh-dblapp").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/a.md", "# A\n" + ("first batch content tokens for the index. " * 10))).toDS())
+    l.rebuildFtsIndex()
+    // downgrade: drop fts_stats so the NEXT append triggers migration
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/fts_stats"))
+    l.addMarkdown(Seq(
+      ("/b.md", "# B\n" + ("second batch content tokens arriving later. " * 10))).toDS())
+    // the rebuild already covered batch B (chunks are written first);
+    // a naive append would duplicate every (id, term) row of B
+    val post = spark.read.parquet(s"$wh/fts_postings")
+    assert(post.groupBy("id", "term").count().filter(col("count") > 1).count() === 0,
+      "duplicate postings rows after migration-during-append")
+    assertFtsStatsMatchLens(wh)
   }
 
   test("exportTo copies the whole warehouse including taxonomy tables") {
