@@ -10,16 +10,34 @@ import graft.util.Materialize.MatOps
   * document per cluster. Without it, pairwise dedup leaks: A~B and B~C
   * dropping B still keeps both A and C.
   *
-  * Iterative min-label propagation (the standard Pregel formulation,
-  * no graph library needed): every node starts labeled with itself;
-  * each round, a node adopts the minimum label among itself and its
-  * neighbors; fixpoint = component-minimum everywhere. Rounds needed =
-  * graph diameter — near-dup clusters are small and dense (diameter a
-  * handful), so this converges in a few shuffles even when the PAIR
-  * list is huge. Each round is one equi-join + one aggregation on the
-  * node id; per-round `localCheckpoint` keeps the plan flat and the
-  * convergence check (a changed-label count) rides on the materialized
-  * result.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+  * rewrites the edge set with two local operations that preserve
+  * connectivity while monotonically flattening it toward a forest of
+  * depth-1 stars whose root is the component minimum:
+  *
+  *  - large-star(u): every neighbor LARGER than u re-attaches to
+  *    m = min(N(u) ∪ {u});
+  *  - small-star(u): u and its smaller neighbors all attach to their
+  *    minimum.
+  *
+  * Convergence is O(log² n) rounds worst-case and ~log n in practice —
+  * crucially INDEPENDENT of component diameter, unlike min-label
+  * propagation (O(diameter) rounds), which a chain-shaped component
+  * (crawl mirrors, citation chains) can push past any fixed round
+  * budget. Per round: two groupBy+join passes over the edge set, one
+  * lazy materialization, and ONE action that both materializes the new
+  * edge set and measures it (count + order-independent checksum) — the
+  * convergence check rides the materializing job instead of running as
+  * a second per-round action.
+  *
+  * Termination is verified structurally, not just by the checksum: the
+  * final edge set must be a star forest (no node is both a parent and a
+  * child; every child has exactly one parent). A star forest is a
+  * fixpoint of both operations, and since both preserve connectivity,
+  * its stars ARE the components with the minimum member as root — so
+  * the check converts any early stop (round budget, checksum collision)
+  * into a loud failure instead of silently wrong labels.
   */
 object Components {
 
@@ -27,35 +45,121 @@ object Components {
     * is the minimum node id of the component (any ordered id type). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .distinct()
-      .materializeOnce(eager = false) // reused every round
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("component", col("node"))
+    // ONE materialization barrier over the raw pair list, for two
+    // reasons: (1) the pair source is typically the expensive half of
+    // dedup (LSH candidate generation + verification) and is consumed
+    // twice below (node universe + edge list) — without the barrier it
+    // would evaluate twice; (2) the barrier stops the canonicalization
+    // predicates from being pushed INTO the pair-generation join, where
+    // Catalyst is free to reorder them in front of the expensive
+    // similarity conjunct (measured 10× on the n-gram Jaccard source:
+    // the pushed filter landed before the set-intersection predicate
+    // and forced it onto every blocked candidate pair).
+    val p0 = pairs.select(col(aCol).as("pa"), col(bCol).as("pb"))
       .materializeOnce(eager = false)
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val viaNeighbor = sym.join(labels, sym("b") === labels("node"))
-        .select(sym("a").as("node"), col("component"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min("component").as("component"))
-        .materializeOnce() // eager: materialize before the change count
-      changed = next.alias("n")
-        .join(labels.alias("o"), Seq("node"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
-      labels = next
-      iter += 1
+    // single consumer (the final anti-join) and reads p0's blocks — a
+    // checkpoint here would only add a job
+    val allNodes = p0.select(col("pa").as("node"))
+      .unionByName(p0.select(col("pb").as("node")))
+      .distinct()
+    // canonical child>parent orientation; self-pairs carry no
+    // connectivity and would survive as self-loops, so drop them
+    var edges = p0
+      .select(greatest(col("pa"), col("pb")).as("a"),
+        least(col("pa"), col("pb")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .materializeOnce(eager = false)
+    // fast path: a star forest IS the fixpoint, so one structural probe
+    // (which doubles as the materializing action for `edges`) both
+    // certifies correctness and skips the loop — dedup graphs are
+    // mostly tiny pre-flattened clusters, making this the common case
+    if (starViolations(edges) > 0) {
+      var sig = edgeSignature(edges)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val next = smallStar(largeStar(edges)).materializeOnce(eager = false)
+        val nextSig = edgeSignature(next) // materializes + measures, one job
+        converged = nextSig == sig
+        sig = nextSig
+        edges = next
+        iter += 1
+      }
+      // a depth-1 star forest is a fixpoint of both star operations
+      // and — because they preserve connectivity — the correct
+      // component decomposition. Anything else here means the round
+      // budget was too small (or the checksum collided): fail loudly,
+      // never mislabel.
+      val leftover = starViolations(edges)
+      require(leftover == 0,
+        s"connectedComponents not at fixpoint after $iter rounds " +
+          s"(maxIter=$maxIter): $leftover star-forest violations — " +
+          "raise maxIter")
     }
-    // a silent non-fixpoint would return wrong labels (nodes > maxIter
-    // hops from their component minimum) — fail loudly instead
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter above the " +
-        "component diameter")
-    labels
+    // star edges are (member, componentMin); roots and isolated nodes
+    // label themselves
+    val members = edges
+      .select(col("a").as("node"), col("b").as("component"))
+    val selfLabeled = allNodes
+      .join(members.select("node"), Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    members.unionByName(selfLabeled)
+  }
+
+  /** large-star: for each node u, every strictly-larger neighbor
+    * re-attaches to min(N(u) ∪ {u}). Output keeps the child>parent
+    * orientation (emitted edges are (v, m) with m ≤ u < v). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(edges.select(col("b").as("u"), col("a").as("v")))
+    val mins = nbrs.groupBy("u")
+      .agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // no distinct here: duplicates do not disturb smallStar's min
+    // aggregation, and its final distinct canonicalizes the round's
+    // output — one fewer shuffle per round
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+  }
+
+  /** small-star: for each node u, u and its smaller neighbors all
+    * attach to their common minimum. Input/output both child>parent, so
+    * N≤(u) is exactly the parent column and m = min(parents). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("a").agg(min("b").as("mn"))
+    val selfEdge = mins.select(col("a"), col("mn").as("b"))
+    val moved = edges.join(mins, "a")
+      .filter(col("b") =!= col("mn"))
+      .select(col("b").as("a"), col("mn").as("b"))
+    selfEdge.unionByName(moved).distinct()
+  }
+
+  /** Edge-set fingerprint (count, order-independent checksum), computed
+    * in one action so it doubles as the materializing job. Checksum
+    * equality across rounds is the cheap convergence signal; the
+    * structural star-forest check below is the correctness proof. */
+  private def edgeSignature(edges: DataFrame): (Long, Long) = {
+    // XOR-fold, not sum: commutative, duplicate-free input (the set is
+    // distinct), and immune to ANSI-mode long-overflow on the sum
+    val r = edges.agg(count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Count of star-forest violations, both classes in ONE action: a
+    * node appearing as both parent and child (depth > 1), or a child
+    * with several distinct parents. Zero ⇔ the edge set is a depth-1
+    * star forest ⇔ fixpoint of both star operations. */
+  private def starViolations(edges: DataFrame): Long = {
+    val chained = edges.select(col("b").as("n")).distinct()
+      .join(edges.select(col("a").as("n")).distinct(), Seq("n"), "left_semi")
+      .select(lit("parent-is-child").as("violation"))
+    val multiParent = edges.groupBy("a").agg(countDistinct("b").as("np"))
+      .filter(col("np") > 1)
+      .select(lit("multi-parent").as("violation"))
+    chained.unionByName(multiParent).count()
   }
 
   /** One canonical row per duplicate cluster: the member with the

@@ -116,15 +116,23 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents fails loudly instead of returning non-fixpoint labels") {
-    // path graph 0-1-2-...-25: diameter > default maxIter would silently
-    // mislabel; must throw, and converge with a higher bound
-    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("a", "b")
+    // a 100-link chain cannot flatten to a star in one round; a silent
+    // return would mislabel every node >1 hop from the minimum
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
-      Components.connectedComponents(chain, "a", "b", maxIter = 5)
+      Components.connectedComponents(chain, "a", "b", maxIter = 1)
     }
-    val ok = Components.connectedComponents(chain, "a", "b", maxIter = 30)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ok.values.toSet === Set(0L))
+  }
+
+  test("connectedComponents handles a 1000-link chain at default maxIter") {
+    // the diameter-independence property: large-star/small-star needs
+    // ~log n rounds on a chain, where min-label propagation needs n —
+    // the shape that breaks naive dedup clustering on crawl mirrors
+    val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 1001)
+    assert(got.forall(_._2 === 0L))
   }
 
   // ---- RangeJoin ----
