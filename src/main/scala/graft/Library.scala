@@ -521,21 +521,45 @@ class Library(val spark: SparkSession, val warehouse: String,
 
   /** Build the clustering layer (reference chunk_clusters +
     * cluster_summaries): seeded k-means over chunk embeddings, hard
-    * assignments with distance, extractive summaries, and summary
-    * embeddings so cluster summaries live in the same vector space and
-    * feed the same top-k operator (M7). */
-  def buildClusterSummaries(k: Int): Unit = {
+    * assignments with distance, summaries, and summary embeddings so
+    * cluster summaries live in the same vector space and feed the same
+    * top-k operator (M7).
+    *
+    * M5 tiers mirror the reference ClusterSummarizer: when `chat` is
+    * given and alive, each cluster gets one LLM abstractive summary
+    * (6000-char budget, {summary, keyTopics, representativeQuote}) with
+    * per-cluster extractive fallback on any failure; with no model the
+    * whole build is extractive — same policy as E6 enrichment. */
+  def buildClusterSummaries(k: Int,
+                            chat: Option[graft.sources.ChatModel] = None,
+                            maxChunks: Int = 20): Unit = {
     val emb = embedder
     val model = operators.ClusteringOps.fit(embeddings, "embedding", k)
     val assignments = operators.ClusteringOps.assign(model, embeddings,
       "chunkId", "embedding")
     assignments.write.mode(SaveMode.Overwrite).parquet(path("chunk_clusters"))
 
-    val summaries = operators.ClusteringOps.extractiveSummaries(
-      assignments, chunks, "id", "content")
-    val withEmb = summaries.as[(Int, String, Long)].map { case (cid, text, n) =>
-      (cid, text, emb.embed(text), n)
-    }.toDF("clusterId", "summary", "embedding", "chunkCount")
+    val summaries = chat.filter(_.available) match {
+      case Some(c) =>
+        operators.ClusteringOps.abstractiveSummaries(
+          assignments, chunks, "id", "content", c, maxChunks)
+          .select(col("clusterId"), col("summary"), col("keyTopics"),
+            col("representativeQuote"), col("tier"), col("chunkCount"))
+      case None =>
+        operators.ClusteringOps.extractiveSummaries(
+          assignments, chunks, "id", "content")
+          .select(col("clusterId"), col("summary"),
+            array().cast("array<string>").as("keyTopics"),
+            lit(null).cast("string").as("representativeQuote"),
+            lit("extractive").as("tier"),
+            col("sampled").as("chunkCount"))
+    }
+    val withEmb = summaries
+      .as[(Int, String, Seq[String], Option[String], String, Long)]
+      .map { case (cid, text, topics, quote, tier, n) =>
+        (cid, text, topics, quote, tier, emb.embed(text), n)
+      }.toDF("clusterId", "summary", "keyTopics", "representativeQuote",
+        "tier", "embedding", "chunkCount")
     withEmb.write.mode(SaveMode.Overwrite).parquet(path("cluster_summaries"))
   }
 

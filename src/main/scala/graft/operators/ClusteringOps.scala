@@ -145,6 +145,109 @@ object ClusteringOps {
         vector_to_array(col("probability")).as("probabilities"))
   }
 
+  /** M5 primary tier: LLM abstractive summary of one cluster's combined
+    * chunk text (reference ClusterSummarizer.ts:110-178). */
+  case class AbstractiveSummary(summary: String, keyTopics: Seq[String],
+                                representativeQuote: Option[String])
+
+  /** The abstractive prompt (ClusterSummarizer.ts:149-157); `combined`
+    * is the "[Chunk i]\n..." concatenation already cut to the reference's
+    * 6000-char context budget. */
+  def summaryPrompt(combined: String): String =
+    s"""Analyze these document chunks from a knowledge library cluster and create an abstractive summary.
+       |
+       |$combined
+       |
+       |Return ONLY a JSON object with these fields:
+       |- "summary": a cohesive 2-4 sentence summary that captures the main themes and insights
+       |- "keyTopics": 3-6 key topics or concepts covered across these chunks
+       |- "representativeQuote": (optional) the most representative or impactful quote from the chunks
+       |
+       |Focus on synthesizing ideas across chunks, not just listing them.""".stripMargin
+
+  /** Parse an LLM summary response; the reference gets schema enforcement
+    * from `generateObject`, so the parse contract is: X21 repair first, a
+    * non-empty `summary` string is required, topics default empty, quote
+    * optional. None -> caller falls back to the extractive tier. */
+  def parseSummary(raw: String): Option[AbstractiveSummary] =
+    TextEnrichment.repairLlmJson(raw).toOption.flatMap { json =>
+      val node = try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(json) catch { case _: Exception => null }
+      Option(node).filter(_.isObject).flatMap { n =>
+        Option(n.get("summary")).filter(_.isTextual).map(_.asText)
+          .filter(_.nonEmpty).map { s =>
+            import scala.jdk.CollectionConverters._
+            val topics = Option(n.get("keyTopics")).filter(_.isArray)
+              .map(_.elements().asScala.toSeq.filter(_.isTextual).map(_.asText))
+              .getOrElse(Nil)
+            val quote = Option(n.get("representativeQuote"))
+              .filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
+            AbstractiveSummary(s, topics, quote)
+          }
+      }
+    }
+
+  /** The reference's per-cluster extractive fallback
+    * (ClusterSummarizer.ts:76-106): first sentence of each sampled chunk,
+    * keep sentences > 10 chars, take 3. Pure — runs executor-side under
+    * [[abstractiveSummaries]]. */
+  private[operators] def extractiveFallback(chunks: Seq[String]): String = {
+    val sentences = chunks.map(_.split("[.!?]")(0).trim)
+      .filter(_.length > 10).take(3)
+    if (sentences.nonEmpty) s"This cluster covers: ${sentences.mkString(". ")}."
+    else "Cluster contains very short text fragments."
+  }
+
+  /** M5 primary tier, distributed: one [[graft.sources.ChatModel]]
+    * completion per CLUSTER (not per chunk — k completions total), each
+    * over up to `maxChunks` lowest-id members cut to the reference's
+    * 6000-char budget. Any failure (transport, JSON, schema) falls back
+    * to [[extractiveFallback]] for that cluster only — the E6 pattern
+    * ([[graft.AutoEnricher]]): the LLM tier can never fail the build.
+    *
+    * Scale shape: the member sample rides a window top-n (no full-text
+    * groupBy), completions run inside `mapGroups` so k clusters spread
+    * across executors, and `chunkCount` aggregates separately over ALL
+    * assignments (the reference counts the whole cluster, not the
+    * sample). Output: (clusterId, summary, keyTopics,
+    * representativeQuote, tier, chunkCount). */
+  def abstractiveSummaries(assignments: DataFrame, corpus: DataFrame,
+                           idCol: String, textCol: String,
+                           chat: graft.sources.ChatModel,
+                           maxChunks: Int = 20): DataFrame = {
+    val spark = assignments.sparkSession
+    import spark.implicits._
+    val joined = assignments
+      .join(corpus.select(col(idCol).as("chunkId"), col(textCol).as("__text")),
+        Seq("chunkId"))
+    val counts = joined.groupBy("clusterId")
+      .agg(count(lit(1)).as("chunkCount"))
+    val w = Window.partitionBy("clusterId").orderBy("chunkId")
+    val sampled = joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxChunks)
+      .select(col("clusterId").cast("int"), col("rn"), col("__text"))
+      .as[(Int, Int, String)]
+    val c = chat
+    val out = sampled.groupByKey(_._1).mapGroups { (cid, it) =>
+      val chunks = it.toSeq.sortBy(_._2).map(_._3)
+      val combined = chunks.zipWithIndex
+        .map { case (t, i) => s"[Chunk ${i + 1}]\n$t" }
+        .mkString("\n\n").take(6000)
+      val llm =
+        try parseSummary(c.complete(summaryPrompt(combined)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      llm match {
+        case Some(a) =>
+          (cid, a.summary, a.keyTopics, a.representativeQuote, "llm")
+        case None =>
+          (cid, extractiveFallback(chunks), Seq.empty[String],
+            None: Option[String], "extractive")
+      }
+    }.toDF("clusterId", "summary", "keyTopics", "representativeQuote", "tier")
+    out.join(counts, Seq("clusterId"))
+  }
+
   /** Extractive cluster summaries (reference M5 fallback,
     * ClusterSummarizer.ts:150-196): first sentence of up to `take`
     * lowest-id members, "This cluster covers: ..." prefix. */

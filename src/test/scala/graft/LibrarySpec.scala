@@ -213,6 +213,32 @@ class LibrarySpec extends SparkSpec {
     assert(clusterRow.getAs[String]("title") === "Cluster Summary")
   }
 
+  test("RAPTOR: chat-backed build takes the LLM tier, dead chat degrades (M5)") {
+    val chat = new graft.sources.ChatModel {
+      def complete(prompt: String): String =
+        """{"summary": "Abstractive cluster synopsis.", "keyTopics": ["t1"]}"""
+    }
+    lib.buildClusterSummaries(k = 2, chat = Some(chat))
+    val sums = lib.clusterSummaries.collect()
+    assert(sums.length === 2)
+    assert(sums.forall(_.getAs[String]("tier") === "llm"))
+    assert(sums.forall(_.getAs[String]("summary") === "Abstractive cluster synopsis."))
+    // summary embeddings still built -> multi-scale search fuses them
+    val res = lib.multiScaleSearch("hash join strategies",
+      graft.model.SearchOptions(limit = 8)).collect()
+    assert(res.map(_.getAs[String]("matchType")).toSet.contains("cluster"))
+    // a model that fails its liveness probe never gets a completion call:
+    // the build is indistinguishable from the no-model extractive path
+    val down = new graft.sources.ChatModel {
+      def complete(prompt: String): String = fail("must not be called")
+      override def available: Boolean = false
+    }
+    lib.buildClusterSummaries(k = 2, chat = Some(down))
+    assert(lib.clusterSummaries.collect()
+      .forall(_.getAs[String]("tier") === "extractive"))
+    lib.buildClusterSummaries(k = 2) // restore the shared fixture's layer
+  }
+
   test("removeDocument cascades to chunks and embeddings (S13)") {
     val wh2 = Files.createTempDirectory("graft-wh2").toString
     val l2 = new Library(spark, wh2)

@@ -61,6 +61,65 @@ class ClusteringSpec extends SparkSpec {
     assert(sums(1) === "This cluster covers: Other cluster text")
   }
 
+  test("abstractive summaries: LLM tier parses the reference schema (M5)") {
+    val assignments = Seq(("c1", 0, 0.1), ("c2", 0, 0.2), ("c3", 1, 0.1))
+      .toDF("chunkId", "clusterId", "distance")
+    val corpus = Seq(
+      ("c1", "Vector search fundamentals. More."),
+      ("c2", "Approximate nearest neighbors! Extra."),
+      ("c3", "Unrelated streaming text. Tail.")).toDF("id", "text")
+    // the mock asserts the prompt carries the combined [Chunk i] content
+    val chat = new graft.sources.ChatModel {
+      def complete(prompt: String): String = {
+        assert(prompt.contains("[Chunk 1]"))
+        """```json
+          |{"summary": "Covers vector search.", "keyTopics": ["ann", "search"],
+          | "representativeQuote": "Vector search fundamentals."}
+          |```""".stripMargin
+      }
+    }
+    val out = ClusteringOps.abstractiveSummaries(
+      assignments, corpus, "id", "text", chat)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[String]("summary") === "Covers vector search.")
+    assert(out(0).getAs[Seq[String]]("keyTopics") === Seq("ann", "search"))
+    assert(out(0).getAs[String]("representativeQuote") ===
+      "Vector search fundamentals.")
+    assert(out(0).getAs[String]("tier") === "llm")
+    assert(out(0).getAs[Long]("chunkCount") === 2L)
+    assert(out(1).getAs[Long]("chunkCount") === 1L)
+  }
+
+  test("abstractive summaries: any LLM failure falls back to extractive per cluster (M5)") {
+    val assignments = Seq(("c1", 0, 0.1), ("c2", 0, 0.2), ("c3", 1, 0.1))
+      .toDF("chunkId", "clusterId", "distance")
+    val corpus = Seq(
+      ("c1", "First sentence one. More text."),
+      ("c2", "Second doc opener! Extra."),
+      ("c3", "tiny. x")).toDF("id", "text")
+    val dead = new graft.sources.ChatModel {
+      def complete(prompt: String): String =
+        throw new RuntimeException("model down")
+    }
+    val out = ClusteringOps.abstractiveSummaries(
+      assignments, corpus, "id", "text", dead)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(0).getAs[String]("summary") ===
+      "This cluster covers: First sentence one. Second doc opener.")
+    assert(out(0).getAs[String]("tier") === "extractive")
+    // every first sentence <= 10 chars -> the reference's fragments message
+    assert(out(1).getAs[String]("summary") ===
+      "Cluster contains very short text fragments.")
+    // unparseable responses (not a transport failure) also fall back
+    val garbage = new graft.sources.ChatModel {
+      def complete(prompt: String): String = "no json here"
+    }
+    val g = ClusteringOps.abstractiveSummaries(
+      assignments, corpus, "id", "text", garbage)
+      .collect().map(r => r.getInt(0) -> r.getAs[String]("tier")).toMap
+    assert(g(0) === "extractive" && g(1) === "extractive")
+  }
+
   test("cluster->concept mapping: argmax above threshold, suggest-label fallback (M6)") {
     val centroids = Seq(
       (0, Array(1f, 0f, 0f)),   // aligns with concept A
