@@ -189,4 +189,40 @@ object ProductQuantization {
       .filter(col("adc_dist").isNotNull)
       .orderBy(asc("adc_dist"), asc(tieCol))
       .limit(k)
+
+  /** One-time index-side encode for the IVF-PQ composition: PQ codes
+    * ride next to the IVF cell id, so a probe can prune cells AND score
+    * codes without touching float vectors. Built once per (index, model)
+    * — at scale this is the persisted index table (reference analog:
+    * DiskANN probe + `compress_neighbors=float8`,
+    * /root/reference/src/services/LibSQLDatabase.ts:723-727). */
+  def encodeIndex(index: IvfIndex, model: PqModel): DataFrame =
+    encode(index.assigned, index.vecCol, model)
+
+  /** IVF-PQ composed probe — the full 100 TB ANN shape:
+    *
+    *  1. rank coarse centroids on the driver, keep the nProbe nearest
+    *     cells (partition pruning: nProbe/nCells of the corpus scanned);
+    *  2. ADC-score ONLY the codes column inside those cells, shortlist
+    *     the `rerank` best (codes-only TakeOrderedAndProject — m bytes
+    *     read per row, no float vectors);
+    *  3. exact cosine re-rank of the shortlist: a semi-join pulls the
+    *     true vectors for `rerank` ids only, then the exact top-k.
+    *
+    * Monotone quality knobs: nProbe = nCells removes coarse pruning
+    * error, rerank -> corpus size removes ADC ranking error; at those
+    * limits this IS the exact scan. `encoded` must come from
+    * [[encodeIndex]] over `index`. */
+  def ivfPqTopK(encoded: DataFrame, index: IvfIndex, model: PqModel,
+                query: Seq[Float], k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cells = index.centroidIdsFor(query.toArray, nProbe)
+    val cand = encoded.filter(col("__cell").isin(cells: _*))
+    val shortlist = topK(
+      cand.select(col(index.idCol), col("pq_codes")), query, model,
+      rerank, tieCol = index.idCol)
+    val exact = cand.join(
+      shortlist.select(index.idCol), Seq(index.idCol), "left_semi")
+    VectorSearch.topK(exact, index.vecCol, query, k, tieCol = index.idCol)
+  }
 }

@@ -156,6 +156,37 @@ object MlQueries {
           emb.filter(col("vec_id") =!= 0), "embedding", model)
         ProductQuantization.topK(encoded, query, model, 10, tieCol = "vec_id")
           .select("vec_id", "label", "adc_dist")
+      }),
+
+    // IVF-PQ composed (the promised K2×PQ scale shape): probe nProbe of
+    // nCells coarse cells, ADC-shortlist codes only, exact cosine
+    // re-rank of the shortlist. Training is not SQL-expressible ->
+    // rows-only driver check; the recall contract (composition >= the
+    // PQ-alone floor) is spec-asserted in ProductQuantizationSpec
+    Q("q67_ivfpq_knn", None,
+      (s, d) => {
+        val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val index = cachedIvf(s, d, nCells = 8)
+        val (model, encoded) = cachedPq(s, d)
+        ProductQuantization.ivfPqTopK(encoded, index, model, query,
+          k = 10, nProbe = 4, rerank = 50)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .select("vec_id", "label", "cos_sim")
+          .orderBy(desc("cos_sim"), asc("vec_id"))
       })
   )
+
+  /** PQ codebooks + the PQ-encoded IVF table are build-once index
+    * artifacts, same lifecycle as [[cachedIvf]]. */
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (ProductQuantization.PqModel, org.apache.spark.sql.DataFrame)]
+  private def cachedPq(s: org.apache.spark.sql.SparkSession, d: String) =
+    pqCache.getOrElseUpdate(d, {
+      val index = cachedIvf(s, d, nCells = 8)
+      val model = ProductQuantization.train(
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        "embedding", m = 16, k = 64)
+      (model, ProductQuantization.encodeIndex(index, model).cache())
+    })
 }

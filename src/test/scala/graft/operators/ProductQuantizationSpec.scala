@@ -101,6 +101,37 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@10 = $recall")
   }
 
+  test("IVF-PQ composition: recall@10 >= the PQ-alone floor; full-probe full-rerank is exact") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0)
+    val index = IvfIndex.build(rest, "vec_id", "embedding", nCells = 8,
+      maxIter = 10)
+    val model = ProductQuantization.train(rest, "embedding", m = 16, k = 64)
+    val encoded = ProductQuantization.encodeIndex(index, model)
+
+    // exact cosine top-10 — what the composition approximates
+    val exact = VectorSearch.topK(rest, "embedding", query, 10, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    val composed = ProductQuantization.ivfPqTopK(encoded, index, model,
+      query, k = 10, nProbe = 4, rerank = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (composed & exact).size / 10.0
+    // the PQ-alone measured floor (see recall test above) is 0.4; the
+    // exact re-rank must not lose quality vs raw ADC ranking
+    assert(recall >= 0.4, s"IVF-PQ recall@10 = $recall")
+
+    // knob limits: nProbe = nCells (no pruning error) + rerank = corpus
+    // (no ADC error) degenerates to the exact scan
+    val n = rest.count().toInt
+    val full = ProductQuantization.ivfPqTopK(encoded, index, model,
+      query, k = 10, nProbe = 8, rerank = n)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+  }
+
   test("PQ top-k compiles to TakeOrderedAndProject (codes-only scan)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val model = ProductQuantization.train(emb, "embedding", m = 8, k = 4)
