@@ -29,6 +29,57 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(again(1L) === features(feats(1L)))
   }
 
+  test("multimodal: real PNG/JPEG bytes decode via imageio with per-channel histograms") {
+    import java.awt.image.BufferedImage
+    def imgBytes(format: String, imgType: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 4, imgType)
+      for (x <- 0 until 8; y <- 0 until 4)
+        // known intensities: red=255 (bucket 7), green=0 (bucket 0),
+        // blue=128 (bucket 4) for every pixel
+        img.setRGB(x, y, (255 << 16) | (0 << 8) | 128)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", imgBytes("png", BufferedImage.TYPE_3BYTE_BGR),
+          Row("image/png", null, null, null)),
+        Row(2L, "image", imgBytes("jpg", BufferedImage.TYPE_3BYTE_BGR),
+          Row("image/jpeg", null, null, null)),
+        Row(3L, "image", "not an image at all".getBytes("UTF-8"),
+          Row("image/png", null, null, null)))),
+      Multimodal.mediaSchema)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+
+    val png = feats(1L)
+    assert(png.getAs[String]("decoder") === "imageio")
+    assert(png.getAs[Int]("width") === 8)
+    assert(png.getAs[Int]("height") === 4)
+    assert(png.getAs[Int]("channels") === 3)
+    val f = png.getAs[scala.collection.Seq[Float]]("features")
+    assert(f.length === 24) // 3 channels x 8 buckets
+    // BGR raster: band 0 = red, band 1 = green, band 2 = blue in sample
+    // order — assert channel histograms are one-hot at the known buckets
+    // and each channel sums to 1
+    (0 until 3).foreach { c =>
+      assert(math.abs(f.slice(c * 8, c * 8 + 8).sum - 1.0f) < 1e-6)
+    }
+    assert(f.zipWithIndex.filter(_._1 > 0.99f).map(_._2).toSet ===
+      Set(0 * 8 + 7, 1 * 8 + 0, 2 * 8 + 4)) // r->7, g->0, b->4
+
+    // JPEG is lossy but a constant-color image stays in the same buckets
+    val jpg = feats(2L)
+    assert(jpg.getAs[String]("decoder") === "imageio")
+    assert(jpg.getAs[Int]("width") === 8)
+    assert(jpg.getAs[Int]("channels") === 3)
+
+    // non-image bytes stay on the deterministic stub tier
+    assert(feats(3L).getAs[String]("decoder") === "stub")
+    assert(feats(3L).getAs[Int]("width") === "not an image at all".length)
+  }
+
   test("multimodal: frame sampling generates stride-spaced frames") {
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
