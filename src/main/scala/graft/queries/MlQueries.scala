@@ -36,10 +36,43 @@ object MlQueries {
       IvfIndex.build(Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", nCells, maxIter = 10))
 
-  val all: Seq[Q] = Seq(
+  /** The k=10 fit as DuckDB list literals — `(cid, [c0, c1, ...])` VALUES
+    * rows. Available only AFTER the fit ran in this JVM: Verify dumps
+    * `oracleSql` after executing every query, so by dump time the cache
+    * holds exactly one model and the q50/q52 oracles can assert the
+    * assignment/softmax math in SQL against the fitted centroids (the
+    * fit itself stays rows-only — k-means in ANSI SQL is not a
+    * reasonable oracle). Before any fit (or with fits for multiple
+    * dirs in one JVM) this is None and both queries stay rows-only. */
+  private def centroidValues: Option[String] = {
+    val fits = modelCache.snapshot().toSeq
+    if (fits.size != 1) None
+    else Some(fits.head._2.clusterCenters.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.toArray.mkString(", ")}])"
+    }.mkString(", "))
+  }
 
-    // M1/M4: seeded distributed k-means, cluster size histogram
-    Q("q50_kmeans_sizes", None,
+  /** `all` is a def so the q50/q52 oracle SQL regenerates at access time
+    * — see [[centroidValues]] for why construction must be lazy. */
+  def all: Seq[Q] = Seq(
+
+    // M1/M4: seeded distributed k-means, cluster size histogram. The
+    // oracle replays assignment (argmin Euclidean distance, ties to the
+    // lowest cluster id — MLlib's findClosest order) and the per-cluster
+    // size/avg-distance aggregate against the fitted centroid literals
+    Q("q50_kmeans_sizes", centroidValues.map { cv => s"""
+      WITH centroids(cid, c) AS (VALUES $cv),
+      d AS (
+        SELECT e.vec_id, c.cid,
+          list_distance(e.embedding::DOUBLE[], c.c) AS dist,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.cid) AS rn
+        FROM embeddings e CROSS JOIN centroids c)
+      SELECT CAST(cid AS INT) AS clusterId,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        round(avg(dist), 6) AS avg_distance
+      FROM d WHERE rn = 1
+      GROUP BY cid ORDER BY clusterId"""},
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val model = cachedModel(s, d, 10)
@@ -76,8 +109,27 @@ object MlQueries {
           .orderBy(desc("cos_sim"), asc("vec_id"))
       }),
 
-    // M3: soft clustering membership counts (softmax over -dist/T)
-    Q("q52_soft_membership", None,
+    // M3: soft clustering membership counts (softmax over -dist/T). The
+    // oracle replays the softmax (T = 0.5, keep p >= 0.01) against the
+    // fitted centroid literals; per-row scalar double math (exp, sqrt)
+    // is IEEE-deterministic cross-engine, and the softmax denominator's
+    // summation-order sensitivity is ~1e-15 relative — far from the
+    // 0.01 membership cutoff on this data
+    Q("q52_soft_membership", centroidValues.map { cv => s"""
+      WITH centroids(cid, c) AS (VALUES $cv),
+      d AS (
+        SELECT e.vec_id, c.cid,
+          list_distance(e.embedding::DOUBLE[], c.c) AS dist
+        FROM embeddings e CROSS JOIN centroids c),
+      p AS (
+        SELECT vec_id, cid,
+          exp(-dist / 0.5) / SUM(exp(-dist / 0.5)) OVER (PARTITION BY vec_id) AS prob
+        FROM d),
+      m AS (
+        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_memberships
+        FROM p WHERE prob >= 0.01 GROUP BY vec_id)
+      SELECT n_memberships, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM m GROUP BY n_memberships ORDER BY n_memberships"""},
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val model = cachedModel(s, d, 10)
