@@ -126,6 +126,29 @@ class IntegrationSpec extends SparkSpec {
     assert(hits.count() > 0)
   }
 
+  test("export/import round-trip: imported warehouse serves identical hybrid search") {
+    // persist the FTS index first so the export carries postings + stats
+    // and the imported library's search exercises the indexed path
+    lib.rebuildFtsIndex()
+    def run(l: Library) =
+      l.search("hash join", SearchOptions(limit = 10)).collect()
+        .map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
+          r.getAs[Double]("score"), r.getAs[String]("matchType"))).toSeq
+    val before = run(lib)
+    assert(before.nonEmpty)
+
+    val dest = Files.createTempDirectory("graft-export").toString
+    lib.exportTo(dest)
+    // fts_stats travels with the export: the first search on the import
+    // must score with live N/avgdl, not rebuild or migrate in place
+    assert(new java.io.File(s"$dest/fts_stats/_SUCCESS").exists(),
+      "export must include the denormalized FTS stats table")
+    val imported = new Library(spark, dest)
+    assert(run(imported) === before)
+    // and the import is a full working warehouse: stats match too
+    assert(imported.stats() === lib.stats())
+  }
+
   test("driver contract: entry() returns rows; every query has matching oracle columns") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key refers to a declared query

@@ -192,6 +192,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("boilerplateFraction: shuffle-join fallback is identical to the broadcast path") {
+    // the broadcastHot=false tier exists for hot sets past broadcast
+    // scale; the contract is bit-identical output on both paths — run
+    // them over the real documents table and diff
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+    def run(broadcastHot: Boolean) =
+      TextAnalysis.boilerplateFraction(docs, "doc_id", "text",
+        n = 3, minDocs = 5, broadcastHot = broadcastHot)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_boiler"),
+            r.getAs[Double]("boiler_frac"))).toMap
+    val viaBroadcast = run(broadcastHot = true)
+    val viaShuffle = run(broadcastHot = false)
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle === viaBroadcast)
+    // and the fallback really does drop the forced-broadcast hint (AQE
+    // may still CHOOSE broadcast at runtime from actual sizes — the
+    // contract is only that nothing forces it)
+    def hintOf(broadcastHot: Boolean) = TextAnalysis.boilerplateFraction(
+      docs, "doc_id", "text", n = 3, minDocs = 5, broadcastHot = broadcastHot)
+      .queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    assert(hintOf(true) && !hintOf(false))
+  }
+
   // ---- trainOrder ----
 
   test("trainOrder: deterministic, partitioning-independent, epoch-salted") {
