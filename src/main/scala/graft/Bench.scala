@@ -58,6 +58,11 @@ object Bench {
     // reported a 0.12 s filter query as 2.39 s — so medians are the only
     // numbers stable enough to compare across rounds.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // SPARK_GRAFT_BENCH_RELEASE=0 keeps materialized blocks across runs —
+    // a methodology A/B knob only (SCALE.md "materialized-block
+    // lifecycle"): it reproduces the accumulation regime that skewed r4's
+    // medians, to keep the honest-number argument measurable
+    val release = sys.env.getOrElse("SPARK_GRAFT_BENCH_RELEASE", "1") != "0"
 
     // a throwing query must be VISIBLE: its near-zero elapsed time would
     // otherwise read as a speedup in the emitted numbers
@@ -78,7 +83,7 @@ object Bench {
         // accumulate checkpoint blocks in executor storage for the whole
         // suite, and storage/GC pressure bleeds into later queries'
         // medians (r4 measured q44 3.7x slower with identical code).
-        graft.util.Materialize.releaseAll(spark)
+        if (release) graft.util.Materialize.releaseAll(spark)
         elapsed
       }.sorted
       name -> times(times.length / 2)
