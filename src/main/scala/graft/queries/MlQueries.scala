@@ -194,28 +194,34 @@ object MlQueries {
         .orderBy("win_start", "event_type")),
 
     // product-quantized ANN (IVF-PQ's compression half): codes-only ADC
-    // scan -> TakeOrderedAndProject. Training is deterministic
-    // (sampled driver-local Lloyd's) but not reasonably expressible in
-    // ANSI SQL, so this is a rows-only driver check; the recall floor
-    // and ADC exactness properties live in ProductQuantizationSpec
-    Q("q66_pq_knn", None,
+    // scan -> TakeOrderedAndProject. Only the codebook TRAINING is not
+    // SQL-expressible; the oracle replays encode (per-subspace argmin
+    // over codebook literals) and ADC scoring in DuckDB — see
+    // [[pqOracle]] — so the whole query path is hash-checked once the
+    // fit has run in this JVM
+    Q("q66_pq_knn", pqOracle,
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val model = ProductQuantization.train(emb, "embedding", m = 8, k = 16)
+        val model = cachedQ66Model(s, d)
         val query = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
         val encoded = ProductQuantization.encode(
           emb.filter(col("vec_id") =!= 0), "embedding", model)
         ProductQuantization.topK(encoded, query, model, 10, tieCol = "vec_id")
+          // round AFTER top-k selection: ordering uses full precision,
+          // output is cross-engine-comparable at 6dp
+          .withColumn("adc_dist", round(col("adc_dist"), 6))
           .select("vec_id", "label", "adc_dist")
       }),
 
     // IVF-PQ composed (the promised K2×PQ scale shape): probe nProbe of
     // nCells coarse cells, ADC-shortlist codes only, exact cosine
-    // re-rank of the shortlist. Training is not SQL-expressible ->
-    // rows-only driver check; the recall contract (composition >= the
-    // PQ-alone floor) is spec-asserted in ProductQuantizationSpec
-    Q("q67_ivfpq_knn", None,
+    // re-rank of the shortlist. The oracle ([[ivfPqOracle]]) replays the
+    // full composition — coarse assignment, cell probe, ADC shortlist,
+    // exact re-rank — against the fitted centroid + codebook literals;
+    // the recall contract is additionally spec-asserted in
+    // ProductQuantizationSpec
+    Q("q67_ivfpq_knn", ivfPqOracle,
       (s, d) => {
         val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
@@ -241,4 +247,118 @@ object MlQueries {
         "embedding", m = 16, k = 64)
       (model, ProductQuantization.encodeIndex(index, model).cache())
     })
+
+  /** q66's standalone-PQ codebook (m=8, k=16, trained over the full
+    * table), cached so [[pqOracle]] can emit the same codebook the
+    * query encoded with. */
+  private val q66Cache = scala.collection.concurrent.TrieMap
+    .empty[String, ProductQuantization.PqModel]
+  private def cachedQ66Model(s: org.apache.spark.sql.SparkSession, d: String) =
+    q66Cache.getOrElseUpdate(d,
+      ProductQuantization.train(Tables.embeddings(s, d), "embedding",
+        m = 8, k = 16))
+
+  /** Codebook as `(j, c, [subvector])` VALUES rows. Floats print via
+    * their exact double value (float->double is exact; printing the
+    * FLOAT string instead would re-parse to a different double in
+    * DuckDB). Ragged codebooks (k_j <= k after duplicate-centroid
+    * dedup) emit naturally — one row per surviving centroid. */
+  private def codebookValues(m: ProductQuantization.PqModel): String =
+    m.codebook.zipWithIndex.flatMap { case (cents, j) =>
+      cents.zipWithIndex.map { case (cent, c) =>
+        s"($j, $c, [${cent.map(_.toDouble).mkString(", ")}])"
+      }
+    }.mkString(", ")
+
+  private def singleton[V](c: scala.collection.concurrent.TrieMap[_, V]): Option[V] =
+    c.snapshot().values.toSeq match { case Seq(v) => Some(v); case _ => None }
+
+  /** q66 oracle: replay PQ encode (per-subspace argmin over the
+    * codebook literals, ties to the lowest index — PqEncode's contract)
+    * and ADC scoring (sum of squared query-slice-to-centroid
+    * distances) in SQL. Engine arithmetic is float-cast-to-double
+    * throughout, so DuckDB's DOUBLE math matches to ulps; output rounds
+    * at 6dp AFTER top-k selection on both sides. Lazy for the same
+    * reason as [[centroidValues]]. */
+  private def pqOracle: Option[String] = singleton(q66Cache).map { m =>
+    val sub = m.sub
+    s"""
+      WITH cb(j, c, v) AS (VALUES ${codebookValues(m)}),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      enc AS (
+        SELECT e.vec_id, e.label, cb.j, cb.c,
+          list_distance((e.embedding::DOUBLE[])[(cb.j*$sub+1):(cb.j*$sub+$sub)], cb.v) AS dist
+        FROM embeddings e CROSS JOIN cb
+        WHERE e.vec_id <> 0),
+      codes AS (
+        SELECT vec_id, label, j, c FROM (
+          SELECT vec_id, label, j, c,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+          FROM enc) WHERE rn = 1),
+      adc AS (
+        SELECT x.vec_id, x.label,
+          sum(pow(list_distance(q.qv[(x.j*$sub+1):(x.j*$sub+$sub)], cb.v), 2)) AS d
+        FROM codes x
+        JOIN cb ON cb.j = x.j AND cb.c = x.c
+        CROSS JOIN q
+        GROUP BY x.vec_id, x.label)
+      SELECT vec_id, label, round(d, 6) AS adc_dist
+      FROM adc ORDER BY d, vec_id LIMIT 10"""
+  }
+
+  /** q67 oracle: the full IVF-PQ composition in SQL — coarse assignment
+    * (argmin over the IVF centroid literals, MLlib findClosest tie
+    * order), nProbe-cell probe, ADC shortlist of 50 over the PQ
+    * codebook literals, exact cosine re-rank (same formula the q51
+    * oracle certifies). */
+  private def ivfPqOracle: Option[String] = for {
+    (pq, _) <- singleton(pqCache)
+    ivf <- singleton(ivfCache)
+  } yield {
+    val sub = pq.sub
+    val ivfValues = ivf.model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.toArray.mkString(", ")}])"
+    }.mkString(", ")
+    s"""
+      WITH ivf(cid, ic) AS (VALUES $ivfValues),
+      cb(j, c, v) AS (VALUES ${codebookValues(pq)}),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      probe AS (
+        SELECT cid FROM ivf CROSS JOIN q
+        ORDER BY list_distance(qv, ic), cid LIMIT 4),
+      assign AS (
+        SELECT vec_id, label, embedding, cid FROM (
+          SELECT e.vec_id, e.label, e.embedding, ivf.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.embedding::DOUBLE[], ivf.ic), ivf.cid) AS rn
+          FROM embeddings e CROSS JOIN ivf
+          WHERE e.vec_id <> 0) WHERE rn = 1),
+      cand AS (
+        SELECT * FROM assign WHERE cid IN (SELECT cid FROM probe)),
+      enc AS (
+        SELECT cand.vec_id, cb.j, cb.c,
+          list_distance((cand.embedding::DOUBLE[])[(cb.j*$sub+1):(cb.j*$sub+$sub)], cb.v) AS dist
+        FROM cand CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+          FROM enc) WHERE rn = 1),
+      adc AS (
+        SELECT x.vec_id,
+          sum(pow(list_distance(q.qv[(x.j*$sub+1):(x.j*$sub+$sub)], cb.v), 2)) AS d
+        FROM codes x
+        JOIN cb ON cb.j = x.j AND cb.c = x.c
+        CROSS JOIN q
+        GROUP BY x.vec_id),
+      short AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50),
+      rer AS (
+        SELECT a.vec_id, a.label,
+          list_dot_product(a.embedding::DOUBLE[], q.qv) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS cs
+        FROM cand a JOIN short s ON a.vec_id = s.vec_id CROSS JOIN q)
+      SELECT vec_id, label, round(cs, 6) AS cos_sim
+      FROM rer ORDER BY cs DESC, vec_id LIMIT 10"""
+  }
 }
