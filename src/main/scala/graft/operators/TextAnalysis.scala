@@ -233,6 +233,47 @@ object TextAnalysis {
           col("pass_stopword") === 1).cast("int"))
   }
 
+  /** CCNet-style unigram LM quality (Wenzek et al. 2020 use a 5-gram
+    * KenLM; the unigram form is the model-free tier): each document
+    * scores by the mean log10 probability of its tokens under the
+    * corpus unigram distribution, Laplace-smoothed —
+    * p(t) = (count(t) + 1) / (total + 1), OOV tokens count 0. Low
+    * scores flag token soup (rare-word jumble, encoding garbage);
+    * anomalously high scores flag stopword-stuffed boilerplate —
+    * both standard pre-training filter signals.
+    *
+    * Scale shape (the [[boilerplateFraction]] pattern): two map-only
+    * explodes, never a materialized corpus-sized token stream. Pass 1
+    * aggregates (token, count) — vocab-sized, materialized once for its
+    * two consumers (total + top-V). The top-`vocabSize` vocabulary is a
+    * bounded TakeOrdered and broadcasts back into pass 2; tokens outside
+    * it score as OOV, which at 100 TB is the honest contract (the tail
+    * beyond top-64k carries negligible probability mass by Zipf). Total
+    * token count is integer — exact and order-independent. Output:
+    * (id, n_tokens, avg_logp) with empty docs at (0, 0.0). */
+  def unigramQuality(df: DataFrame, idCol: String, textCol: String,
+                     vocabSize: Int = 65536): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .materializeOnce(eager = false) // two consumers: total + vocab
+    val total = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0).toDouble
+    val vocab = counts.orderBy(desc("c"), asc("tok")).limit(vocabSize)
+    df.select(col(idCol).as("id"),
+        explode_outer(tokens(lower(col(textCol)))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("logp", log10(
+        (coalesce(col("c"), lit(0L)).cast("double") + lit(1.0)) /
+          lit(total + 1.0)))
+      .groupBy("id")
+      .agg(
+        count(col("tok")).as("n_tokens"),
+        // explode_outer keeps empty docs as one null-token row; they
+        // have no tokens to average, so their score is a neutral 0.0
+        coalesce(avg(when(col("tok").isNotNull, col("logp"))), lit(0.0))
+          .as("avg_logp"))
+  }
+
   /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations over one
     * token explode — term frequencies per doc, then document frequencies
     * from the per-doc rows (never a second corpus scan). N (corpus size)

@@ -263,6 +263,38 @@ object CurationQueries {
           .withColumn("train_order", Sampling.trainOrder(col("doc_id")))
           .select("doc_id", "source", "ws_tokens", "cum_tokens", "train_order")
           .orderBy("train_order", "doc_id")
-      })
+      }),
+
+    // CCNet-style unigram LM quality: mean log10 token probability under
+    // the corpus unigram distribution (Laplace-smoothed, top-V vocab,
+    // OOV floor). Two map-only explodes + a broadcast vocab join — the
+    // boilerplate-n-grams scale shape; total token count is exact
+    // integer, and round-6 on the averaged log10 absorbs the <=1-ulp
+    // libm-vs-StrictMath gap like q44
+    Q("q68_unigram_lm_quality", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM cnt),
+      vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 65536),
+      scored AS (
+        SELECT t.doc_id,
+          log10((CAST(coalesce(v.c, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS logp
+        FROM tok t LEFT JOIN vocab v USING (tok) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          avg(logp) AS avg_logp
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, d) => TextAnalysis.unigramQuality(Tables.documents(s, d),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id"))
   )
 }

@@ -216,6 +216,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(hintOf(true) && !hintOf(false))
   }
 
+  test("unigramQuality: Laplace-smoothed mean log-prob, OOV floor, empty docs neutral") {
+    val df = Seq(
+      (1L, "a a b"),   // common tokens
+      (2L, "a zzz"),   // one rare token
+      (3L, "")         // empty -> (0, 0.0)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_logp"))).toMap
+    // corpus: a=3, b=1, zzz=1, total=5; p(t) = (c+1)/6
+    def lp(c: Long) = math.log10((c + 1.0) / 6.0)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - (2 * lp(3) + lp(1)) / 3) < 1e-12)
+    assert(math.abs(out(2L)._2 - (lp(3) + lp(1)) / 2) < 1e-12)
+    assert(out(3L) === ((0L, 0.0)))
+    // rare-token doc scores strictly worse (more negative)
+    assert(out(2L)._2 < out(1L)._2)
+
+    // vocabSize caps the vocabulary: with V=1 only "a" stays in-vocab,
+    // b/zzz score at the OOV floor log10(1/6)
+    val capped = TextAnalysis.unigramQuality(df, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(math.abs(capped(2L) - (lp(3) + lp(0)) / 2) < 1e-12)
+  }
+
   // ---- trainOrder ----
 
   test("trainOrder: deterministic, partitioning-independent, epoch-salted") {
