@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusteringOps, IvfIndex, Multimodal, ProductQuantization}
+import graft.operators.{ClusteringOps, IvfIndex, Multimodal, ProductQuantization, SemDedup}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.functions._
 
@@ -232,6 +232,50 @@ object MlQueries {
           .withColumn("cos_sim", round(col("cos_sim"), 6))
           .select("vec_id", "label", "cos_sim")
           .orderBy(desc("cos_sim"), asc("vec_id"))
+      }),
+
+    // SemDeDup (Abbas et al. 2023): semantic near-dup removal within
+    // k-means clusters, keeping the member farthest from its centroid.
+    // The oracle replays the whole path against the fitted centroid
+    // literals: argmin assignment (MLlib tie order), within-cluster
+    // cosine pairs, the farther-from-centroid domination rule (exact
+    // ties keep the lower id). Decisions compare full-precision values
+    // in both engines (cosine is the bit-parity fold); only the
+    // reported centroid_dist is rounded, after every decision is made
+    Q("q69_semdedup", centroidValues.map { cv => s"""
+      WITH centroids(cid, c) AS (VALUES $cv),
+      d AS (
+        SELECT e.vec_id, c.cid,
+          list_distance(e.embedding::DOUBLE[], c.c) AS dist,
+          row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.cid) AS rn
+        FROM embeddings e CROSS JOIN centroids c),
+      a AS (SELECT vec_id, cid, dist FROM d WHERE rn = 1),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      pairs AS (
+        SELECT xa.vec_id AS ia, ya.vec_id AS ib, xa.dist AS da, ya.dist AS db
+        FROM a xa JOIN a ya ON xa.cid = ya.cid AND xa.vec_id < ya.vec_id
+        JOIN v x ON x.vec_id = xa.vec_id
+        JOIN v y ON y.vec_id = ya.vec_id
+        WHERE list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3),
+      removed AS (
+        SELECT DISTINCT CASE WHEN da > db THEN ib
+                             WHEN db > da THEN ia
+                             ELSE greatest(ia, ib) END AS vec_id
+        FROM pairs)
+      SELECT a.vec_id, CAST(a.cid AS INT) AS cluster_id,
+        round(a.dist, 6) AS centroid_dist,
+        CAST(CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      FROM a LEFT JOIN removed r USING (vec_id)
+      ORDER BY a.vec_id"""},
+      (s, d) => {
+        val model = cachedModel(s, d, 10)
+        SemDedup.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+            model.clusterCenters.map(_.toArray).toSeq, threshold = 0.3)
+          .select(col("id").as("vec_id"), col("cluster_id"),
+            round(col("centroid_dist"), 6).as("centroid_dist"), col("kept"))
+          .orderBy("vec_id")
       })
   )
 
