@@ -1,8 +1,11 @@
 package graft.operators
 
 import graft.plans.TextSetExpressions.wordNgramSet
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.MatOps
 
 /** Benchmark decontamination: flag training documents that share word
   * n-grams with an evaluation/benchmark corpus (the GPT-3/Llama-style
@@ -53,6 +56,77 @@ object Decontamination {
       .agg(
         count(col("ng")).as("n_ngrams"),
         coalesce(sum(col("__hit")), lit(0L)).cast("long").as("n_hit"))
+      .withColumn("contamination",
+        col("n_hit").cast("double") /
+          greatest(col("n_ngrams"), lit(1L)).cast("double"))
+      .withColumn("contaminated", (col("n_hit") > 0).cast("int"))
+  }
+
+  /** [[contamination]] with a Bloom-filter prefilter — EXACTLY the same
+    * output (the exact join verifies every Bloom positive, so false
+    * positives never reach a count), at a fraction of the exact path's
+    * shuffle volume.
+    *
+    * Why this exists: the exact path is the right plan while the eval
+    * n-gram set broadcasts. Past broadcast range (hundreds of benchmarks
+    * — tens of GB of distinct n-grams) the verify join must shuffle, and
+    * the shuffled side is the 100 TB corpus's ENTIRE n-gram stream. The
+    * Bloom filter (Spark's own runtime-filter machinery:
+    * `BloomFilterAggregate` to build, `BloomFilterMightContain` +
+    * `XxHash64` to probe — both codegen) compresses the eval set to a
+    * few MB of bits that always broadcast, and the map-side probe drops
+    * every train n-gram except true hits and the ~fpp false positives
+    * BEFORE the shuffle. The exact join then runs over that thin
+    * candidate stream — output provably identical to [[contamination]]
+    * (spec-asserted, and q70 shares the exact oracle's SQL shape).
+    *
+    * @param expectedEvalNgrams sizing estimate for the filter (an
+    *   overestimate wastes bits, an underestimate raises the false-
+    *   positive rate — never correctness)
+    * @param fpp target false-positive probability at the estimate
+    */
+  def bloomContamination(train: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String, n: Int,
+                         expectedEvalNgrams: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    val evalNg = eval
+      .select(explode(wordNgramSet(lower(col(evalTextCol)), n)).as("ng"))
+      .distinct()
+      .materializeOnce(eager = false) // two consumers: bloom build + verify
+    // build once, driver-side single row (the serialized bits), same
+    // bounded-metadata contract as the IVF meta collect
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
+        expectedEvalNgrams, fpp),
+      67108864L) // Spark's runtime-filter cap: 8 MB of bits
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(col("ng")))),
+      Literal(expectedEvalNgrams), Literal(numBits))
+      .toAggregateExpression()
+    val bloomBits = evalNg.select(GraftBridge.column(bloomAgg)).head()
+      .getAs[Array[Byte]](0)
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBits,
+        org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftBridge.expression(col("ng"))))))
+    // per-doc denominators come from the map-only array pass, BEFORE
+    // the probe drops non-candidate n-grams
+    val base = train.select(col(idCol).as("id"),
+      wordNgramSet(lower(col(textCol)), n).as("__ngs"))
+      .withColumn("n_ngrams", size(col("__ngs")).cast("long"))
+      .materializeOnce(eager = false) // two consumers: candidates + output
+    val cand = base
+      .select(col("id"), explode(col("__ngs")).as("ng"))
+      .filter(mightContain)
+    // exact verify over Bloom positives only — deliberately NOT
+    // broadcast-hinted: this is the path for eval sets past broadcast
+    // range, and the candidate side is already thin
+    val hits = cand.join(evalNg, Seq("ng"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    base.select(col("id"), col("n_ngrams"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("n_ngrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("contamination",
         col("n_hit").cast("double") /
           greatest(col("n_ngrams"), lit(1L)).cast("double"))

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.TextFunctions.{portableHash32, tokens}
+import graft.util.Materialize.MatOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every document by how much more likely its
+  * hashed n-gram features are under a target distribution (the data you
+  * want more of — a wiki/books-like subset) than under the source
+  * distribution (the raw crawl), then keep the highest-weight documents.
+  * The standard model-free alternative to classifier-based quality
+  * filtering (GPT-3's LR filter) for steering a 100 TB crawl toward a
+  * target domain.
+  *
+  * Features are word unigrams + bigrams WITH multiplicity, hashed into
+  * `buckets` buckets (collisions are part of the method — both the
+  * target and source distributions see the same collisions). The weight
+  * is the per-doc log-likelihood ratio
+  * `sum_grams log10(p_target[bucket] / p_source[bucket])` with Laplace
+  * smoothing over the bucket space.
+  *
+  * Scale design: document text never shuffles — the explode emits
+  * (id, bucket-int) pairs that partial-aggregate map-side before the
+  * one keyed shuffle; the bucket statistics table is at most `buckets`
+  * rows and BROADCASTS back into the per-doc scoring join; totals ride
+  * a broadcast cross join of a single aggregate row. Hashing is the
+  * portable md5-derived [[portableHash32]], so weights are reproducible
+  * cross-engine and cross-run bit-for-bit (up to the documented <=1-ulp
+  * log10 gap, absorbed by 6dp rounding at output boundaries).
+  */
+object ImportanceSampling {
+
+  /** Word unigrams + bigrams with multiplicity (DSIR's feature stream —
+    * counts, not sets; tokenization matches [[tokens]] exactly). */
+  private def grams(textLower: Column): Column = {
+    val t = tokens(textLower)
+    val n1 = greatest(size(t) - 1, lit(0))
+    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(t, bi)
+  }
+
+  /** Per-document DSIR importance weights.
+    *
+    * Output: (id, is_target, n_grams, weight) — one row per input doc,
+    * including gram-less docs (n_grams = 0, weight = 0). `weight` is the
+    * log10-likelihood ratio; positive means target-like.
+    *
+    * @param isTarget predicate column marking the target-distribution
+    *                 exemplars (they are scored too — a target doc
+    *                 scoring low is a useful diagnostic)
+    * @param buckets  hashed feature space size (DSIR's B; collisions
+    *                 are shared by both distributions by construction)
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val base = df.select(col(idCol).as("id"),
+      isTarget.cast("int").as("is_target"),
+      grams(lower(col(textCol))).as("__gs"))
+    // one slim keyed shuffle: (id, bucket) ints, map-side combined
+    val perDoc = base
+      .select(col("id"), col("is_target"),
+        explode(col("__gs")).as("g"))
+      .withColumn("__b", portableHash32(col("g")) % buckets)
+      .groupBy("id", "is_target", "__b")
+      .agg(count(lit(1)).as("n"))
+      .materializeOnce(eager = false) // two consumers: stats + scoring
+    // bucket statistics: <= `buckets` rows, the broadcast side of the
+    // scoring join; totals are a single aggregate row cross-joined in
+    val stats = perDoc.groupBy("__b").agg(
+      sum(when(col("is_target") === 1, col("n")).otherwise(lit(0L))).as("ct"),
+      sum(when(col("is_target") === 0, col("n")).otherwise(lit(0L))).as("cs"))
+    val totals = stats.agg(
+      coalesce(sum("ct"), lit(0L)).as("nt"),
+      coalesce(sum("cs"), lit(0L)).as("ns"))
+    val ratios = stats.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (log10((col("ct").cast("double") + lit(1.0)) /
+               (col("nt").cast("double") + lit(buckets.toDouble))) -
+         log10((col("cs").cast("double") + lit(1.0)) /
+               (col("ns").cast("double") + lit(buckets.toDouble)))).as("lr"))
+    val weights = perDoc.join(broadcast(ratios), Seq("__b"))
+      .groupBy("id")
+      .agg(sum("n").as("n_grams"),
+        sum(col("n").cast("double") * col("lr")).as("weight"))
+    base.select(col("id"), col("is_target"))
+      .join(weights, Seq("id"), "left")
+      .select(col("id"), col("is_target"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** The resampling step: the `fraction` highest-weight rows of a
+    * [[dsirWeights]] output (ties broken by id — fully deterministic).
+    * The rank is a total order, so this materializes ONE global sort —
+    * run it where the selection is consumed (same contract as
+    * [[Sampling.trainOrder]]), not as an intermediate stage. */
+  def resampleTop(weights: DataFrame, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction=$fraction not in (0,1]")
+    val n = weights.count()
+    val k = math.max(1L, math.ceil(n * fraction).toLong)
+    weights
+      .withColumn("__rk",
+        row_number().over(Window.orderBy(desc("weight"), asc("id"))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, Quota, Sampling, TextAnalysis, VectorSearch}
+import graft.operators.{Decontamination, Dedup, ImportanceSampling, Quota, Sampling, TextAnalysis, VectorSearch}
 import org.apache.spark.sql.functions._
 
 /** Round-4 corpus-curation operators: benchmark decontamination,
@@ -265,6 +265,40 @@ object CurationQueries {
           .orderBy("train_order", "doc_id")
       }),
 
+    // Bloom-prefilter decontamination: identical semantics to q60's
+    // exact path (the oracle replays the EXACT computation — the Bloom
+    // stage must be invisible in the output), but the train n-gram
+    // stream is thinned by a broadcast Bloom probe BEFORE any join, the
+    // scale path once the eval n-gram set outgrows broadcast range.
+    // Distinct parameters from q60 (6-grams, eval = doc_id % 7) so the
+    // two rows certify independently
+    Q("q70_bloom_decontamination", Some("""
+      WITH ng AS (
+        SELECT doc_id, list_distinct([array_to_string(t[i:i+5], ' ')
+                       for i in range(1, greatest(len(t) - 5, 0) + 1)]) AS g
+        FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      ev AS (SELECT DISTINCT unnest(g) AS ng FROM ng WHERE doc_id % 7 = 0),
+      tr AS (SELECT doc_id, unnest(g) AS ng FROM ng WHERE doc_id % 7 <> 0),
+      hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+               FROM tr JOIN ev USING (ng) GROUP BY tr.doc_id)
+      SELECT n.doc_id, CAST(len(n.g) AS BIGINT) AS n_ngrams,
+        CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        CAST(coalesce(h.n_hit, 0) AS DOUBLE) / CAST(greatest(len(n.g), 1) AS DOUBLE) AS contamination,
+        CAST(CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM ng n LEFT JOIN hits h USING (doc_id)
+      WHERE n.doc_id % 7 <> 0
+      ORDER BY n.doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontamination.bloomContamination(
+          docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 7 === 0), "text", n = 6,
+          expectedEvalNgrams = 1L << 16, fpp = 0.01)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      }),
+
     // CCNet-style unigram LM quality: mean log10 token probability under
     // the corpus unigram distribution (Laplace-smoothed, top-V vocab,
     // OOV floor). Two map-only explodes + a broadcast vocab join — the
@@ -295,6 +329,50 @@ object CurationQueries {
           "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"),
           round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // features (md5-portable buckets — same hash both engines), Laplace
+    // log10-likelihood ratio of target (lang='en') vs source bucket
+    // distributions. Text never shuffles: (id, bucket) ints partial-
+    // aggregate into one keyed shuffle; the <=4096-row stats table
+    // broadcasts back. Sum order is the only cross-engine freedom;
+    // round-6 absorbs it (<=1e-12 on ~100-term sums)
+    Q("q71_dsir_weights", Some(s"""
+      WITH g AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+          list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gs
+        FROM (SELECT doc_id, lang,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      e AS (SELECT doc_id, is_target, unnest(gs) AS gr FROM g),
+      pd AS (SELECT doc_id, is_target,
+               ${hash32Sql("gr")} % 4096 AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM e GROUP BY 1, 2, 3),
+      st AS (SELECT b,
+               CAST(sum(CASE WHEN is_target = 1 THEN n ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN is_target = 0 THEN n ELSE 0 END) AS BIGINT) AS cs
+             FROM pd GROUP BY b),
+      tot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt,
+                     CAST(coalesce(sum(cs), 0) AS DOUBLE) AS ns FROM st),
+      r AS (SELECT b,
+              log10((CAST(ct AS DOUBLE) + 1.0) / (tot.nt + 4096.0)) -
+              log10((CAST(cs AS DOUBLE) + 1.0) / (tot.ns + 4096.0)) AS lr
+            FROM st CROSS JOIN tot),
+      w AS (SELECT pd.doc_id, CAST(sum(pd.n) AS BIGINT) AS n_grams,
+              sum(CAST(pd.n AS DOUBLE) * r.lr) AS weight
+            FROM pd JOIN r USING (b) GROUP BY pd.doc_id)
+      SELECT d.doc_id,
+        CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS INT) AS is_target,
+        CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+        round(coalesce(w.weight, 0.0), 6) AS weight
+      FROM documents d LEFT JOIN w USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, d) => ImportanceSampling.dsirWeights(Tables.documents(s, d),
+          "doc_id", "text", col("lang") === "en", buckets = 4096)
+        .select(col("id").as("doc_id"), col("is_target"), col("n_grams"),
+          round(col("weight"), 6).as("weight"))
         .orderBy("doc_id"))
   )
 }

@@ -32,6 +32,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("n_hit") === 0L)
   }
 
+  test("bloomContamination is value-identical to the exact path") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "alpha beta gamma delta unrelated tail here"),
+      (4L, "x"), // no formable 4-gram
+      (5L, "seven eight nine ten eleven twelve thirteen")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix alpha beta gamma delta suffix"),
+      (101L, "ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "text")
+    val exact = Decontamination.contamination(
+      train, "doc_id", "text", eval, "text", n = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val bloom = Decontamination.bloomContamination(
+      train, "doc_id", "text", eval, "text", n = 4,
+      expectedEvalNgrams = 64, fpp = 0.01)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(bloom === exact)
+  }
+
+  test("bloomContamination stays exact when the filter is undersized (high fpp)") {
+    // a deliberately tiny filter: lots of false positives, all of which
+    // the verify join must remove
+    val train = (1L to 50L).map(i => (i, s"tok$i a b c d e f g$i")).toDF("doc_id", "text")
+    val eval = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val exact = Decontamination.contamination(
+      train, "doc_id", "text", eval, "text", n = 5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val bloom = Decontamination.bloomContamination(
+      train, "doc_id", "text", eval, "text", n = 5,
+      expectedEvalNgrams = 2, fpp = 0.5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(bloom === exact)
+  }
+
   test("contamination keeps short docs (no formable n-gram) with zero counts") {
     val train = Seq((1L, "too short"), (2L, "a b c d e")).toDF("doc_id", "text")
     val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
