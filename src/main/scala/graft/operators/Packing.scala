@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.util.Materialize.MatOps
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing: place every document into the fixed-length token
+  * sequences a training run consumes (GPT-style concatenate-and-chunk —
+  * docs are laid end to end in a deterministic order and the stream is
+  * cut every `seqLen` tokens; a doc straddling a cut spans two-plus
+  * sequences and the loader masks attention across the joins).
+  *
+  * The core is a GLOBAL running token total in a total order — the
+  * single-key case [[Quota.perKeyTokenBudget]]'s two-phase pre-cap
+  * cannot help with (there is no per-key cap to prune by; every row
+  * survives). A bare `sum() OVER (ORDER BY ...)` computes it but drags
+  * the entire corpus through ONE window partition. This operator is the
+  * textbook distributed prefix sum instead:
+  *
+  *   1. range-partition + local sort by the order columns (one
+  *      shuffle — the same sort the training-data write needs anyway),
+  *      pinned by a checkpoint so both passes see identical partitions;
+  *   2. per-partition token totals — `parts` rows, collected
+  *      driver-side (bounded metadata, same contract as the IVF meta)
+  *      and prefix-scanned into per-partition start offsets;
+  *   3. one map-only pass streams each partition left to right, adding
+  *      its offset — no second shuffle, no single-partition window.
+  *
+  * Every output is exact integer arithmetic — bit-identical to the SQL
+  * window formulation on any engine, partitioning, or cluster size.
+  *
+  * Output columns (appended to the input):
+  *   - `cum_tokens`: running total through this doc (inclusive);
+  *   - `seq_id`: the sequence where the doc starts
+  *     (`(cum_tokens - tokens) / seqLen`);
+  *   - `seq_pos`: token offset of the doc inside that sequence;
+  *   - `spans`: how many sequences the doc touches (0 for a token-less
+  *     doc — it occupies no stream positions).
+  */
+object Packing {
+
+  /** @param order   total-order columns (e.g. [[Sampling.trainOrder]]);
+    *                `idCol` is always appended as the tie-break
+    * @param seqLen  tokens per training sequence
+    * @param numPartitions 0 = session `spark.sql.shuffle.partitions` */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    order: Seq[Column], seqLen: Long,
+                    numPartitions: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ordCols = order :+ col(idCol)
+    // the checkpoint pins partition boundaries: pass 2's offsets are
+    // keyed by partition index, so both passes MUST see the same split
+    val ordered = df.repartitionByRange(parts, ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+      .materializeOnce(eager = false)
+    val tokIdx = ordered.schema.fieldIndex(tokensCol)
+    val sums = ordered
+      .select(spark_partition_id().as("__pid"),
+        col(tokensCol).cast("long").as("__t"))
+      .groupBy("__pid").agg(sum("__t").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts)
+      .scanLeft(0L)((acc, p) => acc + sums.getOrElse(p, 0L)).toArray
+    val outSchema = ordered.schema
+      .add("cum_tokens", LongType).add("seq_id", LongType)
+      .add("seq_pos", LongType).add("spans", LongType)
+    ordered.mapPartitions { it =>
+      var run = offsets(TaskContext.getPartitionId())
+      it.map { row =>
+        val t = row.get(tokIdx).asInstanceOf[Number].longValue
+        require(t >= 0, s"negative token count $t")
+        val start = run
+        run += t
+        val seqId = start / seqLen
+        val spans = if (t == 0) 0L else (run - 1) / seqLen - seqId + 1
+        Row.fromSeq(row.toSeq ++ Seq(run, seqId, start % seqLen, spans))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Enrichment, Quantization, Quota, RangeJoin, Sampling, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Enrichment, Packing, Quantization, Quota, RangeJoin, Sampling, Skew, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -317,6 +317,41 @@ object PipelineQueries {
             Seq(desc("q"), asc("doc_id")), "ws_tokens", 1000L)
           .select("doc_id", "source", "q", "ws_tokens", "cum_tokens")
           .orderBy("source", "doc_id")
+      }),
+
+    // sequence packing: every doc's place in the fixed-length training
+    // sequences (concatenate in train order, cut every 512 tokens). The
+    // engine runs a distributed prefix sum (range partition -> partition
+    // totals -> map-only offset pass, never a single-partition window);
+    // the oracle states the same layout as the naive global window. All
+    // integer math — exact cross-engine equality, no rounding
+    Q("q72_sequence_packing", Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(${toksRawSql("text")}) AS BIGINT) AS ws_tokens,
+          CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ord
+        FROM documents),
+      c AS (
+        SELECT doc_id, ws_tokens,
+          CAST(sum(ws_tokens) OVER (ORDER BY ord, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t)
+      SELECT doc_id, ws_tokens, cum AS cum_tokens,
+        CAST((cum - ws_tokens) // 512 AS BIGINT) AS seq_id,
+        CAST((cum - ws_tokens) % 512 AS BIGINT) AS seq_pos,
+        CAST(CASE WHEN ws_tokens > 0
+             THEN (cum - 1) // 512 - (cum - ws_tokens) // 512 + 1
+             ELSE 0 END AS BIGINT) AS spans
+      FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.wordCount(col("text"))
+            .cast("long").as("ws_tokens"))
+        Packing.packSequences(docs, "doc_id", "ws_tokens",
+            Seq(Sampling.trainOrder(col("doc_id"))), seqLen = 512)
+          .select("doc_id", "ws_tokens", "cum_tokens", "seq_id",
+            "seq_pos", "spans")
+          .orderBy("doc_id")
       })
   )
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: distributed prefix sum + fixed-length chunk math. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cum/seq/pos/spans match the hand-computed stream layout") {
+    // order by id: tokens 3, 5, 4, 0, 6 -> cum 3, 8, 12, 12, 18; L = 5
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 0L), (5L, 6L))
+      .toDF("id", "toks")
+    val out = Packing.packSequences(df, "id", "toks", Seq(col("id")),
+        seqLen = 5, numPartitions = 2)
+      .select("id", "cum_tokens", "seq_id", "seq_pos", "spans")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((3L, 0L, 0L, 1L)))   // [0,3) in seq 0
+    assert(out(2L) === ((8L, 0L, 3L, 2L)))   // [3,8) straddles seqs 0-1
+    assert(out(3L) === ((12L, 1L, 3L, 2L)))  // [8,12) straddles 1-2
+    assert(out(4L) === ((12L, 2L, 2L, 0L)))  // empty doc: no positions
+    assert(out(5L) === ((18L, 2L, 2L, 2L)))  // [12,18) spans 2-3
+  }
+
+  test("prefix sum is exact and partitioning-invariant") {
+    val df = (1L to 500L).map(i => (i, i % 17)).toDF("id", "toks")
+    def run(parts: Int) =
+      Packing.packSequences(df.repartition(parts), "id", "toks",
+          Seq(col("id")), seqLen = 64, numPartitions = parts)
+        .select("id", "cum_tokens", "seq_id", "seq_pos", "spans")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    val one = run(1)
+    assert(run(7) === one)
+    assert(run(32) === one)
+    // final cumulative equals the exact total
+    assert(one.last(1) === (1L to 500L).map(_ % 17).sum)
+  }
+
+  test("ordering column (not id) drives the layout") {
+    // reverse order: id 2 (10 toks) first, then id 1 (3 toks)
+    val df = Seq((1L, 3L, 2L), (2L, 10L, 1L)).toDF("id", "toks", "ord")
+    val out = Packing.packSequences(df, "id", "toks", Seq(col("ord")),
+        seqLen = 8, numPartitions = 2)
+      .select("id", "cum_tokens", "seq_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(2L) === ((10L, 0L)))
+    assert(out(1L) === ((13L, 1L)))  // starts at 10 -> seq 1
+  }
+}
