@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ClusteringOps, IvfIndex, Multimodal, ProductQuantization, SemDedup}
+import graft.operators.{ClusteringOps, Decontamination, ImportanceSampling, IvfIndex, Multimodal, Packing, ProductQuantization, Sampling, SemDedup, TextAnalysis}
 import graft.streaming.EventStreams
+import graft.util.Materialize.MatOps
 import org.apache.spark.sql.functions._
 
 /** ML (MLlib k-means / IVF-ANN), multimodal-stub, and streaming-operator
@@ -276,8 +277,150 @@ object MlQueries {
           .select(col("id").as("vec_id"), col("cluster_id"),
             round(col("centroid_dist"), 6).as("centroid_dist"), col("kept"))
           .orderBy("vec_id")
+      }),
+
+    // the round-6 curation tier composed end to end: Gopher gate ->
+    // Bloom-prefilter decontamination -> SemDeDup over the survivors'
+    // embeddings -> DSIR target-likeness admission -> sequence packing
+    // of the admitted set in train order. Every stage is individually
+    // certified (q63/q70/q69/q71/q72 semantics); the oracle restates
+    // the full composition, including the centroid-literal SemDeDup
+    // replay. DSIR weights round to 6dp in BOTH engines BEFORE the
+    // admission comparison, so the one sum-order-sensitive double in
+    // the pipeline can never flip a keep/drop decision cross-engine
+    Q("q73_curation_v2", centroidValues.map { cv => s"""
+      WITH centroids(cid, c) AS (VALUES $cv),
+      base AS (
+        SELECT doc_id, text, lang,
+          list_filter(string_split(text, ' '), x -> x <> '') AS t,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS lt
+        FROM documents),
+      gate AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST(len(t) AS INT) AS n_words,
+            CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+            CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
+            CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_word_frac,
+            CAST(len(list_filter(lt, x -> list_contains([$q73Stopwords], x))) AS INT) AS stopword_hits
+          FROM base) m
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+          AND stopword_hits >= 2),
+      ng AS (
+        SELECT doc_id, list_distinct([array_to_string(lt[i:i+4], ' ')
+                       for i in range(1, greatest(len(lt) - 4, 0) + 1)]) AS g
+        FROM base),
+      ev AS (SELECT DISTINCT unnest(g) AS ng FROM ng WHERE doc_id % 10 = 0),
+      tr AS (SELECT n.doc_id, unnest(n.g) AS ng
+             FROM ng n JOIN gate USING (doc_id) WHERE n.doc_id % 10 <> 0),
+      clean AS (
+        SELECT g.doc_id FROM gate g
+        WHERE g.doc_id % 10 <> 0
+          AND NOT EXISTS (SELECT 1 FROM tr JOIN ev USING (ng)
+                          WHERE tr.doc_id = g.doc_id)),
+      a AS (
+        SELECT vec_id, cid, dist FROM (
+          SELECT e.vec_id, c.cid,
+            list_distance(e.embedding::DOUBLE[], c.c) AS dist,
+            row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.cid) AS rn
+          FROM embeddings e JOIN clean cl ON e.vec_id = cl.doc_id
+          CROSS JOIN centroids c) x WHERE rn = 1),
+      v AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+            FROM embeddings e JOIN clean cl ON e.vec_id = cl.doc_id),
+      prs AS (
+        SELECT xa.vec_id AS ia, ya.vec_id AS ib, xa.dist AS da, ya.dist AS db
+        FROM a xa JOIN a ya ON xa.cid = ya.cid AND xa.vec_id < ya.vec_id
+        JOIN v x ON x.vec_id = xa.vec_id
+        JOIN v y ON y.vec_id = ya.vec_id
+        WHERE list_dot_product(x.v, y.v) /
+          (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.3),
+      removed AS (
+        SELECT DISTINCT CASE WHEN da > db THEN ib
+                             WHEN db > da THEN ia
+                             ELSE greatest(ia, ib) END AS vec_id FROM prs),
+      dd AS (SELECT cl.doc_id FROM clean cl
+             WHERE cl.doc_id NOT IN (SELECT vec_id FROM removed)),
+      g2 AS (
+        SELECT b.doc_id, CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END AS is_target,
+          list_concat(b.lt, [b.lt[i] || ' ' || b.lt[i+1] for i in range(1, len(b.lt))]) AS gs
+        FROM base b JOIN dd USING (doc_id)),
+      e2 AS (SELECT doc_id, is_target, unnest(gs) AS gr FROM g2),
+      pd AS (SELECT doc_id, is_target,
+               CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT) % 4096 AS b2,
+               CAST(count(*) AS BIGINT) AS n
+             FROM e2 GROUP BY 1, 2, 3),
+      st AS (SELECT b2,
+               CAST(sum(CASE WHEN is_target = 1 THEN n ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN is_target = 0 THEN n ELSE 0 END) AS BIGINT) AS cs
+             FROM pd GROUP BY b2),
+      tot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt,
+                     CAST(coalesce(sum(cs), 0) AS DOUBLE) AS ns FROM st),
+      r AS (SELECT b2,
+              log10((CAST(ct AS DOUBLE) + 1.0) / (tot.nt + 4096.0)) -
+              log10((CAST(cs AS DOUBLE) + 1.0) / (tot.ns + 4096.0)) AS lr
+            FROM st CROSS JOIN tot),
+      w AS (SELECT pd.doc_id, sum(CAST(pd.n AS DOUBLE) * r.lr) AS weight
+            FROM pd JOIN r USING (b2) GROUP BY pd.doc_id),
+      adm AS (SELECT doc_id, round(weight, 6) AS weight
+              FROM w WHERE round(weight, 6) >= 0.0),
+      tk AS (SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS ws_tokens, adm.weight,
+               CAST('0x' || substr(md5('0|' || CAST(b.doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ord
+             FROM base b JOIN adm USING (doc_id)),
+      p AS (SELECT doc_id, ws_tokens, weight,
+              CAST(sum(ws_tokens) OVER (ORDER BY ord, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM tk)
+      SELECT doc_id, ws_tokens, weight, cum AS cum_tokens,
+        CAST((cum - ws_tokens) // 512 AS BIGINT) AS seq_id
+      FROM p ORDER BY doc_id"""},
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val cents = cachedModel(s, d, 10).clusterCenters.map(_.toArray).toSeq
+        val keep = TextAnalysis.gopherRules(docs, "doc_id", "text")
+          .filter(col("keep") === 1).select(col("id").as("doc_id"))
+        val gated = docs.join(keep, Seq("doc_id"), "left_semi")
+        val train = gated.filter(col("doc_id") % 10 =!= 0)
+          .materializeOnce(eager = false) // consumers: bloom build + clean
+        val evalDf = docs.filter(col("doc_id") % 10 === 0)
+        val cleanIds = Decontamination.bloomContamination(train, "doc_id",
+            "text", evalDf, "text", n = 5, expectedEvalNgrams = 1L << 16)
+          .filter(col("n_hit") === 0).select(col("id").as("doc_id"))
+        // stage boundaries with two consumers materialize once — without
+        // this every downstream stage re-runs the whole upstream
+        // pipeline (gopher + bloom + ...) from the scan
+        val clean = train.join(cleanIds, Seq("doc_id"), "left_semi")
+          .materializeOnce(eager = false) // consumers: cleanEmb + deduped
+        val cleanEmb = emb.join(clean.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        val keptIds = SemDedup.semDedup(cleanEmb, "vec_id", "embedding",
+            cents, threshold = 0.3)
+          .filter(col("kept") === 1).select(col("id").as("doc_id"))
+        val deduped = clean.join(keptIds, Seq("doc_id"), "left_semi")
+          .materializeOnce(eager = false) // consumers: weights + admitted
+        val weights = ImportanceSampling.dsirWeights(deduped, "doc_id",
+            "text", col("lang") === "en", buckets = 4096)
+          .select(col("id").as("doc_id"), round(col("weight"), 6).as("weight"))
+          .filter(col("weight") >= 0.0)
+        val admitted = deduped
+          .select(col("doc_id"), graft.functions.TextFunctions
+            .wordCount(col("text")).cast("long").as("ws_tokens"))
+          .join(weights, Seq("doc_id"))
+        Packing.packSequences(admitted, "doc_id", "ws_tokens",
+            Seq(Sampling.trainOrder(col("doc_id"))), seqLen = 512)
+          .select("doc_id", "ws_tokens", "weight", "cum_tokens", "seq_id")
+          .orderBy("doc_id")
       })
   )
+
+  private val q73Stopwords =
+    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
 
   /** PQ codebooks + the PQ-encoded IVF table are build-once index
     * artifacts, same lifecycle as [[cachedIvf]]. */
