@@ -119,4 +119,49 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), "gopher rules must not shuffle:\n" + p)
   }
+
+  test("q69: semdedup pairs form via the cluster equi-join, never a cross product") {
+    val df = SparkEntry.queries("q69_semdedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "semdedup must stay an equi-join:\n" + p)
+  }
+
+  test("bloom decontamination: the might_contain probe filters BEFORE the verify join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Decontamination.bloomContamination(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 0),
+      "doc_id", "text",
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0),
+      "text", n = 5, expectedEvalNgrams = 1L << 16)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the probe must appear as a Filter in the plan (map-side, pre-join)
+    assert(p.contains("might_contain"), "bloom probe missing from plan:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q71: DSIR bucket stats broadcast back into the scoring join") {
+    val df = SparkEntry.queries("q71_dsir_weights")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), "stats side must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("packing: the prefix sum plans with NO window and ONE range shuffle") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "toks")
+    val out = graft.operators.Packing.packSequences(
+      df, "id", "toks", Seq(org.apache.spark.sql.functions.col("id")),
+      seqLen = 16, numPartitions = 4)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "prefix sum must not fall back to a window:\n" + p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val ranges = finalPlan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"expected at most one range shuffle, got $ranges:\n$p")
+  }
 }
