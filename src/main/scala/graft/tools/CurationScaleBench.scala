@@ -53,7 +53,15 @@ object CurationScaleBench {
       ts(ts.length / 2)
     }
 
-    Seq("q59_training_mix", "q65_curation_pipeline").foreach { q =>
+    // q71/q72 join the round-6 additions: DSIR (one keyed shuffle of
+    // bucket ints + broadcast stats) and packing (prefix sum — one range
+    // shuffle + map pass) should both scale ~linearly in rows. q73 is
+    // deliberately absent: its SemDeDup stage is quadratic in cluster
+    // size BY DESIGN, and the deployment contract is k grows with the
+    // corpus (cluster size stays ~constant) — a fixed-k 10x run would
+    // measure the wrong regime.
+    Seq("q59_training_mix", "q65_curation_pipeline",
+        "q71_dsir_weights", "q72_sequence_packing").foreach { q =>
       median(q, src, runs = 1) // warmup: codegen + footer caches
       val small = median(q, src)
       val large = median(q, big)
