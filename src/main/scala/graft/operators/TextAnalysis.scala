@@ -274,6 +274,64 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Interpolated-bigram LM quality — the next tier of the [[
+    * unigramQuality]] perplexity filter (CCNet interpolates up to
+    * 5-grams; bigrams capture the word-order signal a unigram model is
+    * blind to: shuffled-token spam scores identically to prose under
+    * unigrams, far lower here). Per position i >= 2:
+    * p = lambda * c(w_{i-1} w_i)/ctx(w_{i-1}) + (1-lambda) *
+    * (c(w_i)+1)/(N+1); the score is the mean log10 p.
+    *
+    * Scale shape: unlike the top-V unigram vocab, the bigram table is
+    * NOT vocabulary-bounded — it grows with the corpus and cannot
+    * broadcast. Scoring is therefore a shuffle join keyed on the
+    * (prev, cur) pair: only token-pair rows ever shuffle (never text),
+    * counts partial-aggregate map-side, and the context totals derive
+    * from the bigram table itself — no third pass over the corpus. A
+    * deployment that cannot afford the bigram join swaps in a
+    * count-min sketch of the counts; the interpolation contract is
+    * unchanged.
+    *
+    * Output: (id, n_bigrams, avg_logp); docs with < 2 tokens score a
+    * neutral (0, 0.0). */
+  def bigramQuality(df: DataFrame, idCol: String, textCol: String,
+                    lambda: Double = 0.9): DataFrame = {
+    def bigramsOf(textCol2: Column): Column = {
+      val t = tokens(lower(textCol2))
+      val n1 = greatest(size(t) - 1, lit(0))
+      zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))
+    }
+    val uni = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .materializeOnce(eager = false) // two consumers: total + scoring join
+    val totalN = uni.agg(coalesce(sum("cu"), lit(0L))).head().getLong(0).toDouble
+    val bi = df.select(explode(bigramsOf(col(textCol))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      .materializeOnce(eager = false) // two consumers: ctx totals + scoring join
+    val ctx = bi.groupBy("prev").agg(sum("cb").as("cctx"))
+    val stream = df.select(col(idCol).as("id"),
+        explode_outer(bigramsOf(col(textCol))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    stream
+      .join(bi, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(uni.withColumnRenamed("tok", "cur"), Seq("cur"), "left")
+      .withColumn("p",
+        lit(lambda) * when(col("cctx").isNotNull,
+            coalesce(col("cb"), lit(0L)).cast("double") /
+              col("cctx").cast("double"))
+          .otherwise(lit(0.0)) +
+        lit(1.0 - lambda) *
+          ((coalesce(col("cu"), lit(0L)).cast("double") + lit(1.0)) /
+            lit(totalN + 1.0)))
+      .groupBy("id")
+      .agg(count(col("prev")).as("n_bigrams"),
+        coalesce(avg(when(col("prev").isNotNull, log10(col("p")))), lit(0.0))
+          .as("avg_logp"))
+  }
+
   /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations over one
     * token explode — term frequencies per doc, then document frequencies
     * from the per-doc rows (never a second corpus scan). N (corpus size)

@@ -373,6 +373,46 @@ object CurationQueries {
           "doc_id", "text", col("lang") === "en", buckets = 4096)
         .select(col("id").as("doc_id"), col("is_target"), col("n_grams"),
           round(col("weight"), 6).as("weight"))
+        .orderBy("doc_id")),
+
+    // interpolated-bigram LM quality (the word-order-aware tier above
+    // q68's unigram model). The lambda mix uses (1.0 - 0.9) in BOTH
+    // engines — the IEEE result differs from a 0.1 literal, and parity
+    // demands the same op sequence. Bigram/context/unigram counts are
+    // exact integers; log10 and the mean absorb their <=1-ulp freedom
+    // in the round-6 output boundary like q68
+    Q("q74_bigram_lm_quality", Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      uni AS (SELECT tokk, CAST(count(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(t) AS tokk FROM tok) GROUP BY tokk),
+      tot AS (SELECT CAST(coalesce(sum(cu), 0) AS DOUBLE) AS n FROM uni),
+      bge AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS prev, unnest(t[2:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 2),
+      bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+             FROM bge GROUP BY 1, 2),
+      ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cctx FROM bi GROUP BY 1),
+      sc AS (
+        SELECT g.doc_id,
+          0.9 * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(c.cctx AS DOUBLE)) +
+          (1.0 - 0.9) * ((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS p
+        FROM bge g
+        JOIN bi b USING (prev, cur)
+        JOIN ctx c USING (prev)
+        LEFT JOIN uni u ON u.tokk = g.cur
+        CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, d) => TextAnalysis.bigramQuality(Tables.documents(s, d),
+          "doc_id", "text", lambda = 0.9)
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id"))
   )
 }

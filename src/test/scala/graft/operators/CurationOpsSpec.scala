@@ -69,6 +69,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("bigramQuality: interpolated probability, word-order sensitivity, short docs neutral") {
+    // corpus: "a b" twice, "b a" once, "z" -> ctx(a)=2 with c(a,b)=2;
+    // ctx(b)=1 with c(b,a)=1; unigrams a:3, b:3, z:1, N=7
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "b a"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramQuality(df, "doc_id", "text", lambda = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logp"))).toMap
+    val pUni = (3.0 + 1.0) / (7.0 + 1.0)
+    val pAB = 0.9 * (2.0 / 2.0) + (1.0 - 0.9) * pUni
+    val pBA = 0.9 * (1.0 / 1.0) + (1.0 - 0.9) * pUni
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log10(pAB)) < 1e-12)
+    assert(math.abs(out(3L)._2 - math.log10(pBA)) < 1e-12)
+    // single-token doc: no bigram positions, neutral score
+    assert(out(4L) === ((0L, 0.0)))
+  }
+
+  test("bigramQuality ranks common word order above rare order") {
+    // "x y z" dominates, so ctx(y) overwhelmingly continues to z; the
+    // one "y x" doc's rare continuation must score lower
+    val rows = (1L to 9L).map(i => (i, "x y z")) :+ ((10L, "y x"))
+    val df = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.bigramQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(out(10L) < out(1L))
+  }
+
   test("contamination keeps short docs (no formable n-gram) with zero counts") {
     val train = Seq((1L, "too short"), (2L, "a b c d e")).toDF("doc_id", "text")
     val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
