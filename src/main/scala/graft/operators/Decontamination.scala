@@ -94,17 +94,24 @@ object Decontamination {
       .distinct()
       .materializeOnce(eager = false) // two consumers: bloom build + verify
     // build once, driver-side single row (the serialized bits), same
-    // bounded-metadata contract as the IVF meta collect
+    // bounded-metadata contract as the IVF meta collect. Sizing stays
+    // inside Spark's runtime-filter conf caps (4M items / 8 MB of bits)
+    // so the aggregate never trips them
+    val numItems = math.min(math.max(expectedEvalNgrams, 1L), 4000000L)
     val numBits = math.min(
       org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(
-        expectedEvalNgrams, fpp),
-      67108864L) // Spark's runtime-filter cap: 8 MB of bits
+        numItems, fpp),
+      67108864L)
     val bloomAgg = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(col("ng")))),
-      Literal(expectedEvalNgrams), Literal(numBits))
+      Literal(numItems), Literal(numBits))
       .toAggregateExpression()
     val bloomBits = evalNg.select(GraftBridge.column(bloomAgg)).head()
       .getAs[Array[Byte]](0)
+    // zero eval n-grams -> the aggregate yields a NULL filter; the
+    // exact path degenerates identically (no hits), so just use it
+    if (bloomBits == null)
+      return contamination(train, idCol, textCol, eval, evalTextCol, n)
     val mightContain = GraftBridge.column(BloomFilterMightContain(
       Literal.create(bloomBits,
         org.apache.spark.sql.types.BinaryType),

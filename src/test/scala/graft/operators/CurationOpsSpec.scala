@@ -69,6 +69,15 @@ class CurationOpsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("bloomContamination survives an empty eval corpus (null filter -> exact path)") {
+    val train = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val eval = Seq((9L, "x")).toDF("doc_id", "text") // no formable 5-gram
+    val out = Decontamination.bloomContamination(
+      train, "doc_id", "text", eval, "text", n = 5)
+      .collect().map(r => (r.getAs[Long]("n_hit"), r.getAs[Int]("contaminated")))
+    assert(out.toSeq === Seq((0L, 0)))
+  }
+
   test("bigramQuality: interpolated probability, word-order sensitivity, short docs neutral") {
     // corpus: "a b" twice, "b a" once, "z" -> ctx(a)=2 with c(a,b)=2;
     // ctx(b)=1 with c(b,a)=1; unigrams a:3, b:3, z:1, N=7
