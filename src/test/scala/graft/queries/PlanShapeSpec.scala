@@ -150,6 +150,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q73: the composed curation pipeline never plans a cross product or window") {
+    val df = SparkEntry.queries("q73_curation_v2")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "composition must stay equi-join-only:\n" + p)
+    assert(!p.contains("Window"),
+      "packing's prefix sum must hold through the composition:\n" + p)
+  }
+
   test("packing: the prefix sum plans with NO window and ONE range shuffle") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "toks")
