@@ -46,6 +46,42 @@ object Sampling {
   def bucket(key: Column, outOf: Int): Column =
     portableHash32(key.cast("string")) % outOf
 
+  /** Weighted sampling WITHOUT replacement, deterministic (Efraimidis &
+    * Spirakis 2006): each row gets the key u^(1/w) with u a hash-derived
+    * uniform in (0,1); the k largest keys are exactly a weight-
+    * proportional sample without replacement. Because u comes from
+    * [[portableHash32]] of the row key (not an RNG), the selected set is
+    * identical on every run, partitioning, and engine — the reproducible
+    * form of the importance-resampling step DSIR-style pipelines run on
+    * [[ImportanceSampling.dsirWeights]] outputs (or any weight: token
+    * counts for length-proportional mixes, quality scores, ...).
+    *
+    * Scale shape: the key is one map-only expression; the k-largest
+    * selection compiles to `TakeOrderedAndProject` (k rows per
+    * partition, no global sort). Keys round to 9dp before ranking in
+    * BOTH engines so libm's 1-ulp `pow` freedom can never flip the
+    * rank-k boundary cross-engine; ties break by the row key.
+    *
+    * Rows with weight <= 0 or NULL are excluded (zero-probability mass).
+    * Output: input columns + `es_key` (the rounded selection key).
+    *
+    * @param seed varies the sample (a different hash universe per
+    *             seed) without any RNG state */
+  def weightedSample(df: DataFrame, key: Column, weightCol: Column,
+                     k: Int, seed: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    // (hash + 0.5) / 2^32: an exact dyadic rational in (0, 1). The "es"
+    // prefix keeps this hash universe disjoint from [[trainOrder]]'s
+    // epoch universes — seed 0 must not reuse epoch 0's uniforms
+    val u = (portableHash32(concat(lit(s"es$seed|"), key.cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val esKey = round(pow(u, lit(1.0) / weightCol.cast("double")), 9)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("es_key", esKey)
+      .orderBy(col("es_key").desc, key.asc)
+      .limit(k)
+  }
+
   /** Deterministic global training order: a portable-hash rank keyed by
     * `"<epoch>|<key>"` — the reproducible shuffle a training run needs.
     * Same order on every engine, run, and partitioning; a different

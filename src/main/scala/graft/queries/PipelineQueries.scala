@@ -352,6 +352,33 @@ object PipelineQueries {
           .select("doc_id", "ws_tokens", "cum_tokens", "seq_id",
             "seq_pos", "spans")
           .orderBy("doc_id")
+      }),
+
+    // reproducible weighted sampling without replacement (Efraimidis-
+    // Spirakis keys over hash-derived uniforms): length-proportional
+    // document sample, k largest u^(1/w) keys via TakeOrdered — no RNG
+    // state, no global sort. Keys round to 9dp in BOTH engines before
+    // ranking so libm's 1-ulp pow freedom cannot flip the rank-k edge
+    Q("q75_weighted_sample", Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(${toksRawSql("text")}) AS BIGINT) AS ws_tokens
+        FROM documents),
+      s AS (
+        SELECT doc_id, ws_tokens,
+          round(pow(
+            (CAST('0x' || substr(md5('es0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+              / 4294967296.0,
+            1.0 / CAST(ws_tokens AS DOUBLE)), 9) AS es_key
+        FROM t WHERE ws_tokens > 0)
+      SELECT doc_id, ws_tokens, es_key FROM s
+      ORDER BY es_key DESC, doc_id LIMIT 100"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.wordCount(col("text"))
+            .cast("long").as("ws_tokens"))
+        Sampling.weightedSample(docs, col("doc_id"), col("ws_tokens"),
+          k = 100, seed = 0)
       })
   )
 }

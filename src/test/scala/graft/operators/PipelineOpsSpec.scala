@@ -20,6 +20,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a.size > 250 && a.size < 550, s"got ${a.size}")
   }
 
+  test("weightedSample matches a driver-side replica of the ES keys") {
+    val rows = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))
+    val df = rows.toDF("id", "w")
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val expected = rows.map { case (i, w) =>
+      val u = (hash32(s"es0|$i") + 0.5) / 4294967296.0
+      val key = BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, key)
+    }.sortBy { case (i, k) => (-k, i) }.take(25).map(_._1).toSet
+    val got = Sampling.weightedSample(df, col("id"), col("w"), k = 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
+
+  test("weightedSample is partitioning-invariant and excludes non-positive weights") {
+    val df = (1L to 100L).map(i => (i, if (i % 10 == 0) 0.0 else i.toDouble))
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(df, col("id"), col("w"), 30)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(df.repartition(8), col("id"), col("w"), 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(a.forall(_ % 10 != 0), "zero-weight rows must never be sampled")
+    assert(a.size === 30)
+  }
+
+  test("weightedSample favors heavy rows across seeds") {
+    // one row with 50x the weight of the rest must appear in far more
+    // seed-universes than a baseline row
+    val df = (1L to 50L).map(i => (i, if (i == 7L) 50.0 else 1.0)).toDF("id", "w")
+    val hits = (0 until 20).count { s =>
+      Sampling.weightedSample(df, col("id"), col("w"), 5, seed = s)
+        .collect().exists(_.getLong(0) == 7L)
+    }
+    assert(hits >= 15, s"heavy row sampled only $hits/20 times")
+  }
+
   test("hashSample is monotone in keep: smaller samples nest in larger") {
     val df = spark.range(0, 1000).toDF("id")
     val small = Sampling.hashSample(df, col("id"), 10).collect().map(_.getLong(0)).toSet

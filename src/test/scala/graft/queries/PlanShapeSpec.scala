@@ -150,6 +150,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q75: weighted sampling compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q75_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
   test("q73: the composed curation pipeline never plans a cross product or window") {
     val df = SparkEntry.queries("q73_curation_v2")(spark, sf)
     df.collect()
