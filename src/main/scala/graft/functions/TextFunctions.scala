@@ -79,6 +79,23 @@ object TextFunctions {
   def minhash(elems: Column, seed: Int): Column =
     array_min(transform(elems, e => portableHash32(concat(lit(s"$seed|"), e))))
 
+  /** Adjacent token pairs (with multiplicity) from a token array, as
+    * `struct(prev, cur)` rows — the single source of the bigram
+    * construction both the LM-quality and DSIR tiers replay in SQL as
+    * `[{prev: t[i], cur: t[i+1]} for i in range(1, len(t))]`. One
+    * definition so a tokenization tweak cannot break one oracle's
+    * parity and not the other's. */
+  def bigramPairs(tokens: Column): Column = {
+    val n1 = greatest(size(tokens) - 1, lit(0))
+    zip_with(slice(tokens, lit(1), n1), slice(tokens, lit(2), n1),
+      (a, b) => struct(a.as("prev"), b.as("cur")))
+  }
+
+  /** The [[StopWords]] set as a SQL literal list body — shared by every
+    * oracle that restates the stopword filter, so quoting lives in ONE
+    * place. */
+  lazy val stopWordsSql: String = StopWords.map(w => s"'$w'").mkString(", ")
+
   /** Jaccard similarity of two string arrays (sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -120,7 +120,10 @@ object Decontamination {
     // the probe drops non-candidate n-grams
     val base = train.select(col(idCol).as("id"),
       wordNgramSet(lower(col(textCol)), n).as("__ngs"))
-      .withColumn("n_ngrams", size(col("__ngs")).cast("long"))
+      // coalesce: NULL text -> NULL n-gram array -> NULL size; the
+      // exact path's count() reports 0 there, and the two paths must
+      // stay value-identical
+      .withColumn("n_ngrams", coalesce(size(col("__ngs")), lit(0)).cast("long"))
       .materializeOnce(eager = false) // two consumers: candidates + output
     val cand = base
       .select(col("id"), explode(col("__ngs")).as("ng"))

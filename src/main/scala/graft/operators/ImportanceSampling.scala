@@ -34,12 +34,13 @@ import org.apache.spark.sql.functions._
 object ImportanceSampling {
 
   /** Word unigrams + bigrams with multiplicity (DSIR's feature stream —
-    * counts, not sets; tokenization matches [[tokens]] exactly). */
+    * counts, not sets; tokenization matches [[tokens]] exactly and the
+    * bigram construction is the shared
+    * [[graft.functions.TextFunctions.bigramPairs]]). */
   private def grams(textLower: Column): Column = {
     val t = tokens(textLower)
-    val n1 = greatest(size(t) - 1, lit(0))
-    val bi = zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
-      (a, b) => concat(a, lit(" "), b))
+    val bi = transform(graft.functions.TextFunctions.bigramPairs(t),
+      p => concat(p.getField("prev"), lit(" "), p.getField("cur")))
     concat(t, bi)
   }
 
@@ -51,7 +52,9 @@ object ImportanceSampling {
     *
     * @param isTarget predicate column marking the target-distribution
     *                 exemplars (they are scored too — a target doc
-    *                 scoring low is a useful diagnostic)
+    *                 scoring low is a useful diagnostic); a NULL
+    *                 predicate result counts as source (matching SQL
+    *                 `CASE WHEN p THEN 1 ELSE 0` semantics)
     * @param buckets  hashed feature space size (DSIR's B; collisions
     *                 are shared by both distributions by construction)
     */
@@ -59,7 +62,7 @@ object ImportanceSampling {
                   isTarget: Column, buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val base = df.select(col(idCol).as("id"),
-      isTarget.cast("int").as("is_target"),
+      coalesce(isTarget.cast("int"), lit(0)).as("is_target"),
       grams(lower(col(textCol))).as("__gs"))
     // one slim keyed shuffle: (id, bucket) ints, map-side combined
     val perDoc = base

@@ -296,12 +296,8 @@ object TextAnalysis {
     * neutral (0, 0.0). */
   def bigramQuality(df: DataFrame, idCol: String, textCol: String,
                     lambda: Double = 0.9): DataFrame = {
-    def bigramsOf(textCol2: Column): Column = {
-      val t = tokens(lower(textCol2))
-      val n1 = greatest(size(t) - 1, lit(0))
-      zip_with(slice(t, lit(1), n1), slice(t, lit(2), n1),
-        (a, b) => struct(a.as("prev"), b.as("cur")))
-    }
+    def bigramsOf(textCol2: Column): Column =
+      graft.functions.TextFunctions.bigramPairs(tokens(lower(textCol2)))
     val uni = df.select(explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cu"))
       .materializeOnce(eager = false) // two consumers: total + scoring join

@@ -34,7 +34,7 @@ object CorpusQueries {
   private def toksRawSql(c: String) =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
   private val hash32Sql = (e: String) => s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
-  private val stopwordsSql = TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+  private val stopwordsSql = TextFunctions.stopWordsSql
 
   val all: Seq[Q] = Seq(
 

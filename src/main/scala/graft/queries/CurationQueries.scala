@@ -16,8 +16,7 @@ object CurationQueries {
 
   private def toksSql(c: String) =
     s"list_filter(string_split(lower($c), ' '), x -> x <> '')"
-  private val stopwordsSql =
-    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+  private val stopwordsSql = graft.functions.TextFunctions.stopWordsSql
   private val hash32Sql = (e: String) => s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
   val all: Seq[Q] = Seq(

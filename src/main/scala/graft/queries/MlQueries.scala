@@ -399,10 +399,13 @@ object MlQueries {
           .materializeOnce(eager = false) // consumers: cleanEmb + deduped
         val cleanEmb = emb.join(clean.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
-        val keptIds = SemDedup.semDedup(cleanEmb, "vec_id", "embedding",
+        // anti-join on the REMOVED set (not semi-join on kept): a clean
+        // doc with no embedding row cannot be a semantic dup and must
+        // survive — the oracle's NOT IN (removed) semantics
+        val removedIds = SemDedup.semDedup(cleanEmb, "vec_id", "embedding",
             cents, threshold = 0.3)
-          .filter(col("kept") === 1).select(col("id").as("doc_id"))
-        val deduped = clean.join(keptIds, Seq("doc_id"), "left_semi")
+          .filter(col("kept") === 0).select(col("id").as("doc_id"))
+        val deduped = clean.join(removedIds, Seq("doc_id"), "left_anti")
           .materializeOnce(eager = false) // consumers: weights + admitted
         val weights = ImportanceSampling.dsirWeights(deduped, "doc_id",
             "text", col("lang") === "en", buckets = 4096)
@@ -419,8 +422,7 @@ object MlQueries {
       })
   )
 
-  private val q73Stopwords =
-    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+  private val q73Stopwords = graft.functions.TextFunctions.stopWordsSql
 
   /** PQ codebooks + the PQ-encoded IVF table are build-once index
     * artifacts, same lifecycle as [[cachedIvf]]. */

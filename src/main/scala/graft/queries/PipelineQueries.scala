@@ -24,8 +24,7 @@ object PipelineQueries {
     * them per stage). */
   private def toksRawSql(c: String) =
     s"list_filter(string_split($c, ' '), x -> x <> '')"
-  private val stopwordsSql =
-    graft.functions.TextFunctions.StopWords.map(w => s"'$w'").mkString(", ")
+  private val stopwordsSql = graft.functions.TextFunctions.stopWordsSql
 
   val all: Seq[Q] = Seq(
 

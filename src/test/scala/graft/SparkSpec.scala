@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf: String = "/root/testdata/sf0.001"
+
+  /** Driver-side replica of `TextFunctions.portableHash32` (first 8 hex
+    * chars of md5 as an unsigned int) — ONE definition for every spec
+    * that recomputes engine hashes by hand. */
+  def md5Hash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16)
+  }
 }
 
 object SparkSpec {

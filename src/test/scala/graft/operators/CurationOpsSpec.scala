@@ -69,6 +69,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("bloomContamination matches the exact path on NULL-text docs") {
+    val train = Seq((1L, "a b c d e f"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val eval = Seq((9L, "a b c d e z")).toDF("doc_id", "text")
+    val exact = Decontamination.contamination(
+      train, "doc_id", "text", eval, "text", n = 5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val bloom = Decontamination.bloomContamination(
+      train, "doc_id", "text", eval, "text", n = 5)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(bloom === exact)
+    assert(exact.exists(r => r.head == 2L && r(1) == 0L)) // NULL text -> 0 n-grams
+  }
+
   test("bloomContamination survives an empty eval corpus (null filter -> exact path)") {
     val train = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val eval = Seq((9L, "x")).toDF("doc_id", "text") // no formable 5-gram

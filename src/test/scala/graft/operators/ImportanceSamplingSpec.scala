@@ -10,13 +10,8 @@ class ImportanceSamplingSpec extends SparkSpec {
 
   private val B = 4096
 
-  /** Replica of the engine's portable bucket: first 8 hex chars of md5,
-    * as a long, mod B. */
-  private def bucket(g: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.take(8), 16) % B
-  }
+  /** The engine's portable bucket: [[md5Hash32]] mod B. */
+  private def bucket(g: String): Long = md5Hash32(g) % B
 
   private def gramsOf(text: String): Seq[String] = {
     val t = text.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
@@ -61,6 +56,15 @@ class ImportanceSamplingSpec extends SparkSpec {
     assert(out(0)._2 === 5L)
     assert(out(1) === ((2L, 0L, 0.0)))
     assert(out(2)._2 === 1L)
+  }
+
+  test("a NULL predicate result counts as source (SQL CASE semantics)") {
+    val df = Seq((1L, "a b", "en"), (2L, "a c", null.asInstanceOf[String]))
+      .toDF("id", "text", "lang")
+    val out = ImportanceSampling.dsirWeights(df, "id", "text",
+        col("lang") === "en", B)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("is_target")).toMap
+    assert(out === Map(1L -> 1, 2L -> 0)) // NULL lang -> source, never NULL
   }
 
   test("weights are partitioning-invariant") {

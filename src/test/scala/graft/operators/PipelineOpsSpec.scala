@@ -23,13 +23,8 @@ class PipelineOpsSpec extends SparkSpec {
   test("weightedSample matches a driver-side replica of the ES keys") {
     val rows = (1L to 200L).map(i => (i, (i % 13 + 1).toDouble))
     val df = rows.toDF("id", "w")
-    def hash32(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.take(8), 16)
-    }
     val expected = rows.map { case (i, w) =>
-      val u = (hash32(s"es0|$i") + 0.5) / 4294967296.0
+      val u = (md5Hash32(s"es0|$i") + 0.5) / 4294967296.0
       val key = BigDecimal(math.pow(u, 1.0 / w))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       (i, key)
