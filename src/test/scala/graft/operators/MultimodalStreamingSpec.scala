@@ -113,6 +113,37 @@ class MultimodalStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming: map-only curation gates (gopher + langId) run on an unbounded stream") {
+    // the per-doc quality tiers are pure projections, so they are
+    // streaming-safe as-is; the corpus-statistics tiers (unigram/bigram
+    // LM, DSIR, boilerplate) aggregate over the whole corpus and are
+    // batch-only BY CONTRACT — their stats tables are build-once
+    // artifacts a stream would join against, not recompute per batch
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("doc_id", "text")
+    val q1 = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream").start()
+    val q2 = TextAnalysis.langId(df, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lang_stream").start()
+    try {
+      val good = "the quick brown foxes jumped over lazy sleeping dogs today "
+      stream.addData((1L, good * 6), (2L, "x"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val keep = spark.table("gopher_stream")
+        .select("id", "keep").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(keep(1L) === 1) // long, alpha, stopword-bearing doc passes
+      assert(keep(2L) === 0) // one-token doc fails the word-count rule
+      val lang = spark.table("lang_stream")
+        .select("id", "pred_lang").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(lang(1L) === "en")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("streaming: watermarked dedup collapses same-minute retries") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
