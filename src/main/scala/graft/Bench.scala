@@ -52,12 +52,13 @@ object Bench {
         dim = 8, threshold = 0.9, bits = 16, numBands = 4).count()
     } catch { case _: Throwable => () }
 
-    // Per-query MEDIAN over SPARK_GRAFT_BENCH_RUNS runs, default 3.
+    // Per-query MEDIAN over SPARK_GRAFT_BENCH_RUNS runs, default 5.
     // Measured at sf0.1 (SCALE.md "Bench methodology"): single runs carry
     // 0.05-2.3 s of scheduler/GC/first-touch noise per query — one round
-    // reported a 0.12 s filter query as 2.39 s — so medians are the only
-    // numbers stable enough to compare across rounds.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // reported a 0.12 s filter query as 2.39 s, and the round-6 official
+    // n=3 artifact recorded a phantom 2x regression on byte-identical
+    // code — so n=5 medians are the default for the artifact of record.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     // SPARK_GRAFT_BENCH_RELEASE=0 keeps materialized blocks across runs —
     // a methodology A/B knob only (SCALE.md "materialized-block
     // lifecycle"): it reproduces the accumulation regime that skewed r4's
@@ -88,18 +89,30 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    // ms precision, NOT full doubles: the driver keeps only the last
-    // ~2000 chars of stdout and parses the JSON line out of that tail —
-    // 9-digit values pushed the 57-query line past the window and every
-    // round's bench came back parsed:null. 3 decimals keeps the whole
-    // line inside the tail with headroom for more queries.
+    // The driver keeps only the last ~2000 chars of stdout and parses the
+    // JSON line out of that tail. Round 6's 75-query line with 3-decimal
+    // values and full "qNN_descriptive" keys overflowed it → parsed:null,
+    // q01-q05 truncated out of the artifact of record. So the emitted
+    // line is COMPACT: 2 decimals + the bare "qNN" key prefix (~12 chars
+    // per query → 90+ queries fit with headroom). Full-precision values
+    // under full names go to bench_full.json next to the repo for humans.
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+    def shortKey(name: String) = name.takeWhile(_ != '_')
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val fullFailed = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","runs":$runs,"queries":$fullQs,"failed":$fullFailed,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"), fullLine.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop() // before the JSON line: shutdown logs must not push it out of the tail
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -2,8 +2,8 @@ package graft.operators
 
 import graft.functions.TextFunctions.{portableHash32, tokens}
 import graft.util.Materialize.MatOps
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
@@ -98,18 +98,46 @@ object ImportanceSampling {
   }
 
   /** The resampling step: the `fraction` highest-weight rows of a
-    * [[dsirWeights]] output (ties broken by id — fully deterministic).
-    * The rank is a total order, so this materializes ONE global sort —
-    * run it where the selection is consumed (same contract as
-    * [[Sampling.trainOrder]]), not as an intermediate stage. */
+    * [[dsirWeights]] output (ties broken by id — fully deterministic,
+    * identical to `row_number() OVER (ORDER BY weight DESC, id)` <= k
+    * with k = ceil(n * fraction)).
+    *
+    * Scale shape — the same distributed prefix pattern as
+    * [[Packing.packSequences]], NOT a single-partition window and NOT a
+    * driver-side top-k collect (k is a corpus fraction, far past any
+    * `limit`):
+    *   1. range-partition + local sort by (weight desc, id) — one
+    *      balanced shuffle, pinned by a checkpoint so both passes see
+    *      identical partitions;
+    *   2. per-partition row counts (`parts` rows of driver-side
+    *      metadata, same contract as the IVF meta) prefix-scanned into
+    *      global rank offsets — this also yields n, so no separate
+    *      count() pass over the input;
+    *   3. a map-only pass keeps rows while the running global rank is
+    *      <= k; partitions wholly past k stop at their first row.
+    * The output additionally arrives globally sorted by (weight desc,
+    * id) — the order a training-data write wants anyway. */
   def resampleTop(weights: DataFrame, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction=$fraction not in (0,1]")
-    val n = weights.count()
+    val spark = weights.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ordered = weights
+      .repartitionByRange(parts, col("weight").desc, col("id").asc)
+      .sortWithinPartitions(col("weight").desc, col("id").asc)
+      .materializeOnce(eager = false) // two passes must see the same split
+    val counts = ordered.select(spark_partition_id().as("__pid"))
+      .groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val n = offsets(parts)
     val k = math.max(1L, math.ceil(n * fraction).toLong)
-    weights
-      .withColumn("__rk",
-        row_number().over(Window.orderBy(desc("weight"), asc("id"))))
-      .filter(col("__rk") <= k)
-      .drop("__rk")
+    val schema = ordered.schema
+    ordered.mapPartitions { it =>
+      var rank = offsets(TaskContext.getPartitionId())
+      // valid because rows arrive in (weight desc, id) order: once the
+      // global rank passes k nothing later in the partition qualifies
+      it.takeWhile { _ => rank += 1; rank <= k }
+    }(Encoders.row(schema))
   }
 }

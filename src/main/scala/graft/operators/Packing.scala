@@ -50,8 +50,11 @@ object Packing {
                     numPartitions: Int = 0): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = df.sparkSession
+    // already-parsed session conf (the raw string can be non-numeric,
+    // e.g. "auto", on managed runtimes)
     val parts = if (numPartitions > 0) numPartitions
-      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      else spark.sessionState.conf.numShufflePartitions
+    require(parts > 0, s"resolved shuffle partitions must be positive, got $parts")
     val ordCols = order :+ col(idCol)
     // the checkpoint pins partition boundaries: pass 2's offsets are
     // keyed by partition index, so both passes MUST see the same split
@@ -59,9 +62,13 @@ object Packing {
       .sortWithinPartitions(ordCols: _*)
       .materializeOnce(eager = false)
     val tokIdx = ordered.schema.fieldIndex(tokensCol)
+    // NULL token counts contribute 0 — the same semantics as the SQL
+    // window SUM, which skips NULLs (a NULL wordCount(text) from NULL
+    // text must not NPE the prefix sum). Coalesce at BOTH read points so
+    // the input column itself passes through unchanged.
     val sums = ordered
       .select(spark_partition_id().as("__pid"),
-        col(tokensCol).cast("long").as("__t"))
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("__t"))
       .groupBy("__pid").agg(sum("__t").as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)
@@ -72,7 +79,10 @@ object Packing {
     ordered.mapPartitions { it =>
       var run = offsets(TaskContext.getPartitionId())
       it.map { row =>
-        val t = row.get(tokIdx).asInstanceOf[Number].longValue
+        val t = row.get(tokIdx) match {
+          case null      => 0L // NULL skips, like the SQL window SUM
+          case n: Number => n.longValue
+        }
         require(t >= 0, s"negative token count $t")
         val start = run
         run += t

@@ -58,12 +58,16 @@ object Sampling {
     *
     * Scale shape: the key is one map-only expression; the k-largest
     * selection compiles to `TakeOrderedAndProject` (k rows per
-    * partition, no global sort). Keys round to 9dp before ranking in
-    * BOTH engines so libm's 1-ulp `pow` freedom can never flip the
-    * rank-k boundary cross-engine; ties break by the row key.
+    * partition, no global sort). The ranked key is INTEGER-EXACT:
+    * `floor(u^(1/w) * 1e9)` as a BIGINT. IEEE multiply and floor are
+    * exactly specified, identical on every engine — no engine-specific
+    * float-`round` semantics (Spark HALF_UP vs DuckDB nearbyint) are
+    * load-bearing. The one residual cross-engine freedom is libm's
+    * 1-ulp `pow` at an exact integer boundary of the scaled key
+    * (probability ~2^-30 per row); ties break by the row key.
     *
     * Rows with weight <= 0 or NULL are excluded (zero-probability mass).
-    * Output: input columns + `es_key` (the rounded selection key).
+    * Output: input columns + `es_key` (the integer selection key).
     *
     * @param seed varies the sample (a different hash universe per
     *             seed) without any RNG state */
@@ -75,7 +79,8 @@ object Sampling {
     // epoch universes — seed 0 must not reuse epoch 0's uniforms
     val u = (portableHash32(concat(lit(s"es$seed|"), key.cast("string")))
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    val esKey = round(pow(u, lit(1.0) / weightCol.cast("double")), 9)
+    val esKey = floor(pow(u, lit(1.0) / weightCol.cast("double")) * lit(1e9))
+      .cast("long")
     df.filter(weightCol.isNotNull && weightCol > 0)
       .withColumn("es_key", esKey)
       .orderBy(col("es_key").desc, key.asc)

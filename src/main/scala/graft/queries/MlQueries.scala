@@ -407,8 +407,16 @@ object MlQueries {
           .filter(col("kept") === 0).select(col("id").as("doc_id"))
         val deduped = clean.join(removedIds, Seq("doc_id"), "left_anti")
           .materializeOnce(eager = false) // consumers: weights + admitted
+        // n_grams > 0 makes the admission semantics match the oracle
+        // EXPLICITLY: the oracle's `w` CTE is built from exploded grams,
+        // so a gram-less doc has no row in `w` and the inner `JOIN adm`
+        // drops it — whereas dsirWeights coalesces its weight to 0.0,
+        // which would pass `>= 0.0`. Upstream the Gopher gate (n_words
+        // >= 50) already excludes gram-less docs, but the parity must
+        // not depend on stage ordering.
         val weights = ImportanceSampling.dsirWeights(deduped, "doc_id",
             "text", col("lang") === "en", buckets = 4096)
+          .filter(col("n_grams") > 0)
           .select(col("id").as("doc_id"), round(col("weight"), 6).as("weight"))
           .filter(col("weight") >= 0.0)
         val admitted = deduped

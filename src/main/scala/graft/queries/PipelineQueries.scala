@@ -356,8 +356,11 @@ object PipelineQueries {
     // reproducible weighted sampling without replacement (Efraimidis-
     // Spirakis keys over hash-derived uniforms): length-proportional
     // document sample, k largest u^(1/w) keys via TakeOrdered — no RNG
-    // state, no global sort. Keys round to 9dp in BOTH engines before
-    // ranking so libm's 1-ulp pow freedom cannot flip the rank-k edge
+    // state, no global sort. The ranked key is INTEGER-EXACT in both
+    // engines — floor(key*1e9) as BIGINT (IEEE multiply + floor are
+    // exactly specified) — so no engine-specific float-round semantics
+    // can flip the rank-k edge; only the documented 1-ulp pow freedom
+    // remains
     Q("q75_weighted_sample", Some(s"""
       WITH t AS (
         SELECT doc_id,
@@ -365,10 +368,10 @@ object PipelineQueries {
         FROM documents),
       s AS (
         SELECT doc_id, ws_tokens,
-          round(pow(
+          CAST(floor(pow(
             (CAST('0x' || substr(md5('es0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
               / 4294967296.0,
-            1.0 / CAST(ws_tokens AS DOUBLE)), 9) AS es_key
+            1.0 / CAST(ws_tokens AS DOUBLE)) * 1000000000.0) AS BIGINT) AS es_key
         FROM t WHERE ws_tokens > 0)
       SELECT doc_id, ws_tokens, es_key FROM s
       ORDER BY es_key DESC, doc_id LIMIT 100"""),

@@ -86,4 +86,27 @@ class ImportanceSamplingSpec extends SparkSpec {
     val top = ImportanceSampling.resampleTop(w, 0.5) // ceil(2.5) = 3
     assert(top.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("resampleTop matches the row_number window form exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate weights force tie-breaks; 8 input partitions force the
+    // selection boundary to land mid-partition in the range split
+    val w = (1L to 317L).map(i => (i, (i % 23).toDouble - 5.0))
+      .toDF("id", "weight").repartition(8)
+    for (frac <- Seq(0.1, 0.37, 1.0)) {
+      val k = math.ceil(317 * frac).toLong
+      val expected = w
+        .withColumn("__rk",
+          row_number().over(Window.orderBy(desc("weight"), asc("id"))))
+        .filter(col("__rk") <= k).drop("__rk")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val got = ImportanceSampling.resampleTop(w, frac)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(got === expected, s"fraction=$frac")
+      // and partitioning-invariant
+      val got1 = ImportanceSampling.resampleTop(w.repartition(1), frac)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(got1 === expected, s"fraction=$frac at 1 partition")
+    }
+  }
 }

@@ -37,6 +37,30 @@ class PackingSpec extends SparkSpec {
     assert(one.last(1) === (1L to 500L).map(_ % 17).sum)
   }
 
+  test("NULL token counts contribute 0, like the SQL window SUM") {
+    // a NULL wordCount (e.g. from NULL text under Spark 4's split
+    // semantics) must neither NPE the prefix sum nor shift the stream
+    val df = Seq((1L, Some(3L)), (2L, None), (3L, Some(5L)),
+        (4L, None), (5L, Some(4L)))
+      .toDF("id", "toks")
+    val out = Packing.packSequences(df, "id", "toks", Seq(col("id")),
+        seqLen = 4, numPartitions = 3)
+      .select("id", "cum_tokens", "seq_id", "seq_pos", "spans")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) === ((3L, 0L, 0L, 1L)))
+    assert(out(2L) === ((3L, 0L, 3L, 0L)))   // NULL = token-less doc
+    assert(out(3L) === ((8L, 0L, 3L, 2L)))
+    assert(out(4L) === ((8L, 2L, 0L, 0L)))
+    assert(out(5L) === ((12L, 2L, 0L, 1L)))
+    // an all-NULL partition must not NPE the per-partition totals
+    val allNull = Seq((1L, None: Option[Long]), (2L, None)).toDF("id", "toks")
+    val nn = Packing.packSequences(allNull, "id", "toks", Seq(col("id")),
+        seqLen = 4, numPartitions = 2)
+      .select("cum_tokens").collect().map(_.getLong(0))
+    assert(nn.forall(_ === 0L))
+  }
+
   test("ordering column (not id) drives the layout") {
     // reverse order: id 2 (10 toks) first, then id 1 (3 toks)
     val df = Seq((1L, 3L, 2L), (2L, 10L, 1L)).toDF("id", "toks", "ord")

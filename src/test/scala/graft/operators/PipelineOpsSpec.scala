@@ -25,8 +25,7 @@ class PipelineOpsSpec extends SparkSpec {
     val df = rows.toDF("id", "w")
     val expected = rows.map { case (i, w) =>
       val u = (md5Hash32(s"es0|$i") + 0.5) / 4294967296.0
-      val key = BigDecimal(math.pow(u, 1.0 / w))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val key = math.floor(math.pow(u, 1.0 / w) * 1e9).toLong
       (i, key)
     }.sortBy { case (i, k) => (-k, i) }.take(25).map(_._1).toSet
     val got = Sampling.weightedSample(df, col("id"), col("w"), k = 25)

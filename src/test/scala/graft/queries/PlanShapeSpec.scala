@@ -164,6 +164,19 @@ class PlanShapeSpec extends SparkSpec {
       "packing's prefix sum must hold through the composition:\n" + p)
   }
 
+  test("resampleTop: the rank selection plans with NO window (prefix pattern)") {
+    import spark.implicits._
+    val w = (1L to 200L).map(i => (i, (i % 13).toDouble)).toDF("id", "weight")
+    val out = graft.operators.ImportanceSampling.resampleTop(w, 0.3)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      "resampleTop must never fall back to an unpartitioned window:\n" + p)
+    val finalPlan = p.split("== Initial Plan ==").head
+    val ranges = finalPlan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"expected at most one range shuffle, got $ranges:\n$p")
+  }
+
   test("packing: the prefix sum plans with NO window and ONE range shuffle") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, i % 7)).toDF("id", "toks")
