@@ -412,6 +412,54 @@ object CurationQueries {
           "doc_id", "text", lambda = 0.9)
         .select(col("id").as("doc_id"), col("n_bigrams"),
           round(col("avg_logp"), 6).as("avg_logp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // DSIR resampling (the selection step after q71's weights): keep the
+    // top 20% by weight, ties by id — certifies resampleTop's
+    // distributed prefix-rank selection against the naive SQL
+    // row_number window. The rank key is INTEGER-EXACT in both engines
+    // (floor(weight*1e6) as BIGINT, same contract as q75) so rank order
+    // never rests on float-round semantics; the oracle's ceil(0.2*n)
+    // equals the engine's k for any n > 0
+    Q("q77_dsir_resample", Some(s"""
+      WITH g AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+          list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gs
+        FROM (SELECT doc_id, lang,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      e AS (SELECT doc_id, is_target, unnest(gs) AS gr FROM g),
+      pd AS (SELECT doc_id, is_target,
+               ${hash32Sql("gr")} % 4096 AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM e GROUP BY 1, 2, 3),
+      st AS (SELECT b,
+               CAST(sum(CASE WHEN is_target = 1 THEN n ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN is_target = 0 THEN n ELSE 0 END) AS BIGINT) AS cs
+             FROM pd GROUP BY b),
+      tot AS (SELECT CAST(coalesce(sum(ct), 0) AS DOUBLE) AS nt,
+                     CAST(coalesce(sum(cs), 0) AS DOUBLE) AS ns FROM st),
+      r AS (SELECT b,
+              log10((CAST(ct AS DOUBLE) + 1.0) / (tot.nt + 4096.0)) -
+              log10((CAST(cs AS DOUBLE) + 1.0) / (tot.ns + 4096.0)) AS lr
+            FROM st CROSS JOIN tot),
+      w AS (SELECT pd.doc_id, sum(CAST(pd.n AS DOUBLE) * r.lr) AS weight
+            FROM pd JOIN r USING (b) GROUP BY pd.doc_id),
+      ww AS (SELECT d.doc_id,
+               CAST(floor(coalesce(w.weight, 0.0) * 1000000.0) AS BIGINT) AS w_key
+             FROM documents d LEFT JOIN w USING (doc_id)),
+      sel AS (SELECT doc_id, w_key FROM ww
+              QUALIFY row_number() OVER (ORDER BY w_key DESC, doc_id)
+                <= CAST(ceil(0.2 * count(*) OVER ()) AS BIGINT))
+      SELECT doc_id, w_key FROM sel ORDER BY doc_id"""),
+      (s, d) => {
+        val w = ImportanceSampling.dsirWeights(Tables.documents(s, d),
+            "doc_id", "text", col("lang") === "en", buckets = 4096)
+          .select(col("id"),
+            floor(col("weight") * lit(1e6)).cast("long").as("weight"))
+        ImportanceSampling.resampleTop(w, 0.2)
+          .select(col("id").as("doc_id"), col("weight").as("w_key"))
+          .orderBy("doc_id")
+      })
   )
 }
