@@ -427,8 +427,124 @@ object MlQueries {
             Seq(Sampling.trainOrder(col("doc_id"))), seqLen = 512)
           .select("doc_id", "ws_tokens", "weight", "cum_tokens", "seq_id")
           .orderBy("doc_id")
+      }),
+
+    // J10/M7: RAPTOR multi-scale search, exercising Library
+    // .multiScaleSearch UNCHANGED against a warehouse derived
+    // deterministically from the testdata tables (chunks = vectors,
+    // docs = label groups, cluster-summary embeddings = the cached
+    // k=10 fit's centroids — "summaries live in the same vector
+    // space", Library.buildClusterSummaries contract; reference
+    // LibSQLDatabase.ts:224-322). The oracle replays both scales:
+    // chunk-ANN over the embeddings table ∪ summary-ANN over the
+    // centroid literals (float-cast, exactly the values the warehouse
+    // stores), the threshold applied to BOTH scales, the synthetic
+    // summary identity (docId='', title='Cluster Summary', page=0,
+    // chunkIndex=clusterId), per-scale top-k, and the fused re-rank.
+    // Selection compares full-precision scores in both engines (the
+    // bit-parity cosine fold); output rounds at 6dp after every
+    // decision, q43-style.
+    Q("q76_multiscale_search", summaryValues.map { sv => s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      sums(cid, sv) AS (VALUES $sv),
+      chunk_scored AS (
+        SELECT 'd' || CAST(label AS VARCHAR) AS docId,
+          'Doc ' || CAST(label AS VARCHAR) AS title,
+          0 AS page,
+          CAST(vec_id AS INT) AS chunkIndex,
+          'vector ' || CAST(vec_id AS VARCHAR) AS content,
+          1.0 - (1.0 - list_dot_product(embedding::DOUBLE[], qv) /
+            (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             sqrt(list_dot_product(qv, qv)))) / 2.0 AS score,
+          'vector' AS matchType
+        FROM embeddings, q WHERE vec_id <> 0),
+      chunk_hits AS (
+        SELECT * FROM chunk_scored WHERE score >= 0.5
+        ORDER BY score DESC, docId, chunkIndex LIMIT 12),
+      sum_scored AS (
+        SELECT '' AS docId, 'Cluster Summary' AS title, 0 AS page,
+          CAST(cid AS INT) AS chunkIndex,
+          'Cluster summary ' || CAST(cid AS VARCHAR) AS content,
+          1.0 - (1.0 - list_dot_product(sv::DOUBLE[], qv) /
+            (sqrt(list_dot_product(sv::DOUBLE[], sv::DOUBLE[])) *
+             sqrt(list_dot_product(qv, qv)))) / 2.0 AS score,
+          'cluster' AS matchType
+        FROM sums CROSS JOIN q),
+      sum_hits AS (
+        SELECT * FROM sum_scored WHERE score >= 0.5
+        ORDER BY score DESC, chunkIndex LIMIT 12),
+      fused AS (SELECT * FROM chunk_hits UNION ALL SELECT * FROM sum_hits)
+      SELECT docId, title, page, chunkIndex, content,
+        round(score, 6) AS score, matchType
+      FROM (SELECT * FROM fused ORDER BY score DESC, docId, chunkIndex LIMIT 12) t
+      ORDER BY round(score, 6) DESC, docId, chunkIndex"""},
+      (s, d) => {
+        val wh = multiScaleWarehouse(s, d)
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val lib = new graft.Library(s, wh, new FixedEmbedder(qv))
+        lib.multiScaleSearch("raptor multi-scale probe",
+            graft.model.SearchOptions(limit = 12, threshold = Some(0.5)))
+          .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
+            col("content"), round(col("score"), 6).as("score"), col("matchType"))
+          .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
       })
   )
+
+  /** Embeds every query as one fixed vector — the q76 bridge between
+    * multiScaleSearch's text API and the testdata's pre-embedded query
+    * row (vec_id = 0), keeping the Library path itself unchanged. */
+  private final class FixedEmbedder(v: Array[Float]) extends graft.sources.Embedder {
+    def dim: Int = v.length
+    def embed(text: String): Array[Float] = v
+  }
+
+  /** q76's scratch warehouse, derived deterministically from the
+    * testdata: one chunk per vector (chunkId = vec_id, content =
+    * "vector N"), one document per label ("dL"/"Doc L"), embeddings
+    * minus the query row, and cluster_summaries whose embeddings ARE
+    * the cached k=10 centroids (float-cast — the literal values
+    * [[summaryValues]] emits). Built once per (JVM, dataset);
+    * SaveMode.Overwrite makes re-runs idempotent. */
+  private val q76Wh = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def multiScaleWarehouse(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String =
+    q76Wh.getOrElseUpdate(d, {
+      import s.implicits._
+      import org.apache.spark.sql.SaveMode
+      val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_q76_" + new java.io.File(d).getName).toString
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      emb.select(col("label")).distinct().as[Int]
+        .map(l => graft.model.Document(s"d$l", s"Doc $l", s"/q76/d$l",
+          new java.sql.Timestamp(0L), 1, 0L, Nil, "markdown", Map.empty))
+        .write.mode(SaveMode.Overwrite).parquet(s"$wh/documents")
+      emb.select(col("vec_id"), col("label")).as[(Long, Int)]
+        .map { case (v, l) =>
+          graft.model.Chunk(v.toString, s"d$l", 0, v.toInt, s"vector $v") }
+        .write.mode(SaveMode.Overwrite).parquet(s"$wh/chunks")
+      emb.select(col("vec_id").cast("string").as("chunkId"), col("embedding"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$wh/embeddings")
+      val sums = cachedModel(s, d, 10).clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) =>
+          (i, s"Cluster summary $i", c.toArray.map(_.toFloat)) }
+      s.createDataset(sums).toDF("clusterId", "summary", "embedding")
+        .write.mode(SaveMode.Overwrite).parquet(s"$wh/cluster_summaries")
+      wh
+    })
+
+  /** The k=10 centroids as float-cast list literals — the exact values
+    * the q76 warehouse stores as summary embeddings (parquet holds
+    * FLOAT; printing the double value of the float round-trips exactly
+    * into DuckDB's DOUBLE, same rule as [[codebookValues]]). Lazy like
+    * [[centroidValues]], and under the same exactly-one-fit guard. */
+  private def summaryValues: Option[String] = {
+    val fits = modelCache.snapshot().toSeq
+    if (fits.size != 1) None
+    else Some(fits.head._2.clusterCenters.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.toArray.map(x => x.toFloat.toDouble).mkString(", ")}])"
+    }.mkString(", "))
+  }
 
   private val q73Stopwords = graft.functions.TextFunctions.stopWordsSql
 
