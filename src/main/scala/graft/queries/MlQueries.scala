@@ -488,6 +488,39 @@ object MlQueries {
           .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
             col("content"), round(col("score"), 6).as("score"), col("matchType"))
           .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+      }),
+
+    // J3: concept ANN search, exercising TaxonomyStore
+    // .findSimilarConcepts UNCHANGED over the scratch warehouse's
+    // taxonomy tables (one concept per vector; reference
+    // TaxonomyService.ts:603-631). The oracle replays the scoring
+    // ((1 + cos)/2 >= minScore), the top-k cut on full-precision
+    // scores, and the broadcast label join; output rounds at 6dp
+    // after selection, ties break on conceptId (binary string order
+    // in both engines).
+    Q("q78_concept_ann", Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT 'c' || CAST(vec_id AS VARCHAR) AS conceptId,
+          'Concept ' || CAST(vec_id AS VARCHAR) AS prefLabel,
+          'def ' || CAST(vec_id AS VARCHAR) AS definition,
+          (1.0 + list_dot_product(embedding::DOUBLE[], qv) /
+            (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+             sqrt(list_dot_product(qv, qv)))) / 2.0 AS score
+        FROM embeddings, q WHERE vec_id <> 0)
+      SELECT conceptId, prefLabel, definition, round(score, 6) AS score
+      FROM (SELECT * FROM scored WHERE score >= 0.5
+            ORDER BY score DESC, conceptId LIMIT 15) t
+      ORDER BY round(score, 6) DESC, conceptId"""),
+      (s, d) => {
+        val wh = multiScaleWarehouse(s, d)
+        val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val tax = new graft.TaxonomyStore(s, wh, new FixedEmbedder(qv))
+        tax.findSimilarConcepts(qv, minScore = 0.5, limit = 15)
+          .select(col("conceptId"), col("prefLabel"), col("definition"),
+            round(col("score"), 6).as("score"))
+          .orderBy(desc("score"), asc("conceptId"))
       })
   )
 
@@ -530,6 +563,16 @@ object MlQueries {
           (i, s"Cluster summary $i", c.toArray.map(_.toFloat)) }
       s.createDataset(sums).toDF("clusterId", "summary", "embedding")
         .write.mode(SaveMode.Overwrite).parquet(s"$wh/cluster_summaries")
+      // q78's taxonomy tier: one concept per vector, vectors reused as
+      // concept embeddings (J3 == K2 over a different relation)
+      emb.select(concat(lit("c"), col("vec_id")).as("id"),
+          concat(lit("Concept "), col("vec_id")).as("prefLabel"),
+          array().cast("array<string>").as("altLabels"),
+          concat(lit("def "), col("vec_id")).as("definition"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$wh/concepts")
+      emb.select(concat(lit("c"), col("vec_id")).as("conceptId"),
+          col("embedding"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$wh/concept_embeddings")
       wh
     })
 
