@@ -43,7 +43,7 @@ object Multimodal {
     * Features: `channels` × 8-bucket intensity histograms (bucketed by
     * each band's own sample depth, so 16-bit sources bucket like 8-bit),
     * normalized by pixel count — each channel's 8 buckets sum to 1. */
-  private[operators] def decodeImage(bytes: Array[Byte]): Option[DecodedStub] = {
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[DecodedStub] = {
     if (bytes == null) return None
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -57,18 +57,24 @@ object Multimodal {
       val shifts = Array.tabulate(channels)(c =>
         math.max(0, raster.getSampleModel.getSampleSize(c) - 3))
       val hist = new Array[Float](channels * 8)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          var c = 0
-          while (c < channels) {
-            hist(c * 8 + math.min(7, raster.getSample(x, y, c) >> shifts(c))) += 1f
-            c += 1
+      // row-batched reads: one getSamples call per (band, row) instead
+      // of W×H×C getSample virtual calls — same counts, same histogram
+      val rowBuf = new Array[Int](w)
+      var c = 0
+      while (c < channels) {
+        val shift = shifts(c)
+        val base = c * 8
+        var y = 0
+        while (y < h) {
+          raster.getSamples(0, y, w, 1, c, rowBuf)
+          var x = 0
+          while (x < w) {
+            hist(base + math.min(7, rowBuf(x) >> shift)) += 1f
+            x += 1
           }
-          x += 1
+          y += 1
         }
-        y += 1
+        c += 1
       }
       val n = math.max(1f, (w * h).toFloat)
       DecodedStub(w, h, channels, hist.map(_ / n))
