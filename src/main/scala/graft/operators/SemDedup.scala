@@ -85,6 +85,36 @@ object SemDedup {
         col("__rm").isNull.cast("int").as("kept"))
   }
 
+  /** The k-grows-with-the-corpus deployment contract, as code instead
+    * of prose: k = ceil(n / targetClusterSize), so EXPECTED cluster
+    * size stays ~constant as the corpus grows and the within-cluster
+    * pair join stays O(n · targetClusterSize) — never corpus-squared.
+    * (k-means does not hard-bound the max cluster; the 1×-vs-10×
+    * boundedness is measured in `SemDedupSpec` and SCALE.md.) */
+  def autoK(n: Long, targetClusterSize: Long): Int = {
+    require(n > 0, s"need a non-empty corpus: n=$n")
+    require(targetClusterSize > 0,
+      s"targetClusterSize must be positive: $targetClusterSize")
+    math.min((n + targetClusterSize - 1) / targetClusterSize,
+      Int.MaxValue.toLong).toInt
+  }
+
+  /** [[semDedup]] with the auto-k contract applied: count the corpus,
+    * fit a seeded k-means at k = [[autoK]](n, targetClusterSize), and
+    * run the per-item verdicts against the fitted centroids. The count
+    * and fit are extra full passes — at pipeline scale callers that
+    * already know n (or reuse a fit) should call [[semDedup]] with
+    * their own centroids; this form is the self-contained contract. */
+  def semDedupAutoK(df: DataFrame, idCol: String, vecCol: String,
+                    targetClusterSize: Long, threshold: Double,
+                    seed: Long = 42L): DataFrame = {
+    val k = autoK(df.count(), targetClusterSize)
+    val model = ClusteringOps.fit(df, vecCol, k, seed = seed,
+      maxIter = 30, initMode = "random")
+    semDedup(df, idCol, vecCol,
+      model.clusterCenters.map(_.toArray).toSeq, threshold)
+  }
+
   /** The curation-pipeline form: the input rows that survive semantic
     * dedup (a left-semi join on the kept ids — all input columns pass
     * through untouched). */

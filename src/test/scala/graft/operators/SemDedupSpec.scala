@@ -83,4 +83,62 @@ class SemDedupSpec extends SparkSpec {
     assert(ids1 === Seq(1L, 3L))
     assert(ids8 === ids1)
   }
+
+  test("autoK: k = ceil(n/target), guards on degenerate inputs") {
+    assert(SemDedup.autoK(500L, 50L) === 10)
+    assert(SemDedup.autoK(501L, 50L) === 11)
+    assert(SemDedup.autoK(49L, 50L) === 1)
+    assert(SemDedup.autoK(1L, 1L) === 1)
+    intercept[IllegalArgumentException](SemDedup.autoK(0L, 50L))
+    intercept[IllegalArgumentException](SemDedup.autoK(10L, 0L))
+  }
+
+  test("autoK bounds the max cluster at 10x rows (the executable k contract)") {
+    // 1x = the real embeddings table; 10x = ten copies with disjoint
+    // ids, each perturbed per copy (byte-identical copies would stack
+    // on one centroid and measure a degenerate regime)
+    val base = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val tenx = (0 until 10).map { c =>
+      base.select((col("vec_id") + lit(c * 1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + lit(c * 0.01f) * (i % 7).cast("float")).cast("float"))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    val target = 50L
+    def maxCluster(d: org.apache.spark.sql.DataFrame): (Int, Long) = {
+      val k = SemDedup.autoK(d.count(), target)
+      val m = ClusteringOps.fit(d, "embedding", k,
+        maxIter = 30, initMode = "random")
+      val mx = ClusteringOps.assign(m, d, "vec_id", "embedding")
+        .groupBy("clusterId").count().agg(max("count")).head().getLong(0)
+      (k, mx)
+    }
+    val (k1, m1) = maxCluster(base)
+    val (k10, m10) = maxCluster(tenx)
+    assert(k1 === 10 && k10 === 100) // k grew with the corpus
+    // the contract: 10x rows does NOT mean 10x cluster size — the max
+    // stays within a small factor of the target in both regimes, so
+    // the within-cluster pair join stays O(n * target), not O(n^2)
+    assert(m1 <= 4 * target, s"1x max cluster $m1")
+    assert(m10 <= 4 * target, s"10x max cluster $m10")
+    info(s"max cluster: 1x=$m1, 10x=$m10 (target=$target)")
+  }
+
+  test("semDedupAutoK is the semDedup verdict under its own fit") {
+    val base = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).limit(120)
+    val out = SemDedup.semDedupAutoK(base, "vec_id", "embedding",
+      targetClusterSize = 40L, threshold = 0.3)
+    val rows = out.collect()
+    assert(rows.length === 120) // one verdict per input row
+    assert(rows.forall(r => r.getAs[Int]("kept") == 0 || r.getAs[Int]("kept") == 1))
+    // replaying semDedup with the same fit's centroids is identical
+    val m = ClusteringOps.fit(base, "embedding", SemDedup.autoK(120L, 40L),
+      maxIter = 30, initMode = "random")
+    val replay = SemDedup.semDedup(base, "vec_id", "embedding",
+        m.clusterCenters.map(_.toArray).toSeq, threshold = 0.3)
+      .orderBy("id").collect().toSeq
+    assert(rows.sortBy(_.getLong(0)).toSeq === replay)
+  }
 }
