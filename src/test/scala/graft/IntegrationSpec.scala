@@ -126,6 +126,32 @@ class IntegrationSpec extends SparkSpec {
     assert(hits.count() > 0)
   }
 
+  test("delete on an indexed warehouse invalidates the index and serves exact-scan results") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-del").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown((1 to 15).map(i => (s"/d/doc$i.md",
+      s"# Doc$i\n" + (s"retrieval corpus doc number $i hash join words. " * 8))).toDS())
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val qv = l.embedder.embed("hash join")
+    val victim = Library.docId("/d/doc3.md")
+    val before = l.vectorSearch(qv, SearchOptions(limit = 8)).collect()
+    assert(before.map(_.getAs[String]("docId")).contains(victim))
+
+    l.removeDocument(victim)
+    // the layout cannot absorb deletes: both index tables must be gone
+    assert(!new java.io.File(s"$wh/embeddings_ivf").exists())
+    assert(!new java.io.File(s"$wh/embeddings_ivf_meta").exists())
+    def res(lib2: Library) = lib2.vectorSearch(qv, SearchOptions(limit = 8))
+      .collect().map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
+        r.getAs[Double]("score"))).toSeq
+    val after = res(l)
+    // no stale hit survives, and the fallback is the true exact scan: a
+    // fresh Library over the same (never-indexed) tables is identical
+    assert(!after.map(_._1).contains(victim))
+    assert(after === res(new Library(spark, wh)))
+    assert(after.nonEmpty)
+  }
+
   test("export/import round-trip: imported warehouse serves identical hybrid search") {
     // persist the FTS index first so the export carries postings + stats
     // and the imported library's search exercises the indexed path
