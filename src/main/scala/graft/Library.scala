@@ -232,8 +232,8 @@ class Library(val spark: SparkSession, val warehouse: String,
     * delta partition (`__cell = -1`) instead of invalidating the whole
     * layout: search stays cell-pruned for the static bulk and exact for
     * the delta, and the next [[buildVectorIndex]] (a periodic compaction
-    * job at scale) folds the delta into real cells. Deletes still
-    * invalidate — a tombstone partition can't un-probe closed cells. */
+    * job at scale) folds the delta into real cells. Deletes are likewise
+    * cell-scoped — see [[removeFromVectorIndex]]. */
   private def appendToVectorIndex(newEmbeddings: DataFrame): Unit =
     if (tableExists("embeddings_ivf_meta")) {
       newEmbeddings.withColumn("__cell", lit(DeltaCell))
@@ -388,11 +388,48 @@ class Library(val spark: SparkSession, val warehouse: String,
     stale
   }
 
-  /** The IVF layout cannot absorb appends (cell files are closed), so
-    * any embedding mutation invalidates it — search falls back to the
-    * exact scan until the next buildVectorIndex (a periodic compaction
-    * job at scale). Without this, vectors added after an index build
-    * would be silently invisible to vector search. */
+  /** Cell-scoped index maintenance on delete: rewrite ONLY the cell
+    * partitions that contain dead vectors, leaving the centroids and
+    * every other closed cell file untouched. Removing rows never
+    * invalidates the surviving rows' assignments (the centroids are
+    * unchanged quantizers), so search stays cell-pruned straight
+    * through deletes — at scale, dropping a 100 TB index because one
+    * document died would trade an O(dead cells) rewrite for a full
+    * rebuild. `indexedRows` in the meta table is decremented by the
+    * rows removed from non-delta cells, keeping the compaction gate's
+    * fraction honest. The one affected-cells probe is a semi-join whose
+    * collect is bounded by nCells + 1 rows (same contract as the IVF
+    * meta read). */
+  private def removeFromVectorIndex(deadChunks: DataFrame): Unit =
+    if (tableExists("embeddings_ivf_meta")) {
+      val ivf = spark.read.parquet(path("embeddings_ivf"))
+      val affected = ivf.join(deadChunks, Seq("chunkId"), "left_semi")
+        .groupBy("__cell").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      if (affected.nonEmpty) {
+        affected.keys.foreach { cell =>
+          val leaf = path(s"embeddings_ivf/__cell=$cell")
+          // the leaf dir holds only data columns; __cell stays encoded
+          // in the directory name, so the swap preserves the layout
+          val survivors = spark.read.parquet(leaf)
+            .join(deadChunks, Seq("chunkId"), "left_anti")
+          graft.util.TableSwap.rewrite(leaf, survivors)
+        }
+        val meta = spark.read.parquet(path("embeddings_ivf_meta"))
+        if (meta.columns.contains("indexedRows")) {
+          val removedIndexed =
+            affected.collect { case (c, n) if c != DeltaCell => n }.sum
+          graft.util.TableSwap.rewrite(path("embeddings_ivf_meta"),
+            meta.withColumn("indexedRows",
+              greatest(col("indexedRows") - lit(removedIndexed), lit(0L))))
+        }
+      }
+    }
+
+  /** Wholesale invalidation — the escape hatch for mutations the layout
+    * truly cannot absorb (schema/dimension changes); plain deletes use
+    * [[removeFromVectorIndex]] instead. Search falls back to the exact
+    * scan until the next buildVectorIndex. */
   private def invalidateVectorIndex(): Unit = {
     Seq("embeddings_ivf", "embeddings_ivf_meta").foreach { t =>
       val dir = new java.io.File(path(t))
@@ -642,7 +679,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     }
     rewrite("chunks", chunks.filter(col("docId") =!= id))
     rewrite("documents", documents.filter(col("id") =!= id))
-    invalidateVectorIndex()
+    removeFromVectorIndex(deadChunks)
   }
 
   /** S14: tag update via column rewrite. */

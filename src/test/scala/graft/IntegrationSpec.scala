@@ -126,30 +126,38 @@ class IntegrationSpec extends SparkSpec {
     assert(hits.count() > 0)
   }
 
-  test("delete on an indexed warehouse invalidates the index and serves exact-scan results") {
+  test("delete on an indexed warehouse is cell-scoped: index survives and stays exact") {
     val wh = java.nio.file.Files.createTempDirectory("graft-del").toString
     val l = new Library(spark, wh)
     l.addMarkdown((1 to 15).map(i => (s"/d/doc$i.md",
       s"# Doc$i\n" + (s"retrieval corpus doc number $i hash join words. " * 8))).toDS())
     l.buildVectorIndex(nCells = 3, nProbe = 3)
     val qv = l.embedder.embed("hash join")
-    val victim = Library.docId("/d/doc3.md")
-    val before = l.vectorSearch(qv, SearchOptions(limit = 8)).collect()
-    assert(before.map(_.getAs[String]("docId")).contains(victim))
+    val victims = Seq("/d/doc3.md", "/d/doc7.md", "/d/doc11.md").map(Library.docId)
+    val before = l.vectorSearch(qv, SearchOptions(limit = 15)).collect()
+    assert(victims.forall(before.map(_.getAs[String]("docId")).contains))
 
-    l.removeDocument(victim)
-    // the layout cannot absorb deletes: both index tables must be gone
-    assert(!new java.io.File(s"$wh/embeddings_ivf").exists())
-    assert(!new java.io.File(s"$wh/embeddings_ivf_meta").exists())
+    victims.foreach(l.removeDocument)
+    // the index SURVIVES deletes (cell-scoped rewrite, not wholesale
+    // invalidation) and carries no dead vector
+    assert(new java.io.File(s"$wh/embeddings_ivf/_SUCCESS").exists())
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    victims.foreach(v =>
+      assert(ivf.filter(col("chunkId").startsWith(v)).count() === 0))
+    // the compaction gate's denominator tracks the shrunken index
+    assert(spark.read.parquet(s"$wh/embeddings_ivf_meta")
+      .select("indexedRows").head().getLong(0) === l.embeddings.count())
     def res(lib2: Library) = lib2.vectorSearch(qv, SearchOptions(limit = 8))
       .collect().map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
         r.getAs[Double]("score"))).toSeq
-    val after = res(l)
-    // no stale hit survives, and the fallback is the true exact scan: a
-    // fresh Library over the same (never-indexed) tables is identical
-    assert(!after.map(_._1).contains(victim))
-    assert(after === res(new Library(spark, wh)))
-    assert(after.nonEmpty)
+    val probed = res(l) // full probe (nProbe = nCells) -> exact by contract
+    assert(probed.nonEmpty)
+    assert(!probed.map(_._1).exists(victims.contains))
+    // ...and identical to the true exact scan: strip the index tables
+    // and compare against a fresh never-indexed Library on the same data
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/embeddings_ivf"))
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/embeddings_ivf_meta"))
+    assert(probed === res(new Library(spark, wh)))
   }
 
   test("export/import round-trip: imported warehouse serves identical hybrid search") {
