@@ -61,7 +61,8 @@ object CurationScaleBench {
     // corpus (cluster size stays ~constant) — a fixed-k 10x run would
     // measure the wrong regime.
     Seq("q59_training_mix", "q65_curation_pipeline",
-        "q71_dsir_weights", "q72_sequence_packing").foreach { q =>
+        "q71_dsir_weights", "q72_sequence_packing",
+        "q77_dsir_resample", "q79_line_dedup").foreach { q =>
       median(q, src, runs = 1) // warmup: codegen + footer caches
       val small = median(q, src)
       val large = median(q, big)

@@ -191,4 +191,28 @@ class PlanShapeSpec extends SparkSpec {
     val ranges = finalPlan.linesIterator.count(_.contains("Exchange rangepartitioning"))
     assert(ranges <= 1, s"expected at most one range shuffle, got $ranges:\n$p")
   }
+
+  test("lineDedup: hot set joins back by broadcast; no window, no cross product") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "replace(text, ' scan ', '\n') AS text")
+    val out = graft.operators.TextAnalysis.lineDedup(docs, "doc_id", "text",
+      minDocs = 3)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "default path must broadcast the hot-line set:\n" + p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "reconstruction must be a grouped sort, not a window/cross product:\n" + p)
+  }
+
+  test("q76: multi-scale fusion stays TakeOrdered + broadcast-joined, no cross product") {
+    val df = SparkEntry.queries("q76_multiscale_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "both scales' top-k must compile to TakeOrderedAndProject:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "multi-scale fusion must stay equi-join-only:\n" + p)
+  }
 }
