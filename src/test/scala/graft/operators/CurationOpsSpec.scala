@@ -327,6 +327,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(out2(2L).getAs[String]("cleaned_text") === "other")
   }
 
+  test("lineDedup identity: minDocs above the corpus size removes nothing") {
+    // the reconstruction must be byte-faithful when no line is hot —
+    // original casing, original order, every blank line — over REAL
+    // corpus text, not just fixtures
+    val docs = graft.Tables.documents(spark, sf).limit(100)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " (\\w+ \\w+ \\w+)", "\n$1").as("text"))
+    val out = TextAnalysis.lineDedup(docs, "doc_id", "text", minDocs = 101)
+      .select(col("id").as("doc_id"), col("cleaned_text"), col("n_removed"))
+    val diff = out.join(docs, Seq("doc_id"))
+      .filter(col("cleaned_text") =!= col("text") || col("n_removed") =!= 0)
+    assert(diff.count() === 0)
+    assert(out.count() === 100)
+  }
+
   test("lineDedup: shuffle-join fallback is identical to the broadcast path") {
     val docs = graft.Tables.documents(spark, sf).limit(200)
       .select(col("doc_id"),
