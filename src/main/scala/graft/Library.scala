@@ -410,10 +410,14 @@ class Library(val spark: SparkSession, val warehouse: String,
         affected.keys.foreach { cell =>
           val leaf = path(s"embeddings_ivf/__cell=$cell")
           // the leaf dir holds only data columns; __cell stays encoded
-          // in the directory name, so the swap preserves the layout
+          // in the directory name, so the swap preserves the layout.
+          // Swap scratch dirs live OUTSIDE the table root — a leftover
+          // `__cell=N_tmp` inside it would enter partition discovery
           val survivors = spark.read.parquet(leaf)
             .join(deadChunks, Seq("chunkId"), "left_anti")
-          graft.util.TableSwap.rewrite(leaf, survivors)
+          graft.util.TableSwap.rewriteVia(leaf, survivors,
+            path(s"embeddings_ivf_cell${cell}_tmp"),
+            path(s"embeddings_ivf_cell${cell}_old"))
         }
         val meta = spark.read.parquet(path("embeddings_ivf_meta"))
         if (meta.columns.contains("indexedRows")) {
