@@ -703,9 +703,13 @@ class Library(val spark: SparkSession, val warehouse: String,
     val nOC = orphanChunks.count()
     if (nOC > 0) rewrite("chunks",
       chunks.join(documents.select(col("id").as("docId")), Seq("docId"), "left_semi"))
-    val orphanEmbs = embeddings.join(chunks.select(col("id").as("chunkId")),
-      Seq("chunkId"), "left_anti")
-    val nOE = orphanEmbs.count()
+    // computed AFTER the chunk repair, so embeddings orphaned BY that
+    // repair are included; materialized because the embeddings rewrite
+    // below and the index maintenance both consume it
+    val orphanEmbIds = embeddings.join(chunks.select(col("id").as("chunkId")),
+        Seq("chunkId"), "left_anti")
+      .select("chunkId").materializeOnce()
+    val nOE = orphanEmbIds.count()
     if (nOE > 0) rewrite("embeddings",
       embeddings.join(chunks.select(col("id").as("chunkId")), Seq("chunkId"), "left_semi"))
     // the persisted indexes must track the repaired tables, same as
@@ -724,7 +728,12 @@ class Library(val spark: SparkSession, val warehouse: String,
         writeFtsStats(spark.read.parquet(path("fts_lens")), SaveMode.Overwrite)
       }
     }
-    if (nOC > 0 || nOE > 0) invalidateVectorIndex()
+    // index maintenance is cell-scoped like removeDocument: the dead
+    // index vectors are EXACTLY the removed embedding rows (a dead
+    // chunk's vector becomes an orphan embedding the moment the chunk
+    // repair lands, so orphanEmbIds covers both repair causes); chunk
+    // orphans with no embedding rows were never indexed
+    if (nOE > 0) removeFromVectorIndex(orphanEmbIds)
     (nOC, nOE)
   }
 

@@ -260,12 +260,20 @@ class LibrarySpec extends SparkSpec {
       ("/a.md", "# A\n" + ("alpha searchable content with unique tokens. " * 10)),
       ("/b.md", "# B\n" + ("beta searchable content with other tokens. " * 10))).toDS())
     l.rebuildFtsIndex()
+    l.buildVectorIndex(nCells = 2, nProbe = 2)
     // simulate a crash mid-remove: document row gone, chunks orphaned
     val idA = Library.docId("/a.md")
     graft.util.TableSwap.rewrite(s"$wh/documents",
       l.documents.filter(col("id") =!= idA))
-    val (oc, _) = l.repair()
-    assert(oc > 0)
+    val (oc, oe) = l.repair()
+    assert(oc > 0 && oe > 0)
+    // the vector index survives repair cell-scoped (not invalidated)
+    // and carries no orphan vector
+    assert(new java.io.File(s"$wh/embeddings_ivf/_SUCCESS").exists())
+    val ivfIds = spark.read.parquet(s"$wh/embeddings_ivf")
+      .select("chunkId").collect().map(_.getString(0)).toSet
+    assert(ivfIds === l.embeddings.select("chunkId")
+      .collect().map(_.getString(0)).toSet)
     // postings/lens must only reference surviving chunks
     val liveIds = l.chunks.select("id").collect().map(_.getString(0)).toSet
     val postIds = spark.read.parquet(s"$wh/fts_postings")
