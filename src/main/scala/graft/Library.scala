@@ -430,20 +430,6 @@ class Library(val spark: SparkSession, val warehouse: String,
       }
     }
 
-  /** Wholesale invalidation — the escape hatch for mutations the layout
-    * truly cannot absorb (schema/dimension changes); plain deletes use
-    * [[removeFromVectorIndex]] instead. Search falls back to the exact
-    * scan until the next buildVectorIndex. */
-  private def invalidateVectorIndex(): Unit = {
-    Seq("embeddings_ivf", "embeddings_ivf_meta").foreach { t =>
-      val dir = new java.io.File(path(t))
-      if (dir.exists()) delete(dir)
-    }
-    // drop the in-memory registration too, or the optimizer rule would
-    // keep probing with the dead build's centroids after a rebuild
-    graft.plans.IvfRegistry.unregister(path("embeddings_ivf"))
-  }
-
   private def appendToFtsIndex(newChunks: DataFrame): Unit =
     if (tableExists("fts_postings")) {
       // a migration rebuild runs over the chunks table, which ALREADY
@@ -749,7 +735,6 @@ class Library(val spark: SparkSession, val warehouse: String,
       df.repartition(col("__tb")).sortWithinPartitions("term", "id"),
       partitionBy = Seq("__tb"))
 
-  private def delete(f: java.io.File): Unit = graft.util.TableSwap.delete(f)
 }
 
 object Library {
