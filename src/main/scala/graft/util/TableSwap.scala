@@ -1,12 +1,23 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Safe overwrite-by-swap for Parquet table directories (Parquet has no
   * in-place update): materialize to a temp dir, move the live dir aside,
   * rename the temp in, delete the old. Every rename result is checked —
   * a failed swap must throw with the original data still recoverable in
-  * `<table>_old`, never silently leave an empty table. */
+  * `<table>_old`, never silently leave an empty table.
+  *
+  * All filesystem traffic goes through the Hadoop [[FileSystem]] resolved
+  * from the session's Hadoop conf, NOT `java.io.File`, so the warehouse
+  * may live on any supported store (local, HDFS, S3A, ...). On HDFS the
+  * two renames are atomic metadata ops; on object stores without atomic
+  * dir rename (S3A) the move is a copy under the hood — the swap contract
+  * (original recoverable in `_old` until the install lands) still holds,
+  * it just stops being O(1). Crash leftovers (`_tmp`/`_old`) are swept and
+  * recovered by `Library.repair()`.
+  */
 object TableSwap {
 
   def rewrite(tablePath: String, df: DataFrame,
@@ -26,16 +37,29 @@ object TableSwap {
                  tmpPath: String, oldPath: String,
                  partitionBy: Seq[String] = Nil): Unit = {
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(tmpPath)
-    val dir = new java.io.File(tablePath)
-    val old = new java.io.File(oldPath)
-    if (old.exists()) delete(old)
-    if (dir.exists() && !dir.renameTo(old))
+    val fs = fileSystem(df.sparkSession, tablePath)
+    val dir = new HPath(tablePath)
+    val old = new HPath(oldPath)
+    delete(fs, old)
+    if (fs.exists(dir) && !fs.rename(dir, old))
       throw new java.io.IOException(s"swap failed moving aside $tablePath")
-    if (!new java.io.File(tmpPath).renameTo(dir))
+    if (!fs.rename(new HPath(tmpPath), dir))
       throw new java.io.IOException(s"swap failed installing $tablePath")
-    delete(old)
+    delete(fs, old)
   }
 
+  /** The [[FileSystem]] serving `path` under the session's Hadoop conf —
+    * the one handle every warehouse-maintenance path must use, so a
+    * scheme-qualified warehouse (`hdfs://...`, `s3a://...`) routes to its
+    * store and a bare path routes to the configured default FS. */
+  def fileSystem(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Recursive delete, no-op when absent. */
+  def delete(fs: FileSystem, p: HPath): Unit =
+    if (fs.exists(p)) fs.delete(p, true)
+
+  /** Local-only convenience for tests tearing down scratch warehouses. */
   def delete(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delete))
     f.delete()
