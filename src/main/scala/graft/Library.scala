@@ -5,6 +5,7 @@ import graft.model._
 import graft.operators.{Bm25, ContextExpansion, HybridSearch, VectorSearch}
 import graft.sources.{DocumentSources, Embedder, HashingEmbedder, JvmPdfExtractor, MarkdownSource, PdfExtractor}
 import graft.sources.Chunker
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Materialize.MatOps
@@ -33,7 +34,14 @@ class Library(val spark: SparkSession, val warehouse: String,
                 * corpora and trickle appends from rebuilding on every
                 * ingest; at scale the fraction dominates. */
               val ivfCompactFraction: Double = 0.1,
-              val ivfCompactMinRows: Long = 10000L) {
+              val ivfCompactMinRows: Long = 10000L,
+              /** Compaction folds the delta onto the EXISTING centroids
+                * (O(delta)); once the index has grown past this factor
+                * of the row count the quantizer was fitted on, the fold
+                * is replaced by a full k-means refit — folds never move
+                * centroids, so without the gate a corpus that doubled
+                * since the last fit would quantize with stale cells. */
+              val ivfRefitFactor: Double = 2.0) {
   import spark.implicits._
 
   private def path(t: String) = s"$warehouse/$t"
@@ -42,8 +50,13 @@ class Library(val spark: SparkSession, val warehouse: String,
   def chunks: DataFrame = spark.read.parquet(path("chunks"))
   def embeddings: DataFrame = spark.read.parquet(path("embeddings"))
 
+  /** One FileSystem handle for every warehouse-maintenance path, resolved
+    * from the session's Hadoop conf — same contract as TableSwap: a
+    * scheme-qualified warehouse routes to its store. */
+  private lazy val fs = graft.util.TableSwap.fileSystem(spark, warehouse)
+
   private def tableExists(t: String) =
-    new java.io.File(s"${path(t)}/_SUCCESS").exists()
+    fs.exists(new HPath(s"${path(t)}/_SUCCESS"))
 
   // ---------------------------------------------------------------- ingest
 
@@ -168,13 +181,8 @@ class Library(val spark: SparkSession, val warehouse: String,
     * indexes; the IVF layout keeps its `__cell` hive partitioning). */
   def exportTo(dest: String): Unit = {
     migrateLegacyFtsLayout()
-    val tables = Seq("documents", "chunks", "embeddings",
-      "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
-      "fts_stats", "embeddings_ivf", "embeddings_ivf_meta",
-      "concepts", "hierarchy", "relations", "doc_concepts",
-      "concept_embeddings")
     val partCols = Map("embeddings_ivf" -> "__cell", "fts_postings" -> "__tb")
-    tables.filter(tableExists).foreach { t =>
+    Library.AllTables.filter(tableExists).foreach { t =>
       val w = spark.read.parquet(path(t)).write.mode(SaveMode.Overwrite)
       partCols.get(t).map(w.partitionBy(_)).getOrElse(w)
         .parquet(s"$dest/$t")
@@ -204,6 +212,9 @@ class Library(val spark: SparkSession, val warehouse: String,
     spark.createDataFrame(centers).toDF("cell", "center")
       .withColumn("nProbe", lit(nProbe))
       .withColumn("indexedRows", lit(indexedRows))
+      // builtRows = the corpus size this quantizer was FITTED on; folds
+      // grow indexedRows but not builtRows — the refit gate compares them
+      .withColumn("builtRows", lit(indexedRows))
       .write.mode(SaveMode.Overwrite).parquet(path("embeddings_ivf_meta"))
   }
 
@@ -245,11 +256,14 @@ class Library(val spark: SparkSession, val warehouse: String,
   /** The delta bucket is exact but unpruned — every probe scans it — so
     * left unbounded it erodes the index's entire benefit. When it
     * outgrows the configured fraction of the indexed rows (and the
-    * absolute floor), fold it back in with a full rebuild, exactly the
-    * periodic compaction job the docstrings promise. The gate itself is
-    * cheap: a partition-pruned count of the delta directory only (the
-    * floor short-circuits before anything else), with the indexed total
-    * read from meta — never a scan of every cell partition per append. */
+    * absolute floor), fold it back in: assign each delta vector to its
+    * nearest EXISTING centroid and append to that cell — O(delta) work,
+    * the closed cells are never read. Only when the corpus has outgrown
+    * the quantizer (see [[ivfRefitFactor]]) does compaction pay for a
+    * full k-means refit. The gate itself is cheap: a partition-pruned
+    * count of the delta directory only (the floor short-circuits before
+    * anything else), with the indexed total read from meta — never a
+    * scan of every cell partition per append. */
   def maybeCompactVectorIndex(): Unit = if (tableExists("embeddings_ivf_meta")) {
     val delta = spark.read.parquet(path("embeddings_ivf"))
       .filter(col("__cell") === DeltaCell).count()
@@ -262,9 +276,49 @@ class Library(val spark: SparkSession, val warehouse: String,
           math.max(0L, embeddings.count() - delta)
       if (delta > ivfCompactFraction * indexed) {
         val nProbe = meta.select("nProbe").head().getInt(0)
-        buildVectorIndex(meta.count().toInt, nProbe)
+        val builtRows = // pre-builtRows meta: treat current size as fitted size
+          if (meta.columns.contains("builtRows"))
+            meta.select("builtRows").head().getLong(0)
+          else indexed
+        if (indexed + delta > ivfRefitFactor * math.max(builtRows, 1L))
+          buildVectorIndex(meta.count().toInt, nProbe)
+        else foldDeltaIntoCells(delta, indexed)
       }
     }
+  }
+
+  /** O(delta) compaction: quantize the delta vectors against the
+    * existing centroids ([[graft.plans.IvfRegistry.nearestCell]] — same
+    * distance and tie-break as the probe, so folded assignments are
+    * self-consistent with every later search), append them to their
+    * cells, retire the delta partition, and bump `indexedRows`. The
+    * centroids never move, so no surviving assignment is invalidated.
+    * Crash window: between the cell append and the delta retire a folded
+    * vector exists twice (new cell + delta, both probed) — repair()
+    * detects exactly that signature and retires the duplicated delta
+    * rows. The per-row argmin runs as a typed map (not codegen) — it is
+    * bounded by the delta bucket, never the index. */
+  private def foldDeltaIntoCells(deltaRows: Long, indexed: Long): Unit = {
+    val meta = spark.read.parquet(path("embeddings_ivf_meta"))
+    val centers = meta.orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("center").toArray)
+    val assigned = spark.read.parquet(path("embeddings_ivf"))
+      .filter(col("__cell") === DeltaCell)
+      .select("chunkId", "embedding").as[(String, Array[Float])]
+      .map { case (id, v) =>
+        (id, v, graft.plans.IvfRegistry.nearestCell(centers, v))
+      }.toDF("chunkId", "embedding", "__cell")
+    assigned.write.mode(SaveMode.Append).partitionBy("__cell")
+      .parquet(path("embeddings_ivf"))
+    val fs = graft.util.TableSwap.fileSystem(spark, path("embeddings_ivf"))
+    graft.util.TableSwap.delete(fs,
+      new HPath(path(s"embeddings_ivf/__cell=$DeltaCell")))
+    val builtRows =
+      if (meta.columns.contains("builtRows")) col("builtRows")
+      else lit(indexed) // legacy meta: current size was the fitted size
+    graft.util.TableSwap.rewrite(path("embeddings_ivf_meta"),
+      meta.withColumn("indexedRows", lit(indexed + deltaRows))
+        .withColumn("builtRows", builtRows))
   }
 
   /** Exact vector top-k over chunks (J1 three-way join shape): score all
@@ -397,28 +451,45 @@ class Library(val spark: SparkSession, val warehouse: String,
     * document died would trade an O(dead cells) rewrite for a full
     * rebuild. `indexedRows` in the meta table is decremented by the
     * rows removed from non-delta cells, keeping the compaction gate's
-    * fraction honest. The one affected-cells probe is a semi-join whose
-    * collect is bounded by nCells + 1 rows (same contract as the IVF
-    * meta read). */
-  private def removeFromVectorIndex(deadChunks: DataFrame): Unit =
+    * fraction honest.
+    *
+    * Cost shape: the affected-cells probe is a chunkId-only columnar
+    * scan of the FULL index (the wide embedding column is never read) —
+    * O(index ids) I/O, with the collect bounded by nCells + 1 rows; the
+    * rewrite itself is ONE Spark job over just the affected cells'
+    * partitions (survivors written `partitionBy("__cell")` to scratch
+    * OUTSIDE the table root, then installed with a driver-side metadata
+    * rename per leaf) — a bulk delete touching hundreds of cells costs
+    * one job, not one per cell. A cell whose every vector died writes
+    * no scratch leaf; moving its live leaf aside IS the delete. */
+  private[graft] def removeFromVectorIndex(deadChunks: DataFrame): Unit =
     if (tableExists("embeddings_ivf_meta")) {
       val ivf = spark.read.parquet(path("embeddings_ivf"))
       val affected = ivf.join(deadChunks, Seq("chunkId"), "left_semi")
         .groupBy("__cell").agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       if (affected.nonEmpty) {
-        affected.keys.foreach { cell =>
-          val leaf = path(s"embeddings_ivf/__cell=$cell")
-          // the leaf dir holds only data columns; __cell stays encoded
-          // in the directory name, so the swap preserves the layout.
-          // Swap scratch dirs live OUTSIDE the table root — a leftover
-          // `__cell=N_tmp` inside it would enter partition discovery
-          val survivors = spark.read.parquet(leaf)
-            .join(deadChunks, Seq("chunkId"), "left_anti")
-          graft.util.TableSwap.rewriteVia(leaf, survivors,
-            path(s"embeddings_ivf_cell${cell}_tmp"),
-            path(s"embeddings_ivf_cell${cell}_old"))
+        val cells = affected.keys.toSeq
+        val scratch = path("embeddings_ivf_swap_tmp")
+        val retired = path("embeddings_ivf_swap_old")
+        ivf.filter(col("__cell").isin(cells: _*))
+          .join(deadChunks, Seq("chunkId"), "left_anti")
+          .write.mode(SaveMode.Overwrite).partitionBy("__cell")
+          .parquet(scratch)
+        val fs = graft.util.TableSwap.fileSystem(spark, path("embeddings_ivf"))
+        graft.util.TableSwap.delete(fs, new HPath(retired))
+        fs.mkdirs(new HPath(retired))
+        cells.foreach { cell =>
+          val live = new HPath(path(s"embeddings_ivf/__cell=$cell"))
+          val fresh = new HPath(s"$scratch/__cell=$cell")
+          val old = new HPath(s"$retired/__cell=$cell")
+          if (fs.exists(live) && !fs.rename(live, old))
+            throw new java.io.IOException(s"swap failed moving aside $live")
+          if (fs.exists(fresh) && !fs.rename(fresh, live))
+            throw new java.io.IOException(s"swap failed installing $live")
         }
+        graft.util.TableSwap.delete(fs, new HPath(retired))
+        graft.util.TableSwap.delete(fs, new HPath(scratch))
         val meta = spark.read.parquet(path("embeddings_ivf_meta"))
         if (meta.columns.contains("indexedRows")) {
           val removedIndexed =
@@ -681,9 +752,62 @@ class Library(val spark: SparkSession, val warehouse: String,
   def stats(): (Long, Long, Long) =
     (documents.count(), chunks.count(), embeddings.count())
 
+  /** The executable form of TableSwap's recoverability promise: a crash
+    * anywhere in a swap leaves either `<x>_tmp` (new data, not yet
+    * installed) or `<x>_old` (original, moved aside) at the warehouse
+    * root — this sweep restores any table or IVF cell leaf whose live
+    * dir is missing from its `_old` copy, then clears all scratch. The
+    * restore deliberately resurrects the PRE-swap state (the consistent
+    * one: a generic rewrite that died mid-swap never happened; its
+    * cause is re-detected by the integrity checks that follow), and any
+    * resurrected dead index vectors are re-purged by repair()'s
+    * dead-vector check, so restore-then-purge converges to the same
+    * state a completed swap would have reached. */
+  private[graft] def sweepCrashLeftovers(): Unit = {
+    if (!fs.exists(new HPath(warehouse))) return
+    def restoreIfMissing(live: HPath, old: HPath): Unit =
+      if (fs.exists(old) && !fs.exists(live) && !fs.rename(old, live))
+        throw new java.io.IOException(s"crash recovery failed restoring $live")
+    // generic whole-table swaps (TableSwap.rewrite's default scratch)
+    Library.AllTables.foreach { t =>
+      restoreIfMissing(new HPath(path(t)), new HPath(path(s"${t}_old")))
+      Seq(s"${t}_old", s"${t}_tmp")
+        .foreach(s => graft.util.TableSwap.delete(fs, new HPath(path(s))))
+    }
+    // bulk cell swap (removeFromVectorIndex): retired leaves live under
+    // embeddings_ivf_swap_old/__cell=N; restore any whose live leaf
+    // vanished (covers both a mid-install crash and a retired
+    // fully-dead cell — the purge below re-deletes the latter's rows)
+    val swapOld = new HPath(path("embeddings_ivf_swap_old"))
+    if (fs.exists(swapOld))
+      fs.listStatus(swapOld).filter(_.getPath.getName.startsWith("__cell="))
+        .foreach { st =>
+          restoreIfMissing(
+            new HPath(path(s"embeddings_ivf/${st.getPath.getName}")), st.getPath)
+        }
+    // per-leaf scratch: the delta-retire swap and the legacy (pre-bulk)
+    // per-cell swap both keep scratch at the root with the cell in the name
+    val CellScratch = "embeddings_ivf_(?:cell(-?\\d+)|(delta))_(?:tmp|old)".r
+    val scratch = fs.listStatus(new HPath(warehouse)).map(_.getPath)
+      .filter(p => CellScratch.pattern.matcher(p.getName).matches())
+    scratch.filter(_.getName.endsWith("_old")).foreach { old =>
+      val cell = CellScratch.findFirstMatchIn(old.getName).get
+      val n = Option(cell.group(1)).getOrElse(DeltaCell.toString)
+      restoreIfMissing(new HPath(path(s"embeddings_ivf/__cell=$n")), old)
+    }
+    (scratch ++ Seq(swapOld, new HPath(path("embeddings_ivf_swap_tmp"))))
+      .foreach(graft.util.TableSwap.delete(fs, _))
+  }
+
   /** J8: orphan detection + repair (chunks without documents, embeddings
-    * without chunks). Returns counts found before repair. */
+    * without chunks), preceded by the crash-leftover sweep and followed
+    * by index reconciliation: fold-crash duplicates retired, then every
+    * index vector with no embeddings counterpart purged (catches dead
+    * vectors invisible to the orphan checks — e.g. a crash in
+    * removeDocument between the embeddings rewrite and the index
+    * maintenance). Returns counts found before repair. */
   def repair(): (Long, Long) = {
+    sweepCrashLeftovers()
     val orphanChunks = chunks.join(documents.select(col("id").as("docId")),
       Seq("docId"), "left_anti")
     val nOC = orphanChunks.count()
@@ -714,13 +838,42 @@ class Library(val spark: SparkSession, val warehouse: String,
         writeFtsStats(spark.read.parquet(path("fts_lens")), SaveMode.Overwrite)
       }
     }
-    // index maintenance is cell-scoped like removeDocument: the dead
-    // index vectors are EXACTLY the removed embedding rows (a dead
-    // chunk's vector becomes an orphan embedding the moment the chunk
-    // repair lands, so orphanEmbIds covers both repair causes); chunk
-    // orphans with no embedding rows were never indexed
-    if (nOE > 0) removeFromVectorIndex(orphanEmbIds)
+    // index reconciliation, cell-scoped like removeDocument. First
+    // retire fold-crash duplicates (a fold that died between the cell
+    // append and the delta retire leaves its vectors in BOTH — probed
+    // twice); then purge every index vector with no embeddings
+    // counterpart — this subsumes the orphan-embedding case (those rows
+    // just left the embeddings table) AND the crash-in-removeDocument
+    // case the orphan checks cannot see
+    if (tableExists("embeddings_ivf_meta") && tableExists("embeddings_ivf")) {
+      retireFoldDuplicates()
+      val deadIvf = spark.read.parquet(path("embeddings_ivf"))
+        .select("chunkId").distinct()
+        .join(embeddings.select("chunkId"), Seq("chunkId"), "left_anti")
+        .materializeOnce()
+      if (!deadIvf.isEmpty) removeFromVectorIndex(deadIvf)
+    }
     (nOC, nOE)
+  }
+
+  /** A delta vector whose chunkId also lives in a closed cell is the
+    * fold-crash signature (the append landed, the delta retire did
+    * not): the cell copy is the keeper, the delta copy is retired. An
+    * emptied delta leaf is dropped outright. */
+  private def retireFoldDuplicates(): Unit = {
+    val deltaLeaf = path(s"embeddings_ivf/__cell=$DeltaCell")
+    if (!fs.exists(new HPath(deltaLeaf))) return
+    val ivf = spark.read.parquet(path("embeddings_ivf"))
+    val closed = ivf.filter(col("__cell") =!= DeltaCell).select("chunkId")
+    val delta = ivf.filter(col("__cell") === DeltaCell)
+    if (delta.join(closed, Seq("chunkId"), "left_semi").isEmpty) return
+    val keep = delta.join(closed, Seq("chunkId"), "left_anti")
+      .select("chunkId", "embedding")
+    if (keep.isEmpty)
+      graft.util.TableSwap.delete(fs, new HPath(deltaLeaf))
+    else
+      graft.util.TableSwap.rewriteVia(deltaLeaf, keep,
+        path("embeddings_ivf_delta_tmp"), path("embeddings_ivf_delta_old"))
   }
 
   private def rewrite(table: String, df: DataFrame): Unit =
@@ -738,6 +891,14 @@ class Library(val spark: SparkSession, val warehouse: String,
 }
 
 object Library {
+  /** Every table a warehouse may hold — the export set and the crash
+    * sweep's recovery inventory. */
+  private[graft] val AllTables = Seq("documents", "chunks", "embeddings",
+    "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
+    "fts_stats", "embeddings_ivf", "embeddings_ivf_meta",
+    "concepts", "hierarchy", "relations", "doc_concepts",
+    "concept_embeddings")
+
   /** One discovered file -> (document row, chunk rows). Static (not a
     * Library method) so executor closures never capture the facade,
     * which holds the non-serializable SparkSession. */

@@ -62,6 +62,27 @@ object IvfRegistry {
 
   /** nProbe nearest centroid ids to the query vector (squared-Euclidean,
     * matching the k-means quantizer). */
+  /** Index of the nearest centroid by squared Euclidean distance, ties
+    * to the lowest cell id — the same rule (and tie-break) as
+    * [[probeCells]], so vectors assigned here during a delta fold are
+    * self-consistent with every later probe: the fold's chosen cell is
+    * by construction among the nProbe nearest for any query that ranks
+    * this vector highly. */
+  def nearestCell(centers: Array[Array[Double]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < centers.length) {
+      val c = centers(i)
+      var d = 0.0
+      var j = 0
+      while (j < c.length) { val t = c(j) - v(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
   def probeCells(centers: Array[Array[Double]], query: Array[Double],
                  nProbe: Int): Seq[Int] = {
     // a silent prefix-distance over mismatched dims probes the wrong

@@ -192,6 +192,91 @@ class IntegrationSpec extends SparkSpec {
       SparkEntry.allQueries.size)
   }
 
+  test("bulk index delete issues a constant number of Spark jobs regardless of cell count") {
+    def jobsForDelete(nVictims: Int): Int = {
+      val wh = Files.createTempDirectory("graft-bulkdel").toString
+      val l = new Library(spark, wh)
+      l.addMarkdown((1 to 24).map(i => (s"/j/doc$i.md",
+        s"# Doc$i\n" + (s"job count corpus doc number $i assorted words. " * 8))).toDS())
+      l.buildVectorIndex(nCells = 6, nProbe = 6)
+      // victims spread across docs -> spread across cells
+      val dead = l.chunks
+        .filter(col("docId").isin((1 to nVictims).map(i =>
+          Library.docId(s"/j/doc${i * 5}.md")): _*))
+        .select(col("id").as("chunkId"))
+        .localCheckpoint() // job-count isolation: no lineage re-runs inside the listener window
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        l.removeFromVectorIndex(dead)
+        Thread.sleep(1500) // listener events are async; drain is symmetric across both runs
+      } finally spark.sparkContext.removeSparkListener(listener)
+      jobs
+    }
+    val one = jobsForDelete(1)
+    val four = jobsForDelete(4)
+    assert(one > 0)
+    // O(1) jobs in the number of affected cells: the survivors rewrite
+    // is one partitioned write + driver-side renames, so a delete
+    // spanning 4x the docs (and more cells) costs no extra jobs
+    assert(four === one, s"bulk delete grew from $one to $four jobs")
+  }
+
+  test("threshold compaction FOLDS the delta onto existing centroids and stays exact") {
+    val wh = Files.createTempDirectory("graft-fold").toString
+    val l = new Library(spark, wh, ivfCompactMinRows = 1L)
+    l.addMarkdown((1 to 12).map(i => (s"/f/base$i.md",
+      s"# Base$i\n" + (s"fold corpus baseline doc number $i with words. " * 8))).toDS())
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val metaPath = s"$wh/embeddings_ivf_meta"
+    def centers() = spark.read.parquet(metaPath).orderBy("cell")
+      .select("center").collect().map(_.getSeq[Double](0)).toSeq
+    val fitted = centers()
+    // 4 docs ≈ 33% of indexed: crosses the 10% gate but stays inside
+    // the 2x refit factor -> must fold, not refit
+    l.addMarkdown((1 to 4).map(i => (s"/f/grow$i.md",
+      s"# Grow$i\n" + (s"fold append growth doc $i extra words here. " * 8))).toDS())
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivf.filter(col("__cell") === -1).count() === 0,
+      "gate-crossing append must compact the delta")
+    assert(centers() === fitted,
+      "a fold must not move centroids (that would be a refit)")
+    val meta = spark.read.parquet(metaPath)
+    assert(meta.select("indexedRows").head().getLong(0) === l.embeddings.count())
+    assert(meta.select("builtRows").head().getLong(0) < l.embeddings.count())
+    // folded index serves probed results identical to a never-indexed scan
+    val qv = l.embedder.embed("fold append growth")
+    def res(lib2: Library) = lib2.vectorSearch(qv, SearchOptions(limit = 8))
+      .collect().map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
+        r.getAs[Double]("score"))).toSeq
+    val probed = res(l)
+    assert(probed.nonEmpty)
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/embeddings_ivf"))
+    graft.util.TableSwap.delete(new java.io.File(metaPath))
+    assert(probed === res(new Library(spark, wh)))
+  }
+
+  test("compaction past the refit factor re-fits the quantizer in full") {
+    val wh = Files.createTempDirectory("graft-refit").toString
+    // refit factor 1.2: a 33% growth burst must trigger a full refit
+    val l = new Library(spark, wh, ivfCompactMinRows = 1L, ivfRefitFactor = 1.2)
+    l.addMarkdown((1 to 12).map(i => (s"/r/base$i.md",
+      s"# Base$i\n" + (s"refit corpus baseline doc number $i with words. " * 8))).toDS())
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    l.addMarkdown((1 to 4).map(i => (s"/r/grow$i.md",
+      s"# Grow$i\n" + (s"refit append growth doc $i extra words here. " * 8))).toDS())
+    val meta = spark.read.parquet(s"$wh/embeddings_ivf_meta")
+    // a full refit re-stamps builtRows at the new corpus size
+    assert(meta.select("builtRows").head().getLong(0) === l.embeddings.count())
+    assert(spark.read.parquet(s"$wh/embeddings_ivf")
+      .filter(col("__cell") === -1).count() === 0)
+  }
+
   test("SQL surface: views + native functions compose in plain SQL") {
     GraftSession.setup(spark, sf)
     val knn = spark.sql("""
