@@ -1,0 +1,149 @@
+package graft
+
+import graft.model.SearchOptions
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Executable form of the TableSwap recoverability promise: every
+  * mid-swap crash state a maintenance path can leave behind is
+  * simulated here by constructing the on-disk leftovers directly, and
+  * repair() must converge the warehouse back to a consistent state with
+  * no scratch remaining and search results identical to a never-crashed
+  * warehouse. */
+class CrashRecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshLib(prefix: String, docs: Int = 12): Library = {
+    val wh = Files.createTempDirectory(prefix).toString
+    val l = new Library(spark, wh)
+    l.addMarkdown((1 to docs).map(i => (s"/$prefix/doc$i.md",
+      s"# Doc$i\n" + (s"$prefix corpus doc number $i searchable words. " * 8))).toDS())
+    l
+  }
+
+  private def rootNames(wh: String): Set[String] =
+    Option(new java.io.File(wh).listFiles()).get.map(_.getName).toSet
+
+  private def fsOf(l: Library) =
+    graft.util.TableSwap.fileSystem(spark, l.warehouse)
+
+  test("a table that vanished mid-swap is restored from _old") {
+    val l = freshLib("crash-old")
+    val fs = fsOf(l)
+    val docsBefore = l.documents.collect().map(_.getAs[String]("id")).sorted
+    // crash between move-aside and install: live dir gone, _old holds it
+    assert(fs.rename(new HPath(s"${l.warehouse}/documents"),
+      new HPath(s"${l.warehouse}/documents_old")))
+    l.repair()
+    assert(l.documents.collect().map(_.getAs[String]("id")).sorted
+      === docsBefore)
+    assert(!rootNames(l.warehouse).exists(n =>
+      n.endsWith("_old") || n.endsWith("_tmp")))
+  }
+
+  test("orphaned _tmp and _old scratch next to a live table is swept") {
+    val l = freshLib("crash-scratch")
+    // crash right after the tmp write: live table intact, stale scratch
+    Seq(("zz", "junk")).toDF("id", "junk")
+      .write.parquet(s"${l.warehouse}/chunks_tmp")
+    Seq(("zz", "junk")).toDF("id", "junk")
+      .write.parquet(s"${l.warehouse}/embeddings_old")
+    val before = l.stats()
+    l.repair()
+    assert(l.stats() === before)
+    assert(!rootNames(l.warehouse).exists(n =>
+      n.endsWith("_old") || n.endsWith("_tmp")))
+  }
+
+  test("bulk cell-swap crash: leaves stranded in swap_old are restored and re-purged") {
+    val l = freshLib("crash-cell")
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val fs = fsOf(l)
+    val wh = l.warehouse
+    // crash mid-install: a live leaf was moved aside but its survivors
+    // leaf never arrived (swap_tmp already consumed/lost)
+    fs.mkdirs(new HPath(s"$wh/embeddings_ivf_swap_old"))
+    assert(fs.rename(new HPath(s"$wh/embeddings_ivf/__cell=0"),
+      new HPath(s"$wh/embeddings_ivf_swap_old/__cell=0")))
+    l.repair()
+    assert(!rootNames(wh).exists(_.startsWith("embeddings_ivf_swap")))
+    // every vector is back (restore) and none is dead (purge found none)
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivf.count() === l.embeddings.count())
+    assert(ivf.select("chunkId").distinct().count() === ivf.count())
+  }
+
+  test("legacy per-cell scratch (embeddings_ivf_cellN_old) is restored and swept") {
+    val l = freshLib("crash-legacy")
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val fs = fsOf(l)
+    val wh = l.warehouse
+    assert(fs.rename(new HPath(s"$wh/embeddings_ivf/__cell=1"),
+      new HPath(s"$wh/embeddings_ivf_cell1_old")))
+    l.repair()
+    assert(!rootNames(wh).exists(_.matches("embeddings_ivf_cell\\d+_(tmp|old)")))
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivf.count() === l.embeddings.count())
+  }
+
+  test("fold crash: delta rows duplicated into cells are retired by repair") {
+    val l = freshLib("crash-fold")
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val wh = l.warehouse
+    // simulate a fold that appended the delta into cells but died
+    // before retiring the delta leaf: copy some indexed rows INTO the
+    // delta bucket (their cell copies are the post-append state)
+    val dupes = spark.read.parquet(s"$wh/embeddings_ivf")
+      .filter(col("__cell") =!= -1).limit(5)
+      .withColumn("__cell", lit(-1))
+    dupes.write.mode("append").partitionBy("__cell")
+      .parquet(s"$wh/embeddings_ivf")
+    val ivfBefore = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivfBefore.count() > ivfBefore.select("chunkId").distinct().count())
+    l.repair()
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivf.count() === ivf.select("chunkId").distinct().count(),
+      "repair must retire fold-crash duplicates")
+    assert(ivf.filter(col("__cell") === -1).count() === 0,
+      "an emptied delta leaf is dropped outright")
+    assert(ivf.count() === l.embeddings.count())
+  }
+
+  test("dead index vectors invisible to orphan checks are purged (crash in removeDocument)") {
+    val l = freshLib("crash-dead")
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val wh = l.warehouse
+    val victim = Library.docId("/crash-dead/doc5.md")
+    // crash in removeDocument AFTER the table rewrites but BEFORE the
+    // index maintenance: tables consistent, index still holds the dead
+    // vectors — no orphan check can see them
+    val deadChunks = l.chunks.filter(col("docId") === victim)
+      .select(col("id").as("chunkId")).collect().map(_.getString(0))
+    graft.util.TableSwap.rewrite(s"$wh/embeddings",
+      l.embeddings.filter(!col("chunkId").isin(deadChunks: _*)))
+    graft.util.TableSwap.rewrite(s"$wh/chunks",
+      l.chunks.filter(col("docId") =!= victim))
+    graft.util.TableSwap.rewrite(s"$wh/documents",
+      l.documents.filter(col("id") =!= victim))
+    assert(spark.read.parquet(s"$wh/embeddings_ivf")
+      .filter(col("chunkId").isin(deadChunks: _*)).count() > 0)
+    l.repair()
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivf.filter(col("chunkId").isin(deadChunks: _*)).count() === 0,
+      "repair must purge index vectors with no embeddings counterpart")
+    // the compaction gate's denominator tracked the purge
+    assert(spark.read.parquet(s"$wh/embeddings_ivf_meta")
+      .select("indexedRows").head().getLong(0) === l.embeddings.count())
+    // and probed search now equals a never-indexed exact scan
+    val qv = l.embedder.embed("searchable words")
+    def res(lib2: Library) = lib2.vectorSearch(qv, SearchOptions(limit = 8))
+      .collect().map(r => (r.getAs[String]("docId"), r.getAs[Int]("chunkIndex"),
+        r.getAs[Double]("score"))).toSeq
+    val probed = res(l)
+    assert(probed.nonEmpty)
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/embeddings_ivf"))
+    graft.util.TableSwap.delete(new java.io.File(s"$wh/embeddings_ivf_meta"))
+    assert(probed === res(new Library(spark, wh)))
+  }
+}
