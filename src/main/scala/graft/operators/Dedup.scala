@@ -49,8 +49,10 @@ object Dedup {
     * hashing cost, and the shingle array is materialized in its own
     * projection so it is computed once per row, not once per column. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       numHashes: Int, shingleK: Int): DataFrame = {
-    val sig = graft.plans.MinHashSignature(lower(col(textCol)), shingleK, numHashes)
+                       numHashes: Int, shingleK: Int,
+                       hashFamily: String = graft.functions.TextFunctions.HashMd5): DataFrame = {
+    val sig = graft.plans.MinHashSignature(lower(col(textCol)), shingleK,
+      numHashes, hashFamily)
     val mhCols = (0 until numHashes).map(i =>
       element_at(col("__sig"), i + 1).as(s"mh$i"))
     df.select(col(idCol).as("id"), sig.as("__sig"))
@@ -127,12 +129,17 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** End-to-end MinHash LSH near-dup detection. */
+  /** End-to-end MinHash LSH near-dup detection. `hashFamily` switches
+    * the signature hashes between the md5 oracle mode and the xxh64
+    * production mode (see [[graft.functions.TextFunctions.hash32]]) —
+    * the final verdict filter is exact Jaccard either way, so the
+    * family only steers candidate recall, not pair truth. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 8, numBands: Int = 4,
                       shingleK: Int = 5, threshold: Double = 0.5,
-                      maxBucketSize: Int = 1000): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK)
+                      maxBucketSize: Int = 1000,
+                      hashFamily: String = graft.functions.TextFunctions.HashMd5): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, numHashes, shingleK, hashFamily)
     val cands = lshCandidatePairs(sig, numHashes, numBands, maxBucketSize)
     verifyPairs(df, idCol, textCol, cands, shingleK, threshold)
   }

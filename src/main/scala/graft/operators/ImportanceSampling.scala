@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   * (id, bucket-int) pairs that partial-aggregate map-side before the
   * one keyed shuffle; the bucket statistics table is at most `buckets`
   * rows and BROADCASTS back into the per-doc scoring join; totals ride
-  * a broadcast cross join of a single aggregate row. Hashing is the
-  * portable md5-derived [[portableHash32]], so weights are reproducible
-  * cross-engine and cross-run bit-for-bit (up to the documented <=1-ulp
-  * log10 gap, absorbed by 6dp rounding at output boundaries).
+  * a broadcast cross join of a single aggregate row. Hashing defaults to
+  * the portable md5-derived [[portableHash32]], so weights are
+  * reproducible cross-engine and cross-run bit-for-bit (up to the
+  * documented <=1-ulp log10 gap, absorbed by 6dp rounding at output
+  * boundaries); production runs can pass `hashFamily = "xxh64"` for a
+  * codegen'd hash at identical plan shape — any consistent hash is a
+  * valid DSIR bucketing, only oracle certifiability is lost.
   */
 object ImportanceSampling {
 
@@ -59,7 +62,8 @@ object ImportanceSampling {
     *                 are shared by both distributions by construction)
     */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
-                  isTarget: Column, buckets: Int = 4096): DataFrame = {
+                  isTarget: Column, buckets: Int = 4096,
+                  hashFamily: String = graft.functions.TextFunctions.HashMd5): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val base = df.select(col(idCol).as("id"),
       coalesce(isTarget.cast("int"), lit(0)).as("is_target"),
@@ -68,7 +72,8 @@ object ImportanceSampling {
     val perDoc = base
       .select(col("id"), col("is_target"),
         explode(col("__gs")).as("g"))
-      .withColumn("__b", portableHash32(col("g")) % buckets)
+      .withColumn("__b",
+        graft.functions.TextFunctions.hash32(col("g"), hashFamily) % buckets)
       .groupBy("id", "is_target", "__b")
       .agg(count(lit(1)).as("n"))
       .materializeOnce(eager = false) // two consumers: stats + scoring

@@ -206,6 +206,33 @@ class PlanShapeSpec extends SparkSpec {
       "reconstruction must be a grouped sort, not a window/cross product:\n" + p)
   }
 
+  test("hash families: the xxh64 production mode keeps the md5 plan shape") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def dedupPlan(fam: String): String = {
+      val out = graft.operators.Dedup.minhashDupPairs(
+        docs, "doc_id", "text", hashFamily = fam)
+      out.collect()
+      out.queryExecution.executedPlan.toString
+    }
+    def dsirPlan(fam: String): String = {
+      val out = graft.operators.ImportanceSampling.dsirWeights(
+        docs, "doc_id", "text", col("doc_id") % 5 === 0, hashFamily = fam)
+      out.collect()
+      out.queryExecution.executedPlan.toString
+    }
+    Seq("md5", "xxh64").foreach { fam =>
+      val d = dedupPlan(fam)
+      assert(!d.contains("CartesianProduct") &&
+        !d.contains("BroadcastNestedLoopJoin") && !d.contains("Window"),
+        s"minhash[$fam] must keep the banded equi-join shape:\n$d")
+      val w = dsirPlan(fam)
+      assert(w.contains("BroadcastHashJoin"),
+        s"dsir[$fam] stats side must broadcast:\n$w")
+      assert(!w.contains("CartesianProduct"), w)
+    }
+  }
+
   test("q76: multi-scale fusion stays TakeOrdered + broadcast-joined, no cross product") {
     val df = SparkEntry.queries("q76_multiscale_search")(spark, sf)
     df.collect()
