@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Decontamination, Dedup, ImportanceSampling, Quota, Sampling, TextAnalysis, VectorSearch}
+import graft.util.Materialize.MatOps
 import org.apache.spark.sql.functions._
 
 /** Round-4 corpus-curation operators: benchmark decontamination,
@@ -507,6 +508,103 @@ object CurationQueries {
           .select(col("id").as("doc_id"), col("cleaned_text"), col("n_lines"),
             col("n_removed"), round(col("removed_frac"), 6).as("removed_frac"))
           .orderBy("doc_id")
+      }),
+
+    // the CCNet ordering composed end to end (Wenzek et al. 2019 run
+    // line-level cleaning FIRST; every downstream hash and metric then
+    // sees the cleaned text — exactly the interaction no single-stage
+    // query certifies): lineDedup (q79 line derivation) -> Gopher gate
+    // on the CLEANED text (q63 thresholds) -> exact-dedup canonical
+    // keep on the CLEANED fingerprint (q21/q59 semantics) -> per-source
+    // token budget in train order (q59 semantics) over CLEANED token
+    // counts. All stage decisions are integer/string-exact or the
+    // single-division doubles q63 certifies — no new float boundary
+    Q("q80_ccnet_pipeline", Some(s"""
+      WITH base AS (
+        SELECT doc_id, source,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS line
+        FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t), 1) + 1, 3)) AS i) u),
+      dl AS (SELECT DISTINCT doc_id, line FROM lines WHERE line <> ''),
+      hot AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 3),
+      cleaned AS (
+        SELECT l.doc_id,
+          coalesce(array_to_string(list(l.line ORDER BY l.pos)
+                     FILTER (WHERE h.line IS NULL), ' '), '') AS ctext
+        FROM lines l LEFT JOIN hot h USING (line)
+        GROUP BY l.doc_id),
+      ct AS (
+        SELECT doc_id, ctext,
+          list_filter(string_split(ctext, ' '), x -> x <> '') AS t
+        FROM cleaned),
+      gate AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST(len(t) AS INT) AS n_words,
+            CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+            CAST(len(regexp_extract_all(ctext, '#')) + len(regexp_extract_all(ctext, '\\.\\.\\.')) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
+            CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_word_frac,
+            CAST(len(list_filter(t, x -> list_contains([$stopwordsSql], x))) AS INT) AS stopword_hits
+          FROM ct) m
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+          AND stopword_hits >= 2),
+      fp AS (
+        SELECT c.doc_id, md5(lower(regexp_replace(c.ctext, '\\s+', ' ', 'g'))) AS f
+        FROM cleaned c JOIN gate USING (doc_id)),
+      canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      tk AS (
+        SELECT c.doc_id, b.source,
+          CAST(len(list_filter(string_split(c.ctext, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+          ${hash32Sql("'0|' || CAST(c.doc_id AS VARCHAR)")} AS ord
+        FROM cleaned c JOIN base b USING (doc_id)
+        WHERE c.doc_id IN (SELECT doc_id FROM canon)),
+      ranked AS (
+        SELECT doc_id, source, ws_tokens,
+          CAST(sum(ws_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM tk)
+      SELECT doc_id, source, ws_tokens, cum_tokens
+      FROM ranked WHERE cum_tokens <= 2000
+      ORDER BY source, doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = filter(split(lower(col("text")), " "), x => x =!= "")
+        val lineArr = transform(
+          sequence(lit(1), greatest(size(words), lit(1)), lit(3)),
+          i => array_join(slice(words, i, lit(3)), " "))
+        val withLines = docs
+          .select(col("doc_id"), array_join(lineArr, "\n").as("text_nl"))
+        // stage boundaries with >1 consumer materialize once (the q73
+        // pattern) — gate, fingerprint, and token stages all read the
+        // cleaned text; without the pin each re-runs the full lineDedup
+        val cleaned = TextAnalysis.lineDedup(withLines, "doc_id", "text_nl",
+            minDocs = 3)
+          .select(col("id").as("doc_id"),
+            translate(col("cleaned_text"), "\n", " ").as("ctext"))
+          .materializeOnce(eager = false)
+        val gate = TextAnalysis.gopherRules(cleaned, "doc_id", "ctext")
+          .filter(col("keep") === 1).select(col("id").as("doc_id"))
+        val gated = cleaned.join(gate, Seq("doc_id"), "left_semi")
+          .materializeOnce(eager = false) // consumers: fingerprints + survivors
+        val canonical = TextAnalysis.fingerprints(gated, "doc_id", "ctext")
+          .groupBy("fp").agg(min(col("id")).as("doc_id")).select("doc_id")
+        val base = gated.join(canonical, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.wordCount(col("ctext"))
+              .cast("long").as("ws_tokens"),
+            Sampling.trainOrder(col("doc_id")).as("ord"))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        Quota.perKeyTokenBudget(base, Seq("source"),
+            Seq(asc("ord"), asc("doc_id")), "ws_tokens", 2000L)
+          .select("doc_id", "source", "ws_tokens", "cum_tokens")
+          .orderBy("source", "doc_id")
       })
   )
 }

@@ -62,7 +62,8 @@ object CurationScaleBench {
     // measure the wrong regime.
     Seq("q59_training_mix", "q65_curation_pipeline",
         "q71_dsir_weights", "q72_sequence_packing",
-        "q77_dsir_resample", "q79_line_dedup").foreach { q =>
+        "q77_dsir_resample", "q79_line_dedup",
+        "q80_ccnet_pipeline").foreach { q =>
       median(q, src, runs = 1) // warmup: codegen + footer caches
       val small = median(q, src)
       val large = median(q, big)
