@@ -373,4 +373,31 @@ class LibrarySpec extends SparkSpec {
       SearchOptions(threshold = Some(1.1))) // impossible threshold
     assert(out.isEmpty, "threshold must filter summary hits as well")
   }
+
+  test("phrase search post-delete equals a warehouse that never held the victim") {
+    // the positional tier (q57 path) derives from the chunks table, so
+    // its delete correctness IS the chunks rewrite — pin it end to end
+    def mk(i: Int) = (s"/p/doc$i.md",
+      s"# P$i\n" + (s"the quick brown fox jumps over fence number $i. " * 5))
+    val wh = Files.createTempDirectory("graft-phrase").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown((1 to 6).map(mk).toDS())
+    def phrase(lib2: Library): Seq[(String, Long)] =
+      graft.operators.Bm25.phraseOccurrences(
+        graft.operators.Bm25.positionalPostings(lib2.chunks, "id", "content"),
+        Seq("quick", "brown", "fox"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val before = phrase(l)
+    assert(before.size === 6)
+    val victim = Library.docId("/p/doc3.md")
+    l.removeDocument(victim)
+    val after = phrase(l)
+    assert(after.nonEmpty && !after.exists(_._1.startsWith(victim)))
+    // byte-exact vs a rebuilt-from-scratch warehouse without the victim
+    // (same paths -> same doc/chunk ids, so the comparison is direct)
+    val wh2 = Files.createTempDirectory("graft-phrase2").toString
+    val l2 = new Library(spark, wh2)
+    l2.addMarkdown((1 to 6).filter(_ != 3).map(mk).toDS())
+    assert(after === phrase(l2))
+  }
 }
