@@ -545,8 +545,12 @@ object MlQueries {
     q76Wh.getOrElseUpdate(d, {
       import s.implicits._
       import org.apache.spark.sql.SaveMode
+      // name scratch by a hash of the FULL dataset path: two datasets
+      // sharing a basename (e.g. .../a/sf0.01 and .../b/sf0.01) must
+      // not silently share or clobber the derived warehouse
       val wh = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft_q76_" + new java.io.File(d).getName).toString
+        "graft_q76_" + graft.Library.docId(
+          new java.io.File(d).getAbsolutePath)).toString
       val emb = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
       emb.select(col("label")).distinct().as[Int]
         .map(l => graft.model.Document(s"d$l", s"Doc $l", s"/q76/d$l",
