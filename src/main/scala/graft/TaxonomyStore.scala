@@ -20,7 +20,11 @@ class TaxonomyStore(val spark: SparkSession, val warehouse: String,
                     val embedder: Embedder) {
 
   private def path(t: String) = s"$warehouse/$t"
-  private def exists(t: String) = new java.io.File(s"${path(t)}/_SUCCESS").exists()
+  // same FileSystem routing as Library.tableExists: the warehouse may
+  // live on any Hadoop-supported store, not just the local disk
+  private lazy val fs = graft.util.TableSwap.fileSystem(spark, warehouse)
+  private def exists(t: String) =
+    fs.exists(new org.apache.hadoop.fs.Path(s"${path(t)}/_SUCCESS"))
   private def emptyDf(schema: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
