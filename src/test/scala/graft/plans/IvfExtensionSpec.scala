@@ -118,4 +118,17 @@ class IvfExtensionSpec extends SparkSpec {
         "rule must not prune the IVF side against an unrelated query")
     } finally IvfRegistry.clear()
   }
+
+  test("nearestCell agrees with probeCells(nProbe=1) — the fold and the probe share one rule") {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(9)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    (1 to 200).foreach { _ =>
+      val v = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+      assert(IvfRegistry.nearestCell(centers, v) ===
+        IvfRegistry.probeCells(centers, v.map(_.toDouble), 1).head)
+    }
+    // tie-break: equidistant centroids resolve to the lowest cell id
+    val tied = Array(Array(1.0, 0.0), Array(-1.0, 0.0))
+    assert(IvfRegistry.nearestCell(tied, Array(0f, 5f)) === 0)
+  }
 }
