@@ -490,13 +490,15 @@ class Library(val spark: SparkSession, val warehouse: String,
         }
         graft.util.TableSwap.delete(fs, new HPath(retired))
         graft.util.TableSwap.delete(fs, new HPath(scratch))
-        val meta = spark.read.parquet(path("embeddings_ivf_meta"))
-        if (meta.columns.contains("indexedRows")) {
-          val removedIndexed =
-            affected.collect { case (c, n) if c != DeltaCell => n }.sum
-          graft.util.TableSwap.rewrite(path("embeddings_ivf_meta"),
-            meta.withColumn("indexedRows",
-              greatest(col("indexedRows") - lit(removedIndexed), lit(0L))))
+        val removedIndexed =
+          affected.collect { case (c, n) if c != DeltaCell => n }.sum
+        // a delta-only delete decrements nothing — skip the meta swap
+        if (removedIndexed > 0) {
+          val meta = spark.read.parquet(path("embeddings_ivf_meta"))
+          if (meta.columns.contains("indexedRows"))
+            graft.util.TableSwap.rewrite(path("embeddings_ivf_meta"),
+              meta.withColumn("indexedRows",
+                greatest(col("indexedRows") - lit(removedIndexed), lit(0L))))
         }
       }
     }
