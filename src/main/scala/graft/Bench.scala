@@ -124,9 +124,11 @@ object Bench {
     // back to full names (the tail budget holds either way before ~150
     // queries)
     def prefix(name: String) = name.takeWhile(_ != '_')
-    // collision check spans every name the compact line will shorten —
-    // results AND failed — so a collision anywhere falls back to full names
-    val shortened = (results.map(_._1) ++ failed).distinct
+    // the collision check over results covers every shortened name:
+    // a failed query still lands in results (its timing loop records
+    // the near-zero elapsed), so `failed` is always a subset of the
+    // result keys and needs no separate check
+    val shortened = results.map(_._1)
     val useShort =
       shortened.map(prefix).distinct.size == shortened.size
     def shortKey(name: String) = if (useShort) prefix(name) else name

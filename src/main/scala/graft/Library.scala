@@ -310,7 +310,6 @@ class Library(val spark: SparkSession, val warehouse: String,
       }.toDF("chunkId", "embedding", "__cell")
     assigned.write.mode(SaveMode.Append).partitionBy("__cell")
       .parquet(path("embeddings_ivf"))
-    val fs = graft.util.TableSwap.fileSystem(spark, path("embeddings_ivf"))
     graft.util.TableSwap.delete(fs,
       new HPath(path(s"embeddings_ivf/__cell=$DeltaCell")))
     val builtRows =
@@ -464,6 +463,12 @@ class Library(val spark: SparkSession, val warehouse: String,
     * no scratch leaf; moving its live leaf aside IS the delete. */
   private[graft] def removeFromVectorIndex(deadChunks: DataFrame): Unit =
     if (tableExists("embeddings_ivf_meta")) {
+      // a prior crashed bulk swap may have left cell leaves moved aside
+      // into swap_old with nothing installed — those cells are INVISIBLE
+      // to the read below, so they must be restored (not cleared) before
+      // this swap computes its affected set or touches the scratch dirs;
+      // a blind delete of swap_old here would destroy the only copy
+      restoreStrandedCellSwap()
       val ivf = spark.read.parquet(path("embeddings_ivf"))
       val affected = ivf.join(deadChunks, Seq("chunkId"), "left_semi")
         .groupBy("__cell").agg(count(lit(1)).as("n"))
@@ -476,9 +481,7 @@ class Library(val spark: SparkSession, val warehouse: String,
           .join(deadChunks, Seq("chunkId"), "left_anti")
           .write.mode(SaveMode.Overwrite).partitionBy("__cell")
           .parquet(scratch)
-        val fs = graft.util.TableSwap.fileSystem(spark, path("embeddings_ivf"))
-        graft.util.TableSwap.delete(fs, new HPath(retired))
-        fs.mkdirs(new HPath(retired))
+        fs.mkdirs(new HPath(retired)) // absent: restoreStrandedCellSwap cleared it
         cells.foreach { cell =>
           val live = new HPath(path(s"embeddings_ivf/__cell=$cell"))
           val fresh = new HPath(s"$scratch/__cell=$cell")
@@ -776,17 +779,9 @@ class Library(val spark: SparkSession, val warehouse: String,
       Seq(s"${t}_old", s"${t}_tmp")
         .foreach(s => graft.util.TableSwap.delete(fs, new HPath(path(s))))
     }
-    // bulk cell swap (removeFromVectorIndex): retired leaves live under
-    // embeddings_ivf_swap_old/__cell=N; restore any whose live leaf
-    // vanished (covers both a mid-install crash and a retired
-    // fully-dead cell — the purge below re-deletes the latter's rows)
-    val swapOld = new HPath(path("embeddings_ivf_swap_old"))
-    if (fs.exists(swapOld))
-      fs.listStatus(swapOld).filter(_.getPath.getName.startsWith("__cell="))
-        .foreach { st =>
-          restoreIfMissing(
-            new HPath(path(s"embeddings_ivf/${st.getPath.getName}")), st.getPath)
-        }
+    // bulk cell swap (removeFromVectorIndex): restore-then-clear, shared
+    // with the start of every new bulk swap
+    restoreStrandedCellSwap()
     // per-leaf scratch: the delta-retire swap and the legacy (pre-bulk)
     // per-cell swap both keep scratch at the root with the cell in the name
     val CellScratch = "embeddings_ivf_(?:cell(-?\\d+)|(delta))_(?:tmp|old)".r
@@ -797,8 +792,32 @@ class Library(val spark: SparkSession, val warehouse: String,
       val n = Option(cell.group(1)).getOrElse(DeltaCell.toString)
       restoreIfMissing(new HPath(path(s"embeddings_ivf/__cell=$n")), old)
     }
-    (scratch ++ Seq(swapOld, new HPath(path("embeddings_ivf_swap_tmp"))))
-      .foreach(graft.util.TableSwap.delete(fs, _))
+    scratch.foreach(graft.util.TableSwap.delete(fs, _))
+  }
+
+  /** Restore any IVF cell leaves stranded by a crashed bulk swap (the
+    * live leaf was moved aside into `embeddings_ivf_swap_old` but the
+    * survivors were never installed), then clear the bulk-swap scratch
+    * dirs. A stranded cell is invisible to a plain read of the table,
+    * so this MUST run before any maintenance path reads the index or
+    * touches the swap scratch — clearing `swap_old` without the restore
+    * would silently destroy the only copy of those cells' vectors.
+    * Restoring covers both a mid-install crash and a retired fully-dead
+    * cell; repair()'s dead-vector purge re-deletes the latter's rows.
+    * Idempotent. Shared by [[sweepCrashLeftovers]] and the start of
+    * [[removeFromVectorIndex]]. */
+  private def restoreStrandedCellSwap(): Unit = {
+    val swapOld = new HPath(path("embeddings_ivf_swap_old"))
+    if (fs.exists(swapOld))
+      fs.listStatus(swapOld).filter(_.getPath.getName.startsWith("__cell="))
+        .foreach { st =>
+          val live = new HPath(path(s"embeddings_ivf/${st.getPath.getName}"))
+          if (!fs.exists(live) && !fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"crash recovery failed restoring $live")
+        }
+    graft.util.TableSwap.delete(fs, swapOld)
+    graft.util.TableSwap.delete(fs, new HPath(path("embeddings_ivf_swap_tmp")))
   }
 
   /** J8: orphan detection + repair (chunks without documents, embeddings
@@ -868,10 +887,15 @@ class Library(val spark: SparkSession, val warehouse: String,
     val ivf = spark.read.parquet(path("embeddings_ivf"))
     val closed = ivf.filter(col("__cell") =!= DeltaCell).select("chunkId")
     val delta = ivf.filter(col("__cell") === DeltaCell)
-    if (delta.join(closed, Seq("chunkId"), "left_semi").isEmpty) return
+    // one anti-join pass decides everything: materialize the survivors,
+    // compare counts (the delta count is a pruned single-partition scan)
+    // — the previous semi-join probe + lazy anti-join re-ran the
+    // index-wide chunkId scan up to three times for the same answer
     val keep = delta.join(closed, Seq("chunkId"), "left_anti")
-      .select("chunkId", "embedding")
-    if (keep.isEmpty)
+      .select("chunkId", "embedding").materializeOnce()
+    val keepN = keep.count()
+    if (keepN == delta.count()) return // no fold-crash duplicates
+    if (keepN == 0)
       graft.util.TableSwap.delete(fs, new HPath(deltaLeaf))
     else
       graft.util.TableSwap.rewriteVia(deltaLeaf, keep,

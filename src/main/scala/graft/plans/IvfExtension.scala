@@ -69,6 +69,12 @@ object IvfRegistry {
     * by construction among the nProbe nearest for any query that ranks
     * this vector highly. */
   def nearestCell(centers: Array[Array[Double]], v: Array[Float]): Int = {
+    // same guard as probeCells: a silent prefix-distance over mismatched
+    // dims (e.g. a delta fold after an embedding-model change against
+    // stale centroids) would permanently file vectors in wrong cells
+    require(centers.isEmpty || centers.head.length == v.length,
+      s"centroid dim ${centers.headOption.map(_.length).getOrElse(0)} != " +
+        s"vector dim ${v.length} — stale index vs new embeddings?")
     var best = 0
     var bestD = Double.MaxValue
     var i = 0

@@ -39,7 +39,14 @@ case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private val useXxh = hashFamily == "xxh64"
+  // validate like TextFunctions.hash32: a typo ("xxhash64", "XXH64")
+  // must fail loudly, not silently fall back to the 10x-slower md5 path
+  private val useXxh = hashFamily match {
+    case "xxh64" => true
+    case "md5" => false
+    case other => throw new IllegalArgumentException(
+      s"unknown hashFamily '$other' (supported: md5, xxh64)")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString

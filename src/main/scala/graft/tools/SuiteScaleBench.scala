@@ -90,8 +90,9 @@ object SuiteScaleBench {
     // per-copy text perturbation keeps exact/near-dup stages at honest
     // 10× work (byte-identical copies would collapse at the first
     // dedup); n_chars recomputed to preserve n_chars == length(text)
+    val docSpan = span(docs, "doc_id")
     val bigDocs = (0 until factor).map { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i * span(docs, "doc_id")))
+      docs.withColumn("doc_id", col("doc_id") + lit(i * docSpan))
         .withColumn("text", concat(col("text"), lit(s" variant$i")))
     }.reduce(_ unionByName _).withColumn("n_chars", length(col("text")).cast("long"))
     write(bigDocs, "documents")
@@ -151,17 +152,24 @@ object SuiteScaleBench {
     }
 
     case class Row(name: String, sMin: Double, sMed: Double, lMin: Double,
-                   lMed: Double, plan: Map[String, Int], note: String) {
+                   lMed: Double, sRows: Long, lRows: Long,
+                   plan: Map[String, Int], note: String) {
       def ratio: Double = lMin / sMin
+      // output growth normalizes pair-enumeration queries: the 10×
+      // corpus has 10 near-copies of every document, so TRUE dup-pair
+      // outputs grow ~quadratically in copies — a time ratio below the
+      // OUTPUT ratio is sublinear in the work actually produced
+      def rowsRatio: Double = if (sRows > 0) lRows.toDouble / sRows else 1.0
     }
 
     def time(fn: (SparkSession, String) => DataFrame, dir: String,
-             n: Int): (Vector[Double], String) = {
+             n: Int): (Vector[Double], String, Long) = {
       var planStr = ""
+      var rows = 0L
       val ts = (1 to n).map { i =>
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
-        df.count()
+        rows = df.count()
         val el = (System.nanoTime() - t0) / 1e9
         if (i == n)
           planStr = try df.queryExecution.executedPlan.toString
@@ -169,7 +177,7 @@ object SuiteScaleBench {
         graft.util.Materialize.releaseAll(spark)
         el
       }.toVector.sorted
-      (ts, planStr)
+      (ts, planStr, rows)
     }
 
     val contractRows: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -190,14 +198,16 @@ object SuiteScaleBench {
     val rows = picked.flatMap { case (name, fn) =>
       try {
         time(fn, src, 1) // warmup: codegen, model/index/warehouse builds
-        val (s, _) = time(fn, src, runs)
+        val (s, _, sRows) = time(fn, src, runs)
         time(fn, big, 1)
-        val (l, plan) = time(fn, big, runs)
+        val (l, plan, lRows) = time(fn, big, runs)
         val pc = planCounts(plan)
         val note = designedSuperlinear.getOrElse(name, "")
-        val r = Row(name, s.head, s(s.length / 2), l.head, l(l.length / 2), pc, note)
+        val r = Row(name, s.head, s(s.length / 2), l.head, l(l.length / 2),
+          sRows, lRows, pc, note)
         println(f"${r.name}%-26s 1x ${r.sMin}%6.2fs  ${factor}x ${r.lMin}%6.2fs  " +
-          f"ratio ${r.ratio}%6.2fx  shuffles=${pc("shuffles")}%d bhj=${pc("bhj")}%d " +
+          f"ratio ${r.ratio}%6.2fx  rows ${sRows}%d->${lRows}%d  " +
+          f"shuffles=${pc("shuffles")}%d bhj=${pc("bhj")}%d " +
           f"smj=${pc("smj")}%d bnlj=${pc("bnlj")}%d cart=${pc("cartesian")}%d" +
           (if (note.nonEmpty) s"  [$note]" else ""))
         Some(r)
@@ -213,11 +223,23 @@ object SuiteScaleBench {
     val json = rows.map { r =>
       s""""${r.name}":{"small":${f2(r.sMin)},"large":${f2(r.lMin)},""" +
       s""""ratio":${f2(r.ratio)},"smallMed":${f2(r.sMed)},"largeMed":${f2(r.lMed)},""" +
+      s""""smallRows":${r.sRows},"largeRows":${r.lRows},"rowsRatio":${f2(r.rowsRatio)},""" +
       s""""shuffles":${r.plan("shuffles")},"bhj":${r.plan("bhj")},"smj":${r.plan("smj")},""" +
       s""""bnlj":${r.plan("bnlj")},"cartesian":${r.plan("cartesian")}}"""
     }.mkString("{", ",", "}")
+    // full JSON string escaping: analysis-exception messages carry
+    // newlines, backslashes (regexes, paths), and control chars
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val failedJson = failed.map { case (n, m) =>
-      s""""$n":"${m.replace("\"", "'")}"""" }.mkString("{", ",", "}")
+      s""""$n":"${esc(m)}"""" }.mkString("{", ",", "}")
     val cart = rows.filter(_.plan("cartesian") > 0).map(_.name)
     val out =
       s"""{"factor":$factor,"runs":$runs,"queries":$json,"failed":$failedJson,""" +
@@ -227,10 +249,11 @@ object SuiteScaleBench {
       out.getBytes("UTF-8"))
 
     val md = new StringBuilder
-    md ++= s"| query | 1× min (s) | ${factor}× min (s) | ratio | shuffles | bhj | smj | bnlj | note |\n"
-    md ++= "|---|---|---|---|---|---|---|---|---|\n"
+    md ++= s"| query | 1× min (s) | ${factor}× min (s) | time ratio | output ratio | shuffles | bhj | smj | bnlj | note |\n"
+    md ++= "|---|---|---|---|---|---|---|---|---|---|\n"
     rows.foreach { r =>
       md ++= s"| ${r.name} | ${f2(r.sMin)} | ${f2(r.lMin)} | ${f2(r.ratio)}× | " +
+        s"${f2(r.rowsRatio)}× | " +
         s"${r.plan("shuffles")} | ${r.plan("bhj")} | ${r.plan("smj")} | " +
         s"${r.plan("bnlj")} | ${r.note} |\n"
     }

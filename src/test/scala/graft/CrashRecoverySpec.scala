@@ -74,6 +74,28 @@ class CrashRecoverySpec extends SparkSpec {
     assert(ivf.select("chunkId").distinct().count() === ivf.count())
   }
 
+  test("bulk cell-swap crash: a later delete restores stranded leaves instead of destroying them") {
+    val l = freshLib("crash-cell-del")
+    l.buildVectorIndex(nCells = 3, nProbe = 3)
+    val fs = fsOf(l)
+    val wh = l.warehouse
+    // same crash window as above — but the user's next call is another
+    // removeDocument, NOT repair(): the new bulk swap must restore the
+    // stranded leaf before computing its affected set. A blind clear of
+    // swap_old here silently destroyed cell 0's vectors (the only copy).
+    fs.mkdirs(new HPath(s"$wh/embeddings_ivf_swap_old"))
+    assert(fs.rename(new HPath(s"$wh/embeddings_ivf/__cell=0"),
+      new HPath(s"$wh/embeddings_ivf_swap_old/__cell=0")))
+    l.removeDocument(Library.docId("/crash-cell-del/doc3.md"))
+    assert(!rootNames(wh).exists(_.startsWith("embeddings_ivf_swap")))
+    // index holds exactly the surviving embeddings: the stranded cell's
+    // vectors are back, the deleted doc's are gone
+    val ivf = spark.read.parquet(s"$wh/embeddings_ivf")
+    assert(ivf.select("chunkId").distinct().count() === ivf.count())
+    assert(ivf.count() === l.embeddings.count(),
+      "stranded swap_old leaf must be restored, not destroyed, by a new bulk swap")
+  }
+
   test("legacy per-cell scratch (embeddings_ivf_cellN_old) is restored and swept") {
     val l = freshLib("crash-legacy")
     l.buildVectorIndex(nCells = 3, nProbe = 3)
