@@ -5,7 +5,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off scale validation for the curation tier (SCALE.md "Curation
-  * at sf1"): runs the q59 training-mix and q65 end-to-end curation
+  * at sf1"). Superseded for certification purposes by
+  * [[SuiteScaleBench]], which measures EVERY driver query at 10× over
+  * the full star schema — this tool remains as the quick (<5 min)
+  * curation-only loop and the anchor for SCALE.md's historical numbers.
+  * Runs the q59 training-mix and q65 end-to-end curation
   * queries at sf0.1 and at a synthesized 10× documents table, and
   * prints the median times + scale ratio.
   *
