@@ -300,6 +300,48 @@ class IvfIndex(val model: KMeansModel, val assigned: DataFrame,
       assigned.filter(col("__cell").isin(cells: _*)),
       vecCol, query.toSeq, k, tieCol = idCol)
   }
+
+  /** Batched ANN: one job answers the whole query set, each query
+    * scanning only its nProbe cells — the probed analog of
+    * [[VectorSearch.topKBatch]], which pairs every query with the FULL
+    * corpus. Fully distributed: the probe map (qid → cell) is computed
+    * in-plan by ranking the broadcast centroid table per query (nq ×
+    * nCells pairs — centroids are broadcast-sized by construction, √N
+    * at the 100 TB design point), so the query set never collects to
+    * the driver. Candidates then form via an equi-join on `__cell`
+    * against the broadcast probe map: the corpus × queries cross join
+    * never exists, and the candidate set is nq · n · (nProbe/nCells)
+    * rows before the per-query top-k window. `nProbe = nCells`
+    * degenerates to exact — the oracle mode (q81), same contract as
+    * the single-query probe (q51).
+    *
+    * Ties break like every other ANN surface: score desc, then id asc —
+    * and the probe ranking breaks centroid-distance ties on cell id,
+    * matching [[graft.plans.IvfRegistry.probeCells]]. */
+  def topKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
+                k: Int, nProbe: Int): DataFrame = {
+    val centersDf = assigned.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("__cell", "__center")
+    val probeW = Window.partitionBy(qidCol)
+      .orderBy(asc("__cdist"), asc("__cell"))
+    val probes = queries.select(col(qidCol), col(qvecCol))
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__cdist", VectorFunctions.sqDist(
+        col(qvecCol).cast("array<double>"), col("__center")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nProbe)
+      .select(col(qidCol), col("__cell"))
+    val w = Window.partitionBy(qidCol).orderBy(desc("cos_sim"), asc(idCol))
+    assigned.join(broadcast(probes), Seq("__cell"))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("cos_sim",
+        graft.plans.CosineSimilarity(col(vecCol), col(qvecCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col("rn"), col(idCol), col("cos_sim"))
+  }
 }
 
 object IvfIndex {

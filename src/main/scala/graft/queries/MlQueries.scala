@@ -37,6 +37,16 @@ object MlQueries {
       IvfIndex.build(Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
         "vec_id", "embedding", nCells, maxIter = 10))
 
+  /** q81's index covers ALL vectors (the batch queries are corpus
+    * members and self-hits stay in — q29's contract without
+    * excludeSelf), so it cannot share [[cachedIvf]]'s vec_id≠0 build. */
+  private val ivfAllCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), IvfIndex]
+  private def cachedIvfAll(s: org.apache.spark.sql.SparkSession, d: String, nCells: Int) =
+    ivfAllCache.getOrElseUpdate((d, nCells),
+      IvfIndex.build(Tables.embeddings(s, d),
+        "vec_id", "embedding", nCells, maxIter = 10))
+
   /** The k=10 fit as DuckDB list literals — `(cid, [c0, c1, ...])` VALUES
     * rows. Available only AFTER the fit ran in this JVM: Verify dumps
     * `oracleSql` after executing every query, so by dump time the cache
@@ -108,6 +118,37 @@ object MlQueries {
           .withColumn("cos_sim", round(col("cos_sim"), 6))
           .select("vec_id", "label", "cos_sim")
           .orderBy(desc("cos_sim"), asc("vec_id"))
+      }),
+
+    // K2 scale path, batched: the IVF-probed analog of q29 — many
+    // queries, each scanning only its probed cells, one job for the
+    // whole set. nProbe = nCells ≡ exact, so the q29 batch oracle
+    // certifies the probe-map build + cell equi-join + re-rank plumbing
+    // end to end (the corpus × queries cross join never exists in the
+    // probed plan — asserted in PlanShapeSpec)
+    Q("q81_ivf_knn_batch", Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5)
+      SELECT qid, rn, vec_id, cos_sim FROM (
+        SELECT qid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn,
+          vec_id, round(cs, 6) AS cos_sim
+        FROM (
+          SELECT q.qid, e.vec_id,
+            list_dot_product(e.embedding::DOUBLE[], q.qv) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS cs
+          FROM embeddings e, q) s) t
+      WHERE rn <= 3
+      ORDER BY qid, rn"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        cachedIvfAll(s, d, nCells = 8)
+          .topKBatch(queries, "qid", "qvec", k = 3, nProbe = 8)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .orderBy("qid", "rn")
       }),
 
     // M3: soft clustering membership counts (softmax over -dist/T). The

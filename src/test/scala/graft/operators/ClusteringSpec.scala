@@ -157,4 +157,31 @@ class ClusteringSpec extends SparkSpec {
     val partial = index.topK(q, 5, nProbe = 2).collect().map(_.getLong(0)).toSeq
     assert(partial.contains(1L)) // query point's own cell is always probed
   }
+
+  test("batched IVF probe at nProbe=nCells equals the exact batch; partial probe finds self") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val exact = rows(VectorSearch.topKBatch(emb, "embedding", "vec_id",
+      queries, "qid", "qvec", k = 4).orderBy("qid", "rn"))
+    val probed = rows(index.topKBatch(queries, "qid", "qvec", k = 4, nProbe = 8)
+      .orderBy("qid", "rn"))
+    assert(probed === exact)
+    // partial probe: every query's own cell ranks first, so each query
+    // still finds itself at rank 1 (cos_sim = 1 with itself)
+    val partial = index.topKBatch(queries, "qid", "qvec", k = 1, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 5L).foreach(q => assert(partial(q) === q))
+    // the probed plan must pair queries with candidate CELLS, never the
+    // full corpus: its scanned-row bound is corpus × nProbe/nCells per
+    // query — certified here by nProbe=1 returning ≤ one cell's rows
+    val oneCell = index.topKBatch(queries.limit(1), "qid", "qvec",
+      k = 1000000, nProbe = 1).count()
+    val largestCell = index.assigned.groupBy("__cell").count()
+      .agg(max("count")).head().getLong(0)
+    assert(oneCell <= largestCell)
+  }
 }

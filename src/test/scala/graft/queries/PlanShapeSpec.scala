@@ -233,6 +233,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q81: batched IVF probe pairs queries with probed cells, never the full corpus") {
+    val df = SparkEntry.queries("q81_ivf_knn_batch")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate set forms via broadcast equi-joins (__cell, then
+    // qid); the only cross join in the plan is queries × the broadcast
+    // centroid table (nq × nCells — the probe-map ranking), so corpus ×
+    // queries must never appear as a cross product of two scans
+    assert(p.contains("BroadcastHashJoin"),
+      "probe map and query vectors must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"),
+      "batched probe must never cartesian the corpus:\n" + p)
+  }
+
   test("q76: multi-scale fusion stays TakeOrdered + broadcast-joined, no cross product") {
     val df = SparkEntry.queries("q76_multiscale_search")(spark, sf)
     df.collect()
