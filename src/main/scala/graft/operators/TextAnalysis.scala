@@ -241,6 +241,118 @@ object TextAnalysis {
           greatest(col("n_lines"), lit(1L)).cast("double"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 — the
+    * ExactSubstr tier): flag every token covered by a word k-gram that
+    * occurs at least `minCount` times across the corpus (all
+    * occurrences count, within- and cross-document), merge the flagged
+    * `[pos, pos+k)` windows into maximal duplicated spans per document,
+    * and emit span stats plus the text with every duplicated span
+    * removed.
+    *
+    * Lee et al. build a corpus-wide suffix array — a multi-stage
+    * distributed sort pipeline with no cheap declarative analog. This
+    * formulation keeps substring-EXACT semantics at the k-gram
+    * granularity: a duplicated substring of ≥ k tokens is exactly the
+    * union of its duplicated k-windows, so the interval merge recovers
+    * its full extent; substrings shorter than k are below the dedup
+    * threshold by definition (Lee et al. use k = 50).
+    *
+    * Shape at scale: one map-only posexplode emits (id, pos, gramKey) —
+    * the dominant shuffle, ~(n−k+1) fixed-width rows per doc; the hot
+    * set is map-side-combined and bounded by totalGrams/minCount
+    * (broadcast back by default; pass `broadcastHot = false` for a
+    * small minCount over a 100 TB crawl — the honest shuffle fallback).
+    * The per-doc merge is ONE groupBy(id) whose collect_list is bounded
+    * by a single document's hot-gram count, folded to disjoint spans by
+    * an `aggregate` HOF — no Window, no sort beyond the per-group
+    * array_sort. Removal drops ALL copies of a duplicated span
+    * (deterministic and order-free; Lee et al.'s keep-one-copy variant
+    * needs a global occurrence order — compose with an exact-dedup
+    * canonical keep when one survivor is required).
+    *
+    * `hashFamily`: md5 keys grams with the full 128-bit hex digest
+    * (cross-engine portable, collision-free in practice — the oracle
+    * mode); xxh64 uses Spark's codegen'd 64-bit xxhash64 (cheapest;
+    * ~n²/2⁶⁵ expected false spans at corpus scale, each costing one
+    * k-token window, not a document).
+    *
+    * Output: id, n_tokens, n_dup_tokens, n_dup_spans, dup_frac,
+    * cleaned_text. Token-sequence semantics: cleaned_text is the kept
+    * tokens joined by single spaces (inter-token whitespace is not
+    * preserved — same canonicalization both engines can replay). */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minCount: Long = 2L,
+                     broadcastHot: Boolean = true,
+                     hashFamily: String = HashMd5): DataFrame = {
+    require(k >= 2, s"substringDedup needs k >= 2, got $k")
+    def gramKey(c: Column): Column = hashFamily match {
+      case HashMd5 => md5(c)
+      case HashXxh64 => xxhash64(c).cast("string")
+      case other => throw new IllegalArgumentException(
+        s"unknown hash family '$other' (expected $HashMd5 or $HashXxh64)")
+    }
+    val kL = lit(k.toLong)
+    val base = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("t"))
+    // 1-based gram start positions, mirroring SQL list slicing
+    val flat = base
+      .select(col("id"), posexplode(
+        when(size(col("t")) >= k,
+          transform(sequence(lit(1), size(col("t")) - (k - 1)),
+            i => gramKey(concat_ws(" ", slice(col("t"), i, lit(k))))))
+        .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val hot = flat.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select("h")
+    // fold sorted hot positions into disjoint [s, e) spans: merge when
+    // the next window starts at or before the current exclusive end
+    // (overlap OR adjacency -> one maximal duplicated run)
+    val spans = flat.join(if (broadcastHot) broadcast(hot) else hot, Seq("h"))
+      .groupBy("id").agg(array_sort(collect_list(col("pos"))).as("ps"))
+      .select(col("id"), aggregate(
+        col("ps"),
+        struct(array().cast("array<struct<s:bigint,e:bigint>>").as("iv"),
+          lit(-1L).as("cs"), lit(-1L).as("ce")),
+        (st, p) => {
+          val iv = st.getField("iv")
+          val cs = st.getField("cs"); val ce = st.getField("ce")
+          when(cs === -1L, struct(iv.as("iv"), p.as("cs"), (p + kL).as("ce")))
+            .when(p <= ce, struct(iv.as("iv"), cs.as("cs"), (p + kL).as("ce")))
+            .otherwise(struct(
+              concat(iv, array(struct(cs.as("s"), ce.as("e")))).as("iv"),
+              p.as("cs"), (p + kL).as("ce")))
+        },
+        st => when(st.getField("cs") === -1L, st.getField("iv"))
+          .otherwise(concat(st.getField("iv"),
+            array(struct(st.getField("cs").as("s"), st.getField("ce").as("e")))))
+      ).as("iv"))
+    val covered = aggregate(col("iv"), lit(0L),
+      (a, x) => a + (x.getField("e") - x.getField("s")))
+    // kept text = the gaps between spans plus the tail, in order;
+    // spans are sorted + disjoint so every slice length is >= 0
+    val cleanedFromIv = concat_ws(" ", aggregate(
+      col("iv"),
+      struct(lit(1L).as("last"), array().cast("array<string>").as("acc")),
+      (st, x) => struct(
+        x.getField("e").as("last"),
+        concat(st.getField("acc"),
+          slice(col("t"), st.getField("last").cast("int"),
+            (x.getField("s") - st.getField("last")).cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        slice(col("t"), st.getField("last").cast("int"),
+          greatest(size(col("t")).cast("long") - st.getField("last") + 1L,
+            lit(0L)).cast("int")))))
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(covered, lit(0L)).as("n_dup_tokens"),
+        when(col("iv").isNull, lit(0L))
+          .otherwise(size(col("iv")).cast("long")).as("n_dup_spans"),
+        (coalesce(covered, lit(0L)).cast("double") /
+          greatest(size(col("t")), lit(1)).cast("double")).as("dup_frac"),
+        when(col("iv").isNull, concat_ws(" ", col("t")))
+          .otherwise(cleanedFromIv).as("cleaned_text"))
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021 §A1.1), the extended
     * tier above [[qualityScore]]: per-doc metrics plus one flag per
     * rule and the composite keep. All pure narrow string/array

@@ -206,6 +206,19 @@ class PlanShapeSpec extends SparkSpec {
       "reconstruction must be a grouped sort, not a window/cross product:\n" + p)
   }
 
+  test("substringDedup: hot grams broadcast back; span merge is a fold, not a window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TextAnalysis.substringDedup(
+      docs, "doc_id", "text", k = 8)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "default path must broadcast the hot-gram set:\n" + p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval merge must be the aggregate-HOF fold, not a window/cross product:\n" + p)
+  }
+
   test("hash families: the xxh64 production mode keeps the md5 plan shape") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
