@@ -25,11 +25,15 @@ object ThroughputBench {
     // SPARK_GRAFT_TB_MODE=ref: synthesize the REFERENCE's corpus shape
     // (50k × 1024-dim) so the ms/query comparison against BASELINE.md's
     // ~17 ms is like-for-like in scale, not extrapolated arithmetic.
-    // Deterministic hash-derived vectors — this measures throughput, the
-    // values only need to be dense and unequal.
+    // SPARK_GRAFT_TB_REF_N overrides the row count (same 1024-dim
+    // shape) — the IVF-vs-exact crossover study runs the identical
+    // harness at 10× the reference corpus. Deterministic hash-derived
+    // vectors — this measures throughput, the values only need to be
+    // dense and unequal.
+    val refN = sys.env.getOrElse("SPARK_GRAFT_TB_REF_N", "50000").toLong
     val emb =
       (if (sys.env.get("SPARK_GRAFT_TB_MODE").contains("ref"))
-        spark.range(50000).selectExpr(
+        spark.range(refN).selectExpr(
           "id AS vec_id",
           "cast(transform(sequence(0, 1023), " +
             "j -> pmod(xxhash64(id * 1024 + j), 2000) / 1000.0 - 1.0) " +
