@@ -315,6 +315,13 @@ class IvfIndex(val model: KMeansModel, val assigned: DataFrame,
     * degenerates to exact — the oracle mode (q81), same contract as
     * the single-query probe (q51).
     *
+    * Over a `__cell`-partitioned warehouse table the probe-map join
+    * reaches the scan as a DYNAMIC partition filter (Spark DPP reuses
+    * the broadcast), so a batch reads only the union of probed cells'
+    * files — the 100 TB I/O bound for the batch path, pinned by the
+    * `dynamicpruning` plan assertion in `ClusteringSpec`. No static
+    * cell collect is needed; the query set never touches the driver.
+    *
     * Ties break like every other ANN surface: score desc, then id asc —
     * and the probe ranking breaks centroid-distance ties on cell id,
     * matching [[graft.plans.IvfRegistry.probeCells]]. */

@@ -184,4 +184,28 @@ class ClusteringSpec extends SparkSpec {
       .agg(max("count")).head().getLong(0)
     assert(oneCell <= largestCell)
   }
+
+  test("file-backed batch probe prunes the partitioned scan dynamically (DPP)") {
+    // the 100 TB claim for the BATCH path: over a __cell-partitioned
+    // warehouse table, the broadcast probe-map join must reach the
+    // scan as a dynamic partition filter, so the batch reads only the
+    // union of probed cells' files — not the whole index
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val index = IvfIndex.build(emb, "vec_id", "embedding", nCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dpp").toString
+    index.assigned.write.partitionBy("__cell").mode("overwrite").parquet(dir)
+    val diskIdx = new IvfIndex(index.model,
+      spark.read.parquet(dir), "embedding", "vec_id")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = diskIdx.topKBatch(queries, "qid", "qvec", k = 2, nProbe = 1)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      "partitioned scan must carry a dynamic pruning filter on __cell:\n" + p)
+    // and the disk-backed result matches the cached-index result exactly
+    val want = index.topKBatch(queries, "qid", "qvec", k = 2, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.sorted === want.sorted)
+  }
 }
