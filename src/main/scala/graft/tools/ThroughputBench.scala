@@ -31,13 +31,27 @@ object ThroughputBench {
     // vectors — this measures throughput, the values only need to be
     // dense and unequal.
     val refN = sys.env.getOrElse("SPARK_GRAFT_TB_REF_N", "50000").toLong
+    // SPARK_GRAFT_TB_CLUSTERED=1 plants sqrt(N) true clusters (center +
+    // 10% noise) — the regime IVF exists for. Uniform hash-random
+    // vectors are the degenerate opposite: k-means collapses to a few
+    // giant cells (measured: 5 cells hold 99%+ of rows at 50k), so
+    // cell probes prune files but not bytes. Real embedding corpora
+    // cluster; both shapes stay measurable here on purpose.
+    val clustered = sys.env.get("SPARK_GRAFT_TB_CLUSTERED").contains("1")
+    val nPlant = math.max(8, math.sqrt(refN.toDouble).toInt)
     val emb =
       (if (sys.env.get("SPARK_GRAFT_TB_MODE").contains("ref"))
         spark.range(refN).selectExpr(
           "id AS vec_id",
-          "cast(transform(sequence(0, 1023), " +
-            "j -> pmod(xxhash64(id * 1024 + j), 2000) / 1000.0 - 1.0) " +
-            "AS array<float>) AS embedding")
+          if (clustered)
+            s"cast(transform(sequence(0, 1023), " +
+              s"j -> pmod(xxhash64((id % $nPlant) * 1024 + j), 2000) / 1000.0 - 1.0 " +
+              s"   + pmod(xxhash64(id * 1024 + j + 7777), 200) / 1000.0 - 0.1) " +
+              s"AS array<float>) AS embedding"
+          else
+            "cast(transform(sequence(0, 1023), " +
+              "j -> pmod(xxhash64(id * 1024 + j), 2000) / 1000.0 - 1.0) " +
+              "AS array<float>) AS embedding")
       else Tables.embeddings(spark, sfDir)).cache()
     val n = emb.count()
     // deterministic query set: filter by id (limit() picks arbitrary
@@ -98,6 +112,43 @@ object ThroughputBench {
           .count()
         println(f"ivf nCells=$nCells nProbe=$nProbe batch 100: $t%.2fs " +
           f"(${t / 100 * 1000}%.0f ms/q) recall@10 ${hits / 1000.0}%.3f")
+      }
+
+      // SPARK_GRAFT_TB_DISK=1: the warehouse layout — the assignment
+      // table partitioned by __cell on disk, probes pruning the SCAN
+      // via DPP (ClusteringSpec pins the plan shape; this measures
+      // it). The cached-index rows above can only prune compute; this
+      // is where nProbe/nCells becomes an I/O fraction, and why the
+      // fraction depends on the BATCH's distinct probed cells, not
+      // just nProbe.
+      if (sys.env.get("SPARK_GRAFT_TB_DISK").contains("1")) {
+        val dir = java.nio.file.Files.createTempDirectory("tb_ivf_disk").toString
+        idx.assigned.write.partitionBy("__cell").mode("overwrite").parquet(dir)
+        val diskIdx = new graft.operators.IvfIndex(
+          idx.model, spark.read.parquet(dir), "embedding", "vec_id")
+        emb.unpersist() // the disk tier measures I/O, not cache hits
+        val exactDisk = time {
+          VectorSearch.topKBatch(diskIdx.assigned, "embedding", "vec_id",
+            qdf, "qid", "qvec", k = 10).count()
+        }
+        println(f"disk exact batch 100: $exactDisk%.2fs (${exactDisk / 100 * 1000}%.0f ms/q, all $nCells cells read)")
+        val cellRows = idx.assigned.groupBy("__cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap // bounded: nCells rows
+        Seq(10, 100).foreach { nq =>
+          val q = qdf.filter(col("qid") < nq)
+          val cells = queries.take(nq)
+            .flatMap(r => idx.centroidIdsFor(
+              r.getSeq[Float](1).toArray, 4)).distinct
+          val rowFrac = cells.map(cellRows.getOrElse(_, 0L)).sum * 100.0 / n
+          val probed = diskIdx.topKBatch(q, "qid", "qvec", k = 10, nProbe = 4)
+          probed.count() // warm
+          val t = time { probed.count() }
+          val dpp = probed.queryExecution.executedPlan.toString
+            .contains("dynamicpruning")
+          println(f"disk ivf nProbe=4 batch $nq: $t%.2fs (${t / nq * 1000}%.0f ms/q, " +
+            f"${cells.length} of $nCells cells = ${cells.length * 100.0 / nCells}%.1f%% of files, " +
+            f"$rowFrac%.1f%% of rows, dpp=$dpp)")
+        }
       }
     }
     spark.stop()
