@@ -265,10 +265,16 @@ object TextAnalysis {
     * The per-doc merge is ONE groupBy(id) whose collect_list is bounded
     * by a single document's hot-gram count, folded to disjoint spans by
     * an `aggregate` HOF — no Window, no sort beyond the per-group
-    * array_sort. Removal drops ALL copies of a duplicated span
-    * (deterministic and order-free; Lee et al.'s keep-one-copy variant
-    * needs a global occurrence order — compose with an exact-dedup
-    * canonical keep when one survivor is required).
+    * array_sort. Removal semantics, caller's choice:
+    *   - `keepFirst = false` (default): ALL copies of a duplicated
+    *     span are dropped — deterministic and order-free.
+    *   - `keepFirst = true`: Lee et al.'s own semantic — one canonical
+    *     copy of each duplicated k-gram survives, chosen as the
+    *     globally first occurrence under (id, pos) lexicographic order
+    *     (computed as a min(struct) in the same hot-set aggregation —
+    *     no extra shuffle). A canonical window's tokens can still fall
+    *     to an OVERLAPPING gram's non-canonical window; coverage stays
+    *     the deterministic union of non-exempt windows.
     *
     * `hashFamily`: md5 keys grams with the full 128-bit hex digest
     * (cross-engine portable, collision-free in practice — the oracle
@@ -283,7 +289,8 @@ object TextAnalysis {
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
                      k: Int, minCount: Long = 2L,
                      broadcastHot: Boolean = true,
-                     hashFamily: String = HashMd5): DataFrame = {
+                     hashFamily: String = HashMd5,
+                     keepFirst: Boolean = false): DataFrame = {
     require(k >= 2, s"substringDedup needs k >= 2, got $k")
     def gramKey(c: Column): Column = hashFamily match {
       case HashMd5 => md5(c)
@@ -301,12 +308,17 @@ object TextAnalysis {
             i => gramKey(concat_ws(" ", slice(col("t"), i, lit(k))))))
         .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
-    val hot = flat.groupBy("h").agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount).select("h")
+    val hot = flat.groupBy("h").agg(count(lit(1)).as("c"),
+        min(struct(col("id"), col("pos"))).as("canon"))
+      .filter(col("c") >= minCount)
+      .select(col("h"), col("canon"))
     // fold sorted hot positions into disjoint [s, e) spans: merge when
     // the next window starts at or before the current exclusive end
     // (overlap OR adjacency -> one maximal duplicated run)
     val spans = flat.join(if (broadcastHot) broadcast(hot) else hot, Seq("h"))
+      .filter(if (keepFirst)
+        !(col("canon.id") === col("id") && col("canon.pos") === col("pos"))
+      else lit(true))
       .groupBy("id").agg(array_sort(collect_list(col("pos"))).as("ps"))
       .select(col("id"), aggregate(
         col("ps"),

@@ -652,6 +652,51 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"),
           col("n_dup_spans"), round(col("dup_frac"), 6).as("dup_frac"),
           col("cleaned_text"))
+        .orderBy("doc_id")),
+
+    // Lee et al.'s own removal semantic: ONE canonical copy of each
+    // duplicated k-gram survives — the globally first occurrence under
+    // (doc_id, pos) lexicographic order, chosen by a min(struct) in the
+    // same hot-set aggregation (no extra shuffle). Both engines rank
+    // structs lexicographically, so the exemption is replayed exactly
+    Q("q83_substring_dedup_keepfirst", Some(s"""
+      WITH base AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      fl AS (
+        SELECT doc_id, u.i AS pos, md5(array_to_string(t[u.i:u.i+7], ' ')) AS h
+        FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i) u),
+      hot AS (SELECT h, min({'d': doc_id, 'p': pos}) AS canon
+              FROM fl GROUP BY h HAVING count(*) >= 2),
+      hp AS (SELECT fl.doc_id, fl.pos FROM fl JOIN hot USING (h)
+             WHERE NOT (fl.doc_id = hot.canon.d AND fl.pos = hot.canon.p)),
+      br AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -9) + 8
+                    THEN 1 ELSE 0 END AS brk
+             FROM hp),
+      gi AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM br),
+      sp AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 8 AS e
+             FROM gi GROUP BY doc_id, gid),
+      stt AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_dup_tokens,
+                CAST(count(*) AS BIGINT) AS n_dup_spans FROM sp GROUP BY doc_id),
+      cov AS (SELECT DISTINCT doc_id, pos + o AS j
+              FROM hp, LATERAL (SELECT unnest(range(0, 8)) AS o) r),
+      cl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(len(b.t) AS BIGINT) AS n_tokens,
+        CAST(coalesce(stt.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+        CAST(coalesce(stt.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        round(CAST(coalesce(stt.n_dup_tokens, 0) AS DOUBLE) /
+              CAST(greatest(len(b.t), 1) AS DOUBLE), 6) AS dup_frac,
+        coalesce(array_to_string([b.t[j] for j in range(1, len(b.t) + 1)
+                         if NOT list_contains(coalesce(cl.js, []), j)], ' '), '') AS cleaned_text
+      FROM base b LEFT JOIN stt USING (doc_id) LEFT JOIN cl USING (doc_id)
+      ORDER BY b.doc_id"""),
+      (s, d) => TextAnalysis.substringDedup(
+          Tables.documents(s, d), "doc_id", "text", k = 8, keepFirst = true)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"),
+          col("n_dup_spans"), round(col("dup_frac"), 6).as("dup_frac"),
+          col("cleaned_text"))
         .orderBy("doc_id"))
   )
 }

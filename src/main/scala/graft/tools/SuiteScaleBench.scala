@@ -245,7 +245,11 @@ object SuiteScaleBench {
       s"""{"factor":$factor,"runs":$runs,"queries":$json,"failed":$failedJson,""" +
       s""""cartesian_products":${cart.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""small":"$src","large":"$big"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("scale_suite.json"),
+    // subset runs (SCALE_ONLY) must not clobber the full-suite
+    // artifact of record — they land in *_partial files
+    val suffix = if (only.isDefined) "_partial" else ""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"scale_suite$suffix.json"),
       out.getBytes("UTF-8"))
 
     val md = new StringBuilder
@@ -257,7 +261,8 @@ object SuiteScaleBench {
         s"${r.plan("shuffles")} | ${r.plan("bhj")} | ${r.plan("smj")} | " +
         s"${r.plan("bnlj")} | ${r.note} |\n"
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get("scale_suite.md"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"scale_suite$suffix.md"),
       md.toString.getBytes("UTF-8"))
 
     println(s"[scale] ${rows.size} queries, ${failed.size} failed, " +

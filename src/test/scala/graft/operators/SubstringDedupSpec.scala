@@ -15,27 +15,36 @@ class SubstringDedupSpec extends SparkSpec {
   import spark.implicits._
 
   private def run(docs: Seq[(Long, String)], k: Int, minCount: Long = 2L,
-                  family: String = TextFunctions.HashMd5): Map[Long, (Long, Long, Long, Double, String)] =
+                  family: String = TextFunctions.HashMd5,
+                  keepFirst: Boolean = false): Map[Long, (Long, Long, Long, Double, String)] =
     collect(TextAnalysis.substringDedup(
       docs.toDF("doc_id", "text"), "doc_id", "text", k, minCount,
-      hashFamily = family))
+      hashFamily = family, keepFirst = keepFirst))
 
   private def collect(df: DataFrame): Map[Long, (Long, Long, Long, Double, String)] =
     df.collect().map(r => r.getLong(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5))).toMap
 
-  /** Reference semantics via per-token coverage booleans. */
-  private def brute(docs: Seq[(Long, String)], k: Int, minCount: Long)
+  /** Reference semantics via per-token coverage booleans; with
+    * keepFirst the globally-first (id, pos) occurrence of each
+    * duplicated gram marks nothing. */
+  private def brute(docs: Seq[(Long, String)], k: Int, minCount: Long,
+                    keepFirst: Boolean = false)
       : Map[Long, (Long, Long, Long, Double, String)] = {
     val toks = docs.map { case (id, t) =>
       id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toVector }
     val counts = scala.collection.mutable.Map.empty[String, Long]
-    for ((_, ts) <- toks; i <- 0 to ts.length - k)
-      counts.updateWith(ts.slice(i, i + k).mkString(" "))(c => Some(c.getOrElse(0L) + 1))
+    val canon = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, ts) <- toks.sortBy(_._1); i <- 0 to ts.length - k) {
+      val g = ts.slice(i, i + k).mkString(" ")
+      counts.updateWith(g)(c => Some(c.getOrElse(0L) + 1))
+      if (!canon.contains(g)) canon(g) = (id, i + 1)
+    }
     toks.map { case (id, ts) =>
       val covered = Array.fill(ts.length)(false)
       for (i <- 0 to ts.length - k
-           if counts(ts.slice(i, i + k).mkString(" ")) >= minCount;
+           if counts(ts.slice(i, i + k).mkString(" ")) >= minCount
+           if !(keepFirst && canon(ts.slice(i, i + k).mkString(" ")) == ((id, i + 1)));
            j <- i until i + k) covered(j) = true
       val nDup = covered.count(identity).toLong
       val spans = ts.indices.count(j => covered(j) && (j == 0 || !covered(j - 1))).toLong
@@ -99,6 +108,37 @@ class SubstringDedupSpec extends SparkSpec {
       val got = run(docs, k, minCount)
       val want = brute(docs, k, minCount)
       assert(got === want, s"mismatch at k=$k minCount=$minCount")
+    }
+  }
+
+  test("keepFirst: exactly one copy of a duplicated run survives, the (id,pos)-first") {
+    val docs = Seq(
+      1L -> "same exact text here",
+      2L -> "same exact text here",
+      3L -> "same exact text here")
+    val got = run(docs, k = 4, keepFirst = true)
+    assert(got(1L) === ((4L, 0L, 0L, 0.0, "same exact text here")))
+    assert(got(2L) === ((4L, 4L, 1L, 1.0, "")))
+    assert(got(3L) === ((4L, 4L, 1L, 1.0, "")))
+  }
+
+  test("keepFirst: within-doc repeats keep the earliest occurrence") {
+    val got = run(Seq(1L -> "u v w z1 z2 u v w"), k = 3, keepFirst = true)
+    // first "u v w" (pos 1) is canonical; only the second is removed
+    assert(got(1L) === ((8L, 3L, 1L, 3.0 / 8, "u v w z1 z2")))
+  }
+
+  test("keepFirst randomized corpus matches the brute-force reference") {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val docs = (1L to 60L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      id -> Vector.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    for (k <- Seq(2, 3, 5)) {
+      val got = run(docs, k, keepFirst = true)
+      val want = brute(docs, k, 2L, keepFirst = true)
+      assert(got === want, s"mismatch at k=$k")
     }
   }
 
