@@ -7,11 +7,16 @@ import graft.util.Materialize.MatOps
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
-  * Four families, in increasing fuzziness:
+  * Four DOCUMENT-level families, in increasing fuzziness:
   *   1. exact       — group on a content fingerprint (md5 of normalized text)
   *   2. MinHash+LSH — shingle -> minhash signature -> band -> bucket join
   *   3. SimHash     — near-dup via Hamming distance on a locality hash
   *   4. n-gram Jaccard — exact set similarity on candidate pairs
+  *
+  * The SUB-document tiers live in [[TextAnalysis]]: `lineDedup` (CCNet
+  * cross-doc line removal, q79) and `substringDedup` (Lee et al. 2022
+  * ExactSubstr duplicated-span removal, q82/q83); embedding-space dedup
+  * lives in [[VectorSearch]] / [[SemDedup]].
   *
   * Scale design: every candidate-generation step is an equi-join on a
   * hash-derived key (fingerprint, LSH band, simhash prefix), never a
