@@ -697,6 +697,121 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_dup_tokens"),
           col("n_dup_spans"), round(col("dup_frac"), 6).as("dup_frac"),
           col("cleaned_text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // CCNet v3: the q80 ordering with the ExactSubstr tier composed in
+    // — lineDedup FIRST, then substringDedup(keepFirst) over the
+    // line-cleaned text (one canonical copy of every duplicated 8-gram
+    // survives corpus-wide), then the Gopher gate / exact-dedup
+    // canonical keep / per-source token budget ALL over the
+    // substring-cleaned text. Certifies the stage interaction q82/q83
+    // can't: every downstream word count, rule flag, fingerprint, and
+    // budget decision shifts with the removed spans
+    Q("q84_ccnet_v3", Some(s"""
+      WITH base AS (
+        SELECT doc_id, source,
+          list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      lines AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+2], ' ') AS line
+        FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t), 1) + 1, 3)) AS i) u),
+      dl AS (SELECT DISTINCT doc_id, line FROM lines WHERE line <> ''),
+      lhot AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 3),
+      cleaned AS (
+        SELECT l.doc_id,
+          coalesce(array_to_string(list(l.line ORDER BY l.pos)
+                     FILTER (WHERE h.line IS NULL), ' '), '') AS ctext
+        FROM lines l LEFT JOIN lhot h USING (line)
+        GROUP BY l.doc_id),
+      ct2 AS (
+        SELECT doc_id, list_filter(string_split(ctext, ' '), x -> x <> '') AS t2
+        FROM cleaned),
+      sfl AS (
+        SELECT doc_id, u.i AS pos, md5(array_to_string(t2[u.i:u.i+7], ' ')) AS h
+        FROM ct2, LATERAL (SELECT unnest(range(1, greatest(len(t2) - 7, 0) + 1)) AS i) u),
+      shot AS (SELECT h, min({'d': doc_id, 'p': pos}) AS canon
+               FROM sfl GROUP BY h HAVING count(*) >= 2),
+      shp AS (SELECT sfl.doc_id, sfl.pos FROM sfl JOIN shot USING (h)
+              WHERE NOT (sfl.doc_id = shot.canon.d AND sfl.pos = shot.canon.p)),
+      scov AS (SELECT DISTINCT doc_id, pos + o AS j
+               FROM shp, LATERAL (SELECT unnest(range(0, 8)) AS o) r),
+      scl AS (SELECT doc_id, list(j) AS js FROM scov GROUP BY doc_id),
+      sded AS (
+        SELECT c.doc_id,
+          coalesce(array_to_string([c.t2[j] for j in range(1, len(c.t2) + 1)
+                     if NOT list_contains(coalesce(s.js, []), j)], ' '), '') AS stext
+        FROM ct2 c LEFT JOIN scl s USING (doc_id)),
+      st AS (
+        SELECT doc_id, stext,
+          list_filter(string_split(stext, ' '), x -> x <> '') AS t
+        FROM sded),
+      gate AS (
+        SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST(len(t) AS INT) AS n_words,
+            CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS mean_word_len,
+            CAST(len(regexp_extract_all(stext, '#')) + len(regexp_extract_all(stext, '\\.\\.\\.')) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS symbol_ratio,
+            CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(greatest(len(t), 1) AS DOUBLE) AS alpha_word_frac,
+            CAST(len(list_filter(t, x -> list_contains([$stopwordsSql], x))) AS INT) AS stopword_hits
+          FROM st) m
+        WHERE n_words >= 50 AND n_words <= 100000
+          AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          AND symbol_ratio <= 0.1 AND alpha_word_frac >= 0.8
+          AND stopword_hits >= 2),
+      fp AS (
+        SELECT s.doc_id, md5(lower(regexp_replace(s.stext, '\\s+', ' ', 'g'))) AS f
+        FROM sded s JOIN gate USING (doc_id)),
+      canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      tk AS (
+        SELECT s.doc_id, b.source,
+          CAST(len(list_filter(string_split(s.stext, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens,
+          ${hash32Sql("'0|' || CAST(s.doc_id AS VARCHAR)")} AS ord
+        FROM sded s JOIN base b USING (doc_id)
+        WHERE s.doc_id IN (SELECT doc_id FROM canon)),
+      ranked AS (
+        SELECT doc_id, source, ws_tokens,
+          CAST(sum(ws_tokens) OVER (PARTITION BY source ORDER BY ord, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM tk)
+      SELECT doc_id, source, ws_tokens, cum_tokens
+      FROM ranked WHERE cum_tokens <= 2000
+      ORDER BY source, doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = filter(split(lower(col("text")), " "), x => x =!= "")
+        val lineArr = transform(
+          sequence(lit(1), greatest(size(words), lit(1)), lit(3)),
+          i => array_join(slice(words, i, lit(3)), " "))
+        val withLines = docs
+          .select(col("doc_id"), array_join(lineArr, "\n").as("text_nl"))
+        val cleaned = TextAnalysis.lineDedup(withLines, "doc_id", "text_nl",
+            minDocs = 3)
+          .select(col("id").as("doc_id"),
+            translate(col("cleaned_text"), "\n", " ").as("ctext"))
+          .materializeOnce(eager = false) // consumers: gram build + reconstruction
+        val sded = TextAnalysis.substringDedup(cleaned, "doc_id", "ctext",
+            k = 8, keepFirst = true)
+          .select(col("id").as("doc_id"), col("cleaned_text").as("stext"))
+          .materializeOnce(eager = false) // consumers: gate, fp, tokens
+        val gate = TextAnalysis.gopherRules(sded, "doc_id", "stext")
+          .filter(col("keep") === 1).select(col("id").as("doc_id"))
+        val gated = sded.join(gate, Seq("doc_id"), "left_semi")
+          .materializeOnce(eager = false)
+        val canonical = TextAnalysis.fingerprints(gated, "doc_id", "stext")
+          .groupBy("fp").agg(min(col("id")).as("doc_id")).select("doc_id")
+        val base = gated.join(canonical, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.wordCount(col("stext"))
+              .cast("long").as("ws_tokens"),
+            Sampling.trainOrder(col("doc_id")).as("ord"))
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        Quota.perKeyTokenBudget(base, Seq("source"),
+            Seq(asc("ord"), asc("doc_id")), "ws_tokens", 2000L)
+          .select("doc_id", "source", "ws_tokens", "cum_tokens")
+          .orderBy("source", "doc_id")
+      })
   )
 }
