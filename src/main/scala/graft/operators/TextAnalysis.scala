@@ -500,6 +500,60 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** CCNet perplexity bucketing (Wenzek et al. 2019 §4.4): split the
+    * corpus into head / middle / tail terciles by LM quality — head is
+    * the BEST-scoring third (highest [[unigramQuality]] avg log-prob =
+    * lowest perplexity), the tier CCNet keeps for training; tail is
+    * what it drops or demotes.
+    *
+    * Assignment is by GLOBAL RANK with a deterministic (score desc, id
+    * asc) tie-break, not by value thresholds — integer-exact, so the
+    * bucketing certifies cross-engine with no float boundary beyond the
+    * q68-certified 6dp score itself. Scale shape is the
+    * [[ImportanceSampling.resampleTop]] distributed prefix pattern,
+    * NOT a single-partition window: range-partition + local sort on
+    * (key desc, id), per-partition counts prefix-scanned into global
+    * rank offsets (driver metadata, `parts` rows), then one map-only
+    * pass labels each row from its running rank. Bucket edges are
+    * k1 = ceil(n/3), k2 = ceil(2n/3).
+    *
+    * Output: id, n_tokens, lm_key (the 6dp-rounded avg_logp the rank
+    * orders by), rank, bucket — globally sorted by (lm_key desc, id),
+    * the order a curation write wants anyway. */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 65536): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val scored = unigramQuality(df, idCol, textCol, vocabSize)
+      .select(col("id"), col("n_tokens"),
+        round(col("avg_logp"), 6).as("lm_key"))
+      .materializeOnce(eager = false) // range sampling + shuffle passes
+    val ordered = scored
+      .repartitionByRange(parts, col("lm_key").desc, col("id").asc)
+      .sortWithinPartitions(col("lm_key").desc, col("id").asc)
+      .materializeOnce(eager = false) // both passes must see one split
+    val counts = ordered
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("__pid"))
+      .groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).toArray
+    val n = offsets(parts)
+    val k1 = math.ceil(n / 3.0).toLong
+    val k2 = math.ceil(2.0 * n / 3.0).toLong
+    val outSchema = ordered.schema
+      .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("bucket", org.apache.spark.sql.types.StringType, nullable = false)
+    ordered.mapPartitions { it =>
+      var rank = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        rank += 1
+        val b = if (rank <= k1) "head" else if (rank <= k2) "middle" else "tail"
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rank :+ b)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations over one
     * token explode — term frequencies per doc, then document frequencies
     * from the per-doc rows (never a second corpus scan). N (corpus size)

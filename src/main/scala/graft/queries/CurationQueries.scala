@@ -812,6 +812,47 @@ object CurationQueries {
             Seq(asc("ord"), asc("doc_id")), "ws_tokens", 2000L)
           .select("doc_id", "source", "ws_tokens", "cum_tokens")
           .orderBy("source", "doc_id")
-      })
+      }),
+
+    // CCNet perplexity terciles (Wenzek 2019 4.4): head/middle/tail by
+    // global rank over the q68-certified 6dp LM score with (key desc,
+    // id) tie-break — integer-exact bucketing, no float boundary. The
+    // oracle's window formulation IS the semantics; the Spark side runs
+    // the distributed prefix-rank instead (range shuffle + offsets,
+    // q77's shape) and must agree row for row
+    Q("q85_ccnet_buckets", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM cnt),
+      vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 65536),
+      scored AS (
+        SELECT t.doc_id,
+          log10((CAST(coalesce(v.c, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS logp
+        FROM tok t LEFT JOIN vocab v USING (tok) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          avg(logp) AS avg_logp
+        FROM scored GROUP BY doc_id),
+      keyed AS (
+        SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          round(coalesce(a.avg_logp, 0.0), 6) AS lm_key
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      r AS (
+        SELECT *, row_number() OVER (ORDER BY lm_key DESC, doc_id) AS rank,
+          count(*) OVER () AS n
+        FROM keyed)
+      SELECT doc_id, n_tokens, lm_key, CAST(rank AS BIGINT) AS rank,
+        CASE WHEN rank <= ceil(n / 3.0) THEN 'head'
+             WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
+          col("rank"), col("bucket"))
+        .orderBy("doc_id"))
   )
 }

@@ -445,4 +445,32 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getAs[Int]("pass_stopword")).toMap
     assert(out === Map(1L -> 0, 2L -> 1))
   }
+
+  test("ccnetBuckets: distributed prefix-rank equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("the", "quick", "fox", "jumps", "over", "dog", "xyzzy")
+    val docs = (1L to 50L).map { id =>
+      id -> Vector.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text")
+      .select("id", "lm_key", "rank", "bucket")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+    // the semantics, stated as the single-partition window it replaces
+    val w = Window.orderBy(org.apache.spark.sql.functions.col("lm_key").desc,
+      org.apache.spark.sql.functions.col("id").asc)
+    val scored = TextAnalysis.unigramQuality(docs, "doc_id", "text")
+      .select(col("id"), round(col("avg_logp"), 6).as("lm_key"))
+    val n = scored.count()
+    val k1 = math.ceil(n / 3.0).toLong; val k2 = math.ceil(2.0 * n / 3.0).toLong
+    val want = scored
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .withColumn("bucket", when(col("rank") <= k1, "head")
+        .when(col("rank") <= k2, "middle").otherwise("tail"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === want)
+    // terciles are exact: 50 -> 17 / 17 / 16
+    val sizes = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes === Map("head" -> 17, "middle" -> 17, "tail" -> 16))
+  }
 }
