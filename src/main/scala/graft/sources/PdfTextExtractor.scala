@@ -21,12 +21,18 @@ import scala.collection.mutable
   *   - Page tree walk (/Catalog -> /Pages -> /Kids, cycle-guarded) with
   *     fallback to file-order /Type/Page objects.
   *   - Text operators: BT/ET, Tj, ', ", TJ (kerning gaps >= 1/10 em
-  *     become spaces), Td, TD, T-star and Tm line tracking -> newlines.
-  *   - String decoding: UTF-16BE (BOM) else PDFDocEncoding≈Latin-1.
+  *     become spaces), Td, TD, T-star and Tm line tracking -> newlines,
+  *     Tf font selection.
+  *   - String decoding: per-font /ToUnicode CMap remapping (PDF 32000
+  *     §9.10.3: codespacerange widths, bfchar, bfrange incl. the array
+  *     form — covers subset-embedded fonts, Identity-H 2-byte CIDs, and
+  *     ligature/multi-char targets); Identity-H without a CMap falls
+  *     back to code-as-BMP-char; unmapped fonts fall back to UTF-16BE
+  *     (BOM) else PDFDocEncoding≈Latin-1. /Resources resolve through
+  *     the /Parent chain per the spec's inheritable-attribute rule.
   *
-  * NOT handled (documented limits, like pypdf's own caveats): CID/
-  * ToUnicode font remapping (subset-embedded fonts with non-identity
-  * encodings extract as their raw codes), LZW/JBIG2/DCT filters,
+  * NOT handled (documented limits, like pypdf's own caveats):
+  * LZW/JBIG2/DCT filters,
   * encrypted documents. Such files extract partially or empty; at the
   * trait boundary a production deployment can still swap in a heavier
   * codec per SURVEY.md §7.3.
@@ -220,6 +226,134 @@ final class PdfLexer(val buf: Array[Byte], var pos: Int) {
       } else pos += 1 // tolerate junk
     }
     PDict(m.result())
+  }
+}
+
+/** Per-font code→Unicode decoder built from a /ToUnicode CMap.
+  *
+  * `codespaces` give the byte width of each code (per-byte lo/hi ranges,
+  * PDF 32000 §9.7.6.2 — width is decided by matching the range, so
+  * mixed-width fonts decode correctly); `defaultLen` applies when no
+  * range matches (2 for Type0/CID fonts, 1 for simple fonts); `toUni`
+  * maps (width, code) → the UTF-16 target string (multi-char targets —
+  * ligatures — are legal and preserved).
+  */
+final class FontDecoder(
+    codespaces: Seq[(Array[Int], Array[Int])],
+    defaultLen: Int,
+    toUni: Map[Long, String]) {
+
+  private def key(len: Int, code: Int): Long =
+    (len.toLong << 32) | (code & 0xffffffffL)
+
+  private def widthAt(bytes: Array[Byte], i: Int): Int =
+    codespaces.collectFirst {
+      case (lo, hi)
+        if i + lo.length <= bytes.length && lo.indices.forall { j =>
+          val v = bytes(i + j) & 0xff; v >= lo(j) && v <= hi(j)
+        } => lo.length
+    }.getOrElse(defaultLen)
+
+  def decode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      val len = math.max(1, math.min(widthAt(bytes, i), bytes.length - i))
+      var code = 0
+      var j = 0
+      while (j < len) { code = (code << 8) | (bytes(i + j) & 0xff); j += 1 }
+      toUni.get(key(len, code)) match {
+        case Some(s) => sb.append(s)
+        case None =>
+          // unmapped: 1-byte codes read as PDFDocEncoding≈Latin-1 (the
+          // legacy path); 2-byte codes fall back to code-as-BMP-char —
+          // exact for Identity-mapped non-subset fonts, and no worse
+          // than the raw bytes for true subset glyph ids.
+          if (len == 1) sb.append(code.toChar)
+          else if (code >= 0x20 && !Character.isSurrogate(code.toChar))
+            sb.append(code.toChar)
+      }
+      i += len
+    }
+    sb.toString.filter(c => c >= ' ' || c == '\n' || c == '\t')
+  }
+}
+
+/** Parser for decoded /ToUnicode CMap streams (Adobe CMap syntax,
+  * PDF 32000 §9.10.3; reference behavior: pypdf behind
+  * /root/reference/src/services/PDFExtractor.ts:153-199). Tokenizes
+  * with [[PdfLexer]]; only codespacerange/bfchar/bfrange sections feed
+  * the mapping — all other CMap (PostScript) operators clear operands. */
+object ToUnicodeCMap {
+  import PdfCos._
+
+  def parse(data: Array[Byte], defaultLen: Int): FontDecoder = {
+    val lex = new PdfLexer(data, 0)
+    val stack = mutable.ArrayBuffer[Obj]()
+    val spaces = mutable.ArrayBuffer[(Array[Int], Array[Int])]()
+    val map = mutable.Map[Long, String]()
+    def codeOf(b: Array[Byte]): Int =
+      b.foldLeft(0)((a, x) => (a << 8) | (x & 0xff))
+    def key(len: Int, code: Int): Long =
+      (len.toLong << 32) | (code & 0xffffffffL)
+    def uni(b: Array[Byte]): String = new String(b, StandardCharsets.UTF_16BE)
+    // bfrange with a string target: the FINAL UTF-16 code unit increments
+    // across the range (spec: "the last byte of the string is incremented")
+    def incLast(b: Array[Byte], by: Int): String = {
+      val s = uni(b)
+      if (s.isEmpty) s else s.init + (s.last + by).toChar
+    }
+    while (!lex.atEnd) {
+      lex.skipWs()
+      if (!lex.atEnd) {
+        val b = lex.peekByte()
+        if (b == '/' || b == '(' || b == '<' || b == '[' ||
+          b == '+' || b == '-' || b == '.' || (b >= '0' && b <= '9')) {
+          stack += lex.parseObject()
+        } else lex.keyword() match {
+          case "begincodespacerange" | "beginbfchar" | "beginbfrange" =>
+            stack.clear()
+          case "endcodespacerange" =>
+            stack.grouped(2).foreach {
+              case mutable.ArrayBuffer(PStr(lo), PStr(hi))
+                if lo.nonEmpty && lo.length == hi.length =>
+                spaces += ((lo.map(_ & 0xff), hi.map(_ & 0xff)))
+              case _ => ()
+            }
+            stack.clear()
+          case "endbfchar" =>
+            stack.grouped(2).foreach {
+              case mutable.ArrayBuffer(PStr(src), PStr(dst)) if src.nonEmpty =>
+                map(key(src.length, codeOf(src))) = uni(dst)
+              case _ => ()
+            }
+            stack.clear()
+          case "endbfrange" =>
+            stack.grouped(3).foreach {
+              case mutable.ArrayBuffer(PStr(lo), PStr(hi), dst)
+                if lo.nonEmpty && lo.length == hi.length =>
+                val l = codeOf(lo)
+                // cap range size: malformed <0000> <FFFFFFFF> must not OOM
+                val n = math.min(codeOf(hi) - l, 65535)
+                dst match {
+                  case PStr(d) =>
+                    (0 to n).foreach(i => map(key(lo.length, l + i)) = incLast(d, i))
+                  case PArr(items) =>
+                    items.zipWithIndex.foreach {
+                      case (PStr(d), i) if i <= n => map(key(lo.length, l + i)) = uni(d)
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            stack.clear()
+          case "" => lex.pos += 1
+          case _ => stack.clear() // def/dup/begin/endcmap etc: consume operands
+        }
+      }
+    }
+    new FontDecoder(spaces.toSeq, defaultLen, map.toMap)
   }
 }
 
@@ -589,6 +723,50 @@ object PdfParser {
     out.toByteArray
   }
 
+  /** Font-name → decoder for one page. /Resources is an inheritable
+    * page-tree attribute, so absent on the page it resolves up the
+    * /Parent chain. Fonts WITHOUT a usable /ToUnicode and without an
+    * Identity CID encoding get no decoder — their strings keep the
+    * legacy UTF-16BE/PDFDoc byte decoding. */
+  def pageFonts(page: PDict, objs: Map[Int, Obj]): Map[String, FontDecoder] = {
+    val lookup = objs.get _
+    def resources(d: PDict, depth: Int): Option[PDict] =
+      resolve(d.m.getOrElse("Resources", PNull), lookup) match {
+        case r: PDict => Some(r)
+        case _ if depth < 32 =>
+          resolve(d.m.getOrElse("Parent", PNull), lookup) match {
+            case p: PDict => resources(p, depth + 1)
+            case _ => None
+          }
+        case _ => None
+      }
+    val fontDict: Map[String, Obj] = resources(page, 0)
+      .map(r => resolve(r.m.getOrElse("Font", PNull), lookup))
+      .collect { case fd: PDict => fd.m }
+      .getOrElse(Map.empty)
+    fontDict.flatMap { case (name, fo) =>
+      resolve(fo, lookup) match {
+        case PDict(f) =>
+          val isType0 = f.get("Subtype").contains(PName("Type0"))
+          val identityEnc = resolve(f.getOrElse("Encoding", PNull), lookup) match {
+            case PName(e) => e.startsWith("Identity")
+            case _ => false
+          }
+          val defaultLen = if (isType0) 2 else 1
+          resolve(f.getOrElse("ToUnicode", PNull), lookup) match {
+            case s: PStream =>
+              try Some(name -> ToUnicodeCMap.parse(decodeStream(s, lookup), defaultLen))
+              catch { case _: Exception => None }
+            case _ if isType0 && identityEnc =>
+              // Identity-H/V, no CMap: 2-byte codes, code-as-char fallback
+              Some(name -> new FontDecoder(Nil, 2, Map.empty))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+  }
+
   /** PDF text-string bytes -> String: UTF-16BE on BOM, else
     * PDFDocEncoding (≈ Latin-1 for the printable range). */
   def decodeTextString(b: Array[Byte]): String = {
@@ -599,16 +777,23 @@ object PdfParser {
     s.filter(c => c >= ' ' || c == '\n' || c == '\t')
   }
 
-  /** Run the content stream's text operators. */
-  def extractText(content: Array[Byte]): String = {
+  /** Run the content stream's text operators. `fonts` (from
+    * [[pageFonts]]) routes shown strings through the active font's
+    * ToUnicode decoder; text state (Tf) persists across BT/ET per spec. */
+  def extractText(content: Array[Byte],
+                  fonts: Map[String, FontDecoder] = Map.empty): String = {
     val lex = new PdfLexer(content, 0)
     val stack = mutable.ArrayBuffer[Obj]()
     val out = new StringBuilder
     var lastY: Option[Double] = None
+    var curFont: Option[FontDecoder] = None
     def newline(): Unit =
       if (out.nonEmpty && !out.endsWith("\n")) out.append('\n')
     def show(o: Obj): Unit = o match {
-      case PStr(b) => out.append(decodeTextString(b))
+      case PStr(b) => out.append(curFont match {
+        case Some(fd) => fd.decode(b)
+        case None => decodeTextString(b)
+      })
       case _ => ()
     }
     while (!lex.atEnd) {
@@ -647,6 +832,10 @@ object PdfParser {
               }
               stack.clear()
             case "T*" => newline(); stack.clear()
+            case "Tf" =>
+              stack.collectFirst { case PName(n) => n }
+                .foreach(n => curFont = fonts.get(n))
+              stack.clear()
             case "Tm" =>
               if (stack.length >= 6) stack.last match {
                 case PNum(ty) =>
@@ -671,8 +860,11 @@ class JvmPdfExtractor extends PdfExtractor {
       val objs = PdfParser.parseObjects(bytes)
       val pgs = PdfParser.pages(objs)
       val texts = pgs.zipWithIndex.map { case (p, i) =>
-        val t = try PdfParser.extractText(PdfParser.pageContent(p, objs))
-        catch { case _: Exception => "" }
+        val t = try {
+          val fonts = try PdfParser.pageFonts(p, objs)
+          catch { case _: Exception => Map.empty[String, FontDecoder] }
+          PdfParser.extractText(PdfParser.pageContent(p, objs), fonts)
+        } catch { case _: Exception => "" }
         (i + 1, t)
       }
       (pgs.length, texts)

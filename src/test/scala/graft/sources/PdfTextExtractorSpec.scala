@@ -78,6 +78,91 @@ object PdfFixtures {
       streamObj("", content2)))
   }
 
+  /** One page showing text in an Identity-H subset-embedded Type0 font
+    * with a /ToUnicode CMap. The 2-byte codes are subset glyph ids with
+    * NO relation to Unicode — correct extraction MUST route through the
+    * CMap. Covers bfchar, string-form bfrange (incrementing last code
+    * unit), array-form bfrange, a multi-char ligature target, and
+    * /Resources inherited from the /Pages node via /Parent. */
+  def identityHToUnicode(): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+        |/CMapName /Adobe-Identity-UCS def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0003> <0048>
+        |<0010> <0065>
+        |<0030> <006600660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0020> <0022> <006C>
+        |<0040> <0041> [<006F> <0057>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin.getBytes(L1)
+    // H=0003 e=0010 l=0020 (range start) o=0040 (array form) W=0041 ffi=0030
+    val content =
+      "BT /F1 12 Tf <00030010002000200040> Tj <0041> Tj <0030> Tj ET".getBytes(L1)
+    assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(L1),
+      ("<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>").getBytes(L1),
+      "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(L1),
+      streamObj("/Filter /FlateDecode", deflate(content)),
+      ("<< /Type /Font /Subtype /Type0 /BaseFont /ABCDEF+Fake " +
+        "/Encoding /Identity-H /ToUnicode 6 0 R >>").getBytes(L1),
+      streamObj("/Filter /FlateDecode", deflate(cmap))))
+  }
+
+  /** Simple (1-byte) subset font whose codes mean Greek letters only via
+    * the /ToUnicode CMap: 'A'→Ω via bfchar, 'B'→Α via bfrange. */
+  def simpleFontToUnicode(): Array[Byte] = {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<41> <03A9>
+        |endbfchar
+        |1 beginbfrange
+        |<42> <43> <0391>
+        |endbfrange
+        |endcmap""".stripMargin.getBytes(L1)
+    val content = "BT /G1 10 Tf (AB) Tj ET".getBytes(L1)
+    assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(L1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(L1),
+      ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /G1 5 0 R >> >> >>").getBytes(L1),
+      streamObj("", content),
+      ("<< /Type /Font /Subtype /TrueType /BaseFont /GHIJKL+Fake " +
+        "/ToUnicode 6 0 R >>").getBytes(L1),
+      streamObj("", cmap)))
+  }
+
+  /** Identity-H Type0 font with NO /ToUnicode: 2-byte codes fall back to
+    * code-as-BMP-char (exact for Identity-mapped full fonts). */
+  def identityHNoCMap(): Array[Byte] = {
+    val content = "BT /F1 12 Tf <00480065006C006C006F> Tj ET".getBytes(L1)
+    assemble(Seq(
+      "<< /Type /Catalog /Pages 2 0 R >>".getBytes(L1),
+      "<< /Type /Pages /Kids [3 0 R] /Count 1 >>".getBytes(L1),
+      ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>").getBytes(L1),
+      streamObj("", content),
+      ("<< /Type /Font /Subtype /Type0 /BaseFont /Fake " +
+        "/Encoding /Identity-H >>").getBytes(L1)))
+  }
+
   /** PDF 1.5-style: catalog/pages/page dicts live inside a Flate object
     * stream (ObjStm); content stream is a direct object. No classic xref
     * entries for the compressed objects — exercises the ObjStm path. */
@@ -152,6 +237,44 @@ class PdfTextExtractorSpec extends AnyFunSuite {
       "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>".getBytes(StandardCharsets.ISO_8859_1),
       PdfFixtures.streamObj("", content)))
     assert(ex.extract(pdf)._2.head._2.contains(txt))
+  }
+
+  test("Identity-H subset font with /ToUnicode CMap extracts real text") {
+    val (n, pages) = ex.extract(PdfFixtures.identityHToUnicode())
+    assert(n === 1)
+    // bfchar + string bfrange (l from range start) + array bfrange (o, W)
+    assert(pages.head._2.contains("HelloW"))
+    // multi-char ligature target: one code -> "ffi"
+    assert(pages.head._2.contains("ffi"))
+  }
+
+  test("simple 1-byte font with /ToUnicode maps codes the raw bytes would mislead") {
+    val (n, pages) = ex.extract(PdfFixtures.simpleFontToUnicode())
+    assert(n === 1)
+    // 'A' (0x41) -> Ω via bfchar; 'B' (0x42) -> Α via bfrange — NOT "AB"
+    assert(pages.head._2.contains("ΩΑ"))
+    assert(!pages.head._2.contains("AB"))
+  }
+
+  test("Identity-H without /ToUnicode falls back to code-as-char") {
+    val (n, pages) = ex.extract(PdfFixtures.identityHNoCMap())
+    assert(n === 1)
+    assert(pages.head._2.contains("Hello"))
+  }
+
+  test("ToUnicodeCMap parses widths, ranges, and caps malformed range size") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0000> <FFFFFFFF> <0041>
+        |endbfrange
+        |endcmap""".stripMargin.getBytes(StandardCharsets.ISO_8859_1)
+    // malformed hi (4 bytes vs 2) is dropped by the lo.length == hi.length
+    // guard — parse must neither throw nor OOM
+    val fd = ToUnicodeCMap.parse(cmap, 2)
+    assert(fd.decode(Array[Byte](0x00, 0x48)) === "H") // identity fallback
   }
 
   test("garbage and truncated inputs return (0, Nil), never throw") {
