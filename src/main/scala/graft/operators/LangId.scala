@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions._
+
+/** Character-n-gram language identification (real langid, replacing the
+  * marker-word heuristic of `TextAnalysis.langId`).
+  *
+  * Method (public: Cavnar & Trenkle 1994 "N-Gram-Based Text
+  * Categorization" / CLD-style byte-n-gram Naive Bayes):
+  *
+  *   1. Script detection first — CJK Han, Kana, Hangul and Cyrillic
+  *      codepoint ratios decide zh/ja/ko/ru outright. This is what a
+  *      marker-word heuristic provably cannot do (its markers are
+  *      romanized and never appear in native-script text).
+  *   2. For Latin-script text, score character trigrams of the
+  *      normalized text against per-language log-probability profiles
+  *      and take the argmax (Naive Bayes over trigrams).
+  *
+  * Engine-portability invariants (the oracle replays this in DuckDB):
+  *   - All scores are INTEGER (scaled log-probs summed as longs) — no
+  *     floating-point accumulation order to disagree on.
+  *   - All ratio thresholds are integer cross-multiplications
+  *     (`kana*20 >= len`), never double divisions.
+  *   - Profiles are literals: computed once (deterministically, via
+  *     StrictMath) from the seed corpus below, then embedded verbatim in
+  *     both the Catalyst expression and the generated oracle SQL.
+  *
+  * 100 TB shape: map-only — normalization, regexp counts and the
+  * trigram scan all fuse into the parquet scan; the profile table rides
+  * along as task-local state (a few KB), never shuffled or joined.
+  *
+  * Reference behavior: pdf-brain has no language-ID stage (its corpora
+  * are English markdown); this operator is part of the training-data
+  * pipeline tier (CCNet's first stage is langid — Wenzek et al. 2019).
+  */
+object LangId {
+
+  /** Languages decided by trigram profiles, in decision-priority order
+    * (ties in score break toward the earlier code). */
+  val TrigramLangs: Seq[String] = Seq("de", "en", "es", "fr", "it", "pt")
+
+  /** Penalty (scaled log-prob) for a trigram absent from a language's
+    * profile. More negative than any real profile weight. */
+  val Penalty: Long = -1000L
+
+  /** Top-K trigrams kept per language profile. */
+  val ProfileK: Int = 200
+
+  /** Seed corpus per language — authored for this engine (generic
+    * encyclopedic register, no source text). Profiles derive from these
+    * deterministically, so the model is reproducible from the repo. */
+  val Seeds: Map[String, String] = Map(
+    "de" -> """Die Geschichte der Wissenschaft zeigt, dass neue Ideen oft auf
+      Widerstand stoßen. Forscher entwickeln Methoden, um die Welt besser zu
+      verstehen. Das Wetter in den Bergen kann sich schnell ändern, und die
+      Wanderer müssen vorsichtig sein. Viele Menschen leben in großen Städten
+      und arbeiten in Büros oder Fabriken. Die Kinder gehen jeden Morgen zur
+      Schule und lernen lesen, schreiben und rechnen. Eine gesunde Ernährung
+      mit Obst und Gemüse ist wichtig für den Körper. Der Zug fährt pünktlich
+      vom Bahnhof ab und erreicht die Stadt am Abend. Im Sommer fahren die
+      Familien ans Meer oder in die Berge, um sich zu erholen. Die Regierung
+      hat ein neues Gesetz über den Schutz der Umwelt beschlossen. Musik und
+      Kunst spielen eine wichtige Rolle im Leben vieler Menschen. Wir haben
+      gestern einen langen Brief an unsere Freunde geschrieben. Das Buch
+      liegt auf dem Tisch neben dem Fenster und wartet auf seinen Leser.""",
+    "en" -> """The history of science shows that new ideas often meet with
+      resistance before they are accepted. Researchers develop methods to
+      understand the world around us in greater detail. The weather in the
+      mountains can change quickly, and hikers should always be careful.
+      Many people live in large cities and work in offices or factories.
+      Children go to school every morning to learn reading, writing and
+      mathematics. A healthy diet with fruit and vegetables is important
+      for the body and the mind. The train leaves the station on time and
+      reaches the city in the evening. In summer, families travel to the
+      sea or to the mountains to rest and recover. The government has
+      passed a new law about the protection of the environment. Music and
+      art play an important role in the lives of many people. We wrote a
+      long letter to our friends yesterday about the journey. The book
+      lies on the table next to the window, waiting for its reader.""",
+    "es" -> """La historia de la ciencia muestra que las nuevas ideas a
+      menudo encuentran resistencia antes de ser aceptadas. Los
+      investigadores desarrollan métodos para comprender mejor el mundo
+      que nos rodea. El tiempo en las montañas puede cambiar rápidamente y
+      los excursionistas deben tener cuidado. Muchas personas viven en
+      grandes ciudades y trabajan en oficinas o fábricas. Los niños van a
+      la escuela cada mañana para aprender a leer, escribir y calcular.
+      Una alimentación sana con frutas y verduras es importante para el
+      cuerpo. El tren sale de la estación a tiempo y llega a la ciudad por
+      la noche. En verano las familias viajan al mar o a la montaña para
+      descansar. El gobierno ha aprobado una nueva ley sobre la protección
+      del medio ambiente. La música y el arte desempeñan un papel
+      importante en la vida de muchas personas. Ayer escribimos una carta
+      larga a nuestros amigos sobre el viaje. El libro está sobre la mesa
+      junto a la ventana, esperando a su lector.""",
+    "fr" -> """L'histoire des sciences montre que les idées nouvelles
+      rencontrent souvent de la résistance avant d'être acceptées. Les
+      chercheurs développent des méthodes pour mieux comprendre le monde
+      qui nous entoure. Le temps en montagne peut changer rapidement et
+      les randonneurs doivent être prudents. Beaucoup de gens vivent dans
+      de grandes villes et travaillent dans des bureaux ou des usines. Les
+      enfants vont à l'école chaque matin pour apprendre à lire, à écrire
+      et à compter. Une alimentation saine avec des fruits et des légumes
+      est importante pour le corps. Le train part de la gare à l'heure et
+      arrive en ville dans la soirée. En été, les familles partent à la
+      mer ou à la montagne pour se reposer. Le gouvernement a adopté une
+      nouvelle loi sur la protection de l'environnement. La musique et
+      l'art jouent un rôle important dans la vie de nombreuses personnes.
+      Hier, nous avons écrit une longue lettre à nos amis au sujet du
+      voyage. Le livre est posé sur la table près de la fenêtre et attend
+      son lecteur.""",
+    "it" -> """La storia della scienza mostra che le nuove idee incontrano
+      spesso resistenza prima di essere accettate. I ricercatori
+      sviluppano metodi per comprendere meglio il mondo che ci circonda.
+      Il tempo in montagna può cambiare rapidamente e gli escursionisti
+      devono fare attenzione. Molte persone vivono nelle grandi città e
+      lavorano negli uffici o nelle fabbriche. I bambini vanno a scuola
+      ogni mattina per imparare a leggere, a scrivere e a contare. Una
+      alimentazione sana con frutta e verdura è importante per il corpo.
+      Il treno parte dalla stazione in orario e arriva in città la sera.
+      In estate le famiglie vanno al mare o in montagna per riposarsi. Il
+      governo ha approvato una nuova legge sulla protezione dell'ambiente.
+      La musica e l'arte svolgono un ruolo importante nella vita di molte
+      persone. Ieri abbiamo scritto una lunga lettera ai nostri amici sul
+      viaggio. Il libro è sul tavolo accanto alla finestra e aspetta il
+      suo lettore.""",
+    "pt" -> """A história da ciência mostra que as novas ideias encontram
+      muitas vezes resistência antes de serem aceites. Os investigadores
+      desenvolvem métodos para compreender melhor o mundo que nos rodeia.
+      O tempo nas montanhas pode mudar rapidamente e os caminhantes devem
+      ter cuidado. Muitas pessoas vivem em grandes cidades e trabalham em
+      escritórios ou fábricas. As crianças vão à escola todas as manhãs
+      para aprender a ler, a escrever e a contar. Uma alimentação saudável
+      com frutas e legumes é importante para o corpo. O comboio parte da
+      estação a horas e chega à cidade ao fim da tarde. No verão as
+      famílias viajam para o mar ou para a montanha para descansar. O
+      governo aprovou uma nova lei sobre a proteção do meio ambiente. A
+      música e a arte desempenham um papel importante na vida de muitas
+      pessoas. Ontem escrevemos uma longa carta aos nossos amigos sobre a
+      viagem. O livro está sobre a mesa ao lado da janela, à espera do
+      seu leitor.""")
+
+  /** The shared normalization: lowercase, collapse every non-letter run
+    * (ASCII letters + Latin-1 letters) to a single space. The regex MUST
+    * stay byte-identical in spirit across Java (`ß`) and DuckDB RE2
+    * (`\x{00DF}`) — see [[oracleSql]]. */
+  val NormRegexJava: String = "[^a-zß-ÿ]+"
+  val NormRegexRe2: String = "[^a-z\\x{00DF}-\\x{00FF}]+"
+
+  def normalizeJvm(text: String): String =
+    text.toLowerCase(java.util.Locale.ROOT).replaceAll(NormRegexJava, " ")
+
+  private def trigramsOf(norm: String): Iterator[String] = {
+    val cps = norm.codePoints().toArray
+    if (cps.length < 3) Iterator.empty
+    else (0 to cps.length - 3).iterator.map(i => new String(cps, i, 3))
+  }
+
+  /** lang -> (trigram -> scaled log-prob weight). Deterministic:
+    * StrictMath.log, ties broken by trigram code order. */
+  lazy val Profiles: Map[String, Seq[(String, Long)]] =
+    Seeds.map { case (lang, seed) =>
+      val counts = trigramsOf(normalizeJvm(seed))
+        .foldLeft(Map.empty[String, Long]) { (m, t) =>
+          m.updated(t, m.getOrElse(t, 0L) + 1L)
+        }
+      val total = counts.values.sum.toDouble
+      val top = counts.toSeq
+        .sortBy { case (t, c) => (-c, t) }
+        .take(ProfileK)
+        .map { case (t, c) =>
+          val w = math.round(100.0 * StrictMath.log(c.toDouble / total))
+          // keep every real profile entry strictly above the penalty
+          (t, math.max(w, Penalty + 1L))
+        }
+      lang -> top
+    }
+
+  /** Combined lookup used by the scoring expression: trigram -> weight
+    * per TrigramLangs position, Penalty where the language's profile
+    * lacks the trigram. */
+  lazy val CombinedProfile: java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    Profiles.foreach { case (lang, entries) =>
+      val j = TrigramLangs.indexOf(lang)
+      entries.foreach { case (t, w) =>
+        val arr = m.computeIfAbsent(t, _ => Array.fill(TrigramLangs.size)(Penalty))
+        arr(j) = w
+      }
+    }
+    m
+  }
+
+  // --- script detection (shared ranges; Java and RE2 spellings) ---
+  private val ScriptRanges: Seq[(String, String, String)] = Seq(
+    // (name, java char class, re2 char class) — same codepoint ranges
+    ("kana", "[\\u3040-\\u30FF]", "[\\x{3040}-\\x{30FF}]"),
+    ("han", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("hangul", "[\\uAC00-\\uD7A3]", "[\\x{AC00}-\\x{D7A3}]"),
+    ("cyr", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"))
+
+  /** Language ID over a DataFrame. Output: id, n_tri, score_<lang> per
+    * TrigramLangs, pred_lang. Map-only (no shuffle). */
+  def detect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tx = coalesce(col(textCol), lit(""))
+    val nrm = regexp_replace(lower(tx), NormRegexJava, " ")
+    val base = df.select(
+      col(idCol).as("id"),
+      tx.as("__tx"),
+      nrm.as("__nrm"),
+      greatest(length(tx), lit(1)).cast("long").as("__len"))
+    val withCounts = ScriptRanges.foldLeft(base) { case (d, (name, javaRe, _)) =>
+      d.withColumn(s"__$name", regexp_count(col("__tx"), lit(javaRe)).cast("long"))
+    }
+    val scores = GraftBridge.column(
+      graft.plans.LangTrigramScores(GraftBridge.expression(col("__nrm"))))
+    val scored = withCounts
+      .withColumn("n_tri", greatest(length(col("__nrm")) - 2, lit(0)).cast("long"))
+      .withColumn("__scores", scores)
+    val withScoreCols = TrigramLangs.zipWithIndex.foldLeft(scored) {
+      case (d, (lang, i)) =>
+        d.withColumn(s"score_$lang", element_at(col("__scores"), i + 1))
+    }
+    val best = TrigramLangs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    val trigramPick = TrigramLangs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    val pred =
+      when(col("__kana") * 20 >= col("__len"), lit("ja"))
+        .when(col("__han") * 20 >= col("__len") * 3, lit("zh"))
+        .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
+        .when(col("__cyr") * 10 >= col("__len") * 3, lit("ru"))
+        .when(col("n_tri") === 0, lit("und"))
+        .otherwise(trigramPick)
+    withScoreCols
+      .withColumn("pred_lang", pred)
+      .select(("id" +: "n_tri" +: TrigramLangs.map(l => s"score_$l") :+ "pred_lang")
+        .map(col): _*)
+  }
+
+  /** DuckDB oracle replaying the SAME profiles (as a VALUES literal
+    * table), normalization, integer scoring and decision chain. */
+  def oracleSql(table: String, idCol: String, textCol: String): String = {
+    val profRows = TrigramLangs.flatMap { lang =>
+      Profiles(lang).map { case (t, w) =>
+        val esc = t.replace("'", "''")
+        s"('$lang', '$esc', ${w}::BIGINT)"
+      }
+    }.mkString(",\n        ")
+    val scriptCols = ScriptRanges.map { case (name, _, re2) =>
+      s"len(regexp_extract_all(tx, '$re2')) AS c_$name"
+    }.mkString(",\n          ")
+    val pivot = TrigramLangs.map { l =>
+      s"""coalesce(sum(CASE WHEN m.lang = '$l' THEN m.mw END), 0) AS mw_$l,
+          coalesce(sum(CASE WHEN m.lang = '$l' THEN m.mc END), 0) AS mc_$l"""
+    }.mkString(",\n          ")
+    val scoreCols = TrigramLangs.map { l =>
+      s"CAST(coalesce(mw_$l, 0) + (s.n_tri - coalesce(mc_$l, 0)) * (${Penalty}) AS BIGINT) AS score_$l"
+    }.mkString(",\n          ")
+    val bestExpr = s"greatest(${TrigramLangs.map(l => s"score_$l").mkString(", ")})"
+    val caseArms = TrigramLangs.map(l => s"WHEN score_$l = $bestExpr THEN '$l'")
+      .mkString("\n             ")
+    s"""
+      WITH base AS (
+        SELECT $idCol AS id,
+          coalesce($textCol, '') AS tx,
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexRe2', ' ', 'g') AS nrm
+        FROM $table),
+      feat AS (
+        SELECT id, tx, nrm,
+          greatest(length(tx), 1) AS l,
+          $scriptCols,
+          greatest(length(nrm) - 2, 0) AS n_tri
+        FROM base),
+      tg AS (
+        SELECT id, unnest(list_transform(generate_series(1, length(nrm) - 2),
+            i -> substring(nrm, i, 3))) AS t
+        FROM base WHERE length(nrm) >= 3),
+      prof(lang, t, w) AS (VALUES
+        $profRows),
+      m AS (
+        SELECT tg.id, prof.lang, sum(prof.w) AS mw, count(*) AS mc
+        FROM tg JOIN prof ON tg.t = prof.t GROUP BY 1, 2),
+      mp AS (
+        SELECT m.id,
+          $pivot
+        FROM m GROUP BY m.id),
+      fin AS (
+        SELECT s.id, CAST(s.n_tri AS BIGINT) AS n_tri,
+          s.l, s.c_kana, s.c_han, s.c_hangul, s.c_cyr,
+          $scoreCols
+        FROM feat s LEFT JOIN mp ON mp.id = s.id)
+      SELECT id AS $idCol, n_tri, ${TrigramLangs.map(l => s"score_$l").mkString(", ")},
+        CASE WHEN c_kana * 20 >= l THEN 'ja'
+             WHEN c_han * 20 >= l * 3 THEN 'zh'
+             WHEN c_hangul * 20 >= l * 3 THEN 'ko'
+             WHEN c_cyr * 10 >= l * 3 THEN 'ru'
+             WHEN n_tri = 0 THEN 'und'
+             $caseArms
+             ELSE 'und' END AS pred_lang
+      FROM fin ORDER BY id"""
+  }
+}

@@ -576,6 +576,18 @@ object CorpusQueries {
         Bm25.positionalPostings(Tables.documents(s, d), "doc_id", "text"),
         Seq("hash", "join"))
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // Real language ID (round-12): char-trigram Naive Bayes + script
+    // detection, integer-exact across engines. The oracle replays the
+    // profile literals as a VALUES table (q50/q69 literal-replay
+    // precedent); discriminating power on genuine multilingual text is
+    // certified in LangIdSpec (the synthetic corpus is en-ish word
+    // salad, so here both engines must agree on every score, not just
+    // the argmax).
+    Q("q86_langid_ngram", Some(LangId.oracleSql("documents", "doc_id", "text")),
+      (s, d) => LangId.detect(Tables.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"))
   )
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Real-langid certification: the char-trigram + script model must
+  * classify text the marker-word heuristic provably cannot — native
+  * Han/Kana/Hangul/Cyrillic script and accented Latin-script prose.
+  * None of these sentences appear in the profile seeds. */
+class LangIdSpec extends SparkSpec {
+
+  private def predict(rows: Seq[(Long, String)]): Map[Long, String] = {
+    import spark.implicits._
+    LangId.detect(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("script detection: Han / Kana / Hangul / Cyrillic") {
+    val preds = predict(Seq(
+      1L -> "机器学习模型需要大量的训练数据来提高性能,数据质量决定模型上限。",
+      2L -> "東京では桜の季節にたくさんの人が公園を訪れます。春はとても美しいです。",
+      3L -> "서울은 대한민국의 수도이며 많은 사람들이 살고 있습니다.",
+      4L -> "Москва является столицей России и крупнейшим городом страны."))
+    assert(preds(1L) == "zh")
+    assert(preds(2L) == "ja")
+    assert(preds(3L) == "ko")
+    assert(preds(4L) == "ru")
+  }
+
+  test("the marker heuristic cannot classify native-script text (motivation)") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "机器学习模型需要大量的训练数据来提高性能。",
+      2L -> "Москва является столицей России.").toDF("doc_id", "text")
+    val old = TextAnalysis.langId(df, "doc_id", "text")
+      .select("id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // romanized markers never fire on native script → everything "und"
+    assert(old(1L) == "und" && old(2L) == "und")
+  }
+
+  test("trigram profiles separate the six Latin-script languages") {
+    val preds = predict(Seq(
+      10L -> "The researchers discovered a new species of butterfly in the northern forest last spring.",
+      11L -> "Los trabajadores de la fábrica pidieron mejores condiciones y un aumento de sueldo.",
+      12L -> "Les élèves étudient à l'école près de la rivière pendant toute la journée d'hiver.",
+      13L -> "Die Wissenschaftler haben eine neue Methode für die Untersuchung der Zellen entwickelt.",
+      14L -> "Il professore ha spiegato la lezione agli studenti della scuola durante la mattinata.",
+      15L -> "Os pescadores saíram muito cedo para o mar e voltaram apenas ao fim da tarde."))
+    assert(preds(10L) == "en")
+    assert(preds(11L) == "es")
+    assert(preds(12L) == "fr")
+    assert(preds(13L) == "de")
+    assert(preds(14L) == "it")
+    assert(preds(15L) == "pt")
+  }
+
+  test("degenerate inputs: empty, null, punctuation-only → und") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "12345 !!! ???"))
+      .toDF("doc_id", "text")
+    val preds = LangId.detect(df, "doc_id", "text")
+      .select("id", "pred_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds.values.forall(_ == "und"))
+  }
+
+  test("profiles are deterministic literals with sane shape") {
+    val p = LangId.Profiles
+    assert(p.keySet == LangId.TrigramLangs.toSet)
+    p.foreach { case (_, entries) =>
+      assert(entries.nonEmpty && entries.size <= LangId.ProfileK)
+      // every weight is a scaled log-prob: negative, above the penalty
+      assert(entries.forall { case (t, w) =>
+        t.length == 3 && w < 0 && w > LangId.Penalty })
+    }
+    // recomputing yields the identical profile (determinism)
+    assert(LangId.Profiles == p)
+  }
+
+  test("scores are integer-exact: expression matches a driver-side replay") {
+    import spark.implicits._
+    val text = "The quick brown fox jumps over the lazy dog near the river bank."
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val row = LangId.detect(df, "doc_id", "text")
+      .select(LangId.TrigramLangs.map(l => col(s"score_$l")): _*).head()
+    val norm = LangId.normalizeJvm(text)
+    val cps = norm.codePoints().toArray
+    val expected = Array.fill(LangId.TrigramLangs.size)(0L)
+    for (i <- 0 to cps.length - 3) {
+      val w = LangId.CombinedProfile.get(new String(cps, i, 3))
+      for (j <- expected.indices)
+        expected(j) += (if (w == null) LangId.Penalty else w(j))
+    }
+    for (j <- expected.indices) assert(row.getLong(j) == expected(j))
+  }
+}
