@@ -62,6 +62,43 @@ object EventStreams {
       .toDF("id", "docId", "page", "chunkIndex", "content")
   }
 
+  /** EXECUTABLE incremental ingest: watch a directory of markdown files
+    * and pipe each micro-batch through `Library.addMarkdown` — the SAME
+    * document/chunk/embedding appends, FTS postings append and IVF delta
+    * maintenance as the batch path, so a stream-built library is
+    * indistinguishable from a batch-built one (asserted in
+    * StreamingIngestSpec).
+    *
+    * Exactly-once story: the file source's checkpoint makes each file
+    * appear in exactly one micro-batch under normal operation, and
+    * `addMarkdown`'s path anti-join makes REDELIVERED files (restart
+    * after an uncheckpointed batch) idempotent — the batch and streaming
+    * paths share one dedup rule instead of inventing a second one.
+    *
+    * 100 TB shape: the file source lists incrementally
+    * (`maxFilesPerTrigger` bounds batch size); every per-batch transform
+    * is the batch ingest code, which is already distributed. */
+  def markdownIngestSink(lib: graft.Library, watchDir: String,
+                         checkpointDir: String,
+                         maxFilesPerTrigger: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = lib.spark
+    import spark.implicits._
+    spark.readStream
+      .option("wholetext", true)
+      .option("pathGlobFilter", "*.md")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(watchDir)
+      .select(col("_metadata.file_path").as("path"), col("value").as("content"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        lib.addMarkdown(batch.select("path", "content").as[(String, String)])
+      }
+      .start()
+  }
+
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(userId: Long, startSec: Long, endSec: Long, nEvents: Int)
 
