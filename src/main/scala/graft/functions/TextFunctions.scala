@@ -116,6 +116,19 @@ object TextFunctions {
       (a, b) => struct(a.as("prev"), b.as("cur")))
   }
 
+  /** Adjacent token triples (w_{i-2}, w_{i-1}, w_i) as structs
+    * (p2, p1, cur) — the trigram analogue of [[bigramPairs]], built
+    * from three aligned slices so it stays a codegen'd array op. */
+  def trigramTriples(tokens: Column): Column = {
+    val n2 = greatest(size(tokens) - 2, lit(0))
+    zip_with(
+      zip_with(slice(tokens, lit(1), n2), slice(tokens, lit(2), n2),
+        (a, b) => struct(a.as("p2"), b.as("p1"))),
+      slice(tokens, lit(3), n2),
+      (ab, c) => struct(ab.getField("p2").as("p2"),
+        ab.getField("p1").as("p1"), c.as("cur")))
+  }
+
   /** The [[StopWords]] set as a SQL literal list body — shared by every
     * oracle that restates the stopword filter, so quoting lives in ONE
     * place. */

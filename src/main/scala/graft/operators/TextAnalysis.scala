@@ -500,6 +500,77 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Interpolated-TRIGRAM LM quality — the third tier of the LM
+    * perplexity filter (CCNet's reference setup is a 5-gram KenLM;
+    * Wenzek et al. 2019 §4.3). Per trigram position i >= 3:
+    *
+    *   p = λ3·c(w_{i-2} w_{i-1} w_i)/ctx2(w_{i-2}, w_{i-1})
+    *     + λ2·c(w_{i-1} w_i)/ctx1(w_{i-1})
+    *     + (1−λ3−λ2)·(c(w_i)+1)/(N+1)
+    *
+    * — classic deleted interpolation (Jelinek-Mercer): each tier backs
+    * off to the next when its context is unseen, and the unigram floor
+    * is add-one smoothed so p never hits 0.
+    *
+    * Scale shape extends [[bigramQuality]]'s: the trigram and bigram
+    * tables grow with the corpus and CANNOT broadcast, so scoring is
+    * shuffle joins keyed on the (p2, p1, cur) / (p1, cur) token tuples —
+    * only n-gram tuple rows shuffle, never document text, counts
+    * partial-aggregate map-side, and both context-total tables derive
+    * from the count tables themselves (no extra corpus pass). The
+    * trigram table is the biggest object in the job: SCALE.md records
+    * its measured growth at 10× (near-linear in corpus tokens — n-gram
+    * type counts follow Heaps' law, not combinatorial blowup).
+    *
+    * Output: (id, n_trigrams, avg_logp); docs with < 3 tokens score a
+    * neutral (0, 0.0). */
+  def trigramQuality(df: DataFrame, idCol: String, textCol: String,
+                     lambda3: Double = 0.6, lambda2: Double = 0.3): DataFrame = {
+    def toks(c: Column) = tokens(lower(c))
+    def trisOf(c: Column) = graft.functions.TextFunctions.trigramTriples(toks(c))
+    def bisOf(c: Column) = graft.functions.TextFunctions.bigramPairs(toks(c))
+    val uni = df.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .materializeOnce(eager = false) // two consumers: total + scoring join
+    val totalN = uni.agg(coalesce(sum("cu"), lit(0L))).head().getLong(0).toDouble
+    val bi = df.select(explode(bisOf(col(textCol))).as("bg"))
+      .select(col("bg.prev").as("p1"), col("bg.cur").as("cur"))
+      .groupBy("p1", "cur").agg(count(lit(1)).as("cb"))
+      .materializeOnce(eager = false) // two consumers: ctx1 totals + scoring join
+    val ctx1 = bi.groupBy("p1").agg(sum("cb").as("cctx1"))
+    val tri = df.select(explode(trisOf(col(textCol))).as("tg"))
+      .select(col("tg.p2").as("p2"), col("tg.p1").as("p1"), col("tg.cur").as("cur"))
+      .groupBy("p2", "p1", "cur").agg(count(lit(1)).as("ctr"))
+      .materializeOnce(eager = false) // two consumers: ctx2 totals + scoring join
+    val ctx2 = tri.groupBy("p2", "p1").agg(sum("ctr").as("cctx2"))
+    val stream = df.select(col(idCol).as("id"),
+        explode_outer(trisOf(col(textCol))).as("tg"))
+      .select(col("id"), col("tg.p2").as("p2"), col("tg.p1").as("p1"),
+        col("tg.cur").as("cur"))
+    stream
+      .join(tri, Seq("p2", "p1", "cur"), "left")
+      .join(ctx2, Seq("p2", "p1"), "left")
+      .join(bi, Seq("p1", "cur"), "left")
+      .join(ctx1, Seq("p1"), "left")
+      .join(uni.withColumnRenamed("tok", "cur"), Seq("cur"), "left")
+      .withColumn("p",
+        lit(lambda3) * when(col("cctx2").isNotNull,
+            coalesce(col("ctr"), lit(0L)).cast("double") /
+              col("cctx2").cast("double"))
+          .otherwise(lit(0.0)) +
+        lit(lambda2) * when(col("cctx1").isNotNull,
+            coalesce(col("cb"), lit(0L)).cast("double") /
+              col("cctx1").cast("double"))
+          .otherwise(lit(0.0)) +
+        lit(1.0 - lambda3 - lambda2) *
+          ((coalesce(col("cu"), lit(0L)).cast("double") + lit(1.0)) /
+            lit(totalN + 1.0)))
+      .groupBy("id")
+      .agg(count(col("p2")).as("n_trigrams"),
+        coalesce(avg(when(col("p2").isNotNull, log10(col("p")))), lit(0.0))
+          .as("avg_logp"))
+  }
+
   /** CCNet perplexity bucketing (Wenzek et al. 2019 §4.4): split the
     * corpus into head / middle / tail terciles by LM quality — head is
     * the BEST-scoring third (highest [[unigramQuality]] avg log-prob =
@@ -521,10 +592,26 @@ object TextAnalysis {
     * orders by), rank, bucket — globally sorted by (lm_key desc, id),
     * the order a curation write wants anyway. */
   def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
-                   vocabSize: Int = 65536): DataFrame = {
+                   vocabSize: Int = 65536,
+                   /** rank key tier: "unigram" (default), "bigram", or
+                     * "trigram" — higher tiers see word order, so
+                     * shuffled-token spam drops out of the head bucket.
+                     * `n_tokens` then counts that tier's scoring units
+                     * (tokens / bigram / trigram positions). */
+                   tier: String = "unigram"): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    val scored = unigramQuality(df, idCol, textCol, vocabSize)
+    val scoredTier = tier match {
+      case "unigram" => unigramQuality(df, idCol, textCol, vocabSize)
+        .select(col("id"), col("n_tokens"), col("avg_logp"))
+      case "bigram" => bigramQuality(df, idCol, textCol)
+        .select(col("id"), col("n_bigrams").as("n_tokens"), col("avg_logp"))
+      case "trigram" => trigramQuality(df, idCol, textCol)
+        .select(col("id"), col("n_trigrams").as("n_tokens"), col("avg_logp"))
+      case other => throw new IllegalArgumentException(
+        s"unknown LM tier '$other' (supported: unigram, bigram, trigram)")
+    }
+    val scored = scoredTier
       .select(col("id"), col("n_tokens"),
         round(col("avg_logp"), 6).as("lm_key"))
       .materializeOnce(eager = false) // range sampling + shuffle passes

@@ -853,6 +853,112 @@ object CurationQueries {
           "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
           col("rank"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // interpolated-trigram LM quality (round-12: the tier above q74's
+    // bigram model — CCNet's reference LM is a 5-gram; deleted
+    // interpolation λ3/λ2/unigram-floor). Lambda literals restate the
+    // engine's exact IEEE op sequence: (1.0 - 0.6 - 0.3), never 0.1.
+    // All n-gram counts are exact integers; log10 + mean absorb their
+    // ulp freedom in the round-6 boundary (q68/q74 precedent)
+    Q("q87_trigram_lm_quality", Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      uni AS (SELECT tokk, CAST(count(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(t) AS tokk FROM tok) GROUP BY tokk),
+      tot AS (SELECT CAST(coalesce(sum(cu), 0) AS DOUBLE) AS n FROM uni),
+      bge AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS p1, unnest(t[2:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 2),
+      bi AS (SELECT p1, cur, CAST(count(*) AS BIGINT) AS cb
+             FROM bge GROUP BY 1, 2),
+      ctx1 AS (SELECT p1, CAST(sum(cb) AS BIGINT) AS cctx1 FROM bi GROUP BY 1),
+      tge AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS p2,
+                unnest(t[2:len(t)-1]) AS p1, unnest(t[3:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 3),
+      tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS ctr
+              FROM tge GROUP BY 1, 2, 3),
+      ctx2 AS (SELECT p2, p1, CAST(sum(ctr) AS BIGINT) AS cctx2
+               FROM tri GROUP BY 1, 2),
+      sc AS (
+        SELECT g.doc_id,
+          0.6 * (CAST(coalesce(t3.ctr, 0) AS DOUBLE) / CAST(c2.cctx2 AS DOUBLE)) +
+          0.3 * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(c1.cctx1 AS DOUBLE)) +
+          (1.0 - 0.6 - 0.3) * ((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS p
+        FROM tge g
+        JOIN tri t3 ON t3.p2 = g.p2 AND t3.p1 = g.p1 AND t3.cur = g.cur
+        JOIN ctx2 c2 ON c2.p2 = g.p2 AND c2.p1 = g.p1
+        JOIN bi b ON b.p1 = g.p1 AND b.cur = g.cur
+        JOIN ctx1 c1 ON c1.p1 = g.p1
+        LEFT JOIN uni u ON u.tokk = g.cur
+        CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+        round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, d) => TextAnalysis.trigramQuality(Tables.documents(s, d),
+          "doc_id", "text", lambda3 = 0.6, lambda2 = 0.3)
+        .select(col("id").as("doc_id"), col("n_trigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    // CCNet buckets ranked by the TRIGRAM tier (round-12: ccnetBuckets
+    // accepting a higher LM tier as rank key). Same distributed
+    // prefix-rank machinery as q85; n_tokens counts trigram positions
+    Q("q88_ccnet_buckets_trigram", Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      uni AS (SELECT tokk, CAST(count(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(t) AS tokk FROM tok) GROUP BY tokk),
+      tot AS (SELECT CAST(coalesce(sum(cu), 0) AS DOUBLE) AS n FROM uni),
+      bge AS (SELECT doc_id, unnest(t[1:len(t)-1]) AS p1, unnest(t[2:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 2),
+      bi AS (SELECT p1, cur, CAST(count(*) AS BIGINT) AS cb
+             FROM bge GROUP BY 1, 2),
+      ctx1 AS (SELECT p1, CAST(sum(cb) AS BIGINT) AS cctx1 FROM bi GROUP BY 1),
+      tge AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS p2,
+                unnest(t[2:len(t)-1]) AS p1, unnest(t[3:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 3),
+      tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS ctr
+              FROM tge GROUP BY 1, 2, 3),
+      ctx2 AS (SELECT p2, p1, CAST(sum(ctr) AS BIGINT) AS cctx2
+               FROM tri GROUP BY 1, 2),
+      sc AS (
+        SELECT g.doc_id,
+          0.6 * (CAST(coalesce(t3.ctr, 0) AS DOUBLE) / CAST(c2.cctx2 AS DOUBLE)) +
+          0.3 * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(c1.cctx1 AS DOUBLE)) +
+          (1.0 - 0.6 - 0.3) * ((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS p
+        FROM tge g
+        JOIN tri t3 ON t3.p2 = g.p2 AND t3.p1 = g.p1 AND t3.cur = g.cur
+        JOIN ctx2 c2 ON c2.p2 = g.p2 AND c2.p1 = g.p1
+        JOIN bi b ON b.p1 = g.p1 AND b.cur = g.cur
+        JOIN ctx1 c1 ON c1.p1 = g.p1
+        LEFT JOIN uni u ON u.tokk = g.cur
+        CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id),
+      keyed AS (
+        SELECT d.doc_id, CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_tokens,
+          round(coalesce(a.avg_logp, 0.0), 6) AS lm_key
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      r AS (
+        SELECT *, row_number() OVER (ORDER BY lm_key DESC, doc_id) AS rank,
+          count(*) OVER () AS n
+        FROM keyed)
+      SELECT doc_id, n_tokens, lm_key, CAST(rank AS BIGINT) AS rank,
+        CASE WHEN rank <= ceil(n / 3.0) THEN 'head'
+             WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d),
+          "doc_id", "text", tier = "trigram")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
+          col("rank"), col("bucket"))
         .orderBy("doc_id"))
   )
 }

@@ -120,6 +120,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(10L) < out(1L))
   }
 
+  test("trigramQuality: deleted interpolation, hand-computed, short docs neutral") {
+    // corpus: "a b c" twice, "c b a" once, "z" —
+    // trigrams: (a,b,c):2, (c,b,a):1; ctx2 (a,b)=2, (c,b)=1
+    // bigrams: (a,b):2, (b,c):2, (c,b):1, (b,a):1; ctx1 a=2, b=3, c=1
+    // unigrams: a:3, b:3, c:3, z:1, N=10
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.trigramQuality(df, "doc_id", "text",
+        lambda3 = 0.6, lambda2 = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_logp"))).toMap
+    val l1 = 1.0 - 0.6 - 0.3
+    val pABC = 0.6 * (2.0 / 2.0) + 0.3 * (2.0 / 3.0) + l1 * ((3.0 + 1.0) / 11.0)
+    val pCBA = 0.6 * (1.0 / 1.0) + 0.3 * (1.0 / 3.0) + l1 * ((3.0 + 1.0) / 11.0)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log10(pABC)) < 1e-12)
+    assert(math.abs(out(3L)._2 - math.log10(pCBA)) < 1e-12)
+    // 1- and 2-token docs: no trigram positions, neutral score
+    assert(out(4L) === ((0L, 0.0)))
+  }
+
+  test("trigramQuality ranks common word order above rare order") {
+    import spark.implicits._
+    val rows = (1L to 9L).map(i => (i, "x y z w")) :+ ((10L, "z x w y"))
+    val df = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.trigramQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(out(10L) < out(1L))
+  }
+
+  test("ccnetBuckets trigram tier ranks by trigramQuality and rejects bad tiers") {
+    import spark.implicits._
+    val docs = ((1L to 6L).map(i => (i, "p q r s t")) ++
+      Seq((7L, "t p s q r"), (8L, "r t q"), (9L, "q"))).toDF("doc_id", "text")
+    val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", tier = "trigram")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[String]("bucket"))).toMap
+    // window formulation over the same tier scores
+    val scored = TextAnalysis.trigramQuality(docs, "doc_id", "text")
+      .select(col("id"), round(col("avg_logp"), 6).as("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, k) => (-k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got.view.mapValues(_._1).toMap === scored)
+    val n = scored.size
+    got.foreach { case (id, (rank, bucket)) =>
+      val want = if (rank <= math.ceil(n / 3.0)) "head"
+        else if (rank <= math.ceil(2.0 * n / 3.0)) "middle" else "tail"
+      assert(bucket === want, s"doc $id")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ccnetBuckets(docs, "doc_id", "text", tier = "fivegram")
+    }
+  }
+
   test("contamination keeps short docs (no formable n-gram) with zero counts") {
     val train = Seq((1L, "too short"), (2L, "a b c d e")).toDF("doc_id", "text")
     val eval = Seq((9L, "a b c d e f")).toDF("doc_id", "text")
