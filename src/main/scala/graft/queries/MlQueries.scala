@@ -562,8 +562,39 @@ object MlQueries {
           .select(col("conceptId"), col("prefLabel"), col("definition"),
             round(col("score"), 6).as("score"))
           .orderBy(desc("score"), asc("conceptId"))
-      })
+      }),
+
+    // BPE tokenizer training (round-12: the last COVERAGE exclusion,
+    // Sennrich 2016): a driver loop over DISTRIBUTED pair counts trains
+    // the merge table once per (dir) — a build-once index artifact like
+    // the k-means/PQ fits above — and the query counts per-doc BPE
+    // tokens under it. The oracle (q50 lazy-literal precedent) replays
+    // the trained merges as a chain of literal `replace` calls over a
+    // space-delimited symbol encoding whose invariant makes sequential
+    // string replace ≡ BPE's left-to-right pair merge.
+    Q("q89_bpe_token_counts",
+      bpeLiterals.map(m =>
+        graft.operators.BpeTraining.oracleSql("documents", "doc_id", "text", m)),
+      (s, d) => graft.operators.BpeTraining.tokenCounts(
+          Tables.documents(s, d), "doc_id", "text", cachedBpe(s, d))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
+
+  /** BPE merge tables are deterministic build-once artifacts (seeded by
+    * nothing — pure argmax with total tie-break), cached per dir. */
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.operators.BpeTraining.BpeMerge]]
+  private def cachedBpe(s: org.apache.spark.sql.SparkSession, d: String) =
+    bpeCache.getOrElseUpdate(d,
+      graft.operators.BpeTraining.train(Tables.documents(s, d), "text",
+        numMerges = 40))
+  /** Trained merges as oracle literals — Some only after exactly one
+    * training ran in this JVM (q50's [[centroidValues]] contract). */
+  private def bpeLiterals: Option[Seq[graft.operators.BpeTraining.BpeMerge]] = {
+    val fits = bpeCache.snapshot().toSeq
+    if (fits.size != 1) None else Some(fits.head._2)
+  }
 
   /** Embeds every query as one fixed vector — the q76 bridge between
     * multiScaleSearch's text API and the testdata's pre-embedded query
