@@ -142,6 +142,34 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("k=50 (the published Lee et al. operating point) on long docs") {
+    // docs long enough to carry 50-gram windows: ~120 tokens each; docs
+    // 1 and 2 share a 70-token run (so its 21 windows must merge into
+    // one maximal span), docs 3-5 are unique filler
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("dup", 70)
+    val docs = Seq(
+      1L -> s"${words("a", 30)} $shared ${words("b", 25)}",
+      2L -> s"${words("c", 20)} $shared ${words("d", 35)}",
+      3L -> words("e", 120),
+      4L -> words("f", 120),
+      5L -> words("g", 120))
+    val got = run(docs, k = 50)
+    val want = brute(docs, k = 50, 2L)
+    assert(got === want)
+    // the shared run is recovered exactly: 70 duplicated tokens in ONE
+    // merged span per doc, nothing else flagged
+    assert(got(1L)._2 === 70L && got(1L)._3 === 1L)
+    assert(got(2L)._2 === 70L && got(2L)._3 === 1L)
+    assert(got(3L)._2 === 0L)
+    // keepFirst: doc 1 (lower id) holds the canonical windows — its
+    // copy survives; doc 2 still loses the full run
+    val kf = run(docs, k = 50, keepFirst = true)
+    assert(kf === brute(docs, k = 50, 2L, keepFirst = true))
+    assert(kf(1L)._2 === 0L && kf(2L)._2 === 70L)
+  }
+
   test("xxh64 production family reproduces the md5 verdicts") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("red", "green", "blue", "cyan", "teal", "gray")
