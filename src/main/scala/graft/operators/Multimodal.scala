@@ -126,6 +126,72 @@ object Multimodal {
     }(enc)
   }
 
+  /** COMPOSED multimodal pipeline: image near-dup by per-channel
+    * histogram distance, through blocking → verify → connected
+    * components → canonicalize — the consumer query for
+    * [[extractFeatures]]'s output (q90).
+    *
+    * Blocking is EXACT by pigeonhole, not probabilistic: 4 diagonally
+    * shifted grids over the 3 selected histogram components (cell
+    * c = 1/cells, shift c/4 along the diagonal). Any pair within
+    * L∞ < c/8 cuts at most one grid per dimension — boundaries of the
+    * 4 grids are c/4 apart per dim, an interval shorter than c/8
+    * contains at most one of them — so at most 3 of the 4 grids are
+    * cut anywhere and some grid holds both points in one cell (the
+    * rotated-prefix SimHash argument in grid form). The verify join
+    * then re-checks exact |Δf| ≤ eps per dimension, so candidates are
+    * only ever a superset: verdicts at eps are blocking-agnostic for
+    * eps < c/8.
+    *
+    * 100 TB shape: features are map-only; each grid key is an equi-join
+    * bucket (4× signature rows shuffle, never media bytes); the verify
+    * join touches candidate pairs only; components is the
+    * large-star/small-star loop. The default cells=32 ⇒ eps must stay
+    * below 1/256; 0.003 is the shipped operating point.
+    *
+    * Output: (media_id, canon_id, is_dup) — every input row appears,
+    * canonical rows map to themselves (min media_id per component). */
+  def histogramDedup(media: DataFrame, eps: Double = 0.003,
+                     cells: Int = 32): DataFrame = {
+    require(eps < 1.0 / (8 * cells),
+      s"eps=$eps breaks the 4-grid pigeonhole guarantee for cells=$cells " +
+        s"(needs eps < ${1.0 / (8 * cells)})")
+    import graft.util.Materialize.MatOps
+    val feats = extractFeatures(media).select(col("media_id"),
+        element_at(col("features"), 3).cast("double").as("f0"),
+        element_at(col("features"), 7).cast("double").as("f1"),
+        element_at(col("features"), 8).cast("double").as("f2"))
+      .materializeOnce(eager = false) // 4 grid branches + 2 verify joins
+    val shift = 1.0 / (4.0 * cells) // exact binary fraction for cells=2^k
+    val keyed = (0 until 4).map { j =>
+      feats.select(col("media_id"), lit(j).as("g"),
+        concat_ws("_",
+          floor((col("f0") + lit(j * shift)) * cells).cast("long"),
+          floor((col("f1") + lit(j * shift)) * cells).cast("long"),
+          floor((col("f2") + lit(j * shift)) * cells).cast("long")).as("bkt"))
+    }.reduce(_ unionByName _)
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.g") === col("b.g") && col("a.bkt") === col("b.bkt") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val fa = feats.select(col("media_id").as("id_a"), col("f0").as("a0"),
+      col("f1").as("a1"), col("f2").as("a2"))
+    val fb = feats.select(col("media_id").as("id_b"), col("f0").as("b0"),
+      col("f1").as("b1"), col("f2").as("b2"))
+    val pairs = cand.join(fa, "id_a").join(fb, "id_b")
+      .filter(abs(col("a0") - col("b0")) <= eps &&
+        abs(col("a1") - col("b1")) <= eps &&
+        abs(col("a2") - col("b2")) <= eps)
+      .select("id_a", "id_b")
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    feats.select("media_id")
+      .join(cc.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("canon_id"))
+      .withColumn("is_dup", (col("media_id") =!= col("canon_id")).cast("int"))
+  }
+
   /** Frame sampling stub for video rows: emits every `stride`-th synthetic
     * frame reference (real impl: demux + decode). Generator shape:
     * one input row -> n frame rows, as a flatMap. */

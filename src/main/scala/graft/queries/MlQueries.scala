@@ -578,7 +578,68 @@ object MlQueries {
       (s, d) => graft.operators.BpeTraining.tokenCounts(
           Tables.documents(s, d), "doc_id", "text", cachedBpe(s, d))
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // COMPOSED multimodal pipeline (round-12 stretch): q54's decoded
+    // histogram features consumed end-to-end — 4-diagonal-grid blocking
+    // (pigeonhole-exact for L∞ < cell/8, the SimHash rotated-prefix
+    // argument in grid form), exact |Δf| <= eps verify, connected
+    // components, min-id canonicalization. Float parity: features cross
+    // the boundary through q54's certified REAL-cast dance; grid keys
+    // use only exact binary fractions (1/128, x32) so floor() agrees;
+    // eps compares as DOUBLE in both engines
+    Q("q90_media_histogram_dedup", Some("""
+      WITH RECURSIVE b AS (
+        SELECT doc_id, text, length(text) AS len FROM documents),
+      h AS (SELECT doc_id, (ascii(substr(text, i, 1)) >> 4) AS bucket
+            FROM b, LATERAL (SELECT unnest(generate_series(1, len)) AS i) t),
+      c AS (SELECT doc_id,
+              SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2,
+              SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS c6,
+              SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS c7
+            FROM h GROUP BY doc_id),
+      f AS (SELECT b.doc_id AS id,
+              CAST(CAST(CAST(coalesce(c2, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f0,
+              CAST(CAST(CAST(coalesce(c6, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f1,
+              CAST(CAST(CAST(coalesce(c7, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f2
+            FROM b LEFT JOIN c ON b.doc_id = c.doc_id),
+      g(j) AS (VALUES (0), (1), (2), (3)),
+      keyed AS (
+        SELECT f.id, g.j,
+          CAST(floor((f0 + j * (1.0/128.0)) * 32.0) AS BIGINT) AS k0,
+          CAST(floor((f1 + j * (1.0/128.0)) * 32.0) AS BIGINT) AS k1,
+          CAST(floor((f2 + j * (1.0/128.0)) * 32.0) AS BIGINT) AS k2
+        FROM f CROSS JOIN g),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+        FROM keyed a JOIN keyed b2 ON a.j = b2.j AND a.k0 = b2.k0
+          AND a.k1 = b2.k1 AND a.k2 = b2.k2 AND a.id < b2.id),
+      pairs AS (
+        SELECT cn.id_a, cn.id_b
+        FROM cand cn JOIN f x ON x.id = cn.id_a JOIN f y ON y.id = cn.id_b
+        WHERE abs(x.f0 - y.f0) <= CAST(0.003 AS DOUBLE)
+          AND abs(x.f1 - y.f1) <= CAST(0.003 AS DOUBLE)
+          AND abs(x.f2 - y.f2) <= CAST(0.003 AS DOUBLE)),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      SELECT f.id AS media_id,
+        CAST(coalesce(cc.component, f.id) AS BIGINT) AS canon_id,
+        CAST(CASE WHEN coalesce(cc.component, f.id) <> f.id THEN 1 ELSE 0 END AS INT) AS is_dup
+      FROM f LEFT JOIN cc ON cc.node = f.id
+      ORDER BY media_id"""),
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"),
+          lit("image").as("modality"),
+          encode(col("text"), "utf-8").as("bytes"))
+        Multimodal.histogramDedup(media).orderBy("media_id")
+      })
   )
 
   /** BPE merge tables are deterministic build-once artifacts (seeded by

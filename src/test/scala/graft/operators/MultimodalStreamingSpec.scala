@@ -80,6 +80,29 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(feats(3L).getAs[Int]("width") === "not an image at all".length)
   }
 
+  test("multimodal: histogramDedup groups identical/near histograms, canonicalizes to min id") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // ids 1,2: identical bytes (identical histograms); id 3: one byte
+    // changed in a long payload (within eps); id 4: disjoint byte class
+    val base = ("hello world, common payload " * 40).getBytes("UTF-8")
+    val near = base.clone(); near(0) = 'j'.toByte
+    val far = ("ZZZZ!!!!0000" * 100).getBytes("UTF-8")
+    val rows = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+    val media = spark.createDataFrame(rows)
+      .toDF("media_id", "bytes")
+      .withColumn("modality", lit("image"))
+      .select("media_id", "modality", "bytes")
+    val got = Multimodal.histogramDedup(media)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(got(1L) === ((1L, 0)))
+    assert(got(2L) === ((1L, 1)))
+    assert(got(3L) === ((1L, 1))) // near-identical histogram joins the component
+    assert(got(4L) === ((4L, 0))) // distant histogram stays canonical alone
+    intercept[IllegalArgumentException] {
+      Multimodal.histogramDedup(media, eps = 0.01, cells = 32) // breaks pigeonhole bound
+    }
+  }
+
   test("multimodal: frame sampling generates stride-spaced frames") {
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
