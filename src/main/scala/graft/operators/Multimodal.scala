@@ -143,16 +143,22 @@ object Multimodal {
     * only ever a superset: verdicts at eps are blocking-agnostic for
     * eps < c/8.
     *
+    * Operating point: cells=128 (cell 1/128, eps ≤ 0.0009 ≈ a 0.09%
+    * histogram-mass shift per bucket). Grid resolution is the
+    * candidate-volume lever: at sf0.1 the word-salad corpus packs
+    * 1,720 of 5,000 docs into one cells=32 bucket (4.2M candidate
+    * pairs) vs 237 at cells=128 (495k) — measured in SCALE.md
+    * "Round-12 new-operator shapes".
+    *
     * 100 TB shape: features are map-only; each grid key is an equi-join
     * bucket (4× signature rows shuffle, never media bytes); the verify
     * join touches candidate pairs only; components is the
-    * large-star/small-star loop. The default cells=32 ⇒ eps must stay
-    * below 1/256; 0.003 is the shipped operating point.
+    * large-star/small-star loop.
     *
     * Output: (media_id, canon_id, is_dup) — every input row appears,
     * canonical rows map to themselves (min media_id per component). */
-  def histogramDedup(media: DataFrame, eps: Double = 0.003,
-                     cells: Int = 32): DataFrame = {
+  def histogramDedup(media: DataFrame, eps: Double = 0.0009,
+                     cells: Int = 128): DataFrame = {
     require(eps < 1.0 / (8 * cells),
       s"eps=$eps breaks the 4-grid pigeonhole guarantee for cells=$cells " +
         s"(needs eps < ${1.0 / (8 * cells)})")

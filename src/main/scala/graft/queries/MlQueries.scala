@@ -586,7 +586,7 @@ object MlQueries {
     // argument in grid form), exact |Δf| <= eps verify, connected
     // components, min-id canonicalization. Float parity: features cross
     // the boundary through q54's certified REAL-cast dance; grid keys
-    // use only exact binary fractions (1/128, x32) so floor() agrees;
+    // use only exact binary fractions (1/512, x128) so floor() agrees;
     // eps compares as DOUBLE in both engines
     Q("q90_media_histogram_dedup", Some("""
       WITH RECURSIVE b AS (
@@ -606,9 +606,9 @@ object MlQueries {
       g(j) AS (VALUES (0), (1), (2), (3)),
       keyed AS (
         SELECT f.id, g.j,
-          CAST(floor((f0 + j * (1.0/128.0)) * 32.0) AS BIGINT) AS k0,
-          CAST(floor((f1 + j * (1.0/128.0)) * 32.0) AS BIGINT) AS k1,
-          CAST(floor((f2 + j * (1.0/128.0)) * 32.0) AS BIGINT) AS k2
+          CAST(floor((f0 + j * (1.0/512.0)) * 128.0) AS BIGINT) AS k0,
+          CAST(floor((f1 + j * (1.0/512.0)) * 128.0) AS BIGINT) AS k1,
+          CAST(floor((f2 + j * (1.0/512.0)) * 128.0) AS BIGINT) AS k2
         FROM f CROSS JOIN g),
       cand AS (
         SELECT DISTINCT a.id AS id_a, b2.id AS id_b
@@ -617,9 +617,9 @@ object MlQueries {
       pairs AS (
         SELECT cn.id_a, cn.id_b
         FROM cand cn JOIN f x ON x.id = cn.id_a JOIN f y ON y.id = cn.id_b
-        WHERE abs(x.f0 - y.f0) <= CAST(0.003 AS DOUBLE)
-          AND abs(x.f1 - y.f1) <= CAST(0.003 AS DOUBLE)
-          AND abs(x.f2 - y.f2) <= CAST(0.003 AS DOUBLE)),
+        WHERE abs(x.f0 - y.f0) <= CAST(0.0009 AS DOUBLE)
+          AND abs(x.f1 - y.f1) <= CAST(0.0009 AS DOUBLE)
+          AND abs(x.f2 - y.f2) <= CAST(0.0009 AS DOUBLE)),
       edges AS (SELECT id_a AS a, id_b AS b FROM pairs
                 UNION SELECT id_b, id_a FROM pairs),
       nodes AS (SELECT DISTINCT a AS n FROM edges),

@@ -269,4 +269,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "multi-scale fusion must stay equi-join-only:\n" + p)
   }
+
+  test("q86: langid plans with NO shuffle — map-only over the scan") {
+    val df = SparkEntry.queries("q86_langid_ngram")(spark, sf)
+    // strip the final certification ORDER BY; the operator itself is
+    // the claim under test
+    val p = graft.operators.LangId.detect(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "langid must be map-only:\n" + p)
+    df.collect() // and the full query still executes
+  }
+
+  test("q87: trigram LM joins are keyed shuffles — no cross product, no window") {
+    val df = SparkEntry.queries("q87_trigram_lm_quality")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "n-gram scoring must stay equi-join-only:\n" + p)
+    assert(!p.contains("Window"), "no window in the LM tier:\n" + p)
+  }
+
+  test("q90: histogram dedup stays equi-join-only (grid blocking, no cross product)") {
+    val df = SparkEntry.queries("q90_media_histogram_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must go through the grid equi-join:\n" + p)
+  }
 }
