@@ -156,9 +156,24 @@ object Multimodal {
     * large-star/small-star loop.
     *
     * Output: (media_id, canon_id, is_dup) — every input row appears,
-    * canonical rows map to themselves (min media_id per component). */
+    * canonical rows map to themselves (min media_id per component).
+    *
+    * TWO modes, two cost regimes (SCALE.md "q90 at 10×"):
+    *   - `mode = "ball"` (default, q90): the relation is the exact
+    *     L∞-ball — every qualifying pair is enumerated and verified.
+    *     Exact, but the candidate count IS the true pair count, which
+    *     grows quadratically when the corpus concentrates inside eps
+    *     balls (the word-salad testdata is that adversarial case:
+    *     19.6× time at 10× rows). No pair-exact method avoids this —
+    *     the relation itself is quadratically dense.
+    *   - `mode = "cell"` (q91): the relation is shifted-grid EQUALITY
+    *     (agree on the quantized histogram in ANY of the 4 grids) —
+    *     standard perceptual-hash dedup. Bucket members are mutually
+    *     dup BY DEFINITION, so each bucket contributes star edges to
+    *     its min member: candidates are LINEAR in rows at any density.
+    *     Coarser semantics (no eps refinement), linear scale path. */
   def histogramDedup(media: DataFrame, eps: Double = 0.0009,
-                     cells: Int = 128): DataFrame = {
+                     cells: Int = 128, mode: String = "ball"): DataFrame = {
     require(eps < 1.0 / (8 * cells),
       s"eps=$eps breaks the 4-grid pigeonhole guarantee for cells=$cells " +
         s"(needs eps < ${1.0 / (8 * cells)})")
@@ -176,20 +191,35 @@ object Multimodal {
           floor((col("f1") + lit(j * shift)) * cells).cast("long"),
           floor((col("f2") + lit(j * shift)) * cells).cast("long")).as("bkt"))
     }.reduce(_ unionByName _)
-    val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.g") === col("b.g") && col("a.bkt") === col("b.bkt") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-      .distinct()
-    val fa = feats.select(col("media_id").as("id_a"), col("f0").as("a0"),
-      col("f1").as("a1"), col("f2").as("a2"))
-    val fb = feats.select(col("media_id").as("id_b"), col("f0").as("b0"),
-      col("f1").as("b1"), col("f2").as("b2"))
-    val pairs = cand.join(fa, "id_a").join(fb, "id_b")
-      .filter(abs(col("a0") - col("b0")) <= eps &&
-        abs(col("a1") - col("b1")) <= eps &&
-        abs(col("a2") - col("b2")) <= eps)
-      .select("id_a", "id_b")
+    val pairs = mode match {
+      case "ball" =>
+        val cand = keyed.as("a").join(keyed.as("b"),
+            col("a.g") === col("b.g") && col("a.bkt") === col("b.bkt") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+          .distinct()
+        val fa = feats.select(col("media_id").as("id_a"), col("f0").as("a0"),
+          col("f1").as("a1"), col("f2").as("a2"))
+        val fb = feats.select(col("media_id").as("id_b"), col("f0").as("b0"),
+          col("f1").as("b1"), col("f2").as("b2"))
+        cand.join(fa, "id_a").join(fb, "id_b")
+          .filter(abs(col("a0") - col("b0")) <= eps &&
+            abs(col("a1") - col("b1")) <= eps &&
+            abs(col("a2") - col("b2")) <= eps)
+          .select("id_a", "id_b")
+      case "cell" =>
+        // star edges to each bucket's min member: one partial-aggregated
+        // groupBy + one equi-join back — linear in rows, no pair blowup
+        val reps = keyed.groupBy("g", "bkt")
+          .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+        keyed.join(reps, Seq("g", "bkt"))
+          .filter(col("media_id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("media_id").as("id_b"))
+          .distinct()
+      case other => throw new IllegalArgumentException(
+        s"unknown mode '$other' (supported: ball, cell)")
+    }
     val cc = Components.connectedComponents(pairs, "id_a", "id_b")
     feats.select("media_id")
       .join(cc.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")

@@ -639,6 +639,61 @@ object MlQueries {
           lit("image").as("modality"),
           encode(col("text"), "utf-8").as("bytes"))
         Multimodal.histogramDedup(media).orderBy("media_id")
+      }),
+
+    // q90's LINEAR-regime sibling: shifted-grid cell EQUALITY dedup
+    // (perceptual-hash semantics — bucket members are mutually dup by
+    // definition, so star edges to the bucket min replace the pair
+    // enumeration; candidates linear in rows at any density). Same
+    // feature dance and grid constants as q90
+    Q("q91_media_cell_dedup", Some("""
+      WITH RECURSIVE b AS (
+        SELECT doc_id, text, length(text) AS len FROM documents),
+      h AS (SELECT doc_id, (ascii(substr(text, i, 1)) >> 4) AS bucket
+            FROM b, LATERAL (SELECT unnest(generate_series(1, len)) AS i) t),
+      c AS (SELECT doc_id,
+              SUM(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS c2,
+              SUM(CASE WHEN bucket = 6 THEN 1 ELSE 0 END) AS c6,
+              SUM(CASE WHEN bucket = 7 THEN 1 ELSE 0 END) AS c7
+            FROM h GROUP BY doc_id),
+      f AS (SELECT b.doc_id AS id,
+              CAST(CAST(CAST(coalesce(c2, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f0,
+              CAST(CAST(CAST(coalesce(c6, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f1,
+              CAST(CAST(CAST(coalesce(c7, 0) AS DOUBLE) / greatest(CAST(len AS DOUBLE), 1.0) AS REAL) AS DOUBLE) AS f2
+            FROM b LEFT JOIN c ON b.doc_id = c.doc_id),
+      g(j) AS (VALUES (0), (1), (2), (3)),
+      keyed AS (
+        SELECT f.id, g.j,
+          CAST(floor((f0 + j * (1.0/512.0)) * 128.0) AS BIGINT) AS k0,
+          CAST(floor((f1 + j * (1.0/512.0)) * 128.0) AS BIGINT) AS k1,
+          CAST(floor((f2 + j * (1.0/512.0)) * 128.0) AS BIGINT) AS k2
+        FROM f CROSS JOIN g),
+      reps AS (
+        SELECT j, k0, k1, k2, min(id) AS rep, count(*) AS n
+        FROM keyed GROUP BY 1, 2, 3, 4),
+      pairs AS (
+        SELECT DISTINCT r.rep AS id_a, k.id AS id_b
+        FROM keyed k JOIN reps r USING (j, k0, k1, k2)
+        WHERE r.n > 1 AND k.id <> r.rep),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      SELECT f.id AS media_id,
+        CAST(coalesce(cc.component, f.id) AS BIGINT) AS canon_id,
+        CAST(CASE WHEN coalesce(cc.component, f.id) <> f.id THEN 1 ELSE 0 END AS INT) AS is_dup
+      FROM f LEFT JOIN cc ON cc.node = f.id
+      ORDER BY media_id"""),
+      (s, d) => {
+        val media = Tables.documents(s, d).select(
+          col("doc_id").as("media_id"),
+          lit("image").as("modality"),
+          encode(col("text"), "utf-8").as("bytes"))
+        Multimodal.histogramDedup(media, mode = "cell").orderBy("media_id")
       })
   )
 

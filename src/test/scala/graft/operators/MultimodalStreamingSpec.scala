@@ -101,6 +101,16 @@ class MultimodalStreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.histogramDedup(media, eps = 0.01, cells = 32) // breaks pigeonhole bound
     }
+    // cell mode (linear regime): identical histograms share every grid
+    // cell; the far payload shares none
+    val cell = Multimodal.histogramDedup(media, mode = "cell")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(cell(1L) === ((1L, 0)) && cell(2L) === ((1L, 1)))
+    assert(cell(3L) === ((1L, 1))) // identical histogram ('h'/'j' same byte class)
+    assert(cell(4L) === ((4L, 0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.histogramDedup(media, mode = "cube")
+    }
   }
 
   test("multimodal: frame sampling generates stride-spaced frames") {
