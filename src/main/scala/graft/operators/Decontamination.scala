@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.plans.CosineSimilarity
 import graft.plans.TextSetExpressions.wordNgramSet
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
@@ -152,6 +153,74 @@ object Decontamination {
                     maxContamination: Double = 0.0): DataFrame = {
     val clean = contamination(train, idCol, textCol, eval, evalTextCol, n)
       .filter(col("contamination") <= maxContamination)
+      .select(col("id").as(idCol))
+    train.join(clean, Seq(idCol), "left_semi")
+  }
+
+  /** EMBEDDING-SPACE (semantic) decontamination: flag training rows
+    * whose embedding is too close to ANY eval/benchmark embedding —
+    * the paraphrase-robust complement of the n-gram checks above
+    * (n-gram overlap misses reworded test questions; embedding cosine
+    * catches them — the semantic-contamination check in recent LLM
+    * eval-hygiene work, same geometry as SemDeDup's near-dup notion
+    * applied across the train/eval boundary).
+    *
+    * Output: one row per train row — (id, max_sim, nearest_eval,
+    * contaminated) where `max_sim` is the maximum cosine against the
+    * eval set, `nearest_eval` the eval id achieving it (ties break to
+    * the smallest eval id), and `contaminated` = 1 iff
+    * max_sim >= threshold. Train rows with NULL/length-mismatched
+    * vectors report NULL max_sim and contaminated = 0.
+    *
+    * Scale design: the eval side is benchmark-sized (thousands of
+    * vectors) while the train side is the full corpus, so the eval
+    * embeddings BROADCAST and the scoring pass is a map-side
+    * nested-loop against the in-memory eval block — the train
+    * embeddings never shuffle. The per-train max is a partial
+    * aggregate (max of a (sim, -eval_id) struct — one row per train id
+    * crosses the wire, not the train×eval pair stream). Cosine runs in
+    * the codegen [[graft.plans.CosineSimilarity]] expression; the
+    * whole pair loop stays inside one whole-stage-codegen span. If the
+    * eval set outgrows broadcast range, block it by an IVF cell key
+    * first (K2's shape) — semantics unchanged.
+    */
+  def embeddingContamination(train: DataFrame, idCol: String, vecCol: String,
+                             eval: DataFrame, evalIdCol: String,
+                             evalVecCol: String,
+                             threshold: Double): DataFrame = {
+    val ev = broadcast(eval.select(col(evalIdCol).cast("long").as("__eid"),
+      col(evalVecCol).as("__ev")))
+    val best = train
+      .select(col(idCol).as("id"), col(vecCol).as("__tv"))
+      .crossJoin(ev)
+      .select(col("id"),
+        CosineSimilarity(col("__tv"), col("__ev")).as("__cs"),
+        col("__eid"))
+      .filter(col("__cs").isNotNull)
+      // max over a (sim, -eval_id) struct: lexicographic compare gives
+      // the max sim, then the SMALLEST eval id on an exact-double tie —
+      // deterministic across partitionings and engines
+      .groupBy("id")
+      .agg(max(struct(col("__cs"), (-col("__eid")).as("__neg"))).as("__m"))
+    train.select(col(idCol).as("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        col("__m.__cs").as("max_sim"),
+        (-col("__m.__neg")).as("nearest_eval"),
+        coalesce((col("__m.__cs") >= threshold).cast("int"), lit(0))
+          .as("contaminated"))
+  }
+
+  /** Semantically decontaminated view: drop train rows whose embedding
+    * cosine against any eval embedding reaches `threshold`. Left-semi
+    * on the clean ids — train columns pass through untouched. */
+  def semanticDecontaminate(train: DataFrame, idCol: String, vecCol: String,
+                            eval: DataFrame, evalIdCol: String,
+                            evalVecCol: String,
+                            threshold: Double): DataFrame = {
+    val clean = embeddingContamination(train, idCol, vecCol,
+      eval, evalIdCol, evalVecCol, threshold)
+      .filter(col("contaminated") === 0)
       .select(col("id").as(idCol))
     train.join(clean, Seq(idCol), "left_semi")
   }

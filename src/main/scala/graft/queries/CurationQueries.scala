@@ -959,6 +959,40 @@ object CurationQueries {
           "doc_id", "text", tier = "trigram")
         .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
           col("rank"), col("bucket"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // EMBEDDING-SPACE decontamination (round 12): the paraphrase-robust
+    // complement of q60/q70 — train vectors too close (cosine) to any
+    // eval vector are contaminated. vec_id % 20 = 0 stands in for the
+    // benchmark set; it broadcasts, the train side never shuffles, and
+    // the per-train max is a partial aggregate (one row per train id
+    // crosses the wire). Threshold 0.33 sits at this corpus's ~p90
+    Q("q92_semantic_decontamination", Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      ev AS (SELECT vec_id AS eid, v FROM e WHERE vec_id % 20 = 0),
+      tr AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+      p AS (
+        SELECT tr.vec_id, ev.eid,
+          list_dot_product(tr.v, ev.v) /
+          (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))) AS cs
+        FROM tr, ev),
+      b AS (
+        SELECT vec_id, eid, cs,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, eid) AS rn
+        FROM p)
+      SELECT vec_id, round(cs, 6) AS max_sim, CAST(eid AS BIGINT) AS nearest_eval,
+        CAST(CASE WHEN cs >= 0.33 THEN 1 ELSE 0 END AS INT) AS contaminated
+      FROM b WHERE rn = 1 ORDER BY vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Decontamination.embeddingContamination(
+          emb.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+          threshold = 0.33)
+          .select(col("id").as("vec_id"),
+            round(col("max_sim"), 6).as("max_sim"),
+            col("nearest_eval"), col("contaminated"))
+          .orderBy("vec_id")
+      })
   )
 }

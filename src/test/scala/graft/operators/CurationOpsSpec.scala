@@ -32,6 +32,71 @@ class CurationOpsSpec extends SparkSpec {
     assert(byId(2L).getAs[Long]("n_hit") === 0L)
   }
 
+  test("embeddingContamination: max cosine, nearest id, threshold flag") {
+    // train 1 aligned with eval 100; train 2 orthogonal to everything;
+    // train 3 anti-aligned (cos = -1 is still its max vs a 2-vec eval set)
+    val train = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)),
+      (3L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val eval = Seq(
+      (100L, Array(1f, 0f)),
+      (101L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Decontamination.embeddingContamination(
+      train, "vec_id", "embedding", eval, "vec_id", "embedding",
+      threshold = 0.9)
+      .orderBy("id").collect()
+    assert(out.length === 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Double]("max_sim") === 1.0)
+    assert(byId(1L).getAs[Long]("nearest_eval") === 100L)
+    assert(byId(1L).getAs[Int]("contaminated") === 1)
+    // train 2: cos vs 100 = 0, vs 101 = 0.8 -> nearest 101, below 0.9
+    assert(math.abs(byId(2L).getAs[Double]("max_sim") - 0.8) < 1e-6)
+    assert(byId(2L).getAs[Long]("nearest_eval") === 101L)
+    assert(byId(2L).getAs[Int]("contaminated") === 0)
+    // train 3: max is -0.6 (vs 101), not -1
+    assert(math.abs(byId(3L).getAs[Double]("max_sim") - (-0.6)) < 1e-6)
+    assert(byId(3L).getAs[Long]("nearest_eval") === 101L)
+  }
+
+  test("embeddingContamination: exact-tie breaks to the smallest eval id") {
+    val train = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val eval = Seq( // identical eval vectors -> bit-equal cosines
+      (7L, Array(2f, 0f)), (3L, Array(2f, 0f)), (9L, Array(2f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = Decontamination.embeddingContamination(
+      train, "vec_id", "embedding", eval, "vec_id", "embedding", 0.5).head()
+    assert(r.getAs[Long]("nearest_eval") === 3L)
+    assert(r.getAs[Int]("contaminated") === 1)
+  }
+
+  test("embeddingContamination: mismatched-dim train vector reports NULL, flag 0") {
+    val train = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Decontamination.embeddingContamination(
+      train, "vec_id", "embedding", eval, "vec_id", "embedding", 0.5)
+      .orderBy("id").collect()
+    assert(out.length === 2)
+    assert(out(1).isNullAt(out(1).fieldIndex("max_sim")))
+    assert(out(1).getAs[Int]("contaminated") === 0)
+  }
+
+  test("semanticDecontaminate drops flagged rows and preserves columns") {
+    val train = Seq(
+      (1L, Array(1f, 0f), "keepable"),
+      (2L, Array(0f, 1f), "kept")
+    ).toDF("vec_id", "embedding", "meta")
+    val eval = Seq((100L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Decontamination.semanticDecontaminate(
+      train, "vec_id", "embedding", eval, "vec_id", "embedding", 0.9)
+    assert(out.columns.toSeq === Seq("vec_id", "embedding", "meta"))
+    assert(out.select("vec_id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("bloomContamination is value-identical to the exact path") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
