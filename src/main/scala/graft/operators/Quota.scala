@@ -88,4 +88,41 @@ object Quota {
       .withColumn(cumCol, sum(col(tokensCol)).over(w))
       .filter(col(cumCol) <= budget)
   }
+
+  /** [[perKeyTokenBudget]] with a PER-KEY budget carried on the rows
+    * themselves (`budgetCol`, constant within each key — e.g. joined in
+    * from a broadcast allocation table like
+    * [[Mixture.unimaxAllocation]]'s output). Fully distributed: no
+    * driver-side budget map, any key type/cardinality.
+    *
+    * Same two-phase shape and the same superset argument: a row's local
+    * running total is <= its global one, and its budget is a per-key
+    * CONSTANT, so every global admit survives the local pre-cap. Rows
+    * with NULL/negative budgets are dropped (no allocation). */
+  def perKeyTokenBudgets(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                         tokensCol: String, budgetCol: String,
+                         cumCol: String = "cum_tokens"): DataFrame = {
+    require(keys.nonEmpty, "perKeyTokenBudgets requires at least one key column")
+    val schema = df.schema
+    val keyIdx = keys.map(schema.fieldIndex)
+    val tokIdx = schema.fieldIndex(tokensCol)
+    val budIdx = schema.fieldIndex(budgetCol)
+    val localSorted = df.sortWithinPartitions(keys.map(col) ++ order: _*)
+    val preCapped = localSorted.mapPartitions { it =>
+      var prev: Seq[Any] = null
+      var run = 0L
+      it.filter { row =>
+        val k = keyIdx.map(row.get)
+        if (prev == null || k != prev) { prev = k; run = 0L }
+        run += row.get(tokIdx).asInstanceOf[Number].longValue
+        !row.isNullAt(budIdx) &&
+          run <= row.get(budIdx).asInstanceOf[Number].longValue
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    preCapped
+      .withColumn(cumCol, sum(col(tokensCol)).over(w))
+      .filter(col(cumCol) <= col(budgetCol))
+  }
 }

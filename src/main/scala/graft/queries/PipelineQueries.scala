@@ -381,6 +381,57 @@ object PipelineQueries {
             .cast("long").as("ws_tokens"))
         Sampling.weightedSample(docs, col("doc_id"), col("ws_tokens"),
           k = 100, seed = 0)
+      }),
+
+    // UniMax (Chung et al. 2023) language/domain-balanced mix (round
+    // 12): waterfill a 27k-token budget across sources at <= 1 epoch —
+    // low-resource sources contribute everything, the rest split the
+    // remainder evenly — then admit docs per source in deterministic
+    // hash order until each allocation fills. The waterfilling level is
+    // the closed-form max over prefix ratios (window cumsum over the
+    // PER-SOURCE aggregate — bounded metadata, not corpus-scale);
+    // admission is the certified two-phase prefix-budget quota
+    Q("q93_unimax_mix", Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(${toksRawSql("text")}) AS BIGINT) AS ws_tokens
+        FROM documents),
+      k AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS avail
+            FROM t GROUP BY source),
+      c AS (SELECT source, avail, CAST(avail AS DOUBLE) * 1.0 AS cap FROM k),
+      w AS (
+        SELECT source, cap,
+          row_number() OVER (ORDER BY cap, source) AS rn,
+          coalesce(sum(cap) OVER (ORDER BY cap, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          count(*) OVER () AS n
+        FROM c),
+      f AS (SELECT max((27000.0 - pre) / CAST(n - rn + 1 AS DOUBLE)) AS fstar
+            FROM w),
+      alloc AS (
+        SELECT source,
+          CAST(floor(least(cap, greatest(fstar, 0.0))) AS BIGINT) AS alloc_tokens
+        FROM w, f),
+      sel AS (
+        SELECT t.doc_id, t.source, t.ws_tokens, a.alloc_tokens,
+          CAST(sum(t.ws_tokens) OVER (PARTITION BY t.source
+            ORDER BY CAST('0x' || substr(md5('0|' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+              t.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM t JOIN alloc a USING (source))
+      SELECT doc_id, source, ws_tokens, alloc_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= alloc_tokens ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.wordCount(col("text"))
+            .cast("long").as("ws_tokens"))
+        graft.operators.Mixture.unimaxSample(docs, "source", "ws_tokens",
+          order = Seq(Sampling.trainOrder(col("doc_id")).asc,
+            col("doc_id").asc),
+          budget = 27000L, maxEpochs = 1.0)
+          .select(col("doc_id"), col("source"), col("ws_tokens"),
+            col("alloc_tokens"), col("cum_tokens"))
+          .orderBy("doc_id")
       })
   )
 }
