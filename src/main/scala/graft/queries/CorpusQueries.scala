@@ -588,6 +588,25 @@ object CorpusQueries {
     Q("q86_langid_ngram", Some(LangId.oracleSql("documents", "doc_id", "text")),
       (s, d) => LangId.detect(Tables.documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // EXACT heavy-hitter bigrams (round 12, template/boilerplate
+    // mining): Misra-Gries candidate pre-pass per partition (pigeonhole
+    // superset, loud failure if the summary saturates) + broadcast
+    // semi-join exact verify — the shuffle carries candidates only,
+    // never the full n-gram vocabulary. Output bit-identical to the
+    // naive GROUP BY the oracle runs
+    Q("q94_heavy_bigrams", Some("""
+      WITH tok AS (
+        SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents),
+      bg AS (SELECT unnest(t[1:len(t)-1]) || ' ' || unnest(t[2:len(t)]) AS ngram
+             FROM tok WHERE len(t) >= 2)
+      SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+      FROM bg GROUP BY ngram HAVING count(*) >= 36
+      ORDER BY cnt DESC, ngram"""),
+      (s, d) => HeavyHitters.heavyNgrams(Tables.documents(s, d), "text",
+        n = 2, threshold = 36L)
+        .orderBy(desc("cnt"), asc("ngram")))
   )
 }
