@@ -607,6 +607,45 @@ object CorpusQueries {
       ORDER BY cnt DESC, ngram"""),
       (s, d) => HeavyHitters.heavyNgrams(Tables.documents(s, d), "text",
         n = 2, threshold = 36L)
-        .orderBy(desc("cnt"), asc("ngram")))
+        .orderBy(desc("cnt"), asc("ngram"))),
+
+    // STREAMING LSH near-dup (round 12): minhash signatures in band-
+    // bucket GroupState, arriving docs compare against bucket-mates
+    // only, verified by signature agreement (>= 4 of 8 components).
+    // Executed here over the bounded frame — same semantics, empty
+    // initial state — so the oracle replays the full batch equivalent:
+    // q22's signature algebra, band candidates, component agreement.
+    // Incremental state continuity is certified in StreamingDedupSpec
+    Q("q95_stream_lsh_dedup", Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS s
+        FROM documents, LATERAL (
+          SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t),
+      h AS (SELECT doc_id, ${hash32Sql("s")} AS h1, ${hash32Sql("'x|' || s")} AS h2 FROM sh),
+      sig AS (
+        SELECT doc_id,
+          ${(0 until 8).map(i => s"MIN((h1 + $i * h2) % 4294967296) AS mh$i").mkString(",\n          ")}
+        FROM h GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, '0_' || ${(0 to 3).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")} AS bk FROM sig
+        UNION ALL
+        SELECT doc_id, '1_' || ${(4 to 7).map(i => s"CAST(mh$i AS VARCHAR)").mkString(" || '_' || ")} AS bk FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+      agr AS (
+        SELECT c.id_a, c.id_b,
+          (${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) AS n_agree
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b)
+      SELECT id_a, id_b, CAST(n_agree AS INT) AS n_agree,
+        CAST(n_agree AS DOUBLE) / 8.0 AS est_jaccard
+      FROM agr WHERE n_agree >= 4 ORDER BY id_a, id_b"""),
+      (s, d) => graft.streaming.StreamingDedup.lshDupPairsStream(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, numBands = 2, shingleK = 5, minAgree = 4)
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b"))
   )
 }
