@@ -599,8 +599,6 @@ object TextAnalysis {
                      * `n_tokens` then counts that tier's scoring units
                      * (tokens / bigram / trigram positions). */
                    tier: String = "unigram"): DataFrame = {
-    val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
     val scoredTier = tier match {
       case "unigram" => unigramQuality(df, idCol, textCol, vocabSize)
         .select(col("id"), col("n_tokens"), col("avg_logp"))
@@ -611,7 +609,19 @@ object TextAnalysis {
       case other => throw new IllegalArgumentException(
         s"unknown LM tier '$other' (supported: unigram, bigram, trigram)")
     }
+    ccnetBucketsFromScores(scoredTier)
+  }
+
+  /** [[ccnetBuckets]]'s ranking half over a PRECOMPUTED scoring frame
+    * (id, n_tokens, avg_logp) — the LM tier is a deterministic
+    * build-once artifact, so a caller running both the quality query
+    * and the bucket query should score once and feed the cached frame
+    * here instead of paying the n-gram joins twice. */
+  def ccnetBucketsFromScores(scoredTier: DataFrame): DataFrame = {
+    val spark = scoredTier.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
     val scored = scoredTier
+      .select(col("id"), col("n_tokens"), col("avg_logp"))
       .select(col("id"), col("n_tokens"),
         round(col("avg_logp"), 6).as("lm_key"))
       .materializeOnce(eager = false) // range sampling + shuffle passes

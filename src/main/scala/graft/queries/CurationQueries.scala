@@ -20,6 +20,20 @@ object CurationQueries {
   private val stopwordsSql = graft.functions.TextFunctions.stopWordsSql
   private val hash32Sql = (e: String) => s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
+  /** q87/q88 share ONE trigram-LM scoring pass per dir: the tier is a
+    * deterministic build-once artifact (pure counting, no seed), so the
+    * bucket query replays the pinned rows instead of paying the n-gram
+    * count/context joins twice (the bpeCache contract — one session per
+    * JVM owns a dir's frames). */
+  private val trigramCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.DataFrame]
+  private def cachedTrigramQuality(s: org.apache.spark.sql.SparkSession,
+                                   d: String) =
+    trigramCache.getOrElseUpdate(d,
+      TextAnalysis.trigramQuality(Tables.documents(s, d), "doc_id", "text",
+        lambda3 = 0.6, lambda2 = 0.3)
+        .materializeOnce(eager = false))
+
   val all: Seq[Q] = Seq(
 
     // decontamination: train docs sharing any word 5-gram with the eval
@@ -899,8 +913,7 @@ object CurationQueries {
         round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""),
-      (s, d) => TextAnalysis.trigramQuality(Tables.documents(s, d),
-          "doc_id", "text", lambda3 = 0.6, lambda2 = 0.3)
+      (s, d) => cachedTrigramQuality(s, d)
         .select(col("id").as("doc_id"), col("n_trigrams"),
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
@@ -955,8 +968,10 @@ object CurationQueries {
              WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM r ORDER BY doc_id"""),
-      (s, d) => TextAnalysis.ccnetBuckets(Tables.documents(s, d),
-          "doc_id", "text", tier = "trigram")
+      (s, d) => TextAnalysis.ccnetBucketsFromScores(
+          cachedTrigramQuality(s, d)
+            .select(col("id"), col("n_trigrams").as("n_tokens"),
+              col("avg_logp")))
         .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
           col("rank"), col("bucket"))
         .orderBy("doc_id")),
