@@ -75,6 +75,47 @@ object Mixture {
         .cast("long").as("alloc_tokens"))
   }
 
+  /** TEMPERATURE-based allocation — the pre-UniMax standard (mBERT's
+    * exponential smoothing, mT5/XLM-R's p_l ∝ c_l^(1/T)): each key's
+    * budget share is its token share raised to 1/T and renormalized.
+    * T = 1 reproduces proportional-to-size sampling; T → ∞ approaches
+    * uniform. Unlike [[unimaxAllocation]] there is NO epoch cap — the
+    * known failure mode (a tiny language allocated more tokens than it
+    * has gets over-epoched) is the caller's to bound, and exactly what
+    * UniMax was proposed to fix; both live here so a mix pipeline can
+    * A/B them behind one admission step.
+    *
+    * Cross-engine parity: shares are computed in double (`pow`, one
+    * div) and floored to long tokens — the same floor-boundary
+    * discipline as q75's Efraimidis-Spirakis keys; the residual 1-ulp
+    * `pow` freedom sits away from floor boundaries for any real corpus.
+    *
+    * @return (keyCol, avail_tokens, alloc_tokens) like
+    *         [[unimaxAllocation]]; allocations sum to <= budget
+    */
+  def temperatureAllocation(perKey: DataFrame, keyCol: String,
+                            tokensCol: String, budget: Long,
+                            temperature: Double): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val base = perKey.select(col(keyCol),
+      col(tokensCol).cast("long").as("avail_tokens"))
+      .withColumn("__w",
+        pow(col("avail_tokens").cast("double"), lit(1.0 / temperature)))
+    // normalizer via an ORDERED unbounded window: Spark folds the frame
+    // in the (weight, key) sort order, so the double total is a fixed
+    // sequential left fold — the oracle replays it with DuckDB's
+    // list(... ORDER BY ...) fold (the q27 centroid discipline), making
+    // the sum bit-reproducible across engines and partitionings
+    val ord = Window.orderBy(col("__w").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base
+      .withColumn("__z", sum(col("__w")).over(ord))
+      .select(col(keyCol), col("avail_tokens"),
+        floor(lit(budget.toDouble) * col("__w") / col("__z"))
+          .cast("long").as("alloc_tokens"))
+  }
+
   /** UniMax-budgeted corpus selection: allocate `budget` over the
     * distinct values of `keyCol` with [[unimaxAllocation]], then admit
     * rows per key in `order` while the key's running `tokensCol` total
@@ -88,11 +129,26 @@ object Mixture {
     */
   def unimaxSample(df: DataFrame, keyCol: String, tokensCol: String,
                    order: Seq[Column], budget: Long,
-                   maxEpochs: Double): DataFrame = {
+                   maxEpochs: Double): DataFrame =
+    sampleWithAllocation(df, keyCol, tokensCol, order,
+      (perKey: DataFrame) =>
+        unimaxAllocation(perKey, keyCol, "__avail", budget, maxEpochs))
+
+  /** [[unimaxSample]]'s temperature-allocation sibling. */
+  def temperatureSample(df: DataFrame, keyCol: String, tokensCol: String,
+                        order: Seq[Column], budget: Long,
+                        temperature: Double): DataFrame =
+    sampleWithAllocation(df, keyCol, tokensCol, order,
+      (perKey: DataFrame) =>
+        temperatureAllocation(perKey, keyCol, "__avail", budget, temperature))
+
+  private def sampleWithAllocation(df: DataFrame, keyCol: String,
+                                   tokensCol: String, order: Seq[Column],
+                                   allocate: DataFrame => DataFrame)
+      : DataFrame = {
     val perKey = df.groupBy(col(keyCol))
       .agg(sum(col(tokensCol).cast("long")).as("__avail"))
-    val alloc = unimaxAllocation(perKey, keyCol, "__avail", budget, maxEpochs)
-      .select(col(keyCol), col("alloc_tokens"))
+    val alloc = allocate(perKey).select(col(keyCol), col("alloc_tokens"))
     val withBudget = df.join(broadcast(alloc), Seq(keyCol))
     Quota.perKeyTokenBudgets(withBudget, Seq(keyCol), order, tokensCol,
       budgetCol = "alloc_tokens")

@@ -432,6 +432,51 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"), col("ws_tokens"),
             col("alloc_tokens"), col("cum_tokens"))
           .orderBy("doc_id")
+      }),
+
+    // Temperature sampling (q93's pre-UniMax standard counterpart,
+    // mT5/XLM-R's p ∝ c^(1/T)): shares at T = 2 over source token
+    // counts, no epoch cap, same deterministic hash-order admission.
+    // The double normalizer is a SEQUENTIAL fold in (weight, key)
+    // order on both engines — Spark's ordered unbounded window vs
+    // DuckDB's list(... ORDER BY ...) dot-product fold (q27 precedent)
+    Q("q96_temperature_mix", Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(${toksRawSql("text")}) AS BIGINT) AS ws_tokens
+        FROM documents),
+      k AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS avail
+            FROM t GROUP BY source),
+      w AS (SELECT source, avail,
+              pow(CAST(avail AS DOUBLE), 0.5) AS wgt FROM k),
+      z AS (SELECT list_dot_product(
+              list(wgt ORDER BY wgt, source),
+              list_transform(list(wgt ORDER BY wgt, source), x -> 1.0)) AS zz
+            FROM w),
+      alloc AS (
+        SELECT source,
+          CAST(floor(18000.0 * wgt / zz) AS BIGINT) AS alloc_tokens
+        FROM w, z),
+      sel AS (
+        SELECT t.doc_id, t.source, t.ws_tokens, a.alloc_tokens,
+          CAST(sum(t.ws_tokens) OVER (PARTITION BY t.source
+            ORDER BY CAST('0x' || substr(md5('0|' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+              t.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM t JOIN alloc a USING (source))
+      SELECT doc_id, source, ws_tokens, alloc_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= alloc_tokens ORDER BY doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.wordCount(col("text"))
+            .cast("long").as("ws_tokens"))
+        graft.operators.Mixture.temperatureSample(docs, "source", "ws_tokens",
+          order = Seq(Sampling.trainOrder(col("doc_id")).asc,
+            col("doc_id").asc),
+          budget = 18000L, temperature = 2.0)
+          .select(col("doc_id"), col("source"), col("ws_tokens"),
+            col("alloc_tokens"), col("cum_tokens"))
+          .orderBy("doc_id")
       })
   )
 }

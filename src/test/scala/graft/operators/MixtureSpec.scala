@@ -97,6 +97,57 @@ class MixtureSpec extends SparkSpec {
     assert(out.select("id").collect().map(_.getLong(0)).toSet === expect)
   }
 
+  test("temperatureAllocation matches a driver-side ordered-fold replica") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      val avail = (0 until 9).map(i => s"k$i" -> (1L + rnd.nextInt(8000)))
+      val budget = 5000L + rnd.nextInt(30000)
+      val temp = Seq(1.0, 2.0, 5.0, 100.0)(trial - 1)
+      val got = Mixture.temperatureAllocation(
+        avail.toDF("key", "toks"), "key", "toks", budget, temp)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      // replica: weights summed as a sequential fold in (w, key) order —
+      // the exact accumulation the ordered unbounded window performs
+      val w = avail.map { case (k, a) => k -> math.pow(a.toDouble, 1.0 / temp) }
+      val z = w.sortBy { case (k, x) => (x, k) }
+        .foldLeft(0.0) { case (acc, (_, x)) => acc + x }
+      val want = w.map { case (k, x) =>
+        k -> math.floor(budget.toDouble * x / z).toLong
+      }.toMap
+      assert(got === want, s"trial $trial budget=$budget T=$temp")
+    }
+  }
+
+  test("temperatureAllocation: T=1 is proportional, high T approaches uniform") {
+    val avail = Seq(("a", 100L), ("b", 900L))
+    val t1 = Mixture.temperatureAllocation(
+      avail.toDF("key", "toks"), "key", "toks", budget = 1000L, 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t1("a") === 100L && t1("b") === 900L)
+    val t100 = Mixture.temperatureAllocation(
+      avail.toDF("key", "toks"), "key", "toks", budget = 1000L, 100.0)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(t100("a") >= 480L && t100("b") <= 520L) // near-uniform split
+  }
+
+  test("temperatureSample admits within each key's temperature budget") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 500).map { i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", 1L + rnd.nextInt(150))
+    }
+    val df = rows.toDF("id", "src", "toks").repartition(5)
+    val out = Mixture.temperatureSample(df, "src", "toks",
+      order = Seq(Sampling.trainOrder(col("id")).asc, col("id").asc),
+      budget = 12000L, temperature = 2.0)
+    val perKey = out.groupBy("src")
+      .agg(max("cum_tokens").as("used"), max("alloc_tokens").as("alloc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perKey.nonEmpty)
+    perKey.foreach { case (k, used, alloc) =>
+      assert(used <= alloc, s"key $k used $used > alloc $alloc")
+    }
+  }
+
   test("perKeyTokenBudgets: NULL-budget keys drop; matches window replica") {
     val df = Seq(
       (1L, "a", 10L, java.lang.Long.valueOf(25L)),
