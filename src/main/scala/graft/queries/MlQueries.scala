@@ -694,8 +694,65 @@ object MlQueries {
           lit("image").as("modality"),
           encode(col("text"), "utf-8").as("bytes"))
         Multimodal.histogramDedup(media, mode = "cell").orderBy("media_id")
-      })
+      }),
+
+    // Model-based quality classifier (round 12, the GPT-3-style LR
+    // filter — closing COVERAGE's "model-based classifiers" boundary
+    // in-engine): MLlib logistic regression over DSIR's hashed
+    // unigram+bigram count features, lang='en' as the target label.
+    // Only the FIT is not SQL; scoring replays the fitted coefficients
+    // as a 1024-row VALUES literal table with a bucket-ordered
+    // list fold (bit-identical dot product), sigmoid rounded 6dp
+    Q("q97_lr_quality", lrOracle,
+      (s, d) => graft.operators.QualityClassifier.score(
+        Tables.documents(s, d), "doc_id", "text", cachedLr(s, d))
+        .select(col("id").as("doc_id"), col("n_grams"),
+          round(col("score"), 6).as("score"))
+        .orderBy("doc_id"))
   )
+
+  /** q97's LR fit, once per (JVM, dataset) — the q50 cached-fit
+    * contract: the oracle's coefficient literals come from the SAME fit
+    * the query scored with, so L-BFGS's run-to-run float freedom can
+    * never split the two sides. */
+  private val lrCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.QualityClassifier.LrQualityModel]
+  private def cachedLr(s: org.apache.spark.sql.SparkSession, d: String) =
+    lrCache.getOrElseUpdate(d,
+      graft.operators.QualityClassifier.train(Tables.documents(s, d),
+        "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024))
+  /** Fitted coefficients as oracle literals — Some only after exactly
+    * one fit ran in this JVM ([[centroidValues]] contract). */
+  private def lrOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      val wvals = m.weights.zipWithIndex
+        .map { case (w, b) => s"($b, ${w}::DOUBLE)" }.mkString(", ")
+      Some(s"""
+      WITH wt(b, w) AS (SELECT * FROM (VALUES $wvals)),
+      g AS (
+        SELECT doc_id,
+          list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gs
+        FROM (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      e AS (SELECT doc_id, unnest(gs) AS gr FROM g),
+      pd AS (SELECT doc_id,
+               CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT) % ${m.buckets} AS b,
+               CAST(count(*) AS BIGINT) AS n
+             FROM e GROUP BY 1, 2),
+      z AS (SELECT pd.doc_id, CAST(sum(pd.n) AS BIGINT) AS n_grams,
+              list_dot_product(
+                list(CAST(pd.n AS DOUBLE) * wt.w ORDER BY pd.b),
+                list_transform(list(wt.w ORDER BY pd.b), x -> 1.0)) AS dot
+            FROM pd JOIN wt ON wt.b = pd.b GROUP BY pd.doc_id)
+      SELECT d.doc_id, CAST(coalesce(z.n_grams, 0) AS BIGINT) AS n_grams,
+        round(1.0 / (1.0 + exp(-(${m.intercept}::DOUBLE + coalesce(z.dot, 0.0)))), 6) AS score
+      FROM documents d LEFT JOIN z USING (doc_id)
+      ORDER BY d.doc_id""")
+    }
+  }
 
   /** BPE merge tables are deterministic build-once artifacts (seeded by
     * nothing — pure argmax with total tie-break), cached per dir. */
