@@ -37,4 +37,39 @@ object RangeJoin {
       .filter(col(rTs) > col(lTs) - windowTicks && col(rTs) <= col(lTs))
       .drop("__band")
   }
+
+  /** INTERVAL-OVERLAP join: pair left/right rows on equal `keys` whose
+    * [start, end] ranges (inclusive, epoch longs) intersect —
+    * `lStart <= rEnd && rStart <= lEnd`. The range-range generalization
+    * of [[trailingWindowPairs]]' point-in-range shape.
+    *
+    * Both sides explode to every `bandTicks`-sized band their interval
+    * covers (`len/band + 1` rows each — bounded by interval length, a
+    * pipeline constant) and equi-join on (keys, band). DEDUP-FREE by
+    * construction: an overlapping pair is kept only in its FIRST shared
+    * band — `floor(max(starts)/band)`, which both intervals provably
+    * cover when they overlap — so no post-join `distinct` shuffles the
+    * pair stream. Per-key cross products never form; blowup is band
+    * occupancy, the interval-join strategy streaming engines use.
+    *
+    * Rows with NULL bounds or end < start cannot overlap anything and
+    * are dropped. Column names must be disjoint across inputs. */
+  def intervalOverlapPairs(left: DataFrame, right: DataFrame,
+                           keys: Seq[String],
+                           lStart: String, lEnd: String,
+                           rStart: String, rEnd: String,
+                           bandTicks: Long): DataFrame = {
+    require(bandTicks > 0, s"bandTicks must be positive: $bandTicks")
+    def banded(df: DataFrame, s: String, e: String) =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(e) >= col(s))
+        .withColumn("__band",
+          explode(sequence(expr(s"$s div $bandTicks"),
+            expr(s"$e div $bandTicks"))))
+    banded(left, lStart, lEnd)
+      .join(banded(right, rStart, rEnd), keys :+ "__band")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__band") === greatest(expr(s"$lStart div $bandTicks"),
+          expr(s"$rStart div $bandTicks")))
+      .drop("__band")
+  }
 }

@@ -477,6 +477,42 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"), col("ws_tokens"),
             col("alloc_tokens"), col("cum_tokens"))
           .orderBy("doc_id")
+      }),
+
+    // interval-overlap join (round 12, q47's range-range
+    // generalization): 6h error-impact windows × 1h click-activity
+    // windows per user, banded to 1h buckets with first-shared-band
+    // pair emission — a pure equi-join, NO post-join distinct, never a
+    // per-key cross product. The oracle runs the naive inequality join;
+    // integer microsecond arithmetic end to end
+    Q("q98_interval_overlap", Some("""
+      WITH err AS (
+        SELECT event_id AS error_id, user_id, epoch_us(ts) AS es,
+          epoch_us(ts) + 21600000000 AS ee
+        FROM events WHERE event_type = 'error'),
+      clk AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS cs,
+          epoch_us(ts) + 3600000000 AS ce
+        FROM events WHERE event_type = 'click')
+      SELECT a.user_id, error_id, click_id,
+        CAST(least(a.ee, b.ce) - greatest(a.es, b.cs) AS BIGINT) AS overlap_us
+      FROM err a JOIN clk b ON a.user_id = b.user_id
+        AND a.es <= b.ce AND b.cs <= a.ee
+      ORDER BY error_id, click_id"""),
+      (s, d) => {
+        val ev = eventsMicros(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("tus").as("es"), (col("tus") + 21600000000L).as("ee"))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("tus").as("cs"), (col("tus") + 3600000000L).as("ce"))
+        RangeJoin.intervalOverlapPairs(err, clk, Seq("user_id"),
+          "es", "ee", "cs", "ce", bandTicks = 3600000000L)
+          .select(col("user_id"), col("error_id"), col("click_id"),
+            (least(col("ee"), col("ce")) - greatest(col("es"), col("cs")))
+              .as("overlap_us"))
+          .orderBy("error_id", "click_id")
       })
   )
 }

@@ -173,6 +173,47 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- RangeJoin ----
 
+  test("intervalOverlapPairs == naive inequality join on random intervals") {
+    val rnd = new scala.util.Random(31)
+    val ls = (1 to 300).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, (rnd.nextInt(4) + 1).toLong, s, s + rnd.nextInt(700))
+    }
+    val rs = (1 to 300).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (1000L + i, (rnd.nextInt(4) + 1).toLong, s, s + rnd.nextInt(300))
+    }
+    val l = ls.toDF("lid", "k", "ls", "le").repartition(7)
+    val r = rs.toDF("rid", "k", "rs_", "re").repartition(5)
+    for (band <- Seq(64L, 250L, 5000L)) {
+      val got = RangeJoin.intervalOverlapPairs(l, r, Seq("k"),
+        "ls", "le", "rs_", "re", bandTicks = band)
+        .select("lid", "rid").collect()
+        .map(x => (x.getLong(0), x.getLong(1)))
+      val want = ls.flatMap { case (lid, lk, s1, e1) =>
+        rs.collect { case (rid, rk, s2, e2)
+          if lk == rk && s1 <= e2 && s2 <= e1 => (lid, rid) }
+      }
+      // exact multiset equality: the first-shared-band rule must emit
+      // each overlapping pair EXACTLY once, with no distinct stage
+      assert(got.sorted.toSeq === want.sorted.toSeq, s"band=$band")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("intervalOverlapPairs: boundary touch counts, disjoint/invalid rows drop") {
+    val l = Seq((1L, "k", 0L, 10L), (2L, "k", 50L, 40L)) // row 2 invalid
+      .toDF("lid", "k", "ls", "le")
+    val r = Seq((10L, "k", 10L, 20L),   // touches at 10 -> overlap
+                (11L, "k", 11L, 20L),   // disjoint
+                (12L, "k", 45L, 60L))   // would only match invalid row 2
+      .toDF("rid", "k", "rs_", "re")
+    val got = RangeJoin.intervalOverlapPairs(l, r, Seq("k"),
+      "ls", "le", "rs_", "re", bandTicks = 7L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("banded range join == naive inequality join, including band boundaries") {
     val left = (0 until 60).map(i => (i.toLong % 3, i * 37L % 500, i.toLong))
       .toDF("k", "lts", "lid")
