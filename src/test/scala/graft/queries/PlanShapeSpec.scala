@@ -297,4 +297,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "pair generation must go through the grid equi-join:\n" + p)
   }
+
+  test("q92: eval embeddings broadcast — the train×eval loop is the deliberate BNLJ") {
+    val df = SparkEntry.queries("q92_semantic_decontamination")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the broadcast nested loop IS the design (benchmark-sized eval
+    // block against every train row); a CartesianProduct — both sides
+    // shuffled — is the failure mode
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), "eval side must broadcast:\n" + p)
+  }
+
+  test("q94: heavy-hitter verify is a broadcast semi-join before the count shuffle") {
+    val df = SparkEntry.queries("q94_heavy_bigrams")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "candidates must broadcast into the verify semi-join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q95: streaming LSH plans through stateful groups, equi-join-free") {
+    val df = SparkEntry.queries("q95_stream_lsh_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // batch execution compiles flatMapGroupsWithState to MapGroups;
+    // a live stream plans FlatMapGroupsWithStateExec — either proves
+    // the pairs come from grouped state, not a join
+    assert(p.contains("MapGroups") || p.contains("FlatMapGroupsWithState"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "pairs must come from bucket state, not a join:\n" + p)
+  }
+
+  test("q98: interval overlap is an equi-join on bands, never a cross product") {
+    val df = SparkEntry.queries("q98_interval_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "range×range must band to an equi-join:\n" + p)
+  }
 }
