@@ -708,7 +708,40 @@ object MlQueries {
         Tables.documents(s, d), "doc_id", "text", cachedLr(s, d))
         .select(col("id").as("doc_id"), col("n_grams"),
           round(col("score"), 6).as("score"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Curation v4 (round-12 composition): LR quality gate (q97's
+    // fitted model, score >= 0.5) → exact-dedup canonical keep →
+    // UniMax token budget over the SURVIVORS — the allocation sees
+    // only gated, deduped availability, which is the stage interaction
+    // no single-stage query certifies. The gate compare runs on the
+    // full-precision score (sigmoid is monotone; the underlying z is
+    // a bit-exact ordered fold, so the 0.5 boundary is the 1-ulp exp
+    // freedom only)
+    Q("q99_curation_v4", lrV4Oracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val kept = graft.operators.QualityClassifier.score(
+            docs, "doc_id", "text", m)
+          .filter(col("score") >= 0.5).select(col("id").as("doc_id"))
+        // stage boundary with two consumers (fingerprints + survivors)
+        val gated = docs.join(kept, Seq("doc_id"), "left_semi")
+          .materializeOnce(eager = false)
+        val canonical = TextAnalysis.fingerprints(gated, "doc_id", "text")
+          .groupBy("fp").agg(min(col("id")).as("doc_id")).select("doc_id")
+        val base = gated.join(canonical, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextFunctions.wordCount(col("text"))
+              .cast("long").as("ws_tokens"))
+        graft.operators.Mixture.unimaxSample(base, "source", "ws_tokens",
+          order = Seq(Sampling.trainOrder(col("doc_id")).asc,
+            col("doc_id").asc),
+          budget = 6000L, maxEpochs = 1.0)
+          .select(col("doc_id"), col("source"), col("ws_tokens"),
+            col("alloc_tokens"), col("cum_tokens"))
+          .orderBy("doc_id")
+      })
   )
 
   /** q97's LR fit, once per (JVM, dataset) — the q50 cached-fit
@@ -721,16 +754,14 @@ object MlQueries {
     lrCache.getOrElseUpdate(d,
       graft.operators.QualityClassifier.train(Tables.documents(s, d),
         "doc_id", "text", isTarget = col("lang") === "en", buckets = 1024))
-  /** Fitted coefficients as oracle literals — Some only after exactly
-    * one fit ran in this JVM ([[centroidValues]] contract). */
-  private def lrOracle: Option[String] = {
-    val fits = lrCache.snapshot().toSeq
-    if (fits.size != 1) None else {
-      val m = fits.head._2
-      val wvals = m.weights.zipWithIndex
-        .map { case (w, b) => s"($b, ${w}::DOUBLE)" }.mkString(", ")
-      Some(s"""
-      WITH wt(b, w) AS (SELECT * FROM (VALUES $wvals)),
+  /** The q97 scoring pipeline as shared WITH-clause fragments
+    * (weight literals → gram explode → bucket counts → ordered-fold
+    * dot), reused verbatim by the q99 composition. */
+  private def lrScoreCtes(m: graft.operators.QualityClassifier.LrQualityModel)
+      : String = {
+    val wvals = m.weights.zipWithIndex
+      .map { case (w, b) => s"($b, ${w}::DOUBLE)" }.mkString(", ")
+    s"""wt(b, w) AS (SELECT * FROM (VALUES $wvals)),
       g AS (
         SELECT doc_id,
           list_concat(t, [t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS gs
@@ -746,11 +777,69 @@ object MlQueries {
               list_dot_product(
                 list(CAST(pd.n AS DOUBLE) * wt.w ORDER BY pd.b),
                 list_transform(list(wt.w ORDER BY pd.b), x -> 1.0)) AS dot
-            FROM pd JOIN wt ON wt.b = pd.b GROUP BY pd.doc_id)
-      SELECT d.doc_id, CAST(coalesce(z.n_grams, 0) AS BIGINT) AS n_grams,
-        round(1.0 / (1.0 + exp(-(${m.intercept}::DOUBLE + coalesce(z.dot, 0.0)))), 6) AS score
-      FROM documents d LEFT JOIN z USING (doc_id)
-      ORDER BY d.doc_id""")
+            FROM pd JOIN wt ON wt.b = pd.b GROUP BY pd.doc_id),
+      sc AS (SELECT d.doc_id, CAST(coalesce(z.n_grams, 0) AS BIGINT) AS n_grams,
+               1.0 / (1.0 + exp(-(${m.intercept}::DOUBLE + coalesce(z.dot, 0.0)))) AS score
+             FROM documents d LEFT JOIN z USING (doc_id))"""
+  }
+
+  /** Fitted coefficients as oracle literals — Some only after exactly
+    * one fit ran in this JVM ([[centroidValues]] contract). */
+  private def lrOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)}
+      SELECT doc_id, n_grams, round(score, 6) AS score
+      FROM sc ORDER BY doc_id""")
+    }
+  }
+
+  /** q99's composed oracle: the q97 scoring fragments, then the gate,
+    * canonical-dedup, and UniMax allocation/admission over survivors
+    * (q93's closed-form SQL restated per stage). */
+  private def lrV4Oracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)},
+      gate AS (SELECT doc_id FROM sc WHERE score >= 0.5),
+      fp AS (
+        SELECT d.doc_id, md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS f
+        FROM documents d JOIN gate USING (doc_id)),
+      canon AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+      tkn AS (
+        SELECT d.doc_id, d.source,
+          CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM canon)),
+      k AS (SELECT source, CAST(sum(ws_tokens) AS BIGINT) AS avail
+            FROM tkn GROUP BY source),
+      c AS (SELECT source, CAST(avail AS DOUBLE) * 1.0 AS cap FROM k),
+      wdw AS (
+        SELECT source, cap,
+          row_number() OVER (ORDER BY cap, source) AS rn,
+          coalesce(sum(cap) OVER (ORDER BY cap, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          count(*) OVER () AS n
+        FROM c),
+      f AS (SELECT max((6000.0 - pre) / CAST(n - rn + 1 AS DOUBLE)) AS fstar
+            FROM wdw),
+      alloc AS (
+        SELECT source,
+          CAST(floor(least(cap, greatest(fstar, 0.0))) AS BIGINT) AS alloc_tokens
+        FROM wdw, f),
+      sel AS (
+        SELECT tkn.doc_id, tkn.source, tkn.ws_tokens, a.alloc_tokens,
+          CAST(sum(tkn.ws_tokens) OVER (PARTITION BY tkn.source
+            ORDER BY CAST('0x' || substr(md5('0|' || CAST(tkn.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+              tkn.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM tkn JOIN alloc a USING (source))
+      SELECT doc_id, source, ws_tokens, alloc_tokens, cum_tokens
+      FROM sel WHERE cum_tokens <= alloc_tokens ORDER BY doc_id""")
     }
   }
 
