@@ -617,7 +617,60 @@ object CorpusQueries {
     // q22's signature algebra, band candidates, component agreement.
     // Incremental state continuity is certified in StreamingDedupSpec
     Q("q95_stream_lsh_dedup", Some(s"""
-      WITH sh AS (
+      WITH $streamLshCtes
+      SELECT id_a, id_b, CAST(n_agree AS INT) AS n_agree,
+        CAST(n_agree AS DOUBLE) / 8.0 AS est_jaccard
+      FROM agr WHERE n_agree >= 4 ORDER BY id_a, id_b"""),
+      (s, d) => graft.streaming.StreamingDedup.lshDupPairsStream(
+        Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, numBands = 2, shingleK = 5, minAgree = 4)
+        .dropDuplicates("id_a", "id_b")
+        .orderBy("id_a", "id_b")),
+
+    // Streaming-dedup DECISION path (round 12 composition): the q95
+    // pair stream through connected components to one canonical id per
+    // dup cluster — what a continuous-crawl pipeline actually persists.
+    // Both stages certified (q95 pairs, q56 components); the oracle
+    // replays pairs + recursive-CTE closure over every document
+    Q("q100_stream_dedup_canonical", Some(s"""
+      WITH RECURSIVE $streamLshCtes,
+      pairs AS (SELECT id_a, id_b FROM agr WHERE n_agree >= 4),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      SELECT d.doc_id,
+        CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS canon_id,
+        CAST(CASE WHEN coalesce(cc.component, d.doc_id) <> d.doc_id
+             THEN 1 ELSE 0 END AS INT) AS is_dup
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+      ORDER BY d.doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.streaming.StreamingDedup.lshDupPairsStream(
+          docs, "doc_id", "text",
+          numHashes = 8, numBands = 2, shingleK = 5, minAgree = 4)
+          .dropDuplicates("id_a", "id_b").select("id_a", "id_b")
+        val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+        docs.select("doc_id")
+          .join(cc, docs("doc_id") === cc("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).cast("long")
+              .as("canon_id"),
+            (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
+              .cast("int").as("is_dup"))
+          .orderBy("doc_id")
+      })
+  )
+
+  /** q95's batch-equivalent scoring CTEs (signature algebra → band
+    * candidates → component agreement), shared with the q100
+    * composition. */
+  private def streamLshCtes: String = s"""sh AS (
         SELECT DISTINCT doc_id, substr(lower(text), i, 5) AS s
         FROM documents, LATERAL (
           SELECT unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i) t),
@@ -638,14 +691,5 @@ object CorpusQueries {
           (${(0 until 8).map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")}) AS n_agree
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.id_a
-        JOIN sig sb ON sb.doc_id = c.id_b)
-      SELECT id_a, id_b, CAST(n_agree AS INT) AS n_agree,
-        CAST(n_agree AS DOUBLE) / 8.0 AS est_jaccard
-      FROM agr WHERE n_agree >= 4 ORDER BY id_a, id_b"""),
-      (s, d) => graft.streaming.StreamingDedup.lshDupPairsStream(
-        Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, numBands = 2, shingleK = 5, minAgree = 4)
-        .dropDuplicates("id_a", "id_b")
-        .orderBy("id_a", "id_b"))
-  )
+        JOIN sig sb ON sb.doc_id = c.id_b)"""
 }
