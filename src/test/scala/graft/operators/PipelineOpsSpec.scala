@@ -156,7 +156,8 @@ class PipelineOpsSpec extends SparkSpec {
     // return would mislabel every node >1 hop from the minimum
     val chain = (0L until 100L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
-      Components.connectedComponents(chain, "a", "b", maxIter = 1)
+      Components.connectedComponents(chain, "a", "b", maxIter = 1,
+        localEdgeThreshold = 0L) // force the iterative path under test
     }
   }
 
@@ -165,10 +166,32 @@ class PipelineOpsSpec extends SparkSpec {
     // ~log n rounds on a chain, where min-label propagation needs n —
     // the shape that breaks naive dedup clustering on crawl mirrors
     val chain = (0L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(chain, "a", "b")
+    val got = Components.connectedComponents(chain, "a", "b",
+        localEdgeThreshold = 0L) // force the iterative path under test
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === 1001)
     assert(got.forall(_._2 === 0L))
+  }
+
+  test("connectedComponents: local union-find path ≡ iterative star path") {
+    val rnd = new scala.util.Random(97)
+    for (trial <- 1 to 3) {
+      val edges = (0 until 400)
+        .map(_ => (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("a", "b").repartition(5)
+      val local = Components.connectedComponents(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val iterative = Components.connectedComponents(df, "a", "b",
+          localEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local === iterative, s"trial $trial")
+    }
+    // non-long ids always take the iterative path (ordering semantics)
+    val sdf = Seq(("b", "a"), ("c", "b")).toDF("a", "b")
+    val sGot = Components.connectedComponents(sdf, "a", "b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGot === Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
   // ---- RangeJoin ----
