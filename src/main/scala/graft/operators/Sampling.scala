@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFunctions.portableHash32
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.util.Materialize.MatOps
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and splitting.
@@ -85,6 +87,84 @@ object Sampling {
       .withColumn("es_key", esKey)
       .orderBy(col("es_key").desc, key.asc)
       .limit(k)
+  }
+
+  /** EXACT-proportion stratified split: within every stratum, rows are
+    * ranked by a deterministic hash order and cut at
+    * `floor(cumFraction × n_stratum)` boundaries — each stratum
+    * contributes its exact share to every split (the guarantee
+    * [[splitByHash]]'s per-row bucketing only approaches in
+    * expectation, which matters when small strata must all appear in a
+    * small validation set). The hash order makes the assignment
+    * identical on every run, engine, and cluster size.
+    *
+    * Scale shape is [[ImportanceSampling.resampleTop]]'s distributed
+    * prefix-rank generalized per stratum — NOT a per-stratum Window
+    * (one partition per stratum dies on a 100 TB corpus with a handful
+    * of sources): range-partition on (stratum, ord), per-partition
+    * per-stratum counts prefix-scanned into rank offsets (driver
+    * metadata, ≤ partitions + strata rows), then one map-only pass
+    * labels each row from its running in-stratum rank.
+    *
+    * `fractions` are (label, fraction) pairs summing to 1; the last
+    * label absorbs the floor remainders. Output: input columns +
+    * `ss_ord` (the hash key), `ss_rank` (1-based in-stratum rank), and
+    * `split`. The stratum column must be a string. */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+                      fractions: Seq[(String, Double)],
+                      seed: Int = 0): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive, got $fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    // materialize before repartitionByRange: its range-boundary sampling
+    // job would otherwise recompute the caller's lineage one extra time
+    val w0 = df.withColumn("ss_ord",
+        portableHash32(concat(lit(s"ss$seed|"), col(idCol).cast("string"))))
+      .materializeOnce(eager = false)
+    val ordered = w0
+      .repartitionByRange(parts, col(strataCol), col("ss_ord"), col(idCol))
+      .sortWithinPartitions(col(strataCol), col("ss_ord"), col(idCol))
+      .materializeOnce(eager = false) // both passes must see the same split
+    val strataIdx = ordered.schema.fieldIndex(strataCol)
+    val counts = ordered
+      .select(spark_partition_id().as("__pid"), col(strataCol).as("__s"))
+      .groupBy("__pid", "__s").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val strata = counts.keys.map(_._2).toSeq.distinct
+    val totals = strata.map(s =>
+      s -> (0 until parts).map(p => counts.getOrElse((p, s), 0L)).sum).toMap
+    val offsets = (for { s <- strata; p <- 0 until parts } yield
+      (p, s) -> (0 until p).map(q => counts.getOrElse((q, s), 0L)).sum).toMap
+    // cut_j = floor(cumFrac_j * n); the last cut is pinned to n so the
+    // final label absorbs every floor remainder
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val names = fractions.map(_._1).toArray
+    val bounds: Map[String, Array[Long]] = totals.map { case (s, n) =>
+      s -> (cum.init.map(f => math.floor(f * n).toLong) :+ n).toArray
+    }
+    val schema = ordered.schema
+      .add("ss_rank", org.apache.spark.sql.types.LongType)
+      .add("split", org.apache.spark.sql.types.StringType)
+    ordered.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var cur: String = null
+      var rank = 0L
+      it.map { row =>
+        val s = row.getString(strataIdx)
+        // rows arrive sorted by (stratum, ord, id): strata are contiguous,
+        // so the running rank restarts from this partition's offset at
+        // each stratum boundary
+        if (s != cur) { cur = s; rank = offsets((pid, s)) }
+        rank += 1
+        val bs = bounds(s)
+        var j = 0
+        while (rank > bs(j)) j += 1
+        Row.fromSeq(row.toSeq :+ rank :+ names(j))
+      }
+    }(Encoders.row(schema))
   }
 
   /** Deterministic global training order: a portable-hash rank keyed by

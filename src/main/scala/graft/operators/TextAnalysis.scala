@@ -290,8 +290,48 @@ object TextAnalysis {
                      k: Int, minCount: Long = 2L,
                      broadcastHot: Boolean = true,
                      hashFamily: String = HashMd5,
-                     keepFirst: Boolean = false): DataFrame = {
-    require(k >= 2, s"substringDedup needs k >= 2, got $k")
+                     keepFirst: Boolean = false): DataFrame =
+    dedupUnitWindows(
+      df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("t")),
+      k, minCount, broadcastHot, hashFamily, keepFirst,
+      keySep = " ", outSep = " ")
+
+  /** Duplicate-span removal over caller-defined UNITS — C4's
+    * "three-sentence span" dedup tier (Raffel et al. 2020 §2.2 remove
+    * every three-sentence span occurring more than once, keeping one
+    * copy). [[substringDedup]] is this operator at word granularity;
+    * here the caller supplies the unit decomposition (sentences, lines,
+    * paragraphs) as an array column, and every k-unit window occurring
+    * ≥ `minCount` times across the corpus is removed via the same
+    * hot-window + interval-merge machinery — including Lee et al.'s
+    * keep-first canonical-copy semantic (`keepFirst = true` is C4's
+    * own "keep one copy"). Window keys join units with \u0001 so unit
+    * boundaries can't alias into inner whitespace. Scale shape
+    * inherited unchanged (one posexplode shuffle + bounded hot set).
+    *
+    * Output: id, n_units, n_dup_units, n_dup_spans, dup_frac,
+    * cleaned_text (kept units in order, joined by `sep`). */
+  def spanDedup(df: DataFrame, idCol: String, unitsOf: Column,
+                k: Int, minCount: Long = 2L,
+                broadcastHot: Boolean = true,
+                hashFamily: String = HashMd5,
+                keepFirst: Boolean = false,
+                sep: String = " "): DataFrame =
+    dedupUnitWindows(df.select(col(idCol).as("id"), unitsOf.as("t")),
+      k, minCount, broadcastHot, hashFamily, keepFirst,
+      keySep = "\u0001", outSep = sep)
+      .withColumnRenamed("n_tokens", "n_units")
+      .withColumnRenamed("n_dup_tokens", "n_dup_units")
+
+  /** Shared core of [[substringDedup]]/[[spanDedup]]: `base` is
+    * (id, t: array<string>) — the unit sequence; windows of k units key
+    * the corpus-wide hot set (joined by `keySep`), kept units emit
+    * joined by `outSep`. */
+  private def dedupUnitWindows(base: DataFrame, k: Int, minCount: Long,
+                               broadcastHot: Boolean, hashFamily: String,
+                               keepFirst: Boolean,
+                               keySep: String, outSep: String): DataFrame = {
+    require(k >= 2, s"substring/span dedup needs k >= 2, got $k")
     def gramKey(c: Column): Column = hashFamily match {
       case HashMd5 => md5(c)
       case HashXxh64 => xxhash64(c).cast("string")
@@ -299,13 +339,12 @@ object TextAnalysis {
         s"unknown hash family '$other' (expected $HashMd5 or $HashXxh64)")
     }
     val kL = lit(k.toLong)
-    val base = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("t"))
     // 1-based gram start positions, mirroring SQL list slicing
     val flat = base
       .select(col("id"), posexplode(
         when(size(col("t")) >= k,
           transform(sequence(lit(1), size(col("t")) - (k - 1)),
-            i => gramKey(concat_ws(" ", slice(col("t"), i, lit(k))))))
+            i => gramKey(concat_ws(keySep, slice(col("t"), i, lit(k))))))
         .otherwise(array().cast("array<string>"))).as(Seq("p0", "h")))
       .select(col("id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
     val hot = flat.groupBy("h").agg(count(lit(1)).as("c"),
@@ -341,7 +380,7 @@ object TextAnalysis {
       (a, x) => a + (x.getField("e") - x.getField("s")))
     // kept text = the gaps between spans plus the tail, in order;
     // spans are sorted + disjoint so every slice length is >= 0
-    val cleanedFromIv = concat_ws(" ", aggregate(
+    val cleanedFromIv = concat_ws(outSep, aggregate(
       col("iv"),
       struct(lit(1L).as("last"), array().cast("array<string>").as("acc")),
       (st, x) => struct(
@@ -361,7 +400,7 @@ object TextAnalysis {
           .otherwise(size(col("iv")).cast("long")).as("n_dup_spans"),
         (coalesce(covered, lit(0L)).cast("double") /
           greatest(size(col("t")), lit(1)).cast("double")).as("dup_frac"),
-        when(col("iv").isNull, concat_ws(" ", col("t")))
+        when(col("iv").isNull, concat_ws(outSep, col("t")))
           .otherwise(cleanedFromIv).as("cleaned_text"))
   }
 
@@ -403,6 +442,69 @@ object TextAnalysis {
         (col("pass_word_count") === 1 && col("pass_word_len") === 1 &&
           col("pass_symbol") === 1 && col("pass_alpha") === 1 &&
           col("pass_stopword") === 1).cast("int"))
+  }
+
+  /** C4 cleaning battery (Raffel et al. 2020 §2.2 — the heuristics that
+    * produced the "Colossal Clean Crawled Corpus"): line-level KEEP
+    * rules followed by document-level DROP rules. This is the standard
+    * first pass of a web-crawl curation pipeline, upstream of
+    * [[gopherRules]] — C4 decides per line, Gopher per document.
+    *
+    * A line survives iff ALL hold:
+    *   - it matches `lineEndRegex` after trimming (C4: ends in a
+    *     terminal punctuation mark — `.` `!` `?` `"`)
+    *   - it has ≥ `minWordsPerLine` words (C4: 3)
+    *   - it contains no `lineDropPatterns` substring, case-insensitive
+    *     (C4: "javascript", the cookie/JS-warning boilerplate tell)
+    * The document survives iff ALL hold (pattern rules evaluated on
+    * the raw text, line budget on the SURVIVING lines — C4's order):
+    *   - ≥ `minLines` surviving lines (C4: 5 sentences)
+    *   - no `docDropPatterns` substring, case-insensitive (C4:
+    *     "lorem ipsum" and the curly brace of leaked source code)
+    *   - no token from `badWords`, case-insensitive exact-token match
+    *     (C4 uses the public "List of Dirty, Naughty, Obscene or
+    *     Otherwise Bad Words"; the list is a parameter — ship yours)
+    *
+    * Shape at scale: pure narrow string/array expressions — map-only,
+    * codegen'd, zero shuffle at any corpus size; fuses into the scan
+    * like [[gopherRules]]. Output: id, n_lines, n_kept, cleaned_text
+    * (surviving lines in order, joined by \n), has_drop_pattern,
+    * has_bad_word, pass_min_lines, keep. */
+  def c4Filters(df: DataFrame, idCol: String, textCol: String,
+                minWordsPerLine: Int = 3, minLines: Int = 5,
+                lineEndRegex: String = "[.!?\"]$",
+                lineDropPatterns: Seq[String] = Seq("javascript"),
+                docDropPatterns: Seq[String] = Seq("lorem ipsum", "{"),
+                badWords: Seq[String] = Seq.empty): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keptArr = filter(lines, l => {
+      val t = trim(l)
+      lineDropPatterns.foldLeft(
+        size(tokens(t)) >= minWordsPerLine && t.rlike(lineEndRegex)) {
+        (acc, p) => acc && !lower(t).contains(p.toLowerCase)
+      }
+    })
+    val lowText = lower(col(textCol))
+    val hasDocPattern = docDropPatterns
+      .map(p => lowText.contains(p.toLowerCase): Column)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // token-exact per LINE (not on the raw text): a newline must be a
+    // word boundary, and [[tokens]] splits on single spaces only
+    val hasBadWord =
+      if (badWords.isEmpty) lit(false)
+      else size(filter(flatten(transform(lines, l => tokens(lower(l)))),
+        w => w.isin(badWords.map(_.toLowerCase): _*))) > 0
+    df.select(
+      col(idCol).as("id"),
+      size(lines).as("n_lines"),
+      size(keptArr).as("n_kept"),
+      array_join(keptArr, "\n").as("cleaned_text"),
+      hasDocPattern.cast("int").as("has_drop_pattern"),
+      hasBadWord.cast("int").as("has_bad_word"))
+      .withColumn("pass_min_lines", (col("n_kept") >= minLines).cast("int"))
+      .withColumn("keep",
+        (col("pass_min_lines") === 1 && col("has_drop_pattern") === 0 &&
+          col("has_bad_word") === 0).cast("int"))
   }
 
   /** CCNet-style unigram LM quality (Wenzek et al. 2020 use a 5-gram

@@ -1018,6 +1018,121 @@ object CurationQueries {
             round(col("max_sim"), 6).as("max_sim"),
             col("nearest_eval"), col("contaminated"))
           .orderBy("vec_id")
+      }),
+
+    // C4 cleaning battery (Raffel et al. 2020 §2.2): line-level keep
+    // rules (terminal pattern + word minimum + boilerplate-pattern
+    // drop) then document-level drops (pattern, bad-word,
+    // min-surviving-lines). The testdata has no newlines or
+    // punctuation, so both engines derive the same line structure
+    // (5-word windows, the q79 discipline) and the terminal-punct rule
+    // runs with a regex that has real signal here ([ernw]$ keeps ~50%
+    // of lines); the C4 defaults are certified in TextAnalysisSpec on
+    // punctuated fixtures. All decisions are integer/string-exact
+    Q("q101_c4_filters", Some(s"""
+      WITH base AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      lines AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS line
+        FROM base, LATERAL (SELECT unnest(range(1, greatest(len(t), 1) + 1, 5)) AS i) u),
+      fl AS (
+        SELECT doc_id, pos, line,
+          CASE WHEN len(list_filter(string_split(line, ' '), x -> x <> '')) >= 5
+                AND regexp_matches(line, '[ernw]$$')
+                AND NOT contains(line, 'slow query') THEN 1 ELSE 0 END AS kept,
+          len(list_filter(string_split(line, ' '), x -> x = 'dup')) AS bad
+        FROM lines),
+      d AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+          CAST(sum(kept) AS BIGINT) AS n_kept,
+          coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE kept = 1),
+                                   chr(10)), '') AS cleaned_text,
+          coalesce(array_to_string(list(line ORDER BY pos), chr(10)), '') AS text_nl,
+          CAST(CASE WHEN sum(bad) > 0 THEN 1 ELSE 0 END AS INT) AS has_bad_word
+        FROM fl GROUP BY doc_id)
+      SELECT doc_id, n_lines, n_kept, cleaned_text,
+        CAST(CASE WHEN contains(text_nl, 'data data') THEN 1 ELSE 0 END AS INT)
+          AS has_drop_pattern,
+        has_bad_word,
+        CAST(CASE WHEN n_kept >= 5 THEN 1 ELSE 0 END AS INT) AS pass_min_lines,
+        CAST(CASE WHEN n_kept >= 5 AND NOT contains(text_nl, 'data data')
+                   AND has_bad_word = 0 THEN 1 ELSE 0 END AS INT) AS keep
+      FROM d ORDER BY doc_id"""),
+      (s, d) => {
+        val words = filter(split(lower(col("text")), " "), x => x =!= "")
+        val lineArr = transform(
+          sequence(lit(1), greatest(size(words), lit(1)), lit(5)),
+          i => array_join(slice(words, i, lit(5)), " "))
+        val withLines = Tables.documents(s, d)
+          .select(col("doc_id"), array_join(lineArr, "\n").as("text_nl"))
+        TextAnalysis.c4Filters(withLines, "doc_id", "text_nl",
+            minWordsPerLine = 5, minLines = 5, lineEndRegex = "[ernw]$",
+            lineDropPatterns = Seq("slow query"),
+            docDropPatterns = Seq("data data"), badWords = Seq("dup"))
+          .select(col("id").as("doc_id"),
+            col("n_lines").cast("long").as("n_lines"),
+            col("n_kept").cast("long").as("n_kept"), col("cleaned_text"),
+            col("has_drop_pattern"), col("has_bad_word"),
+            col("pass_min_lines"), col("keep"))
+          .orderBy("doc_id")
+      }),
+
+    // C4's OTHER dedup tier: remove every duplicated three-SENTENCE
+    // span, keeping one canonical copy (Raffel et al. 2020 §2.2) —
+    // [[TextAnalysis.spanDedup]], the unit-level generalization of the
+    // q82/q83 substring machinery (sentences here are the derived
+    // 3-word lines, q79 discipline; span keys join units by chr(1) so
+    // unit boundaries can't alias into inner spaces). keepFirst=true
+    // is C4's own "keep one copy" semantic. 339 hot spans / 702
+    // occurrences at sf0.01 — real removal work, not a no-op
+    Q("q102_span_dedup", Some(s"""
+      WITH base AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      un AS (
+        SELECT doc_id, [array_to_string(t[i:i+2], ' ')
+                        for i in range(1, greatest(len(t), 1) + 1, 3)] AS u
+        FROM base),
+      fl AS (
+        SELECT doc_id, w.i AS pos, md5(array_to_string(u[w.i:w.i+2], chr(1))) AS h
+        FROM un, LATERAL (SELECT unnest(range(1, greatest(len(u) - 2, 0) + 1)) AS i) w),
+      hot AS (SELECT h, min({'d': doc_id, 'p': pos}) AS canon
+              FROM fl GROUP BY h HAVING count(*) >= 2),
+      hp AS (SELECT fl.doc_id, fl.pos FROM fl JOIN hot USING (h)
+             WHERE NOT (fl.doc_id = hot.canon.d AND fl.pos = hot.canon.p)),
+      br AS (SELECT doc_id, pos,
+               CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -4) + 3
+                    THEN 1 ELSE 0 END AS brk
+             FROM hp),
+      gi AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM br),
+      sp AS (SELECT doc_id, gid, min(pos) AS s, max(pos) + 3 AS e
+             FROM gi GROUP BY doc_id, gid),
+      stt AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_dup_units,
+                CAST(count(*) AS BIGINT) AS n_dup_spans FROM sp GROUP BY doc_id),
+      cov AS (SELECT DISTINCT doc_id, pos + o AS j
+              FROM hp, LATERAL (SELECT unnest(range(0, 3)) AS o) r),
+      cl AS (SELECT doc_id, list(j) AS js FROM cov GROUP BY doc_id)
+      SELECT b.doc_id,
+        CAST(len(b.u) AS BIGINT) AS n_units,
+        CAST(coalesce(stt.n_dup_units, 0) AS BIGINT) AS n_dup_units,
+        CAST(coalesce(stt.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        round(CAST(coalesce(stt.n_dup_units, 0) AS DOUBLE) /
+              CAST(greatest(len(b.u), 1) AS DOUBLE), 6) AS dup_frac,
+        coalesce(array_to_string([b.u[j] for j in range(1, len(b.u) + 1)
+                         if NOT list_contains(coalesce(cl.js, []), j)], ' '), '') AS cleaned_text
+      FROM un b LEFT JOIN stt USING (doc_id) LEFT JOIN cl USING (doc_id)
+      ORDER BY b.doc_id"""),
+      (s, d) => {
+        val words = filter(split(lower(col("text")), " "), x => x =!= "")
+        val unitArr = transform(
+          sequence(lit(1), greatest(size(words), lit(1)), lit(3)),
+          i => array_join(slice(words, i, lit(3)), " "))
+        TextAnalysis.spanDedup(Tables.documents(s, d), "doc_id", unitArr,
+            k = 3, minCount = 2, keepFirst = true)
+          .select(col("id").as("doc_id"), col("n_units"), col("n_dup_units"),
+            col("n_dup_spans"), round(col("dup_frac"), 6).as("dup_frac"),
+            col("cleaned_text"))
+          .orderBy("doc_id")
       })
   )
 }

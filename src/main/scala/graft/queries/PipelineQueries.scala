@@ -513,6 +513,42 @@ object PipelineQueries {
             (least(col("ee"), col("ce")) - greatest(col("es"), col("cs")))
               .as("overlap_us"))
           .orderBy("error_id", "click_id")
-      })
+      }),
+
+    // EXACT-proportion stratified train/val/test split (round 12):
+    // every source contributes floor-exact shares to every split under
+    // a deterministic hash order — the guarantee q39's per-row hash
+    // bucketing only approaches in expectation. Scale shape is the
+    // q77/q85 distributed prefix-rank generalized per stratum (a
+    // per-source Window would be one partition per source at 100 TB).
+    // The floor boundaries are IEEE doubles computed identically in
+    // both engines: the oracle literals below are Scala's own printed
+    // cumulative sums, so 0.8 + 0.1 = 0.9000000000000001 crosses the
+    // boundary bit-for-bit
+    {
+      val c1 = 0.8.toString
+      val c2 = (0.8 + 0.1).toString
+      Q("q103_stratified_split", Some(s"""
+        WITH h AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5('ss0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ss_ord
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, ss_ord,
+            row_number() OVER (PARTITION BY source ORDER BY ss_ord, doc_id) AS rk,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM h)
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS ss_rank,
+          CASE WHEN rk <= floor($c1 * n) THEN 'train'
+               WHEN rk <= floor($c2 * n) THEN 'val'
+               ELSE 'test' END AS split
+        FROM r ORDER BY doc_id"""),
+        (s, d) => Sampling.stratifiedSplit(
+            Tables.documents(s, d).select(col("doc_id"), col("source")),
+            "doc_id", "source",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("source"), col("ss_rank"), col("split"))
+          .orderBy("doc_id"))
+    }
   )
 }
