@@ -258,4 +258,94 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("block", "id_a", "id_b", "jaccard")
   }
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS scheme): hash every POSITIONAL character k-gram, slide a
+    * window of `w` consecutive hashes, and in each window select the
+    * RIGHTMOST minimum (robust winnowing). The distinct selected
+    * (position, hash) pairs are the document's fingerprints, with the
+    * guarantee that any substring match of length ≥ w + k − 1 shares at
+    * least one fingerprint — MinHash's per-document signature can miss
+    * local matches; winnowing's is position-dense, which is why code-
+    * plagiarism and crawl-overlap detectors use it.
+    *
+    * Density is 2/(w+1) of the gram stream — the selection cuts the
+    * posting volume ~w/2× before anything shuffles. Shape at scale:
+    * one map-only projection (the window scan is a per-row HOF fold,
+    * codegen over the hash array) + one explode of the selected set.
+    * Docs shorter than w+k−1 chars still emit (one window over what
+    * exists); docs shorter than k emit nothing.
+    *
+    * Output: (id, pos, fp) — 1-based gram position, unsigned-32 hash. */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, w: Int = 4,
+                           hashFamily: String = graft.functions.TextFunctions.HashMd5)
+      : DataFrame = {
+    require(k >= 2, s"winnowing needs k >= 2, got $k")
+    require(w >= 1, s"winnowing needs w >= 1, got $w")
+    val t = lower(col(textCol))
+    val m = (length(t) - (k - 1)).cast("int")
+    val hashed = df.select(col(idCol).as("id"), m.as("m"),
+      when(m >= 1, transform(sequence(lit(1), greatest(m, lit(1))),
+          i => hash32(t.substr(i, lit(k)), hashFamily)))
+        .otherwise(array().cast("array<long>")).as("h"))
+    // window j covers hashes [j, j+w); rightmost min via <= in the fold
+    val selected = when(col("m") >= 1,
+      array_distinct(transform(
+        sequence(lit(1), greatest(col("m") - (w - 1), lit(1))),
+        j => aggregate(sequence(lit(0), lit(w - 1)),
+          struct(lit(Long.MaxValue).as("v"), lit(0L).as("p")),
+          (st, o) => when((j + o) <= col("m") &&
+              element_at(col("h"), (j + o).cast("int")) <= st.getField("v"),
+            struct(element_at(col("h"), (j + o).cast("int")).as("v"),
+              (j + o).cast("long").as("p")))
+            .otherwise(st)))))
+      .otherwise(array().cast("array<struct<v:bigint,p:bigint>>"))
+    hashed.select(col("id"), explode(selected).as("s"))
+      .select(col("id"), col("s.p").as("pos"), col("s.v").as("fp"))
+  }
+
+  /** Near-duplicate pairs by shared winnowed fingerprints — the
+    * corpus-level use of [[winnowedFingerprints]]: documents sharing at
+    * least `minShared` distinct fingerprint VALUES are emitted with the
+    * Jaccard similarity of their fingerprint sets. Because fingerprints
+    * are position-dense, this catches documents sharing long local
+    * regions (quote farms, mirrored sections) that whole-document
+    * MinHash dilutes below threshold.
+    *
+    * Shape at scale: doc-level distinct fingerprints (map-side
+    * combine), then a self-equi-join on the fingerprint value.
+    * Fingerprints appearing in more than `maxDocFreq` documents are
+    * boilerplate (the hot-set discipline of [[TextAnalysis.lineDedup]])
+    * and are excluded from PAIR GENERATION — the per-value pair fanout
+    * is thus bounded by maxDocFreq²; set sizes for the Jaccard keep the
+    * full sets, so the reported similarity is a lower bound when a hot
+    * fingerprint was dropped (exact when none was). */
+  def winnowingDupPairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                        maxDocFreq: Long = 64L,
+                        hashFamily: String = graft.functions.TextFunctions.HashMd5)
+      : DataFrame = {
+    val fps = winnowedFingerprints(df, idCol, textCol, k, w, hashFamily)
+      .select(col("id"), col("fp")).distinct()
+      .materializeOnce(eager = false) // sizes + both join sides
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("n_fp"))
+    val admitted = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+        .select("fp"),
+      Seq("fp"))
+    val pairs = admitted.select(col("fp"), col("id").as("id_a"))
+      .join(admitted.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+  }
 }

@@ -507,6 +507,96 @@ object TextAnalysis {
           col("has_bad_word") === 0).cast("int"))
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-composition report
+    * a mixture designer reads before weighting sources (and a coarse
+    * cross-source contamination scan: a crawl slice that near-includes
+    * a curated source shows up as an outlier Jaccard). One row per
+    * unordered source pair with distinct-n-gram set sizes, shared
+    * count, and Jaccard.
+    *
+    * Shape at scale: distinct (source, gram) — map-side combined — then
+    * per-gram sorted source-sets (bounded by #sources, NOT corpus
+    * size), pair expansion by an index-HOF (≤ #sources² rows per gram),
+    * and a #sources²-sized aggregate. No gram text ever joins against
+    * itself, so there is no per-gram quadratic blowup beyond the
+    * source-count bound. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val sg = df.select(col(srcCol).as("src"),
+        explode(wordNgrams(col(textCol), n)).as("g"))
+      .distinct()
+      .materializeOnce(eager = false) // sizes + pair generation
+    val sizes = sg.groupBy("src").agg(count(lit(1)).as("n_grams"))
+    val pairsOf = (ss: Column) => flatten(transform(ss, (x, i) =>
+      transform(slice(ss, i + 2, greatest(size(ss) - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val shared = sg.groupBy("g")
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(pairsOf(col("ss"))).as("pr"))
+      .groupBy(col("pr.a").as("src_a"), col("pr.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("src").as("src_a"), col("n_grams").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n_grams").as("n_b")),
+        Seq("src_b"))
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard")
+  }
+
+  /** Character-level Shannon entropy per document, in bits — the
+    * encoding-garbage / degenerate-repetition tell (random bytes score
+    * high, single-character spam scores ~0; natural text sits in a
+    * band). A standard cheap quality prior next to [[qualityScore]].
+    *
+    * Map-only: the character histogram is a per-row fold over the
+    * SORTED character array (run-length counting), and the entropy sum
+    * adds term-by-term in ascending character order — a fixed
+    * sequential fold both engines replay exactly (the q96 ordered-fold
+    * discipline); `-Σ p·ln p / ln 2` with ln(2) as a double literal.
+    * Output: (id, n_chars, n_unique, entropy). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val sortedChars = array_sort(
+      when(length(t) >= 1,
+        transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))))
+      .otherwise(array().cast("array<string>")))
+    val base = df.select(col(idCol).as("id"),
+      length(t).cast("long").as("n_chars"), sortedChars.as("cs"))
+    val nD = col("n_chars").cast("double")
+    def term(run: Column): Column = {
+      val p = run.cast("double") / nD
+      p * log(p) // natural log; /ln2 once at the end
+    }
+    val folded = aggregate(
+      col("cs"),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0.0).as("acc"), lit(0L).as("uniq")),
+      (st, c) => when(c === st.getField("prev"),
+        struct(st.getField("prev").as("prev"),
+          (st.getField("run") + 1L).as("run"),
+          st.getField("acc").as("acc"), st.getField("uniq").as("uniq")))
+        .otherwise(struct(c.as("prev"), lit(1L).as("run"),
+          (st.getField("acc") +
+            when(st.getField("run") > 0L, term(st.getField("run")))
+              .otherwise(lit(0.0))).as("acc"),
+          (st.getField("uniq") + 1L).as("uniq"))),
+      st => struct(
+        (st.getField("acc") +
+          when(st.getField("run") > 0L, term(st.getField("run")))
+            .otherwise(lit(0.0))).as("acc"),
+        st.getField("uniq").as("uniq")))
+    val ln2 = 0.6931471805599453
+    base.select(col("id"), col("n_chars"), folded.as("f"))
+      .select(col("id"), col("n_chars"), col("f.uniq").as("n_unique"),
+        // -0.0 normalizes to 0.0 (single-char docs; empty docs): the
+        // SQL `= 0` guard both engines share
+        when(-col("f.acc") / lit(ln2) === 0.0, lit(0.0))
+          .otherwise(-col("f.acc") / lit(ln2)).as("entropy"))
+  }
+
   /** CCNet-style unigram LM quality (Wenzek et al. 2020 use a 5-gram
     * KenLM; the unigram form is the model-free tier): each document
     * scores by the mean log10 probability of its tokens under the

@@ -664,7 +664,90 @@ object CorpusQueries {
             (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
               .cast("int").as("is_dup"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // winnowed document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    // the MOSS scheme): positional char-16-gram hashes, rightmost
+    // minimum per window of 8 — position-dense fingerprints with the
+    // w+k-1 substring-coverage guarantee MinHash signatures don't
+    // have. The oracle replays the window scan as list comprehensions
+    // (rightmost tie-break = last position of the min in the window)
+    Q("q104_winnow_fingerprints", Some(s"""
+      WITH base AS (
+        SELECT doc_id, lower(text) AS t,
+          CAST(greatest(length(text) - 15, 0) AS INT) AS m
+        FROM documents),
+      hs AS (
+        SELECT doc_id, m,
+          CASE WHEN m >= 1 THEN [${hash32Sql("substr(t, i, 16)")}
+                                 for i in range(1, m + 1)]
+               ELSE CAST([] AS BIGINT[]) END AS h
+        FROM base),
+      sel AS (
+        SELECT doc_id,
+          CASE WHEN m >= 1 THEN
+            [{'p': CAST(j + len(h[j:j+7]) -
+                        list_position(list_reverse(h[j:j+7]),
+                                      list_min(h[j:j+7])) AS BIGINT),
+              'v': list_min(h[j:j+7])}
+             for j in range(1, greatest(m - 7, 1) + 1)]
+          ELSE CAST([] AS STRUCT(p BIGINT, v BIGINT)[]) END AS s
+        FROM hs)
+      SELECT DISTINCT doc_id, u.st.p AS pos, u.st.v AS fp
+      FROM sel, LATERAL (SELECT unnest(sel.s) AS st) u
+      ORDER BY doc_id, pos, fp"""),
+      (s, d) => Dedup.winnowedFingerprints(Tables.documents(s, d),
+          "doc_id", "text", k = 16, w = 8)
+        .select(col("id").as("doc_id"), col("pos"), col("fp"))
+        .orderBy("doc_id", "pos", "fp")),
+
+    // near-dup pairs by shared winnowed fingerprints (the corpus-level
+    // MOSS use): fingerprint values in 2..64 docs generate candidate
+    // pairs (the hot-value cap bounds per-value fanout at any corpus
+    // size — this corpus's hottest value sits in 730 docs at sf0.1,
+    // which uncapped would be ~10^8 pairs); >= 2 shared values emit
+    // with the fingerprint-set Jaccard. Single-division double, q63
+    // discipline
+    Q("q105_winnow_dups", Some(s"""
+      WITH base AS (
+        SELECT doc_id, lower(text) AS t,
+          CAST(greatest(length(text) - 15, 0) AS INT) AS m
+        FROM documents),
+      hs AS (
+        SELECT doc_id, m,
+          CASE WHEN m >= 1 THEN [${hash32Sql("substr(t, i, 16)")}
+                                 for i in range(1, m + 1)]
+               ELSE CAST([] AS BIGINT[]) END AS h
+        FROM base),
+      sel AS (
+        SELECT doc_id,
+          CASE WHEN m >= 1 THEN
+            [list_min(h[j:j+7]) for j in range(1, greatest(m - 7, 1) + 1)]
+          ELSE CAST([] AS BIGINT[]) END AS s
+        FROM hs),
+      fp AS (SELECT DISTINCT doc_id, u.v AS fp
+             FROM sel, LATERAL (SELECT unnest(sel.s) AS v) u),
+      sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+      adm AS (SELECT fp FROM fp GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 64),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              count(*) AS n_shared
+            FROM fp a JOIN adm USING (fp) JOIN fp b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+        CAST(sa.n_fp AS BIGINT) AS n_a, CAST(sb.n_fp AS BIGINT) AS n_b,
+        round(CAST(n_shared AS DOUBLE) /
+              CAST(sa.n_fp + sb.n_fp - n_shared AS DOUBLE), 6) AS jaccard
+      FROM p
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.winnowingDupPairs(Tables.documents(s, d),
+          "doc_id", "text", k = 16, w = 8, minShared = 2L, maxDocFreq = 64L)
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

@@ -1133,6 +1133,69 @@ object CurationQueries {
             col("n_dup_spans"), round(col("dup_frac"), 6).as("dup_frac"),
             col("cleaned_text"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // cross-source trigram overlap matrix — the corpus-composition
+    // report a mixture designer reads before q93/q96 weighting, and a
+    // coarse cross-source contamination scan. Per-gram source SETS are
+    // bounded by #sources, so pair expansion never exceeds #sources²
+    // per gram at any corpus size (no self-join on the gram stream).
+    // Jaccard is a single division of exact ints, q63 discipline
+    Q("q106_source_overlap", Some(s"""
+      WITH base AS (SELECT source AS src, ${toksSql("text")} AS t FROM documents),
+      gr AS (
+        SELECT DISTINCT src, g
+        FROM base, LATERAL (SELECT unnest(list_distinct(
+          CASE WHEN len(t) >= 3
+               THEN [array_to_string(t[i:i+2], ' ')
+                     for i in range(1, len(t) - 2 + 1)]
+               ELSE CAST([] AS VARCHAR[]) END)) AS g) u),
+      sizes AS (SELECT src, count(*) AS n FROM gr GROUP BY src),
+      p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+            FROM gr a JOIN gr b USING (g) WHERE a.src < b.src
+            GROUP BY 1, 2)
+      SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+        CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        round(CAST(n_shared AS DOUBLE) /
+              CAST(sa.n + sb.n - n_shared AS DOUBLE), 6) AS jaccard
+      FROM p JOIN sizes sa ON sa.src = src_a
+             JOIN sizes sb ON sb.src = src_b
+      ORDER BY src_a, src_b"""),
+      (s, d) => TextAnalysis.sourceOverlap(Tables.documents(s, d),
+          "source", "text", n = 3)
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("src_a", "src_b")),
+
+    // character-level Shannon entropy (bits) — the encoding-garbage /
+    // degenerate-repetition quality prior. Both engines sum the
+    // -p·ln(p) terms in ascending character order (Spark: sequential
+    // fold over the sorted char array; DuckDB: the q96 ordered
+    // dot-product fold), divide by ln(2) once, and share the `= 0`
+    // guard that normalizes -0.0
+    Q("q107_char_entropy", Some("""
+      WITH base AS (SELECT doc_id, lower(text) AS t,
+                      CAST(length(text) AS BIGINT) AS n FROM documents),
+      ch AS (SELECT doc_id, substr(t, i, 1) AS c
+             FROM base, LATERAL (SELECT unnest(range(1, CAST(n AS INT) + 1)) AS i) u),
+      cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+      e AS (SELECT cnt.doc_id,
+              CAST(count(*) AS BIGINT) AS n_unique,
+              list_dot_product(
+                list((CAST(k AS DOUBLE) / CAST(b.n AS DOUBLE)) *
+                     ln(CAST(k AS DOUBLE) / CAST(b.n AS DOUBLE)) ORDER BY c),
+                list_transform(list(k ORDER BY c), x -> 1.0)) AS acc
+            FROM cnt JOIN base b USING (doc_id) GROUP BY cnt.doc_id)
+      SELECT b.doc_id, b.n AS n_chars,
+        CAST(coalesce(e.n_unique, 0) AS BIGINT) AS n_unique,
+        round(CASE WHEN coalesce(-e.acc, 0.0) / 0.6931471805599453 = 0
+                   THEN 0.0
+                   ELSE -e.acc / 0.6931471805599453 END, 6) AS entropy
+      FROM base b LEFT JOIN e USING (doc_id) ORDER BY b.doc_id"""),
+      (s, d) => TextAnalysis.charEntropy(Tables.documents(s, d),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_unique"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("doc_id"))
   )
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** `TextAnalysis.sourceOverlap` (cross-source n-gram overlap matrix)
+  * and `TextAnalysis.charEntropy` against driver-side replicas.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sourceOverlap equals the pairwise distinct-trigram-set replica") {
+    val docs = Seq(
+      ("a", "alpha beta gamma delta epsilon"),
+      ("a", "one two three four"),
+      ("b", "alpha beta gamma something else entirely"),
+      ("b", "one two three different"),
+      ("c", "totally disjoint content lives here"),
+      ("d", "xx")) // < 3 tokens -> no grams, absent from the matrix
+    def grams(ts: Seq[String]): Set[String] = ts.flatMap { t =>
+      val w = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" "))
+    }.toSet
+    val bySrc = docs.groupBy(_._1).view.mapValues(g => grams(g.map(_._2))).toMap
+    val want = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      inter = (bySrc(a) & bySrc(b)).size if inter > 0
+    } yield (a, b) -> (inter.toLong, bySrc(a).size.toLong, bySrc(b).size.toLong,
+      inter.toDouble / (bySrc(a).size + bySrc(b).size - inter))).toMap
+    val got = TextAnalysis.sourceOverlap(
+        docs.toDF("source", "text"), "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got == want)
+    assert(!got.keySet.exists(p => p._1 == "d" || p._2 == "d"))
+  }
+
+  test("charEntropy matches the histogram formula; degenerate docs pin to exactly 0.0") {
+    val docs = Seq(1L -> "abab", 2L -> "aaaa", 3L -> "", 4L -> "abcdefgh",
+      5L -> "Mixed CASE mixed case")
+    val got = TextAnalysis.charEntropy(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def h(t: String): Double = {
+      val s = t.toLowerCase
+      if (s.isEmpty) 0.0
+      else {
+        val acc = s.groupBy(identity).toSeq.sortBy(_._1).map { case (_, g) =>
+          val p = g.length.toDouble / s.length
+          p * math.log(p)
+        }.foldLeft(0.0)(_ + _)
+        val e = -acc / 0.6931471805599453
+        if (e == 0.0) 0.0 else e
+      }
+    }
+    docs.foreach { case (id, t) =>
+      assert(got(id)._1 == t.length.toLong, s"n_chars $id")
+      assert(got(id)._3 == h(t), s"entropy $id")
+    }
+    // two equiprobable symbols -> exactly 1 bit? (2 chars, p=.5 each:
+    // -2*(.5*ln .5)/ln2 — IEEE-exact to 1.0 since ln(.5) = -ln(2))
+    assert(math.abs(got(1L)._3 - 1.0) < 1e-12)
+    assert(got(1L)._2 == 2L)
+    // degenerate docs: positive zero bit pattern, never -0.0
+    for (id <- Seq(2L, 3L)) {
+      assert(got(id)._3 == 0.0)
+      assert(java.lang.Double.doubleToRawLongBits(got(id)._3) == 0L, s"-0.0 leak $id")
+    }
+    assert(got(3L)._2 == 0L)
+    // uniform 8 distinct chars -> 3 bits
+    assert(math.abs(got(4L)._3 - 3.0) < 1e-12)
+    // case-folding: "Mixed CASE mixed case" counts m/c/etc. once folded
+    assert(got(5L)._2 == "mixed case ".toSet.size.toLong)
+  }
+}
