@@ -117,16 +117,43 @@ object Sampling {
       s"fractions must be positive, got $fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
-    val spark = df.sparkSession
-    val parts = spark.sessionState.conf.numShufflePartitions
     // materialize before repartitionByRange: its range-boundary sampling
     // job would otherwise recompute the caller's lineage one extra time
     val w0 = df.withColumn("ss_ord",
         portableHash32(concat(lit(s"ss$seed|"), col(idCol).cast("string"))))
       .materializeOnce(eager = false)
-    val ordered = w0
-      .repartitionByRange(parts, col(strataCol), col("ss_ord"), col(idCol))
-      .sortWithinPartitions(col(strataCol), col("ss_ord"), col(idCol))
+    val ranked = stratumRank(w0, strataCol,
+      Seq(col("ss_ord").asc, col(idCol).asc), "ss_rank", "__ss_n")
+    // cut_j = floor(cumFrac_j * n), evaluated as the same IEEE doubles
+    // the driver would compute; the last label absorbs every floor
+    // remainder (no cut, the otherwise branch)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val names = fractions.map(_._1)
+    val split = cum.init.zip(names.init).foldRight(lit(names.last)) {
+      case ((f, name), acc) =>
+        when(col("ss_rank") <= floor(lit(f) * col("__ss_n")), name)
+          .otherwise(acc)
+    }
+    ranked.withColumn("split", split).drop("__ss_n")
+  }
+
+  /** Per-stratum distributed prefix rank — the shared scaffolding of
+    * [[stratifiedSplit]] and [[TextAnalysis.ccnetBucketsPerStratum]]:
+    * rank every row 1..n within its stratum under `order`, without a
+    * per-stratum Window (which is one partition per stratum — dead at
+    * 100 TB with a handful of strata). Range-partition on
+    * (stratum, order), per-partition per-stratum counts prefix-scanned
+    * into rank offsets (driver metadata, ≤ partitions + strata rows),
+    * then one map-only labeling pass. Adds `rankCol` (1-based) and
+    * `nCol` (the stratum's row count). The stratum column must be a
+    * string; `order` must totally order rows within a stratum. */
+  def stratumRank(df: DataFrame, strataCol: String, order: Seq[Column],
+                  rankCol: String, nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val ordered = df
+      .repartitionByRange(parts, (col(strataCol).asc +: order): _*)
+      .sortWithinPartitions((col(strataCol).asc +: order): _*)
       .materializeOnce(eager = false) // both passes must see the same split
     val strataIdx = ordered.schema.fieldIndex(strataCol)
     val counts = ordered
@@ -138,31 +165,21 @@ object Sampling {
       s -> (0 until parts).map(p => counts.getOrElse((p, s), 0L)).sum).toMap
     val offsets = (for { s <- strata; p <- 0 until parts } yield
       (p, s) -> (0 until p).map(q => counts.getOrElse((q, s), 0L)).sum).toMap
-    // cut_j = floor(cumFrac_j * n); the last cut is pinned to n so the
-    // final label absorbs every floor remainder
-    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
-    val names = fractions.map(_._1).toArray
-    val bounds: Map[String, Array[Long]] = totals.map { case (s, n) =>
-      s -> (cum.init.map(f => math.floor(f * n).toLong) :+ n).toArray
-    }
     val schema = ordered.schema
-      .add("ss_rank", org.apache.spark.sql.types.LongType)
-      .add("split", org.apache.spark.sql.types.StringType)
+      .add(rankCol, org.apache.spark.sql.types.LongType)
+      .add(nCol, org.apache.spark.sql.types.LongType)
     ordered.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       var cur: String = null
       var rank = 0L
       it.map { row =>
         val s = row.getString(strataIdx)
-        // rows arrive sorted by (stratum, ord, id): strata are contiguous,
+        // rows arrive sorted by (stratum, order): strata are contiguous,
         // so the running rank restarts from this partition's offset at
         // each stratum boundary
         if (s != cur) { cur = s; rank = offsets((pid, s)) }
         rank += 1
-        val bs = bounds(s)
-        var j = 0
-        while (rank > bs(j)) j += 1
-        Row.fromSeq(row.toSeq :+ rank :+ names(j))
+        Row.fromSeq(row.toSeq :+ rank :+ totals(s))
       }
     }(Encoders.row(schema))
   }

@@ -843,6 +843,64 @@ object TextAnalysis {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Per-stratum unigram LM quality — CCNet's actual shape (Wenzek et
+    * al. 2019 train ONE KenLM PER LANGUAGE and score each document
+    * against its own language's model; a single global LM penalizes
+    * every minority language as "unlikely text"). Same Laplace-smoothed
+    * mean-log10-prob contract as [[unigramQuality]], with counts and
+    * totals keyed by (stratum, token).
+    *
+    * Shape at scale: one token explode partial-aggregates into a
+    * (stratum, token)-keyed count table that joins back by key (an
+    * equi-join, not a broadcast — per-language vocabs at corpus scale
+    * are together bigger than one top-V table, and the join keeps each
+    * language's counts co-partitioned with its tokens). Empty docs
+    * score (0, 0.0). Output: (id, stratum, n_tokens, avg_logp). */
+  def unigramQualityPerStratum(df: DataFrame, idCol: String,
+                               textCol: String, strataCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), col(strataCol).as("stratum"),
+        explode_outer(tokens(lower(col(textCol)))).as("tok"))
+      .materializeOnce(eager = false) // counts + scoring join
+    val counts = toks.filter(col("tok").isNotNull)
+      .groupBy("stratum", "tok").agg(count(lit(1)).as("c"))
+      .materializeOnce(eager = false) // totals + scoring join
+    val totals = counts.groupBy("stratum")
+      .agg(sum("c").as("n"))
+    toks
+      .join(counts, Seq("stratum", "tok"), "left")
+      .join(totals, Seq("stratum"), "left")
+      .groupBy("id", "stratum")
+      .agg(count(col("tok")).as("n_tokens"),
+        coalesce(avg(when(col("tok").isNotNull,
+          log10((col("c").cast("double") + 1.0) /
+            (col("n").cast("double") + 1.0)))), lit(0.0)).as("avg_logp"))
+  }
+
+  /** CCNet buckets PER STRATUM — head/middle/tail terciles by LM rank
+    * WITHIN each language (Wenzek et al. bucket each language
+    * independently; [[ccnetBucketsFromScores]] is the global form).
+    * `scoredTier` carries (id, <strataCol>, n_tokens, avg_logp) — feed
+    * it [[unigramQualityPerStratum]] for the faithful per-language
+    * pipeline. Rank is [[Sampling.stratumRank]]'s distributed
+    * per-stratum prefix rank on (lm_key desc, id asc) — integer-exact
+    * assignment, never a per-language Window. Edges k1 = ceil(n/3),
+    * k2 = ceil(2n/3) per stratum. */
+  def ccnetBucketsPerStratum(scoredTier: DataFrame,
+                             strataCol: String): DataFrame = {
+    val scored = scoredTier
+      .select(col("id"), col(strataCol).as("stratum"), col("n_tokens"),
+        round(col("avg_logp"), 6).as("lm_key"))
+      .materializeOnce(eager = false) // range sampling + shuffle passes
+    val ranked = Sampling.stratumRank(scored, "stratum",
+      Seq(col("lm_key").desc, col("id").asc), "rank", "__n")
+    ranked.withColumn("bucket",
+        when(col("rank") <= ceil(col("__n").cast("double") / 3.0), "head")
+          .when(col("rank") <= ceil(lit(2.0) * col("__n").cast("double") / 3.0),
+            "middle")
+          .otherwise("tail"))
+      .drop("__n")
+  }
+
   /** TF-IDF per (doc, term): tf * ln(N / df). Two aggregations over one
     * token explode — term frequencies per doc, then document frequencies
     * from the per-doc rows (never a second corpus scan). N (corpus size)

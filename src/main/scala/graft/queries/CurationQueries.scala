@@ -1196,6 +1196,47 @@ object CurationQueries {
           "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_chars"), col("n_unique"),
           round(col("entropy"), 6).as("entropy"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // CCNet with per-LANGUAGE fidelity (Wenzek et al. 2019 train one LM
+    // per language and bucket each language independently — q85/q88 are
+    // the global form): per-language Laplace unigram LM scores every
+    // doc against ITS OWN language's distribution, then head/middle/
+    // tail terciles by rank WITHIN the language. Rank is the
+    // distributed per-stratum prefix rank (q103's machinery), never a
+    // per-language Window. lm_key is the q68-certified 6dp score;
+    // rank/bucket are integer-exact on top of it
+    Q("q108_ccnet_perlang", Some(s"""
+      WITH base AS (SELECT doc_id, lang, ${toksSql("text")} AS t FROM documents),
+      tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM base),
+      cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      tot AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM cnt GROUP BY 1),
+      sc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               avg(log10((CAST(c.c AS DOUBLE) + 1.0) / (tot.n + 1.0))) AS avg_logp
+             FROM tok t JOIN cnt c USING (lang, tok) JOIN tot USING (lang)
+             GROUP BY 1),
+      f AS (SELECT d.doc_id, d.lang,
+              CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+              round(coalesce(sc.avg_logp, 0.0), 6) AS lm_key
+            FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+      r AS (SELECT doc_id, lang, n_tokens, lm_key,
+              row_number() OVER (PARTITION BY lang
+                                 ORDER BY lm_key DESC, doc_id) AS rank,
+              count(*) OVER (PARTITION BY lang) AS n
+            FROM f)
+      SELECT doc_id, lang, n_tokens, lm_key, CAST(rank AS BIGINT) AS rank,
+        CASE WHEN rank <= ceil(CAST(n AS DOUBLE) / 3.0) THEN 'head'
+             WHEN rank <= ceil(2.0 * CAST(n AS DOUBLE) / 3.0) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""),
+      (s, d) => {
+        val scored = TextAnalysis.unigramQualityPerStratum(
+          Tables.documents(s, d), "doc_id", "text", "lang")
+        TextAnalysis.ccnetBucketsPerStratum(scored, "stratum")
+          .select(col("id").as("doc_id"), col("stratum").as("lang"),
+            col("n_tokens"), col("lm_key"), col("rank"), col("bucket"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -72,4 +72,44 @@ class CorpusStatsSpec extends SparkSpec {
     // case-folding: "Mixed CASE mixed case" counts m/c/etc. once folded
     assert(got(5L)._2 == "mixed case ".toSet.size.toLong)
   }
+
+  test("per-language CCNet: scores use the language's own LM; terciles rank within language") {
+    // "rare rare" is likely in lang a (half its corpus) but would be
+    // OOV-ish under a global LM dominated by lang b
+    val docs = Seq(
+      (1L, "a", "rare rare rare rare"),
+      (2L, "a", "rare rare odd odd"),
+      (3L, "a", "odd odd odd singleton"),
+      (4L, "b", "common common common common common"),
+      (5L, "b", "common common common filler"),
+      (6L, "b", "filler words only here"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val scored = TextAnalysis.unigramQualityPerStratum(df, "doc_id", "text", "lang")
+    val out = TextAnalysis.ccnetBucketsPerStratum(scored, "stratum")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("stratum"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("lm_key"), r.getAs[Long]("rank"),
+          r.getAs[String]("bucket"))).toMap
+    // replica: per-lang Laplace unigram mean log10 prob
+    val byLang = docs.groupBy(_._2)
+    val repl = docs.map { case (id, lg, t) =>
+      val corpus = byLang(lg).flatMap(_._3.split(" ")).filter(_.nonEmpty)
+      val counts = corpus.groupBy(identity).view.mapValues(_.size).toMap
+      val n = corpus.size.toDouble
+      val ws = t.split(" ").filter(_.nonEmpty)
+      val avg = ws.map(w => math.log10((counts(w) + 1.0) / (n + 1.0))).sum / ws.length
+      id -> BigDecimal(avg).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    docs.foreach { case (id, lg, t) =>
+      assert(out(id)._1 == lg && out(id)._2 == t.split(" ").count(_.nonEmpty))
+      assert(math.abs(out(id)._3 - repl(id)) < 2e-6, s"lm_key $id")
+    }
+    // each language ranks 1..3 independently with one doc per tercile
+    for (lg <- Seq("a", "b")) {
+      val ranks = out.collect { case (_, (`lg`, _, _, r, b)) => (r, b) }.toSeq.sorted
+      assert(ranks == Seq((1L, "head"), (2L, "middle"), (3L, "tail")), lg)
+    }
+    // within-language ordering follows the language-local score
+    assert(out(4L)._5 == "head") // most-likely doc of lang b
+  }
 }
