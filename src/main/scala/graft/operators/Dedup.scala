@@ -281,30 +281,11 @@ object Dedup {
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 5, w: Int = 4,
                            hashFamily: String = graft.functions.TextFunctions.HashMd5)
-      : DataFrame = {
-    require(k >= 2, s"winnowing needs k >= 2, got $k")
-    require(w >= 1, s"winnowing needs w >= 1, got $w")
-    val t = lower(col(textCol))
-    val m = (length(t) - (k - 1)).cast("int")
-    val hashed = df.select(col(idCol).as("id"), m.as("m"),
-      when(m >= 1, transform(sequence(lit(1), greatest(m, lit(1))),
-          i => hash32(t.substr(i, lit(k)), hashFamily)))
-        .otherwise(array().cast("array<long>")).as("h"))
-    // window j covers hashes [j, j+w); rightmost min via <= in the fold
-    val selected = when(col("m") >= 1,
-      array_distinct(transform(
-        sequence(lit(1), greatest(col("m") - (w - 1), lit(1))),
-        j => aggregate(sequence(lit(0), lit(w - 1)),
-          struct(lit(Long.MaxValue).as("v"), lit(0L).as("p")),
-          (st, o) => when((j + o) <= col("m") &&
-              element_at(col("h"), (j + o).cast("int")) <= st.getField("v"),
-            struct(element_at(col("h"), (j + o).cast("int")).as("v"),
-              (j + o).cast("long").as("p")))
-            .otherwise(st)))))
-      .otherwise(array().cast("array<struct<v:bigint,p:bigint>>"))
-    hashed.select(col("id"), explode(selected).as("s"))
+      : DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(graft.plans.WinnowedSelect(lower(col(textCol)), k, w,
+          hashFamily)).as("s"))
       .select(col("id"), col("s.p").as("pos"), col("s.v").as("fp"))
-  }
 
   /** Near-duplicate pairs by shared winnowed fingerprints — the
     * corpus-level use of [[winnowedFingerprints]]: documents sharing at

@@ -338,4 +338,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "range×range must band to an equi-join:\n" + p)
   }
+
+  test("q101: the C4 battery is map-only — no exchange before the final sort") {
+    val df = SparkEntry.queries("q101_c4_filters")(spark, sf)
+    df.collect()
+    // AQE's toString appends the pre-execution "Initial Plan" — count
+    // exchanges in the FINAL plan only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly the ORDER BY's range exchange; the rules themselves fuse
+    // into the scan
+    assert(p.sliding("Exchange range".length).count(_ == "Exchange range") <= 1,
+      "C4 rules must not shuffle:\n" + p)
+    assert(!p.contains("Exchange hash"), "C4 rules must not hash-shuffle:\n" + p)
+    assert(!p.contains("WindowExec") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q103/q108: per-stratum ranks plan WITHOUT a Window operator") {
+    for (q <- Seq("q103_stratified_split", "q108_ccnet_perlang")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("WindowExec") && !p.contains("Window "),
+        s"$q must use the distributed prefix rank, not a Window:\n" + p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("q104/q105: winnowing is a per-row fold + equi-joins, never a cross product") {
+    for (q <- Seq("q104_winnow_fingerprints", "q105_winnow_dups")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join-only:\n" + p)
+    }
+  }
+
+  test("q106: overlap matrix never self-joins the gram stream") {
+    val df = SparkEntry.queries("q106_source_overlap")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // pair expansion is an index-HOF over per-gram source SETS; the
+    // only joins are the two bounded size lookups
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
