@@ -225,4 +225,124 @@ object ProductQuantization {
       shortlist.select(index.idCol), Seq(index.idCol), "left_semi")
     VectorSearch.topK(exact, index.vecCol, query, k, tieCol = index.idCol)
   }
+
+  // ---------------------------------------------------------------------
+  // Residual IVF-PQ — the actual FAISS IVFPQ recipe (Jégou et al. 2011
+  // §IV.C): PQ quantizes the RESIDUAL r = x − coarse_centroid(cell), not
+  // the raw vector. Residuals concentrate near the origin with far less
+  // variance than raw vectors, so the same m×k code budget spends its
+  // centroids on the fine structure — better ADC ranking at identical
+  // index bytes (spec-measured: shortlist recall strictly improves on
+  // clustered corpora). All residual arithmetic is DOUBLE end-to-end
+  // (float inputs widened once) so a DOUBLE[]-typed SQL oracle replays
+  // encode and scoring bit-for-bit.
+  // ---------------------------------------------------------------------
+
+  /** Centroid of cell `c` as doubles (MLlib's native precision). */
+  private def cellCentroid(index: IvfIndex, c: Int): Array[Double] =
+    index.model.clusterCenters(c).toArray
+
+  /** Train codebooks over RESIDUALS: same deterministic hash-ordered
+    * sample as [[train]], but each sampled vector is first reduced by
+    * its cell's coarse centroid. */
+  def trainResidual(index: IvfIndex, m: Int, k: Int,
+                    seed: Long = 42L, maxIter: Int = 20,
+                    trainSample: Int = 65536): PqModel = {
+    require(k >= 1 && k <= Short.MaxValue,
+      s"k=$k out of range: codes are stored as shorts (k <= ${Short.MaxValue})")
+    val sample = index.assigned
+      .select(col(index.vecCol).as("__v"), col("__cell"))
+      .where(col("__v").isNotNull)
+      .withColumn("__h", xxhash64(col("__v")))
+      .orderBy("__h")
+      .limit(trainSample)
+      .select("__v", "__cell")
+      .collect()
+    require(sample.nonEmpty, s"no non-null vectors in ${index.vecCol} to train on")
+    val dim = sample(0).getSeq[Float](0).length
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val sub = dim / m
+    val residuals = sample.map { r =>
+      val v = r.getSeq[Float](0)
+      val cent = cellCentroid(index, r.getInt(1))
+      // double residual narrowed to float ONLY for Lloyd's (training
+      // tolerates the rounding; encode/scoring stay double)
+      Array.tabulate(dim)(i => (v(i).toDouble - cent(i)).toFloat)
+    }
+    val codebook = Array.tabulate(m) { j =>
+      val pts = residuals.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      lloyd(pts, k, seed + j, maxIter)
+    }
+    PqModel(codebook)
+  }
+
+  /** Index-side residual encode: broadcast the (cell → centroid) table,
+    * subtract in double, PQ-encode the residual. Narrow stages only —
+    * the centroid table is nCells rows. */
+  def encodeIndexResidual(index: IvfIndex, model: PqModel): DataFrame = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    val cents = index.model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__cent")
+    index.assigned
+      .join(broadcast(cents), Seq("__cell"))
+      .withColumn("pq_codes", PqExpressions.pqEncode(
+        zip_with(col(index.vecCol).cast("array<double>"), col("__cent"),
+          (a, b) => a - b),
+        model.codebook))
+      .drop("__cent")
+  }
+
+  /** Residual ADC table for one probed cell: squared L2 from the
+    * QUERY's residual against that cell to each codebook centroid. */
+  def adcTableResidual(queryResidual: Array[Double], model: PqModel)
+      : Array[Array[Double]] = {
+    require(queryResidual.length == model.dim,
+      s"query dim ${queryResidual.length} != model dim ${model.dim}")
+    Array.tabulate(model.m) { j =>
+      val cents = model.codebook(j)
+      Array.tabulate(cents.length) { c =>
+        var d = 0.0
+        var i = 0
+        while (i < model.sub) {
+          val diff = queryResidual(j * model.sub + i) - cents(c)(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        d
+      }
+    }
+  }
+
+  /** Residual IVF-PQ probe — [[ivfPqTopK]] with per-cell ADC tables
+    * ([[graft.plans.PqAdcByCell]]): the query's residual differs per
+    * probed cell, so the driver builds one m×k table per cell
+    * (nProbe × m × k doubles, closure-shipped) and one codes-only scan
+    * scores every probed cell in a single pass — same partition-pruned
+    * I/O as the raw probe, no per-cell unions. `encoded` must come from
+    * [[encodeIndexResidual]] over `index` and `model` from
+    * [[trainResidual]]. Same monotone quality knobs: nProbe = nCells
+    * and rerank = corpus size recover the exact scan. */
+  def ivfPqResidualTopK(encoded: DataFrame, index: IvfIndex, model: PqModel,
+                        query: Seq[Float], k: Int, nProbe: Int,
+                        rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cells = index.centroidIdsFor(query.toArray, nProbe)
+    val tables = cells.map { c =>
+      val cent = cellCentroid(index, c)
+      c -> adcTableResidual(
+        Array.tabulate(model.dim)(i => query(i).toDouble - cent(i)), model)
+    }.toMap
+    val cand = encoded.filter(col("__cell").isin(cells: _*))
+    val shortlist = cand
+      .withColumn("adc_dist",
+        PqExpressions.pqAdcByCell(col("__cell"), col("pq_codes"), tables))
+      .filter(col("adc_dist").isNotNull)
+      .orderBy(asc("adc_dist"), asc(index.idCol))
+      .limit(rerank)
+    val exact = cand.join(
+      shortlist.select(index.idCol), Seq(index.idCol), "left_semi")
+    VectorSearch.topK(exact, index.vecCol, query, k, tieCol = index.idCol)
+  }
 }

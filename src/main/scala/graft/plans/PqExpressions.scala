@@ -37,12 +37,18 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType, _) =>
+      // doubles are the RESIDUAL path: r = x − coarse_centroid is
+      // computed in double so the SQL oracle (DOUBLE[] arithmetic)
+      // replays it bit-for-bit
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"pq_encode needs array<float>, got ${other.catalogString}")
+          s"pq_encode needs array<float> or array<double>, got ${other.catalogString}")
     }
+
+  private lazy val isDouble =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -59,7 +65,9 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Float]]])
         var d = 0.0
         var i = 0
         while (i < sub) {
-          val diff = arr.getFloat(j * sub + i).toDouble - cent(i).toDouble
+          val x = if (isDouble) arr.getDouble(j * sub + i)
+                  else arr.getFloat(j * sub + i).toDouble
+          val diff = x - cent(i).toDouble
           d += diff * diff
           i += 1
         }

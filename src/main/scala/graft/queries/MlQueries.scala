@@ -276,6 +276,28 @@ object MlQueries {
           .orderBy(desc("cos_sim"), asc("vec_id"))
       }),
 
+    // RESIDUAL IVF-PQ — the actual FAISS IVFPQ recipe (Jégou et al.
+    // 2011 §IV.C): PQ quantizes x − coarse_centroid(cell), so the same
+    // m×k byte budget resolves fine structure (spec-measured 0.57 vs
+    // 0.22 ADC shortlist recall against raw codes on clustered data).
+    // The probe scores every probed cell in ONE codes-only pass with
+    // per-cell ADC tables (PqAdcByCell). Oracle replays the whole
+    // path — residuals, encode argmin, the per-cell query-residual ADC
+    // as an exact-fold dot product, shortlist, exact cosine re-rank —
+    // against the fitted centroid + codebook literals (q67 contract)
+    Q("q109_residual_ivfpq", residualIvfPqOracle,
+      (s, d) => {
+        val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val index = cachedIvf(s, d, nCells = 8)
+        val (model, encoded) = cachedResidualPq(s, d)
+        ProductQuantization.ivfPqResidualTopK(encoded, index, model, query,
+          k = 10, nProbe = 4, rerank = 50)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .select("vec_id", "label", "cos_sim")
+          .orderBy(desc("cos_sim"), asc("vec_id"))
+      }),
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup removal within
     // k-means clusters, keeping the member farthest from its centroid.
     // The oracle replays the whole path against the fitted centroid
@@ -942,6 +964,17 @@ object MlQueries {
       (model, ProductQuantization.encodeIndex(index, model).cache())
     })
 
+  /** q109's residual IVF-PQ artifacts (FAISS IVFPQ recipe: codes
+    * quantize x − coarse_centroid), same lifecycle as [[cachedPq]]. */
+  private val resPqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (ProductQuantization.PqModel, org.apache.spark.sql.DataFrame)]
+  private def cachedResidualPq(s: org.apache.spark.sql.SparkSession, d: String) =
+    resPqCache.getOrElseUpdate(d, {
+      val index = cachedIvf(s, d, nCells = 8)
+      val model = ProductQuantization.trainResidual(index, m = 16, k = 64)
+      (model, ProductQuantization.encodeIndexResidual(index, model).cache())
+    })
+
   /** q66's standalone-PQ codebook (m=8, k=16, trained over the full
     * table), cached so [[pqOracle]] can emit the same codebook the
     * query encoded with. */
@@ -1045,6 +1078,71 @@ object MlQueries {
         JOIN cb ON cb.j = x.j AND cb.c = x.c
         CROSS JOIN q
         GROUP BY x.vec_id),
+      short AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50),
+      rer AS (
+        SELECT a.vec_id, a.label,
+          list_dot_product(a.embedding::DOUBLE[], q.qv) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS cs
+        FROM cand a JOIN short s ON a.vec_id = s.vec_id CROSS JOIN q)
+      SELECT vec_id, label, round(cs, 6) AS cos_sim
+      FROM rer ORDER BY cs DESC, vec_id LIMIT 10"""
+  }
+
+  /** q109 oracle: the RESIDUAL IVF-PQ composition in SQL — coarse
+    * assignment, per-doc residual in DOUBLE (bit-parity with the
+    * engine's `zip_with` subtraction), per-subspace encode argmin over
+    * the residual codebook literals, per-CELL query-residual ADC via
+    * the `list_dot_product(diff, diff)` fold (exactly the engine's
+    * ascending Σ(q−ic−v)² loop — no sqrt round-trip on the scoring
+    * path), shortlist 50, exact cosine re-rank. */
+  private def residualIvfPqOracle: Option[String] = for {
+    (pq, _) <- singleton(resPqCache)
+    ivf <- singleton(ivfCache)
+  } yield {
+    val sub = pq.sub
+    val ivfValues = ivf.model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.toArray.mkString(", ")}])"
+    }.mkString(", ")
+    s"""
+      WITH ivf(cid, ic) AS (VALUES $ivfValues),
+      cb(j, c, v) AS (VALUES ${codebookValues(pq)}),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      probe AS (
+        SELECT cid, ic FROM ivf CROSS JOIN q
+        ORDER BY list_distance(qv, ic), cid LIMIT 4),
+      assign AS (
+        SELECT vec_id, label, embedding, cid, ic FROM (
+          SELECT e.vec_id, e.label, e.embedding, ivf.cid, ivf.ic,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_distance(e.embedding::DOUBLE[], ivf.ic), ivf.cid) AS rn
+          FROM embeddings e CROSS JOIN ivf
+          WHERE e.vec_id <> 0) WHERE rn = 1),
+      cand AS (
+        SELECT a.vec_id, a.label, a.embedding, a.cid,
+          [(a.embedding::DOUBLE[])[i] - a.ic[i] for i in range(1, ${pq.dim} + 1)] AS r
+        FROM assign a WHERE a.cid IN (SELECT cid FROM probe)),
+      enc AS (
+        SELECT cand.vec_id, cb.j, cb.c,
+          list_distance(cand.r[(cb.j*$sub+1):(cb.j*$sub+$sub)], cb.v) AS dist
+        FROM cand CROSS JOIN cb),
+      codes AS (
+        SELECT vec_id, j, c FROM (
+          SELECT vec_id, j, c,
+            row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+          FROM enc) WHERE rn = 1),
+      diffs AS (
+        SELECT cd.vec_id,
+          [q.qv[cb.j*$sub + i] - p.ic[cb.j*$sub + i] - cb.v[i]
+           for i in range(1, $sub + 1)] AS l
+        FROM codes cd
+        JOIN cand ON cand.vec_id = cd.vec_id
+        JOIN probe p ON p.cid = cand.cid
+        JOIN cb ON cb.j = cd.j AND cb.c = cd.c
+        CROSS JOIN q),
+      adc AS (
+        SELECT vec_id, sum(list_dot_product(l, l)) AS d
+        FROM diffs GROUP BY vec_id),
       short AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50),
       rer AS (
         SELECT a.vec_id, a.label,

@@ -132,6 +132,77 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("residual IVF-PQ: encode matches the replica; limits exact; ADC beats raw PQ on clustered data") {
+    // deterministic clustered corpus (8 Gaussian blobs, dim 32) — the
+    // regime residual quantization exists for: residuals concentrate
+    // near the origin so the same code budget resolves fine structure
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8, 32)((rnd.nextDouble() * 4 - 2).toFloat)
+    val pts = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, Array.tabulate(32)(d => c(d) + (rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val index = IvfIndex.build(df, "vec_id", "embedding", nCells = 8,
+      maxIter = 10)
+    val model = ProductQuantization.trainResidual(index, m = 8, k = 8)
+    val rawModel = ProductQuantization.train(df, "embedding", m = 8, k = 8)
+    val encRes = ProductQuantization.encodeIndexResidual(index, model)
+    val encRaw = ProductQuantization.encodeIndex(index, rawModel)
+
+    // 1. residual encode = driver replica (double subtraction, argmin)
+    val cents = index.model.clusterCenters.map(_.toArray)
+    encRes.select("vec_id", "embedding", "__cell", "pq_codes")
+      .collect().take(20).foreach { r =>
+        val v = r.getSeq[Float](1); val cell = r.getInt(2)
+        val codes = r.getSeq[Short](3)
+        val resid = Array.tabulate(32)(i => v(i).toDouble - cents(cell)(i))
+        for (j <- 0 until model.m) {
+          val slice = resid.slice(j * model.sub, (j + 1) * model.sub)
+          val dists = model.codebook(j).map(c =>
+            slice.zip(c).map { case (x, y) =>
+              (x - y.toDouble) * (x - y.toDouble) }.sum)
+          assert(dists(codes(j)) == dists.min, s"row ${r.getLong(0)} sub $j")
+        }
+      }
+
+    def exactL2Top10(q: Array[Float]): Set[Long] =
+      pts.map { case (id, v) => id -> l2sq(v, q) }.sortBy(_._2)
+        .take(10).map(_._1).toSet
+
+    // 2. knob limits degenerate to the exact scan (cosine contract)
+    val q0 = pts(3)._2
+    val exactCos = VectorSearch.topK(df, "embedding", q0.toSeq, 10, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val full = ProductQuantization.ivfPqResidualTopK(encRes, index, model,
+      q0.toSeq, k = 10, nProbe = 8, rerank = 400)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(full === exactCos)
+
+    // 3. at rerank = k the output IS the ADC top-10: residual codes
+    // must rank at least as well as raw codes at the same byte budget
+    // (all cells probed, so coarse pruning cancels out)
+    val queries = (0 until 10).map(i => pts(i * 37 % 400)._2)
+    def recall(enc: org.apache.spark.sql.DataFrame,
+               m: ProductQuantization.PqModel, residual: Boolean)
+              (q: Array[Float]): Double = {
+      val got = (if (residual)
+        ProductQuantization.ivfPqResidualTopK(enc, index, m, q.toSeq,
+          k = 10, nProbe = 8, rerank = 10)
+      else
+        ProductQuantization.ivfPqTopK(enc, index, m, q.toSeq,
+          k = 10, nProbe = 8, rerank = 10))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got & exactL2Top10(q)).size / 10.0
+    }
+    val resAvg = queries.map(recall(encRes, model, residual = true)).sum / queries.size
+    val rawAvg = queries.map(recall(encRaw, rawModel, residual = false)).sum / queries.size
+    info(f"ADC shortlist recall@10: residual $resAvg%.2f vs raw $rawAvg%.2f")
+    assert(resAvg >= rawAvg,
+      s"residual ADC recall $resAvg must be >= raw $rawAvg on clustered data")
+    assert(resAvg >= 0.5, s"residual ADC recall@10 = $resAvg")
+  }
+
   test("PQ top-k compiles to TakeOrderedAndProject (codes-only scan)") {
     val emb = graft.Tables.embeddings(spark, sf)
     val model = ProductQuantization.train(emb, "embedding", m = 8, k = 4)
