@@ -2,10 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct character k-shingles of a string as a single-pass native
@@ -86,6 +86,50 @@ case class WordNgramSet(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): WordNgramSet =
+    copy(child = c)
+}
+
+/** [[WordNgramSet]] with the gram IDENTITY hashed away: the distinct
+  * word n-grams as xxHash64 longs, for consumers that only count or
+  * join grams and never read them back (e.g. the source-overlap
+  * matrix). An 8-byte key shuffles ~3× less than the gram string and
+  * skips per-gram UTF8String allocation; a collision merges two grams
+  * (probability ~#distinct-grams²/2⁶⁵ — negligible at any corpus
+  * size, and certifying oracles compare aggregate counts, not gram
+  * ids). */
+case class WordNgramHashSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString
+      .split(" ").filter(_.nonEmpty)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        seen.add(XxHash64Function.hash(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          BinaryType, 42L))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgramHashSet =
     copy(child = c)
 }
 
@@ -173,6 +217,8 @@ object TextSetExpressions {
     GraftBridge.column(ShingleSet(GraftBridge.expression(text), k))
   def wordNgramSet(text: Column, n: Int): Column =
     GraftBridge.column(WordNgramSet(GraftBridge.expression(text), n))
+  def wordNgramHashSet(text: Column, n: Int): Column =
+    GraftBridge.column(WordNgramHashSet(GraftBridge.expression(text), n))
   def arrayJaccard(a: Column, b: Column): Column =
     GraftBridge.column(ArrayJaccard(
       GraftBridge.expression(a), GraftBridge.expression(b)))
