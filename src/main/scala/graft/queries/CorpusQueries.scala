@@ -747,7 +747,68 @@ object CorpusQueries {
           "doc_id", "text", k = 16, w = 8, minShared = 2L, maxDocFreq = 64L)
         .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
           col("n_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // the winnowing family closed end to end (the q100 decision-path
+    // shape): shared-fingerprint pairs -> connected components ->
+    // min-id canonical per overlap cluster, every document assigned —
+    // what a MOSS-style crawl-overlap pass persists. Stages certified
+    // by q104/q105 and q56's components battery; the oracle replays
+    // pairs + a recursive-CTE closure
+    Q("q110_winnow_canonical", Some(s"""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, lower(text) AS t,
+          CAST(greatest(length(text) - 15, 0) AS INT) AS m
+        FROM documents),
+      hs AS (
+        SELECT doc_id, m,
+          CASE WHEN m >= 1 THEN [${hash32Sql("substr(t, i, 16)")}
+                                 for i in range(1, m + 1)]
+               ELSE CAST([] AS BIGINT[]) END AS h
+        FROM base),
+      sel AS (
+        SELECT doc_id,
+          CASE WHEN m >= 1 THEN
+            [list_min(h[j:j+7]) for j in range(1, greatest(m - 7, 1) + 1)]
+          ELSE CAST([] AS BIGINT[]) END AS s
+        FROM hs),
+      fp AS (SELECT DISTINCT doc_id, u.v AS fp
+             FROM sel, LATERAL (SELECT unnest(sel.s) AS v) u),
+      adm AS (SELECT fp FROM fp GROUP BY fp
+              HAVING count(*) BETWEEN 2 AND 64),
+      p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM fp a JOIN adm USING (fp) JOIN fp b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION SELECT id_b, id_a FROM p),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+      SELECT d.doc_id,
+        CAST(coalesce(cc.component, d.doc_id) AS BIGINT) AS canon_id,
+        CAST(CASE WHEN coalesce(cc.component, d.doc_id) <> d.doc_id
+             THEN 1 ELSE 0 END AS INT) AS is_dup
+      FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+      ORDER BY d.doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.winnowingDupPairs(docs, "doc_id", "text",
+          k = 16, w = 8, minShared = 2L, maxDocFreq = 64L)
+          .select("id_a", "id_b")
+        val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+        docs.select("doc_id")
+          .join(cc, docs("doc_id") === cc("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).cast("long")
+              .as("canon_id"),
+            (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
+              .cast("int").as("is_dup"))
+          .orderBy("doc_id")
+      })
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
