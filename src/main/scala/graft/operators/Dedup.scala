@@ -259,6 +259,20 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Hamming-nearest signatures: top-k rows by popcount(sig XOR query) —
+    * the signature-space search that turns [[simhashes]] into a
+    * duplicate-triage tool (given one document, find the most similar
+    * signatures corpus-wide without touching text). A codes-only scan
+    * over one long per row compiling to TakeOrderedAndProject (k rows
+    * per partition, no global sort); ties break by id. */
+  def hammingTopK(sigs: DataFrame, idCol: String, sigCol: String,
+                  querySig: Long, k: Int): DataFrame =
+    sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(lit(querySig))).cast("int"))
+      .orderBy(asc("hamming"), asc("id"))
+      .limit(k)
+
   /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003,
     * "Winnowing: Local Algorithms for Document Fingerprinting" — the
     * MOSS scheme): hash every POSITIONAL character k-gram, slide a

@@ -44,4 +44,36 @@ object HybridSearch {
     fuse(vector, fts, keyCols, boost)
       .orderBy(desc("score") +: keyCols.map(asc): _*)
       .limit(k)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * the scale-free industry-standard alternative to the reference's
+    * boost/cap merge: each retriever contributes 1/(c + rank), so
+    * incomparable score scales (BM25 vs cosine — the very quirk the
+    * reference's fusion preserves) never meet; only ranks do.
+    *
+    * Each input list is `(idCol, rank)` with rank 1-based — lists are
+    * top-k-sized by construction (bounded rows at any corpus size), so
+    * the N-way full-outer join never grows past the sum of the list
+    * lengths and broadcasts. An id absent from a list contributes
+    * nothing for it (the published semantics). `rrf_score` is a fixed
+    * left-to-right sum of exact divisions — bit-reproducible.
+    *
+    * Output: idCol, rank_0..rank_{n-1} (null where absent), rrf_score;
+    * ranked (rrf_score desc, id) and cut to `k`. */
+  def rrfFuseTopK(lists: Seq[DataFrame], idCol: String, k: Int,
+                  c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    val sides = lists.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = lists.indices
+      .map(i => when(col(s"rank_$i").isNotNull,
+        lit(1.0) / (lit(c.toDouble) + col(s"rank_$i").cast("double")))
+        .otherwise(lit(0.0)))
+      .reduce(_ + _)
+    joined.withColumn("rrf_score", score)
+      .orderBy(desc("rrf_score"), asc(idCol))
+      .limit(k)
+  }
 }

@@ -808,6 +808,120 @@ object CorpusQueries {
             (coalesce(col("component"), col("doc_id")) =!= col("doc_id"))
               .cast("int").as("is_dup"))
           .orderBy("doc_id")
+      }),
+
+    // reciprocal-rank fusion (Cormack et al. 2009) — the scale-free
+    // fusion next to the reference's boost/cap merge (q43): vector and
+    // BM25 retrievers contribute 1/(60 + rank); incomparable score
+    // scales never meet. Both rank keys are the certified 6dp-rounded
+    // scores (q85 discipline), so ranks are integer-exact cross-engine;
+    // the windows rank BOUNDED top-k candidate lists, not the corpus
+    Q("q111_rrf_fusion", Some(s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      vs AS (
+        SELECT e.vec_id AS doc_id,
+          round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qv, q.qv))), 6) AS key
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      vrank AS (
+        SELECT doc_id, rk FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+          FROM vs) WHERE rk <= 20),
+      lens AS (
+        SELECT doc_id AS id, CAST(len(${wsToksSql("text")}) AS BIGINT) AS doclen FROM documents),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(doclen) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM lens),
+      post AS (
+        SELECT doc_id AS id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM documents, LATERAL (SELECT unnest(${wsToksSql("text")}) AS t) u
+        GROUP BY doc_id, t),
+      hits AS (SELECT * FROM post WHERE term IN ('hash', 'join')),
+      dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY term),
+      scored AS (
+        SELECT id, term,
+          ln(1.0 + (n - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+          (CAST(tf AS DOUBLE) * 2.2) /
+          (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(doclen AS DOUBLE) / avgdl))
+          AS score
+        FROM hits JOIN dfs USING (term) JOIN lens USING (id) CROSS JOIN stats),
+      fs AS (
+        SELECT id AS doc_id,
+          round(list_dot_product(list(score ORDER BY term),
+                list_transform(list(score ORDER BY term), y -> 1.0)), 6) AS key
+        FROM scored GROUP BY id),
+      frank AS (
+        SELECT doc_id, rk FROM (
+          SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id) AS rk
+          FROM fs) WHERE rk <= 20),
+      fused AS (
+        SELECT coalesce(v.doc_id, f.doc_id) AS doc_id,
+          CAST(v.rk AS BIGINT) AS rank_vec, CAST(f.rk AS BIGINT) AS rank_fts,
+          coalesce(1.0 / (60.0 + CAST(v.rk AS DOUBLE)), 0.0) +
+          coalesce(1.0 / (60.0 + CAST(f.rk AS DOUBLE)), 0.0) AS score
+        FROM vrank v FULL OUTER JOIN frank f ON v.doc_id = f.doc_id)
+      SELECT doc_id, rank_vec, rank_fts, round(score, 6) AS rrf_score
+      FROM fused ORDER BY score DESC, doc_id LIMIT 10"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0)
+        val vec = emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("doc_id"),
+            round(graft.plans.CosineSimilarity(col("embedding"),
+              VectorSearch.queryVec(qv)), 6).as("key"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("key").desc, col("doc_id").asc)))
+          .filter(col("rank") <= 20)
+        val fts = Bm25.search(Tables.documents(s, d), "doc_id", "text",
+            Seq("hash", "join"), 10000)
+          .select(col("id").as("doc_id"), round(col("bm25"), 6).as("key"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("key").desc, col("doc_id").asc)))
+          .filter(col("rank") <= 20)
+        HybridSearch.rrfFuseTopK(Seq(vec, fts), "doc_id", k = 10, c = 60)
+          .select(col("doc_id"), col("rank_0").as("rank_vec"),
+            col("rank_1").as("rank_fts"),
+            round(col("rrf_score"), 6).as("rrf_score"))
+          .orderBy(desc("rrf_score"), asc("doc_id"))
+      }),
+
+    // Hamming-nearest signatures: popcount(sig XOR query) top-k over
+    // the 16-bit simhash tier (q24's signatures) — duplicate triage
+    // from one signature, codes-only, no text touched. bit_count/xor
+    // are integer-exact in both engines; ties break by id
+    Q("q112_hamming_nn", Some {
+      val sums = (0 until 16).map(b =>
+        s"SUM(CASE WHEN ((hv >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(",\n          ")
+      val bits = (0 until 16).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, t
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u),
+      h AS (SELECT doc_id, ${hash32Sql("t")} AS hv FROM toks),
+      b AS (SELECT doc_id,
+          $sums
+        FROM h GROUP BY doc_id),
+      sig AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM b),
+      qs AS (SELECT simhash AS qsig FROM sig WHERE doc_id = 0)
+      SELECT s.doc_id, s.simhash,
+        CAST(bit_count(xor(s.simhash, qs.qsig)) AS INT) AS hamming
+      FROM sig s CROSS JOIN qs
+      WHERE s.doc_id <> 0
+      ORDER BY hamming, s.doc_id LIMIT 10"""
+    },
+      (s, d) => {
+        val sigs = Dedup.simhashes(Tables.documents(s, d), "doc_id", "text",
+          bits = 16)
+        val qsig = sigs.filter(col("id") === 0)
+          .select("simhash").head().getLong(0)
+        Dedup.hammingTopK(sigs.filter(col("id") =!= 0), "id", "simhash",
+            qsig, k = 10)
+          .select(col("id").as("doc_id"), col("sig").as("simhash"),
+            col("hamming"))
+          .orderBy(asc("hamming"), asc("doc_id"))
       })
   )
 

@@ -164,6 +164,33 @@ class OperatorsSpec extends SparkSpec {
     assert(fused(3L) === ("fts", 2.0)) // unnormalized fts kept (quirk)
   }
 
+  test("reciprocal-rank fusion: 1/(c+rank) sums, absent lists contribute 0, ties by id") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc", "rank")
+    val b = Seq((3L, 1), (1L, 2), (4L, 3)).toDF("doc", "rank")
+    val got = HybridSearch.rrfFuseTopK(Seq(a, b), "doc", k = 10)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (Option(r.getAs[java.lang.Long]("rank_0")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("rank_1")).map(_.toLong),
+          r.getAs[Double]("rrf_score"))).toMap
+    assert(got(1L) === ((Some(1L), Some(2L), 1.0 / 61 + 1.0 / 62)))
+    assert(got(3L) === ((Some(3L), Some(1L), 1.0 / 63 + 1.0 / 61)))
+    assert(got(2L) === ((Some(2L), None, 1.0 / 62)))
+    assert(got(4L) === ((None, Some(3L), 1.0 / 63)))
+    // both-list hits outrank single-list hits here; doc 1 beats doc 3
+    // (1/61 + 1/62 > 1/63 + 1/61)
+    val order = HybridSearch.rrfFuseTopK(Seq(a, b), "doc", k = 10)
+      .collect().map(_.getAs[Long]("doc")).toSeq
+    assert(order === Seq(1L, 3L, 2L, 4L))
+  }
+
+  test("hammingTopK ranks by popcount(sig xor query) with id tie-break") {
+    val sigs = Seq((1L, 0xFFL), (2L, 0xF0L), (3L, 0x0FL), (4L, 0x00L),
+      (5L, 0xFEL)).toDF("id", "sig")
+    val got = Dedup.hammingTopK(sigs, "id", "sig", querySig = 0xFFL, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 0), (5L, 1), (2L, 4), (3L, 4)))
+  }
+
   test("context expansion respects char budget with 20% overflow rule") {
     val chunks = (0 to 9).map(i => ("d1", i, s"chunk$i " + "x" * 93)) // 100 chars each
       .toDF("docId", "chunkIndex", "content")
