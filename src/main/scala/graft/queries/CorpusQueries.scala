@@ -867,19 +867,24 @@ object CorpusQueries {
         val emb = Tables.embeddings(s, d)
         val qv = emb.filter(col("vec_id") === 0)
           .select("embedding").head().getSeq[Float](0)
+        // cut to 20 FIRST (TakeOrderedAndProject — k rows per
+        // partition, corpus-safe), then rank the bounded list: same
+        // order key, so top-20-then-rank ≡ rank-then-filter-20
         val vec = emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id").as("doc_id"),
             round(graft.plans.CosineSimilarity(col("embedding"),
               VectorSearch.queryVec(qv)), 6).as("key"))
+          .orderBy(col("key").desc, col("doc_id").asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("key").desc, col("doc_id").asc)))
-          .filter(col("rank") <= 20)
+        // n covers every matching doc at these SFs, so the 20-cut below
+        // happens on the ROUNDED key — the oracle's exact boundary
         val fts = Bm25.search(Tables.documents(s, d), "doc_id", "text",
             Seq("hash", "join"), 10000)
           .select(col("id").as("doc_id"), round(col("bm25"), 6).as("key"))
+          .orderBy(col("key").desc, col("doc_id").asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("key").desc, col("doc_id").asc)))
-          .filter(col("rank") <= 20)
         HybridSearch.rrfFuseTopK(Seq(vec, fts), "doc_id", k = 10, c = 60)
           .select(col("doc_id"), col("rank_0").as("rank_vec"),
             col("rank_1").as("rank_fts"),
