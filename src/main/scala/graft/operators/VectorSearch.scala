@@ -46,6 +46,70 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+    * greedily pick k results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance traded
+    * against redundancy, the standard fix for top-k lists that return
+    * k near-copies of the best hit.
+    *
+    * Scale shape: the DISTRIBUTED part is the `shortlist`-sized exact
+    * top-k (TakeOrderedAndProject over the corpus); the greedy loop
+    * then runs driver-side over that BOUNDED candidate set (the PQ
+    * train-sample discipline — shortlist ≤ a few hundred rows at any
+    * corpus size, and MMR quality only needs candidates worth
+    * diversifying among). The first pick is the relevance argmax; all
+    * similarity arithmetic is float-widened-to-double with ascending-
+    * dimension folds — bit-identical to the engine/oracle cosine.
+    *
+    * Output: (id, rel, mmr_score, pick) — selection order 1..k, the
+    * order a diversified result page renders. */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, shortlist: Int = 50,
+              lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cand = topK(df.select(col(idCol).as("id"), col(vecCol).as("v")),
+        "v", query, shortlist, tieCol = "id")
+      .select("id", "v", "cos_sim").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Long]
+    val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    while (selected.size < math.min(k, cand.length)) {
+      var bestId = -1L; var bestVec: Array[Float] = null
+      var bestRel = 0.0; var bestScore = Double.NegativeInfinity
+      cand.foreach { case (id, v, rel) =>
+        if (!chosen.contains(id)) {
+          val maxSim =
+            if (chosenVecs.isEmpty) 0.0
+            else chosenVecs.map(s => cos(v, s)).max
+          val score = lambda * rel - (1.0 - lambda) * maxSim
+          // strict > with ascending scan order = ties break to lowest id
+          if (score > bestScore || (score == bestScore && id < bestId)) {
+            bestScore = score; bestId = id; bestVec = v; bestRel = rel
+          }
+        }
+      }
+      selected += ((bestId, bestRel, bestScore))
+      chosen += bestId
+      chosenVecs += bestVec
+    }
+    selected.zipWithIndex
+      .map { case ((id, rel, sc), i) => (id, rel, sc, i + 1) }.toSeq
+      .toDF("id", "rel", "mmr_score", "pick")
+  }
+
   /** Batched exact top-k: score MANY query vectors in ONE corpus scan.
     * This is the engine's throughput mode — the reference answers
     * queries one at a time (~17ms each against its ANN index); here the

@@ -927,7 +927,63 @@ object CorpusQueries {
           .select(col("id").as("doc_id"), col("sig").as("simhash"),
             col("hamming"))
           .orderBy(asc("hamming"), asc("doc_id"))
-      })
+      }),
+
+    // MMR diversified re-ranking (Carbonell & Goldstein 1998): greedy
+    // λ·rel − (1−λ)·max-sim-to-selected over the exact top-50
+    // shortlist — the standard fix for k near-copies in a result page.
+    // The oracle UNROLLS the greedy loop (one CTE block per pick, k=5)
+    // over the same shortlist; every similarity is the bit-parity
+    // cosine fold and the (1−λ) literal is Scala's own printed double,
+    // so each argmax replays exactly. The distributed part is the
+    // shortlist TakeOrderedAndProject; the greedy is driver-side over
+    // a BOUNDED candidate set (PQ train-sample discipline)
+    {
+      val lambda = 0.7
+      val l = lambda.toString
+      val oml = (1.0 - lambda).toString
+      val steps = (2 to 5).map { i => s"""
+      m$i AS (SELECT c.id, c.cs AS rel, $l*c.cs - $oml*max(s.s) AS sc
+             FROM cand c JOIN sims s ON s.ia = c.id
+               AND s.ib IN (SELECT id FROM sel${i - 1})
+             WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+             GROUP BY c.id, c.cs),
+      p$i AS (SELECT id, rel, sc FROM m$i ORDER BY sc DESC, id LIMIT 1),
+      sel$i AS (SELECT id FROM sel${i - 1} UNION ALL SELECT id FROM p$i)"""
+      }.mkString(",")
+      val picks = (1 to 5).map(i =>
+        s"SELECT id AS vec_id, round(rel, 6) AS rel, round(sc, 6) AS mmr_score, $i AS pick FROM p$i")
+        .mkString("\n      UNION ALL ")
+      Q("q113_mmr_rerank", Some(s"""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      rel0 AS (
+        SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS v,
+          list_dot_product(e.embedding::DOUBLE[], q.qv) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS cs
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      cand AS (SELECT id, v, cs FROM rel0 ORDER BY cs DESC, id LIMIT 50),
+      sims AS (
+        SELECT a.id AS ia, b.id AS ib,
+          list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+        FROM cand a JOIN cand b ON a.id <> b.id),
+      p1 AS (SELECT id, cs AS rel, $l*cs AS sc FROM cand
+             ORDER BY $l*cs DESC, id LIMIT 1),
+      sel1 AS (SELECT id FROM p1),$steps
+      $picks
+      ORDER BY pick"""),
+        (s, d) => {
+          val emb = Tables.embeddings(s, d)
+          val qv = emb.filter(col("vec_id") === 0)
+            .select("embedding").head().getSeq[Float](0)
+          VectorSearch.mmrTopK(emb.filter(col("vec_id") =!= 0), "vec_id",
+              "embedding", qv, k = 5, shortlist = 50, lambda = lambda)
+            .select(col("id").as("vec_id"), round(col("rel"), 6).as("rel"),
+              round(col("mmr_score"), 6).as("mmr_score"), col("pick"))
+            .orderBy("pick")
+        })
+    }
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

@@ -183,6 +183,33 @@ class OperatorsSpec extends SparkSpec {
     assert(order === Seq(1L, 3L, 2L, 4L))
   }
 
+  test("MMR re-ranking diversifies: near-copies of the top hit defer to distinct results") {
+    // cluster A: three near-copies of the best hit; cluster B: one
+    // orthogonal-but-relevant hit. Pure relevance ranks A1 A2 A3 B;
+    // MMR at lambda=0.5 must pick B second.
+    val docs = Seq(
+      (1L, Array(1.00f, 0.0f, 0.00f)),
+      (2L, Array(0.98f, 0.0f, 0.02f)), // near-copy of 1 (z-perturbed,
+      (3L, Array(0.96f, 0.0f, 0.04f)), //  orthogonal to the query)
+      (4L, Array(0.00f, 1.0f, 0.00f))).toDF("id", "v")
+    val q = Seq(0.8f, 0.6f, 0.0f)
+    val picks = VectorSearch.mmrTopK(docs, "id", "v", q, k = 4,
+        shortlist = 4, lambda = 0.5)
+      .collect().map(r => (r.getInt(3), r.getLong(0))).sorted.map(_._2)
+    assert(picks.head == 1L) // first pick is the relevance argmax
+    assert(picks(1) == 4L, s"expected the distinct hit second, got $picks")
+    // lambda = 1 degenerates to pure relevance order
+    val pure = VectorSearch.mmrTopK(docs, "id", "v", q, k = 4,
+        shortlist = 4, lambda = 1.0)
+      .collect().sortBy(_.getInt(3)).map(_.getLong(0)).toSeq
+    val rel = VectorSearch.topK(docs, "v", q, 4, "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pure === rel)
+    // k capped at candidate count; picks are distinct
+    assert(VectorSearch.mmrTopK(docs, "id", "v", q, k = 9, shortlist = 9)
+      .collect().map(_.getLong(0)).distinct.length == 4)
+  }
+
   test("hammingTopK ranks by popcount(sig xor query) with id tie-break") {
     val sigs = Seq((1L, 0xFFL), (2L, 0xF0L), (3L, 0x0FL), (4L, 0x00L),
       (5L, 0xFEL)).toDF("id", "sig")
