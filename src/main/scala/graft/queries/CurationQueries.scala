@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, ImportanceSampling, Quota, Sampling, TextAnalysis, VectorSearch}
+import graft.operators.{Decontamination, Dedup, ImportanceSampling, Packing, Quota, Sampling, TextAnalysis, VectorSearch}
 import graft.util.Materialize.MatOps
 import org.apache.spark.sql.functions._
 
@@ -1236,6 +1236,61 @@ object CurationQueries {
         TextAnalysis.ccnetBucketsPerStratum(scored, "stratum")
           .select(col("id").as("doc_id"), col("stratum").as("lang"),
             col("n_tokens"), col("lm_key"), col("rank"), col("bucket"))
+          .orderBy("doc_id")
+      }),
+
+    // the training-prep LAST MILE composed end to end: CCNet LM rank
+    // (q68 scoring, q85 rank discipline) -> drop the tail tercile ->
+    // pack the survivors into fixed 512-token sequences in BEST-FIRST
+    // rank order (q72 distributed prefix sum) — the curriculum write
+    // order a training run consumes. rank is unique, so the pack order
+    // is integer-exact on top of the certified 6dp lm_key
+    Q("q114_curriculum_pack", Some("""
+      WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM cnt),
+      vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 65536),
+      scored AS (
+        SELECT t.doc_id,
+          log10((CAST(coalesce(v.c, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS logp
+        FROM tok t LEFT JOIN vocab v USING (tok) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          avg(logp) AS avg_logp
+        FROM scored GROUP BY doc_id),
+      f AS (
+        SELECT d.doc_id, CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+          round(coalesce(a.avg_logp, 0.0), 6) AS lm_key
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      r AS (
+        SELECT doc_id, n_tokens, lm_key,
+          row_number() OVER (ORDER BY lm_key DESC, doc_id) AS rank,
+          count(*) OVER () AS n
+        FROM f),
+      adm AS (SELECT * FROM r WHERE rank <= ceil(2.0 * CAST(n AS DOUBLE) / 3.0)),
+      c AS (
+        SELECT doc_id, n_tokens, lm_key, rank,
+          CAST(sum(n_tokens) OVER (ORDER BY rank
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM adm)
+      SELECT doc_id, lm_key, CAST(rank AS BIGINT) AS rank,
+        n_tokens AS ws_tokens, cum AS cum_tokens,
+        CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
+      FROM c ORDER BY doc_id"""),
+      (s, d) => {
+        val scored = TextAnalysis.unigramQuality(
+          Tables.documents(s, d), "doc_id", "text")
+        val admitted = TextAnalysis.ccnetBucketsFromScores(scored)
+          .filter(col("bucket") =!= "tail")
+          .select(col("id").as("doc_id"), col("lm_key"), col("rank"),
+            col("n_tokens").cast("long").as("ws_tokens"))
+        Packing.packSequences(admitted, "doc_id", "ws_tokens",
+            Seq(col("rank").asc), seqLen = 512)
+          .select(col("doc_id"), col("lm_key"), col("rank"),
+            col("ws_tokens"), col("cum_tokens"), col("seq_id"))
           .orderBy("doc_id")
       })
   )
