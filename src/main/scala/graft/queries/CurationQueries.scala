@@ -1281,14 +1281,20 @@ object CurationQueries {
         CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
       FROM c ORDER BY doc_id"""),
       (s, d) => {
+        // fused rank-prefix pack: rank, tercile admission, and the
+        // prefix sum share ONE sort/checkpoint/metadata pass
+        // (Packing.packRankedPrefix) — ceil((2/3)·n) ≡ ceil(2n/3) for
+        // any corpus size (the rounded-down 2/3 double sits ~n·2⁻⁵⁴
+        // below the exact ratio, never enough to cross a 1/3 or 2/3
+        // fractional boundary)
         val scored = TextAnalysis.unigramQuality(
           Tables.documents(s, d), "doc_id", "text")
-        val admitted = TextAnalysis.ccnetBucketsFromScores(scored)
-          .filter(col("bucket") =!= "tail")
-          .select(col("id").as("doc_id"), col("lm_key"), col("rank"),
-            col("n_tokens").cast("long").as("ws_tokens"))
-        Packing.packSequences(admitted, "doc_id", "ws_tokens",
-            Seq(col("rank").asc), seqLen = 512)
+        val f = scored.select(col("id").as("doc_id"),
+          round(col("avg_logp"), 6).as("lm_key"),
+          col("n_tokens").cast("long").as("ws_tokens"))
+        Packing.packRankedPrefix(f, "doc_id", "ws_tokens",
+            Seq(col("lm_key").desc), seqLen = 512,
+            admitFraction = 2.0 / 3.0)
           .select(col("doc_id"), col("lm_key"), col("rank"),
             col("ws_tokens"), col("cum_tokens"), col("seq_id"))
           .orderBy("doc_id")

@@ -71,4 +71,29 @@ class PackingSpec extends SparkSpec {
     assert(out(2L) === ((10L, 0L)))
     assert(out(1L) === ((13L, 1L)))  // starts at 10 -> seq 1
   }
+
+  test("packRankedPrefix equals rank -> admit -> pack, across partitionings and fractions") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 157).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(9).toLong))
+    def replica(f: Double): Map[Long, (Long, Long, Long)] = {
+      val sorted = rows.sortBy { case (id, _, key) => (-key, id) }
+      val k = math.ceil(f * sorted.size).toLong
+      var cum = 0L
+      sorted.zipWithIndex.takeWhile(_._2 < k).map { case ((id, t, _), i) =>
+        cum += t
+        id -> (i + 1L, cum, (cum - t) / 64)
+      }.toMap
+    }
+    for (parts <- Seq(1, 7); f <- Seq(2.0 / 3.0, 0.3, 1.0)) {
+      val got = Packing.packRankedPrefix(
+          rows.toDF("id", "t", "key").repartition(parts),
+          "id", "t", Seq(col("key").desc), seqLen = 64, admitFraction = f)
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("rank"), r.getAs[Long]("cum_tokens"),
+            r.getAs[Long]("seq_id"))).toMap
+      assert(got == replica(f), s"parts=$parts f=$f")
+    }
+  }
 }
