@@ -559,6 +559,46 @@ object TextAnalysis {
       .select("src_a", "src_b", "n_shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the DISTRIBUTIONAL complement to [[sourceOverlap]]'s set overlap:
+    * D(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)), the standard
+    * "how far does this slice's language drift from the mix" signal a
+    * domain-weighting pass reads (sources with outlier divergence are
+    * over/under-weighted candidates; a near-duplicate slice reads ~0).
+    * p_c covers every source token (p_s's support ⊆ p_c's), so the sum
+    * is finite by construction.
+    *
+    * Shape at scale: one token explode partial-aggregates into
+    * (source, token) counts; corpus counts fold from THOSE rows (never
+    * a second corpus pass); the divergence sum is one keyed aggregation
+    * over vocab-sized rows. Per-term doubles are IEEE-exact; the final
+    * sum carries the engine's aggregation-order freedom, absorbed by
+    * 6dp rounding at the published scale (the q68/q71 discipline).
+    * Output: (src, n_tokens, n_types, kl). */
+  def sourceDivergence(df: DataFrame, srcCol: String,
+                       textCol: String): DataFrame = {
+    val st = df.select(col(srcCol).as("src"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .materializeOnce(eager = false) // corpus fold + divergence join
+    val corpus = st.groupBy("tok").agg(sum("c").as("cc"))
+      .materializeOnce(eager = false) // total + join
+    val totalN = corpus.agg(coalesce(sum("cc"), lit(0L))).head().getLong(0)
+      .toDouble
+    val perSrc = st.groupBy("src").agg(sum("c").as("ns"))
+    st.join(corpus, Seq("tok"))
+      .join(perSrc, Seq("src"))
+      .withColumn("__term", {
+        val ps = col("c").cast("double") / col("ns").cast("double")
+        val pc = col("cc").cast("double") / lit(totalN)
+        ps * log(ps / pc)
+      })
+      .groupBy("src")
+      .agg(max(col("ns")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum("__term").as("kl"))
+      .select(col("src"), col("n_tokens"), col("n_types"), col("kl"))
+  }
+
   /** Character-level Shannon entropy per document, in bits — the
     * encoding-garbage / degenerate-repetition tell (random bytes score
     * high, single-character spam scores ~0; natural text sits in a

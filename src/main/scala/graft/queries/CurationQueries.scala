@@ -1298,6 +1298,33 @@ object CurationQueries {
           .select(col("doc_id"), col("lm_key"), col("rank"),
             col("ws_tokens"), col("cum_tokens"), col("seq_id"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // per-source KL divergence from the corpus unigram LM — the
+    // distributional complement to q106's set-overlap matrix (domain
+    // drift per slice; the signal a domain-weighting pass reads).
+    // Per-term doubles are IEEE-exact; the sums carry aggregation-order
+    // freedom absorbed by 6dp rounding (q68/q71 discipline)
+    Q("q115_source_divergence", Some(s"""
+      WITH st AS (
+        SELECT source AS src, t AS tok, CAST(count(*) AS BIGINT) AS c
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        GROUP BY 1, 2),
+      corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY tok),
+      tot AS (SELECT CAST(coalesce(sum(cc), 0) AS DOUBLE) AS n FROM corpus),
+      ps AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY src)
+      SELECT st.src, CAST(ps.ns AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        round(sum((CAST(st.c AS DOUBLE) / CAST(ps.ns AS DOUBLE)) *
+          ln((CAST(st.c AS DOUBLE) / CAST(ps.ns AS DOUBLE)) /
+             (CAST(corpus.cc AS DOUBLE) / tot.n))), 6) AS kl
+      FROM st JOIN corpus USING (tok) JOIN ps USING (src) CROSS JOIN tot
+      GROUP BY st.src, ps.ns
+      ORDER BY st.src"""),
+      (s, d) => TextAnalysis.sourceDivergence(Tables.documents(s, d),
+          "source", "text")
+        .select(col("src"), col("n_tokens"), col("n_types"),
+          round(col("kl"), 6).as("kl"))
+        .orderBy("src"))
   )
 }

@@ -73,6 +73,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(5L)._2 == "mixed case ".toSet.size.toLong)
   }
 
+  test("sourceDivergence equals the driver KL replica; identical slices read ~0") {
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x y z z"), // mixed
+      ("b", "x x y z x y z z"), // same distribution as a -> KL(b||corpus) ~ KL(a||corpus)
+      ("c", "w w w w w w w w")) // disjoint-ish skew -> large KL
+    val got = TextAnalysis.sourceDivergence(
+        docs.toDF("source", "text"), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val corpus = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+    val cc = corpus.groupBy(identity).view.mapValues(_.size).toMap
+    val n = corpus.size.toDouble
+    def kl(src: String): Double = {
+      val toks = docs.filter(_._1 == src).flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      val sc = toks.groupBy(identity).view.mapValues(_.size).toMap
+      sc.toSeq.sortBy(_._1).map { case (t, c) =>
+        val ps = c / toks.size.toDouble
+        ps * math.log(ps / (cc(t) / n))
+      }.sum
+    }
+    for (s <- Seq("a", "b", "c")) {
+      assert(math.abs(got(s)._3 - kl(s)) < 1e-9, s)
+      assert(got(s)._1 == docs.filter(_._1 == s)
+        .flatMap(_._2.split(" ")).count(_.nonEmpty).toLong)
+    }
+    assert(math.abs(got("a")._3 - got("b")._3) < 1e-9) // same distribution
+    assert(got("c")._3 > got("a")._3 + 0.5) // the skewed slice stands out
+    assert(got("c")._2 == 1L)
+  }
+
   test("per-language CCNet: scores use the language's own LM; terciles rank within language") {
     // "rare rare" is likely in lang a (half its corpus) but would be
     // OOV-ish under a global LM dominated by lang b
