@@ -74,6 +74,102 @@ class BpeTrainingSpec extends SparkSpec {
     assert(BpeTraining.applyMerges("xyz", merges) == Seq("x", "y", "z", Eow))
   }
 
+  test("trainLocal matches the spec's independent reference merge-for-merge") {
+    val words = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    assert(BpeTraining.trainLocal(words, 25, 2) == referenceTrain(corpus, 25, 2))
+  }
+
+  test("batched training matches sequential on an interacting-pair corpus") {
+    import spark.implicits._
+    // every top pair shares symbols with the next (abc-family ties), so
+    // prefix selection must repeatedly truncate to stay sequential-exact
+    val inter = Seq(
+      "aaab aaab aaab aab ab", "abab abab baba", "aabb aabb bbaa",
+      "low lower lowest low low", "new newer newest new new new")
+    val df = inter.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = BpeTraining.trainBatched(df, "text", numMerges = 30,
+      minPairCount = 2, batchMax = 8, candK = 64)
+    assert(got == referenceTrain(inter, 30, 2))
+  }
+
+  test("batched == sequential == local over random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import spark.implicits._
+    val word = Gen.chooseNum(1, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(3, 12)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(2, 10)
+        .flatMap(k => word.map(w => Seq.fill(k)(w).mkString(" ")))))
+    val prop = Prop.forAllNoShrink(corpusGen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val want = referenceTrain(texts, 15, 2)
+      val batched = BpeTraining.trainBatched(df, "text", 15, 2,
+        batchMax = 4, candK = 32)
+      val local = BpeTraining.trainLocal(
+        texts.flatMap(_.split("\\s+")).filter(_.nonEmpty).groupBy(identity)
+          .map { case (w, ws) => (w, ws.size.toLong) }.toSeq, 15, 2)
+      batched == want && local == want
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("batched reaches 1000 merges and still equals the local reference") {
+    import spark.implicits._
+    // synthetic corpus rich enough for >=1000 count>=2 pairs: zipf-ish
+    // repeated pseudo-words over a 20-letter alphabet
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrst"
+    val vocabWords = (0 until 1500).map { _ =>
+      (0 until (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(20))).mkString
+    }
+    val texts = (0 until 300).map { _ =>
+      (0 until 40).map { _ =>
+        vocabWords((math.pow(rnd.nextDouble(), 2.0) * vocabWords.size).toInt
+          .min(vocabWords.size - 1))
+      }.mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val words = texts.flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    val want = BpeTraining.trainLocal(words, 1000, 2)
+    assert(want.size >= 1000, s"corpus only supports ${want.size} merges")
+    val got = BpeTraining.trainBatched(df, "text", 1000, 2)
+    assert(got == want)
+  }
+
+  test("selectPrefix stops at the first interacting candidate, not past it") {
+    // (a,b) then (b,c) shares b: the prefix must stop, NOT skip to (x,y)
+    val cand = Seq(("a", "b", 12L), ("b", "c", 11L), ("x", "y", 9L))
+    assert(BpeTraining.selectPrefix(cand, 2, 8) == Seq(("a", "b", 12L)))
+    // disjoint candidates all admitted, in order, capped by roundMax
+    val disj = Seq(("a", "b", 9L), ("c", "d", 8L), ("e", "f", 7L))
+    assert(BpeTraining.selectPrefix(disj, 2, 2) == disj.take(2))
+    // fused-string collision: fused "ab" appearing as a later symbol stops the scan
+    val fusedHit = Seq(("a", "b", 9L), ("ab", "c", 8L))
+    assert(BpeTraining.selectPrefix(fusedHit, 2, 8) == fusedHit.take(1))
+    // minPairCount truncates
+    assert(BpeTraining.selectPrefix(disj, 8, 8) == disj.take(2))
+  }
+
+  test("firstPreemptedStep flags tie-break preemption at the earliest step") {
+    val ord = Array((12L, "p", "q"), (9L, "x", "y"), (9L, "z", "w"))
+    // competitor emitted after step 0 with count 9 and lex-smaller than
+    // (x,y): preempts step 1 (the tie-break case; counts can only decay)
+    assert(BpeTraining.firstPreemptedStep(0, "ab", "c", 9L, ord) == Some(1))
+    // lex-larger at equal count: only preempts the later, lex-larger step
+    assert(BpeTraining.firstPreemptedStep(0, "xz", "c", 9L, ord) == Some(2))
+    // strictly smaller count: never preempts
+    assert(BpeTraining.firstPreemptedStep(0, "ab", "c", 8L, ord) == None)
+    // competitors only compete at steps AFTER their emission
+    assert(BpeTraining.firstPreemptedStep(2, "ab", "c", 99L, ord) == None)
+  }
+
   test("mergePair merges adjacent occurrences left-to-right (a a a -> aa, a)") {
     assert(BpeTraining.mergePair(Seq("a", "a", "a"), "a", "a")
       == Seq("aa", "a"))
