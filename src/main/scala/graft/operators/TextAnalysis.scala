@@ -816,6 +816,104 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** All length-`n` token windows of a token array, as
+    * `array<array<string>>` — the generic n-gram extractor behind
+    * [[ngramQuality]] (bigramPairs/trigramTriples are the struct-shaped
+    * fixed-order forms the certified q74/q87 tiers keep using). */
+  private def gramWindows(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1), i => slice(toks, i, lit(n))))
+      .otherwise(typedLit(Seq.empty[Seq[String]]))
+
+  /** Interpolated n-gram LM quality for ANY order — the generalization
+    * of [[bigramQuality]]/[[trigramQuality]] that reaches CCNet's
+    * published 5-gram operating point (Wenzek et al. 2019 §4.4 score
+    * with a 5-gram KenLM). Per position i >= order:
+    *
+    *   p = λ_n·c_n(w_{i-n+1..i})/ctx_{n-1}
+    *     + λ_{n-1}·c_{n-1}(w_{i-n+2..i})/ctx_{n-2} + …
+    *     + (1 − Σλ)·(c(w_i)+1)/(N+1)
+    *
+    * — classic deleted interpolation (Jelinek-Mercer): every tier backs
+    * off to the next when its context is unseen, and the add-one
+    * unigram floor keeps p > 0. `lambdas` are the weights for tiers
+    * order, order−1, …, 2 (so `lambdas.length == order−1`); the unigram
+    * weight is the left-fold remainder `1.0 − λ_n − … − λ_2`, restated
+    * exactly that way in oracles for IEEE parity.
+    *
+    * Scale shape is [[trigramQuality]]'s, per tier: each n-gram count
+    * table grows with the corpus and CANNOT broadcast, so scoring is
+    * one shuffle join per tier keyed on the token window (an
+    * `array<string>` equi-join key) — only window rows shuffle, never
+    * document text; counts partial-aggregate map-side; each context
+    * table derives from its count table (no extra corpus pass). Table
+    * growth by order is measured in SCALE.md ("n-gram table growth"):
+    * Heaps-law sublinear types per tier, not combinatorial blowup.
+    *
+    * Output: (id, n_ngrams, avg_logp); docs with < order tokens score a
+    * neutral (0, 0.0). */
+  def ngramQuality(df: DataFrame, idCol: String, textCol: String,
+                   order: Int, lambdas: Seq[Double]): DataFrame = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    require(lambdas.length == order - 1,
+      s"need ${order - 1} lambdas for order $order (tiers $order..2)")
+    def toks(c: Column) = tokens(lower(c))
+    val uni = df.select(explode(toks(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .materializeOnce(eager = false) // two consumers: total + scoring join
+    val totalN = uni.agg(coalesce(sum("cu"), lit(0L))).head().getLong(0).toDouble
+    // per-tier count + context tables, k = 2..order
+    val tiers = (2 to order).map { k =>
+      val cnt = df.select(explode(gramWindows(toks(col(textCol)), k)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as(s"c$k"))
+        .materializeOnce(eager = false) // ctx totals + scoring join
+      val ctx = cnt.groupBy(slice(col("g"), 1, k - 1).as("p"))
+        .agg(sum(s"c$k").as(s"cctx${k - 1}"))
+      (k, cnt, ctx)
+    }
+    var joined = df.select(col(idCol).as("id"),
+      explode_outer(gramWindows(toks(col(textCol)), order)).as("g"))
+    for (k <- 2 to order)
+      joined = joined
+        .withColumn(s"__k$k", slice(col("g"), order - k + 1, k))
+        .withColumn(s"__p${k - 1}", slice(col("g"), order - k + 1, k - 1))
+    for ((k, cnt, ctx) <- tiers)
+      joined = joined
+        .join(cnt.withColumnRenamed("g", s"__k$k"), Seq(s"__k$k"), "left")
+        .join(ctx.withColumnRenamed("p", s"__p${k - 1}"), Seq(s"__p${k - 1}"), "left")
+    joined = joined
+      .withColumn("__cur", element_at(col("g"), order))
+      .join(uni.withColumnRenamed("tok", "__cur"), Seq("__cur"), "left")
+    // interpolation, highest tier first, left-associated — the exact op
+    // order [[trigramQuality]] certifies and the oracles restate
+    var p: Column = lit(lambdas.head) *
+      when(col(s"cctx${order - 1}").isNotNull,
+        coalesce(col(s"c$order"), lit(0L)).cast("double") /
+          col(s"cctx${order - 1}").cast("double")).otherwise(lit(0.0))
+    for ((lam, k) <- lambdas.tail.zip((order - 1) to 2 by -1))
+      p = p + lit(lam) *
+        when(col(s"cctx${k - 1}").isNotNull,
+          coalesce(col(s"c$k"), lit(0L)).cast("double") /
+            col(s"cctx${k - 1}").cast("double")).otherwise(lit(0.0))
+    val lamUni = lambdas.foldLeft(1.0)(_ - _) // left-fold: oracle restates
+    p = p + lit(lamUni) *
+      ((coalesce(col("cu"), lit(0L)).cast("double") + lit(1.0)) /
+        lit(totalN + 1.0))
+    joined.withColumn("__p", p)
+      .groupBy("id")
+      .agg(count(col("g")).as("n_ngrams"),
+        coalesce(avg(when(col("g").isNotNull, log10(col("__p")))), lit(0.0))
+          .as("avg_logp"))
+  }
+
+  /** CCNet's published operating point: interpolated 5-gram LM quality
+    * (Wenzek et al. §4.4). Weights 0.4/0.25/0.2/0.1 for tiers 5..2 and
+    * the left-fold remainder 0.05 as the add-one unigram floor. */
+  def fivegramQuality(df: DataFrame, idCol: String, textCol: String,
+                      lambdas: Seq[Double] = Seq(0.4, 0.25, 0.2, 0.1)): DataFrame =
+    ngramQuality(df, idCol, textCol, order = 5, lambdas)
+      .withColumnRenamed("n_ngrams", "n_fivegrams")
+
   /** CCNet perplexity bucketing (Wenzek et al. 2019 §4.4): split the
     * corpus into head / middle / tail terciles by LM quality — head is
     * the BEST-scoring third (highest [[unigramQuality]] avg log-prob =
@@ -851,8 +949,10 @@ object TextAnalysis {
         .select(col("id"), col("n_bigrams").as("n_tokens"), col("avg_logp"))
       case "trigram" => trigramQuality(df, idCol, textCol)
         .select(col("id"), col("n_trigrams").as("n_tokens"), col("avg_logp"))
+      case "fivegram" => fivegramQuality(df, idCol, textCol)
+        .select(col("id"), col("n_fivegrams").as("n_tokens"), col("avg_logp"))
       case other => throw new IllegalArgumentException(
-        s"unknown LM tier '$other' (supported: unigram, bigram, trigram)")
+        s"unknown LM tier '$other' (supported: unigram, bigram, trigram, fivegram)")
     }
     ccnetBucketsFromScores(scoredTier)
   }

@@ -29,20 +29,24 @@ object CurationQueries {
     * checkpoint blocks out from under a cached plan — a parquet
     * artifact survives that, stays distributed (no driver collect),
     * and is exactly how a production pipeline ships an LM tier. */
-  private val trigramCache = scala.collection.concurrent.TrieMap
+  private val stampCache = scala.collection.concurrent.TrieMap
     .empty[String, String]
+  private def docStamp(s: org.apache.spark.sql.SparkSession, d: String) =
+    stampCache.getOrElseUpdate(d, graft.util.DiskArtifact.corpusStamp(
+      Tables.documents(s, d), "doc_id", "text"))
   private def cachedTrigramQuality(s: org.apache.spark.sql.SparkSession,
-                                   d: String) = {
-    val path = trigramCache.getOrElseUpdate(d, {
-      val p = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft-trigram-${Integer.toHexString(d.hashCode)}").getAbsolutePath
+                                   d: String) =
+    graft.util.DiskArtifact.getOrBuild(s, "trigram", docStamp(s, d))(() =>
       TextAnalysis.trigramQuality(Tables.documents(s, d), "doc_id", "text",
-        lambda3 = 0.6, lambda2 = 0.3)
-        .write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+        lambda3 = 0.6, lambda2 = 0.3))
+
+  /** q117/q118's shared 5-gram tier — same content-stamped disk
+    * artifact discipline; a testdata refresh changes the stamp and
+    * forces a rebuild instead of silently serving the stale tier. */
+  private def cachedFivegramQuality(s: org.apache.spark.sql.SparkSession,
+                                    d: String) =
+    graft.util.DiskArtifact.getOrBuild(s, "fivegram", docStamp(s, d))(() =>
+      TextAnalysis.fivegramQuality(Tables.documents(s, d), "doc_id", "text"))
 
   val all: Seq[Q] = Seq(
 
@@ -1325,6 +1329,163 @@ object CurationQueries {
           "source", "text")
         .select(col("src"), col("n_tokens"), col("n_types"),
           round(col("kl"), 6).as("kl"))
-        .orderBy("src"))
+        .orderBy("src")),
+
+    // 5-GRAM interpolated LM quality (round-13, VERDICT r12 #2):
+    // CCNet's published operating point — Wenzek et al. 2019 §4.4
+    // score with a 5-gram KenLM; this is the generic ngramQuality at
+    // order 5. Tier weights 0.4/0.25/0.2/0.1 restated literally, floor
+    // as the left-fold (1.0 - …) chain for IEEE parity (q87 precedent).
+    // Every tier's count/context table is built over the FULL token
+    // stream (not just 5-gram-window interiors), matching the engine
+    Q("q117_fivegram_lm_quality", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      uni AS (SELECT tokk, CAST(count(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(t) AS tokk FROM tok) GROUP BY tokk),
+      tot AS (SELECT CAST(coalesce(sum(cu), 0) AS DOUBLE) AS n FROM uni),
+      bge AS (SELECT unnest(t[1:len(t)-1]) AS p1, unnest(t[2:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 2),
+      bi AS (SELECT p1, cur, CAST(count(*) AS BIGINT) AS cb
+             FROM bge GROUP BY 1, 2),
+      ctx1 AS (SELECT p1, CAST(sum(cb) AS BIGINT) AS cctx1 FROM bi GROUP BY 1),
+      tge AS (SELECT unnest(t[1:len(t)-2]) AS p2, unnest(t[2:len(t)-1]) AS p1,
+                unnest(t[3:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 3),
+      tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c3
+              FROM tge GROUP BY 1, 2, 3),
+      ctx2 AS (SELECT p2, p1, CAST(sum(c3) AS BIGINT) AS cctx2
+               FROM tri GROUP BY 1, 2),
+      qge AS (SELECT unnest(t[1:len(t)-3]) AS p3, unnest(t[2:len(t)-2]) AS p2,
+                unnest(t[3:len(t)-1]) AS p1, unnest(t[4:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 4),
+      qua AS (SELECT p3, p2, p1, cur, CAST(count(*) AS BIGINT) AS c4
+              FROM qge GROUP BY 1, 2, 3, 4),
+      ctx3 AS (SELECT p3, p2, p1, CAST(sum(c4) AS BIGINT) AS cctx3
+               FROM qua GROUP BY 1, 2, 3),
+      fge AS (SELECT doc_id, unnest(t[1:len(t)-4]) AS p4,
+                unnest(t[2:len(t)-3]) AS p3, unnest(t[3:len(t)-2]) AS p2,
+                unnest(t[4:len(t)-1]) AS p1, unnest(t[5:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 5),
+      fiv AS (SELECT p4, p3, p2, p1, cur, CAST(count(*) AS BIGINT) AS c5
+              FROM fge GROUP BY 1, 2, 3, 4, 5),
+      ctx4 AS (SELECT p4, p3, p2, p1, CAST(sum(c5) AS BIGINT) AS cctx4
+               FROM fiv GROUP BY 1, 2, 3, 4),
+      sc AS (
+        SELECT g.doc_id,
+          0.4 * (CAST(coalesce(f5.c5, 0) AS DOUBLE) / CAST(c4x.cctx4 AS DOUBLE)) +
+          0.25 * (CAST(coalesce(q4.c4, 0) AS DOUBLE) / CAST(c3x.cctx3 AS DOUBLE)) +
+          0.2 * (CAST(coalesce(t3.c3, 0) AS DOUBLE) / CAST(c2x.cctx2 AS DOUBLE)) +
+          0.1 * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(c1x.cctx1 AS DOUBLE)) +
+          (1.0 - 0.4 - 0.25 - 0.2 - 0.1) *
+            ((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS p
+        FROM fge g
+        JOIN fiv f5 ON f5.p4 = g.p4 AND f5.p3 = g.p3 AND f5.p2 = g.p2
+          AND f5.p1 = g.p1 AND f5.cur = g.cur
+        JOIN ctx4 c4x ON c4x.p4 = g.p4 AND c4x.p3 = g.p3 AND c4x.p2 = g.p2
+          AND c4x.p1 = g.p1
+        JOIN qua q4 ON q4.p3 = g.p3 AND q4.p2 = g.p2 AND q4.p1 = g.p1
+          AND q4.cur = g.cur
+        JOIN ctx3 c3x ON c3x.p3 = g.p3 AND c3x.p2 = g.p2 AND c3x.p1 = g.p1
+        JOIN tri t3 ON t3.p2 = g.p2 AND t3.p1 = g.p1 AND t3.cur = g.cur
+        JOIN ctx2 c2x ON c2x.p2 = g.p2 AND c2x.p1 = g.p1
+        JOIN bi b ON b.p1 = g.p1 AND b.cur = g.cur
+        JOIN ctx1 c1x ON c1x.p1 = g.p1
+        LEFT JOIN uni u ON u.tokk = g.cur
+        CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fivegrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(a.n_fivegrams, 0) AS BIGINT) AS n_fivegrams,
+        round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, d) => cachedFivegramQuality(s, d)
+        .select(col("id").as("doc_id"), col("n_fivegrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    // CCNet buckets ranked by the 5-GRAM tier (round-13): the faithful
+    // published pipeline — 5-gram LM rank, head/middle/tail terciles.
+    // Replays the q117 disk artifact; same distributed prefix-rank as
+    // q85/q88, n_tokens counts 5-gram positions
+    Q("q118_ccnet_buckets_fivegram", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      uni AS (SELECT tokk, CAST(count(*) AS BIGINT) AS cu
+              FROM (SELECT unnest(t) AS tokk FROM tok) GROUP BY tokk),
+      tot AS (SELECT CAST(coalesce(sum(cu), 0) AS DOUBLE) AS n FROM uni),
+      bge AS (SELECT unnest(t[1:len(t)-1]) AS p1, unnest(t[2:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 2),
+      bi AS (SELECT p1, cur, CAST(count(*) AS BIGINT) AS cb
+             FROM bge GROUP BY 1, 2),
+      ctx1 AS (SELECT p1, CAST(sum(cb) AS BIGINT) AS cctx1 FROM bi GROUP BY 1),
+      tge AS (SELECT unnest(t[1:len(t)-2]) AS p2, unnest(t[2:len(t)-1]) AS p1,
+                unnest(t[3:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 3),
+      tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c3
+              FROM tge GROUP BY 1, 2, 3),
+      ctx2 AS (SELECT p2, p1, CAST(sum(c3) AS BIGINT) AS cctx2
+               FROM tri GROUP BY 1, 2),
+      qge AS (SELECT unnest(t[1:len(t)-3]) AS p3, unnest(t[2:len(t)-2]) AS p2,
+                unnest(t[3:len(t)-1]) AS p1, unnest(t[4:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 4),
+      qua AS (SELECT p3, p2, p1, cur, CAST(count(*) AS BIGINT) AS c4
+              FROM qge GROUP BY 1, 2, 3, 4),
+      ctx3 AS (SELECT p3, p2, p1, CAST(sum(c4) AS BIGINT) AS cctx3
+               FROM qua GROUP BY 1, 2, 3),
+      fge AS (SELECT doc_id, unnest(t[1:len(t)-4]) AS p4,
+                unnest(t[2:len(t)-3]) AS p3, unnest(t[3:len(t)-2]) AS p2,
+                unnest(t[4:len(t)-1]) AS p1, unnest(t[5:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 5),
+      fiv AS (SELECT p4, p3, p2, p1, cur, CAST(count(*) AS BIGINT) AS c5
+              FROM fge GROUP BY 1, 2, 3, 4, 5),
+      ctx4 AS (SELECT p4, p3, p2, p1, CAST(sum(c5) AS BIGINT) AS cctx4
+               FROM fiv GROUP BY 1, 2, 3, 4),
+      sc AS (
+        SELECT g.doc_id,
+          0.4 * (CAST(coalesce(f5.c5, 0) AS DOUBLE) / CAST(c4x.cctx4 AS DOUBLE)) +
+          0.25 * (CAST(coalesce(q4.c4, 0) AS DOUBLE) / CAST(c3x.cctx3 AS DOUBLE)) +
+          0.2 * (CAST(coalesce(t3.c3, 0) AS DOUBLE) / CAST(c2x.cctx2 AS DOUBLE)) +
+          0.1 * (CAST(coalesce(b.cb, 0) AS DOUBLE) / CAST(c1x.cctx1 AS DOUBLE)) +
+          (1.0 - 0.4 - 0.25 - 0.2 - 0.1) *
+            ((CAST(coalesce(u.cu, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS p
+        FROM fge g
+        JOIN fiv f5 ON f5.p4 = g.p4 AND f5.p3 = g.p3 AND f5.p2 = g.p2
+          AND f5.p1 = g.p1 AND f5.cur = g.cur
+        JOIN ctx4 c4x ON c4x.p4 = g.p4 AND c4x.p3 = g.p3 AND c4x.p2 = g.p2
+          AND c4x.p1 = g.p1
+        JOIN qua q4 ON q4.p3 = g.p3 AND q4.p2 = g.p2 AND q4.p1 = g.p1
+          AND q4.cur = g.cur
+        JOIN ctx3 c3x ON c3x.p3 = g.p3 AND c3x.p2 = g.p2 AND c3x.p1 = g.p1
+        JOIN tri t3 ON t3.p2 = g.p2 AND t3.p1 = g.p1 AND t3.cur = g.cur
+        JOIN ctx2 c2x ON c2x.p2 = g.p2 AND c2x.p1 = g.p1
+        JOIN bi b ON b.p1 = g.p1 AND b.cur = g.cur
+        JOIN ctx1 c1x ON c1x.p1 = g.p1
+        LEFT JOIN uni u ON u.tokk = g.cur
+        CROSS JOIN tot),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fivegrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id),
+      keyed AS (
+        SELECT d.doc_id, CAST(coalesce(a.n_fivegrams, 0) AS BIGINT) AS n_tokens,
+          round(coalesce(a.avg_logp, 0.0), 6) AS lm_key
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      r AS (
+        SELECT *, row_number() OVER (ORDER BY lm_key DESC, doc_id) AS rank,
+          count(*) OVER () AS n
+        FROM keyed)
+      SELECT doc_id, n_tokens, lm_key, CAST(rank AS BIGINT) AS rank,
+        CASE WHEN rank <= ceil(n / 3.0) THEN 'head'
+             WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.ccnetBucketsFromScores(
+          cachedFivegramQuality(s, d)
+            .select(col("id"), col("n_fivegrams").as("n_tokens"),
+              col("avg_logp")))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
+          col("rank"), col("bucket"))
+        .orderBy("doc_id"))
   )
 }

@@ -237,8 +237,66 @@ class CurationOpsSpec extends SparkSpec {
       assert(bucket === want, s"doc $id")
     }
     intercept[IllegalArgumentException] {
-      TextAnalysis.ccnetBuckets(docs, "doc_id", "text", tier = "fivegram")
+      TextAnalysis.ccnetBuckets(docs, "doc_id", "text", tier = "tetragram")
     }
+  }
+
+  test("ngramQuality(order=3) == trigramQuality and (order=2) == bigramQuality") {
+    import spark.implicits._
+    val df = (Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a"), (4L, "z"),
+      (5L, "a b c a b c d"), (6L, "b c a"), (7L, ""))).toDF("doc_id", "text")
+    def keyed(out: org.apache.spark.sql.DataFrame, nCol: String) =
+      out.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long](nCol),
+          math.rint(r.getAs[Double]("avg_logp") * 1e9) / 1e9)).toMap
+    val tri = keyed(TextAnalysis.trigramQuality(df, "doc_id", "text",
+      lambda3 = 0.6, lambda2 = 0.3), "n_trigrams")
+    val g3 = keyed(TextAnalysis.ngramQuality(df, "doc_id", "text",
+      order = 3, lambdas = Seq(0.6, 0.3)), "n_ngrams")
+    assert(g3 === tri)
+    val bi = keyed(TextAnalysis.bigramQuality(df, "doc_id", "text",
+      lambda = 0.9), "n_bigrams")
+    val g2 = keyed(TextAnalysis.ngramQuality(df, "doc_id", "text",
+      order = 2, lambdas = Seq(0.9)), "n_ngrams")
+    assert(g2 === bi)
+  }
+
+  test("fivegramQuality: hand-computed interpolation, short docs neutral") {
+    import spark.implicits._
+    // corpus: "a b c d e" x2, "e d c b a" x1, "a b c" (too short)
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "e d c b a"),
+      (4L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.fivegramQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_fivegrams"), r.getAs[Double]("avg_logp"))).toMap
+    // doc 1: 5-gram (a,b,c,d,e) 2/ctx4 2; 4-gram (b,c,d,e) 2/ctx3 2;
+    // tri (c,d,e) 2/ctx2 2; bi (d,e) 2/ctx1(d) 3 [(d,e)x2, (d,c)x1];
+    // uni e: 3 of N=18
+    val l1 = 1.0 - 0.4 - 0.25 - 0.2 - 0.1
+    val p1 = 0.4 * 1.0 + 0.25 * 1.0 + 0.2 * 1.0 + 0.1 * (2.0 / 3.0) +
+      l1 * ((3.0 + 1.0) / 19.0)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - math.log10(p1)) < 1e-12)
+    // doc 3's reversed 5-gram: tiers 5..3 all 1/1; bi (b,a) 1/ctx1(b) 4
+    // [(b,c)x3, (b,a)x1]; uni a: 4 of 18
+    val p3 = 0.4 * 1.0 + 0.25 * 1.0 + 0.2 * 1.0 + 0.1 * (1.0 / 4.0) +
+      l1 * ((4.0 + 1.0) / 19.0)
+    assert(math.abs(out(3L)._2 - math.log10(p3)) < 1e-12)
+    assert(out(4L) === ((0L, 0.0))) // 3 tokens: no 5-gram positions
+  }
+
+  test("ccnetBuckets fivegram tier ranks by fivegramQuality") {
+    import spark.implicits._
+    val docs = ((1L to 6L).map(i => (i, "p q r s t u v")) ++
+      Seq((7L, "v t p s u q r"), (8L, "r t q s p"), (9L, "q"))).toDF("doc_id", "text")
+    val got = TextAnalysis.ccnetBuckets(docs, "doc_id", "text", tier = "fivegram")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    val scored = TextAnalysis.fivegramQuality(docs, "doc_id", "text")
+      .select(col("id"), round(col("avg_logp"), 6).as("k"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, k) => (-k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    assert(got === scored)
   }
 
   test("contamination keeps short docs (no formable n-gram) with zero counts") {
