@@ -38,8 +38,12 @@ import org.apache.spark.sql.functions._
 object LangId {
 
   /** Languages decided by trigram profiles, in decision-priority order
-    * (ties in score break toward the earlier code). */
-  val TrigramLangs: Seq[String] = Seq("de", "en", "es", "fr", "it", "pt")
+    * (ties in score break toward the earlier code). Round 13 widens the
+    * original 6 (de en es fr it pt) with cs da fi id nl no pl sv tr vi
+    * (VERDICT r12 #4). */
+  val TrigramLangs: Seq[String] = Seq(
+    "cs", "da", "de", "en", "es", "fi", "fr", "id",
+    "it", "nl", "no", "pl", "pt", "sv", "tr", "vi")
 
   /** Penalty (scaled log-prob) for a trigram absent from a language's
     * profile. More negative than any real profile weight. */
@@ -139,14 +143,153 @@ object LangId {
       música e a arte desempenham um papel importante na vida de muitas
       pessoas. Ontem escrevemos uma longa carta aos nossos amigos sobre a
       viagem. O livro está sobre a mesa ao lado da janela, à espera do
-      seu leitor.""")
+      seu leitor.""",
+    "nl" -> """De geschiedenis van de wetenschap laat zien dat nieuwe ideeën
+      vaak op weerstand stuiten voordat ze worden aanvaard. Onderzoekers
+      ontwikkelen methoden om de wereld om ons heen beter te begrijpen.
+      Het weer in de bergen kan snel veranderen en wandelaars moeten
+      voorzichtig zijn. Veel mensen wonen in grote steden en werken op
+      kantoren of in fabrieken. De kinderen gaan elke ochtend naar school
+      om te leren lezen, schrijven en rekenen. Gezonde voeding met fruit
+      en groenten is belangrijk voor het lichaam. De trein vertrekt op
+      tijd van het station en bereikt de stad in de avond. In de zomer
+      reizen gezinnen naar zee of naar de bergen om uit te rusten. De
+      regering heeft een nieuwe wet over de bescherming van het milieu
+      aangenomen. Muziek en kunst spelen een belangrijke rol in het leven
+      van veel mensen. Wij hebben gisteren een lange brief aan onze
+      vrienden geschreven over de reis. Het boek ligt op de tafel naast
+      het raam te wachten op zijn lezer.""",
+    "sv" -> """Vetenskapens historia visar att nya idéer ofta möter motstånd
+      innan de accepteras. Forskare utvecklar metoder för att bättre
+      förstå världen omkring oss. Vädret i bergen kan förändras snabbt
+      och vandrare måste vara försiktiga. Många människor bor i stora
+      städer och arbetar på kontor eller i fabriker. Barnen går till
+      skolan varje morgon för att lära sig läsa, skriva och räkna. En
+      hälsosam kost med frukt och grönsaker är viktig för kroppen. Tåget
+      avgår i tid från stationen och når staden på kvällen. På sommaren
+      reser familjerna till havet eller till bergen för att vila.
+      Regeringen har antagit en ny lag om skydd av miljön. Musik och
+      konst spelar en viktig roll i många människors liv. Vi skrev i går
+      ett långt brev till våra vänner om resan. Boken ligger på bordet
+      bredvid fönstret och väntar på sin läsare.""",
+    "da" -> """Videnskabens historie viser at nye idéer ofte møder modstand
+      før de bliver accepteret. Forskere udvikler metoder til bedre at
+      forstå verden omkring os. Vejret i bjergene kan ændre sig hurtigt
+      og vandrere skal være forsigtige. Mange mennesker bor i store byer
+      og arbejder på kontorer eller i fabrikker. Børnene går i skole hver
+      morgen for at lære at læse, skrive og regne. En sund kost med frugt
+      og grøntsager er vigtig for kroppen. Toget kører til tiden fra
+      stationen og når byen om aftenen. Om sommeren rejser familierne til
+      havet eller til bjergene for at hvile sig. Regeringen har vedtaget
+      en ny lov om beskyttelse af miljøet. Musik og kunst spiller en
+      vigtig rolle i mange menneskers liv. Vi skrev i går et langt brev
+      til vores venner om rejsen. Bogen ligger på bordet ved siden af
+      vinduet og venter på sin læser.""",
+    "no" -> """Vitenskapens historie viser at nye ideer ofte møter motstand
+      før de blir akseptert. Forskere utvikler metoder for å forstå
+      verden rundt oss bedre. Været i fjellet kan endre seg raskt og
+      turgåere må være forsiktige. Mange mennesker bor i store byer og
+      arbeider på kontorer eller i fabrikker. Barna går på skolen hver
+      morgen for å lære å lese, skrive og regne. Et sunt kosthold med
+      frukt og grønnsaker er viktig for kroppen. Toget går i rute fra
+      stasjonen og når byen om kvelden. Om sommeren reiser familiene til
+      sjøen eller til fjells for å hvile. Regjeringen har vedtatt en ny
+      lov om vern av miljøet. Musikk og kunst spiller en viktig rolle i
+      livet til mange mennesker. Vi skrev i går et langt brev til vennene
+      våre om reisen. Boken ligger på bordet ved siden av vinduet og
+      venter på sin leser.""",
+    "fi" -> """Tieteen historia osoittaa että uudet ajatukset kohtaavat
+      usein vastustusta ennen kuin ne hyväksytään. Tutkijat kehittävät
+      menetelmiä ymmärtääkseen maailmaa paremmin. Sää vuoristossa voi
+      muuttua nopeasti ja vaeltajien on oltava varovaisia. Monet ihmiset
+      asuvat suurissa kaupungeissa ja työskentelevät toimistoissa tai
+      tehtaissa. Lapset menevät kouluun joka aamu oppiakseen lukemaan,
+      kirjoittamaan ja laskemaan. Terveellinen ruokavalio hedelmineen ja
+      vihanneksineen on tärkeä keholle. Juna lähtee asemalta ajallaan ja
+      saapuu kaupunkiin illalla. Kesällä perheet matkustavat merelle tai
+      vuorille lepäämään. Hallitus on hyväksynyt uuden lain ympäristön
+      suojelusta. Musiikki ja taide ovat tärkeässä asemassa monien
+      ihmisten elämässä. Kirjoitimme eilen pitkän kirjeen ystävillemme
+      matkasta. Kirja on pöydällä ikkunan vieressä odottamassa
+      lukijaansa.""",
+    "pl" -> """Historia nauki pokazuje że nowe pomysły często napotykają
+      opór zanim zostaną przyjęte. Badacze opracowują metody aby lepiej
+      zrozumieć otaczający nas świat. Pogoda w górach może się szybko
+      zmieniać a wędrowcy muszą być ostrożni. Wielu ludzi mieszka w
+      dużych miastach i pracuje w biurach lub fabrykach. Dzieci chodzą do
+      szkoły każdego ranka aby nauczyć się czytać, pisać i liczyć.
+      Zdrowa dieta z owocami i warzywami jest ważna dla organizmu.
+      Pociąg odjeżdża ze stacji punktualnie i dociera do miasta
+      wieczorem. Latem rodziny jeżdżą nad morze albo w góry żeby
+      odpocząć. Rząd przyjął nową ustawę o ochronie środowiska. Muzyka i
+      sztuka odgrywają ważną rolę w życiu wielu ludzi. Wczoraj
+      napisaliśmy długi list do naszych przyjaciół o podróży. Książka
+      leży na stole obok okna i czeka na swojego czytelnika.""",
+    "cs" -> """Dějiny vědy ukazují že nové myšlenky často narážejí na odpor
+      než jsou přijaty. Vědci vyvíjejí metody aby lépe porozuměli světu
+      kolem nás. Počasí na horách se může rychle změnit a turisté musí
+      být opatrní. Mnoho lidí žije ve velkých městech a pracuje v
+      kancelářích nebo továrnách. Děti chodí každé ráno do školy aby se
+      naučily číst, psát a počítat. Zdravá strava s ovocem a zeleninou je
+      důležitá pro tělo. Vlak odjíždí ze stanice včas a do města dorazí
+      večer. V létě jezdí rodiny k moři nebo na hory aby si odpočinuly.
+      Vláda přijala nový zákon o ochraně životního prostředí. Hudba a
+      umění hrají důležitou roli v životě mnoha lidí. Včera jsme napsali
+      dlouhý dopis našim přátelům o cestě. Kniha leží na stole vedle okna
+      a čeká na svého čtenáře.""",
+    "tr" -> """Bilim tarihi yeni fikirlerin kabul edilmeden önce sık sık
+      dirençle karşılaştığını gösterir. Araştırmacılar çevremizdeki
+      dünyayı daha iyi anlamak için yöntemler geliştirir. Dağlarda hava
+      hızla değişebilir ve yürüyüşçüler dikkatli olmalıdır. Birçok insan
+      büyük şehirlerde yaşar ve ofislerde veya fabrikalarda çalışır.
+      Çocuklar okumayı, yazmayı ve saymayı öğrenmek için her sabah okula
+      gider. Meyve ve sebze içeren sağlıklı beslenme vücut için
+      önemlidir. Tren istasyondan zamanında kalkar ve akşam şehre ulaşır.
+      Yazın aileler dinlenmek için denize veya dağlara gider. Hükümet
+      çevrenin korunması hakkında yeni bir yasa kabul etti. Müzik ve
+      sanat birçok insanın hayatında önemli bir rol oynar. Dün
+      arkadaşlarımıza yolculuk hakkında uzun bir mektup yazdık. Kitap
+      pencerenin yanındaki masanın üzerinde okuyucusunu bekliyor.""",
+    "id" -> """Sejarah ilmu pengetahuan menunjukkan bahwa gagasan baru
+      sering menghadapi penolakan sebelum diterima. Para peneliti
+      mengembangkan metode untuk memahami dunia di sekitar kita dengan
+      lebih baik. Cuaca di pegunungan dapat berubah dengan cepat dan para
+      pendaki harus berhati-hati. Banyak orang tinggal di kota besar dan
+      bekerja di kantor atau pabrik. Anak-anak pergi ke sekolah setiap
+      pagi untuk belajar membaca, menulis dan berhitung. Makanan sehat
+      dengan buah dan sayuran penting bagi tubuh. Kereta berangkat dari
+      stasiun tepat waktu dan tiba di kota pada malam hari. Pada musim
+      panas keluarga pergi ke laut atau ke gunung untuk beristirahat.
+      Pemerintah telah mengesahkan undang-undang baru tentang
+      perlindungan lingkungan. Musik dan seni memainkan peran penting
+      dalam kehidupan banyak orang. Kemarin kami menulis surat panjang
+      kepada teman-teman kami tentang perjalanan. Buku itu tergeletak di
+      atas meja di samping jendela menunggu pembacanya.""",
+    "vi" -> """Lịch sử khoa học cho thấy những ý tưởng mới thường gặp phải
+      sự phản đối trước khi được chấp nhận. Các nhà nghiên cứu phát
+      triển phương pháp để hiểu rõ hơn về thế giới xung quanh chúng ta.
+      Thời tiết trên núi có thể thay đổi nhanh chóng và người đi bộ phải
+      cẩn thận. Nhiều người sống ở các thành phố lớn và làm việc trong
+      văn phòng hoặc nhà máy. Trẻ em đến trường mỗi sáng để học đọc, học
+      viết và học tính. Chế độ ăn lành mạnh với trái cây và rau quả rất
+      quan trọng cho cơ thể. Đoàn tàu rời nhà ga đúng giờ và đến thành
+      phố vào buổi tối. Vào mùa hè các gia đình đi biển hoặc lên núi để
+      nghỉ ngơi. Chính phủ đã thông qua một đạo luật mới về bảo vệ môi
+      trường. Âm nhạc và nghệ thuật đóng vai trò quan trọng trong đời
+      sống của nhiều người. Hôm qua chúng tôi đã viết một lá thư dài cho
+      bạn bè về chuyến đi. Cuốn sách nằm trên bàn cạnh cửa sổ chờ đợi
+      người đọc của nó.""")
 
   /** The shared normalization: lowercase, collapse every non-letter run
-    * (ASCII letters + Latin-1 letters) to a single space. The regex MUST
-    * stay byte-identical in spirit across Java (`ß`) and DuckDB RE2
-    * (`\x{00DF}`) — see [[oracleSql]]. */
-  val NormRegexJava: String = "[^a-zß-ÿ]+"
-  val NormRegexRe2: String = "[^a-z\\x{00DF}-\\x{00FF}]+"
+    * to a single space. Letters = ASCII + Latin-1 + Latin Extended-A
+    * (Polish/Czech/Turkish diacritics, U+0100-017F, contiguous with
+    * Latin-1) + Vietnamese horn vowels (U+01A0-01B0) + Latin Extended
+    * Additional (Vietnamese tone marks, U+1E00-1EFF). The regex MUST
+    * stay codepoint-identical across Java and DuckDB RE2 — see
+    * [[oracleSql]]. */
+  val NormRegexJava: String = "[^a-zß-ſƠ-ưḀ-ỿ]+"
+  val NormRegexRe2: String =
+    "[^a-z\\x{00DF}-\\x{017F}\\x{01A0}-\\x{01B0}\\x{1E00}-\\x{1EFF}]+"
 
   def normalizeJvm(text: String): String =
     text.toLowerCase(java.util.Locale.ROOT).replaceAll(NormRegexJava, " ")
@@ -198,7 +341,10 @@ object LangId {
     ("kana", "[\\u3040-\\u30FF]", "[\\x{3040}-\\x{30FF}]"),
     ("han", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
     ("hangul", "[\\uAC00-\\uD7A3]", "[\\x{AC00}-\\x{D7A3}]"),
-    ("cyr", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"))
+    ("cyr", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("arab", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("deva", "[\\u0900-\\u097F]", "[\\x{0900}-\\x{097F}]"),
+    ("thai", "[\\u0E00-\\u0E7F]", "[\\x{0E00}-\\x{0E7F}]"))
 
   /** Language ID over a DataFrame. Output: id, n_tri, score_<lang> per
     * TrigramLangs, pred_lang. Map-only (no shuffle). */
@@ -231,6 +377,9 @@ object LangId {
         .when(col("__han") * 20 >= col("__len") * 3, lit("zh"))
         .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
         .when(col("__cyr") * 10 >= col("__len") * 3, lit("ru"))
+        .when(col("__arab") * 20 >= col("__len") * 3, lit("ar"))
+        .when(col("__deva") * 20 >= col("__len") * 3, lit("hi"))
+        .when(col("__thai") * 20 >= col("__len") * 3, lit("th"))
         .when(col("n_tri") === 0, lit("und"))
         .otherwise(trigramPick)
     withScoreCols
@@ -288,7 +437,7 @@ object LangId {
         FROM m GROUP BY m.id),
       fin AS (
         SELECT s.id, CAST(s.n_tri AS BIGINT) AS n_tri,
-          s.l, s.c_kana, s.c_han, s.c_hangul, s.c_cyr,
+          s.l, ${ScriptRanges.map { case (n, _, _) => s"s.c_$n" }.mkString(", ")},
           $scoreCols
         FROM feat s LEFT JOIN mp ON mp.id = s.id)
       SELECT id AS $idCol, n_tri, ${TrigramLangs.map(l => s"score_$l").mkString(", ")},
@@ -296,6 +445,9 @@ object LangId {
              WHEN c_han * 20 >= l * 3 THEN 'zh'
              WHEN c_hangul * 20 >= l * 3 THEN 'ko'
              WHEN c_cyr * 10 >= l * 3 THEN 'ru'
+             WHEN c_arab * 20 >= l * 3 THEN 'ar'
+             WHEN c_deva * 20 >= l * 3 THEN 'hi'
+             WHEN c_thai * 20 >= l * 3 THEN 'th'
              WHEN n_tri = 0 THEN 'und'
              $caseArms
              ELSE 'und' END AS pred_lang

@@ -66,6 +66,43 @@ class LangIdSpec extends SparkSpec {
     assert(preds.values.forall(_ == "und"))
   }
 
+  test("script detection: Arabic / Devanagari / Thai (round 13)") {
+    val preds = predict(Seq(
+      5L -> "القاهرة هي عاصمة جمهورية مصر العربية وأكبر مدنها على الإطلاق.",
+      6L -> "दिल्ली भारत की राजधानी है और यहाँ बहुत से लोग रहते हैं।",
+      7L -> "กรุงเทพมหานครเป็นเมืองหลวงของประเทศไทยและมีประชากรจำนวนมาก"))
+    assert(preds(5L) == "ar")
+    assert(preds(6L) == "hi")
+    assert(preds(7L) == "th")
+  }
+
+  test("confusion matrix: all 16 Latin-script languages on held-out text") {
+    // none of these sentences appear in the profile seeds
+    val heldOut: Seq[(String, String)] = Seq(
+      "cs" -> "Každý večer čteme dětem pohádky a povídáme si o tom, co zažily ve školce během dne.",
+      "da" -> "Køkkenet i det gamle hus blev bygget om sidste efterår, og nu bager vi brød hver søndag til hele familien.",
+      "de" -> "Der Ingenieur prüfte die Brücke über den Fluss, bevor die schweren Lastwagen sie überqueren durften.",
+      "en" -> "The library at the corner of the street opens early, and students often stay there until it closes at night.",
+      "es" -> "El médico recomendó descansar varios días y beber mucha agua antes de volver al trabajo en la oficina.",
+      "fi" -> "Järven rannalla seisoo vanha punainen mökki, jossa vietämme kesälomamme joka vuosi perheen kanssa.",
+      "fr" -> "Le boulanger prépare chaque nuit des croissants et des baguettes que les habitants achètent dès l'aube.",
+      "id" -> "Petani menanam padi di sawah ketika musim hujan tiba dan memanennya beberapa bulan kemudian bersama keluarga.",
+      "it" -> "Il cuoco del ristorante prepara ogni giorno la pasta fresca con ingredienti del mercato vicino alla piazza.",
+      "nl" -> "De fietser reed door het park langs de gracht en stopte bij de molen om een foto te maken van de lucht.",
+      "no" -> "Fiskeren dro ut på fjorden tidlig om morgenen og kom tilbake med torsk og sei før mørket falt på.",
+      "pl" -> "Ogrodnik podlewa kwiaty wczesnym rankiem, a później przycina krzewy i grabi liście w całym ogrodzie.",
+      "pt" -> "O agricultor colheu as laranjas do pomar e levou-as ao mercado da aldeia para as vender ainda frescas.",
+      "sv" -> "Läraren berättade för eleverna om stjärnorna och planeterna medan de tittade genom teleskopet på natten.",
+      "tr" -> "Balıkçılar sabah erkenden denize açıldı ve akşam olmadan köye taze balıklarla geri döndüler.",
+      "vi" -> "Người nông dân ra đồng từ sáng sớm để cấy lúa và trở về nhà khi mặt trời đã lặn sau dãy núi.")
+    val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val confusions = heldOut.zipWithIndex.collect {
+      case ((want, _), i) if preds(i.toLong) != want =>
+        s"$want -> ${preds(i.toLong)}"
+    }
+    assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
+  }
+
   test("profiles are deterministic literals with sane shape") {
     val p = LangId.Profiles
     assert(p.keySet == LangId.TrigramLangs.toSet)
