@@ -7,6 +7,30 @@ import org.apache.spark.sql.SparkSession
   * (trivial job + footer reads) runs first so the reported times measure
   * the queries, not JVM/session/codegen warmup. */
 object Bench {
+
+  /** Per-query interference tell (round 13, VERDICT r12 #5): the r12
+    * driver artifact showed a contended host stretch can inflate ~15
+    * CONSECUTIVE queries' minima 5-9x while total spread stays under
+    * the 0.2 suite gate. `bench_floors.json` pins each query's
+    * quiet-session min; a recorded min above max(2x floor, floor+0.25s)
+    * flags the query (the absolute slack keeps 0.1s floors from
+    * flagging on scheduler jitter). Queries without a floor (new this
+    * round) are never flagged. Pure — replay-tested in BenchGateSpec
+    * against the exact BENCH_r12 pattern. */
+  def contaminatedQueries(mins: Seq[(String, Double)],
+                          floors: Map[String, Double]): Seq[String] =
+    mins.collect { case (n, m)
+      if floors.get(n).exists(f => m > math.max(2.0 * f, f + 0.25)) => n }
+
+  /** Flat {"name": seconds} JSON (no nesting) — floors file parser. */
+  def loadFloors(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -154,10 +178,24 @@ object Bench {
     val quietWarm = sys.env.getOrElse("SPARK_GRAFT_QUIET_WARM", "12.0").toDouble
     val nCores = Runtime.getRuntime.availableProcessors()
     val spreadSec = total - totalMin
+    // per-query tell #4 (round 13): minima against committed quiet
+    // floors. A real regression moves ONE query's min; only host
+    // contention moves a stretch — >= 5 flagged queries flip the suite
+    // verdict (the r12 artifact had 11, every suite-level tell quiet)
+    val floors = loadFloors(
+      sys.env.getOrElse("SPARK_GRAFT_FLOORS", "bench_floors.json"))
+    val flagged = contaminatedQueries(mins, floors)
     val contaminated = warmSec > 1.5 * quietWarm ||
       spreadSec > 0.2 * math.max(total, 1.0) ||
-      load0 > nCores / 2.0
-    val tell = s""""runs":$runs,"load0":${f2(load0)},"warm":${f2(warmSec)},"spread":${f2(total - totalMin)},"contaminated":$contaminated"""
+      load0 > nCores / 2.0 ||
+      flagged.size >= 5
+    // compact line carries short keys (tail budget), full file full names
+    def tellWith(names: Seq[String]) = {
+      val js = names.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+      s""""runs":$runs,"load0":${f2(load0)},"warm":${f2(warmSec)},"spread":${f2(total - totalMin)},"contaminated_queries":$js,"contaminated":$contaminated"""
+    }
+    val tell = tellWith(flagged.map(shortKey))
+    val tellFull = tellWith(flagged)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // per-query minima under full names: a judge reads a suspect
@@ -167,7 +205,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fullFailed = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$tell,"queries":$fullQs,"mins":$fullMins,"failed":$fullFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$tellFull,"queries":$fullQs,"mins":$fullMins,"failed":$fullFailed,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), fullLine.getBytes("UTF-8"))
     catch { case _: Throwable => () }
