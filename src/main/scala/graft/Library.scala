@@ -41,14 +41,116 @@ class Library(val spark: SparkSession, val warehouse: String,
                 * is replaced by a full k-means refit — folds never move
                 * centroids, so without the gate a corpus that doubled
                 * since the last fit would quantize with stale cells. */
-              val ivfRefitFactor: Double = 2.0) {
+              val ivfRefitFactor: Double = 2.0,
+              /** Tombstone sidecar auto-compaction threshold (rows) —
+                * [[removeDocumentFast]] folds the accumulated deletes
+                * into the physical tables once the sidecar reaches this
+                * size. 0 disables auto-compaction (repair() still
+                * compacts). The threshold bounds the broadcast
+                * anti-join every reader pays while tombstones exist. */
+              val tombstoneCompactMinRows: Long = 100000L) {
   import spark.implicits._
 
   private def path(t: String) = s"$warehouse/$t"
 
-  def documents: DataFrame = spark.read.parquet(path("documents"))
-  def chunks: DataFrame = spark.read.parquet(path("chunks"))
-  def embeddings: DataFrame = spark.read.parquet(path("embeddings"))
+  def documents: DataFrame =
+    antiTomb(spark.read.parquet(path("documents")), "id", docTombstones)
+  def chunks: DataFrame =
+    antiTomb(spark.read.parquet(path("chunks")), "id", chunkTombstones)
+  def embeddings: DataFrame =
+    antiTomb(spark.read.parquet(path("embeddings")), "chunkId", chunkTombstones)
+
+  // ------------------------------------------------ deletion vectors
+  // Merge-on-read tombstones (round 13, VERDICT r12 #3): a delete
+  // appends delta-sized rows to the `tombstones` sidecar instead of
+  // rewriting corpus-sized tables; every reader anti-joins the
+  // broadcast sidecar (zero overhead when it doesn't exist), and
+  // [[repair]] / the row-count threshold compact lazily by running the
+  // old rewrite path once for the whole accumulated set. The sidecar
+  // schema is (kind, id): kind "doc" hides a document id, kind "chunk"
+  // hides a chunk id everywhere chunk-keyed (chunks, embeddings, FTS
+  // slices, IVF probes) — chunk ids are enumerated at delete time so
+  // readers never need a chunks join to resolve the cascade.
+
+  private def tombstonesExist: Boolean = tableExists("tombstones")
+  private def tombstonesRaw: DataFrame =
+    spark.read.parquet(path("tombstones"))
+  private def docTombstones: Option[DataFrame] =
+    if (tombstonesExist)
+      Some(tombstonesRaw.filter(col("kind") === "doc").select("id"))
+    else None
+  private def chunkTombstones: Option[DataFrame] =
+    if (tombstonesExist)
+      Some(tombstonesRaw.filter(col("kind") === "chunk").select("id"))
+    else None
+  private def antiTomb(df: DataFrame, key: String,
+                       tombs: Option[DataFrame]): DataFrame =
+    tombs.fold(df)(t =>
+      df.join(broadcast(t.withColumnRenamed("id", key)), Seq(key), "left_anti"))
+
+  /** S13 at 100 TB (the O(delta) path): hide the document and its
+    * cascade behind tombstones — reads only the delete-relevant keys
+    * (a column-pruned chunk-id scan + the dead rows' lens entries),
+    * WRITES only delta-sized data (tombstone rows + one negative
+    * fts_stats row), and rewrites nothing. Query-path equivalence with
+    * [[removeDocument]] is spec-pinned (IntegrationSpec); compaction
+    * happens in [[repair]] or automatically past
+    * `tombstoneCompactMinRows`. Crash states: the tombstone append is
+    * the visibility switch (before it: no delete happened; after: fully
+    * hidden); a crash before the stats delta leaves fts_stats counting
+    * hidden rows, which [[repair]]'s compaction rebuilds from live
+    * lens. */
+  def removeDocumentFast(id: String): Unit = {
+    val deadChunks = chunks.filter(col("docId") === id)
+      .select("id").as[String].collect()
+    val rows = (("doc", id) +: deadChunks.toSeq.map(c => ("chunk", c)))
+      .toDF("kind", "id")
+    rows.coalesce(1).write.mode(SaveMode.Append).parquet(path("tombstones"))
+    // exact-stats delta: fts_stats is an append-only (n_docs, total_len)
+    // ledger readers SUM, so a delete is one negative row
+    if (deadChunks.nonEmpty && tableExists("fts_stats") &&
+        tableExists("fts_lens")) {
+      spark.read.parquet(path("fts_lens"))
+        .filter(col("id").isin(deadChunks.toSeq: _*))
+        .agg((-count(lit(1))).as("n_docs"),
+          (-coalesce(sum(col("doclen")), lit(0L))).as("total_len"))
+        .coalesce(1)
+        .write.mode(SaveMode.Append).parquet(path("fts_stats"))
+    }
+    if (tombstoneCompactMinRows > 0 &&
+        tombstonesRaw.count() >= tombstoneCompactMinRows)
+      compactTombstones()
+  }
+
+  /** Fold the accumulated tombstones into the physical tables — the old
+    * rewrite path run ONCE for the whole set — then drop the sidecar.
+    * Idempotent under crashes: every table rewrite is TableSwap-
+    * protected, the sidecar is deleted LAST, and re-running the
+    * anti-joins over already-rewritten tables is a no-op. */
+  def compactTombstones(): Unit = if (tombstonesExist) {
+    val chunkT = tombstonesRaw.filter(col("kind") === "chunk")
+      .select(col("id").as("chunkId")).materializeOnce()
+    val docT = tombstonesRaw.filter(col("kind") === "doc")
+      .select("id").materializeOnce()
+    rewrite("embeddings", spark.read.parquet(path("embeddings"))
+      .join(broadcast(chunkT), Seq("chunkId"), "left_anti"))
+    if (tableExists("fts_postings")) {
+      migrateLegacyFtsLayout()
+      val deadIds = chunkT.withColumnRenamed("chunkId", "id")
+      rewriteFts(spark.read.parquet(path("fts_postings"))
+        .join(broadcast(deadIds), Seq("id"), "left_anti"))
+      rewrite("fts_lens", spark.read.parquet(path("fts_lens"))
+        .join(broadcast(deadIds), Seq("id"), "left_anti"))
+      writeFtsStats(spark.read.parquet(path("fts_lens")), SaveMode.Overwrite)
+    }
+    rewrite("chunks", spark.read.parquet(path("chunks"))
+      .join(broadcast(chunkT.withColumnRenamed("chunkId", "id")),
+        Seq("id"), "left_anti"))
+    rewrite("documents", spark.read.parquet(path("documents"))
+      .join(broadcast(docT), Seq("id"), "left_anti"))
+    removeFromVectorIndex(chunkT)
+    graft.util.TableSwap.delete(fs, new HPath(path("tombstones")))
+  }
 
   /** One FileSystem handle for every warehouse-maintenance path, resolved
     * from the session's Hadoop conf — same contract as TableSwap: a
@@ -234,9 +336,12 @@ class Library(val spark: SparkSession, val warehouse: String,
       val cells = graft.plans.IvfRegistry.probeCells(
         centers, queryVec.map(_.toDouble), nProbe)
       // the delta bucket (appends since the last rebuild) is ALWAYS
-      // probed — see appendToVectorIndex
-      Some(spark.read.parquet(path("embeddings_ivf"))
-        .filter(col("__cell").isin((cells :+ DeltaCell): _*)))
+      // probed — see appendToVectorIndex. Tombstoned vectors leave the
+      // probe slice BEFORE the top-k cut (they stay physical until
+      // compaction)
+      Some(antiTomb(spark.read.parquet(path("embeddings_ivf"))
+        .filter(col("__cell").isin((cells :+ DeltaCell): _*)),
+        "chunkId", chunkTombstones))
     }
 
   /** Vectors appended after an index build land in an always-probed
@@ -544,8 +649,11 @@ class Library(val spark: SparkSession, val warehouse: String,
         // from the probe slice itself — NO fts_lens scan or join
         val (n, totalLen) = readFtsStats()
         val avgdl = if (n > 0) totalLen.toDouble / n.toDouble else 1.0
+        // tombstoned chunks leave the slice BEFORE scoring, so df/N see
+        // only live docs — score-exact with the rewrite path
         Bm25.scoreAllDenorm(
-          Bm25.termSlice(prunedPostings(terms), terms), n, avgdl)
+          antiTomb(Bm25.termSlice(prunedPostings(terms), terms), "id",
+            chunkTombstones), n, avgdl)
       } else {
         val lens = Bm25.docLengths(ch, "id", "content").materializeOnce(eager = false)
         Bm25.scoreAllFromIndex(Bm25.postings(ch, "id", "content"), lens, terms)
@@ -829,6 +937,11 @@ class Library(val spark: SparkSession, val warehouse: String,
     * maintenance). Returns counts found before repair. */
   def repair(): (Long, Long) = {
     sweepCrashLeftovers()
+    // fold any pending deletion vectors first: the orphan/index checks
+    // below then run over the physical truth, and a crash between a
+    // fast delete's tombstone append and its stats delta is healed by
+    // compaction's stats rebuild
+    compactTombstones()
     val orphanChunks = chunks.join(documents.select(col("id").as("docId")),
       Seq("docId"), "left_anti")
     val nOC = orphanChunks.count()
@@ -923,7 +1036,7 @@ object Library {
     "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
     "fts_stats", "embeddings_ivf", "embeddings_ivf_meta",
     "concepts", "hierarchy", "relations", "doc_concepts",
-    "concept_embeddings")
+    "concept_embeddings", "tombstones")
 
   /** One discovered file -> (document row, chunk rows). Static (not a
     * Library method) so executor closures never capture the facade,

@@ -168,4 +168,34 @@ class CrashRecoverySpec extends SparkSpec {
     graft.util.TableSwap.delete(new java.io.File(s"$wh/embeddings_ivf_meta"))
     assert(probed === res(new Library(spark, wh)))
   }
+
+  test("tombstone-compaction crash: tables already rewritten, sidecar still present") {
+    val l = freshLib("crash-tomb")
+    val wh = l.warehouse
+    val victim = Library.docId("/crash-tomb/doc4.md")
+    l.removeDocumentFast(victim)
+    val visible = l.listDocuments().collect().map(_.getAs[String]("id")).sorted
+    // crash INSIDE compactTombstones after every table swap but before
+    // the sidecar delete: simulate by rewriting the tables by hand and
+    // leaving the tombstones dir in place
+    val deadChunks = spark.read.parquet(s"$wh/tombstones")
+      .filter(col("kind") === "chunk").select("id").collect()
+      .map(_.getString(0))
+    graft.util.TableSwap.rewrite(s"$wh/embeddings",
+      spark.read.parquet(s"$wh/embeddings")
+        .filter(!col("chunkId").isin(deadChunks.toSeq: _*)))
+    graft.util.TableSwap.rewrite(s"$wh/chunks",
+      spark.read.parquet(s"$wh/chunks")
+        .filter(!col("id").isin(deadChunks.toSeq: _*)))
+    graft.util.TableSwap.rewrite(s"$wh/documents",
+      spark.read.parquet(s"$wh/documents").filter(col("id") =!= victim))
+    // readers: anti-joining already-rewritten tables is a no-op
+    assert(l.listDocuments().collect().map(_.getAs[String]("id")).sorted
+      === visible)
+    // repair re-runs compaction to completion: sidecar gone, same view
+    l.repair()
+    assert(!new java.io.File(s"$wh/tombstones").exists())
+    assert(l.listDocuments().collect().map(_.getAs[String]("id")).sorted
+      === visible)
+  }
 }
