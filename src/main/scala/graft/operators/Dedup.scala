@@ -240,12 +240,29 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: Column, n: Int, threshold: Double,
                         lenCol: Option[String] = None,
-                        maxLenDiff: Int = Int.MaxValue): DataFrame = {
+                        maxLenDiff: Int = Int.MaxValue,
+                        /** hot-block guard (round 13, the
+                          * [[lshCandidatePairs]] skew discipline): a
+                          * block of m rows emits m²/2 verify pairs, so
+                          * one degenerate block can dominate the job at
+                          * 100× density. Blocks larger than this are
+                          * dropped BEFORE the self-join; candidate
+                          * volume is then ≤ #rows × cap — linear at any
+                          * density. Default unlimited keeps the
+                          * certified exact semantics. */
+                        maxBlockSize: Long = Long.MaxValue): DataFrame = {
     val len = lenCol.map(col).getOrElse(length(col(textCol)))
-    val sets = df.select(col(idCol).as("id"), blockCol.as("block"),
+    val sets0 = df.select(col(idCol).as("id"), blockCol.as("block"),
       len.as("len"),
       graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n).as("ng"))
       .materializeOnce(eager = false) // n-gram arrays join from both pair sides
+    val sets =
+      if (maxBlockSize == Long.MaxValue) sets0
+      else {
+        val hot = sets0.groupBy("block").count()
+          .filter(col("count") > maxBlockSize).select("block")
+        sets0.join(broadcast(hot), Seq("block"), "left_anti")
+      }
     val l = sets.select(col("block"), col("id").as("id_a"),
       col("len").as("len_a"), col("ng").as("ng_a"))
     val r = sets.select(col("block"), col("id").as("id_b"),
@@ -316,7 +333,10 @@ object Dedup {
     * and are excluded from PAIR GENERATION — the per-value pair fanout
     * is thus bounded by maxDocFreq²; set sizes for the Jaccard keep the
     * full sets, so the reported similarity is a lower bound when a hot
-    * fingerprint was dropped (exact when none was). */
+    * fingerprint was dropped (exact when none was). The per-side
+    * ADMITTED set sizes ride along as n_adm_a/n_adm_b (ADVICE r12):
+    * n_adm < n_fp tells a consumer the bound is loose for that pair —
+    * hot boilerplate was excluded — and by how much. */
   def winnowingDupPairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, w: Int = 4, minShared: Long = 2L,
                         maxDocFreq: Long = 64L,
@@ -336,11 +356,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+    val admSizes = admitted.groupBy("id").agg(count(lit(1)).as("n_adm"))
     pairs
       .join(sizes.select(col("id").as("id_a"), col("n_fp").as("n_a")), Seq("id_a"))
       .join(sizes.select(col("id").as("id_b"), col("n_fp").as("n_b")), Seq("id_b"))
+      .join(admSizes.select(col("id").as("id_a"), col("n_adm").as("n_adm_a")), Seq("id_a"))
+      .join(admSizes.select(col("id").as("id_b"), col("n_adm").as("n_adm_b")), Seq("id_b"))
       .withColumn("jaccard", col("n_shared").cast("double") /
         (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
-      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+      .select("id_a", "id_b", "n_shared", "n_a", "n_b", "n_adm_a", "n_adm_b",
+        "jaccard")
   }
 }

@@ -173,7 +173,18 @@ object Multimodal {
     *     its min member: candidates are LINEAR in rows at any density.
     *     Coarser semantics (no eps refinement), linear scale path. */
   def histogramDedup(media: DataFrame, eps: Double = 0.0009,
-                     cells: Int = 128, mode: String = "ball"): DataFrame = {
+                     cells: Int = 128, mode: String = "ball",
+                     /** ball-mode hot-bucket guard (round 13): a grid
+                       * bucket of m rows emits m²/2 candidates, and at
+                       * 100× a concentrated corpus makes the eps-ball
+                       * relation ITSELF quadratic — no pair-exact method
+                       * avoids that. Buckets larger than this are
+                       * dropped before the self-join (their members are
+                       * mutually-duplicate boilerplate better served by
+                       * cell mode), bounding candidates at 4 × rows ×
+                       * cap. Default unlimited keeps exact semantics;
+                       * cell mode ignores it (already linear). */
+                     maxBucket: Long = Long.MaxValue): DataFrame = {
     require(eps < 1.0 / (8 * cells),
       s"eps=$eps breaks the 4-grid pigeonhole guarantee for cells=$cells " +
         s"(needs eps < ${1.0 / (8 * cells)})")
@@ -193,7 +204,14 @@ object Multimodal {
     }.reduce(_ unionByName _)
     val pairs = mode match {
       case "ball" =>
-        val cand = keyed.as("a").join(keyed.as("b"),
+        val capped =
+          if (maxBucket == Long.MaxValue) keyed
+          else {
+            val hot = keyed.groupBy("g", "bkt").count()
+              .filter(col("count") > maxBucket).select("g", "bkt")
+            keyed.join(broadcast(hot), Seq("g", "bkt"), "left_anti")
+          }
+        val cand = capped.as("a").join(capped.as("b"),
             col("a.g") === col("b.g") && col("a.bkt") === col("b.bkt") &&
               col("a.media_id") < col("b.media_id"))
           .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))

@@ -146,7 +146,10 @@ object Sampling {
     * into rank offsets (driver metadata, ≤ partitions + strata rows),
     * then one map-only labeling pass. Adds `rankCol` (1-based) and
     * `nCol` (the stratum's row count). The stratum column must be a
-    * string; `order` must totally order rows within a stratum. */
+    * string; a NULL stratum is ranked as its own stratum (range
+    * partitioning sorts nulls first, so it stays contiguous — ADVICE
+    * r12: a dirty lang/source column must rank legibly, not NPE in an
+    * executor). `order` must totally order rows within a stratum. */
   def stratumRank(df: DataFrame, strataCol: String, order: Seq[Column],
                   rankCol: String, nCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -170,14 +173,16 @@ object Sampling {
       .add(nCol, org.apache.spark.sql.types.LongType)
     ordered.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
+      var first = true
       var cur: String = null
       var rank = 0L
       it.map { row =>
         val s = row.getString(strataIdx)
         // rows arrive sorted by (stratum, order): strata are contiguous,
         // so the running rank restarts from this partition's offset at
-        // each stratum boundary
-        if (s != cur) { cur = s; rank = offsets((pid, s)) }
+        // each stratum boundary. `first` (not a null sentinel) detects
+        // the boundary so a NULL stratum ranks like any other
+        if (first || s != cur) { first = false; cur = s; rank = offsets((pid, s)) }
         rank += 1
         Row.fromSeq(row.toSeq :+ rank :+ totals(s))
       }

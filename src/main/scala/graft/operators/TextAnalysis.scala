@@ -477,13 +477,17 @@ object TextAnalysis {
                 docDropPatterns: Seq[String] = Seq("lorem ipsum", "{"),
                 badWords: Seq[String] = Seq.empty): DataFrame = {
     val lines = split(col(textCol), "\n")
-    val keptArr = filter(lines, l => {
+    // line rules evaluate on trim(l) and the KEPT line is the trimmed
+    // form too (C4 keeps sentences, not their surrounding whitespace —
+    // ADVICE r12: keeping the untrimmed original diverged on padded
+    // crawl lines)
+    val keptArr = transform(filter(lines, l => {
       val t = trim(l)
       lineDropPatterns.foldLeft(
         size(tokens(t)) >= minWordsPerLine && t.rlike(lineEndRegex)) {
         (acc, p) => acc && !lower(t).contains(p.toLowerCase)
       }
-    })
+    }), l => trim(l))
     val lowText = lower(col(textCol))
     val hasDocPattern = docDropPatterns
       .map(p => lowText.contains(p.toLowerCase): Column)

@@ -62,17 +62,21 @@ object VectorSearch {
     * dimension folds — bit-identical to the engine/oracle cosine.
     *
     * Output: (id, rel, mmr_score, pick) — selection order 1..k, the
-    * order a diversified result page renders. */
+    * order a diversified result page renders. `id` keeps the input
+    * column's type (long/int/string/… — ADVICE r12: this used to
+    * hard-code Long and ClassCastException on anything else); ties in
+    * MMR score break to the id that topK's (cos desc, id asc) order
+    * ranked first. */
   def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, shortlist: Int = 50,
               lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
     val spark = df.sparkSession
-    import spark.implicits._
+    val idField = df.schema(df.schema.fieldIndex(idCol))
     val cand = topK(df.select(col(idCol).as("id"), col(vecCol).as("v")),
         "v", query, shortlist, tieCol = "id")
       .select("id", "v", "cos_sim").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .map(r => (r.get(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) {
@@ -83,11 +87,24 @@ object VectorSearch {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
-    val chosen = scala.collection.mutable.Set.empty[Long]
+    // id ordering for score ties — type-directed, matching the oracle's
+    // ORDER BY id semantics for each supported id type
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)       => x < y
+      case (x: Int, y: Int)         => x < y
+      case (x: Short, y: Short)     => x < y
+      case (x: String, y: String)   => x < y
+      case (x: Double, y: Double)   => x < y
+      case (x: Float, y: Float)     => x < y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
+      case _ => throw new IllegalArgumentException(
+        s"mmrTopK: unsupported id type ${idField.dataType} for tie-break")
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Double)]
+    val chosen = scala.collection.mutable.Set.empty[Any]
     val chosenVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
     while (selected.size < math.min(k, cand.length)) {
-      var bestId = -1L; var bestVec: Array[Float] = null
+      var bestId: Any = null; var bestVec: Array[Float] = null
       var bestRel = 0.0; var bestScore = Double.NegativeInfinity
       cand.foreach { case (id, v, rel) =>
         if (!chosen.contains(id)) {
@@ -95,8 +112,8 @@ object VectorSearch {
             if (chosenVecs.isEmpty) 0.0
             else chosenVecs.map(s => cos(v, s)).max
           val score = lambda * rel - (1.0 - lambda) * maxSim
-          // strict > with ascending scan order = ties break to lowest id
-          if (score > bestScore || (score == bestScore && id < bestId)) {
+          if (score > bestScore ||
+              (score == bestScore && bestId != null && idLt(id, bestId))) {
             bestScore = score; bestId = id; bestVec = v; bestRel = rel
           }
         }
@@ -105,9 +122,19 @@ object VectorSearch {
       chosen += bestId
       chosenVecs += bestVec
     }
-    selected.zipWithIndex
-      .map { case ((id, rel, sc), i) => (id, rel, sc, i + 1) }.toSeq
-      .toDF("id", "rel", "mmr_score", "pick")
+    val rows = selected.zipWithIndex.map { case ((id, rel, sc), i) =>
+      org.apache.spark.sql.Row(id, rel, sc, i + 1)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "id"),
+        org.apache.spark.sql.types.StructField("rel",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mmr_score",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("pick",
+          org.apache.spark.sql.types.IntegerType))))
   }
 
   /** Batched exact top-k: score MANY query vectors in ONE corpus scan.

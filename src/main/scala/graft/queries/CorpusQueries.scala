@@ -877,10 +877,15 @@ object CorpusQueries {
           .orderBy(col("key").desc, col("doc_id").asc).limit(20)
           .withColumn("rank", row_number().over(
             Window.orderBy(col("key").desc, col("doc_id").asc)))
-        // n covers every matching doc at these SFs, so the 20-cut below
-        // happens on the ROUNDED key — the oracle's exact boundary
-        val fts = Bm25.search(Tables.documents(s, d), "doc_id", "text",
-            Seq("hash", "join"), 10000)
+        // candidate pool ≥ the corpus row count (metadata-cheap on
+        // parquet), so EVERY matching doc is ranked at any SF and the
+        // 20-cut below happens on the ROUNDED key — the oracle's exact
+        // boundary (ADVICE r12: a fixed 10000 silently diverged once
+        // >10000 docs matched)
+        val docs = Tables.documents(s, d)
+        val pool = math.max(docs.count(), 10000L).toInt
+        val fts = Bm25.search(docs, "doc_id", "text",
+            Seq("hash", "join"), pool)
           .select(col("id").as("doc_id"), round(col("bm25"), 6).as("key"))
           .orderBy(col("key").desc, col("doc_id").asc).limit(20)
           .withColumn("rank", row_number().over(

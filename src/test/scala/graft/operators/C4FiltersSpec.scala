@@ -43,6 +43,21 @@ class C4FiltersSpec extends SparkSpec {
     assert(pat == 0 && bad == 0 && keep == 1)
   }
 
+  test("C4 cleaned_text keeps the TRIMMED line (ADVICE r12: padded crawl lines)") {
+    // note: trim is SPACE-only in both engines (Spark trim == DuckDB
+    // trim), so the rules and the kept text see the same form
+    val doc =
+      "   Leading whitespace survives the rules after trimming.   \n" +
+        "  Indented sentence also ends with terminal punctuation.\n" +
+        "But this padded line has no terminal punct   "
+    val m = runC4(Seq(1L -> doc))
+    val (_, nKept, cleaned, _, _, _) = m(1L)
+    assert(nKept == 2)
+    assert(cleaned == Seq(
+      "Leading whitespace survives the rules after trimming.",
+      "Indented sentence also ends with terminal punctuation.").mkString("\n"))
+  }
+
   test("C4 doc rules: lorem ipsum, curly brace, bad word, min lines") {
     val five = (1 to 5).map(i => s"Perfectly ordinary sentence number $i.")
     val loremDoc = (five :+ "Filler lorem ipsum dolor sit amet.").mkString("\n")

@@ -111,6 +111,17 @@ class MultimodalStreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.histogramDedup(media, mode = "cube")
     }
+    // ball-mode maxBucket guard (round 13): capping below the dup
+    // cluster's size drops its hot grid buckets — the cluster breaks
+    // apart (each member canonical alone), the far row unaffected.
+    // This is the 100×-density lever: candidates ≤ 4 × rows × cap
+    val cappedBall = Multimodal.histogramDedup(media, maxBucket = 2L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cappedBall.values.forall(_ === 0)) // no pairs survive the cap
+    // a cap ABOVE the cluster size changes nothing
+    val wideBall = Multimodal.histogramDedup(media, maxBucket = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(wideBall(2L) === ((1L, 1)) && wideBall(4L) === ((4L, 0)))
   }
 
   test("multimodal: frame sampling generates stride-spaced frames") {

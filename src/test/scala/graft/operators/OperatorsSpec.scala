@@ -74,6 +74,23 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("ngram jaccard maxBlockSize drops hot blocks, bounding verify pairs (round 13)") {
+    // one degenerate block of 12 near-identical rows + one small block:
+    // uncapped the hot block emits 66 verify pairs; capped at 4 it is
+    // dropped entirely and only the small block's pairs survive
+    val hot = (1L to 12L).map(i => (i, "identical boilerplate row content", "hot"))
+    val small = Seq((21L, "alpha beta gamma delta", "ok"),
+      (22L, "alpha beta gamma delta", "ok"))
+    val df = (hot ++ small).toDF("id", "text", "blk")
+    val uncapped = Dedup.ngramJaccardPairs(df, "id", "text", col("blk"),
+      n = 2, threshold = 0.5).count()
+    assert(uncapped === 66L + 1L)
+    val capped = Dedup.ngramJaccardPairs(df, "id", "text", col("blk"),
+      n = 2, threshold = 0.5, maxBlockSize = 4L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(capped === Set((21L, 22L)))
+  }
+
   test("term bucket: driver-side hash is bit-identical to the column expression") {
     val terms = Seq("join", "the", "a", "ётерм", "日本語", "x" * 500, "")
     val fromCol = terms.toDF("t")
@@ -208,6 +225,38 @@ class OperatorsSpec extends SparkSpec {
     // k capped at candidate count; picks are distinct
     assert(VectorSearch.mmrTopK(docs, "id", "v", q, k = 9, shortlist = 9)
       .collect().map(_.getLong(0)).distinct.length == 4)
+  }
+
+  test("MMR re-ranking accepts non-Long ids (ADVICE r12) and preserves the type") {
+    val docs = Seq(
+      ("doc-a", Array(1.00f, 0.0f, 0.00f)),
+      ("doc-b", Array(0.98f, 0.0f, 0.02f)),
+      ("doc-c", Array(0.00f, 1.0f, 0.00f))).toDF("id", "v")
+    val q = Seq(0.8f, 0.6f, 0.0f)
+    val out = VectorSearch.mmrTopK(docs, "id", "v", q, k = 3,
+      shortlist = 3, lambda = 0.5)
+    assert(out.schema("id").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val picks = out.collect().sortBy(_.getInt(3)).map(_.getString(0)).toSeq
+    assert(picks.head == "doc-a" && picks.toSet.size == 3)
+    // int ids too
+    val docsInt = Seq((1, Array(1.0f, 0.0f)), (2, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    assert(VectorSearch.mmrTopK(docsInt, "id", "v", Seq(1.0f, 0.0f), k = 2,
+      shortlist = 2).collect().map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
+  test("stratumRank ranks a NULL stratum as its own stratum (ADVICE r12)") {
+    val df = Seq(
+      (1L, "en"), (2L, "en"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, "de")).toDF("id", "lang")
+    val out = Sampling.stratumRank(df, "lang",
+        Seq(col("id").asc), "rank", "n")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getAs[Long]("rank"), r.getAs[Long]("n"))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, Some("en"), 1L, 2L), (2L, Some("en"), 2L, 2L),
+      (3L, None, 1L, 2L), (4L, None, 2L, 2L), (5L, Some("de"), 1L, 1L)))
   }
 
   test("hammingTopK ranks by popcount(sig xor query) with id tie-break") {

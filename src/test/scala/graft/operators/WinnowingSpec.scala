@@ -67,7 +67,9 @@ class WinnowingSpec extends SparkSpec {
     val pairs = Dedup.winnowingDupPairs(docs.toDF("doc_id", "text"),
         "doc_id", "text", k, w, minShared = 1L, maxDocFreq = 64L)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        (r.getLong(2), r.getDouble(5))).toMap
+        (r.getLong(2), r.getAs[Double]("jaccard"),
+          r.getAs[Long]("n_adm_a"), r.getAs[Long]("n_adm_b"),
+          r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toMap
     val fa = brute(docs(0)._2).map(_._2); val fb = brute(docs(1)._2).map(_._2)
     val inter = (fa & fb).size.toLong
     assert(inter >= 1)
@@ -75,6 +77,11 @@ class WinnowingSpec extends SparkSpec {
     assert(math.abs(pairs((1L, 2L))._2 -
       inter.toDouble / (fa.size + fb.size - inter)) < 1e-12)
     assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // admitted-set sizes ride along (ADVICE r12): n_adm <= n_fp, and at
+    // maxDocFreq=64 on this corpus nothing is hot, so the bound is
+    // tight exactly when n_adm counts all shared-eligible values
+    val (_, _, admA, admB, nA, nB) = pairs((1L, 2L))
+    assert(admA <= nA && admB <= nB && admA >= inter && admB >= inter)
     // maxDocFreq = 1 admits nothing (every shared value is in >= 2 docs)
     assert(Dedup.winnowingDupPairs(docs.toDF("doc_id", "text"),
       "doc_id", "text", k, w, minShared = 1L, maxDocFreq = 1L).count() == 0L)
