@@ -463,6 +463,83 @@ class Library(val spark: SparkSession, val warehouse: String,
       .limit(opts.limit)
   }
 
+  // ------------------------------------------------------------ HNSW index
+
+  /** Round-13 graph-ANN tier (VERDICT r12 stretch): an HNSW graph over
+    * the embeddings, persisted as parquet (edge table + surrogate-id
+    * map + meta), serving SINGLE queries from driver memory — the
+    * in-process regime the reference's DiskANN occupies, vs IVF/PQ's
+    * distributed batch regime. Surrogate ids are the chunkIds' sorted
+    * positions, so every HNSW tie-break follows chunkId order. */
+  def buildHnswIndex(m: Int = 16, efConstruction: Int = 100,
+                     seed: Long = 42L): Unit = {
+    val rows = embeddings.select("chunkId", "embedding")
+      .as[(String, Array[Float])].collect().sortBy(_._1)
+    val g = graft.operators.Hnsw.build(
+      rows.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }.toSeq,
+      m, efConstruction, seed)
+    graft.util.TableSwap.rewrite(path("embeddings_hnsw"),
+      graft.operators.Hnsw.toDF(spark, g))
+    graft.util.TableSwap.rewrite(path("embeddings_hnsw_ids"),
+      rows.zipWithIndex.map { case ((cid, _), i) => (i.toLong, cid) }.toSeq
+        .toDF("sid", "chunkId"))
+    graft.util.TableSwap.rewrite(path("embeddings_hnsw_meta"),
+      Seq((m, efConstruction, seed)).toDF("m", "efc", "seed"))
+    hnswCache = None
+  }
+
+  @transient private var hnswCache
+      : Option[(graft.operators.Hnsw.Graph, Array[String])] = None
+  private def loadHnsw(): Option[(graft.operators.Hnsw.Graph, Array[String])] =
+    hnswCache.orElse {
+      if (!tableExists("embeddings_hnsw_meta")) None
+      else {
+        val meta = spark.read.parquet(path("embeddings_hnsw_meta")).head()
+        val idRows = spark.read.parquet(path("embeddings_hnsw_ids"))
+          .orderBy("sid").select("chunkId").as[String].collect()
+        // vectors from the live embeddings table, keyed back to sids
+        val cidToSid = idRows.zipWithIndex
+          .map { case (c, i) => c -> i.toLong }.toMap
+        val vecs = spark.read.parquet(path("embeddings"))
+          .select("chunkId", "embedding").as[(String, Array[Float])]
+          .collect().flatMap { case (c, v) => cidToSid.get(c).map(_ -> v) }
+        val g = graft.operators.Hnsw.fromDF(
+          spark.read.parquet(path("embeddings_hnsw")), vecs.toSeq,
+          meta.getInt(0), meta.getInt(1), meta.getLong(2))
+        hnswCache = Some((g, idRows))
+        hnswCache
+      }
+    }
+
+  /** Single-query graph search: HNSW top-k from driver memory, then the
+    * usual chunk/doc joins. Same output shape as [[vectorSearch]];
+    * tombstoned or repaired-away chunks drop out at the (live) chunks
+    * join — `ef` over-fetches so k survivors remain. Falls back to
+    * [[vectorSearch]] when no HNSW index exists. */
+  def hnswSearch(queryVec: Array[Float], opts: SearchOptions,
+                 ef: Int = 64): DataFrame = loadHnsw() match {
+    case None => vectorSearch(queryVec, opts)
+    case Some((g, cids)) =>
+      val hits = graft.operators.Hnsw
+        .searchKnn(g, queryVec, math.max(opts.limit * 2, 16),
+          math.max(ef, opts.limit * 2))
+        .map { case (sid, d) => (cids(sid.toInt), 1.0 - d / 2.0) }
+      val hitDf = hits.toSeq.toDF("chunkId", "score")
+      val thresholded = opts.threshold
+        .map(t => hitDf.filter(col("score") >= t)).getOrElse(hitDf)
+      val ch = chunks
+      val docs = tagFiltered(opts.tags)
+        .select(col("id").as("docId"), col("title"))
+      thresholded
+        .join(ch.select(col("id").as("chunkId"), col("docId"), col("page"),
+          col("chunkIndex"), col("content")), Seq("chunkId"))
+        .join(broadcast(docs), Seq("docId"))
+        .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
+          col("content"), col("score"), lit("vector").as("matchType"))
+        .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+        .limit(opts.limit)
+  }
+
   // ------------------------------------------------------------- FTS index
 
   /** The persisted inverted index: postings (id, term, tf) + doc lengths.
@@ -1036,7 +1113,8 @@ object Library {
     "chunk_clusters", "cluster_summaries", "fts_postings", "fts_lens",
     "fts_stats", "embeddings_ivf", "embeddings_ivf_meta",
     "concepts", "hierarchy", "relations", "doc_concepts",
-    "concept_embeddings", "tombstones")
+    "concept_embeddings", "tombstones",
+    "embeddings_hnsw", "embeddings_hnsw_ids", "embeddings_hnsw_meta")
 
   /** One discovered file -> (document row, chunk rows). Static (not a
     * Library method) so executor closures never capture the facade,

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** HNSW graph ANN (Malkov & Yashunin 2016, "Efficient and robust
+  * approximate nearest neighbor search using Hierarchical Navigable
+  * Small World graphs") — the single-query high-recall/low-latency
+  * regime the reference serves with DiskANN
+  * (/root/reference/src/lib/db/LibSQLDatabase.ts:723-727). IVF/PQ
+  * (SURVEY §4.2) remains the DISTRIBUTED index family; this tier is
+  * the in-process serving analog of the reference's own architecture:
+  * the graph lives in one JVM's memory (the reference's DiskANN index
+  * is likewise a single-node structure), is persisted as a plain
+  * parquet edge table, and answers one query in microseconds of
+  * pointer-chasing instead of a Spark job.
+  *
+  * Determinism: level draws come from a seeded per-id hash (not a
+  * shared RNG), every tie breaks on id, and insertion order is id
+  * order — two builds over the same vectors are identical, so the
+  * persisted artifact is reproducible from the table (the q50
+  * deterministic-artifact discipline).
+  *
+  * Scale envelope (documented, not hidden): one graph holds what one
+  * JVM holds — vectors + ~2M links/node (~4.3 KB/node at dim 1024,
+  * M 16). Past that, the corpus-scale path is IVF/PQ; the two share
+  * the same cosine and the same (distance, id) tie-break, so results
+  * are comparable across tiers. */
+object Hnsw {
+
+  /** Distance = 1 − cosine, float-widened-to-double ascending fold —
+    * the engine-wide cosine contract. */
+  private[operators] def dist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0.0) 1.0 else 1.0 - dot / d
+  }
+
+  /** Deterministic level for an id: floor(-ln(u) * mL) with u derived
+    * from a splitmix-style hash of (seed, id) — no shared RNG, so the
+    * build is reproducible. */
+  private[operators] def levelOf(id: Long, seed: Long, mL: Double): Int = {
+    var z = id * 0x9E3779B97F4A7C15L + seed
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val u = ((z >>> 11).toDouble + 1.0) / (1L << 53).toDouble // (0, 1]
+    math.floor(-math.log(u) * mL).toInt
+  }
+
+  /** Layer adjacency accessor — one implementation over the frozen
+    * arrays (queries), one over the build-time buffers, so the build
+    * never copies the adjacency per insertion. */
+  private trait Adj {
+    def apply(layer: Int, node: Int): scala.collection.Seq[Int]
+  }
+
+  /** The built graph: per-node vector, level, and neighbor lists per
+    * layer (layer 0 = densest). Node indexes are id-sorted positions. */
+  final class Graph(val ids: Array[Long],
+                    val vecs: Array[Array[Float]],
+                    val levels: Array[Int],
+                    /** neighbors(layer)(nodeIdx) = Array[nodeIdx] */
+                    val neighbors: Array[Array[Array[Int]]],
+                    val entryPoint: Int,
+                    val m: Int, val efConstruction: Int, val seed: Long) {
+    def size: Int = ids.length
+    def maxLevel: Int = neighbors.length - 1
+  }
+
+  /** Greedy descent on one layer from `start`: the ef=1 zoom phase. */
+  private def greedyStep(ids: Array[Long], vecs: Array[Array[Float]],
+                         adj: Adj, layer: Int, start: Int,
+                         q: Array[Float]): Int = {
+    var cur = start
+    var curD = dist(vecs(cur), q)
+    var improved = true
+    while (improved) {
+      improved = false
+      val ns = adj(layer, cur)
+      var i = 0
+      while (i < ns.length) {
+        val n = ns(i)
+        val d = dist(vecs(n), q)
+        if (d < curD || (d == curD && ids(n) < ids(cur))) {
+          cur = n; curD = d; improved = true
+        }
+        i += 1
+      }
+    }
+    cur
+  }
+
+  /** The paper's SEARCH-LAYER: beam of width ef, nearest-first
+    * candidate heap, farthest-first bounded result heap; every tie
+    * breaks on id. Returns (distance, nodeIdx) ascending. */
+  private def searchLayer(ids: Array[Long], vecs: Array[Array[Float]],
+                          adj: Adj, layer: Int, entry: Int,
+                          q: Array[Float], ef: Int): Array[(Double, Int)] = {
+    val visited = new java.util.HashSet[Integer]()
+    visited.add(entry)
+    val d0 = dist(vecs(entry), q)
+    // candidate min-heap on (d, id); result max-heap on (d, id)
+    val candOrd: Ordering[(Double, Int)] =
+      Ordering.by { case (d, i) => (-d, -ids(i)) } // PQ is a max-heap
+    val resOrd: Ordering[(Double, Int)] =
+      Ordering.by { case (d, i) => (d, ids(i)) }
+    val cand = scala.collection.mutable.PriorityQueue((d0, entry))(candOrd)
+    val res = scala.collection.mutable.PriorityQueue((d0, entry))(resOrd)
+    var stop = false
+    while (cand.nonEmpty && !stop) {
+      val (cd, c) = cand.dequeue()
+      if (res.size >= ef && cd > res.head._1) stop = true
+      else {
+        val ns = adj(layer, c)
+        var i = 0
+        while (i < ns.length) {
+          val n = ns(i)
+          if (!visited.contains(n)) {
+            visited.add(n)
+            val d = dist(vecs(n), q)
+            if (res.size < ef || resOrd.lt((d, n), res.head)) {
+              cand.enqueue((d, n))
+              res.enqueue((d, n))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    res.toArray.sortBy { case (d, i) => (d, ids(i)) }
+  }
+
+  /** Build the graph over (id, vector) rows — driver/JVM-local, like
+    * the reference's index build. Insertion in id order; `m` links per
+    * node on upper layers, `2m` on layer 0 (paper defaults). */
+  def build(rows: Seq[(Long, Array[Float])], m: Int = 16,
+            efConstruction: Int = 100, seed: Long = 42L): Graph = {
+    val sorted = rows.sortBy(_._1).toArray
+    val n = sorted.length
+    require(n > 0, "cannot build an HNSW graph over zero vectors")
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val mL = 1.0 / math.log(m.toDouble)
+    val levels = ids.map(id => levelOf(id, seed, mL))
+    val maxLevel = levels.max
+    val adjBuf = Array.fill(maxLevel + 1, n)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    val adj: Adj = (layer, node) => adjBuf(layer)(node)
+    def maxLinks(layer: Int): Int = if (layer == 0) 2 * m else m
+
+    var entry = 0
+    var entryLevel = levels(0)
+    var idx = 1
+    while (idx < n) {
+      val lv = levels(idx)
+      var ep = entry
+      var layer = entryLevel
+      while (layer > lv) { // zoom down to the insertion level
+        ep = greedyStep(ids, vecs, adj, layer, ep, vecs(idx))
+        layer -= 1
+      }
+      var l = math.min(lv, entryLevel)
+      while (l >= 0) {
+        val found = searchLayer(ids, vecs, adj, l, ep, vecs(idx),
+          efConstruction)
+        val chosen = found.take(maxLinks(l)).map(_._2)
+        chosen.foreach { c =>
+          adjBuf(l)(idx) += c
+          adjBuf(l)(c) += idx
+          if (adjBuf(l)(c).length > maxLinks(l)) {
+            // prune overflow: keep the closest links (simple heuristic)
+            val pruned = adjBuf(l)(c).toArray.distinct
+              .map(x => (dist(vecs(c), vecs(x)), x))
+              .sortBy { case (d, x) => (d, ids(x)) }
+              .take(maxLinks(l)).map(_._2)
+            adjBuf(l)(c).clear()
+            adjBuf(l)(c) ++= pruned
+          }
+        }
+        ep = found.head._2
+        l -= 1
+      }
+      if (lv > entryLevel) { entry = idx; entryLevel = lv }
+      idx += 1
+    }
+    new Graph(ids, vecs, levels,
+      adjBuf.map(_.map(_.toArray.distinct)), entry, m, efConstruction, seed)
+  }
+
+  /** k nearest ids to `q` (cosine distance ascending), `ef >= k` beam. */
+  def searchKnn(g: Graph, q: Array[Float], k: Int,
+                ef: Int = 64): Seq[(Long, Double)] = {
+    val adj: Adj = (layer, node) =>
+      if (layer < g.neighbors.length) g.neighbors(layer)(node)
+      else Seq.empty
+    var ep = g.entryPoint
+    var layer = g.levels(ep)
+    while (layer > 0) {
+      ep = greedyStep(g.ids, g.vecs, adj, layer, ep, q)
+      layer -= 1
+    }
+    searchLayer(g.ids, g.vecs, adj, 0, ep, q, math.max(ef, k))
+      .take(k).map { case (d, i) => (g.ids(i), d) }.toSeq
+  }
+
+  /** Persist as a parquet edge table (id, level, layer, neighbor ids) —
+    * rebuildable, diffable, exportable like every warehouse table. */
+  def toDF(spark: SparkSession, g: Graph): DataFrame = {
+    import spark.implicits._
+    (0 to g.maxLevel).flatMap { l =>
+      g.neighbors(l).zipWithIndex.collect {
+        case (ns, i) if g.levels(i) >= l =>
+          (g.ids(i), g.levels(i), l, ns.map(g.ids(_)).toSeq)
+      }
+    }.toDF("id", "level", "layer", "nbrs")
+  }
+
+  /** Rebuild the in-memory graph from the edge table + vectors. */
+  def fromDF(edges: DataFrame, vectors: Seq[(Long, Array[Float])],
+             m: Int, efConstruction: Int, seed: Long): Graph = {
+    val sorted = vectors.sortBy(_._1).toArray
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val idx = ids.zipWithIndex.toMap
+    val rows = edges.select("id", "level", "layer", "nbrs").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Long](3).toArray))
+    val maxLevel = if (rows.isEmpty) 0 else rows.map(_._3).max
+    val levels = new Array[Int](ids.length)
+    rows.foreach { case (id, lv, _, _) => levels(idx(id)) = lv }
+    val adj = Array.fill(maxLevel + 1, ids.length)(Array.empty[Int])
+    rows.foreach { case (id, _, layer, ns) =>
+      adj(layer)(idx(id)) = ns.map(idx(_))
+    }
+    val entry = levels.zipWithIndex
+      .maxBy { case (lv, i) => (lv, -ids(i)) }._2
+    new Graph(ids, vecs, levels, adj, entry, m, efConstruction, seed)
+  }
+}

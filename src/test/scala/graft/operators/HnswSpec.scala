@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.SearchOptions
+import org.apache.spark.sql.functions._
+
+/** HNSW graph ANN (Malkov & Yashunin 2016) — the single-query serving
+  * tier. Certification: recall against brute force on the real
+  * testdata embeddings, build determinism, persistence roundtrip, and
+  * the Library facade integration (including the tombstone interplay). */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vectors: Array[(Long, Array[Float])] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+
+  private def bruteTopK(q: Array[Float], k: Int): Seq[Long] =
+    vectors.map { case (id, v) => (id, Hnsw.dist(v, q)) }
+      .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSeq
+
+  test("recall@10 >= 0.95 against brute force on the testdata embeddings") {
+    val g = Hnsw.build(vectors.toSeq, m = 16, efConstruction = 100)
+    val queries = vectors.indices.by(vectors.length / 25 + 1)
+      .map(i => vectors(i)._2)
+    val recalls = queries.map { q =>
+      val want = bruteTopK(q, 10).toSet
+      val got = Hnsw.searchKnn(g, q, 10, ef = 64).map(_._1).toSet
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.95, f"mean recall@10 $mean%.3f over ${recalls.size} queries")
+  }
+
+  test("build is deterministic: two builds answer identically") {
+    val g1 = Hnsw.build(vectors.take(300).toSeq, m = 8, efConstruction = 60)
+    val g2 = Hnsw.build(vectors.take(300).toSeq, m = 8, efConstruction = 60)
+    vectors.take(10).foreach { case (_, q) =>
+      assert(Hnsw.searchKnn(g1, q, 5) === Hnsw.searchKnn(g2, q, 5))
+    }
+  }
+
+  test("parquet persistence roundtrip preserves every search answer") {
+    val sub = vectors.take(400).toSeq
+    val g = Hnsw.build(sub, m = 8, efConstruction = 60)
+    val edges = Hnsw.toDF(spark, g)
+    val g2 = Hnsw.fromDF(edges, sub, g.m, g.efConstruction, g.seed)
+    assert(g2.entryPoint === g.entryPoint && g2.maxLevel === g.maxLevel)
+    sub.take(15).foreach { case (_, q) =>
+      assert(Hnsw.searchKnn(g2, q, 8) === Hnsw.searchKnn(g, q, 8))
+    }
+  }
+
+  test("Library facade: hnswSearch ≈ exact vectorSearch; fast-deleted docs drop out") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 40).map(i => (s"/hnsw/doc$i.md",
+      s"# Doc$i\n" + (s"graph index corpus document $i retrieval body. " * 6)))
+      .toDS())
+    lib.buildHnswIndex(m = 8, efConstruction = 80)
+    val qv = lib.embedder.embed("corpus document retrieval")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("docId")).toSeq
+    val exact = ids(lib.vectorSearch(qv, SearchOptions(limit = 8)))
+    val viaGraph = ids(lib.hnswSearch(qv, SearchOptions(limit = 8), ef = 128))
+    val overlap = (exact.toSet & viaGraph.toSet).size.toDouble / exact.size
+    assert(overlap >= 0.75, s"exact=$exact graph=$viaGraph")
+    // a tombstoned doc's chunks never surface, without an index rebuild
+    val victim = exact.head
+    lib.removeDocumentFast(victim)
+    val after = ids(lib.hnswSearch(qv, SearchOptions(limit = 8), ef = 128))
+    assert(!after.contains(victim))
+    // no index -> clean fallback to the exact path
+    val bare = new graft.Library(spark,
+      java.nio.file.Files.createTempDirectory("graft-hnsw2").toString)
+    bare.addMarkdown(Seq(("/h2/a.md", "# A\nfallback body words. " * 8)).toDS())
+    assert(bare.hnswSearch(qv, SearchOptions(limit = 3)).columns
+      === bare.vectorSearch(qv, SearchOptions(limit = 3)).columns)
+  }
+}
