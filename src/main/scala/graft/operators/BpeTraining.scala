@@ -61,9 +61,88 @@ object BpeTraining {
     out.toSeq
   }
 
-  /** Tokenize one word under a trained merge table (rank order). */
+  /** Tokenize one word under a trained merge table (rank order) — the
+    * REFERENCE apply: every merge swept left-to-right in rank order.
+    * O(merges × len); [[applyMergesFast]] is the production apply. */
   def applyMerges(word: String, merges: Seq[BpeMerge]): Seq[String] =
     merges.foldLeft(initialSymbols(word)) { (s, m) => mergePair(s, m.left, m.right) }
+
+  /** Rank lookup for [[applyMergesFast]] — build ONCE per merge table
+    * and reuse across rows (the subword-nmt `bpe_ranks` dict). */
+  def rankMap(merges: Seq[(String, String)]): java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      m.putIfAbsent(l + "\u0000" + r, i)
+    }
+    m
+  }
+
+  /** Production apply: repeatedly merge the LOWEST-RANK pair present,
+    * occurrences left-to-right within a rank (lazy-deletion heap over a
+    * linked symbol list) — O((len + merges-applied) × log len) per word
+    * REGARDLESS of table size, vs [[applyMerges]]'s O(table × len)
+    * (a 32k-merge vocab makes the naive sweep the next day-one wall
+    * after training, the same argument as trainBatched).
+    *
+    * Exactly ≡ [[applyMerges]]: a pair learned at rank j can never
+    * reappear after a higher-rank merge fires, because any pair a
+    * rank-m merge creates contains the rank-m fused symbol, and a rule
+    * whose component IS that symbol must have been learned after rank m
+    * — so processing ranks monotonically never misses a lower-rank
+    * occurrence. Property-pinned in BpeTrainingSpec. */
+  def applyMergesFast(word: String,
+                      ranks: java.util.HashMap[String, Int]): Seq[String] = {
+    val init = initialSymbols(word)
+    val n = init.length
+    if (n < 2 || ranks.isEmpty) return init
+    val sym = new Array[String](n)
+    init.copyToArray(sym)
+    val prev = Array.tabulate(n)(_ - 1)
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val alive = Array.fill(n)(true)
+    // getOrDefault, NOT get: a Scala Int-valued java map unboxes an
+    // absent-key null to 0 — which would rank every unknown pair first
+    def rankOf(i: Int, j: Int): Int =
+      ranks.getOrDefault(sym(i) + "\u0000" + sym(j), Int.MaxValue)
+    // heap of (rank, leftPos); lazy deletion — validate on pop
+    val heap = new java.util.PriorityQueue[(Int, Int)](
+      (a: (Int, Int), b: (Int, Int)) => {
+        val c = Integer.compare(a._1, b._1)
+        if (c != 0) c else Integer.compare(a._2, b._2)
+      })
+    var i = 0
+    while (i < n - 1) {
+      val r = rankOf(i, i + 1)
+      if (r != Int.MaxValue) heap.add((r, i))
+      i += 1
+    }
+    var count = n
+    while (!heap.isEmpty) {
+      val (r, li) = heap.poll()
+      val ri = if (li >= 0 && alive(li)) next(li) else -1
+      if (ri != -1 && alive(ri) && rankOf(li, ri) == r) {
+        sym(li) = sym(li) + sym(ri)
+        alive(ri) = false
+        count -= 1
+        val rn = next(ri)
+        next(li) = rn
+        if (rn != -1) prev(rn) = li
+        val lp = prev(li)
+        if (lp != -1) {
+          val nr = rankOf(lp, li)
+          if (nr != Int.MaxValue) heap.add((nr, lp))
+        }
+        if (rn != -1) {
+          val nr = rankOf(li, rn)
+          if (nr != Int.MaxValue) heap.add((nr, li))
+        }
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](count)
+    var c = 0
+    while (c != -1) { if (alive(c)) out += sym(c); c = next(c) }
+    out.toSeq
+  }
 
   /** Train a merge table over `textCol`'s whitespace-lowercase words.
     * Stops early when no pair reaches `minPairCount`. */
@@ -214,7 +293,11 @@ object BpeTraining {
     * same vocab-sized flatMap as sequential. */
   def trainBatched(df: DataFrame, textCol: String, numMerges: Int,
                    minPairCount: Long = 2L, batchMax: Int = 64,
-                   candK: Int = 256): Seq[BpeMerge] = {
+                   candK: Int = 256,
+                   /** telemetry hook: called once per round with
+                     * (acceptedBatchSize, truncated) — SCALE.md's
+                     * batch-profile evidence; no-op by default. */
+                   onRound: (Int, Boolean) => Unit = (_, _) => ()): Seq[BpeMerge] = {
     val spark = df.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Seq[String], Long)] = df
@@ -251,6 +334,7 @@ object BpeTraining {
           .localCheckpoint()
         old.unpersist()
         merges += BpeMerge(merges.size, l, r, cnt)
+        onRound(1, false)
       }
       else {
         val batchPairs = batch.toArray.map { case (l, r, _) => (l, r) }
@@ -314,6 +398,7 @@ object BpeTraining {
         acceptedPairs.zipWithIndex.foreach { case ((l, r, cnt), i) =>
           merges += BpeMerge(base + i, l, r, cnt)
         }
+        onRound(accepted, accepted < batch.length)
       }
     }
     vocab.unpersist()

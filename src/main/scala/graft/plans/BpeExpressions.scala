@@ -24,15 +24,18 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
 
   override def dataType: DataType = LongType
 
+  /** subword-nmt's bpe_ranks dict, built once per task — the heap apply
+    * ([[graft.operators.BpeTraining.applyMergesFast]]) makes per-word
+    * cost independent of table size (a 32k-merge vocab under the old
+    * rank-order sweep paid O(table × len) per word). */
+  @transient private lazy val ranks =
+    graft.operators.BpeTraining.rankMap(merges)
+
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     var total = 0L
-    for (word <- text.split("\\s+") if word.nonEmpty) {
-      var syms = graft.operators.BpeTraining.initialSymbols(word)
-      for ((l, r) <- merges)
-        syms = graft.operators.BpeTraining.mergePair(syms, l, r)
-      total += syms.length
-    }
+    for (word <- text.split("\\s+") if word.nonEmpty)
+      total += graft.operators.BpeTraining.applyMergesFast(word, ranks).length
     total
   }
 

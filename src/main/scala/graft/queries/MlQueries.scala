@@ -888,7 +888,10 @@ object MlQueries {
     .empty[String, Seq[graft.operators.BpeTraining.BpeMerge]]
   private def cachedBpe(s: org.apache.spark.sql.SparkSession, d: String) =
     bpeCache.getOrElseUpdate(d,
-      graft.operators.BpeTraining.train(Tables.documents(s, d), "text",
+      // trainAuto's local tier: merge-for-merge identical to the
+      // distributed loop (BpeTrainingSpec pins all three trainers) at
+      // ~100x less first-run latency on this vocab size
+      graft.operators.BpeTraining.trainAuto(Tables.documents(s, d), "text",
         numMerges = 40))
 
   /** Round-13 1000-merge table over customer names — a REAL merge

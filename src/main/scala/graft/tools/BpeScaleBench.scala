@@ -39,6 +39,32 @@ object BpeScaleBench {
     val autoN = BpeTraining.trainAuto(docs, "text", merges)
     val tAuto = (System.nanoTime() - t0) / 1e9
     println(f"$merges merges auto(local): $tAuto%.1fs, equal=${autoN == batN}")
+
+    // batch-size profile on a Zipf-DIVERSE corpus (the spec's synthetic
+    // generator): how wide do non-interacting prefixes actually get?
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdefghijklmnopqrst"
+    val vocabWords = (0 until 1500).map { _ =>
+      (0 until (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(20))).mkString
+    }
+    val texts = (0 until 300).map { _ =>
+      (0 until 40).map { _ =>
+        vocabWords((math.pow(rnd.nextDouble(), 2.0) * vocabWords.size).toInt
+          .min(vocabWords.size - 1))
+      }.mkString(" ")
+    }
+    val divDf = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var truncs = 0
+    t0 = System.nanoTime()
+    val div = BpeTraining.trainBatched(divDf, "text", 1000, 2,
+      onRound = (b, tr) => { sizes += b; if (tr) truncs += 1 })
+    println(f"diverse corpus: ${div.size} merges in ${sizes.size} rounds " +
+      f"(${(System.nanoTime() - t0) / 1e9}%.1fs), mean batch " +
+      f"${sizes.sum.toDouble / sizes.size}%.1f, max ${sizes.max}, " +
+      f"preemption truncations $truncs")
     spark.stop()
   }
 }

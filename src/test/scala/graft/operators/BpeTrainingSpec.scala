@@ -170,6 +170,38 @@ class BpeTrainingSpec extends SparkSpec {
     assert(BpeTraining.firstPreemptedStep(2, "ab", "c", 99L, ord) == None)
   }
 
+  test("applyMergesFast == applyMerges over random corpora and tables (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    val word = Gen.chooseNum(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val gen = for {
+      train <- Gen.listOfN(20, word)
+      probes <- Gen.listOfN(8, word)
+      nm <- Gen.chooseNum(1, 25)
+    } yield (train, probes, nm)
+    val prop = Prop.forAllNoShrink(gen) { case (train, probes, nm) =>
+      val words = train.groupBy(identity)
+        .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      val merges = BpeTraining.trainLocal(words, nm, 1)
+      val ranks = BpeTraining.rankMap(merges.map(m => (m.left, m.right)))
+      probes.forall { p =>
+        BpeTraining.applyMergesFast(p, ranks) == BpeTraining.applyMerges(p, merges)
+      }
+    }
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(200).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("applyMergesFast: overlap, repeats, and unseen symbols match the sweep") {
+    val merges = Seq(BpeMerge(0, "a", "a", 9), BpeMerge(1, "aa", "b", 5),
+      BpeMerge(2, "b", Eow, 4))
+    val ranks = BpeTraining.rankMap(merges.map(m => (m.left, m.right)))
+    for (w <- Seq("aaa", "aaaa", "aab", "aaab", "baaab", "xyz", "b", "a"))
+      assert(BpeTraining.applyMergesFast(w, ranks)
+        === BpeTraining.applyMerges(w, merges), s"word '$w'")
+  }
+
   test("mergePair merges adjacent occurrences left-to-right (a a a -> aa, a)") {
     assert(BpeTraining.mergePair(Seq("a", "a", "a"), "a", "a")
       == Seq("aa", "a"))
