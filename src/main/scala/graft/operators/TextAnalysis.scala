@@ -910,6 +910,89 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Interpolated Kneser-Ney trigram LM quality (Kneser & Ney 1995;
+    * Chen & Goodman 1998 §3 interpolated form) — the smoothing family
+    * KenLM (CCNet's actual scorer) uses, one tier deeper than the
+    * Jelinek-Mercer interpolation of [[trigramQuality]]/[[ngramQuality]]:
+    * lower orders use CONTINUATION counts (how many distinct contexts a
+    * gram completes) instead of raw frequencies, so "san francisco"'s
+    * frequent "francisco" stops inflating unigram backoff mass.
+    *
+    *   P(w|a,b) = max(c3−D3,0)/ctx3(a,b)
+    *            + D3·N1+(a,b,·)/ctx3(a,b) · [
+    *                max(cc2(b,w)−D2,0)/cctot2(b)
+    *              + D2·N1+'(b,·)/cctot2(b) · cc1(w)/cctot1 ]
+    *
+    * with cc2(b,w) = |{a : c3(a,b,w)>0}| (trigram-type continuation),
+    * cc1(w) = |{b : c2(b,w)>0}| (bigram-type continuation), and the Ney
+    * absolute discounts D_k = n1/(n1 + 2·n2) estimated from the
+    * count-of-count statistics of each tier's own counts (0.5 when the
+    * corpus has no count-1/2 mass to estimate from). Every scored
+    * position's denominators are ≥ 1 by construction (self-corpus
+    * scoring: the trigram exists, so its suffix types exist), so p > 0
+    * with no add-one floor.
+    *
+    * Scale shape = [[trigramQuality]]'s: tuple-keyed count tables that
+    * partial-aggregate map-side and CANNOT broadcast; continuation
+    * tables derive FROM the count tables (type-counting groupBys — no
+    * extra corpus pass); the three discount/total scalars are one tiny
+    * agg each, broadcast into the plan. Output: (id, n_trigrams,
+    * avg_logp); docs with < 3 tokens score a neutral (0, 0.0). */
+  def knTrigramQuality(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    def toks(c: Column) = tokens(lower(c))
+    def trisOf(c: Column) = graft.functions.TextFunctions.trigramTriples(toks(c))
+    def bisOf(c: Column) = graft.functions.TextFunctions.bigramPairs(toks(c))
+    val tri = df.select(explode(trisOf(col(textCol))).as("tg"))
+      .select(col("tg.p2").as("p2"), col("tg.p1").as("p1"), col("tg.cur").as("cur"))
+      .groupBy("p2", "p1", "cur").agg(count(lit(1)).as("c3"))
+      .materializeOnce(eager = false) // ctx3 + cc2 + discount stats + scoring
+    val ctx3 = tri.groupBy("p2", "p1")
+      .agg(sum("c3").as("ctx3"), count(lit(1)).as("nfollow"))
+    val cc2 = tri.groupBy("p1", "cur").agg(count(lit(1)).as("cc2"))
+      .materializeOnce(eager = false) // cctot2 + discount stats + scoring
+    val cctot2 = cc2.groupBy("p1")
+      .agg(sum("cc2").as("cctot2"), count(lit(1)).as("n1p2"))
+    val bi = df.select(explode(bisOf(col(textCol))).as("bg"))
+      .select(col("bg.prev").as("p1"), col("bg.cur").as("cur"))
+      .groupBy("p1", "cur").agg(count(lit(1)).as("cb"))
+      .materializeOnce(eager = false) // cc1 + cctot1
+    val cc1 = bi.groupBy("cur").agg(count(lit(1)).as("cc1"))
+    // Ney discounts + the unigram-continuation total: three scalar aggs
+    def discount(counts: DataFrame, cCol: String): Double = {
+      val r = counts.agg(
+        coalesce(sum(when(col(cCol) === 1, 1L)), lit(0L)),
+        coalesce(sum(when(col(cCol) === 2, 1L)), lit(0L))).head()
+      val (n1, n2) = (r.getLong(0), r.getLong(1))
+      if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2).toDouble
+    }
+    val d3 = discount(tri, "c3")
+    val d2 = discount(cc2, "cc2")
+    val cctot1 = bi.count().toDouble // total bigram TYPES
+    val stream = df.select(col(idCol).as("id"),
+        explode_outer(trisOf(col(textCol))).as("tg"))
+      .select(col("id"), col("tg.p2").as("p2"), col("tg.p1").as("p1"),
+        col("tg.cur").as("cur"))
+    stream
+      .join(tri, Seq("p2", "p1", "cur"), "left")
+      .join(ctx3, Seq("p2", "p1"), "left")
+      .join(cc2, Seq("p1", "cur"), "left")
+      .join(cctot2, Seq("p1"), "left")
+      .join(cc1, Seq("cur"), "left")
+      .withColumn("__p",
+        greatest(col("c3").cast("double") - lit(d3), lit(0.0)) /
+          col("ctx3").cast("double") +
+        (lit(d3) * col("nfollow").cast("double") / col("ctx3").cast("double")) *
+          (greatest(col("cc2").cast("double") - lit(d2), lit(0.0)) /
+            col("cctot2").cast("double") +
+           (lit(d2) * col("n1p2").cast("double") / col("cctot2").cast("double")) *
+             (col("cc1").cast("double") / lit(cctot1))))
+      .groupBy("id")
+      .agg(count(col("p2")).as("n_trigrams"),
+        coalesce(avg(when(col("p2").isNotNull, log10(col("__p")))), lit(0.0))
+          .as("avg_logp"))
+  }
+
   /** CCNet's published operating point: interpolated 5-gram LM quality
     * (Wenzek et al. §4.4). Weights 0.4/0.25/0.2/0.1 for tiers 5..2 and
     * the left-fold remainder 0.05 as the add-one unigram floor. */

@@ -285,6 +285,56 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0.0))) // 3 tokens: no 5-gram positions
   }
 
+  test("knTrigramQuality == an independent driver-side interpolated-KN replica") {
+    import spark.implicits._
+    val texts = Seq("a b c d", "a b c e", "b c d a b c", "x y", "a b c d e a b",
+      "c d a b", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // replica: counts from scratch, Chen-Goodman interpolated KN
+    def grams(t: String, n: Int) = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length < n) Seq.empty else w.sliding(n).map(_.toSeq).toSeq
+    }
+    val tri = texts.flatMap(grams(_, 3)).groupBy(identity).map { case (g, o) => g -> o.size }
+    val bi = texts.flatMap(grams(_, 2)).groupBy(identity).map { case (g, o) => g -> o.size }
+    val ctx3 = tri.groupBy(_._1.take(2)).map { case (c, m) => c -> (m.values.sum, m.size) }
+    val cc2 = tri.keys.groupBy(g => g.drop(1)).map { case (s, gs) => s -> gs.size }
+    val cctot2 = cc2.groupBy(_._1.head).map { case (p, m) => p -> (m.values.sum, m.size) }
+    val cc1 = bi.keys.groupBy(_.last).map { case (w, gs) => w -> gs.size }
+    val cctot1 = bi.size.toDouble
+    def disc(cs: Iterable[Int]) = {
+      val n1 = cs.count(_ == 1); val n2 = cs.count(_ == 2)
+      if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2)
+    }
+    val d3 = disc(tri.values); val d2 = disc(cc2.values)
+    def pKn(g: Seq[String]): Double = {
+      val (ct3, nf) = ctx3(g.take(2))
+      val (ct2, n1p) = cctot2(g(1))
+      math.max(tri(g) - d3, 0.0) / ct3 +
+        (d3 * nf / ct3) * (math.max(cc2(g.drop(1)) - d2, 0.0) / ct2 +
+          (d2 * n1p / ct2) * (cc1(g.last) / cctot1))
+    }
+    val want = texts.zipWithIndex.map { case (t, i) =>
+      val gs = grams(t, 3)
+      i.toLong -> (gs.size.toLong,
+        if (gs.isEmpty) 0.0 else gs.map(g => math.log10(pKn(g))).sum / gs.size)
+    }.toMap
+    val got = TextAnalysis.knTrigramQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("avg_logp"))).toMap
+    want.foreach { case (id, (n, lp)) =>
+      assert(got(id)._1 === n, s"doc $id n")
+      assert(math.abs(got(id)._2 - lp) < 1e-9, s"doc $id logp")
+    }
+    // repeated phrasing scores above scrambled order (the LM signal)
+    val rows = (1L to 9L).map(i => (i, "p q r s t")) :+ ((10L, "t p s q r"))
+    val out = TextAnalysis.knTrigramQuality(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(out(10L) < out(1L))
+  }
+
   test("ccnetBuckets fivegram tier ranks by fivegramQuality") {
     import spark.implicits._
     val docs = ((1L to 6L).map(i => (i, "p q r s t u v")) ++
