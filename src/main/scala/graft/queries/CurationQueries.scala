@@ -48,6 +48,12 @@ object CurationQueries {
     graft.util.DiskArtifact.getOrBuild(s, "fivegram", docStamp(s, d))(() =>
       TextAnalysis.fivegramQuality(Tables.documents(s, d), "doc_id", "text"))
 
+  /** q119/q120's shared Kneser-Ney tier, same discipline. */
+  private def cachedKnQuality(s: org.apache.spark.sql.SparkSession,
+                              d: String) =
+    graft.util.DiskArtifact.getOrBuild(s, "kn3", docStamp(s, d))(() =>
+      TextAnalysis.knTrigramQuality(Tables.documents(s, d), "doc_id", "text"))
+
   val all: Seq[Q] = Seq(
 
     // decontamination: train docs sharing any word 5-gram with the eval
@@ -1466,10 +1472,84 @@ object CurationQueries {
         round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
       FROM documents d LEFT JOIN agg a USING (doc_id)
       ORDER BY d.doc_id"""),
-      (s, d) => TextAnalysis.knTrigramQuality(Tables.documents(s, d),
-          "doc_id", "text")
+      (s, d) => cachedKnQuality(s, d)
         .select(col("id").as("doc_id"), col("n_trigrams"),
           round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    // CCNet buckets ranked by the KNESER-NEY tier — the bucket family's
+    // fourth rank key (unigram q85, trigram q88, 5-gram q118, KN q120):
+    // head/middle/tail terciles by the perplexity KenLM would assign.
+    // Replays the q119 disk artifact through the same distributed
+    // prefix-rank; the oracle re-derives the KN scores and windows
+    Q("q120_ccnet_buckets_kn", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      tge AS (SELECT doc_id, unnest(t[1:len(t)-2]) AS p2,
+                unnest(t[2:len(t)-1]) AS p1, unnest(t[3:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 3),
+      tri AS (SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS c3
+              FROM tge GROUP BY 1, 2, 3),
+      cx3 AS (SELECT p2, p1, CAST(sum(c3) AS BIGINT) AS ctx3,
+                CAST(count(*) AS BIGINT) AS nfollow
+              FROM tri GROUP BY 1, 2),
+      k2 AS (SELECT p1, cur, CAST(count(*) AS BIGINT) AS cc2
+             FROM tri GROUP BY 1, 2),
+      kt2 AS (SELECT p1, CAST(sum(cc2) AS BIGINT) AS cctot2,
+                CAST(count(*) AS BIGINT) AS n1p2
+              FROM k2 GROUP BY 1),
+      bge AS (SELECT unnest(t[1:len(t)-1]) AS p1, unnest(t[2:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 2),
+      bi AS (SELECT p1, cur, CAST(count(*) AS BIGINT) AS cb
+             FROM bge GROUP BY 1, 2),
+      k1 AS (SELECT cur, CAST(count(*) AS BIGINT) AS cc1 FROM bi GROUP BY 1),
+      d3 AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+             FROM (SELECT CAST(coalesce(sum(CASE WHEN c3 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN c3 = 2 THEN 1 END), 0) AS BIGINT) AS n2
+                   FROM tri)),
+      d2 AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+             FROM (SELECT CAST(coalesce(sum(CASE WHEN cc2 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN cc2 = 2 THEN 1 END), 0) AS BIGINT) AS n2
+                   FROM k2)),
+      ct1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM bi),
+      sc AS (
+        SELECT g.doc_id,
+          greatest(CAST(t3.c3 AS DOUBLE) - d3.d, 0.0) / CAST(cx.ctx3 AS DOUBLE) +
+          (d3.d * CAST(cx.nfollow AS DOUBLE) / CAST(cx.ctx3 AS DOUBLE)) *
+            (greatest(CAST(c2.cc2 AS DOUBLE) - d2.d, 0.0) / CAST(ct2.cctot2 AS DOUBLE) +
+             (d2.d * CAST(ct2.n1p2 AS DOUBLE) / CAST(ct2.cctot2 AS DOUBLE)) *
+               (CAST(c1.cc1 AS DOUBLE) / ct1.v)) AS p
+        FROM tge g
+        JOIN tri t3 ON t3.p2 = g.p2 AND t3.p1 = g.p1 AND t3.cur = g.cur
+        JOIN cx3 cx ON cx.p2 = g.p2 AND cx.p1 = g.p1
+        JOIN k2 c2 ON c2.p1 = g.p1 AND c2.cur = g.cur
+        JOIN kt2 ct2 ON ct2.p1 = g.p1
+        JOIN k1 c1 ON c1.cur = g.cur
+        CROSS JOIN d3 CROSS JOIN d2 CROSS JOIN ct1),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id),
+      keyed AS (
+        SELECT d.doc_id, CAST(coalesce(a.n_trigrams, 0) AS BIGINT) AS n_tokens,
+          round(coalesce(a.avg_logp, 0.0), 6) AS lm_key
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      r AS (
+        SELECT *, row_number() OVER (ORDER BY lm_key DESC, doc_id) AS rank,
+          count(*) OVER () AS n
+        FROM keyed)
+      SELECT doc_id, n_tokens, lm_key, CAST(rank AS BIGINT) AS rank,
+        CASE WHEN rank <= ceil(n / 3.0) THEN 'head'
+             WHEN rank <= ceil(2.0 * n / 3.0) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM r ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.ccnetBucketsFromScores(
+          cachedKnQuality(s, d)
+            .select(col("id"), col("n_trigrams").as("n_tokens"),
+              col("avg_logp")))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
+          col("rank"), col("bucket"))
         .orderBy("doc_id")),
 
     // CCNet buckets ranked by the 5-GRAM tier (round-13): the faithful

@@ -611,6 +611,20 @@ object MlQueries {
         .withColumnRenamed("id", "c_custkey")
         .orderBy("c_custkey")),
 
+    // Unigram-LM tokenizer (round-13 depth: Kudo 2018, the
+    // SentencePiece unigram model — the OTHER tokenizer family next to
+    // q89/q116's BPE). Deterministic integer-cost Viterbi-EM; the
+    // oracle replays the trained pieces as literals through the exact
+    // integer Viterbi DP as a recursive CTE (combined cost*1000+n key)
+    Q("q121_unigram_lm_tokens",
+      ulmLiterals.map(p =>
+        graft.operators.UnigramLm.oracleSql(
+          "customer", "c_custkey", "c_name", p)),
+      (s, d) => graft.operators.UnigramLm.tokenCounts(
+          Tables.customer(s, d), "c_custkey", "c_name", cachedUlm(s, d))
+        .withColumnRenamed("id", "c_custkey")
+        .orderBy("c_custkey")),
+
     Q("q89_bpe_token_counts",
       bpeLiterals.map(m =>
         graft.operators.BpeTraining.oracleSql("documents", "doc_id", "text", m)),
@@ -909,6 +923,20 @@ object MlQueries {
         numMerges = 1000, minPairCount = 1))
   private def bpe1kLiterals: Option[Seq[graft.operators.BpeTraining.BpeMerge]] = {
     val fits = bpe1kCache.snapshot().toSeq
+    if (fits.size != 1) None else Some(fits.head._2)
+  }
+
+  /** Round-13 unigram-LM tokenizer (Kudo 2018): deterministic
+    * Viterbi-EM with integer scaled costs — same lazy-literal oracle
+    * contract as the BPE tables. */
+  private val ulmCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.operators.UnigramLm.Piece]]
+  private def cachedUlm(s: org.apache.spark.sql.SparkSession, d: String) =
+    ulmCache.getOrElseUpdate(d,
+      graft.operators.UnigramLm.train(Tables.customer(s, d), "c_name",
+        vocabSize = 200))
+  private def ulmLiterals: Option[Seq[graft.operators.UnigramLm.Piece]] = {
+    val fits = ulmCache.snapshot().toSeq
     if (fits.size != 1) None else Some(fits.head._2)
   }
   /** Trained merges as oracle literals — Some only after exactly one
