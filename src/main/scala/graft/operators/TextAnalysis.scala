@@ -993,6 +993,101 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Interpolated Kneser-Ney for ANY order — [[knTrigramQuality]]'s
+    * recursion generalized with window-array tables, reaching KenLM's
+    * LITERAL configuration (5-gram modified-KN family; this is the
+    * single-discount interpolated form at order 5). Tier k < order uses
+    * continuation counts cc_k(g) = |{w : the (k+1)-gram w·g exists}|
+    * derived from the raw (k+1)-gram TYPE table (Chen & Goodman 1998
+    * eq. 18), discounts D_k = n1/(n1+2·n2) from each tier's own count
+    * distribution, and the interpolation nests
+    *
+    *   P_k = max(cc_k−D_k,0)/S_k + D_k·N1+_k/S_k · P_{k−1}
+    *
+    * down to the type-ratio unigram. Self-corpus scoring keeps every
+    * denominator ≥ 1 (the q119 argument), so p > 0 floor-free.
+    *
+    * Scale shape: the raw top-order count table + one DISTINCT window
+    * pass per lower tier (types ≤ entries, so each is no bigger than
+    * the tier tables [[ngramQuality]] already carries); scoring is one
+    * window-keyed equi-join per tier; text never shuffles. Output:
+    * (id, n_ngrams, avg_logp); docs with < order tokens score (0, 0.0). */
+  def knQuality(df: DataFrame, idCol: String, textCol: String,
+                order: Int): DataFrame = {
+    require(order >= 2, s"order must be >= 2, got $order")
+    def toks(c: Column) = tokens(lower(c))
+    def winDf(k: Int): DataFrame = df
+      .select(explode(gramWindows(toks(col(textCol)), k)).as("g"))
+    // top tier: raw counts + context totals
+    val topCnt = winDf(order).groupBy("g")
+      .agg(count(lit(1)).as(s"c$order"))
+      .materializeOnce(eager = false) // ctx + cc(order-1) + D + scoring
+    val ctxTop = topCnt.groupBy(slice(col("g"), 1, order - 1).as("p"))
+      .agg(sum(s"c$order").as("ctxN"), count(lit(1)).as("nfollowN"))
+    def discountOf(counts: DataFrame, cCol: String): Double = {
+      val r = counts.agg(
+        coalesce(sum(when(col(cCol) === 1, 1L)), lit(0L)),
+        coalesce(sum(when(col(cCol) === 2, 1L)), lit(0L))).head()
+      val (n1, n2) = (r.getLong(0), r.getLong(1))
+      if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2).toDouble
+    }
+    val dTop = discountOf(topCnt, s"c$order")
+    // lower tiers k = order-1 .. 1: continuation counts from the raw
+    // (k+1)-gram TYPE table; types at order come from topCnt itself
+    case class Tier(k: Int, cc: DataFrame, tot: Option[DataFrame], d: Double)
+    val tiers = (1 until order).reverse.map { k =>
+      val types =
+        if (k + 1 == order) topCnt.select("g")
+        else winDf(k + 1).distinct()
+      val cc = types.groupBy(slice(col("g"), 2, k).as("s"))
+        .agg(count(lit(1)).as(s"cc$k"))
+        .materializeOnce(eager = false) // totals + discount + scoring
+      if (k >= 2) {
+        val tot = cc.groupBy(slice(col("s"), 1, k - 1).as("p"))
+          .agg(sum(s"cc$k").as(s"cctot$k"), count(lit(1)).as(s"n1p$k"))
+        Tier(k, cc, Some(tot), discountOf(cc, s"cc$k"))
+      } else Tier(1, cc, None, 0.0)
+    }
+    val cctot1 = (if (order == 2) topCnt.select("g") else winDf(2).distinct())
+      .count().toDouble
+    var joined = df.select(col(idCol).as("id"),
+      explode_outer(gramWindows(toks(col(textCol)), order)).as("g"))
+    joined = joined
+      .join(topCnt, Seq("g"), "left")
+      .join(ctxTop.withColumnRenamed("p", "__pt"),
+        slice(col("g"), 1, order - 1) === col("__pt"), "left")
+      .drop("__pt")
+    for (t <- tiers) {
+      joined = joined.join(
+        t.cc.withColumnRenamed("s", s"__s${t.k}"),
+        slice(col("g"), order - t.k + 1, t.k) === col(s"__s${t.k}"), "left")
+        .drop(s"__s${t.k}")
+      t.tot.foreach { tot =>
+        joined = joined.join(
+          tot.withColumnRenamed("p", s"__u${t.k}"),
+          slice(col("g"), order - t.k + 1, t.k - 1) === col(s"__u${t.k}"), "left")
+          .drop(s"__u${t.k}")
+      }
+    }
+    // interpolation, innermost (type-ratio unigram) outward — the q119
+    // expression tree at every nesting level
+    var p: Column = col("cc1").cast("double") / lit(cctot1)
+    for (t <- tiers.reverse if t.k >= 2)
+      p = greatest(col(s"cc${t.k}").cast("double") - lit(t.d), lit(0.0)) /
+            col(s"cctot${t.k}").cast("double") +
+          (lit(t.d) * col(s"n1p${t.k}").cast("double") /
+            col(s"cctot${t.k}").cast("double")) * p
+    p = greatest(col(s"c$order").cast("double") - lit(dTop), lit(0.0)) /
+          col("ctxN").cast("double") +
+        (lit(dTop) * col("nfollowN").cast("double") /
+          col("ctxN").cast("double")) * p
+    joined.withColumn("__p", p)
+      .groupBy("id")
+      .agg(count(col("g")).as("n_ngrams"),
+        coalesce(avg(when(col("g").isNotNull, log10(col("__p")))), lit(0.0))
+          .as("avg_logp"))
+  }
+
   /** CCNet's published operating point: interpolated 5-gram LM quality
     * (Wenzek et al. §4.4). Weights 0.4/0.25/0.2/0.1 for tiers 5..2 and
     * the left-fold remainder 0.05 as the add-one unigram floor. */

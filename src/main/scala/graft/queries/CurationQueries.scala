@@ -54,6 +54,13 @@ object CurationQueries {
     graft.util.DiskArtifact.getOrBuild(s, "kn3", docStamp(s, d))(() =>
       TextAnalysis.knTrigramQuality(Tables.documents(s, d), "doc_id", "text"))
 
+  /** q122's order-5 KN tier (KenLM's literal configuration). */
+  private def cachedKn5Quality(s: org.apache.spark.sql.SparkSession,
+                               d: String) =
+    graft.util.DiskArtifact.getOrBuild(s, "kn5", docStamp(s, d))(() =>
+      TextAnalysis.knQuality(Tables.documents(s, d), "doc_id", "text",
+        order = 5))
+
   val all: Seq[Q] = Seq(
 
     // decontamination: train docs sharing any word 5-gram with the eval
@@ -1474,6 +1481,108 @@ object CurationQueries {
       ORDER BY d.doc_id"""),
       (s, d) => cachedKnQuality(s, d)
         .select(col("id").as("doc_id"), col("n_trigrams"),
+          round(col("avg_logp"), 6).as("avg_logp"))
+        .orderBy("doc_id")),
+
+    // 5-GRAM interpolated Kneser-Ney (round-13: KenLM's LITERAL
+    // configuration — CCNet scores with a 5-gram KN model). knQuality's
+    // generic recursion at order 5: raw top-order counts, continuation
+    // TYPES per lower tier, per-tier Ney discounts, four nested
+    // interpolation levels — all restated with matching parenthesization
+    Q("q122_kn5_quality", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      fge AS (SELECT doc_id, unnest(t[1:len(t)-4]) AS p4,
+                unnest(t[2:len(t)-3]) AS p3, unnest(t[3:len(t)-2]) AS p2,
+                unnest(t[4:len(t)-1]) AS p1, unnest(t[5:len(t)]) AS cur
+              FROM tok WHERE len(t) >= 5),
+      fiv AS (SELECT p4, p3, p2, p1, cur, CAST(count(*) AS BIGINT) AS c5
+              FROM fge GROUP BY 1, 2, 3, 4, 5),
+      cxn AS (SELECT p4, p3, p2, p1, CAST(sum(c5) AS BIGINT) AS ctxn,
+                CAST(count(*) AS BIGINT) AS nfn
+              FROM fiv GROUP BY 1, 2, 3, 4),
+      t4 AS (SELECT DISTINCT unnest(t[1:len(t)-3]) AS q3,
+               unnest(t[2:len(t)-2]) AS q2, unnest(t[3:len(t)-1]) AS q1,
+               unnest(t[4:len(t)]) AS cur
+             FROM tok WHERE len(t) >= 4),
+      t3 AS (SELECT DISTINCT unnest(t[1:len(t)-2]) AS q2,
+               unnest(t[2:len(t)-1]) AS q1, unnest(t[3:len(t)]) AS cur
+             FROM tok WHERE len(t) >= 3),
+      t2 AS (SELECT DISTINCT unnest(t[1:len(t)-1]) AS q1,
+               unnest(t[2:len(t)]) AS cur
+             FROM tok WHERE len(t) >= 2),
+      cc4 AS (SELECT p3 AS q3, p2 AS q2, p1 AS q1, cur,
+                CAST(count(*) AS BIGINT) AS cc4
+              FROM fiv GROUP BY 1, 2, 3, 4),
+      s4 AS (SELECT q3, q2, q1, CAST(sum(cc4) AS BIGINT) AS cctot4,
+               CAST(count(*) AS BIGINT) AS n1p4
+             FROM cc4 GROUP BY 1, 2, 3),
+      cc3 AS (SELECT q2, q1, cur, CAST(count(*) AS BIGINT) AS cc3
+              FROM t4 GROUP BY 1, 2, 3),
+      s3 AS (SELECT q2, q1, CAST(sum(cc3) AS BIGINT) AS cctot3,
+               CAST(count(*) AS BIGINT) AS n1p3
+             FROM cc3 GROUP BY 1, 2),
+      cc2 AS (SELECT q1, cur, CAST(count(*) AS BIGINT) AS cc2
+              FROM t3 GROUP BY 1, 2),
+      s2 AS (SELECT q1, CAST(sum(cc2) AS BIGINT) AS cctot2,
+               CAST(count(*) AS BIGINT) AS n1p2
+             FROM cc2 GROUP BY 1),
+      cc1 AS (SELECT cur, CAST(count(*) AS BIGINT) AS cc1 FROM t2 GROUP BY 1),
+      ct1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM t2),
+      d5 AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+             FROM (SELECT CAST(coalesce(sum(CASE WHEN c5 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN c5 = 2 THEN 1 END), 0) AS BIGINT) AS n2
+                   FROM fiv)),
+      d4 AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+             FROM (SELECT CAST(coalesce(sum(CASE WHEN cc4 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN cc4 = 2 THEN 1 END), 0) AS BIGINT) AS n2
+                   FROM cc4)),
+      d3 AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+             FROM (SELECT CAST(coalesce(sum(CASE WHEN cc3 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN cc3 = 2 THEN 1 END), 0) AS BIGINT) AS n2
+                   FROM cc3)),
+      d2 AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+                    ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+             FROM (SELECT CAST(coalesce(sum(CASE WHEN cc2 = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+                     CAST(coalesce(sum(CASE WHEN cc2 = 2 THEN 1 END), 0) AS BIGINT) AS n2
+                   FROM cc2)),
+      sc AS (
+        SELECT g.doc_id,
+          greatest(CAST(f5.c5 AS DOUBLE) - d5.d, 0.0) / CAST(cx.ctxn AS DOUBLE) +
+          (d5.d * CAST(cx.nfn AS DOUBLE) / CAST(cx.ctxn AS DOUBLE)) *
+          (greatest(CAST(k4.cc4 AS DOUBLE) - d4.d, 0.0) / CAST(x4.cctot4 AS DOUBLE) +
+           (d4.d * CAST(x4.n1p4 AS DOUBLE) / CAST(x4.cctot4 AS DOUBLE)) *
+           (greatest(CAST(k3.cc3 AS DOUBLE) - d3.d, 0.0) / CAST(x3.cctot3 AS DOUBLE) +
+            (d3.d * CAST(x3.n1p3 AS DOUBLE) / CAST(x3.cctot3 AS DOUBLE)) *
+            (greatest(CAST(k2.cc2 AS DOUBLE) - d2.d, 0.0) / CAST(x2.cctot2 AS DOUBLE) +
+             (d2.d * CAST(x2.n1p2 AS DOUBLE) / CAST(x2.cctot2 AS DOUBLE)) *
+               (CAST(k1.cc1 AS DOUBLE) / ct1.v)))) AS p
+        FROM fge g
+        JOIN fiv f5 ON f5.p4 = g.p4 AND f5.p3 = g.p3 AND f5.p2 = g.p2
+          AND f5.p1 = g.p1 AND f5.cur = g.cur
+        JOIN cxn cx ON cx.p4 = g.p4 AND cx.p3 = g.p3 AND cx.p2 = g.p2
+          AND cx.p1 = g.p1
+        JOIN cc4 k4 ON k4.q3 = g.p3 AND k4.q2 = g.p2 AND k4.q1 = g.p1
+          AND k4.cur = g.cur
+        JOIN s4 x4 ON x4.q3 = g.p3 AND x4.q2 = g.p2 AND x4.q1 = g.p1
+        JOIN cc3 k3 ON k3.q2 = g.p2 AND k3.q1 = g.p1 AND k3.cur = g.cur
+        JOIN s3 x3 ON x3.q2 = g.p2 AND x3.q1 = g.p1
+        JOIN cc2 k2 ON k2.q1 = g.p1 AND k2.cur = g.cur
+        JOIN s2 x2 ON x2.q1 = g.p1
+        JOIN cc1 k1 ON k1.cur = g.cur
+        CROSS JOIN d5 CROSS JOIN d4 CROSS JOIN d3 CROSS JOIN d2 CROSS JOIN ct1),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                avg(log10(p)) AS avg_logp
+              FROM sc GROUP BY doc_id)
+      SELECT d.doc_id, CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        round(coalesce(a.avg_logp, 0.0), 6) AS avg_logp
+      FROM documents d LEFT JOIN agg a USING (doc_id)
+      ORDER BY d.doc_id"""),
+      (s, d) => cachedKn5Quality(s, d)
+        .select(col("id").as("doc_id"), col("n_ngrams"),
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
 

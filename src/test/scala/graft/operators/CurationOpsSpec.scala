@@ -335,6 +335,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(10L) < out(1L))
   }
 
+  test("knQuality(order=3) == knTrigramQuality; order=5 keeps the LM signal") {
+    import spark.implicits._
+    val texts = Seq("a b c d e f", "a b c e d f", "b c d a b c d e",
+      "x y z", "a b c d e a b c", "c d a b e f", "")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    def keyed(out: org.apache.spark.sql.DataFrame, nCol: String) =
+      out.collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long](nCol),
+          math.rint(r.getAs[Double]("avg_logp") * 1e9) / 1e9)).toMap
+    val ref = keyed(TextAnalysis.knTrigramQuality(df, "doc_id", "text"),
+      "n_trigrams")
+    val gen = keyed(TextAnalysis.knQuality(df, "doc_id", "text", order = 3),
+      "n_ngrams")
+    assert(gen === ref)
+    // order 5: repeated phrasing outranks a scrambled order
+    val rows = (1L to 9L).map(i => (i, "p q r s t u v")) :+
+      ((10L, "v t p s u q r"))
+    val out = TextAnalysis.knQuality(rows.toDF("doc_id", "text"),
+        "doc_id", "text", order = 5)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_logp")).toMap
+    assert(out(10L) < out(1L))
+  }
+
   test("ccnetBuckets fivegram tier ranks by fivegramQuality") {
     import spark.implicits._
     val docs = ((1L to 6L).map(i => (i, "p q r s t u v")) ++
