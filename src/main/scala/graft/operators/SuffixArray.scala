@@ -121,6 +121,30 @@ object SuffixArray {
       .toDF("rank", "pos")
   }
 
+  /** Per-document word-suffix ranks — the oracle-facing surface
+    * (q123): for each doc, rank every token position by the suffix of
+    * the token sequence starting there, via [[buildLocal]] over the
+    * doc's dense word ranks. Space-joined-string order equals tokenwise
+    * order (tokens never contain chars below 0x20, and the space
+    * separator sorts below every token char), which is what lets DuckDB
+    * replay the ranking as a plain string sort. Map-only per doc. */
+  def docSuffixRanks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        graft.functions.TextFunctions.tokens(lower(col(textCol))).as("t"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, toks) =>
+        val distinctSorted = toks.distinct.sorted
+        val rankOf = distinctSorted.zipWithIndex.toMap
+        val ints = toks.map(rankOf).toArray
+        buildLocal(ints).zipWithIndex.map { case (pos, r) =>
+          (id, r.toLong + 1L, pos.toLong + 1L) // 1-based, SQL-friendly
+        }
+      }
+      .toDF("doc_id", "suffix_rank", "pos")
+  }
+
   /** Kasai et al. 2001 LCP array: lcp(j) = longest common prefix of
     * sa(j) and sa(j−1), linear time. */
   def lcpLocal(tokens: Array[Int], sa: Array[Int]): Array[Int] = {

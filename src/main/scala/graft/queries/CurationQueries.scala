@@ -1586,6 +1586,30 @@ object CurationQueries {
           round(col("avg_logp"), 6).as("avg_logp"))
         .orderBy("doc_id")),
 
+    // Literal suffix array (round-13: the last COVERAGE exclusion,
+    // closed): per-doc word-suffix ranks from Manber-Myers prefix
+    // doubling. The oracle replays the ranking as a plain string sort —
+    // valid because space-joined token sequences compare exactly like
+    // token arrays (no token char sorts below the separator), and
+    // suffixes of one doc are pairwise distinct so row_number is total
+    Q("q123_suffix_ranks", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, ${toksSql("text")} AS t FROM documents),
+      pos AS (
+        SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+        FROM tok WHERE len(t) >= 1),
+      r AS (
+        SELECT doc_id, pos,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY array_to_string(t[pos:], chr(32))) AS suffix_rank
+        FROM pos)
+      SELECT doc_id, CAST(suffix_rank AS BIGINT) AS suffix_rank,
+        CAST(pos AS BIGINT) AS pos
+      FROM r ORDER BY doc_id, suffix_rank"""),
+      (s, d) => graft.operators.SuffixArray.docSuffixRanks(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "suffix_rank")),
+
     // CCNet buckets ranked by the KNESER-NEY tier — the bucket family's
     // fourth rank key (unigram q85, trigram q88, 5-gram q118, KN q120):
     // head/middle/tail terciles by the perplexity KenLM would assign.
