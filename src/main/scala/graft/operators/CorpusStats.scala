@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distributional diagnostics — the audit a training-data
+  * pipeline runs before trusting a new source: does the token
+  * frequency spectrum look like natural language (Zipf's law,
+  * rank-frequency slope ≈ −1) or like boilerplate/generated spam
+  * (flat head or degenerate tail)?
+  *
+  * Scale design: the corpus collapses to (token, count) in one
+  * map-side-combined aggregate (vocabulary-sized, not corpus-sized);
+  * the head is a distributed TakeOrdered; every float reduction runs
+  * over the BOUNDED top-N list as a rank-ordered sequential fold
+  * (the q97 ordered-fold discipline), so the fitted slope is
+  * bit-reproducible across partitionings and engines up to the shared
+  * 1-ulp `ln` freedom — absorbed by round-6 on the one float output.
+  */
+object CorpusStats {
+
+  /** Rank-ordered sequential sum of `v` — deterministic fold order on
+    * a bounded list (ranks must be unique). */
+  private def orderedSum(rank: Column, v: Column): Column =
+    aggregate(
+      array_sort(collect_list(struct(rank.as("r"), v.as("v")))),
+      lit(0.0), (a, x) => a + x.getField("v"))
+
+  /** Top-`topN` token rank-frequency spectrum plus the OLS slope of
+    * ln(freq) ~ ln(rank) over those points (the Zipf exponent is
+    * −slope; natural text sits near slope −1).
+    *
+    * Output: (rank, token, freq, zipf_slope) — `zipf_slope` constant
+    * across rows, rounded to 6dp. Tokens are whitespace tokens of the
+    * lowercased text ([[TextFunctions.tokens]], the corpus-wide token
+    * universe every LM/quality tier shares). Ties break by token so
+    * the head is total-ordered.
+    */
+  def zipfSpectrum(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN >= 2, "topN must be >= 2 to fit a slope")
+    val counts = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val top = counts.orderBy(col("freq").desc, col("token").asc).limit(topN)
+    // bounded window: topN rows survive the TakeOrdered above
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token").asc))
+        .cast("long"))
+    val l = ranked.select(col("rank"), col("token"), col("freq"),
+      log(col("rank").cast("double")).as("lnr"),
+      log(col("freq").cast("double")).as("lnf"))
+    val s = l.agg(
+      count(lit(1)).cast("double").as("n"),
+      orderedSum(col("rank"), col("lnr")).as("sx"),
+      orderedSum(col("rank"), col("lnf")).as("sy"),
+      orderedSum(col("rank"), col("lnr") * col("lnr")).as("sxx"),
+      orderedSum(col("rank"), col("lnr") * col("lnf")).as("sxy"))
+    val slope = s.select(round(
+      (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+      .as("zipf_slope"))
+    l.select("rank", "token", "freq").crossJoin(broadcast(slope))
+  }
+}

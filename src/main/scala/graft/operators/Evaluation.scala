@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation aggregates for the model-based curation tier
+  * ([[QualityClassifier]], and any scored gate): exact ROC-AUC and
+  * threshold confusion tables, computed distributedly — a quality
+  * filter is only as good as its measured operating point, so the
+  * evaluation belongs in-engine next to the scorer.
+  *
+  * Scale design: AUC is the Mann-Whitney rank-sum statistic. A naive
+  * `rank() OVER (ORDER BY score)` drags the corpus through one window
+  * partition; instead the corpus first collapses to one row per
+  * DISTINCT score (an ordinary shuffle aggregate — ties collapse, and
+  * a real scorer's distinct-score table is far smaller than the
+  * corpus), then [[Packing.packSequences]]'s distributed prefix sum
+  * turns per-score counts into rank offsets without a global window.
+  * All rank arithmetic is integer (average ranks are half-integers, so
+  * the statistic is carried as 2× the rank sum) — exact under any
+  * partitioning and summation order, unlike a floating rank sum. The
+  * one double division happens once, at the end.
+  *
+  * Rank on a bit-exact column ([[QualityClassifier.scoreWithMargin]]'s
+  * `z`, not the sigmoid score) when cross-engine reproducibility
+  * matters.
+  *
+  * Envelope: the 2×rank-sum accumulator is bounded by 2·n·n_pos; past
+  * ~10^9 positives × 10^9 rows it would need a decimal accumulator.
+  */
+object Evaluation {
+
+  /** Exact ROC-AUC by rank-sum with average-rank tie handling.
+    *
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of the
+    * positives' average ranks under ascending `scoreCol`. Returns one
+    * row: (n_pos, n_neg, auc); `auc` is NULL when either class is
+    * empty (undefined, not 0/0).
+    *
+    * @param labelCol 1/true = positive; cast to int internally
+    */
+  def aucByRank(scored: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val per = scored
+      .select(col(scoreCol).as("__s"),
+        col(labelCol).cast("int").cast("long").as("__l"))
+      .groupBy("__s")
+      .agg(count(lit(1)).as("__c"), sum("__l").as("__p"))
+    // distributed prefix count over ascending score: cum_tokens is the
+    // inclusive running row count, so the __c tied rows at this score
+    // occupy ranks (cum-__c, cum] and their doubled average rank is
+    // 2·(cum-__c) + __c + 1 — integer, exact
+    val cum = Packing.packSequences(per, "__s", "__c",
+      Seq(col("__s").asc), seqLen = 1L)
+    cum
+      .agg(
+        sum(col("__p") *
+          (lit(2L) * (col("cum_tokens") - col("__c")) + col("__c") + lit(1L)))
+          .as("__r2"),
+        sum("__p").as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("__r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
+
+  /** Confusion counts and precision/recall at each threshold
+    * (predicted positive ⇔ `scoreCol` >= threshold).
+    *
+    * One map-side-combined aggregate pass: the threshold list
+    * cross-joins in as a broadcast literal table (|thresholds| × rows
+    * expands only inside partial aggregation — the shuffle carries
+    * |thresholds| rows per partition). Precision/recall are NULL when
+    * their denominator is empty, each a single division.
+    *
+    * For cross-engine-stable thresholding, pass a score whose values
+    * are boundary-safe against the thresholds (e.g. `round(score, 6)`
+    * — the [[QualityClassifier]] oracle discipline). */
+  def confusionAtThresholds(scored: DataFrame, scoreCol: String,
+                            labelCol: String, thresholds: Seq[Double])
+      : DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val spark = scored.sparkSession
+    val th = broadcast(
+      spark.createDataFrame(thresholds.map(Tuple1(_))).toDF("threshold"))
+    scored
+      .select(col(scoreCol).as("__s"),
+        col(labelCol).cast("int").cast("long").as("__l"))
+      .crossJoin(th)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__s") >= col("threshold"), col("__l"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("threshold"), lit(1L) - col("__l"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("threshold"), col("__l"))
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("threshold"), lit(1L) - col("__l"))
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+          .as("recall"))
+  }
+}

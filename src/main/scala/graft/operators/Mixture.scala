@@ -142,6 +142,57 @@ object Mixture {
       (perKey: DataFrame) =>
         temperatureAllocation(perKey, keyCol, "__avail", budget, temperature))
 
+  /** Materialize the repeated training stream a >1-epoch allocation
+    * implies — the data-constrained regime (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"; UniMax's N>1 case):
+    * when a key's allocation exceeds its available tokens, the trainer
+    * must SEE its documents multiple times, so the mixture's output is
+    * rows repeated per epoch, not a sampled subset.
+    *
+    * Each key emits floor(alloc/avail) full passes over its documents
+    * (epochs 0..k-1), plus a partial pass (epoch k) admitting a
+    * deterministic-hash-order prefix worth the remaining tokens via
+    * [[Quota.perKeyTokenBudgets]]. The partial epoch's admission order
+    * is [[Sampling.trainOrder]] salted with the epoch NUMBER, so every
+    * pass — full or partial — has an independent reproducible
+    * permutation for the downstream write, and the admitted prefix is
+    * not biased toward any earlier epoch's head.
+    *
+    * Scale: the repeat factor is bounded by `maxEpochs` (a small
+    * constant — UniMax's published N is single digits); the allocation
+    * runs over per-key metadata; the admission is the certified
+    * two-phase quota. No corpus-sized window, no driver loop.
+    *
+    * Output: (idCol, keyCol, tokensCol, alloc_tokens, epoch), one row
+    * per (document, epoch) in the stream. Keys with zero available
+    * tokens are dropped (no stream contribution to materialize).
+    */
+  def materializeEpochs(df: DataFrame, keyCol: String, idCol: String,
+                        tokensCol: String, budget: Long,
+                        maxEpochs: Double): DataFrame = {
+    val perKey = df.groupBy(col(keyCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__avail"))
+    val alloc = unimaxAllocation(perKey, keyCol, "__avail", budget, maxEpochs)
+      .filter(col("avail_tokens") > 0)
+      .withColumn("__fe", expr("alloc_tokens div avail_tokens"))
+      .withColumn("__rem",
+        col("alloc_tokens") - col("__fe") * col("avail_tokens"))
+      .select(col(keyCol), col("alloc_tokens"), col("__fe"), col("__rem"))
+    val joined = df.select(col(idCol), col(keyCol), col(tokensCol))
+      .join(broadcast(alloc), Seq(keyCol))
+    val full = joined.filter(col("__fe") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__fe") - 1)))
+    val partial = Quota.perKeyTokenBudgets(
+      joined.filter(col("__rem") > 0).withColumn("epoch", col("__fe")),
+      Seq(keyCol),
+      Seq(Sampling.trainOrder(col(idCol), col("epoch")).asc,
+        col(idCol).asc),
+      tokensCol, budgetCol = "__rem")
+    val out = Seq(col(idCol), col(keyCol), col(tokensCol),
+      col("alloc_tokens"), col("epoch"))
+    full.select(out: _*).unionByName(partial.select(out: _*))
+  }
+
   private def sampleWithAllocation(df: DataFrame, keyCol: String,
                                    tokensCol: String, order: Seq[Column],
                                    allocate: DataFrame => DataFrame)

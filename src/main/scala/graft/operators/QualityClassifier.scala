@@ -91,7 +91,18 @@ object QualityClassifier {
     * Output: (id, n_grams, score) — gram-less docs score
     * σ(intercept). */
   def score(df: DataFrame, idCol: String, textCol: String,
-            model: LrQualityModel): DataFrame = {
+            model: LrQualityModel): DataFrame =
+    scoreWithMargin(df, idCol, textCol, model).drop("z")
+
+  /** [[score]] plus the pre-sigmoid margin `z`. The margin — not the
+    * sigmoid score — is the column to RANK on (ROC/AUC, calibration):
+    * z is a bit-exact ordered fold on every engine, while σ(z) carries
+    * each engine's 1-ulp `exp` freedom, which can swap the order of
+    * two near-equal scores across engines even though σ is monotone.
+    *
+    * Output: (id, n_grams, z, score). */
+  def scoreWithMargin(df: DataFrame, idCol: String, textCol: String,
+                      model: LrQualityModel): DataFrame = {
     val spark = df.sparkSession
     val wdf = broadcast(spark.createDataFrame(
       model.weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq)
@@ -107,11 +118,12 @@ object QualityClassifier {
           lit(0.0), (acc, x) => acc + x.getField("c")).as("__dot"))
     df.select(col(idCol).as("id"))
       .join(perDoc, Seq("id"), "left")
+      .withColumn("z",
+        lit(model.intercept) + coalesce(col("__dot"), lit(0.0)))
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        (lit(1.0) / (lit(1.0) +
-          exp(-(lit(model.intercept) + coalesce(col("__dot"), lit(0.0))))))
-          .as("score"))
+        col("z"),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"))
   }
 
   /** Quality-filtered view: keep docs scoring >= `minScore`. */

@@ -200,4 +200,12 @@ object Sampling {
     * every intermediate stage. */
   def trainOrder(key: Column, epoch: Int = 0): Column =
     portableHash32(concat(lit(s"$epoch|"), key.cast("string")))
+
+  /** [[trainOrder]] with the epoch as a COLUMN — for plans where the
+    * epoch number varies per row (e.g. [[Mixture.materializeEpochs]]'s
+    * per-key partial epoch). Identical hash universe: an integral
+    * epoch column casts to the same string the Int overload embeds. */
+  def trainOrder(key: Column, epoch: Column): Column =
+    portableHash32(concat(epoch.cast("string"), lit("|"),
+      key.cast("string")))
 }

@@ -988,7 +988,46 @@ object CorpusQueries {
               round(col("mmr_score"), 6).as("mmr_score"), col("pick"))
             .orderBy("pick")
         })
-    }
+    },
+
+    // Corpus distributional audit (round 13): top-25 token
+    // rank-frequency spectrum + the OLS Zipf slope of ln(freq)~ln(rank)
+    // (natural text ~ -1; flat heads flag boilerplate/generated spam).
+    // Vocabulary-sized aggregate -> distributed TakeOrdered head; all
+    // float sums are rank-ordered folds over the BOUNDED head on both
+    // engines (Spark sequential aggregate vs DuckDB list_dot_product,
+    // the q96/q97 discipline); round-6 absorbs the shared 1-ulp ln gap
+    Q("q126_zipf_spectrum", Some(s"""
+      WITH tok AS (
+        SELECT unnest(${toksRawSql("lower(text)")}) AS token FROM documents),
+      cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+              FROM tok GROUP BY token),
+      top AS (SELECT token, freq FROM cnt ORDER BY freq DESC, token LIMIT 25),
+      rk AS (SELECT token, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+             FROM top),
+      l AS (SELECT rank, token, freq,
+              ln(CAST(rank AS DOUBLE)) AS lnr,
+              ln(CAST(freq AS DOUBLE)) AS lnf
+            FROM rk),
+      s AS (SELECT
+              CAST(count(*) AS BIGINT) AS n,
+              list_dot_product(list(lnr ORDER BY rank),
+                list_transform(list(lnr ORDER BY rank), x -> 1.0)) AS sx,
+              list_dot_product(list(lnf ORDER BY rank),
+                list_transform(list(lnf ORDER BY rank), x -> 1.0)) AS sy,
+              list_dot_product(list(lnr ORDER BY rank),
+                list(lnr ORDER BY rank)) AS sxx,
+              list_dot_product(list(lnr ORDER BY rank),
+                list(lnf ORDER BY rank)) AS sxy
+            FROM l)
+      SELECT l.rank, l.token, l.freq,
+        round((CAST(s.n AS DOUBLE) * s.sxy - s.sx * s.sy) /
+              (CAST(s.n AS DOUBLE) * s.sxx - s.sx * s.sx), 6) AS zipf_slope
+      FROM l, s ORDER BY l.rank"""),
+      (s, d) => graft.operators.CorpusStats.zipfSpectrum(
+          Tables.documents(s, d), "text", topN = 25)
+        .orderBy("rank"))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

@@ -794,6 +794,32 @@ object MlQueries {
           .select(col("doc_id"), col("source"), col("ws_tokens"),
             col("alloc_tokens"), col("cum_tokens"))
           .orderBy("doc_id")
+      }),
+
+    // Classifier evaluation (round 13): the q97 LR filter's measured
+    // operating points — confusion/precision/recall at nine score
+    // thresholds plus exact Mann-Whitney ROC-AUC, all one engine pass.
+    // AUC ranks on the pre-sigmoid margin z (bit-exact ordered fold;
+    // the sigmoid's 1-ulp exp freedom could swap near-equal scores
+    // across engines) via a distributed prefix rank over DISTINCT
+    // margins — integer average-rank arithmetic (2x rank sum), one
+    // double division at the end. Thresholding compares the q97
+    // round-6 score against exact double literals
+    Q("q124_classifier_roc", lrRocOracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val scored = graft.operators.QualityClassifier
+          .scoreWithMargin(docs, "doc_id", "text", m)
+          .join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").cast("int").as("label")), Seq("id"))
+        val auc = graft.operators.Evaluation.aucByRank(scored, "z", "label")
+          .select("auc")
+        graft.operators.Evaluation.confusionAtThresholds(
+            scored.withColumn("rs", round(col("score"), 6)), "rs", "label",
+            (1 to 9).map(_ / 10.0))
+          .crossJoin(broadcast(auc))
+          .orderBy("threshold")
       })
   )
 
@@ -832,7 +858,9 @@ object MlQueries {
                 list_transform(list(wt.w ORDER BY pd.b), x -> 1.0)) AS dot
             FROM pd JOIN wt ON wt.b = pd.b GROUP BY pd.doc_id),
       sc AS (SELECT d.doc_id, CAST(coalesce(z.n_grams, 0) AS BIGINT) AS n_grams,
-               1.0 / (1.0 + exp(-(${m.intercept}::DOUBLE + coalesce(z.dot, 0.0)))) AS score
+               (${m.intercept}::DOUBLE + coalesce(z.dot, 0.0)) AS zz,
+               1.0 / (1.0 + exp(-(${m.intercept}::DOUBLE + coalesce(z.dot, 0.0)))) AS score,
+               d.lang AS lang
              FROM documents d LEFT JOIN z USING (doc_id))"""
   }
 
@@ -846,6 +874,54 @@ object MlQueries {
       WITH ${lrScoreCtes(m)}
       SELECT doc_id, n_grams, round(score, 6) AS score
       FROM sc ORDER BY doc_id""")
+    }
+  }
+
+  /** q124's oracle: the q97 scoring fragments, then the same
+    * average-rank AUC arithmetic (integer 2x rank sums over distinct
+    * margins — DuckDB's window cumsum stands in for the engine's
+    * distributed prefix sum; both are exact integers) and the same
+    * single-division confusion ratios. */
+  private def lrRocOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)},
+      th(threshold) AS (SELECT * FROM (VALUES
+        (CAST(0.1 AS DOUBLE)), (CAST(0.2 AS DOUBLE)), (CAST(0.3 AS DOUBLE)),
+        (CAST(0.4 AS DOUBLE)), (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+        (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))),
+      lab AS (SELECT doc_id, zz, round(score, 6) AS rs,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+              FROM sc),
+      per AS (SELECT zz AS s, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(l) AS BIGINT) AS p
+              FROM lab GROUP BY zz),
+      cum AS (SELECT s, c, p,
+                CAST(sum(c) OVER (ORDER BY s
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc
+              FROM per),
+      a AS (SELECT CAST(sum(p * (2 * (cumc - c) + c + 1)) AS BIGINT) AS r2,
+              CAST(sum(p) AS BIGINT) AS npos,
+              CAST(sum(c - p) AS BIGINT) AS nneg
+            FROM cum),
+      conf AS (
+        SELECT th.threshold,
+          CAST(sum(CASE WHEN rs >= th.threshold THEN l ELSE 0 END) AS BIGINT) AS tp,
+          CAST(sum(CASE WHEN rs >= th.threshold THEN 1 - l ELSE 0 END) AS BIGINT) AS fp,
+          CAST(sum(CASE WHEN rs < th.threshold THEN l ELSE 0 END) AS BIGINT) AS fn,
+          CAST(sum(CASE WHEN rs < th.threshold THEN 1 - l ELSE 0 END) AS BIGINT) AS tn
+        FROM lab CROSS JOIN th GROUP BY th.threshold)
+      SELECT threshold, tp, fp, fn, tn,
+        CASE WHEN tp + fp > 0
+          THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+        CASE WHEN tp + fn > 0
+          THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall,
+        CASE WHEN npos > 0 AND nneg > 0
+          THEN CAST(r2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
+        END AS auc
+      FROM conf, a ORDER BY threshold""")
     }
   }
 

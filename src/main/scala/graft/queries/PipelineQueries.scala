@@ -549,6 +549,71 @@ object PipelineQueries {
             Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .select(col("doc_id"), col("source"), col("ss_rank"), col("split"))
           .orderBy("doc_id"))
-    }
+    },
+
+    // Epoch materialization (round 13): the data-constrained regime
+    // q93 cannot reach — a 40k budget over per-LANGUAGE availability
+    // at <= 2.5 epochs allocates every language MORE than one pass
+    // except en, so the output is the actual repeated training stream:
+    // floor(alloc/avail) full passes per language plus an epoch-salted
+    // hash-prefix partial pass worth the remainder. Every row is one
+    // (doc, epoch) the trainer consumes; epoch k's prefix order is the
+    // k-salted trainOrder hash (independent permutation per pass)
+    Q("q125_epoch_materialize", Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(${toksRawSql("text")}) AS BIGINT) AS ws_tokens
+        FROM documents),
+      k AS (SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS avail
+            FROM t GROUP BY lang),
+      c AS (SELECT lang, avail, CAST(avail AS DOUBLE) * 2.5 AS cap FROM k),
+      w AS (
+        SELECT lang, avail, cap,
+          row_number() OVER (ORDER BY cap, lang) AS rn,
+          coalesce(sum(cap) OVER (ORDER BY cap, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          count(*) OVER () AS n
+        FROM c),
+      f AS (SELECT max((40000.0 - pre) / CAST(n - rn + 1 AS DOUBLE)) AS fstar
+            FROM w),
+      alloc AS (
+        SELECT lang, avail,
+          CAST(floor(least(cap, greatest(fstar, 0.0))) AS BIGINT) AS alloc_tokens
+        FROM w, f),
+      fe AS (
+        SELECT lang, avail, alloc_tokens,
+          CAST(alloc_tokens // avail AS BIGINT) AS nfull,
+          CAST(alloc_tokens - (alloc_tokens // avail) * avail AS BIGINT) AS rem
+        FROM alloc WHERE avail > 0),
+      full_rows AS (
+        SELECT t.doc_id, t.lang, t.ws_tokens, fe.alloc_tokens,
+          CAST(e.epoch AS BIGINT) AS epoch
+        FROM t JOIN fe USING (lang),
+          LATERAL (SELECT unnest(generate_series(0, fe.nfull - 1)) AS epoch) e
+        WHERE fe.nfull > 0),
+      part_sel AS (
+        SELECT t.doc_id, t.lang, t.ws_tokens, fe.alloc_tokens, fe.rem,
+          CAST(fe.nfull AS BIGINT) AS epoch,
+          CAST(sum(t.ws_tokens) OVER (PARTITION BY t.lang
+            ORDER BY CAST('0x' || substr(md5(CAST(fe.nfull AS VARCHAR) || '|' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+              t.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM t JOIN fe USING (lang) WHERE fe.rem > 0),
+      part_rows AS (
+        SELECT doc_id, lang, ws_tokens, alloc_tokens, epoch
+        FROM part_sel WHERE cum <= rem)
+      SELECT doc_id, lang, ws_tokens, alloc_tokens, epoch
+      FROM (SELECT * FROM full_rows UNION ALL SELECT * FROM part_rows)
+      ORDER BY doc_id, epoch"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.wordCount(col("text"))
+            .cast("long").as("ws_tokens"))
+        graft.operators.Mixture.materializeEpochs(docs, "lang", "doc_id",
+            "ws_tokens", budget = 40000L, maxEpochs = 2.5)
+          .select(col("doc_id"), col("lang"), col("ws_tokens"),
+            col("alloc_tokens"), col("epoch"))
+          .orderBy("doc_id", "epoch")
+      })
   )
 }

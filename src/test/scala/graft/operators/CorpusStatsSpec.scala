@@ -142,4 +142,35 @@ class CorpusStatsSpec extends SparkSpec {
     // within-language ordering follows the language-local score
     assert(out(4L)._5 == "head") // most-likely doc of lang b
   }
+
+  test("zipfSpectrum: ranks/freqs match hand counts; slope vs OLS replica") {
+    // freqs 16,8,4,2: ln(freq) = ln(16) - rank'*ln(2) exactly linear
+    // in log2-space but NOT in ln(rank) -> slope from the OLS replica
+    val docs = Seq.fill(16)("a").zipWithIndex.map(_._1) ++
+      Seq.fill(8)("b") ++ Seq.fill(4)("c") ++ Seq.fill(2)("d") ++ Seq("e")
+    val df = docs.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val out = graft.operators.CorpusStats.zipfSpectrum(df, "text", topN = 4)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "a", 16L), (2L, "b", 8L), (3L, "c", 4L), (4L, "d", 2L)))
+    val x = (1 to 4).map(i => math.log(i.toDouble))
+    val y = Seq(16.0, 8.0, 4.0, 2.0).map(math.log)
+    val n = 4.0
+    val slope = (n * x.zip(y).map { case (a, b) => a * b }.sum -
+      x.sum * y.sum) / (n * x.map(a => a * a).sum - x.sum * x.sum)
+    assert(math.abs(out.head.getDouble(3) - slope) < 2e-6)
+    assert(out.map(_.getDouble(3)).distinct.length === 1)
+  }
+
+  test("zipfSpectrum: Zipf-like decay is negative and partition-independent") {
+    val words = Seq("w1" -> 64, "w2" -> 32, "w3" -> 21, "w4" -> 16)
+    val docs = words.flatMap { case (w, f) => Seq.fill(f)(w) }
+    val df = docs.grouped(7).map(_.mkString(" ")).toSeq.toDF("text")
+    val a = graft.operators.CorpusStats.zipfSpectrum(df, "text", 4)
+      .orderBy("rank").collect().map(_.getDouble(3))
+    val b = graft.operators.CorpusStats.zipfSpectrum(df.repartition(7),
+      "text", 4).orderBy("rank").collect().map(_.getDouble(3))
+    assert(a.head < 0.0)
+    assert(a.toSeq === b.toSeq) // partitioning-independent fold
+  }
 }

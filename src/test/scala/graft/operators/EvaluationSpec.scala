@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Evaluation]]: exact rank-sum AUC (with ties) vs the O(n²)
+  * pairwise definition, and threshold confusion tables vs hand
+  * counting. */
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** AUC by definition: P(s⁺ > s⁻) + ½·P(s⁺ = s⁻) over all
+    * positive-negative pairs. */
+  private def pairwiseAuc(rows: Seq[(Double, Int)]): Double = {
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    wins / (pos.size.toDouble * neg.size.toDouble)
+  }
+
+  test("aucByRank equals the pairwise definition, ties included") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      // coarse scores force plenty of exact ties
+      val rows = (1 to 120).map { _ =>
+        (rnd.nextInt(12) / 4.0, if (rnd.nextBoolean()) 1 else 0)
+      }
+      val got = Evaluation.aucByRank(
+        rows.toDF("s", "l"), "s", "l").head()
+      assert(got.getLong(0) === rows.count(_._2 == 1).toLong)
+      assert(got.getLong(1) === rows.count(_._2 == 0).toLong)
+      assert(math.abs(got.getDouble(2) - pairwiseAuc(rows)) < 1e-12,
+        s"trial $trial")
+    }
+  }
+
+  test("aucByRank: perfect separation -> 1.0, inverted -> 0.0, all-tied -> 0.5") {
+    def auc(rows: Seq[(Double, Int)]): Double =
+      Evaluation.aucByRank(rows.toDF("s", "l"), "s", "l")
+        .head().getDouble(2)
+    assert(auc(Seq((0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0))) === 1.0)
+    assert(auc(Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0))) === 0.0)
+    assert(auc(Seq((0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0))) === 0.5)
+  }
+
+  test("aucByRank: empty class -> NULL auc, counts still reported") {
+    val got = Evaluation.aucByRank(
+      Seq((0.3, 1), (0.7, 1)).toDF("s", "l"), "s", "l").head()
+    assert(got.getLong(0) === 2L && got.getLong(1) === 0L)
+    assert(got.isNullAt(2))
+  }
+
+  test("confusionAtThresholds matches hand counts; boundary is >=") {
+    val rows = Seq((0.2, 0), (0.5, 0), (0.5, 1), (0.8, 1))
+    val got = Evaluation.confusionAtThresholds(
+        rows.toDF("s", "l"), "s", "l", Seq(0.5, 0.9))
+      .orderBy("threshold").collect()
+    // t=0.5: predicted+ = {0.5,0.5,0.8} -> tp=2 fp=1 fn=0 tn=1
+    assert(got(0).getLong(1) === 2L && got(0).getLong(2) === 1L &&
+      got(0).getLong(3) === 0L && got(0).getLong(4) === 1L)
+    assert(got(0).getDouble(5) === 2.0 / 3.0) // precision
+    assert(got(0).getDouble(6) === 1.0)       // recall
+    // t=0.9: nothing predicted positive -> precision NULL, recall 0
+    assert(got(1).getLong(1) === 0L && got(1).getLong(2) === 0L)
+    assert(got(1).isNullAt(5))
+    assert(got(1).getDouble(6) === 0.0)
+  }
+}

@@ -161,4 +161,84 @@ class MixtureSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got === Set(1L, 2L, 5L))
   }
+
+  /** Driver replica of [[Sampling.trainOrder]]'s epoch-salted hash. */
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("materializeEpochs equals the per-key full+prefix replica") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, s"s${rnd.nextInt(4)}", 1L + rnd.nextInt(120))
+    }
+    val df = rows.toDF("id", "src", "toks").repartition(5)
+    val budget = 60000L
+    val maxEpochs = 2.5
+    val got = Mixture.materializeEpochs(df, "src", "id", "toks",
+        budget, maxEpochs)
+      .select("id", "src", "epoch")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // replica: allocation from the (separately certified) closed form,
+    // then fe full passes + the epoch-salted hash prefix worth rem
+    val alloc = Mixture.unimaxAllocation(
+      rows.groupBy(_._2).map { case (k, g) => (k, g.map(_._3).sum) }
+        .toSeq.toDF("src", "toks"), "src", "toks", budget, maxEpochs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.groupBy(_._2).flatMap { case (k, g) =>
+      val (avail, a) = alloc(k)
+      val fe = a / avail
+      val rem = a - fe * avail
+      val full = for (e <- 0L until fe; (id, _, _) <- g) yield (id, k, e)
+      val prefix = g.sortBy { case (id, _, _) => (h32(s"$fe|$id"), id) }
+        .scanLeft((0L, 0L, "", 0L)) { case ((cum, _, _, _), (id, _, t)) =>
+          (cum + t, id, k, fe) }
+        .drop(1).takeWhile(_._1 <= rem)
+        .map { case (_, id, kk, e) => (id, kk, e) }
+      full ++ (if (rem > 0) prefix else Nil)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("materializeEpochs conserves the allocation per key") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, s"s${rnd.nextInt(5)}", 1L + rnd.nextInt(90))
+    }
+    val out = Mixture.materializeEpochs(rows.toDF("id", "src", "toks"),
+      "src", "id", "toks", budget = 30000L, maxEpochs = 3.0)
+    val perKey = out.groupBy("src")
+      .agg(sum("toks").as("used"), max("alloc_tokens").as("alloc"),
+        max("epoch").as("maxep"))
+      .collect()
+    assert(perKey.nonEmpty)
+    val maxTok = rows.map(_._3).max
+    perKey.foreach { r =>
+      val (used, alloc, maxep) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(used <= alloc, s"${r.getString(0)} used $used > alloc $alloc")
+      assert(alloc - used < maxTok + 1,
+        s"${r.getString(0)} under-fills by ${alloc - used}")
+      assert(maxep <= 3L)
+    }
+  }
+
+  test("materializeEpochs at maxEpochs=1 reproduces unimaxSample's admitted set") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 250).map { i =>
+      (i.toLong, s"s${rnd.nextInt(4)}", 1L + rnd.nextInt(80))
+    }
+    val df = rows.toDF("id", "src", "toks")
+    val mat = Mixture.materializeEpochs(df, "src", "id", "toks",
+      budget = 9000L, maxEpochs = 1.0)
+    assert(mat.agg(max("epoch")).head().getLong(0) === 0L)
+    val got = mat.select("id").collect().map(_.getLong(0)).toSet
+    val want = Mixture.unimaxSample(df, "src", "toks",
+        order = Seq(Sampling.trainOrder(col("id")).asc, col("id").asc),
+        budget = 9000L, maxEpochs = 1.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
 }
