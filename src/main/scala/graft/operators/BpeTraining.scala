@@ -536,14 +536,17 @@ object BpeTraining {
       GROUP BY d.$idCol ORDER BY d.$idCol"""
   }
 
-  def oracleSql(table: String, idCol: String, textCol: String,
-                merges: Seq[BpeMerge]): String = {
+  /** The shared chain-replace CTE block: ends at `bpe` = one row per
+    * source-table row, (id, bpe_tokens). Consumers append their own
+    * final SELECT (q89's per-doc counts, q127's per-language
+    * fertility aggregate). */
+  def oracleSqlCtes(table: String, idCol: String, textCol: String,
+                    merges: Seq[BpeMerge]): String = {
     def esc(s: String) = s.replace("'", "''")
     val chain = merges.foldLeft("sym") { (acc, m) =>
       s"replace($acc, ' ${esc(m.left)}  ${esc(m.right)} ', ' ${esc(m.left + m.right)} ')"
     }
-    s"""
-      WITH w AS (
+    s"""w AS (
         SELECT $idCol AS id,
           unnest(list_filter(string_split_regex(lower($textCol), '\\s+'),
             x -> x <> '')) AS w
@@ -555,9 +558,16 @@ object BpeTraining {
         FROM w),
       t AS (SELECT id,
               len(list_filter(string_split($chain, ' '), x -> x <> '')) AS nt
-            FROM s)
-      SELECT d.$idCol, CAST(coalesce(sum(t.nt), 0) AS BIGINT) AS bpe_tokens
-      FROM $table d LEFT JOIN t ON t.id = d.$idCol
-      GROUP BY d.$idCol ORDER BY d.$idCol"""
+            FROM s),
+      bpe AS (
+        SELECT d.$idCol AS id, CAST(coalesce(sum(t.nt), 0) AS BIGINT) AS bpe_tokens
+        FROM $table d LEFT JOIN t ON t.id = d.$idCol
+        GROUP BY d.$idCol)"""
   }
+
+  def oracleSql(table: String, idCol: String, textCol: String,
+                merges: Seq[BpeMerge]): String =
+    s"""
+      WITH ${oracleSqlCtes(table, idCol, textCol, merges)}
+      SELECT id AS $idCol, bpe_tokens FROM bpe ORDER BY id"""
 }

@@ -235,4 +235,26 @@ object Components {
   def canonicalPerComponent(components: DataFrame): DataFrame =
     components.filter(col("node") === col("component"))
       .select(col("node").as("canonical_id"))
+
+  /** Cluster-size histogram over a components labeling — the dedup
+    * PROFILE a curation run reports before committing to a removal
+    * policy: how much of the duplicated mass sits in pairs vs giant
+    * boilerplate clusters (the long tail and the head call for
+    * different handling). Two keyed aggregates (component → size →
+    * histogram), each map-side combined; output is bounded by the
+    * largest cluster size.
+    *
+    * Output per distinct size: (cluster_size, n_clusters, n_docs,
+    * removable_docs) — `removable_docs` = docs beyond the canonical
+    * one per cluster under keep-one dedup. */
+  def sizeProfile(components: DataFrame,
+                  componentCol: String = "component"): DataFrame =
+    components.groupBy(col(componentCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters"))
+          .as("removable_docs"))
 }

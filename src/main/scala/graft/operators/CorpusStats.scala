@@ -63,4 +63,42 @@ object CorpusStats {
       .as("zipf_slope"))
     l.select("rank", "token", "freq").crossJoin(broadcast(slope))
   }
+
+  /** Per-stratum tokenizer fertility — the multilingual-bias audit a
+    * tokenizer ships with (a subword vocab trained on one language
+    * fragments the others into more, shorter tokens, inflating their
+    * effective sequence cost): per stratum (language/source),
+    * characters and whitespace words per subword token.
+    *
+    * `tokenCounts` is any certified per-doc token counter's output —
+    * (id, <count>), e.g. [[BpeTraining.tokenCounts]] or
+    * [[UnigramLm]] scoring — so one audit shape serves every
+    * tokenizer family.
+    *
+    * One co-partitioned join + one aggregate; ratios are single
+    * divisions of exact integer sums (NULL when the denominator is
+    * empty). Output: (strataCol, n_docs, n_chars, ws_tokens,
+    * subword_tokens, chars_per_token, tokens_per_word).
+    */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+                         strataCol: String, tokenCounts: DataFrame,
+                         countCol: String = "bpe_tokens"): DataFrame =
+    df.select(col(idCol).as("id"), col(strataCol),
+        length(col(textCol)).cast("long").as("__nc"),
+        TextFunctions.wordCount(col(textCol)).cast("long").as("__ws"))
+      .join(tokenCounts.select(col("id"),
+        col(countCol).cast("long").as("__st")), Seq("id"))
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nc").as("n_chars"),
+        sum("__ws").as("ws_tokens"),
+        sum("__st").as("subword_tokens"))
+      .select(col(strataCol), col("n_docs"), col("n_chars"),
+        col("ws_tokens"), col("subword_tokens"),
+        when(col("subword_tokens") > 0,
+          col("n_chars").cast("double") /
+            col("subword_tokens").cast("double")).as("chars_per_token"),
+        when(col("ws_tokens") > 0,
+          col("subword_tokens").cast("double") /
+            col("ws_tokens").cast("double")).as("tokens_per_word"))
 }

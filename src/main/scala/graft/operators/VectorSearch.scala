@@ -165,6 +165,35 @@ object VectorSearch {
       .select(col(qidCol), col("rn"), col(idCol), col("cos_sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the `k` most similar corpus vectors with a
+    * DIFFERENT label — the near-the-boundary negatives that carry the
+    * training signal easy random negatives lack (the standard upgrade
+    * over in-batch negatives).
+    *
+    * Same batch shape as [[topKBatch]] (corpus × broadcast query
+    * batch, ranked per query); the label-mismatch predicate lands
+    * BEFORE ranking so the window never sees positives, and the
+    * per-query window partitions by qid (batch-bounded, never a
+    * corpus-wide single partition).
+    *
+    * Output: (qidCol, rn, idCol, labelCol, cos_sim). */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, queries: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(desc("cos_sim"), asc(idCol))
+    df.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol) &&
+        col(labelCol) =!= col(qlabelCol))
+      .withColumn("cos_sim", CosineSimilarity(col(vecCol), col(qvecCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col("rn"), col(idCol), col(labelCol),
+        col("cos_sim"))
+  }
+
   /** All pairs within a partition-key block whose cosine similarity
     * meets `threshold` — embedding-based near-duplicate detection.
     *

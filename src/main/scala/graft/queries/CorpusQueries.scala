@@ -215,6 +215,38 @@ object CorpusQueries {
           .orderBy("qid", "rn")
       }),
 
+    // Hard-negative mining (round 13): q29's batch shape with a
+    // label-mismatch predicate BEFORE ranking — for each query vector,
+    // the 3 most similar corpus vectors of a DIFFERENT label, the
+    // near-boundary negatives contrastive embedding training wants
+    Q("q129_hard_negatives", Some("""
+      WITH q AS (SELECT vec_id AS qid, label AS qlabel,
+                   embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 5)
+      SELECT qid, rn, vec_id, label, cos_sim FROM (
+        SELECT qid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn,
+          vec_id, label, round(cs, 6) AS cos_sim
+        FROM (
+          SELECT q.qid, e.vec_id, e.label,
+            list_dot_product(e.embedding::DOUBLE[], q.qv) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qv, q.qv))) AS cs
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.qid AND e.label <> q.qlabel) s) t
+      WHERE rn <= 3
+      ORDER BY qid, rn"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+            col("embedding").as("qvec"))
+        VectorSearch.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, "qid", "qvec", "qlabel", k = 3)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .orderBy("qid", "rn")
+      }),
+
     // embedding near-dup pairs within a blocking key (label) — the
     // equi-join blocking pattern that replaces O(n²) at scale
     Q("q28_embedding_neardups", Some("""

@@ -1766,6 +1766,81 @@ object CurationQueries {
               col("avg_logp")))
         .select(col("id").as("doc_id"), col("n_tokens"), col("lm_key"),
           col("rank"), col("bucket"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Split-leakage audit (round 13): the stage interaction every
+    // benchmark pipeline must check — q103's exact stratified split
+    // composed with q60's n-gram contamination ACROSS the boundary:
+    // each val/test doc scored against the TRAIN split's 5-gram
+    // universe, aggregated to the per-split leakage report (integer
+    // sums; the one rate is a single division). At scale the train
+    // gram set feeds a distributed BloomFilterAggregate (q70's
+    // machinery) probed by the small eval side
+    {
+      val c1 = 0.8.toString
+      val c2 = (0.8 + 0.1).toString
+      Q("q130_split_leakage", Some(s"""
+        WITH h AS (
+          SELECT doc_id, source,
+            CAST('0x' || substr(md5('ss0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ss_ord
+          FROM documents),
+        r AS (
+          SELECT doc_id, source, ss_ord,
+            row_number() OVER (PARTITION BY source ORDER BY ss_ord, doc_id) AS rk,
+            count(*) OVER (PARTITION BY source) AS n
+          FROM h),
+        sp AS (
+          SELECT doc_id,
+            CASE WHEN rk <= floor($c1 * n) THEN 'train'
+                 WHEN rk <= floor($c2 * n) THEN 'val'
+                 ELSE 'test' END AS split
+          FROM r),
+        ng AS (
+          SELECT doc_id, list_distinct([array_to_string(t[i:i+4], ' ')
+                         for i in range(1, greatest(len(t) - 4, 0) + 1)]) AS g
+          FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                FROM documents)),
+        ev AS (SELECT ng.doc_id, ng.g, sp.split FROM ng JOIN sp USING (doc_id)
+               WHERE sp.split <> 'train'),
+        tru AS (SELECT DISTINCT unnest(ng.g) AS ngram
+                FROM ng JOIN sp USING (doc_id) WHERE sp.split = 'train'),
+        tr2 AS (SELECT ev.doc_id, unnest(ev.g) AS ngram FROM ev),
+        hits AS (SELECT tr2.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM tr2 JOIN tru USING (ngram) GROUP BY tr2.doc_id)
+        SELECT ev.split,
+          CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(CASE WHEN coalesce(h2.n_hit, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+          CAST(sum(len(ev.g)) AS BIGINT) AS n_ngrams,
+          CAST(sum(coalesce(h2.n_hit, 0)) AS BIGINT) AS n_hits,
+          CAST(sum(coalesce(h2.n_hit, 0)) AS DOUBLE) /
+            CAST(greatest(sum(len(ev.g)), 1) AS DOUBLE) AS hit_rate
+        FROM ev LEFT JOIN hits h2 USING (doc_id)
+        GROUP BY ev.split ORDER BY ev.split"""),
+        (s, d) => {
+          val docs = Tables.documents(s, d)
+          val split = Sampling.stratifiedSplit(
+              docs.select(col("doc_id"), col("source")),
+              "doc_id", "source",
+              Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+            .select(col("doc_id"), col("split"))
+          val joined = docs.join(split, Seq("doc_id"))
+            .materializeOnce(eager = false) // both boundary sides read it
+          val rep = Decontamination.contamination(
+            joined.filter(col("split") =!= "train"), "doc_id", "text",
+            joined.filter(col("split") === "train"), "text", n = 5)
+          rep.join(split.withColumnRenamed("doc_id", "id"), Seq("id"))
+            .groupBy("split")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("contaminated").cast("long")).as("n_leaked"),
+              sum(col("n_ngrams")).as("n_ngrams"),
+              sum(col("n_hit")).as("n_hits"))
+            .select(col("split"), col("n_docs"), col("n_leaked"),
+              col("n_ngrams"), col("n_hits"),
+              (col("n_hits").cast("double") /
+                greatest(col("n_ngrams"), lit(1L)).cast("double"))
+                .as("hit_rate"))
+            .orderBy("split")
+        })
+    }
   )
 }

@@ -820,6 +820,42 @@ object MlQueries {
             (1 to 9).map(_ / 10.0))
           .crossJoin(broadcast(auc))
           .orderBy("threshold")
+      }),
+
+    // Tokenizer fertility per language (round 13): the multilingual
+    // bias audit — chars and whitespace words per subword token, per
+    // lang, under the q89-certified 40-merge BPE table. A vocab
+    // trained on a dominant language fragments the others (higher
+    // tokens_per_word = inflated sequence cost); the ratios are single
+    // divisions of exact integer sums, the counts ride the certified
+    // BpeTokenCount expression, and the oracle replays the SAME merge
+    // chain through the shared CTE block
+    Q("q127_tokenizer_fertility",
+      bpeLiterals.map(m => s"""
+      WITH ${graft.operators.BpeTraining.oracleSqlCtes(
+        "documents", "doc_id", "text", m)},
+      j AS (SELECT b.id, b.bpe_tokens, d.lang,
+              CAST(length(d.text) AS BIGINT) AS nc,
+              CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS ws
+            FROM bpe b JOIN documents d ON d.doc_id = b.id)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nc) AS BIGINT) AS n_chars,
+        CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        CAST(sum(bpe_tokens) AS BIGINT) AS subword_tokens,
+        CASE WHEN sum(bpe_tokens) > 0
+          THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(bpe_tokens) AS DOUBLE)
+        END AS chars_per_token,
+        CASE WHEN sum(ws) > 0
+          THEN CAST(sum(bpe_tokens) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
+        END AS tokens_per_word
+      FROM j GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.CorpusStats.tokenizerFertility(docs, "doc_id",
+            "text", "lang",
+            graft.operators.BpeTraining.tokenCounts(docs, "doc_id", "text",
+              cachedBpe(s, d)))
+          .orderBy("lang")
       })
   )
 

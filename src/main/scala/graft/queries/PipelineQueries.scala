@@ -614,6 +614,52 @@ object PipelineQueries {
           .select(col("doc_id"), col("lang"), col("ws_tokens"),
             col("alloc_tokens"), col("epoch"))
           .orderBy("doc_id", "epoch")
+      }),
+
+    // Dedup profile (round 13): the cluster-size histogram over q56's
+    // near-dup components — the report a curation run reads before
+    // picking a removal policy (pair-dominated tails and giant
+    // boilerplate heads call for different handling). Two keyed
+    // aggregates on top of the certified pairs->components path;
+    // removable_docs = keep-one-per-cluster removal mass
+    Q("q128_dedup_profile", Some("""
+      WITH RECURSIVE ng AS (
+        SELECT doc_id, source, length(text) AS len,
+          list_distinct([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+        FROM (SELECT doc_id, source, text,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+          FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+            AND abs(a.len - b.len) <= 20
+            AND len(a.g) + len(b.g) > 0) p
+        WHERE jaccard >= 0.3),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+      sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cc GROUP BY component)
+      SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+        CAST((cluster_size - 1) * count(*) AS BIGINT) AS removable_docs
+      FROM sizes GROUP BY cluster_size ORDER BY cluster_size"""),
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+          "doc_id", "text", col("source"), n = 3, threshold = 0.3,
+          maxLenDiff = 20).select("id_a", "id_b")
+        Components.sizeProfile(
+            Components.connectedComponents(pairs, "id_a", "id_b"))
+          .orderBy("cluster_size")
       })
   )
 }

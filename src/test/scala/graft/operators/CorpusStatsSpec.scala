@@ -162,6 +162,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.map(_.getDouble(3)).distinct.length === 1)
   }
 
+  test("tokenizerFertility aggregates per stratum with exact ratios") {
+    val docs = Seq(
+      (1L, "en", "aa bb"),        // 5 chars, 2 words
+      (2L, "en", "cc dd ee"),     // 8 chars, 3 words
+      (3L, "de", "ffff")          // 4 chars, 1 word
+    ).toDF("id", "lang", "text")
+    val counts = Seq((1L, 4L), (2L, 6L), (3L, 2L)).toDF("id", "bpe_tokens")
+    val got = graft.operators.CorpusStats.tokenizerFertility(
+        docs, "id", "text", "lang", counts)
+      .orderBy("lang").collect()
+    // de: 4 chars / 2 toks = 2.0; 2 toks / 1 word = 2.0
+    assert(got(0).getString(0) === "de" && got(0).getLong(1) === 1L)
+    assert(got(0).getDouble(5) === 2.0 && got(0).getDouble(6) === 2.0)
+    // en: 13 chars / 10 toks; 10 toks / 5 words
+    assert(got(1).getLong(2) === 13L && got(1).getLong(3) === 5L &&
+      got(1).getLong(4) === 10L)
+    assert(got(1).getDouble(5) === 1.3 && got(1).getDouble(6) === 2.0)
+  }
+
   test("zipfSpectrum: Zipf-like decay is negative and partition-independent") {
     val words = Seq("w1" -> 64, "w2" -> 32, "w3" -> 21, "w4" -> 16)
     val docs = words.flatMap { case (w, f) => Seq.fill(f)(w) }

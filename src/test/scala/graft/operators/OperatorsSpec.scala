@@ -416,4 +416,22 @@ class OperatorsSpec extends SparkSpec {
     assert(scored.find(_._1 == 1L).get._3 === 1.0 +- 1e-12)
     assert(scored.find(_._1 == 3L).get._3 === 0.0 +- 1e-12)
   }
+
+  test("hardNegatives: only label-mismatched neighbors, nearest first") {
+    // query (1,0) label A; same-label near-copy must NOT appear even
+    // though it is the nearest vector overall
+    val corpus = Seq(
+      (10L, "A", Array(1.0f, 0.01f)),  // same label, nearest — excluded
+      (11L, "B", Array(1.0f, 0.1f)),   // hard negative (closest B)
+      (12L, "B", Array(0.0f, 1.0f)),   // easy negative
+      (13L, "C", Array(1.0f, 0.2f))    // second-hardest negative
+    ).toDF("vec_id", "label", "embedding")
+    val queries = Seq((1L, "A", Array(1.0f, 0.0f)))
+      .toDF("qid", "qlabel", "qvec")
+    val got = VectorSearch.hardNegatives(corpus, "vec_id", "embedding",
+        "label", queries, "qid", "qvec", "qlabel", k = 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq === Seq((1, 11L, "B"), (2, 13L, "C")))
+  }
 }

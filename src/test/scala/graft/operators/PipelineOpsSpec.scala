@@ -161,6 +161,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("sizeProfile histograms cluster sizes with removal mass") {
+    // components: {1,2,3} (one 3-cluster), {10,11} {20,21} (two pairs),
+    // {30} (singleton)
+    val cc = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (30L, 30L)).toDF("node", "component")
+    val got = Components.sizeProfile(cc).orderBy("cluster_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1L, 1L, 0L), (2L, 2L, 4L, 2L),
+      (3L, 1L, 3L, 2L)))
+  }
+
   test("connectedComponents handles a 1000-link chain at default maxIter") {
     // the diameter-independence property: large-star/small-star needs
     // ~log n rounds on a chain, where min-label propagation needs n —
