@@ -64,6 +64,35 @@ object CorpusStats {
     l.select("rank", "token", "freq").crossJoin(broadcast(slope))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch — cardinality
+    * estimation whose answer is DETERMINISTIC and SQL-replayable,
+    * unlike HLL (whose register layout is engine-private): hash every
+    * item with the portable md5-derived 32-bit hash, keep the k
+    * smallest distinct hash values, estimate D ≈ (k−1)·2³² / h_(k)
+    * (Bar-Yossef et al. 2002). Relative error ~ 1/√(k−2).
+    *
+    * Scale: one distinct on the 32-bit hash (map-side combined; the
+    * shuffle carries hashes, not items) + a distributed TakeOrdered of
+    * k values. When fewer than k distinct hashes exist the sketch has
+    * seen everything and reports the exact count. 32-bit collisions
+    * bias the estimate low by ~D²/2³³ (≪ the sampling error until
+    * D approaches millions); both engines share the identical hash so
+    * the replay is exact, collisions included.
+    *
+    * Output: one row (n_tracked, kth_hash, est_distinct). */
+  def kmvDistinct(df: DataFrame, item: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val num = (k - 1).toDouble * 4294967296.0
+    df.select(TextFunctions.portableHash32(item.cast("string")).as("h"))
+      .distinct()
+      .orderBy(col("h").asc).limit(k)
+      .agg(count(lit(1)).as("n_tracked"), max("h").as("kth_hash"))
+      .select(col("n_tracked"), col("kth_hash"),
+        when(col("n_tracked") < k, col("n_tracked").cast("double"))
+          .otherwise(lit(num) / col("kth_hash").cast("double"))
+          .as("est_distinct"))
+  }
+
   /** Per-stratum tokenizer fertility — the multilingual-bias audit a
     * tokenizer ships with (a subword vocab trained on one language
     * fragments the others into more, shorter tokens, inflating their

@@ -276,6 +276,53 @@ object Dedup {
       .select("block", "id_a", "id_b", "jaccard")
   }
 
+  /** Directional n-gram CONTAINMENT pairs — the asymmetry Jaccard
+    * hides: a short document wholly quoted inside a long one scores
+    * low resemblance (|A∩B|/|A∪B| shrinks with the size gap) but
+    * containment |A∩B|/min(|A|,|B|) ≈ 1. This is the quote/excerpt/
+    * boilerplate-inclusion detector (Broder 1997 distinguishes exactly
+    * these two notions); note NO length-difference prefilter — the
+    * size gap is the signal here, not noise to prune.
+    *
+    * Same blocked self-join scale shape as [[ngramJaccardPairs]]
+    * (candidates = Σ block², bounded by `maxBlockSize` at degenerate
+    * density); one division per surviving pair.
+    *
+    * Output: (block, id_a, id_b, n_inter, n_a, n_b, containment),
+    * id_a < id_b, gram-less sides dropped (containment undefined). */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                            blockCol: Column, n: Int, threshold: Double,
+                            maxBlockSize: Long = Long.MaxValue): DataFrame = {
+    val sets0 = df.select(col(idCol).as("id"), blockCol.as("block"),
+      graft.plans.TextSetExpressions.wordNgramSet(lower(col(textCol)), n)
+        .as("ng"))
+      .materializeOnce(eager = false)
+    val sets =
+      if (maxBlockSize == Long.MaxValue) sets0
+      else {
+        val hot = sets0.groupBy("block").count()
+          .filter(col("count") > maxBlockSize).select("block")
+        sets0.join(broadcast(hot), Seq("block"), "left_anti")
+      }
+    val l = sets.select(col("block"), col("id").as("id_a"),
+      col("ng").as("ng_a"))
+    val r = sets.select(col("block"), col("id").as("id_b"),
+      col("ng").as("ng_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
+      .withColumn("n_a", size(col("ng_a")).cast("long"))
+      .withColumn("n_b", size(col("ng_b")).cast("long"))
+      .filter(least(col("n_a"), col("n_b")) > 0)
+      .withColumn("containment",
+        col("n_inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("block", "id_a", "id_b", "n_inter", "n_a", "n_b",
+        "containment")
+  }
+
   /** Hamming-nearest signatures: top-k rows by popcount(sig XOR query) —
     * the signature-space search that turns [[simhashes]] into a
     * duplicate-triage tool (given one document, find the most similar

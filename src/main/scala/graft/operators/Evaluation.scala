@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * partitioning and summation order, unlike a floating rank sum. The
   * one double division happens once, at the end.
   *
-  * Rank on a bit-exact column ([[QualityClassifier.scoreWithMargin]]'s
-  * `z`, not the sigmoid score) when cross-engine reproducibility
-  * matters.
+  * Rank on the most deterministic column available
+  * ([[QualityClassifier.scoreWithMargin]]'s `z`, not the sigmoid
+  * score — the sigmoid stacks the exp library's 1-ulp freedom on top)
+  * when cross-engine reproducibility matters.
   *
   * Envelope: the 2×rank-sum accumulator is bounded by 2·n·n_pos; past
   * ~10^9 positives × 10^9 rows it would need a decimal accumulator.
@@ -65,6 +66,41 @@ object Evaluation {
             .cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")))
           .as("auc"))
+  }
+
+  /** The full ROC curve: one point per DISTINCT score — (score,
+    * tp, fp, tpr, fpr) where tp/fp count rows with score >= this one
+    * (the "predict positive at threshold = score" operating point).
+    *
+    * Same machinery as [[aucByRank]]: collapse to per-distinct-score
+    * counts, distributed prefix sum (descending score), two single
+    * divisions per row. Curve size = distinct scores, not corpus
+    * rows. `tpr`/`fpr` are NULL when their class is empty. */
+  def rocCurve(scored: DataFrame, scoreCol: String, labelCol: String)
+      : DataFrame = {
+    val per = scored
+      .select(col(scoreCol).as("score"),
+        col(labelCol).cast("int").cast("long").as("__l"))
+      .groupBy("score")
+      .agg(count(lit(1)).as("__c"), sum("__l").as("__p"))
+    val cum = Packing.packSequences(per, "score", "__p",
+      Seq(col("score").desc), seqLen = 1L)
+      .withColumnRenamed("cum_tokens", "tp")
+    val cum2 = Packing.packSequences(
+      cum.select(col("score"), col("__c"), col("__p"), col("tp"),
+        (col("__c") - col("__p")).as("__neg")),
+      "score", "__neg", Seq(col("score").desc), seqLen = 1L)
+      .withColumnRenamed("cum_tokens", "fp")
+    val totals = per.agg(sum("__p").as("__npos"),
+      sum(col("__c") - col("__p")).as("__nneg"))
+    cum2.crossJoin(broadcast(totals))
+      .select(col("score"), col("tp"), col("fp"),
+        when(col("__npos") > 0,
+          col("tp").cast("double") / col("__npos").cast("double"))
+          .as("tpr"),
+        when(col("__nneg") > 0,
+          col("fp").cast("double") / col("__nneg").cast("double"))
+          .as("fpr"))
   }
 
   /** Confusion counts and precision/recall at each threshold

@@ -96,9 +96,11 @@ object QualityClassifier {
 
   /** [[score]] plus the pre-sigmoid margin `z`. The margin — not the
     * sigmoid score — is the column to RANK on (ROC/AUC, calibration):
-    * z is a bit-exact ordered fold on every engine, while σ(z) carries
-    * each engine's 1-ulp `exp` freedom, which can swap the order of
-    * two near-equal scores across engines even though σ is monotone.
+    * z is a deterministic ordered fold (identical across partitionings
+    * and runs), while σ(z) stacks the `exp` library's 1-ulp freedom on
+    * top. Cross-engine, a replaying SQL engine's own dot fold may
+    * differ from z by 1 ulp — order-stable in practice (q124 pins
+    * every rank), so rank on z and round any DISPLAYED margin.
     *
     * Output: (id, n_grams, z, score). */
   def scoreWithMargin(df: DataFrame, idCol: String, textCol: String,

@@ -1060,6 +1060,35 @@ object CorpusQueries {
       (s, d) => graft.operators.CorpusStats.zipfSpectrum(
           Tables.documents(s, d), "text", topN = 25)
         .orderBy("rank"))
+    ,
+
+    // KMV distinct-cardinality sketch (round 13): the 100 TB answer to
+    // "how many distinct 5-grams does this corpus have" WITHOUT an
+    // exact global distinct — k smallest portable-hash values, est =
+    // (k-1)*2^32/h_(k) (Bar-Yossef et al. 2002). Deterministic by
+    // construction (md5 hash, integer k-th minimum, ONE division), so
+    // unlike HLL the sketch itself replays exactly in SQL. True count
+    // at sf0.01 is 23995; the k=256 estimate lands within ~1/sqrt(254)
+    Q("q132_kmv_distinct", Some(s"""
+      WITH g AS (
+        SELECT DISTINCT CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT) AS h
+        FROM (SELECT unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                       for i in range(1, greatest(len(t) - 4, 0) + 1)])) AS gr
+              FROM (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+                    FROM documents))),
+      topk AS (SELECT h FROM g ORDER BY h LIMIT 256),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_tracked,
+              CAST(max(h) AS BIGINT) AS kth_hash FROM topk)
+      SELECT n_tracked, kth_hash,
+        CASE WHEN n_tracked < 256 THEN CAST(n_tracked AS DOUBLE)
+             ELSE ${(255 * 4294967296.0).toString} / CAST(kth_hash AS DOUBLE)
+        END AS est_distinct
+      FROM a"""),
+      (s, d) => graft.operators.CorpusStats.kmvDistinct(
+        Tables.documents(s, d).select(explode(
+          graft.plans.TextSetExpressions.wordNgramSet(lower(col("text")), 5))
+          .as("g")),
+        col("g"), k = 256))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

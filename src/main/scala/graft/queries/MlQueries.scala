@@ -799,12 +799,12 @@ object MlQueries {
     // Classifier evaluation (round 13): the q97 LR filter's measured
     // operating points — confusion/precision/recall at nine score
     // thresholds plus exact Mann-Whitney ROC-AUC, all one engine pass.
-    // AUC ranks on the pre-sigmoid margin z (bit-exact ordered fold;
-    // the sigmoid's 1-ulp exp freedom could swap near-equal scores
-    // across engines) via a distributed prefix rank over DISTINCT
-    // margins — integer average-rank arithmetic (2x rank sum), one
-    // double division at the end. Thresholding compares the q97
-    // round-6 score against exact double literals
+    // AUC ranks on the pre-sigmoid margin z (deterministic ordered
+    // fold, order-stable across engines — the sigmoid would add the
+    // exp library's 1-ulp freedom on top) via a distributed prefix
+    // rank over DISTINCT margins — integer average-rank arithmetic
+    // (2x rank sum), one double division at the end. Thresholding
+    // compares the q97 round-6 score against exact double literals
     Q("q124_classifier_roc", lrRocOracle,
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -856,6 +856,68 @@ object MlQueries {
             graft.operators.BpeTraining.tokenCounts(docs, "doc_id", "text",
               cachedBpe(s, d)))
           .orderBy("lang")
+      }),
+
+    // The FULL ROC curve (round 13, completing q124's tier): one
+    // operating point per DISTINCT margin — tp/fp cumulative counts
+    // descending z, tpr/fpr single divisions. Curve size is the
+    // distinct-margin count, never corpus rows; the cumulative counts
+    // ride the same distributed prefix sum as the AUC rank-sum.
+    // Cross-engine: z is deterministic per engine and ORDER-stable
+    // across engines (q124's rank-sum equality pins every tp down the
+    // curve), but DuckDB's dot fold carries a 1-ulp freedom vs Spark's
+    // sequential fold — so the DISPLAYED margin rounds to 6dp (q97's
+    // round-6 score discipline) while ranking stays on raw z
+    Q("q131_roc_curve", lrRocCurveOracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val scored = graft.operators.QualityClassifier
+          .scoreWithMargin(docs, "doc_id", "text", m)
+          .join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").cast("int").as("label")), Seq("id"))
+        graft.operators.Evaluation.rocCurve(scored, "z", "label")
+          .select(round(col("score"), 6).as("margin"), col("tp"), col("fp"),
+            col("tpr"), col("fpr"))
+          .orderBy(desc("margin"), asc("tp"))
+      }),
+
+    // Multi-signal quality fusion (round 13): ensemble curation — the
+    // q85 unigram-LM corpus rank and the q97 classifier rank fused by
+    // RRF (1/(60+r_lm) + 1/(60+r_lr)), then terciled on the fused
+    // rank. Model-free and model-based quality signals disagree
+    // exactly where either alone misfilters; RRF needs no score
+    // calibration between them (the q111 argument, corpus-wide). All
+    // three ranks are distributed prefix ranks — never a corpus
+    // window; the rrf double is two correctly-rounded divisions and
+    // one add, bit-identical on any engine
+    Q("q133_fused_quality", lrFusedOracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val lm = graft.operators.TextAnalysis
+          .ccnetBuckets(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("rank").as("rank_lm"))
+        val scoredLr = graft.operators.QualityClassifier
+          .score(docs, "doc_id", "text", m)
+          .select(col("id").as("doc_id"), round(col("score"), 6).as("rs"))
+        val lr = Sampling.stratumRank(
+            scoredLr.withColumn("__s", lit("all")), "__s",
+            Seq(col("rs").desc, col("doc_id").asc), "rank_lr", "__n")
+          .select(col("doc_id"), col("rank_lr"))
+        val fused = lm.join(lr, Seq("doc_id"))
+          .withColumn("rrf",
+            lit(1.0) / (lit(60.0) + col("rank_lm")) +
+              lit(1.0) / (lit(60.0) + col("rank_lr")))
+        Sampling.stratumRank(fused.withColumn("__s2", lit("all")), "__s2",
+            Seq(col("rrf").desc, col("doc_id").asc), "fused_rank", "__n2")
+          .select(col("doc_id"), col("rank_lm"), col("rank_lr"),
+            col("rrf"), col("fused_rank"),
+            when(col("fused_rank") <= ceil(col("__n2") / 3.0), "head")
+              .when(col("fused_rank") <= ceil(lit(2.0) * col("__n2") / 3.0),
+                "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
       })
   )
 
@@ -958,6 +1020,84 @@ object MlQueries {
           THEN CAST(r2 - npos * (npos + 1) AS DOUBLE) / (2.0 * npos * nneg)
         END AS auc
       FROM conf, a ORDER BY threshold""")
+    }
+  }
+
+  /** q131's oracle: cumulative tp/fp down the distinct-margin curve —
+    * DuckDB's descending window cumsum stands in for the engine's
+    * distributed prefix sum; ratios are the same single divisions. */
+  private def lrRocCurveOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)},
+      per AS (SELECT zz AS margin, CAST(count(*) AS BIGINT) AS c,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+              FROM sc GROUP BY zz),
+      cum AS (SELECT margin, c, p,
+                CAST(sum(p) OVER (ORDER BY margin DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+                CAST(sum(c - p) OVER (ORDER BY margin DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+              FROM per),
+      tot AS (SELECT CAST(sum(p) AS BIGINT) AS npos,
+                CAST(sum(c - p) AS BIGINT) AS nneg FROM per)
+      SELECT round(margin, 6) AS margin, tp, fp,
+        CASE WHEN npos > 0
+          THEN CAST(tp AS DOUBLE) / CAST(npos AS DOUBLE) END AS tpr,
+        CASE WHEN nneg > 0
+          THEN CAST(fp AS DOUBLE) / CAST(nneg AS DOUBLE) END AS fpr
+      FROM cum, tot ORDER BY round(margin, 6) DESC, tp""")
+    }
+  }
+
+  /** q133's oracle: the q85 unigram-LM rank CTEs + the q97 scoring
+    * fragments, fused with the RRF formula and re-ranked — all three
+    * ranks as window row_numbers (the oracle-side stand-in for the
+    * engine's distributed prefix ranks). */
+  private def lrFusedOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)},
+      tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+        FROM documents),
+      cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+      tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM cnt),
+      vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 65536),
+      scoredlm AS (
+        SELECT t.doc_id,
+          log10((CAST(coalesce(v.c, 0) AS DOUBLE) + 1.0) / (tot.n + 1.0)) AS logp
+        FROM tok t LEFT JOIN vocab v USING (tok) CROSS JOIN tot),
+      agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          avg(logp) AS avg_logp
+        FROM scoredlm GROUP BY doc_id),
+      keyed AS (
+        SELECT d.doc_id, round(coalesce(a.avg_logp, 0.0), 6) AS lm_key
+        FROM documents d LEFT JOIN agg a USING (doc_id)),
+      lmr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY lm_key DESC, doc_id) AS rank_lm
+              FROM keyed),
+      lrr AS (SELECT doc_id,
+                row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank_lr
+              FROM sc),
+      fz AS (SELECT l.doc_id, CAST(l.rank_lm AS BIGINT) AS rank_lm,
+               CAST(r2.rank_lr AS BIGINT) AS rank_lr,
+               1.0 / (60.0 + l.rank_lm) + 1.0 / (60.0 + r2.rank_lr) AS rrf
+             FROM lmr l JOIN lrr r2 USING (doc_id)),
+      rr AS (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fr,
+               count(*) OVER () AS n
+             FROM fz)
+      SELECT doc_id, rank_lm, rank_lr, rrf, CAST(fr AS BIGINT) AS fused_rank,
+        CASE WHEN fr <= ceil(n / 3.0) THEN 'head'
+             WHEN fr <= ceil(2.0 * n / 3.0) THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM rr ORDER BY doc_id""")
     }
   }
 

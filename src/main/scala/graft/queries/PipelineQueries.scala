@@ -660,6 +660,42 @@ object PipelineQueries {
         Components.sizeProfile(
             Components.connectedComponents(pairs, "id_a", "id_b"))
           .orderBy("cluster_size")
-      })
+      }),
+
+    // Containment near-dup pairs (round 13): Broder's SECOND measure —
+    // |A∩B|/min(|A|,|B|) — the quote/excerpt/boilerplate-inclusion
+    // detector resemblance hides (a short doc inside a long one scores
+    // low Jaccard, containment ~1). Same blocked self-join as q25 but
+    // deliberately NO length prefilter: the size gap IS the signal —
+    // which also means every same-block pair pays an exact intersect,
+    // so the certified slice is two source blocks (the q29 subset
+    // discipline; src7 holds the corpus's real contained pair) and the
+    // operator's maxBlockSize cap is the documented density lever
+    Q("q134_containment_pairs", Some("""
+      WITH ng AS (
+        SELECT doc_id, source,
+          list_distinct([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+        FROM (SELECT doc_id, source,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents
+              WHERE source IN ('src0', 'src7')))
+      SELECT source AS block, id_a, id_b, n_inter, n_a, n_b, containment
+      FROM (
+        SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_inter,
+          CAST(len(a.g) AS BIGINT) AS n_a,
+          CAST(len(b.g) AS BIGINT) AS n_b,
+          CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            CAST(least(len(a.g), len(b.g)) AS DOUBLE) AS containment
+        FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE least(len(a.g), len(b.g)) > 0) p
+      WHERE containment >= 0.5
+      ORDER BY id_a, id_b"""),
+      (s, d) => Dedup.ngramContainmentPairs(
+          Tables.documents(s, d)
+            .filter(col("source").isin("src0", "src7")),
+          "doc_id", "text", col("source"), n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"))
   )
 }

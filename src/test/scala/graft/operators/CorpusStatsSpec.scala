@@ -181,6 +181,29 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(1).getDouble(5) === 1.3 && got(1).getDouble(6) === 2.0)
   }
 
+  test("kmvDistinct: estimate within KMV error bounds; exact below k") {
+    import org.apache.spark.sql.functions.col
+    // 20k distinct items: estimate should land within ~4 standard
+    // errors (4/sqrt(k-2) ~ 25% at k=256); typical is ~6%
+    val big = (1 to 20000).map(i => s"item$i").toDF("g")
+    val est = CorpusStats.kmvDistinct(big, col("g"), k = 256).head()
+    assert(est.getLong(0) === 256L)
+    val d = est.getDouble(2)
+    assert(math.abs(d - 20000.0) / 20000.0 < 4.0 / math.sqrt(254.0), d)
+    // repartitioning must not change a deterministic sketch
+    val est2 = CorpusStats.kmvDistinct(big.repartition(17), col("g"), 256)
+      .head()
+    assert(est2.getDouble(2) === d && est2.getLong(1) === est.getLong(1))
+    // below k the sketch saw everything: exact, not estimated
+    val small = (1 to 100).map(i => s"x$i").toDF("g")
+    val se = CorpusStats.kmvDistinct(small, col("g"), k = 256).head()
+    assert(se.getLong(0) === 100L && se.getDouble(2) === 100.0)
+    // duplicates collapse before the sketch
+    val dup = ((1 to 50) ++ (1 to 50)).map(i => s"d$i").toDF("g")
+    assert(CorpusStats.kmvDistinct(dup, col("g"), 256)
+      .head().getDouble(2) === 50.0)
+  }
+
   test("zipfSpectrum: Zipf-like decay is negative and partition-independent") {
     val words = Seq("w1" -> 64, "w2" -> 32, "w3" -> 21, "w4" -> 16)
     val docs = words.flatMap { case (w, f) => Seq.fill(f)(w) }

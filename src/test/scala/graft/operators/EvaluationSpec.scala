@@ -51,6 +51,36 @@ class EvaluationSpec extends SparkSpec {
     assert(got.isNullAt(2))
   }
 
+  test("rocCurve equals the sorted-cumulation replica; trapezoid == rank AUC") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 150).map { _ =>
+      (rnd.nextInt(10) / 3.0, if (rnd.nextInt(3) == 0) 1 else 0)
+    }
+    val got = Evaluation.rocCurve(rows.toDF("s", "l"), "s", "l")
+      .orderBy(org.apache.spark.sql.functions.desc("score")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val nPos = rows.count(_._2 == 1).toLong
+    val nNeg = rows.count(_._2 == 0).toLong
+    // replica: distinct scores descending, cumulative tp/fp
+    val per = rows.groupBy(_._1).view
+      .mapValues(g => (g.count(_._2 == 1).toLong, g.count(_._2 == 0).toLong))
+      .toSeq.sortBy(-_._1)
+    val want = per.scanLeft((0.0, 0L, 0L)) { case ((_, tp, fp), (s, (p, q))) =>
+      (s, tp + p, fp + q) }.drop(1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === want)
+    assert(got.last._4 === 1.0 && got.last._5 === 1.0) // curve ends at (1,1)
+    assert(got.map(_._2).toSeq === got.map(_._2).toSeq.sorted) // monotone
+    // trapezoid area under (fpr, tpr) == the rank-sum AUC (ties make
+    // the curve's diagonal segments exactly the 1/2 credit)
+    val pts = (0.0, 0.0) +: got.map(t => (t._5, t._4)).toSeq
+    val area = pts.sliding(2).map { case Seq((x0, y0), (x1, y1)) =>
+      (x1 - x0) * (y0 + y1) / 2.0 }.sum
+    val auc = Evaluation.aucByRank(rows.toDF("s", "l"), "s", "l")
+      .head().getDouble(2)
+    assert(math.abs(area - auc) < 1e-12)
+  }
+
   test("confusionAtThresholds matches hand counts; boundary is >=") {
     val rows = Seq((0.2, 0), (0.5, 0), (0.5, 1), (0.8, 1))
     val got = Evaluation.confusionAtThresholds(

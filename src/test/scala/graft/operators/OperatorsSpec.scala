@@ -417,6 +417,30 @@ class OperatorsSpec extends SparkSpec {
     assert(scored.find(_._1 == 3L).get._3 === 0.0 +- 1e-12)
   }
 
+  test("ngramContainmentPairs flags the quote Jaccard misses") {
+    import org.apache.spark.sql.functions.col
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, "blk", quote),
+      // the quote embedded in a much longer doc: containment 1.0,
+      // resemblance far below any threshold
+      (2L, "blk", quote + " and then a very long discussion follows " +
+        "with many additional sentences about completely unrelated " +
+        "topics that dilute the union far below resemblance"),
+      (3L, "blk", "entirely different content about query planners"),
+      (4L, "other", quote) // different block: never paired with 1
+    ).toDF("id", "blk", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "id", "text", col("blk"),
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(6)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0))) // short-inside-long found
+    // the same pair is invisible to resemblance at the same bar
+    val jac = Dedup.ngramJaccardPairs(docs, "id", "text", col("blk"),
+        n = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("hardNegatives: only label-mismatched neighbors, nearest first") {
     // query (1,0) label A; same-label near-copy must NOT appear even
     // though it is the nearest vector overall
