@@ -64,6 +64,33 @@ object CorpusStats {
     l.select("rank", "token", "freq").crossJoin(broadcast(slope))
   }
 
+  /** EXACT per-stratum percentiles by distributed rank — the
+    * nearest-rank method (value at rank ⌈q·n⌉ of the sorted stratum):
+    * the length/score distribution audit behind packing, quota, and
+    * filter-threshold decisions. Spark's built-in exact `percentile`
+    * aggregate buffers each group's values in executor memory;
+    * [[Sampling.stratumRank]]'s two-pass prefix rank never
+    * materializes a stratum anywhere, so a billion-row stratum costs
+    * the same per-row work as a thousand-row one. Integer-exact — no
+    * interpolation, so any engine replays it bit-for-bit.
+    *
+    * Output: one row per stratum — (strataCol, n_docs,
+    * p<100q> per requested quantile). */
+  def exactPercentiles(df: DataFrame, valueCol: String, strataCol: String,
+                       qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val ranked = Sampling.stratumRank(
+      df.select(col(strataCol), col(valueCol).cast("long").as("__v")),
+      strataCol, Seq(col("__v").asc), "__rk", "__n")
+    val picks = qs.map { q =>
+      max(when(col("__rk") === ceil(col("__n") * lit(q)), col("__v")))
+        .as(s"p${math.round(q * 100)}")
+    }
+    ranked.groupBy(col(strataCol))
+      .agg(max("__n").as("n_docs"), picks: _*)
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch — cardinality
     * estimation whose answer is DETERMINISTIC and SQL-replayable,
     * unlike HLL (whose register layout is engine-private): hash every

@@ -1088,7 +1088,32 @@ object CorpusQueries {
         Tables.documents(s, d).select(explode(
           graft.plans.TextSetExpressions.wordNgramSet(lower(col("text")), 5))
           .as("g")),
-        col("g"), k = 256))
+        col("g"), k = 256)),
+
+    // Exact per-source length percentiles (round 13) by DISTRIBUTED
+    // rank — nearest-rank method, value at rank ceil(q*n). Spark's own
+    // exact percentile aggregate buffers each group in executor
+    // memory; the q103/q108 prefix-rank machinery never materializes a
+    // stratum, so the same plan serves a billion-row source. Integer
+    // picks — no interpolation, bit-exact on any engine
+    Q("q135_length_percentiles", Some("""
+      WITH r AS (
+        SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM documents)
+      SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        CAST(max(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+                 THEN n_chars END) AS BIGINT) AS p25,
+        CAST(max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN n_chars END) AS BIGINT) AS p50,
+        CAST(max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                 THEN n_chars END) AS BIGINT) AS p90
+      FROM r GROUP BY source ORDER BY source"""),
+      (s, d) => graft.operators.CorpusStats.exactPercentiles(
+          Tables.documents(s, d).select(col("source"), col("n_chars")),
+          "n_chars", "source", Seq(0.25, 0.5, 0.9))
+        .orderBy("source"))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

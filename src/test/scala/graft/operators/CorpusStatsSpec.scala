@@ -204,6 +204,25 @@ class CorpusStatsSpec extends SparkSpec {
       .head().getDouble(2) === 50.0)
   }
 
+  test("exactPercentiles == nearest-rank on the sorted stratum, ties included") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    // coarse values force ties inside every stratum
+    val rows = (1 to 500).map(i => (s"s${i % 4}", (rnd.nextInt(40) * 10).toLong))
+    val got = graft.operators.CorpusStats.exactPercentiles(
+        rows.toDF("src", "v").repartition(7), "v", "src",
+        Seq(0.25, 0.5, 0.9, 1.0))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    rows.groupBy(_._1).foreach { case (s, g) =>
+      val sorted = g.map(_._2).sorted
+      def nr(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(got(s) === ((sorted.size.toLong, nr(0.25), nr(0.5), nr(0.9),
+        nr(1.0))), s)
+    }
+  }
+
   test("zipfSpectrum: Zipf-like decay is negative and partition-independent") {
     val words = Seq("w1" -> 64, "w2" -> 32, "w3" -> 21, "w4" -> 16)
     val docs = words.flatMap { case (w, f) => Seq.fill(f)(w) }

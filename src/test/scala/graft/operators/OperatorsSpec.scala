@@ -441,6 +441,29 @@ class OperatorsSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("prefix-filtered containment == exact enumeration on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    for (trial <- 1 to 3) {
+      val docs = (1 to 60).map { i =>
+        val len = 4 + rnd.nextInt(12)
+        (i.toLong, s"b${rnd.nextInt(3)}",
+          (1 to len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("id", "blk", "text")
+      for (t <- Seq(0.4, 0.7, 1.0)) {
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6))
+        val exact = Dedup.ngramContainmentPairs(docs, "id", "text",
+          col("blk"), n = 2, threshold = t).collect().map(key).toSet
+        val filtered = Dedup.ngramContainmentPairsFiltered(docs, "id",
+          "text", col("blk"), n = 2, threshold = t).collect().map(key).toSet
+        assert(filtered === exact, s"trial $trial t=$t")
+      }
+    }
+  }
+
   test("hardNegatives: only label-mismatched neighbors, nearest first") {
     // query (1,0) label A; same-label near-copy must NOT appear even
     // though it is the nearest vector overall

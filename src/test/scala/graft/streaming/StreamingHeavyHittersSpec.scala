@@ -55,6 +55,24 @@ class StreamingHeavyHittersSpec extends SparkSpec {
     assert(got.size <= k)
   }
 
+  test("stream candidates ⊇ the batch exact heavy set (recount composition)") {
+    // the deployment shape: streaming summary shortlists, the batch
+    // tier recounts exactly — nothing exact can be missing upstream
+    val rnd = new scala.util.Random(47)
+    val heavies = Seq("h1" -> 90, "h2" -> 60, "h3" -> 45)
+    val items = rnd.shuffle(
+      heavies.flatMap { case (w, f) => Seq.fill(f)(w) } ++
+        (1 to 500).map(_ => s"n${rnd.nextInt(300)}"))
+    val streamed = runStream(items.grouped(150).toSeq, buckets = 4,
+      maxTracked = 12, "shh_recount").map(_._2).toSet
+    val exact = graft.operators.HeavyHitters.heavyItems(
+        items.toDF("item"), "item", threshold = 40)
+      .collect().map(_.getString(0)).toSet
+    assert(Set("h1", "h2", "h3").subsetOf(exact))
+    assert(exact.subsetOf(streamed),
+      s"exact heavies ${exact.diff(streamed)} missing from stream candidates")
+  }
+
   test("superset guarantee: the flood survives summary saturation") {
     val rnd = new scala.util.Random(5)
     val noise = (1 to 400).map(_ => s"n${rnd.nextInt(200)}")
