@@ -73,9 +73,12 @@ object Evaluation {
     * (the "predict positive at threshold = score" operating point).
     *
     * Same machinery as [[aucByRank]]: collapse to per-distinct-score
-    * counts, distributed prefix sum (descending score), two single
-    * divisions per row. Curve size = distinct scores, not corpus
-    * rows. `tpr`/`fpr` are NULL when their class is empty. */
+    * counts, then BOTH cumulative counts ride one
+    * [[Packing.prefixSums]] pass down the descending score (one range
+    * shuffle, one checkpoint — two separate prefix passes cost double
+    * for identical row order), two single divisions per row. Curve
+    * size = distinct scores, not corpus rows. `tpr`/`fpr` are NULL
+    * when their class is empty. */
   def rocCurve(scored: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
     val per = scored
@@ -83,17 +86,14 @@ object Evaluation {
         col(labelCol).cast("int").cast("long").as("__l"))
       .groupBy("score")
       .agg(count(lit(1)).as("__c"), sum("__l").as("__p"))
-    val cum = Packing.packSequences(per, "score", "__p",
-      Seq(col("score").desc), seqLen = 1L)
-      .withColumnRenamed("cum_tokens", "tp")
-    val cum2 = Packing.packSequences(
-      cum.select(col("score"), col("__c"), col("__p"), col("tp"),
-        (col("__c") - col("__p")).as("__neg")),
-      "score", "__neg", Seq(col("score").desc), seqLen = 1L)
-      .withColumnRenamed("cum_tokens", "fp")
+      .withColumn("__neg", col("__c") - col("__p"))
+    val cum = Packing.prefixSums(per, "score", Seq("__p", "__neg"),
+        Seq(col("score").desc))
+      .withColumnRenamed("cum___p", "tp")
+      .withColumnRenamed("cum___neg", "fp")
     val totals = per.agg(sum("__p").as("__npos"),
-      sum(col("__c") - col("__p")).as("__nneg"))
-    cum2.crossJoin(broadcast(totals))
+      sum("__neg").as("__nneg"))
+    cum.crossJoin(broadcast(totals))
       .select(col("score"), col("tp"), col("fp"),
         when(col("__npos") > 0,
           col("tp").cast("double") / col("__npos").cast("double"))

@@ -93,6 +93,64 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** Distributed prefix sums over SEVERAL columns in ONE ordered
+    * pass — the [[packSequences]] skeleton generalized: one range
+    * shuffle + checkpoint, one per-partition metadata job collecting
+    * every column's totals together, one map pass carrying a running
+    * total per column. Use when a plan needs multiple cumulative
+    * measures down the same order (e.g. [[Evaluation.rocCurve]]'s
+    * cumulative tp AND fp) — two separate [[packSequences]] calls cost
+    * two sorts and two checkpoints for identical row order.
+    *
+    * Appends `cum_<col>` (inclusive running total, NULLs skip like the
+    * SQL window SUM) for each requested column. */
+  def prefixSums(df: DataFrame, idCol: String, sumCols: Seq[String],
+                 order: Seq[Column], numPartitions: Int = 0): DataFrame = {
+    require(sumCols.nonEmpty, "sumCols must be non-empty")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    require(parts > 0, s"resolved shuffle partitions must be positive, got $parts")
+    val ordCols = order :+ col(idCol)
+    val ordered = df.repartitionByRange(parts, ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+      .materializeOnce(eager = false) // pins the split for both passes
+    val idxs = sumCols.map(ordered.schema.fieldIndex).toArray
+    val sums = ordered
+      .select(spark_partition_id().as("__pid") +:
+        sumCols.zipWithIndex.map { case (c, i) =>
+          coalesce(col(c).cast("long"), lit(0L)).as(s"__t$i") }: _*)
+      .groupBy("__pid")
+      .agg(sum(s"__t0").as("s0"),
+        sumCols.indices.drop(1).map(i => sum(s"__t$i").as(s"s$i")): _*)
+      .collect()
+      .map(r => r.getInt(0) -> sumCols.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val offsets = (0 until parts).scanLeft(
+      Vector.fill(sumCols.size)(0L)) { (acc, p) =>
+      val s = sums.getOrElse(p, sumCols.indices.map(_ => 0L))
+      acc.indices.map(i => acc(i) + s(i)).toVector
+    }.toArray
+    val outSchema = sumCols.foldLeft(ordered.schema)(
+      (sch, c) => sch.add(s"cum_$c", LongType))
+    ordered.mapPartitions { it =>
+      val run = offsets(TaskContext.getPartitionId()).toArray
+      it.map { row =>
+        var i = 0
+        while (i < idxs.length) {
+          row.get(idxs(i)) match {
+            case null      => ()
+            case n: Number => run(i) += n.longValue
+          }
+          i += 1
+        }
+        // materialize a copy — `run` mutates on the next row and the
+        // iterator is lazy
+        Row.fromSeq(row.toSeq ++ List(run: _*))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Rank-prefix packing in ONE ordered pass — the fused curriculum
     * write: rank every row globally under `order`, ADMIT the best
     * `admitFraction` (rank ≤ ceil(admitFraction·n), a rank prefix),

@@ -96,4 +96,28 @@ class PackingSpec extends SparkSpec {
       assert(got == replica(f), s"parts=$parts f=$f")
     }
   }
+
+  test("prefixSums: multi-column pass == per-column sorted replica, NULLs skip") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1 to 300).map { i =>
+      (i.toLong,
+        if (i % 17 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(50).toLong),
+        rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong)
+    }
+    for (parts <- Seq(1, 9)) {
+      val got = Packing.prefixSums(
+          rows.toDF("id", "a", "b", "key").repartition(parts),
+          "id", Seq("a", "b"), Seq(col("key").asc))
+        .collect().map(r => r.getAs[Long]("id") ->
+          (r.getAs[Long]("cum_a"), r.getAs[Long]("cum_b"))).toMap
+      var ca = 0L; var cb = 0L
+      val want = rows.sortBy { case (id, _, _, k) => (k, id) }.map {
+        case (id, a, b, _) =>
+          ca += (if (a == null) 0L else a.longValue); cb += b
+          id -> (ca, cb)
+      }.toMap
+      assert(got === want, s"parts=$parts")
+    }
+  }
 }
