@@ -221,15 +221,17 @@ object UnigramLm {
     * DISTINCT word vocab (combined `cost*1000 + n` key — prototype-
     * validated), pieces as a literal VALUES table, token counts joined
     * back to per-doc word occurrences (the q116 shape). */
-  def oracleSql(table: String, idCol: String, textCol: String,
-                pieces: Seq[Piece], maxPieceLen: Int = 6): String = {
+  /** The shared integer-Viterbi CTE block (recursive DP over distinct
+    * words): ends at `ulm` = one row per source-table row,
+    * (id, ulm_tokens). Consumers append their own final SELECT (q121's
+    * per-row counts, q136's per-language fertility aggregate). */
+  def oracleSqlCtes(table: String, idCol: String, textCol: String,
+                    pieces: Seq[Piece], maxPieceLen: Int = 6): String = {
     def esc(s: String) = s.replace("'", "''")
     val rows = pieces.sortBy(p => (p.piece))
       .map(p => s"('${esc(p.piece)}', ${p.cost}::BIGINT)")
       .mkString(",\n        ")
-    s"""
-      WITH RECURSIVE
-      pieces(p, c) AS (VALUES
+    s"""pieces(p, c) AS (VALUES
         $rows),
       w AS (
         SELECT $idCol AS id,
@@ -255,9 +257,17 @@ object UnigramLm {
       tok AS (
         SELECT w, dp[length(w) + 1] % 1000 AS nt
         FROM step WHERE i = length(w)),
-      t AS (SELECT w.id, tok.nt FROM w JOIN tok ON tok.w = w.w)
-      SELECT d.$idCol, CAST(coalesce(sum(t.nt), 0) AS BIGINT) AS ulm_tokens
-      FROM $table d LEFT JOIN t ON t.id = d.$idCol
-      GROUP BY d.$idCol ORDER BY d.$idCol"""
+      t AS (SELECT w.id, tok.nt FROM w JOIN tok ON tok.w = w.w),
+      ulm AS (
+        SELECT d.$idCol AS id, CAST(coalesce(sum(t.nt), 0) AS BIGINT) AS ulm_tokens
+        FROM $table d LEFT JOIN t ON t.id = d.$idCol
+        GROUP BY d.$idCol)"""
   }
+
+  def oracleSql(table: String, idCol: String, textCol: String,
+                pieces: Seq[Piece], maxPieceLen: Int = 6): String =
+    s"""
+      WITH RECURSIVE
+      ${oracleSqlCtes(table, idCol, textCol, pieces, maxPieceLen)}
+      SELECT id AS $idCol, ulm_tokens FROM ulm ORDER BY id"""
 }

@@ -1114,6 +1114,42 @@ object CorpusQueries {
           Tables.documents(s, d).select(col("source"), col("n_chars")),
           "n_chars", "source", Seq(0.25, 0.5, 0.9))
         .orderBy("source"))
+    ,
+
+    // Adaptive threshold filter (round 13): data-DRIVEN cleaning —
+    // drop each source's shortest quartile using ITS OWN measured p25
+    // (a fixed global length bar over- or under-cleans sources with
+    // different length regimes; CCNet/RefinedWeb tune per-shard for
+    // the same reason). Composes q135's distributed percentile into a
+    // broadcast threshold join — the percentile table is one row per
+    // source, so the filter itself is map-only at any corpus size
+    Q("q137_adaptive_length_filter", Some("""
+      WITH r AS (
+        SELECT doc_id, source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM documents),
+      thr AS (
+        SELECT source,
+          CAST(max(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+                   THEN n_chars END) AS BIGINT) AS threshold
+        FROM r GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_chars, thr.threshold
+      FROM documents d JOIN thr USING (source)
+      WHERE d.n_chars >= thr.threshold
+      ORDER BY d.doc_id"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val thr = graft.operators.CorpusStats.exactPercentiles(
+            docs.select(col("source"), col("n_chars")),
+            "n_chars", "source", Seq(0.25))
+          .select(col("source"), col("p25").as("threshold"))
+        docs.join(broadcast(thr), Seq("source"))
+          .filter(col("n_chars") >= col("threshold"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("threshold"))
+          .orderBy("doc_id")
+      })
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

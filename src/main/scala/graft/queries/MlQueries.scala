@@ -918,6 +918,41 @@ object MlQueries {
                 "middle")
               .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
+      }),
+
+    // Tokenizer fertility, unigram-LM edition (round 13): the SAME
+    // audit operator as q127 fed by the OTHER tokenizer family — a
+    // Kudo unigram model trained on the documents corpus, scored by
+    // the certified integer-Viterbi expression. One operator shape
+    // serving both families is the genericity claim, certified twice
+    Q("q136_ulm_fertility",
+      ulmDocsLiterals.map(p => s"""
+      WITH RECURSIVE
+      ${graft.operators.UnigramLm.oracleSqlCtes(
+        "documents", "doc_id", "text", p)},
+      j AS (SELECT u.id, u.ulm_tokens, d.lang,
+              CAST(length(d.text) AS BIGINT) AS nc,
+              CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS ws
+            FROM ulm u JOIN documents d ON d.doc_id = u.id)
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(nc) AS BIGINT) AS n_chars,
+        CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        CAST(sum(ulm_tokens) AS BIGINT) AS subword_tokens,
+        CASE WHEN sum(ulm_tokens) > 0
+          THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(ulm_tokens) AS DOUBLE)
+        END AS chars_per_token,
+        CASE WHEN sum(ws) > 0
+          THEN CAST(sum(ulm_tokens) AS DOUBLE) / CAST(sum(ws) AS DOUBLE)
+        END AS tokens_per_word
+      FROM j GROUP BY lang ORDER BY lang"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.CorpusStats.tokenizerFertility(docs, "doc_id",
+            "text", "lang",
+            graft.operators.UnigramLm.tokenCounts(docs, "doc_id", "text",
+              cachedUlmDocs(s, d)),
+            countCol = "ulm_tokens")
+          .orderBy("lang")
       })
   )
 
@@ -1189,6 +1224,19 @@ object MlQueries {
         vocabSize = 200))
   private def ulmLiterals: Option[Seq[graft.operators.UnigramLm.Piece]] = {
     val fits = ulmCache.snapshot().toSeq
+    if (fits.size != 1) None else Some(fits.head._2)
+  }
+  /** A SECOND unigram-LM tokenizer, trained on the documents corpus
+    * (q136's fertility subject — the customer-name tokenizer's pieces
+    * say nothing about document text). Own cache, same contract. */
+  private val ulmDocsCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[graft.operators.UnigramLm.Piece]]
+  private def cachedUlmDocs(s: org.apache.spark.sql.SparkSession, d: String) =
+    ulmDocsCache.getOrElseUpdate(d,
+      graft.operators.UnigramLm.train(Tables.documents(s, d), "text",
+        vocabSize = 200))
+  private def ulmDocsLiterals: Option[Seq[graft.operators.UnigramLm.Piece]] = {
+    val fits = ulmDocsCache.snapshot().toSeq
     if (fits.size != 1) None else Some(fits.head._2)
   }
   /** Trained merges as oracle literals — Some only after exactly one
