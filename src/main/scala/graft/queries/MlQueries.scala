@@ -953,6 +953,44 @@ object MlQueries {
               cachedUlmDocs(s, d)),
             countCol = "ulm_tokens")
           .orderBy("lang")
+      }),
+
+    // Curation v5 (round-13 capstone): the DATA-CONSTRAINED training
+    // stream end to end — LR quality gate -> exact-dedup canonical
+    // keep -> per-LANGUAGE UniMax allocation at <= 2 epochs
+    // MATERIALIZED as the repeated stream (epoch-salted permutation
+    // per pass) -> 256-token sequence layout over the epoch-major
+    // order. The stage interaction no single query certifies: the
+    // allocation sees only gated+deduped availability AND the packer
+    // sees repeated rows whose order interleaves languages within
+    // each epoch
+    Q("q138_curation_v5", lrV5Oracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val kept = graft.operators.QualityClassifier.score(
+            docs, "doc_id", "text", m)
+          .filter(col("score") >= 0.5).select(col("id").as("doc_id"))
+        val gated = docs.join(kept, Seq("doc_id"), "left_semi")
+          .materializeOnce(eager = false)
+        val canonical = TextAnalysis.fingerprints(gated, "doc_id", "text")
+          .groupBy("fp").agg(min(col("id")).as("doc_id")).select("doc_id")
+        val base = gated.join(canonical, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"),
+            graft.functions.TextFunctions.wordCount(col("text"))
+              .cast("long").as("ws_tokens"))
+        val stream = graft.operators.Mixture.materializeEpochs(base,
+          "lang", "doc_id", "ws_tokens", budget = 12000L, maxEpochs = 2.0)
+        Packing.packSequences(
+            stream.select("doc_id", "lang", "ws_tokens", "epoch"),
+            "doc_id", "ws_tokens",
+            order = Seq(col("epoch").asc,
+              Sampling.trainOrder(col("doc_id"), col("epoch")).asc,
+              col("doc_id").asc),
+            seqLen = 256)
+          .select(col("doc_id"), col("lang"), col("ws_tokens"),
+            col("epoch"), col("cum_tokens"), col("seq_id"))
+          .orderBy("doc_id", "epoch")
       })
   )
 
@@ -1133,6 +1171,77 @@ object MlQueries {
              WHEN fr <= ceil(2.0 * n / 3.0) THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM rr ORDER BY doc_id""")
+    }
+  }
+
+  /** q138's composed oracle: q99's gate+dedup fragments, then the
+    * q125 epoch-materialization CTEs over per-LANGUAGE availability,
+    * then the q72 pack window over the epoch-major stream. */
+  private def lrV5Oracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)},
+      gate AS (SELECT doc_id FROM sc WHERE score >= 0.5),
+      fp2 AS (
+        SELECT d.doc_id, md5(lower(regexp_replace(d.text, '\\s+', ' ', 'g'))) AS f
+        FROM documents d JOIN gate USING (doc_id)),
+      canon AS (SELECT min(doc_id) AS doc_id FROM fp2 GROUP BY f),
+      tkn AS (
+        SELECT d.doc_id, d.lang,
+          CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS BIGINT) AS ws_tokens
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM canon)),
+      k AS (SELECT lang, CAST(sum(ws_tokens) AS BIGINT) AS avail
+            FROM tkn GROUP BY lang),
+      c AS (SELECT lang, avail, CAST(avail AS DOUBLE) * 2.0 AS cap FROM k),
+      w2 AS (
+        SELECT lang, avail, cap,
+          row_number() OVER (ORDER BY cap, lang) AS rn,
+          coalesce(sum(cap) OVER (ORDER BY cap, lang
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre,
+          count(*) OVER () AS n
+        FROM c),
+      f2 AS (SELECT max((12000.0 - pre) / CAST(n - rn + 1 AS DOUBLE)) AS fstar
+             FROM w2),
+      alloc AS (
+        SELECT lang, avail,
+          CAST(floor(least(cap, greatest(fstar, 0.0))) AS BIGINT) AS alloc_tokens
+        FROM w2, f2),
+      fe AS (
+        SELECT lang, avail, alloc_tokens,
+          CAST(alloc_tokens // avail AS BIGINT) AS nfull,
+          CAST(alloc_tokens - (alloc_tokens // avail) * avail AS BIGINT) AS rem
+        FROM alloc WHERE avail > 0),
+      full_rows AS (
+        SELECT t.doc_id, t.lang, t.ws_tokens, CAST(e.epoch AS BIGINT) AS epoch
+        FROM tkn t JOIN fe USING (lang),
+          LATERAL (SELECT unnest(generate_series(0, fe.nfull - 1)) AS epoch) e
+        WHERE fe.nfull > 0),
+      part_sel AS (
+        SELECT t.doc_id, t.lang, t.ws_tokens, fe.rem,
+          CAST(fe.nfull AS BIGINT) AS epoch,
+          CAST(sum(t.ws_tokens) OVER (PARTITION BY t.lang
+            ORDER BY CAST('0x' || substr(md5(CAST(fe.nfull AS VARCHAR) || '|' || CAST(t.doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+              t.doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM tkn t JOIN fe USING (lang) WHERE fe.rem > 0),
+      part_rows AS (
+        SELECT doc_id, lang, ws_tokens, epoch FROM part_sel WHERE cum <= rem),
+      stream AS (
+        SELECT doc_id, lang, ws_tokens, epoch FROM full_rows
+        UNION ALL
+        SELECT doc_id, lang, ws_tokens, epoch FROM part_rows),
+      packed AS (
+        SELECT doc_id, lang, ws_tokens, epoch,
+          CAST(sum(ws_tokens) OVER (ORDER BY epoch,
+            CAST('0x' || substr(md5(CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT),
+            doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        FROM stream)
+      SELECT doc_id, lang, ws_tokens, epoch, cum_tokens,
+        CAST((cum_tokens - ws_tokens) // 256 AS BIGINT) AS seq_id
+      FROM packed ORDER BY doc_id, epoch""")
     }
   }
 
