@@ -991,6 +991,39 @@ object MlQueries {
           .select(col("doc_id"), col("lang"), col("ws_tokens"),
             col("epoch"), col("cum_tokens"), col("seq_id"))
           .orderBy("doc_id", "epoch")
+      }),
+
+    // Quality-aware canonicalization (round 13): min-id canonical
+    // (q56/q110) keeps an ARBITRARY cluster member; a curation run
+    // should keep the BEST one — argmax LR score per near-dup cluster
+    // (ties to the lower id). One max-struct aggregate over the
+    // certified pairs->components labeling; the dedup x quality stage
+    // interaction in one query
+    Q("q139_quality_canonical", lrCanonOracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(docs,
+          "doc_id", "text", col("source"), n = 3, threshold = 0.3,
+          maxLenDiff = 20).select("id_a", "id_b")
+        val cc = graft.operators.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+        val scored = graft.operators.QualityClassifier.score(
+            docs, "doc_id", "text", m)
+          .select(col("id").as("node"), round(col("score"), 6).as("rs"))
+        val j = cc.join(scored, Seq("node"))
+        val best = j
+          .withColumn("__k", struct(col("rs"),
+            (-col("node")).as("negid")))
+          .groupBy("component").agg(max(col("__k")).as("__b"))
+          .select(col("component"),
+            (-col("__b.negid")).cast("long").as("canonical_id"))
+        j.join(best, Seq("component"))
+          .select(col("node").as("doc_id"),
+            col("component").cast("long").as("component"),
+            col("rs").as("score"), col("canonical_id"),
+            (col("node") =!= col("canonical_id")).cast("int").as("is_dup"))
+          .orderBy("doc_id")
       })
   )
 
@@ -1171,6 +1204,55 @@ object MlQueries {
              WHEN fr <= ceil(2.0 * n / 3.0) THEN 'middle'
              ELSE 'tail' END AS bucket
       FROM rr ORDER BY doc_id""")
+    }
+  }
+
+  /** q139's oracle: the q56 pairs→closure CTEs + the q97 scoring
+    * fragments, canonical = rank-1 by (score DESC, id) per component
+    * — the same argmax the engine computes as one max-struct. */
+  private def lrCanonOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH RECURSIVE ${lrScoreCtes(m)},
+      ng AS (
+        SELECT doc_id, source, length(text) AS len,
+          list_distinct([array_to_string(t[i:i+2], ' ')
+                         for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+        FROM (SELECT doc_id, source, text,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+              FROM documents)),
+      pairs AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+            CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS jaccard
+          FROM ng a JOIN ng b ON a.source = b.source AND a.doc_id < b.doc_id
+            AND abs(a.len - b.len) <= 20
+            AND len(a.g) + len(b.g) > 0) p
+        WHERE jaccard >= 0.3),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT a AS n FROM edges),
+      reach(node, lab) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT e.a, r.lab FROM edges e JOIN reach r ON r.node = e.b),
+      cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+      sc2 AS (SELECT doc_id AS node, round(score, 6) AS rs FROM sc),
+      j AS (SELECT cc.node, cc.component, sc2.rs
+            FROM cc JOIN sc2 USING (node)),
+      best AS (
+        SELECT component, node AS canonical_id FROM (
+          SELECT component, node,
+            row_number() OVER (PARTITION BY component
+                               ORDER BY rs DESC, node) AS rk
+          FROM j) b WHERE rk = 1)
+      SELECT j.node AS doc_id, CAST(j.component AS BIGINT) AS component,
+        j.rs AS score, CAST(best.canonical_id AS BIGINT) AS canonical_id,
+        CAST(CASE WHEN j.node <> best.canonical_id THEN 1 ELSE 0 END AS INT) AS is_dup
+      FROM j JOIN best USING (component) ORDER BY doc_id""")
     }
   }
 

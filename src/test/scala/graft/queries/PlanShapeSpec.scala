@@ -383,4 +383,30 @@ class PlanShapeSpec extends SparkSpec {
     // only joins are the two bounded size lookups
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("q124/q131: evaluation tier ranks without a corpus-wide window") {
+    // the AUC rank-sum and the ROC cumulative counts ride the
+    // distributed prefix sum — the executed plans must contain NO
+    // Window node at all (a bare `rank() OVER (ORDER BY ...)` would
+    // appear as a single-partition WindowExec)
+    for (q <- Seq("q124_classifier_roc", "q131_roc_curve")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q plans a Window:\n$p")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q135/q137: percentile tier has no per-stratum Window; threshold broadcasts") {
+    val df = SparkEntry.queries("q135_length_percentiles")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"q135 plans a Window:\n$p")
+    val df2 = SparkEntry.queries("q137_adaptive_length_filter")(spark, sf)
+    df2.collect()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      "q137's threshold join should broadcast:\n" + p2)
+  }
 }
