@@ -80,8 +80,12 @@ object CorpusStats {
                        qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
+    // NULL values are excluded BEFORE ranking — otherwise they would
+    // occupy low ranks (Spark sorts NULLs first ascending), inflate n,
+    // and silently shift every ceil(q*n) pick
     val ranked = Sampling.stratumRank(
-      df.select(col(strataCol), col(valueCol).cast("long").as("__v")),
+      df.select(col(strataCol), col(valueCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull),
       strataCol, Seq(col("__v").asc), "__rk", "__n")
     val picks = qs.map { q =>
       max(when(col("__rk") === ceil(col("__n") * lit(q)), col("__v")))
@@ -110,7 +114,11 @@ object CorpusStats {
   def kmvDistinct(df: DataFrame, item: Column, k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
     val num = (k - 1).toDouble * 4294967296.0
+    // NULL items hash to NULL and would sort FIRST in Spark's
+    // ascending order but LAST in a replaying engine's default —
+    // exclude them explicitly (a NULL is not an item)
     df.select(TextFunctions.portableHash32(item.cast("string")).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
       .orderBy(col("h").asc).limit(k)
       .agg(count(lit(1)).as("n_tracked"), max("h").as("kth_hash"))

@@ -38,13 +38,17 @@ object Evaluation {
     * row: (n_pos, n_neg, auc); `auc` is NULL when either class is
     * empty (undefined, not 0/0).
     *
-    * @param labelCol 1/true = positive; cast to int internally
+    * @param labelCol 1/true = positive; cast to int internally.
+    *                 NULL labels count as NEGATIVE (explicitly, via
+    *                 coalesce — not by falling out of one aggregate
+    *                 and not another)
     */
   def aucByRank(scored: DataFrame, scoreCol: String, labelCol: String)
       : DataFrame = {
     val per = scored
       .select(col(scoreCol).as("__s"),
-        col(labelCol).cast("int").cast("long").as("__l"))
+        coalesce(col(labelCol).cast("int").cast("long"), lit(0L))
+          .as("__l"))
       .groupBy("__s")
       .agg(count(lit(1)).as("__c"), sum("__l").as("__p"))
     // distributed prefix count over ascending score: cum_tokens is the
@@ -83,7 +87,8 @@ object Evaluation {
       : DataFrame = {
     val per = scored
       .select(col(scoreCol).as("score"),
-        col(labelCol).cast("int").cast("long").as("__l"))
+        coalesce(col(labelCol).cast("int").cast("long"), lit(0L))
+          .as("__l"))
       .groupBy("score")
       .agg(count(lit(1)).as("__c"), sum("__l").as("__p"))
       .withColumn("__neg", col("__c") - col("__p"))
@@ -124,7 +129,10 @@ object Evaluation {
       spark.createDataFrame(thresholds.map(Tuple1(_))).toDF("threshold"))
     scored
       .select(col(scoreCol).as("__s"),
-        col(labelCol).cast("int").cast("long").as("__l"))
+        // NULL label = negative, consistently across all four cells
+        // (a raw NULL would drop the row from tp but ALSO from fp/tn)
+        coalesce(col(labelCol).cast("int").cast("long"), lit(0L))
+          .as("__l"))
       .crossJoin(th)
       .groupBy("threshold")
       .agg(

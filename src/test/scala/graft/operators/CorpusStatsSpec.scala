@@ -202,6 +202,10 @@ class CorpusStatsSpec extends SparkSpec {
     val dup = ((1 to 50) ++ (1 to 50)).map(i => s"d$i").toDF("g")
     assert(CorpusStats.kmvDistinct(dup, col("g"), 256)
       .head().getDouble(2) === 50.0)
+    // NULL items are not items
+    val withNull = (Seq("x", null, "y"): Seq[String]).toDF("g")
+    assert(CorpusStats.kmvDistinct(withNull, col("g"), 256)
+      .head().getDouble(2) === 2.0)
   }
 
   test("exactPercentiles == nearest-rank on the sorted stratum, ties included") {
@@ -221,6 +225,15 @@ class CorpusStatsSpec extends SparkSpec {
       assert(got(s) === ((sorted.size.toLong, nr(0.25), nr(0.5), nr(0.9),
         nr(1.0))), s)
     }
+    // NULL values are excluded before ranking (they must not inflate
+    // n or shift the ceil(q*n) picks)
+    val withNull = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(3L)),
+      ("a", java.lang.Long.valueOf(2L)))
+    val gn = graft.operators.CorpusStats.exactPercentiles(
+      withNull.toDF("src", "v"), "v", "src", Seq(0.5)).head()
+    assert(gn.getLong(1) === 3L && gn.getLong(2) === 2L) // n=3, p50=2
   }
 
   test("zipfSpectrum: Zipf-like decay is negative and partition-independent") {

@@ -44,6 +44,25 @@ class EvaluationSpec extends SparkSpec {
     assert(auc(Seq((0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0))) === 0.5)
   }
 
+  test("NULL labels count as negatives in every cell, consistently") {
+    val rows = Seq(
+      (0.9, java.lang.Integer.valueOf(1)),
+      (0.8, null.asInstanceOf[java.lang.Integer]),   // negative by rule
+      (0.2, java.lang.Integer.valueOf(0)))
+    val a = Evaluation.aucByRank(rows.toDF("s", "l"), "s", "l").head()
+    assert(a.getLong(0) === 1L && a.getLong(1) === 2L)
+    assert(a.getDouble(2) === 1.0)
+    val c = Evaluation.confusionAtThresholds(rows.toDF("s", "l"),
+      "s", "l", Seq(0.5)).head()
+    // cells must sum to n: tp=1 fp=1 fn=0 tn=1
+    assert((c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4)) ===
+      ((1L, 1L, 0L, 1L)))
+    val r = Evaluation.rocCurve(rows.toDF("s", "l"), "s", "l")
+      .orderBy("score").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ===
+      Seq((1L, 2L), (1L, 1L), (1L, 0L))) // ascending score
+  }
+
   test("aucByRank: empty class -> NULL auc, counts still reported") {
     val got = Evaluation.aucByRank(
       Seq((0.3, 1), (0.7, 1)).toDF("s", "l"), "s", "l").head()
