@@ -149,6 +149,10 @@ class Library(val spark: SparkSession, val warehouse: String,
     rewrite("documents", spark.read.parquet(path("documents"))
       .join(broadcast(docT), Seq("id"), "left_anti"))
     removeFromVectorIndex(chunkT)
+    // the warm HNSW graph may hold just-retired nodes; drop it so the
+    // next hnswSearch reloads against the compacted embeddings (the
+    // persisted edge table stays — fromDF skips dead ids; ADVICE r13)
+    hnswCache = None
     graft.util.TableSwap.delete(fs, new HPath(path("tombstones")))
   }
 
@@ -497,17 +501,23 @@ class Library(val spark: SparkSession, val warehouse: String,
         val meta = spark.read.parquet(path("embeddings_hnsw_meta")).head()
         val idRows = spark.read.parquet(path("embeddings_hnsw_ids"))
           .orderBy("sid").select("chunkId").as[String].collect()
-        // vectors from the live embeddings table, keyed back to sids
+        // vectors from the live embeddings table, keyed back to sids —
+        // the LIVE set drives the graph: after a physical delete fromDF
+        // drops the retired nodes/edges (ADVICE r13); if nothing built
+        // at index time survives, fall back to exact search instead
         val cidToSid = idRows.zipWithIndex
           .map { case (c, i) => c -> i.toLong }.toMap
         val vecs = spark.read.parquet(path("embeddings"))
           .select("chunkId", "embedding").as[(String, Array[Float])]
           .collect().flatMap { case (c, v) => cidToSid.get(c).map(_ -> v) }
-        val g = graft.operators.Hnsw.fromDF(
-          spark.read.parquet(path("embeddings_hnsw")), vecs.toSeq,
-          meta.getInt(0), meta.getInt(1), meta.getLong(2))
-        hnswCache = Some((g, idRows))
-        hnswCache
+        if (vecs.isEmpty) None
+        else {
+          val g = graft.operators.Hnsw.fromDF(
+            spark.read.parquet(path("embeddings_hnsw")), vecs.toSeq,
+            meta.getInt(0), meta.getInt(1), meta.getLong(2))
+          hnswCache = Some((g, idRows))
+          hnswCache
+        }
       }
     }
 
@@ -931,6 +941,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     rewrite("chunks", chunks.filter(col("docId") =!= id))
     rewrite("documents", documents.filter(col("id") =!= id))
     removeFromVectorIndex(deadChunks)
+    hnswCache = None // same invalidation as compactTombstones (ADVICE r13)
   }
 
   /** S14: tag update via column rewrite. */

@@ -222,9 +222,18 @@ object Hnsw {
     }.toDF("id", "level", "layer", "nbrs")
   }
 
-  /** Rebuild the in-memory graph from the edge table + vectors. */
+  /** Rebuild the in-memory graph from the edge table + vectors. The
+    * VECTORS define the live node set: edge rows (and neighbor ids)
+    * referencing ids absent from `vectors` are skipped, so a persisted
+    * graph stays servable after physical deletes shrink the embeddings
+    * table (ADVICE r13 — this used to throw NoSuchElementException at
+    * the idx lookup on the first cold load after a compaction). Deleted
+    * bridge nodes can cost some recall until the index is rebuilt;
+    * correctness is unaffected (search still verifies true distances).
+    * Callers must pass a non-empty `vectors`. */
   def fromDF(edges: DataFrame, vectors: Seq[(Long, Array[Float])],
              m: Int, efConstruction: Int, seed: Long): Graph = {
+    require(vectors.nonEmpty, "Hnsw.fromDF needs at least one live vector")
     val sorted = vectors.sortBy(_._1).toArray
     val ids = sorted.map(_._1)
     val vecs = sorted.map(_._2)
@@ -232,12 +241,13 @@ object Hnsw {
     val rows = edges.select("id", "level", "layer", "nbrs").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
         r.getSeq[Long](3).toArray))
+      .filter { case (id, _, _, _) => idx.contains(id) }
     val maxLevel = if (rows.isEmpty) 0 else rows.map(_._3).max
     val levels = new Array[Int](ids.length)
     rows.foreach { case (id, lv, _, _) => levels(idx(id)) = lv }
     val adj = Array.fill(maxLevel + 1, ids.length)(Array.empty[Int])
     rows.foreach { case (id, _, layer, ns) =>
-      adj(layer)(idx(id)) = ns.map(idx(_))
+      adj(layer)(idx(id)) = ns.collect { case n if idx.contains(n) => idx(n) }
     }
     val entry = levels.zipWithIndex
       .maxBy { case (lv, i) => (lv, -ids(i)) }._2

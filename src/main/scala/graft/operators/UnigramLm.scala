@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * tie-break — zero float accumulation freedom, and the DuckDB oracle
   * replays the exact DP over a literal piece table
   * ([[oracleSql]]: a recursive-CTE Viterbi with the combined
-  * `cost*1000 + n` key; words must be shorter than 1000 codepoints for
-  * the packing, which whitespace tokens are).
+  * `cost*2^20 + n` key). The packing requires words shorter than 2^20
+  * codepoints (guarded loudly in [[viterbi]]/[[segment]] — real corpora
+  * DO contain 1000+-codepoint unbroken tokens, base64 blobs and URLs,
+  * which the former *1000 packing silently mod-wrapped; ADVICE r13).
   *
   * Training loop (alternating Viterbi-EM and pruning, all
   * deterministic):
@@ -52,6 +54,19 @@ object UnigramLm {
 
   val CostScale: Double = 10000.0
 
+  /** Radix of the combined Viterbi key `cost*Pack + nPieces`. 2^20 keeps
+    * the count field intact for words up to ~1M codepoints (vs the old
+    * 1000, which a long base64 token overran silently), while the cost
+    * field stays overflow-free: worst-case cost ≤ n·UnkCost, so
+    * key ≤ 2^20·2^20·10^6 < 2^63 within the guarded range. */
+  val Pack: Long = 1L << 20
+
+  private def guardLen(n: Int, word: String): Unit =
+    require(n < Pack,
+      s"unigram Viterbi word of $n codepoints exceeds the key packing " +
+        s"limit ($Pack); pre-split pathological tokens before tokenizing " +
+        s"(head: ${word.take(40)}...)")
+
   private def cps(word: String): Array[String] = {
     val a = word.codePoints().toArray
     Array.tabulate(a.length)(i => new String(a, i, 1))
@@ -60,13 +75,14 @@ object UnigramLm {
   /** Integer Viterbi over codepoints: minimal (cost, nPieces) lexical
     * pair; unknown single codepoints cost [[UnkCost]]. Returns
     * (totalCost, nTokens). Matches the oracle DP exactly (combined
-    * key = cost*1000 + n). */
+    * key = cost*[[Pack]] + n, length-guarded). */
   def viterbi(word: String, costs: java.util.HashMap[String, Long],
               maxPieceLen: Int): (Long, Int) = {
     val c = cps(word)
     val n = c.length
     if (n == 0) return (0L, 0)
-    val dp = new Array[Long](n + 1) // combined key cost*1000 + n
+    guardLen(n, word)
+    val dp = new Array[Long](n + 1) // combined key cost*Pack + n
     var i = 1
     while (i <= n) {
       var best = Long.MaxValue
@@ -76,7 +92,7 @@ object UnigramLm {
         val pc = costs.getOrDefault(sub, -1L)
         val stepCost = if (pc >= 0) pc else if (l == 1) UnkCost else -1L
         if (stepCost >= 0) {
-          val k = (dp(i - l) / 1000 + stepCost) * 1000 + (dp(i - l) % 1000 + 1)
+          val k = (dp(i - l) / Pack + stepCost) * Pack + (dp(i - l) % Pack + 1)
           if (k < best) best = k
         }
         l += 1
@@ -84,7 +100,7 @@ object UnigramLm {
       dp(i) = best
       i += 1
     }
-    (dp(n) / 1000, (dp(n) % 1000).toInt)
+    (dp(n) / Pack, (dp(n) % Pack).toInt)
   }
 
   /** Train the piece vocabulary over `textCol`'s whitespace-lowercase
@@ -177,6 +193,7 @@ object UnigramLm {
     val c = cps(word)
     val n = c.length
     if (n == 0) return Seq.empty
+    guardLen(n, word)
     val dp = new Array[Long](n + 1)
     val back = new Array[Int](n + 1)
     var i = 1
@@ -189,7 +206,7 @@ object UnigramLm {
         val pc = costs.getOrDefault(sub, -1L)
         val stepCost = if (pc >= 0) pc else if (l == 1) UnkCost else -1L
         if (stepCost >= 0) {
-          val k = (dp(i - l) / 1000 + stepCost) * 1000 + (dp(i - l) % 1000 + 1)
+          val k = (dp(i - l) / Pack + stepCost) * Pack + (dp(i - l) % Pack + 1)
           if (k < best) { best = k; bestL = l }
         }
         l += 1
@@ -218,7 +235,7 @@ object UnigramLm {
   }
 
   /** DuckDB oracle: the integer Viterbi DP as a recursive CTE over the
-    * DISTINCT word vocab (combined `cost*1000 + n` key — prototype-
+    * DISTINCT word vocab (combined `cost*Pack + n` key — prototype-
     * validated), pieces as a literal VALUES table, token counts joined
     * back to per-doc word occurrences (the q116 shape). */
   /** The shared integer-Viterbi CTE block (recursive DP over distinct
@@ -246,16 +263,16 @@ object UnigramLm {
         SELECT s.w, s.i + 1, list_append(s.dp, best.k)
         FROM step s,
         LATERAL (
-          SELECT min((s.dp[s.i + 2 - l.l] // 1000 +
+          SELECT min((s.dp[s.i + 2 - l.l] // ${Pack} +
                       coalesce((SELECT c FROM pieces pc
                                 WHERE pc.p = substr(s.w, s.i + 2 - l.l, l.l)),
-                               CASE WHEN l.l = 1 THEN ${UnkCost} END)) * 1000
-                     + (s.dp[s.i + 2 - l.l] % 1000 + 1)) AS k
+                               CASE WHEN l.l = 1 THEN ${UnkCost} END)) * ${Pack}
+                     + (s.dp[s.i + 2 - l.l] % ${Pack} + 1)) AS k
           FROM lens l WHERE l.l <= s.i + 1
         ) best
         WHERE s.i < length(s.w)),
       tok AS (
-        SELECT w, dp[length(w) + 1] % 1000 AS nt
+        SELECT w, dp[length(w) + 1] % ${Pack} AS nt
         FROM step WHERE i = length(w)),
       t AS (SELECT w.id, tok.nt FROM w JOIN tok ON tok.w = w.w),
       ulm AS (

@@ -65,8 +65,11 @@ object VectorSearch {
     * order a diversified result page renders. `id` keeps the input
     * column's type (long/int/string/… — ADVICE r12: this used to
     * hard-code Long and ClassCastException on anything else); ties in
-    * MMR score break to the id that topK's (cos desc, id asc) order
-    * ranked first. */
+    * MMR score break to the LOWEST id regardless of relevance — the
+    * q113 oracle's per-pick `ORDER BY sc DESC, id LIMIT 1` semantics
+    * (ADVICE r13: the doc used to claim topK-order tie-breaking, which
+    * diverges from `idLt` once picks past the first can tie on score
+    * with different rel). */
   def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, shortlist: Int = 50,
               lambda: Double = 0.7): DataFrame = {

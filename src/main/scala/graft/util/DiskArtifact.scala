@@ -9,18 +9,33 @@ import org.apache.spark.sql.functions._
   * artifact path, and a corpus rewrite lands on a different path that
   * does not exist yet → rebuild (VERDICT r12 #7).
   *
-  * The stamp is one cheap distributed pass: count + an order-independent
-  * bit_xor of xxhash64 over the stamped columns (xor is commutative and
-  * overflow-free under ANSI mode; count disambiguates the xor's
-  * even-multiplicity blind spot). */
+  * The stamp is one cheap distributed pass combining THREE independent
+  * order-insensitive aggregates of xxhash64 over the stamped columns:
+  * bit_xor, a sum modulo the Mersenne prime 2^61-1, and count. xor
+  * alone has a structured even-multiplicity blind spot (replacing a
+  * duplicated pair {x,x} with {y,y} leaves xor AND count unchanged —
+  * realistic for duplicated docs); the modular sum closes it: in the
+  * odd-order group Z/(2^61-1) a pair replacement shifts the sum by
+  * 2(y-x) ≠ 0 whenever x ≠ y mod p, so a surviving collision needs
+  * simultaneous xor and sum collisions (~2^-125). The sum accumulates
+  * as decimal(38,0) because ANSI mode makes a long `sum` of 2^61-sized
+  * values throw on overflow after a handful of rows. */
 object DiskArtifact {
 
-  /** Content fingerprint of `df` over `cols` — hex "sum-count". */
+  /** 2^61 - 1 — Mersenne prime modulus for the additive stamp half. */
+  private val P = 2305843009213693951L
+
+  /** Content fingerprint of `df` over `cols` — hex "xor-sum-count". */
   def corpusStamp(df: DataFrame, cols: String*): String = {
     val r = df.select(xxhash64(cols.map(col): _*).as("h"))
-      .agg(expr("bit_xor(h)").as("h"), count(lit(1)).as("n")).head()
-    val h = if (r.isNullAt(0)) 0L else r.getLong(0)
-    java.lang.Long.toHexString(h) + "-" + r.getLong(1)
+      .agg(expr("bit_xor(h)").as("x"),
+        sum(pmod(col("h"), lit(P)).cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("n")).head()
+    val x = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val s = if (r.isNullAt(1)) 0L
+      else (BigInt(r.getDecimal(1).toBigInteger) mod BigInt(P)).toLong
+    java.lang.Long.toHexString(x) + "-" +
+      java.lang.Long.toHexString(s) + "-" + r.getLong(2)
   }
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -52,6 +52,53 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("fromDF tolerates ids missing from the vector set (ADVICE r13)") {
+    val sub = vectors.take(400).toSeq
+    val g = Hnsw.build(sub, m = 8, efConstruction = 60)
+    val edges = Hnsw.toDF(spark, g) // references every build-time id
+    // physically delete 1 in 4 vectors, including whatever holds the
+    // top level: the stale edge table must load against the survivors
+    val live = sub.zipWithIndex.collect { case (v, i) if i % 4 != 0 => v }
+    val g2 = Hnsw.fromDF(edges, live, g.m, g.efConstruction, g.seed)
+    val liveIds = live.map(_._1).toSet
+    live.take(10).foreach { case (_, q) =>
+      val got = Hnsw.searchKnn(g2, q, 8)
+      assert(got.nonEmpty && got.forall { case (id, _) => liveIds(id) })
+    }
+    // empty survivor set fails loudly instead of a maxBy crash
+    intercept[IllegalArgumentException] {
+      Hnsw.fromDF(edges, Seq.empty, g.m, g.efConstruction, g.seed)
+    }
+  }
+
+  test("cold hnswSearch works after removeDocumentFast + compactTombstones (ADVICE r13)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnsw3").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 30).map(i => (s"/hc/doc$i.md",
+      s"# Doc$i\n" + (s"compaction survivor corpus text $i search body. " * 6)))
+      .toDS())
+    lib.buildHnswIndex(m = 8, efConstruction = 80)
+    val qv = lib.embedder.embed("corpus text search")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("docId")).toSeq
+    val before = ids(lib.hnswSearch(qv, SearchOptions(limit = 6), ef = 128))
+    val victim = before.head
+    lib.removeDocumentFast(victim)
+    lib.compactTombstones() // physical delete: embeddings rows are GONE
+    // compaction cleared the warm cache, so this load is cold against
+    // the stale persisted edge table — the r13 crash path
+    val after = ids(lib.hnswSearch(qv, SearchOptions(limit = 6), ef = 128))
+    assert(after.nonEmpty && !after.contains(victim), s"after=$after")
+    // the exact path agrees the victim is gone
+    assert(!ids(lib.vectorSearch(qv, SearchOptions(limit = 6)))
+      .contains(victim))
+    // removeDocument (the rewrite path) also invalidates the warm graph
+    val victim2 = after.head
+    lib.removeDocument(victim2)
+    val after2 = ids(lib.hnswSearch(qv, SearchOptions(limit = 6), ef = 128))
+    assert(!after2.contains(victim2), s"after2=$after2")
+  }
+
   test("Library facade: hnswSearch ≈ exact vectorSearch; fast-deleted docs drop out") {
     val wh = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
     val lib = new graft.Library(spark, wh)

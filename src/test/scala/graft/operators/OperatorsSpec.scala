@@ -227,6 +227,23 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).distinct.length == 4)
   }
 
+  test("MMR score ties break to the lowest id, not topK order (ADVICE r13)") {
+    // query == first pick, lambda=0.5: every later candidate with
+    // rel == sim-to-picked scores EXACTLY 0.5*(rel - rel) = 0.0, so ids
+    // 2 (rel 0) and 3 (rel 1/sqrt(2)) tie on MMR score with different
+    // relevance. The q113 oracle's `ORDER BY sc DESC, id` picks id 2;
+    // topK-order tie-breaking (the old docstring) would pick id 3.
+    val docs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f))).toDF("id", "v")
+    val out = VectorSearch.mmrTopK(docs, "id", "v",
+        Seq(1.0f, 0.0f, 0.0f, 0.0f), k = 2, shortlist = 3, lambda = 0.5)
+      .collect().sortBy(_.getInt(3)).map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L), s"got ${out.toSeq}")
+    assert(out(1)._2 === 0.0) // the tie really was at exactly 0.0
+  }
+
   test("MMR re-ranking accepts non-Long ids (ADVICE r12) and preserves the type") {
     val docs = Seq(
       ("doc-a", Array(1.00f, 0.0f, 0.00f)),

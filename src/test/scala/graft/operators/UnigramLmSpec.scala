@@ -42,6 +42,25 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("1000+-codepoint words count exactly; the packing limit fails loudly") {
+    // ADVICE r13: the old cost*1000+n key silently mod-wrapped the token
+    // count once a word hit 1000 codepoints (base64 blobs, URLs). Under
+    // the 2^20 packing a 1500-codepoint unknown-char word counts exactly.
+    val costs = costMap(Seq("a" -> 10L, "aa" -> 15L))
+    val blob = "x" * 1500 // every step is the UnkCost single-codepoint path
+    assert(UnigramLm.viterbi(blob, costs, 3) ===
+      ((1500L * UnigramLm.UnkCost, 1500)))
+    assert(UnigramLm.segment(blob, costs, 3).length === 1500)
+    // known pieces at length >= 1000: 1200 'a's = 600 "aa" pieces
+    val as = "a" * 1200
+    assert(UnigramLm.viterbi(as, costs, 3) === ((600L * 15L, 600)))
+    // at/above the packing radix the guard fires instead of corrupting
+    val tooLong = "y" * UnigramLm.Pack.toInt
+    intercept[IllegalArgumentException] {
+      UnigramLm.viterbi(tooLong, costs, 3)
+    }
+  }
+
   test("training: deterministic, char coverage, vocab budget respected") {
     val df = spark.read.parquet(s"$sf/customer.parquet")
       .select(org.apache.spark.sql.functions.col("c_name").as("text"))

@@ -21,6 +21,13 @@ class DiskArtifactSpec extends SparkSpec {
       (1L, "alpha"), (1L, "alpha")).toDF("id", "t")
     assert(DiskArtifact.corpusStamp(a, "id", "t")
       !== DiskArtifact.corpusStamp(dup, "id", "t"))
+    // the xor-only blind spot (ADVICE r13): replacing an even-multiplicity
+    // pair {x,x} with {y,y} keeps xor AND count identical — the modular
+    // sum half of the stamp must still tell them apart
+    val xx = Seq((1L, "alpha"), (7L, "dup"), (7L, "dup")).toDF("id", "t")
+    val yy = Seq((1L, "alpha"), (9L, "other"), (9L, "other")).toDF("id", "t")
+    assert(DiskArtifact.corpusStamp(xx, "id", "t")
+      !== DiskArtifact.corpusStamp(yy, "id", "t"))
   }
 
   test("corpus rewrite changes the stamp and rebuilds; unchanged corpus reuses") {
