@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.util.Materialize.MatOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over corpus-derived graphs (Page et al. 1999 —
+  * "The PageRank Citation Ranking"): the curation signal web-corpus
+  * pipelines propagate over link or similarity structure (a page linked
+  * from / similar to high-quality pages is probably higher-quality than
+  * its surface features alone suggest — the graph-side complement to
+  * the per-document classifier tier).
+  *
+  * The rank runs in INTEGER micro-units (the [[LangId]] discipline):
+  * total mass starts at `Scale` = 10^12, every transfer is a
+  * left-to-right long division, sums are exact long sums — zero float
+  * accumulation freedom, so a DuckDB oracle replays each iteration
+  * bit-for-bit (integer division loses a bounded remainder per edge;
+  * that mass evaporates identically on both engines).
+  *
+  * Scale shape: one shuffle per iteration, carrying (id, score) pairs
+  * keyed by edge endpoints — never text, never vectors. Iterations are
+  * a fixed small constant (rank stabilizes in O(10) rounds at damping
+  * 0.85), so the job count is bounded. The out-degree table is computed
+  * once and co-shuffled with the edges. Dangling mass (nodes with no
+  * out-edges) evaporates — the standard simplification; kNN-derived
+  * graphs have uniform out-degree k, so there it changes nothing.
+  */
+object GraphRank {
+
+  /** Total integer mass: scores are micro-units of 10^-12 of the graph. */
+  val Scale: Long = 1000000000000L
+
+  /** Fixed-round integer PageRank.
+    *
+    * @param nodes (idCol) — every rankable node (isolated ones included)
+    * @param edges (srcCol, dstCol) directed; parallel edges count twice
+    * @param rounds fixed iteration count (both engines unroll the same)
+    * @param dampNum/dampDen damping as a rational (85/100 = the classic
+    *        0.85) so the transfer stays in integers
+    * Output: (id, score) — score in micro-units, exact long.
+    */
+  def pagerank(nodes: DataFrame, idCol: String,
+               edges: DataFrame, srcCol: String, dstCol: String,
+               rounds: Int, dampNum: Long = 85L, dampDen: Long = 100L)
+      : DataFrame = {
+    require(rounds >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val n = ids.count()
+    require(n > 0, "pagerank needs at least one node")
+    val init = Scale / n
+    val base = Scale / n * (dampDen - dampNum) / dampDen
+    val deg = edges.groupBy(col(srcCol).as("id"))
+      .agg(count(lit(1)).as("__deg"))
+    // (src, dst, outdeg) computed once; every round re-joins scores only
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("__dst"))
+      .join(deg, Seq("id"))
+      .materializeOnce(eager = false)
+    var s = ids.withColumn("score", lit(init))
+    var r = 0
+    while (r < rounds) {
+      // `div` = integer division (long / long in Spark SQL is DOUBLE);
+      // left-to-right: (score*num) div den div deg, same as the oracle
+      val contrib = e.join(s, Seq("id"))
+        .select(col("__dst").as("id"),
+          expr(s"score * $dampNum div $dampDen div __deg").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__in"))
+      s = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("score"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    s
+  }
+
+  /** Directed exact-kNN similarity graph over an embedding column:
+    * node → its `k` nearest by (cosine desc, id asc), self excluded —
+    * [[VectorSearch.topKBatch]]'s corpus×broadcast-batch shape with the
+    * corpus as its own query batch, but with a MAP-SIDE partial top-k:
+    * when the query batch is corpus-sized, the ranking window would
+    * shuffle all N²cosine-scored rows; instead each task keeps a
+    * bounded (cos desc, id asc) heap of k survivors per query, so the
+    * shuffle carries ≤ k·N·partitions rows and the final per-query
+    * window ranks pre-reduced locals — exact, because a global top-k
+    * is the top-k of per-partition top-ks. Exact all-pairs is the
+    * CERTIFICATION shape; at 100 TB the candidate generation swaps to
+    * the IVF probe or SRP-banded pairs with this same (src, dst)
+    * contract. Output: (src, dst, cos_sim). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val queries = df.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val scored = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(queries))
+      .filter(col("__id") =!= col("__qid"))
+      .select(col("__qid"), col("__id"),
+        graft.plans.CosineSimilarity(col("__v"), col("__qv")).as("cos_sim"))
+    val schema = scored.schema
+    // local phase: bounded heap of k best (cos desc, id asc) per query
+    val local = scored.mapPartitions { it =>
+      val best = new java.util.HashMap[Any,
+        scala.collection.mutable.ArrayBuffer[(Any, Double)]]()
+      it.foreach { r =>
+        val q = r.get(0); val id = r.get(1); val c = r.getDouble(2)
+        val buf = best.computeIfAbsent(q,
+          _ => scala.collection.mutable.ArrayBuffer.empty[(Any, Double)])
+        buf += ((id, c))
+        if (buf.length > 4 * k) {
+          val trimmed = buf.sortBy { case (i, cc) => (-cc, longOf(i)) }.take(k)
+          buf.clear(); buf ++= trimmed
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      best.forEach { (q, buf) =>
+        buf.sortBy { case (i, cc) => (-cc, longOf(i)) }.take(k)
+          .foreach { case (id, c) => out += Row(q, id, c) }
+      }
+      out.iterator
+    }(Encoders.row(schema))
+    // global phase: the usual per-query ranking window, now over
+    // k·partitions rows per query instead of N
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(desc("cos_sim"), asc("__id"))
+    local.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("__qid").as("src"), col("__id").as("dst"), col("cos_sim"))
+  }
+
+  private def longOf(a: Any): Long = a match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case _ => throw new IllegalArgumentException(
+      s"knnGraph id tie-break supports integral ids, got ${a.getClass}")
+  }
+
+  /** The DuckDB replay of [[pagerank]] over a `nodes(id)` /
+    * `edges(src, dst)` CTE pair the caller provides: unrolled
+    * fixed-round blocks, each the same integer arithmetic
+    * (`//` = left-to-right long division). Ends at CTE `pr` =
+    * (id, score). */
+  def oracleSqlCtes(rounds: Int, dampNum: Long = 85L,
+                    dampDen: Long = 100L): String = {
+    val keep = dampDen - dampNum
+    val steps = (1 to rounds).map { i => s"""
+      c$i AS (
+        SELECT e.dst AS id,
+          CAST(sum(p.score * $dampNum // $dampDen // d.deg) AS BIGINT) AS s
+        FROM edges e
+        JOIN r${i - 1} p ON p.id = e.src
+        JOIN deg d ON d.id = e.src
+        GROUP BY e.dst),
+      r$i AS (
+        SELECT n.id, nn.base + coalesce(c.s, 0) AS score
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN c$i c ON c.id = n.id)"""
+    }.mkString(",")
+    s"""nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          ${Scale}::BIGINT // CAST(count(*) AS BIGINT) AS init,
+          ${Scale}::BIGINT // CAST(count(*) AS BIGINT)
+            * $keep // $dampDen AS base
+        FROM nodes),
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src),
+      r0 AS (SELECT id, nn.init AS score FROM nodes, nn),$steps,
+      pr AS (SELECT id, score FROM r$rounds)"""
+  }
+}

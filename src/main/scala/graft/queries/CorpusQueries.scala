@@ -1149,6 +1149,38 @@ object CorpusQueries {
           .select(col("doc_id"), col("source"), col("n_chars"),
             col("threshold"))
           .orderBy("doc_id")
+      }),
+
+    // Graph centrality over the embedding kNN graph (round 14): the
+    // quality-propagation signal web-corpus curation runs over link /
+    // similarity structure (PageRank, Page et al. 1999). The rank is
+    // INTEGER micro-unit arithmetic end to end (GraphRank.Scale mass,
+    // left-to-right long division per transfer, exact long sums), so
+    // the oracle's 5 unrolled rounds replay bit-for-bit — the output
+    // is all BIGINT, no float column at all. Graph = exact kNN
+    // (k=8, cos desc) from ONE corpus-scan batch; the 100 TB candidate
+    // path swaps in the IVF probe with the same edge contract
+    Q("q140_knn_pagerank", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.oracleSqlCtes(rounds = 5)}
+      SELECT id AS vec_id, score FROM pr
+      ORDER BY score DESC, id LIMIT 20"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        GraphRank.pagerank(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 5)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(20)
       })
   )
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank (Page et al. 1999) + the kNN similarity graph:
+  * hand-computed tiny graphs, mass-conservation bounds, determinism
+  * under repartitioning, and the kNN edge contract. */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = GraphRank.Scale
+
+  test("uniform cycle stays uniform; every round replays the hand arithmetic") {
+    // 1→2→3→1, outdeg 1 everywhere: by symmetry all scores stay equal,
+    // and each round is exactly s' = base + (s*85 div 100)
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    var expect = S / 3
+    val base = S / 3 * 15 / 100
+    for (r <- 1 to 4) {
+      val got = GraphRank.pagerank(nodes, "id", edges, "src", "dst", rounds = r)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      expect = base + expect * 85 / 100
+      assert(got === Map(1L -> expect, 2L -> expect, 3L -> expect),
+        s"round $r")
+    }
+  }
+
+  test("hub collects mass; totals never exceed Scale; isolated node keeps base") {
+    // 2,3,4 all point at 1; 1 points at 2; 5 is isolated (teleport only)
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val pr = GraphRank.pagerank(nodes, "id", edges, "src", "dst", rounds = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val base = S / 5 * 15 / 100
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L), s"hub order: $pr")
+    assert(pr(3L) === pr(4L)) // symmetric spokes tie exactly
+    assert(pr(5L) === base)   // no in-edges: teleport share only
+    assert(pr.values.sum <= S) // integer division only loses mass
+    assert(pr.values.forall(_ >= base))
+  }
+
+  test("pagerank is partitioning-invariant (exact integer sums)") {
+    val nodes = (1L to 40L).toDF("id")
+    val edges = (1L to 40L).flatMap(i =>
+      Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1), ((i * 3) % 40 + 1, i)))
+      .toDF("src", "dst")
+    val a = GraphRank.pagerank(nodes, "id", edges, "src", "dst", rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = GraphRank.pagerank(nodes.repartition(7), "id",
+        edges.repartition(11), "src", "dst", rounds = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("knnGraph: out-degree k, no self-edges, neighbors are the true top-k") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val k = 5
+    val g = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val n = emb.count()
+    assert(g.length === n * k)
+    assert(g.forall { case (s, d, _) => s != d })
+    assert(g.groupBy(_._1).forall { case (_, es) =>
+      es.map(_._2).distinct.length == k })
+    // spot-check one node against a driver-side brute force
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = vecs.keys.min
+    val want = vecs.toSeq.filter(_._1 != probe)
+      .map { case (id, v) => (id, cos(vecs(probe), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    val got = g.filter(_._1 == probe).sortBy(-_._3).map(_._2).toSeq
+    assert(got === want)
+  }
+}
