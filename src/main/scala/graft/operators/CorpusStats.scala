@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
+import graft.util.Materialize.MatOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -126,6 +127,85 @@ object CorpusStats {
         when(col("n_tracked") < k, col("n_tracked").cast("double"))
           .otherwise(lit(num) / col("kth_hash").cast("double"))
           .as("est_distinct"))
+  }
+
+  /** KMV sketch SET ALGEBRA (Beyer et al. 2007, "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations"): per-source
+    * KMV sketches combined pairwise into union / intersection /
+    * Jaccard estimates — the cross-source overlap audit at sketch cost
+    * instead of an exact distinct-join over the token universe.
+    *
+    * For sources a < b with k-min sketches L_a, L_b:
+    *   - the k smallest of L_a ∪ L_b form the union sketch; its k-th
+    *     value h_k gives est_union = (k−1)·2³² / h_k
+    *   - K∩ = |{h in the union sketch : h ∈ L_a ∧ h ∈ L_b}| gives
+    *     jaccard_est = K∩/k and est_intersect = jaccard_est·est_union
+    * Everything is integer ranks and one division over the portable
+    * hash, so the sketch replays exactly in SQL, collisions included.
+    *
+    * Scale shape: the per-source k-min runs through the distributed
+    * prefix rank ([[Sampling.stratumRank]] — never a single-partition
+    * window over a source's distinct hashes); all pairwise algebra
+    * then operates on sketches of ≤ k rows per source (bounded
+    * windows). Sketches degrade to EXACT sets when a source has < k
+    * distinct hashes — the estimators then return exact counts.
+    *
+    * Output per pair: (src_a, src_b, n_common, union_kth, est_union,
+    * jaccard_est, est_intersect). */
+  def kmvPairOverlap(df: DataFrame, sourceCol: String, item: Column,
+                     k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val spark = df.sparkSession
+    val hashes = df
+      .select(col(sourceCol).as("src").cast("string"),
+        TextFunctions.portableHash32(item.cast("string")).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+    // the sketch feeds five plan branches (both pair sides + both
+    // membership probes + the union ranks): pin it once — it is tiny
+    // (≤ k rows per source) and the rank pass shouldn't re-run per branch
+    val sketch = Sampling.stratumRank(hashes, "src",
+        Seq(col("h").asc), "rk", "n")
+      .filter(col("rk") <= k)
+      .select(col("src"), col("h"), col("n").as("n_distinct"))
+      .materializeOnce(eager = false)
+    val a = sketch.select(col("src").as("src_a"), col("h"),
+      col("n_distinct").as("na"))
+    val b = sketch.select(col("src").as("src_b"), col("h"),
+      col("n_distinct").as("nb"))
+    // union sketch per pair: ranks over ≤ 2k rows per pair — bounded
+    val merged = a.select(col("src_a"), col("h"))
+      .join(b.select(col("src_b")).distinct(), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"))
+      .union(
+        b.select(col("src_b"), col("h"))
+          .join(a.select(col("src_a")).distinct(),
+            col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b"), col("h")))
+      .distinct()
+    val w = Window.partitionBy("src_a", "src_b").orderBy(col("h").asc)
+    val unionTop = merged.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val inA = a.select(col("src_a"), col("h")).withColumn("__a", lit(1))
+    val inB = b.select(col("src_b"), col("h")).withColumn("__b", lit(1))
+    val num = (k - 1).toDouble * 4294967296.0
+    unionTop
+      .join(inA, Seq("src_a", "h"), "left")
+      .join(inB, Seq("src_b", "h"), "left")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_tracked"), max("h").as("union_kth"),
+        sum(when(col("__a") === 1 && col("__b") === 1, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        col("union_kth"),
+        when(col("n_tracked") < k, col("n_tracked").cast("double"))
+          .otherwise(lit(num) / col("union_kth").cast("double"))
+          .as("est_union"),
+        // exact-regime denominator: with < k tracked values the union
+        // sketch IS the union, so K∩/n_tracked is the exact Jaccard
+        (col("n_common").cast("double") / col("n_tracked").cast("double"))
+          .as("jaccard_est"))
+      .withColumn("est_intersect", col("jaccard_est") * col("est_union"))
   }
 
   /** Per-stratum tokenizer fertility — the multilingual-bias audit a

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classifier-evaluation aggregates for the model-based curation tier
@@ -151,5 +152,55 @@ object Evaluation {
         when(col("tp") + col("fn") > 0,
           col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
           .as("recall"))
+  }
+
+  /** Rank-based lift/gains table — the classifier report card next to
+    * the ROC: rows ranked by (`scoreCol` desc, `tieCol` asc) split into
+    * `nBins` equal-depth bins (bin = ceil(rank·nBins/n), integer
+    * ceiling division), per bin the positive count, positive rate,
+    * cumulative capture (share of ALL positives found so far down the
+    * ranking) and lift over the base rate.
+    *
+    * Everything before the final ratios is integer: the rank is the
+    * [[Sampling.stratumRank]] distributed prefix rank (never a corpus
+    * window), bin assignment is exact integer arithmetic, and each
+    * ratio is ONE division of exact integer products —
+    * lift = (p·N)/(n·P) as a single divide, NOT (p/n)/(P/N) — so every
+    * value replays bit-identically in SQL. The cumulative pass runs
+    * over ≤ nBins rows (bounded window).
+    *
+    * Rank on the margin `z`, not the sigmoid score, for cross-engine
+    * order stability (the [[aucByRank]] discipline). Output:
+    * (bin, n_docs, positives, pos_rate, cum_capture, lift), bin asc. */
+  def liftTable(scored: DataFrame, scoreCol: String, labelCol: String,
+                tieCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val ranked = Sampling.stratumRank(
+      scored.select(col(scoreCol).as("__s"), col(tieCol).as("__t"),
+        coalesce(col(labelCol).cast("int").cast("long"), lit(0L)).as("__l"))
+        .withColumn("__all", lit("all")),
+      "__all", Seq(col("__s").desc, col("__t").asc), "__rk", "__n")
+    val perBin = ranked
+      .withColumn("bin",
+        expr(s"(__rk * $nBins + __n - 1) div __n")) // ceil(rk*nBins/n)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("__l").as("positives"),
+        max("__n").as("__nt"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin
+      .withColumn("__cum", sum("positives").over(w)) // ≤ nBins rows
+      .crossJoin(broadcast(
+        scored.agg(coalesce(sum(coalesce(col(labelCol).cast("int")
+          .cast("long"), lit(0L))), lit(0L)).as("__tp"))))
+      .select(col("bin"), col("n_docs"), col("positives"),
+        (col("positives").cast("double") / col("n_docs").cast("double"))
+          .as("pos_rate"),
+        when(col("__tp") > 0,
+          col("__cum").cast("double") / col("__tp").cast("double"))
+          .as("cum_capture"),
+        when(col("__tp") > 0,
+          (col("positives") * col("__nt")).cast("double") /
+            (col("n_docs") * col("__tp")).cast("double")).as("lift"))
   }
 }

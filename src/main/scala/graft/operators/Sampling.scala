@@ -2,8 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions.portableHash32
 import graft.util.Materialize.MatOps
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling and splitting.
@@ -171,8 +170,13 @@ object Sampling {
     val schema = ordered.schema
       .add(rankCol, org.apache.spark.sql.types.LongType)
       .add(nCol, org.apache.spark.sql.types.LongType)
-    ordered.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // mapPartitionsWithIndex, NOT TaskContext.getPartitionId: the index
+    // is `ordered`'s own split id, stable no matter what narrow ops a
+    // caller pipelines on top — a downstream union() runs this closure
+    // inside a UnionRDD stage whose TASK partition ids are offset past
+    // the sibling branch's, which made the offsets lookup throw for any
+    // consumer that unioned two reads of the ranked frame (round 14)
+    val rdd = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
       var first = true
       var cur: String = null
       var rank = 0L
@@ -186,7 +190,8 @@ object Sampling {
         rank += 1
         Row.fromSeq(row.toSeq :+ rank :+ totals(s))
       }
-    }(Encoders.row(schema))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Deterministic global training order: a portable-hash rank keyed by

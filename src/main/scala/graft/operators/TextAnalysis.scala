@@ -579,6 +579,34 @@ object TextAnalysis {
     * sum carries the engine's aggregation-order freedom, absorbed by
     * 6dp rounding at the published scale (the q68/q71 discipline).
     * Output: (src, n_tokens, n_types, kl). */
+  /** Collapse runs of consecutive duplicate whitespace tokens to one
+    * occurrence — the token-stream `uniq` cleaning pass ("the the",
+    * stuttered boilerplate, copy-paste echo). Distinct from corpus-wide
+    * line dedup ([[lineDedup]]) and the Gopher repetition SCORE
+    * ([[repetitionScore]] flags, this one repairs).
+    *
+    * Map-only, zero shuffle at any corpus size: one higher-order
+    * `filter` keeps each token whose predecessor differs (the
+    * index-aware lambda compiles into the same whole-stage-codegen
+    * projection as the surrounding expressions; `greatest(i, 1)` keeps
+    * ANSI element_at in-bounds on the short-circuit-free first branch).
+    *
+    * Output: (id, n_tokens, n_kept, removed, clean_text) — clean_text
+    * certifies the repaired CONTENT, not just counts. */
+  def collapseTokenRuns(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val t = tokens(col(textCol))
+    val kept = filter(t, (x, i) =>
+      (i === 0) || (x =!= element_at(t, greatest(i, lit(1)))))
+    df.select(col(idCol).as("id"),
+        size(t).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("clean_text"))
+      .withColumn("removed", col("n_tokens") - col("n_kept"))
+      .select(col("id"), col("n_tokens"), col("n_kept"), col("removed"),
+        col("clean_text"))
+  }
+
   def sourceDivergence(df: DataFrame, srcCol: String,
                        textCol: String): DataFrame = {
     val st = df.select(col(srcCol).as("src"),

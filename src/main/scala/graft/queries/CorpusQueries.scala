@@ -1181,7 +1181,96 @@ object CorpusQueries {
             edges, "src", "dst", rounds = 5)
           .select(col("id").as("vec_id"), col("score"))
           .orderBy(desc("score"), asc("vec_id")).limit(20)
-      })
+      }),
+
+    // KMV sketch set algebra (round 14, Beyer et al. 2007): pairwise
+    // cross-source 5-gram union/intersection/Jaccard ESTIMATES from
+    // per-source k-min sketches — q106's exact overlap matrix at
+    // sketch cost (the sketches are k hashes per source; the exact
+    // matrix shuffles every shared gram). Deterministic md5 hash +
+    // integer ranks + one division = the sketch replays exactly in
+    // SQL, 32-bit collisions included; estimates are round-6
+    Q("q141_kmv_source_overlap", Some(s"""
+      WITH g AS (
+        SELECT DISTINCT source,
+          CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT) AS h
+        FROM (SELECT source,
+                unnest(list_distinct([array_to_string(t[i:i+4], ' ')
+                  for i in range(1, greatest(len(t) - 4, 0) + 1)])) AS gr
+              FROM (SELECT source,
+                      list_filter(string_split(lower(text), ' '),
+                        x -> x <> '') AS t
+                    FROM documents))),
+      sk AS (SELECT source, h FROM (
+               SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+               FROM g) WHERE rk <= 128),
+      srcs AS (SELECT DISTINCT source FROM sk),
+      m AS (
+        SELECT DISTINCT a.source AS src_a, b.source AS src_b, x.h
+        FROM srcs a JOIN srcs b ON a.source < b.source
+        JOIN sk x ON x.source = a.source OR x.source = b.source),
+      u AS (SELECT src_a, src_b, h,
+              row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rk
+            FROM m),
+      t AS (SELECT src_a, src_b, h FROM u WHERE rk <= 128),
+      agg AS (
+        SELECT t.src_a, t.src_b,
+          CAST(count(*) AS BIGINT) AS n_tracked,
+          CAST(max(t.h) AS BIGINT) AS union_kth,
+          CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_common
+        FROM t
+        LEFT JOIN sk a ON a.source = t.src_a AND a.h = t.h
+        LEFT JOIN sk b ON b.source = t.src_b AND b.h = t.h
+        GROUP BY t.src_a, t.src_b),
+      est AS (
+        SELECT src_a, src_b, n_common, union_kth,
+          CASE WHEN n_tracked < 128 THEN CAST(n_tracked AS DOUBLE)
+               ELSE ${(127 * 4294967296.0).toString} /
+                    CAST(union_kth AS DOUBLE) END AS eu,
+          CAST(n_common AS DOUBLE) / CAST(n_tracked AS DOUBLE) AS ej
+        FROM agg)
+      SELECT src_a, src_b, n_common, union_kth,
+        round(eu, 6) AS est_union, round(ej, 6) AS jaccard_est,
+        round(ej * eu, 6) AS est_intersect
+      FROM est ORDER BY src_a, src_b"""),
+      (s, d) => CorpusStats.kmvPairOverlap(
+          Tables.documents(s, d).select(col("source"), explode(
+            graft.plans.TextSetExpressions.wordNgramSet(lower(col("text")), 5))
+            .as("g")),
+          "source", col("g"), k = 128)
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          col("union_kth"), round(col("est_union"), 6).as("est_union"),
+          round(col("jaccard_est"), 6).as("jaccard_est"),
+          round(col("est_intersect"), 6).as("est_intersect"))
+        .orderBy("src_a", "src_b")),
+
+    // Token-run collapse (round 14): the token-stream `uniq` repair —
+    // consecutive duplicate tokens ("the the", stuttered boilerplate)
+    // collapse to one occurrence. Complements the Gopher repetition
+    // SCORE (q63 flags; this repairs) and corpus-wide line dedup (q79
+    // dedups across docs; this within). Map-only, zero shuffle at any
+    // scale: one index-aware higher-order filter inside whole-stage
+    // codegen. clean_text is in the output so the oracle certifies the
+    // repaired CONTENT, not just the counts
+    Q("q143_token_run_collapse", Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS w
+                 FROM documents),
+      k AS (SELECT doc_id, len(w) AS n_tokens,
+              list_filter(w, (x, i) -> i = 1 OR x <> w[i-1]) AS kept
+            FROM t)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        CAST(n_tokens - len(kept) AS BIGINT) AS removed,
+        array_to_string(kept, ' ') AS clean_text
+      FROM k ORDER BY doc_id"""),
+      (s, d) => TextAnalysis.collapseTokenRuns(
+          Tables.documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          col("removed"), col("clean_text"))
+        .orderBy("doc_id"))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

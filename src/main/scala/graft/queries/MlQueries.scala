@@ -882,6 +882,27 @@ object MlQueries {
           .orderBy(desc("margin"), asc("tp"))
       }),
 
+    // Decile lift/gains table (round 14, completing the q124/q131
+    // evaluation tier): rows ranked by the raw LR margin into 10
+    // equal-depth bins; per bin the positive rate, cumulative capture
+    // and lift over the base rate — the report card a curation gate is
+    // actually operated by ("keep the top 3 deciles" = read cum_capture
+    // at bin 3). Ranks are distributed prefix ranks, bin assignment is
+    // integer ceiling division, and every ratio is ONE division of
+    // exact integer products, so the table replays bit-for-bit in SQL
+    Q("q142_classifier_lift", lrLiftOracle,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val m = cachedLr(s, d)
+        val scored = graft.operators.QualityClassifier
+          .scoreWithMargin(docs, "doc_id", "text", m)
+          .join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").cast("int").as("label")), Seq("id"))
+        graft.operators.Evaluation.liftTable(scored, "z", "label", "id",
+            nBins = 10)
+          .orderBy("bin")
+      }),
+
     // Multi-signal quality fusion (round 13): ensemble curation — the
     // q85 unigram-LM corpus rank and the q97 classifier rank fused by
     // RRF (1/(60+r_lm) + 1/(60+r_lr)), then terciled on the fused
@@ -1155,6 +1176,47 @@ object MlQueries {
         CASE WHEN nneg > 0
           THEN CAST(fp AS DOUBLE) / CAST(nneg AS DOUBLE) END AS fpr
       FROM cum, tot ORDER BY round(margin, 6) DESC, tp""")
+    }
+  }
+
+  /** q142's oracle: the q97 scoring fragments, ranked descending on the
+    * raw margin (the q124/q131 order-stability discipline), equal-depth
+    * bins by integer ceiling division, per-bin integer counts, and each
+    * ratio as ONE division of exact integer products (lift = p·N / n·P,
+    * never a quotient of quotients). The window rank stands in for the
+    * engine's distributed prefix rank; the cumulative pass runs over
+    * ≤ nBins rows on both engines. */
+  private def lrLiftOracle: Option[String] = {
+    val fits = lrCache.snapshot().toSeq
+    if (fits.size != 1) None else {
+      val m = fits.head._2
+      Some(s"""
+      WITH ${lrScoreCtes(m)},
+      lab AS (SELECT doc_id, zz,
+                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS l
+              FROM sc),
+      rk AS (SELECT doc_id, l,
+               row_number() OVER (ORDER BY zz DESC, doc_id) AS r,
+               count(*) OVER () AS n
+             FROM lab),
+      pb AS (SELECT (r * 10 + n - 1) // n AS bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(l) AS BIGINT) AS positives,
+               CAST(max(n) AS BIGINT) AS nt
+             FROM rk GROUP BY 1),
+      tot AS (SELECT CAST(sum(l) AS BIGINT) AS p FROM lab),
+      cum AS (SELECT bin, n_docs, positives, nt,
+                CAST(sum(positives) OVER (ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+              FROM pb)
+      SELECT CAST(bin AS BIGINT) AS bin, n_docs, positives,
+        CAST(positives AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+        CASE WHEN tot.p > 0
+          THEN CAST(c AS DOUBLE) / CAST(tot.p AS DOUBLE) END AS cum_capture,
+        CASE WHEN tot.p > 0
+          THEN CAST(positives * nt AS DOUBLE) /
+               CAST(n_docs * tot.p AS DOUBLE) END AS lift
+      FROM cum, tot ORDER BY bin""")
     }
   }
 

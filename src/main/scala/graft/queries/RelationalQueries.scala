@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Taxonomy
+import graft.util.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -410,6 +411,120 @@ object RelationalQueries {
         .join(broadcast(Tables.region(s, d)),
           col("n_regionkey") === col("r_regionkey"))
         .select("n_name", "r_name")
-        .orderBy("n_name"))
+        .orderBy("n_name")),
+
+    // Cohort retention (round 14): the classic warehouse triangle —
+    // weekly signup cohorts x weeks-since-cohort active-user counts.
+    // Weeks are FIXED 7-day epoch buckets (epoch_sec div 604800):
+    // integer arithmetic with zero calendar semantics, identical on
+    // any engine, and the week of min(ts) == min(week) since the
+    // bucket is monotone in ts. Two shuffles (per-user min + the
+    // cohort-cell aggregate); rate is one division of exact counts
+    Q("q144_cohort_retention", Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000000 // 604800 AS wk
+        FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+      act AS (SELECT DISTINCT user_id, wk FROM e),
+      cells AS (
+        SELECT c.cw AS cohort_week, a.wk - c.cw AS week_offset,
+          CAST(count(*) AS BIGINT) AS active_users
+        FROM act a JOIN cohort c ON c.user_id = a.user_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT cw AS cohort_week,
+                  CAST(count(*) AS BIGINT) AS cohort_size
+                FROM cohort GROUP BY cw)
+      SELECT CAST(l.cohort_week AS BIGINT) AS cohort_week,
+        CAST(l.week_offset AS BIGINT) AS week_offset,
+        l.active_users, s.cohort_size,
+        CAST(l.active_users AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+          AS retention_rate
+      FROM cells l JOIN sizes s USING (cohort_week)
+      ORDER BY cohort_week, week_offset"""),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("cast(ts as long) div 604800").as("wk"))
+        val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+        val act = e.distinct()
+        val cells = act.join(cohort, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("active_users"))
+        val sizes = cohort.groupBy("cohort_week")
+          .agg(count(lit(1)).as("cohort_size"))
+        cells.join(broadcast(sizes), Seq("cohort_week"))
+          .select(col("cohort_week"), col("week_offset"),
+            col("active_users"), col("cohort_size"),
+            (col("active_users").cast("double") /
+              col("cohort_size").cast("double")).as("retention_rate"))
+          .orderBy("cohort_week", "week_offset")
+      }),
+
+    // Ordered event funnel (round 14): signup -> view -> click ->
+    // purchase, each step's timestamp strictly after the previous
+    // step's (min-timestamp semantics per step). The per-step frames
+    // are successive filtered min-aggregates + equi-joins on user_id —
+    // never a per-user event-sequence window — so the plan is k
+    // bounded shuffles for a k-step funnel at any event volume.
+    // Conversion ratios run over the 4-row step table (bounded window)
+    Q("q145_event_funnel", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      s1 AS (SELECT user_id, min(us) AS t FROM e
+             WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.us) AS t FROM e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'view' AND e.us > s1.t GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.us) AS t FROM e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.us > s2.t GROUP BY e.user_id),
+      s4 AS (SELECT e.user_id, min(e.us) AS t FROM e
+             JOIN s3 ON s3.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.us > s3.t GROUP BY e.user_id),
+      steps AS (
+        SELECT 1 AS step, 'signup' AS step_name,
+          CAST(count(*) AS BIGINT) AS users FROM s1
+        UNION ALL SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'click', CAST(count(*) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'purchase', CAST(count(*) AS BIGINT) FROM s4)
+      SELECT step, step_name, users,
+        CAST(users AS DOUBLE) /
+          CAST(lag(users) OVER (ORDER BY step) AS DOUBLE) AS conv_from_prev,
+        CAST(users AS DOUBLE) /
+          CAST(first_value(users) OVER (ORDER BY step) AS DOUBLE)
+          AS conv_from_first
+      FROM steps ORDER BY step"""),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .materializeOnce(eager = false) // four step filters, one scan
+        def step(ofType: String, prev: DataFrame): DataFrame =
+          e.filter(col("event_type") === ofType)
+            .join(prev.withColumnRenamed("t", "__pt"), Seq("user_id"))
+            .filter(col("us") > col("__pt"))
+            .groupBy("user_id").agg(min("us").as("t"))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("us").as("t"))
+        val s2 = step("view", s1)
+        val s3 = step("click", s2)
+        val s4 = step("purchase", s3)
+        val steps = Seq((s1, 1, "signup"), (s2, 2, "view"),
+          (s3, 3, "click"), (s4, 4, "purchase"))
+          .map { case (df, i, n) =>
+            df.agg(count(lit(1)).as("users"))
+              .select(lit(i).as("step"), lit(n).as("step_name"),
+                col("users"))
+          }.reduce(_ union _)
+        val w = Window.orderBy("step") // 4 rows — bounded
+        steps
+          .withColumn("conv_from_prev",
+            col("users").cast("double") /
+              lag("users", 1).over(w).cast("double"))
+          .withColumn("conv_from_first",
+            col("users").cast("double") /
+              first("users").over(w).cast("double"))
+          .orderBy("step")
+      })
   )
 }

@@ -208,6 +208,76 @@ class CorpusStatsSpec extends SparkSpec {
       .head().getDouble(2) === 2.0)
   }
 
+  test("collapseTokenRuns: consecutive duplicates collapse, non-adjacent survive") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "the the the cat sat sat on the mat"),
+      (2L, "a b a b a b"),            // alternating: nothing to collapse
+      (3L, "x  x   x"),               // multi-space runs still adjacent
+      (4L, ""),                       // empty
+      (5L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.collapseTokenRuns(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(1L) === ((9L, 6L, 3L, "the cat sat on the mat")))
+    assert(got(2L) === ((6L, 6L, 0L, "a b a b a b")))
+    assert(got(3L) === ((3L, 1L, 2L, "x")))
+    assert(got(4L) === ((0L, 0L, 0L, "")))
+    assert(got(5L) === ((1L, 1L, 0L, "solo")))
+    // idempotent: collapsing the cleaned text removes nothing further
+    val again = TextAnalysis.collapseTokenRuns(
+      TextAnalysis.collapseTokenRuns(df, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text").as("text")),
+      "doc_id", "text")
+    assert(again.collect().forall(_.getLong(3) === 0L))
+  }
+
+  test("kmvPairOverlap == driver-side sketch replica; exact regime below k") {
+    import org.apache.spark.sql.functions.col
+    // 3 sources with engineered overlap: A∩B = 300 of 800/900, C disjoint
+    val rows =
+      (1 to 800).map(i => ("A", s"it$i")) ++
+      (501 to 1400).map(i => ("B", s"it$i")) ++
+      (1 to 700).map(i => ("C", s"other$i"))
+    val df = rows.toDF("src", "g")
+    val k = 64
+    val got = CorpusStats.kmvPairOverlap(df, "src", col("g"), k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    // driver replica of the full sketch algebra over the same hash
+    def h32(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md5.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val bySrc = rows.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.map(r => h32(r._2)).distinct.sorted.take(k)
+    }
+    for (Seq(a, b) <- Seq("A", "B", "C").combinations(2)) {
+      val union = (bySrc(a) ++ bySrc(b)).distinct.sorted.take(k)
+      val common = union.count(x => bySrc(a).contains(x) && bySrc(b).contains(x))
+      val eu = if (union.length < k) union.length.toDouble
+        else (k - 1).toDouble * 4294967296.0 / union.max
+      val ej = common.toDouble / union.length
+      val (gc, gk, geu, gej, gei) = got((a, b))
+      assert(gc === common.toLong && gk === union.max, s"pair $a-$b")
+      assert(geu === eu && gej === ej && gei === ej * eu, s"pair $a-$b")
+    }
+    // true Jaccard(A,B) = 300/1400 ≈ 0.214: the estimate should be in
+    // the right neighborhood (binomial error ~ sqrt(p(1-p)/k) ~ 0.05)
+    assert(math.abs(got(("A", "B"))._4 - 300.0 / 1400.0) < 0.2)
+    assert(got(("A", "C"))._1 === 0L) // disjoint sources share nothing
+    // exact regime: tiny sources report exact set sizes
+    val tiny = (Seq(("X", "p"), ("X", "q"), ("Y", "q"), ("Y", "r")))
+      .toDF("src", "g")
+    val t = CorpusStats.kmvPairOverlap(tiny, "src", col("g"), k = 64)
+      .head()
+    assert(t.getDouble(4) === 3.0 && t.getLong(2) === 1L) // |X∪Y|=3, |X∩Y|=1
+    assert(t.getDouble(5) === 1.0 / 3.0 && t.getDouble(6) === (1.0 / 3.0) * 3.0)
+  }
+
   test("exactPercentiles == nearest-rank on the sorted stratum, ties included") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(29)

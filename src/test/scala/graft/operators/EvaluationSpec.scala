@@ -115,4 +115,44 @@ class EvaluationSpec extends SparkSpec {
     assert(got(1).isNullAt(5))
     assert(got(1).getDouble(6) === 0.0)
   }
+
+  test("liftTable == driver replica; perfect ranking concentrates lift up front") {
+    val rnd = new scala.util.Random(17)
+    // 83 rows (deliberately not a multiple of 10), noisy scores
+    val rows = (1 to 83).map { i =>
+      (i.toLong, rnd.nextDouble() * 2 - 1, if (rnd.nextInt(3) == 0) 1 else 0)
+    }
+    val got = Evaluation.liftTable(rows.toDF("id", "z", "l"),
+        "z", "l", "id", nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    // driver replica: rank desc z (tie id asc), bin = ceil(r*10/n)
+    val n = rows.length
+    val totalP = rows.count(_._3 == 1)
+    val ranked = rows.sortBy { case (id, z, _) => (-z, id) }.zipWithIndex
+    val bins = ranked.groupBy { case (_, i) => ((i + 1) * 10 + n - 1) / n }
+    var cum = 0L
+    val want = bins.toSeq.sortBy(_._1).map { case (b, rs) =>
+      val p = rs.count(_._1._3 == 1).toLong
+      cum += p
+      (b.toLong, rs.length.toLong, p,
+        p.toDouble / rs.length,
+        cum.toDouble / totalP,
+        (p * n).toDouble / (rs.length.toLong * totalP))
+    }
+    assert(got.toSeq === want)
+    // equal-depth: bin sizes differ by at most 1, all 10 bins present
+    assert(got.map(_._1).toSeq === (1L to 10L))
+    assert(got.map(_._2).max - got.map(_._2).min <= 1)
+    assert(got.last._5 === 1.0) // cumulative capture ends at exactly 1
+    // perfect ranking: all positives in the first bins, lift = N/P there
+    val sep = (1 to 40).map(i => (i.toLong, -i.toDouble, if (i <= 4) 1 else 0))
+    val g2 = Evaluation.liftTable(sep.toDF("id", "z", "l"),
+        "z", "l", "id", nBins = 10)
+      .orderBy("bin").collect()
+    assert(g2(0).getLong(2) === 4L && g2(0).getDouble(5) === 10.0)
+    assert(g2(0).getDouble(4) === 1.0) // bin 1 captures everything
+    assert((1 to 9).forall(i => g2(i).getLong(2) === 0L))
+  }
 }

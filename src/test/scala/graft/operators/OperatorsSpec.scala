@@ -263,6 +263,25 @@ class OperatorsSpec extends SparkSpec {
       shortlist = 2).collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
+  test("stratumRank survives a downstream union (pipelined-stage partition ids)") {
+    // regression (round 14): union() pipelines the rank closure into a
+    // UnionRDD stage whose TASK partition ids are offset past the first
+    // branch's — TaskContext.getPartitionId there broke the offsets
+    // lookup; mapPartitionsWithIndex pins the parent RDD's split ids
+    val df = (1 to 300).map(i => (s"s${i % 5}", i.toLong)).toDF("src", "v")
+      .repartition(8)
+    val ranked = Sampling.stratumRank(df, "src",
+      Seq(col("v").asc), "rk", "n")
+    val unioned = ranked.select("src", "rk")
+      .union(ranked.select("src", "rk"))
+    assert(unioned.count() === 600)
+    // each branch carries identical, correct ranks: 1..60 per stratum
+    val byStratum = unioned.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = (1L to 60L).flatMap(r => Seq(r, r)).sorted
+    assert(byStratum.values.forall(_ == want))
+  }
+
   test("stratumRank ranks a NULL stratum as its own stratum (ADVICE r12)") {
     val df = Seq(
       (1L, "en"), (2L, "en"), (3L, null.asInstanceOf[String]),
