@@ -173,13 +173,18 @@ object CorpusStats {
       col("n_distinct").as("na"))
     val b = sketch.select(col("src").as("src_b"), col("h"),
       col("n_distinct").as("nb"))
-    // union sketch per pair: ranks over ≤ 2k rows per pair — bounded
+    // union sketch per pair: ranks over ≤ 2k rows per pair — bounded.
+    // The pair expansion is sketch × the DISTINCT SOURCE LIST under an
+    // inequality: broadcast the list side explicitly (it is ≤ #sources
+    // rows) so the planner emits a broadcast nested-loop join, never a
+    // CartesianProduct (the checkpointed sketch has no size stats)
     val merged = a.select(col("src_a"), col("h"))
-      .join(b.select(col("src_b")).distinct(), col("src_a") < col("src_b"))
+      .join(broadcast(b.select(col("src_b")).distinct()),
+        col("src_a") < col("src_b"))
       .select(col("src_a"), col("src_b"), col("h"))
       .union(
         b.select(col("src_b"), col("h"))
-          .join(a.select(col("src_a")).distinct(),
+          .join(broadcast(a.select(col("src_a")).distinct()),
             col("src_a") < col("src_b"))
           .select(col("src_a"), col("src_b"), col("h")))
       .distinct()
