@@ -215,6 +215,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
       appendToFtsIndex(chunkRows.toDF())
       appendToVectorIndex(embRows.toDF())
+      appendToHnswIndex(embRows.toDF())
     }
   }
 
@@ -277,6 +278,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       embRows.write.mode(SaveMode.Append).parquet(path("embeddings"))
       appendToFtsIndex(chunkRows.toDF())
       appendToVectorIndex(embRows.toDF())
+      appendToHnswIndex(embRows.toDF())
     }
   }
 
@@ -491,6 +493,37 @@ class Library(val spark: SparkSession, val warehouse: String,
       Seq((m, efConstruction, seed)).toDF("m", "efc", "seed"))
     hnswCache = None
   }
+
+  /** Ingest-time HNSW maintenance (round 14 — the insert-side complement
+    * of the ADVICE-r13 delete tolerance): incremental paper-INSERT into
+    * the loaded graph, so a batch append costs O(batch·log n) searches,
+    * not a full rebuild. New surrogate ids extend past the existing
+    * range in chunkId order. The edge table rewrites (inserts mutate
+    * existing nodes' links); the ids table appends only its delta.
+    * Crash-safe either side of the swap: a stale edge/ids pairing only
+    * drops or isolates the delta nodes (fromDF's tolerance), never
+    * corrupts answers. No-op when no index was ever built. */
+  private def appendToHnswIndex(newEmbeddings: DataFrame): Unit =
+    if (tableExists("embeddings_hnsw_meta")) loadHnsw() match {
+      case None => ()
+      case Some((g, cids)) =>
+        val existing = cids.toSet
+        val fresh = newEmbeddings.select("chunkId", "embedding")
+          .as[(String, Array[Float])].collect()
+          .filterNot(r => existing(r._1)).sortBy(_._1)
+        if (fresh.nonEmpty) {
+          val sid0 = cids.length.toLong
+          val g2 = graft.operators.Hnsw.insert(g,
+            fresh.zipWithIndex.map { case ((_, v), i) => (sid0 + i, v) }.toSeq)
+          graft.util.TableSwap.rewrite(path("embeddings_hnsw"),
+            graft.operators.Hnsw.toDF(spark, g2))
+          fresh.zipWithIndex.map { case ((cid, _), i) => (sid0 + i, cid) }
+            .toSeq.toDF("sid", "chunkId")
+            .coalesce(1).write.mode(SaveMode.Append)
+            .parquet(path("embeddings_hnsw_ids"))
+          hnswCache = Some((g2, cids ++ fresh.map(_._1)))
+        }
+    }
 
   @transient private var hnswCache
       : Option[(graft.operators.Hnsw.Graph, Array[String])] = None

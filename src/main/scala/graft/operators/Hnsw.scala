@@ -137,27 +137,22 @@ object Hnsw {
     res.toArray.sortBy { case (d, i) => (d, ids(i)) }
   }
 
-  /** Build the graph over (id, vector) rows — driver/JVM-local, like
-    * the reference's index build. Insertion in id order; `m` links per
-    * node on upper layers, `2m` on layer 0 (paper defaults). */
-  def build(rows: Seq[(Long, Array[Float])], m: Int = 16,
-            efConstruction: Int = 100, seed: Long = 42L): Graph = {
-    val sorted = rows.sortBy(_._1).toArray
-    val n = sorted.length
-    require(n > 0, "cannot build an HNSW graph over zero vectors")
-    val ids = sorted.map(_._1)
-    val vecs = sorted.map(_._2)
-    val mL = 1.0 / math.log(m.toDouble)
-    val levels = ids.map(id => levelOf(id, seed, mL))
-    val maxLevel = levels.max
-    val adjBuf = Array.fill(maxLevel + 1, n)(
-      scala.collection.mutable.ArrayBuffer.empty[Int])
+  /** The shared insertion loop (paper INSERT over [startIdx, n)):
+    * mutates `adjBuf`, returns the final (entry, entryLevel). Both the
+    * full build and the incremental [[insert]] run THIS loop — one
+    * certified code path. */
+  private def insertAll(ids: Array[Long], vecs: Array[Array[Float]],
+                        levels: Array[Int],
+                        adjBuf: Array[Array[
+                          scala.collection.mutable.ArrayBuffer[Int]]],
+                        startIdx: Int, entry0: Int, entryLevel0: Int,
+                        m: Int, efConstruction: Int): (Int, Int) = {
     val adj: Adj = (layer, node) => adjBuf(layer)(node)
     def maxLinks(layer: Int): Int = if (layer == 0) 2 * m else m
-
-    var entry = 0
-    var entryLevel = levels(0)
-    var idx = 1
+    var entry = entry0
+    var entryLevel = entryLevel0
+    var idx = startIdx
+    val n = ids.length
     while (idx < n) {
       val lv = levels(idx)
       var ep = entry
@@ -190,8 +185,67 @@ object Hnsw {
       if (lv > entryLevel) { entry = idx; entryLevel = lv }
       idx += 1
     }
+    (entry, entryLevel)
+  }
+
+  /** Build the graph over (id, vector) rows — driver/JVM-local, like
+    * the reference's index build. Insertion in id order; `m` links per
+    * node on upper layers, `2m` on layer 0 (paper defaults). */
+  def build(rows: Seq[(Long, Array[Float])], m: Int = 16,
+            efConstruction: Int = 100, seed: Long = 42L): Graph = {
+    val sorted = rows.sortBy(_._1).toArray
+    val n = sorted.length
+    require(n > 0, "cannot build an HNSW graph over zero vectors")
+    val ids = sorted.map(_._1)
+    val vecs = sorted.map(_._2)
+    val mL = 1.0 / math.log(m.toDouble)
+    val levels = ids.map(id => levelOf(id, seed, mL))
+    val maxLevel = levels.max
+    val adjBuf = Array.fill(maxLevel + 1, n)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    val (entry, _) = insertAll(ids, vecs, levels, adjBuf,
+      startIdx = 1, entry0 = 0, entryLevel0 = levels(0),
+      m, efConstruction)
     new Graph(ids, vecs, levels,
       adjBuf.map(_.map(_.toArray.distinct)), entry, m, efConstruction, seed)
+  }
+
+  /** Incremental insert — the paper's own insertion run against an
+    * ALREADY-BUILT graph, so ingesting a batch costs O(batch · log n)
+    * searches instead of a full O(n · log n) rebuild (the
+    * index-maintenance complement of the delete tolerance in
+    * [[fromDF]]). New nodes append past the existing index range
+    * (node indexes are NOT globally id-sorted afterwards — nothing
+    * reads that; ids only break ties). Rows whose id already exists
+    * are skipped. Deterministic: same base graph + same batch → the
+    * same graph; an incremental graph is NOT link-identical to a full
+    * rebuild over the union (insertion order differs — standard for
+    * HNSW), but serves the same contract, recall-certified in
+    * `HnswSpec`. */
+  def insert(g: Graph, rows: Seq[(Long, Array[Float])]): Graph = {
+    val existing = g.ids.toSet
+    val fresh = rows.filterNot(r => existing(r._1)).sortBy(_._1)
+    if (fresh.isEmpty) return g
+    val n0 = g.size
+    val ids = g.ids ++ fresh.map(_._1)
+    val vecs = g.vecs ++ fresh.map(_._2)
+    val mL = 1.0 / math.log(g.m.toDouble)
+    val newLevels = fresh.map(r => levelOf(r._1, g.seed, mL))
+    val levels = g.levels ++ newLevels
+    val maxLevel = math.max(g.maxLevel, newLevels.max)
+    val adjBuf = Array.fill(maxLevel + 1, ids.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    var l = 0
+    while (l <= g.maxLevel) {
+      var i = 0
+      while (i < n0) { adjBuf(l)(i) ++= g.neighbors(l)(i); i += 1 }
+      l += 1
+    }
+    val (entry, _) = insertAll(ids, vecs, levels.toArray, adjBuf,
+      startIdx = n0, entry0 = g.entryPoint,
+      entryLevel0 = g.levels(g.entryPoint), g.m, g.efConstruction)
+    new Graph(ids, vecs, levels.toArray, adjBuf.map(_.map(_.toArray.distinct)),
+      entry, g.m, g.efConstruction, g.seed)
   }
 
   /** k nearest ids to `q` (cosine distance ascending), `ef >= k` beam. */

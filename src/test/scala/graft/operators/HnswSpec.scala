@@ -52,6 +52,67 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("incremental insert: recall holds, determinism, existing ids skipped") {
+    val base = vectors.take(300).toSeq
+    val extra = vectors.slice(300, 400).toSeq
+    val g0 = Hnsw.build(base, m = 8, efConstruction = 60)
+    val g1 = Hnsw.insert(g0, extra)
+    assert(g1.size === 400)
+    // recall@10 over the UNION, queried through the incremental graph
+    val all = (base ++ extra).toMap
+    def brute(q: Array[Float], k: Int): Seq[Long] =
+      all.toSeq.map { case (id, v) => (id, Hnsw.dist(v, q)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1)
+    val recalls = (base.take(10) ++ extra.take(10)).map { case (_, q) =>
+      val want = brute(q, 10).toSet
+      val got = Hnsw.searchKnn(g1, q, 10, ef = 64).map(_._1).toSet
+      (want & got).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, f"incremental recall@10 $mean%.3f")
+    // deterministic: same base + same batch -> identical answers
+    val g1b = Hnsw.insert(Hnsw.build(base, m = 8, efConstruction = 60), extra)
+    extra.take(10).foreach { case (_, q) =>
+      assert(Hnsw.searchKnn(g1, q, 5) === Hnsw.searchKnn(g1b, q, 5))
+    }
+    // already-present ids are skipped, empty batch is the same graph
+    assert(Hnsw.insert(g1, base.take(5)).size === 400)
+    assert(Hnsw.insert(g1, Seq.empty) eq g1)
+    // persistence roundtrip of the incremental graph
+    val g2 = Hnsw.fromDF(Hnsw.toDF(spark, g1), base ++ extra,
+      g1.m, g1.efConstruction, g1.seed)
+    extra.take(5).foreach { case (_, q) =>
+      assert(Hnsw.searchKnn(g2, q, 5) === Hnsw.searchKnn(g1, q, 5))
+    }
+  }
+
+  test("ingest after buildHnswIndex maintains the graph — new docs are findable") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnsw4").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 25).map(i => (s"/hi/doc$i.md",
+      s"# Doc$i\n" + (s"baseline corpus retrieval text $i body. " * 6)))
+      .toDS())
+    lib.buildHnswIndex(m = 8, efConstruction = 80)
+    // ingest AFTER the build: the maintenance path must insert, not stale
+    lib.addMarkdown((1 to 6).map(i => (s"/hi/new$i.md",
+      s"# New$i\n" + (s"zephyr quasar novelty payload $i tokens. " * 6)))
+      .toDS())
+    val qv = lib.embedder.embed("zephyr quasar novelty payload")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("docId")).toSeq
+    val viaGraph = ids(lib.hnswSearch(qv,
+      graft.model.SearchOptions(limit = 5), ef = 128))
+    val exact = ids(lib.vectorSearch(qv, graft.model.SearchOptions(limit = 5)))
+    // the exact head (a new doc) must be served by the graph tier too
+    assert(exact.nonEmpty && viaGraph.contains(exact.head),
+      s"graph=$viaGraph exact=$exact")
+    // and a COLD reload (fresh Library over the same warehouse) agrees
+    val lib2 = new graft.Library(spark, wh)
+    val cold = ids(lib2.hnswSearch(qv,
+      graft.model.SearchOptions(limit = 5), ef = 128))
+    assert(cold === viaGraph, s"cold=$cold warm=$viaGraph")
+  }
+
   test("fromDF tolerates ids missing from the vector set (ADVICE r13)") {
     val sub = vectors.take(400).toSeq
     val g = Hnsw.build(sub, m = 8, efConstruction = 60)
