@@ -409,4 +409,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(p2.contains("BroadcastHashJoin"),
       "q137's threshold join should broadcast:\n" + p2)
   }
+
+  test("q143: token-run collapse is map-only — no Exchange in the operator plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.TextAnalysis
+      .collapseTokenRuns(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "collapse must not shuffle:\n" + p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q140/q141/q142: graph+sketch tier plans no CartesianProduct, no corpus Window") {
+    // q141's pair expansion must be the explicit broadcast nested-loop
+    // (the checkpointed sketch has no stats — r14's cartesian fix);
+    // q142's rank rides the prefix rank so the only Window is the
+    // <= nBins-row bin cumulation
+    for (q <- Seq("q140_knn_pagerank", "q141_kmv_source_overlap",
+        "q142_classifier_lift")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
 }
