@@ -87,53 +87,64 @@ object GraphRank {
     * is the top-k of per-partition top-ks. Exact all-pairs is the
     * CERTIFICATION shape; at 100 TB the candidate generation swaps to
     * the IVF probe or SRP-banded pairs with this same (src, dst)
-    * contract. Output: (src, dst, cos_sim). */
+    * contract. The query set (= the corpus here) must be
+    * driver/broadcast-sized — the certification regime; ids must be
+    * integral. Output: (src, dst, cos_sim). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int)
       : DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    val queries = df.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
-    val scored = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(queries))
-      .filter(col("__id") =!= col("__qid"))
-      .select(col("__qid"), col("__id"),
-        graft.plans.CosineSimilarity(col("__v"), col("__qv")).as("cos_sim"))
-    val schema = scored.schema
-    // local phase: bounded heap of k best (cos desc, id asc) per query
-    val local = scored.mapPartitions { it =>
-      val best = new java.util.HashMap[Any,
-        scala.collection.mutable.ArrayBuffer[(Any, Double)]]()
-      it.foreach { r =>
-        val q = r.get(0); val id = r.get(1); val c = r.getDouble(2)
-        val buf = best.computeIfAbsent(q,
-          _ => scala.collection.mutable.ArrayBuffer.empty[(Any, Double)])
-        buf += ((id, c))
-        if (buf.length > 4 * k) {
-          val trimmed = buf.sortBy { case (i, cc) => (-cc, longOf(i)) }.take(k)
-          buf.clear(); buf ++= trimmed
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).as[(Long, Array[Float])]
+    // queries broadcast as primitive arrays: the local phase streams
+    // each corpus partition ONCE, scoring every row against all
+    // queries in plain JVM float loops — no N²-row Catalyst
+    // intermediate ever materializes
+    val qRows = typed.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qRows)
+    val local = typed.mapPartitions { it =>
+      val qs = bc.value
+      val nq = qs.length
+      // per-query bounded buffer of (cos desc, id asc) best k
+      val bufs = Array.fill(nq)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+      def trim(b: scala.collection.mutable.ArrayBuffer[(Long, Double)])
+          : Unit = {
+        val t = b.sortBy { case (id, c) => (-c, id) }.take(k)
+        b.clear(); b ++= t
+      }
+      it.foreach { case (cid, cv) =>
+        var qi = 0
+        while (qi < nq) {
+          val (qid, qv) = qs(qi)
+          if (qid != cid) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+            while (d < cv.length) {
+              dot += cv(d).toDouble * qv(d).toDouble
+              na += cv(d).toDouble * cv(d).toDouble
+              nb += qv(d).toDouble * qv(d).toDouble
+              d += 1
+            }
+            val c = dot / (math.sqrt(na) * math.sqrt(nb))
+            val b = bufs(qi)
+            b += ((cid, c))
+            if (b.length > 4 * k) trim(b)
+          }
+          qi += 1
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-      best.forEach { (q, buf) =>
-        buf.sortBy { case (i, cc) => (-cc, longOf(i)) }.take(k)
-          .foreach { case (id, c) => out += Row(q, id, c) }
+      (0 until nq).iterator.flatMap { qi =>
+        trim(bufs(qi))
+        bufs(qi).iterator.map { case (cid, c) => (qs(qi)._1, cid, c) }
       }
-      out.iterator
-    }(Encoders.row(schema))
-    // global phase: the usual per-query ranking window, now over
+    }.toDF("src", "dst", "cos_sim")
+    // global phase: the per-query ranking window runs over
     // k·partitions rows per query instead of N
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qid").orderBy(desc("cos_sim"), asc("__id"))
+      .partitionBy("src").orderBy(desc("cos_sim"), asc("dst"))
     local.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("__qid").as("src"), col("__id").as("dst"), col("cos_sim"))
-  }
-
-  private def longOf(a: Any): Long = a match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case s: Short => s.toLong
-    case _ => throw new IllegalArgumentException(
-      s"knnGraph id tie-break supports integral ids, got ${a.getClass}")
+      .select(col("src"), col("dst"), col("cos_sim"))
   }
 
   /** The DuckDB replay of [[pagerank]] over a `nodes(id)` /
