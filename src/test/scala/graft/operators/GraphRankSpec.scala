@@ -55,6 +55,31 @@ class GraphRankSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("pagerank == driver-side integer replica on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = (1 to n * 3).map(_ =>
+        (rnd.nextInt(n).toLong + 1, rnd.nextInt(n).toLong + 1))
+        .filter { case (a, b) => a != b }
+      val rounds = 1 + rnd.nextInt(4)
+      val got = GraphRank.pagerank((1L to n.toLong).toDF("id"), "id",
+          edges.toDF("src", "dst"), "src", "dst", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver replica of the exact integer arithmetic
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = S / n * 15 / 100
+      var s = (1L to n.toLong).map(_ -> S / n).toMap
+      for (_ <- 1 to rounds) {
+        val in = edges.groupBy(_._2).view.mapValues(_.map { case (u, _) =>
+          s(u) * 85 / 100 / deg(u) }.sum).toMap
+        s = (1L to n.toLong).map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+      }
+      assert(got === s, s"trial $trial (n=$n rounds=$rounds)")
+      assert(got.values.sum <= S && got.values.forall(_ >= base))
+    }
+  }
+
   test("knnGraph: out-degree k, no self-edges, neighbors are the true top-k") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
