@@ -631,6 +631,51 @@ object TextAnalysis {
       .select(col("src"), col("n_tokens"), col("n_types"), col("kl"))
   }
 
+  /** `ln 2` as ONE shared double literal — the oracle SQL embeds this
+    * exact value, so neither engine's own `ln(2)` rounding enters. */
+  val Ln2: Double = math.log(2.0)
+
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution, in BITS — [[sourceDivergence]]'s KL made symmetric
+    * and bounded to [0, 1] (Lin 1991): KL explodes on tokens the
+    * corpus has that a source lacks and is asymmetric; JSD is the
+    * drift score you can threshold and compare across sources.
+    *
+    * Same one-pass shape as the KL: per-(src, token) counts, the
+    * corpus fold, and one join. The out-of-source half of KL(Q‖M)
+    * never materializes vocab × sources rows — for tokens absent from
+    * the source, m = q/2 exactly, so that tail telescopes to
+    * (1 − Σ_in q)·ln 2 with Σ_in q a plain aggregate over the same
+    * joined frame. Per-term doubles are IEEE-exact; the sums carry
+    * aggregation-order freedom absorbed by 6dp rounding (the q115
+    * discipline). Output: (src, n_tokens, n_types, jsd). */
+  def sourceJsDivergence(df: DataFrame, srcCol: String,
+                         textCol: String): DataFrame = {
+    val st = df.select(col(srcCol).as("src"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("src", "tok").agg(count(lit(1)).as("c"))
+      .materializeOnce(eager = false)
+    val corpus = st.groupBy("tok").agg(sum("c").as("cc"))
+      .materializeOnce(eager = false)
+    val totalN = corpus.agg(coalesce(sum("cc"), lit(0L))).head().getLong(0)
+      .toDouble
+    val perSrc = st.groupBy("src").agg(sum("c").as("ns"))
+    st.join(corpus, Seq("tok"))
+      .join(perSrc, Seq("src"))
+      .withColumn("__p", col("c").cast("double") / col("ns").cast("double"))
+      .withColumn("__q", col("cc").cast("double") / lit(totalN))
+      .withColumn("__m", (col("__p") + col("__q")) / lit(2.0))
+      .withColumn("__t",
+        col("__p") * log(col("__p") / col("__m")) +
+          col("__q") * log(col("__q") / col("__m")))
+      .groupBy("src")
+      .agg(max(col("ns")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum("__t").as("__in"), sum("__q").as("__qin"))
+      .select(col("src"), col("n_tokens"), col("n_types"),
+        ((col("__in") + (lit(1.0) - col("__qin")) * lit(Ln2)) / lit(2.0) /
+          lit(Ln2)).as("jsd"))
+  }
+
   /** Character-level Shannon entropy per document, in bits — the
     * encoding-garbage / degenerate-repetition tell (random bytes score
     * high, single-character spam scores ~0; natural text sits in a

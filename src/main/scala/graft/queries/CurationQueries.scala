@@ -1344,6 +1344,39 @@ object CurationQueries {
           round(col("kl"), 6).as("kl"))
         .orderBy("src")),
 
+    // per-source Jensen-Shannon divergence (round 14, Lin 1991): q115's
+    // KL made symmetric and bounded [0,1] bits — the thresholdable
+    // drift score (KL explodes on coverage gaps and is asymmetric).
+    // Same one-pass shape; the out-of-source half of KL(Q||M)
+    // telescopes to (1 - sum_in q)*ln2, so no vocab x sources frame
+    // ever materializes. ln2 is ONE shared double literal in both
+    // engines; sums are round-6 (q115 discipline)
+    Q("q146_source_jsd", Some(s"""
+      WITH st AS (
+        SELECT source AS src, t AS tok, CAST(count(*) AS BIGINT) AS c
+        FROM documents, LATERAL (SELECT unnest(${toksSql("text")}) AS t) u
+        GROUP BY 1, 2),
+      corpus AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM st GROUP BY tok),
+      tot AS (SELECT CAST(coalesce(sum(cc), 0) AS DOUBLE) AS n FROM corpus),
+      ps AS (SELECT src, CAST(sum(c) AS BIGINT) AS ns FROM st GROUP BY src),
+      j AS (
+        SELECT st.src, ps.ns,
+          CAST(st.c AS DOUBLE) / CAST(ps.ns AS DOUBLE) AS p,
+          CAST(corpus.cc AS DOUBLE) / tot.n AS q
+        FROM st JOIN corpus USING (tok) JOIN ps USING (src) CROSS JOIN tot)
+      SELECT src, CAST(max(ns) AS BIGINT) AS n_tokens,
+        CAST(count(*) AS BIGINT) AS n_types,
+        round((sum(p * ln(p / ((p + q) / 2.0)) +
+                   q * ln(q / ((p + q) / 2.0)))
+               + (1.0 - sum(q)) * ${TextAnalysis.Ln2}) / 2.0
+              / ${TextAnalysis.Ln2}, 6) AS jsd
+      FROM j GROUP BY src ORDER BY src"""),
+      (s, d) => TextAnalysis.sourceJsDivergence(Tables.documents(s, d),
+          "source", "text")
+        .select(col("src"), col("n_tokens"), col("n_types"),
+          round(col("jsd"), 6).as("jsd"))
+        .orderBy("src")),
+
     // 5-GRAM interpolated LM quality (round-13, VERDICT r12 #2):
     // CCNet's published operating point — Wenzek et al. 2019 §4.4
     // score with a 5-gram KenLM; this is the generic ngramQuality at

@@ -103,6 +103,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got("c")._2 == 1L)
   }
 
+  test("sourceJsDivergence == driver replica, bounded [0,1]; skew ranks like KL without exploding") {
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x y z z"),
+      ("b", "x x y z x y z z"),      // same distribution as a
+      ("c", "w w w w w w w w"))      // token disjoint from a/b
+    val got = TextAnalysis.sourceJsDivergence(
+        docs.toDF("source", "text"), "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // full-vocabulary driver replica (no telescoped tail): for every
+    // corpus token, p = src prob (0 if absent), q = corpus prob
+    val corpus = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+    val cc = corpus.groupBy(identity).view.mapValues(_.size).toMap
+    val n = corpus.size.toDouble
+    def jsd(src: String): Double = {
+      val toks = docs.filter(_._1 == src).flatMap(_._2.split(" "))
+        .filter(_.nonEmpty)
+      val sc = toks.groupBy(identity).view.mapValues(_.size).toMap
+      cc.toSeq.sortBy(_._1).map { case (t, c) =>
+        val p = sc.getOrElse(t, 0) / toks.size.toDouble
+        val q = c / n
+        val m = (p + q) / 2.0
+        (if (p > 0) p * math.log(p / m) else 0.0) +
+          (if (q > 0) q * math.log(q / m) else 0.0)
+      }.sum / 2.0 / math.log(2.0)
+    }
+    for (s <- Seq("a", "b", "c")) {
+      assert(math.abs(got(s)._3 - jsd(s)) < 1e-9, s)
+      assert(got(s)._3 >= 0.0 && got(s)._3 <= 1.0, s)
+    }
+    assert(math.abs(got("a")._3 - got("b")._3) < 1e-9) // same distribution
+    assert(got("c")._3 > got("a")._3 + 0.2) // skew still stands out
+    // one source owning the whole corpus: p == q everywhere -> exactly 0
+    val solo = Seq(("only", "u v w u")).toDF("source", "text")
+    val g0 = TextAnalysis.sourceJsDivergence(solo, "source", "text")
+      .head().getDouble(3)
+    assert(math.abs(g0) < 1e-12)
+  }
+
   test("per-language CCNet: scores use the language's own LM; terciles rank within language") {
     // "rare rare" is likely in lang a (half its corpus) but would be
     // OOV-ish under a global LM dominated by lang b
