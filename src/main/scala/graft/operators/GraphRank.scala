@@ -75,6 +75,99 @@ object GraphRank {
     s
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
+    * personalized PageRank whose teleport mass lands ONLY on a trusted
+    * seed set — the seed-based quality-propagation technique web-corpus
+    * curation uses to expand a small vetted set ("these documents are
+    * good") through link/similarity structure. Same integer discipline
+    * as [[pagerank]]: seeds start with `Scale // nSeeds` each, every
+    * round returns the damped teleport share to the seeds and transfers
+    * the rest along edges with long division; non-seed nodes hold only
+    * flowed-in mass. Output: (id, score) exact long micro-units.
+    *
+    * Scale shape identical to [[pagerank]] — the seed table broadcasts
+    * into the init/base join, everything else is the same per-round
+    * (id, score) shuffle. */
+  def trustRank(nodes: DataFrame, idCol: String,
+                seeds: DataFrame, seedCol: String,
+                edges: DataFrame, srcCol: String, dstCol: String,
+                rounds: Int, dampNum: Long = 85L, dampDen: Long = 100L)
+      : DataFrame = {
+    require(rounds >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val seedIds = seeds.select(col(seedCol).as("id")).distinct()
+      .join(ids, Seq("id"), "left_semi")
+      .materializeOnce(eager = false)
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0, "trustRank needs at least one seed inside the graph")
+    val init = Scale / nSeeds
+    val base = Scale / nSeeds * (dampDen - dampNum) / dampDen
+    val flagged = ids.join(broadcast(seedIds.withColumn("__seed", lit(1))),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0)).as("__seed"))
+      .materializeOnce(eager = false)
+    val deg = edges.groupBy(col(srcCol).as("id"))
+      .agg(count(lit(1)).as("__deg"))
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("__dst"))
+      .join(deg, Seq("id"))
+      .materializeOnce(eager = false)
+    var s = flagged.select(col("id"),
+      (col("__seed").cast("long") * init).as("score"))
+    var r = 0
+    while (r < rounds) {
+      val contrib = e.join(s, Seq("id"))
+        .select(col("__dst").as("id"),
+          expr(s"score * $dampNum div $dampDen div __deg").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__in"))
+      s = flagged.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("__seed").cast("long") * base +
+            coalesce(col("__in"), lit(0L))).as("score"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    s
+  }
+
+  /** The DuckDB replay of [[trustRank]] over caller-provided
+    * `nodes(id)` / `seeds(id)` / `edges(src, dst)` CTEs — the
+    * [[oracleSqlCtes]] blocks with the teleport restricted to the seed
+    * flag. Ends at CTE `pr` = (id, score). */
+  def trustRankOracleCtes(rounds: Int, dampNum: Long = 85L,
+                          dampDen: Long = 100L): String = {
+    val keep = dampDen - dampNum
+    val steps = (1 to rounds).map { i => s"""
+      c$i AS (
+        SELECT e.dst AS id,
+          CAST(sum(p.score * $dampNum // $dampDen // d.deg) AS BIGINT) AS s
+        FROM edges e
+        JOIN r${i - 1} p ON p.id = e.src
+        JOIN deg d ON d.id = e.src
+        GROUP BY e.dst),
+      r$i AS (
+        SELECT f.id, f.seed * nn.base + coalesce(c.s, 0) AS score
+        FROM flg f CROSS JOIN nn
+        LEFT JOIN c$i c ON c.id = f.id)"""
+    }.mkString(",")
+    s"""sid AS (SELECT DISTINCT s.id FROM seeds s JOIN nodes n ON n.id = s.id),
+      nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS ns,
+          ${Scale}::BIGINT // CAST(count(*) AS BIGINT) AS init,
+          ${Scale}::BIGINT // CAST(count(*) AS BIGINT)
+            * $keep // $dampDen AS base
+        FROM sid),
+      flg AS (
+        SELECT n.id,
+          CAST(CASE WHEN s.id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS seed
+        FROM nodes n LEFT JOIN sid s ON s.id = n.id),
+      deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src),
+      r0 AS (SELECT f.id, f.seed * nn.init AS score
+             FROM flg f CROSS JOIN nn),$steps,
+      pr AS (SELECT id, score FROM r$rounds)"""
+  }
+
   /** Directed exact-kNN similarity graph over an embedding column:
     * node → its `k` nearest by (cosine desc, id asc), self excluded —
     * [[VectorSearch.topKBatch]]'s corpus×broadcast-batch shape with the

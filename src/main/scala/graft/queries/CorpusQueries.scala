@@ -1270,7 +1270,39 @@ object CorpusQueries {
           Tables.documents(s, d), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
           col("removed"), col("clean_text"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // TrustRank (round 14, Gyöngyi et al. VLDB 2004): q140's integer
+    // PageRank with the teleport restricted to a trusted SEED set —
+    // the seed-expansion curation move ("these documents are vetted;
+    // rank the rest by similarity-flow from them"). Seeds = the
+    // label-0 embedding cluster; graph = the same exact-kNN edges.
+    // Integer micro-unit arithmetic end to end, 5 unrolled oracle
+    // rounds, BIGINT-only output
+    Q("q147_trustrank", Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      seeds AS (SELECT vec_id AS id FROM e WHERE label = 0),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.trustRankOracleCtes(rounds = 5)}
+      SELECT id AS vec_id, score FROM pr
+      ORDER BY score DESC, id LIMIT 30"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        GraphRank.trustRank(emb.select("vec_id"), "vec_id",
+            emb.filter(col("label") === 0).select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 5)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(30)
+      })
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

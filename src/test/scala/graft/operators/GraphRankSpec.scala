@@ -80,6 +80,47 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("trustRank: teleport lands only on seeds; proximity to seeds ranks") {
+    // chain 1→2→3→4→5 (and 5→1 to close), seed = {1}: trust decays
+    // monotonically down the chain; node 5 feeds back into 1 only
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val tr = GraphRank.trustRank(nodes, "id", seeds, "id",
+        edges, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replica of the exact integer arithmetic
+    val S = GraphRank.Scale
+    val base = S / 1 * 15 / 100
+    var s = Map(1L -> S, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L)
+    for (_ <- 1 to 4) {
+      val in = Map(2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L, 1L -> 5L)
+        .view.mapValues(u => s(u) * 85 / 100 / 1).toMap
+      s = (1L to 5L).map(v =>
+        v -> ((if (v == 1L) base else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    assert(tr === s)
+    assert(tr(2L) > tr(3L) && tr(3L) > tr(4L), s"decay: $tr")
+    // seeds outside the node set are ignored; empty effective seed set throws
+    val tr2 = GraphRank.trustRank(nodes, "id",
+      Seq(Tuple1(1L), Tuple1(99L)).toDF("id"), "id",
+      edges, "src", "dst", rounds = 2)
+    assert(tr2.count() === 5)
+    intercept[IllegalArgumentException] {
+      GraphRank.trustRank(nodes, "id", Seq(Tuple1(99L)).toDF("id"), "id",
+        edges, "src", "dst", rounds = 1)
+    }
+    // an unreachable non-seed component holds exactly zero mass
+    val nodes2 = (1L to 4L).toDF("id")
+    val edges2 = Seq((1L, 2L), (3L, 4L), (4L, 3L)).toDF("src", "dst")
+    val tr3 = GraphRank.trustRank(nodes2, "id", Seq(Tuple1(1L)).toDF("id"),
+        "id", edges2, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr3(3L) === 0L && tr3(4L) === 0L)
+    assert(tr3(1L) > 0L && tr3(2L) > 0L)
+  }
+
   test("knnGraph: out-degree k, no self-edges, neighbors are the true top-k") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
