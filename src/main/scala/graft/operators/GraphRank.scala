@@ -168,6 +168,88 @@ object GraphRank {
       pr AS (SELECT id, score FROM r$rounds)"""
   }
 
+  /** Iterative label propagation (Zhu & Ghahramani 2002, "Learning
+    * from Labeled and Unlabeled Data with Label Propagation") — the
+    * semi-supervised labeling move: a small vetted label set (language,
+    * domain, quality class) spreads over similarity structure to label
+    * the rest of the corpus for free. Completes the graph family next
+    * to [[pagerank]] (rank) and [[trustRank]] (trust).
+    *
+    * Synchronous integer-vote rounds: each round every node takes the
+    * argmax label over its OUT-neighbors' current labels (vote counts
+    * are exact longs; ties break to the SMALLEST label), seed labels
+    * are clamped, and nodes none of whose neighbors are labeled stay
+    * unlabeled. Fully deterministic — the oracle unrolls the same
+    * rounds with the same integer votes and tie-break.
+    *
+    * Scale shape: one keyed shuffle per round carrying (id, label)
+    * pairs over the edge list — labels-only, never features; the
+    * argmax window partitions by node id (keyed, never a corpus-wide
+    * frame). Output: (id, label) — label NULL if never reached. */
+  def labelPropagate(nodes: DataFrame, idCol: String,
+                     seeds: DataFrame, seedIdCol: String, labelCol: String,
+                     edges: DataFrame, srcCol: String, dstCol: String,
+                     rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val seed = seeds
+      .select(col(seedIdCol).as("id"), col(labelCol).cast("int").as("label"))
+      .filter(col("label").isNotNull)
+      .groupBy("id").agg(min("label").as("label")) // deterministic dedup
+      .join(ids, Seq("id"), "left_semi")
+      .materializeOnce(eager = false)
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("__dst"))
+      .materializeOnce(eager = false)
+    var lab = seed
+    var r = 0
+    while (r < rounds) {
+      val votes = e.join(lab.select(col("id").as("__dst"),
+          col("label")), Seq("__dst"))
+        .groupBy("id", "label").agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(desc("__c"), asc("label"))
+      val argmax = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("id", "label")
+      lab = seed.union(argmax.join(seed, Seq("id"), "left_anti"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    ids.join(lab, Seq("id"), "left")
+  }
+
+  /** The DuckDB replay of [[labelPropagate]] over caller-provided
+    * `nodes(id)` / `seeds(id, label)` / `edges(src, dst)` CTEs —
+    * unrolled synchronous rounds, integer votes, smallest-label
+    * tie-break, clamped seeds. Ends at CTE `lp` = (id, label-or-NULL). */
+  def labelPropagateOracleCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { i => s"""
+      v$i AS (
+        SELECT e.src AS id, l.label, CAST(count(*) AS BIGINT) AS c
+        FROM edges e JOIN l${i - 1} l ON l.id = e.dst
+        GROUP BY e.src, l.label),
+      a$i AS (
+        SELECT id, label FROM (
+          SELECT id, label,
+            row_number() OVER (PARTITION BY id
+              ORDER BY c DESC, label) AS rn
+          FROM v$i) WHERE rn = 1),
+      l$i AS (
+        SELECT id, label FROM sl
+        UNION ALL
+        SELECT a.id, a.label FROM a$i a
+        WHERE a.id NOT IN (SELECT id FROM sl))"""
+    }.mkString(",")
+    s"""sl AS (
+        SELECT s.id, CAST(min(s.label) AS INT) AS label
+        FROM seeds s JOIN nodes n ON n.id = s.id
+        WHERE s.label IS NOT NULL GROUP BY s.id),
+      l0 AS (SELECT id, label FROM sl),$steps,
+      lp AS (
+        SELECT n.id, l.label
+        FROM nodes n LEFT JOIN l$rounds l ON l.id = n.id)"""
+  }
+
   /** Directed exact-kNN similarity graph over an embedding column:
     * node → its `k` nearest by (cosine desc, id asc), self excluded —
     * [[VectorSearch.topKBatch]]'s corpus×broadcast-batch shape with the

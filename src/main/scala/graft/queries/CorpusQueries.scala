@@ -1302,6 +1302,48 @@ object CorpusQueries {
             edges, "src", "dst", rounds = 5)
           .select(col("id").as("vec_id"), col("score"))
           .orderBy(desc("score"), asc("vec_id")).limit(30)
+      }),
+
+    // Label propagation (round 14, Zhu & Ghahramani 2002): the
+    // semi-supervised classify move completing the graph family (q140
+    // rank / q147 trust / q148 classify) — 20% of nodes keep their
+    // true label as clamped seeds, 3 synchronous integer-vote rounds
+    // spread them over the kNN graph, ties to the smallest label. The
+    // output carries pred vs true per node, so the oracle certifies
+    // the full labeling AND the implied accuracy
+    Q("q148_label_propagation", Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      seeds AS (SELECT vec_id AS id, label FROM e WHERE vec_id % 5 = 0),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.labelPropagateOracleCtes(rounds = 3)}
+      SELECT lp.id AS vec_id, lp.label AS pred_label, t.label AS true_label,
+        CAST(CASE WHEN lp.id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS is_seed,
+        CAST(CASE WHEN lp.label = t.label THEN 1 ELSE 0 END AS INT) AS correct
+      FROM lp JOIN e t ON t.vec_id = lp.id
+      ORDER BY vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        GraphRank.labelPropagate(emb.select("vec_id"), "vec_id",
+            emb.filter(col("vec_id") % 5 === 0)
+              .select(col("vec_id"), col("label")), "vec_id", "label",
+            edges, "src", "dst", rounds = 3)
+          .join(emb.select(col("vec_id"), col("label").as("true_label")),
+            col("id") === col("vec_id"))
+          .select(col("vec_id"), col("label").as("pred_label"),
+            col("true_label"),
+            when(col("vec_id") % 5 === 0, 1).otherwise(0).as("is_seed"),
+            when(col("label") === col("true_label"), 1).otherwise(0)
+              .as("correct"))
+          .orderBy("vec_id")
       })
   )
 

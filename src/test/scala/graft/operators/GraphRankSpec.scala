@@ -121,6 +121,39 @@ class GraphRankSpec extends SparkSpec {
     assert(tr3(1L) > 0L && tr3(2L) > 0L)
   }
 
+  test("labelPropagate: clusters fill from one seed each; clamp, ties, unreachable") {
+    // two 4-cliques bridged by nothing; one seed per clique
+    val nodes = (1L to 9L).toDF("id")
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a != b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)))
+      .toDF("src", "dst") // node 9 has no edges at all
+    val seeds = Seq((1L, 0), (5L, 1)).toDF("id", "label")
+    val got = GraphRank.labelPropagate(nodes, "id", seeds, "id", "label",
+        edges, "src", "dst", rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) === Some(0)))
+    assert(Seq(5L, 6L, 7L, 8L).forall(got(_) === Some(1)))
+    assert(got(9L) === None) // unreachable stays unlabeled
+    // tie-break: node 10 sees one vote each for labels 2 and 1 -> takes 1
+    val n2 = (1L to 10L).toDF("id")
+    val e2 = Seq((10L, 1L), (10L, 2L)).toDF("src", "dst")
+    val s2 = Seq((1L, 2), (2L, 1)).toDF("id", "label")
+    val g2 = GraphRank.labelPropagate(n2, "id", s2, "id", "label",
+        e2, "src", "dst", rounds = 1)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(g2(10L) === Some(1), s"tie should take the smallest label: $g2")
+    // clamping: a seed surrounded by the other label keeps its own
+    val e3 = clique(Seq(1L, 2L, 3L, 4L)).toDF("src", "dst")
+    val s3 = Seq((1L, 7), (2L, 3), (3L, 3), (4L, 3)).toDF("id", "label")
+    val g3 = GraphRank.labelPropagate((1L to 4L).toDF("id"), "id",
+        s3, "id", "label", e3, "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(g3 === Map(1L -> 7, 2L -> 3, 3L -> 3, 4L -> 3))
+  }
+
   test("knnGraph: out-degree k, no self-edges, neighbors are the true top-k") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
