@@ -213,6 +213,236 @@ object CorpusStats {
       .withColumn("est_intersect", col("jaccard_est") * col("est_union"))
   }
 
+  /** HyperLogLog distinct-count sketch (Flajolet et al. 2007,
+    * "HyperLogLog: the analysis of a near-optimal cardinality
+    * estimation algorithm") — THE industry-standard cardinality sketch
+    * at 100 TB (fixed 2^p-register state, mergeable across shards),
+    * complementing [[kmvDistinct]]'s order-statistic sketch. Built
+    * deterministic and SQL-replayable: the portable md5-derived 32-bit
+    * hash splits into a p-bit register index (top bits) and a
+    * (32−p)-bit suffix w; the register keeps max ρ(w) where
+    * ρ = (32−p)+1 − bitlength(w) (bitlength via `length(bin(w))`,
+    * identical unpadded semantics in Spark and DuckDB).
+    *
+    * The harmonic sum Σ 2^−M_j is EXACT regardless of fold order —
+    * every term is a dyadic rational with denominator 2^(33−p), and
+    * ≤ 2^p of them fit a double's 53-bit mantissa losslessly — so no
+    * ordered-fold discipline is needed; the only 1-ulp freedom is the
+    * final `ln` of the linear-counting branch, absorbed by round-6 at
+    * the query layer. Raw estimate α_m·m²/Σ with the standard
+    * small-range linear-counting switch (E ≤ 2.5m and empty registers
+    * exist → m·ln(m/V)).
+    *
+    * Scale shape: one map-side-combined (stratum, register) aggregate —
+    * the shuffle carries ≤ m rows per stratum, never items — then a
+    * per-stratum fold over ≤ m registers. Output: (strataCol, n_hit,
+    * n_zero, est_distinct-double-unrounded). */
+  def hllDistinct(df: DataFrame, strataCol: String, item: Column,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val wBits = 32 - p
+    val wMod = 1L << wBits
+    // α_m as the literal float expression both engines evaluate
+    // identically: 0.7213 / (1 + 1.079/m) (the m ≥ 128 constant)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val regs = df
+      .select(col(strataCol).as("__src"),
+        TextFunctions.portableHash32(item.cast("string")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .select(col("__src"), expr(s"__h div $wMod").as("__bucket"),
+        (col("__h") % wMod).as("__w"))
+      .withColumn("__rho",
+        when(col("__w") === 0, lit(wBits + 1))
+          .otherwise(lit(wBits + 1) - length(bin(col("__w")))))
+      .groupBy("__src", "__bucket").agg(max("__rho").as("__m"))
+    val agg = regs.groupBy("__src").agg(
+      count(lit(1)).as("n_hit"),
+      sum(pow(lit(2.0), -col("__m").cast("double"))).as("__s_hit"))
+    agg
+      .withColumn("n_zero", lit(m.toLong) - col("n_hit"))
+      .withColumn("__s", col("__s_hit") + col("n_zero").cast("double"))
+      .withColumn("__raw",
+        alpha * lit(m.toDouble) * lit(m.toDouble) / col("__s"))
+      .select(col("__src").as(strataCol), col("n_hit"), col("n_zero"),
+        when(col("__raw") <= lit(2.5 * m) && col("n_zero") > 0,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) / col("n_zero").cast("double")))
+          .otherwise(col("__raw")).as("est_distinct"))
+  }
+
+  /** Gini coefficient of the per-stratum token-frequency distribution —
+    * the vocabulary-concentration audit (a source whose token mass
+    * concentrates in a handful of types is boilerplate/template text;
+    * natural language sits near G ≈ 0.8–0.9 under Zipf): for
+    * frequencies x_1 ≤ … ≤ x_n (ranked ascending, ties broken by
+    * token so the rank is total), G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx).
+    * Σ i·x_i is invariant to ordering within equal-value blocks, so
+    * the tie-break affects reproducibility of ranks, never G.
+    *
+    * Everything up to the final division is EXACT integer arithmetic
+    * in decimal(38,0) (rank·count products overflow longs at corpus
+    * scale; DuckDB's HUGEINT sums match), then one double division —
+    * bit-deterministic across engines. The rank is
+    * [[Sampling.stratumRank]]'s distributed prefix rank: no
+    * single-partition window over a vocabulary, ever.
+    *
+    * Output: (strataCol, vocab_n, total_count, gini-double). */
+  def giniConcentration(df: DataFrame, strataCol: String, item: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(strataCol).as("__src"), item.cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
+    val ranked = Sampling.stratumRank(counts, "__src",
+      Seq(col("__c").asc, col("__t").asc), "__rk", "__n")
+    ranked.groupBy("__src")
+      .agg(max("__n").as("vocab_n"),
+        sum(col("__c")).as("total_count"),
+        sum(col("__rk").cast("decimal(38,0)") *
+          col("__c").cast("decimal(38,0)")).as("__s1"))
+      .select(col("__src").as(strataCol), col("vocab_n"),
+        col("total_count"),
+        ((lit(2).cast("decimal(38,0)") * col("__s1") -
+          (col("vocab_n") + 1).cast("decimal(38,0)") *
+            col("total_count").cast("decimal(38,0)")).cast("double") /
+          (col("vocab_n").cast("decimal(38,0)") *
+            col("total_count").cast("decimal(38,0)")).cast("double"))
+          .as("gini"))
+  }
+
+  /** Distinct-n diversity (the distinct-1/2/3 metric of Li et al. 2016,
+    * "A Diversity-Promoting Objective Function for Neural Conversation
+    * Models", repurposed as the corpus-level repetitiveness audit):
+    * per stratum and n ∈ {1..maxN}, the count of n-gram TOKENS (with
+    * multiplicity) vs distinct n-gram TYPES and their ratio — the
+    * type/token ratio generalized over n. Low distinct-2/3 flags
+    * templated or machine-generated sources that per-document
+    * repetition scores miss (the repetition is ACROSS documents).
+    *
+    * Scale: n-grams explode map-side off the token array; the shuffle
+    * is one (stratum, n, gram)-keyed count-distinct aggregate —
+    * gram-typed, never document-typed. Integer counts + one division.
+    *
+    * Output: (strataCol, n, total_ngrams, distinct_ngrams,
+    * distinct_ratio-double). */
+  def distinctNgramDiversity(df: DataFrame, strataCol: String,
+                             textCol: String, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "maxN must be >= 1")
+    val ts = TextFunctions.tokens(lower(col(textCol)))
+    val perN = (1 to maxN).map { n =>
+      df.select(col(strataCol).as("__src"), ts.as("__ts"))
+        .select(col("__src"), lit(n).as("n"),
+          explode(when(size(col("__ts")) >= n,
+            transform(sequence(lit(0), size(col("__ts")) - n),
+              i => concat_ws(" ", slice(col("__ts"), i + 1, lit(n)))))
+            .otherwise(array().cast("array<string>"))).as("__g"))
+    }
+    perN.reduce(_ union _)
+      .groupBy("__src", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("__g")).as("distinct_ngrams"))
+      .select(col("__src").as(strataCol), col("n"), col("total_ngrams"),
+        col("distinct_ngrams"),
+        (col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).as("distinct_ratio"))
+  }
+
+  /** Frequency-of-frequencies table with Good-Turing re-estimates
+    * (Good 1953; the SGT front table of Gale & Sampson 1995): per
+    * stratum, N_c = how many item types occur exactly c times, for
+    * c ≤ maxC, plus the Turing estimate c* = (c+1)·N_{c+1}/N_c — the
+    * LM-smoothing mass table AND the hapax spectrum (N_1/V is the
+    * vocabulary-growth / contamination audit: natural corpora are
+    * ~40–60% hapax; deduplicated boilerplate collapses N_1).
+    *
+    * All counts exact; c* is one division of an exact integer product
+    * (NULL when N_{c+1} is absent — the raw-Turing convention; the
+    * smoothing regression beyond the front table is a modeling choice
+    * left to callers). N_{c+1} arrives by a keyed self-join on (src,
+    * c+1) — never a window over the count spectrum.
+    *
+    * Scale: the (item → c) aggregate is the only corpus-sized shuffle;
+    * the spectrum is ≤ max-count rows per stratum. Output: (strataCol,
+    * c, n_types, gt_cstar). */
+  def freqOfFreqs(df: DataFrame, strataCol: String, item: Column,
+                  maxC: Int = 10): DataFrame = {
+    require(maxC >= 1, "maxC must be >= 1")
+    val cnt = df
+      .select(col(strataCol).as("__src"), item.cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
+    val ff = cnt.groupBy("__src", "__c")
+      .agg(count(lit(1)).as("n_types"))
+      .materializeOnce(eager = false) // feeds both sides of the c+1 join
+    val nxt = ff.select(col("__src"), (col("__c") - 1).as("__c"),
+      col("n_types").as("__n_next"))
+    ff.join(nxt, Seq("__src", "__c"), "left")
+      .filter(col("__c") <= maxC)
+      .select(col("__src").as(strataCol), col("__c").as("c"),
+        col("n_types"),
+        (((col("__c") + 1) * col("__n_next")).cast("double") /
+          col("n_types").cast("double")).as("gt_cstar"))
+  }
+
+  /** PMI collocations (Church & Hanks 1990, "Word Association Norms,
+    * Mutual Information, and Lexicography"): adjacent-token pairs
+    * scored by pointwise mutual information
+    * PMI = ln( p(a,b) / (p(a)·p(b)) ) with p(a,b) from the bigram
+    * distribution (count / total bigrams) and p(·) from the unigram
+    * distribution — the corpus-phrase audit (high-PMI pairs are
+    * multiword units; a head full of boilerplate pairs flags template
+    * text). Pairs below `minCount` are cut (PMI is unstable at low
+    * counts — the standard practice).
+    *
+    * Every count is an exact integer; the PMI float is the IDENTICAL
+    * division/ln expression on both engines — ln( (cab/Nbi) /
+    * (ca/Nuni · cb/Nuni) ) left-to-right — so the only freedom is
+    * ln's 1 ulp, absorbed by round-6 AT THE SORT KEY (callers must
+    * rank by the rounded value; this function returns it rounded).
+    *
+    * Scale: token and bigram counts are map-side-combined aggregates
+    * (vocabulary-sized shuffles); the final scoring joins the
+    * pair-count table to two broadcast-size unigram lookups ONLY for
+    * pairs that survived `minCount` — the corpus never re-shuffles.
+    *
+    * Output: (w1, w2, pair_n, w1_n, w2_n, pmi-rounded-6). */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long)
+      : DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val ts = TextFunctions.tokens(lower(col(textCol)))
+    val toks = df.select(ts.as("__ts")).materializeOnce(eager = false)
+    val uni = toks.select(explode(col("__ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("w_n"))
+    val biAll = toks
+      .select(explode(when(size(col("__ts")) >= 2,
+        transform(sequence(lit(0), size(col("__ts")) - 2),
+          i => struct(element_at(col("__ts"), i + 1).as("w1"),
+            element_at(col("__ts"), i + 2).as("w2"))))
+        .otherwise(array().cast(
+          "array<struct<w1:string,w2:string>>"))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("pair_n"))
+      .materializeOnce(eager = false)
+    // N_bi is the TOTAL bigram mass — summed before the minCount cut,
+    // or p(a,b) would renormalize over survivors only
+    val nBi = biAll.agg(sum("pair_n").as("__nb"))
+    val bi = biAll.filter(col("pair_n") >= minCount)
+    val nUni = uni.agg(sum("w_n").as("__nu"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("w_n").as("w1_n")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("w_n").as("w2_n")), Seq("w2"))
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("pair_n"), col("w1_n"),
+        col("w2_n"),
+        round(log(
+          (col("pair_n").cast("double") / col("__nb").cast("double")) /
+            (col("w1_n").cast("double") / col("__nu").cast("double") *
+              (col("w2_n").cast("double") / col("__nu").cast("double")))),
+          6).as("pmi"))
+  }
+
   /** Per-stratum tokenizer fertility — the multilingual-bias audit a
     * tokenizer ships with (a subword vocab trained on one language
     * fragments the others into more, shorter tokens, inflating their

@@ -322,6 +322,133 @@ object GraphRank {
       .select(col("src"), col("dst"), col("cos_sim"))
   }
 
+  /** Per-node triangle count and local clustering coefficient (Watts &
+    * Strogatz 1998) over the MUTUAL subgraph of a directed edge set —
+    * the graph-density audit of the similarity structure (a kNN graph
+    * whose mutual edges close into triangles is clustered/duplicative;
+    * a near-triangle-free one is dispersed). Mutuality (both directions
+    * present) is the standard symmetrization that keeps kNN degree
+    * bounded by k.
+    *
+    * Triangles enumerate once each as ordered (a < b < c): adjacent
+    * pairs of each apex (bounded C(k,2) fanout per node — the mutual
+    * degree inherits the kNN out-degree bound) semi-joined against the
+    * undirected edge set; per-node counts explode the 3 corners. All
+    * joins are hash-keyed on node ids — ids-only shuffles, never
+    * features; no window wider than a node's neighbor list.
+    * lcc = 2·T / (deg·(deg−1)) is one double division of exact longs
+    * (0.0 when deg < 2 — the isolated/leaf convention).
+    *
+    * Output: (id, degree, n_tri, lcc-double) — one row per node. */
+  def triangleStats(nodes: DataFrame, idCol: String,
+                    edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val d1 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val d2 = edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
+    val und = d1.join(d2, Seq("a", "b"), "left_semi")
+      .filter(col("a") < col("b"))
+      .materializeOnce(eager = false)
+    val deg = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val pairs = und
+      .join(und.select(col("a"), col("b").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+    val tris = pairs.join(
+      und.select(col("a").as("b"), col("b").as("c")),
+      Seq("b", "c"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    nodes.select(col(idCol).as("id")).distinct()
+      .join(deg, Seq("id"), "left")
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          (lit(2L) * col("n_tri")).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative Mixing in
+    * Networks") of the MUTUAL subgraph of a directed edge set: the
+    * Pearson correlation of endpoint degrees over ordered edge pairs.
+    * Positive r = hubs prefer hubs (clustered near-dup mass);
+    * negative r = hub-leaf structure. Over the symmetric ordered-pair
+    * edge list both endpoint marginals coincide, so
+    * r = (M·Σjk − (Σj)²) / (M·Σj² − (Σj)²) — every operand an EXACT
+    * integer (decimal(38,0) sums; degrees are bounded by k on kNN
+    * graphs but corpus-scale M·Σ products overflow longs), then ONE
+    * double division: bit-identical in any replaying engine. NULL when
+    * the degree distribution is constant (zero variance).
+    *
+    * Scale: mutual edges + degree join are keyed shuffles on node ids;
+    * the moment aggregate is a single fold to one row.
+    * Output: one row (m_ordered_edges, assortativity). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val d1 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val d2 = edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
+    // ordered mutual pairs — BOTH orientations kept (the standard
+    // symmetric edge-list convention for undirected assortativity)
+    val ord = d1.join(d2, Seq("a", "b"), "left_semi")
+      .materializeOnce(eager = false)
+    val deg = ord.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val paired = ord
+      .join(deg.select(col("id").as("a"), col("deg").as("ja")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("jb")), Seq("b"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    paired.agg(
+        count(lit(1)).as("m"),
+        sum(dec(col("ja"))).as("__sj"),
+        sum(dec(col("ja")) * dec(col("jb"))).as("__sjk"),
+        sum(dec(col("ja")) * dec(col("ja"))).as("__sj2"))
+      .select(col("m").as("m_ordered_edges"),
+        when(dec(col("m")) * col("__sj2") - col("__sj") * col("__sj")
+            =!= dec(lit(0)),
+          (dec(col("m")) * col("__sjk") - col("__sj") * col("__sj"))
+            .cast("double") /
+            (dec(col("m")) * col("__sj2") - col("__sj") * col("__sj"))
+              .cast("double"))
+          .as("assortativity"))
+  }
+
+  /** The DuckDB replay of [[triangleStats]] over caller-provided
+    * `nodes(id)` / `edges(src, dst)` CTEs — mutual symmetrization,
+    * ordered-triple enumeration, per-corner counts, the same single
+    * division. Ends at CTE `tstats` = (id, degree, n_tri, lcc). */
+  def triangleOracleCtes: String = s"""
+      und AS (
+        SELECT e1.src AS a, e1.dst AS b FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst AND e2.dst = e1.src
+        WHERE e1.src < e1.dst),
+      dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+               SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+             GROUP BY id),
+      tri AS (
+        SELECT p.a, p.b, p.c
+        FROM (SELECT e1.a, e1.b, e2.b AS c FROM und e1
+              JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b) p
+        JOIN und e3 ON e3.a = p.b AND e3.b = p.c),
+      tc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+               SELECT a AS id FROM tri UNION ALL SELECT b AS id FROM tri
+               UNION ALL SELECT c AS id FROM tri)
+             GROUP BY id),
+      tstats AS (
+        SELECT n.id, coalesce(d.degree, 0) AS degree,
+          coalesce(t.n_tri, 0) AS n_tri,
+          CASE WHEN coalesce(d.degree, 0) >= 2
+               THEN CAST(2 * coalesce(t.n_tri, 0) AS DOUBLE) /
+                    CAST(d.degree * (d.degree - 1) AS DOUBLE)
+               ELSE 0.0 END AS lcc
+        FROM nodes n
+        LEFT JOIN dg d ON d.id = n.id
+        LEFT JOIN tc t ON t.id = n.id)"""
+
   /** The DuckDB replay of [[pagerank]] over a `nodes(id)` /
     * `edges(src, dst)` CTE pair the caller provides: unrolled
     * fixed-round blocks, each the same integer arithmetic

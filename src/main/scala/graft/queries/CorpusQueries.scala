@@ -1344,6 +1344,298 @@ object CorpusQueries {
             when(col("label") === col("true_label"), 1).otherwise(0)
               .as("correct"))
           .orderBy("vec_id")
+      }),
+
+    // HyperLogLog cardinality (round 14, Flajolet 2007): per-source
+    // distinct token-3-gram estimate vs the exact count — the sketch
+    // the 100 TB tier actually ships (fixed 2^8-register state,
+    // mergeable across shards) next to q132's KMV order-statistic
+    // sketch. Registers are integer-exact off the portable hash; the
+    // harmonic sum is dyadic-exact in any fold order; the one ln (the
+    // linear-counting branch) is round-6-absorbed. rel_err is computed
+    // FROM the rounded estimate so it is deterministic too
+    Q("q149_hll_distinct", Some("""
+      WITH tok AS (SELECT source,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents),
+      g AS (SELECT source,
+              unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                for i in range(1, greatest(len(t) - 2, 0) + 1)])) AS gr
+            FROM tok),
+      h AS (SELECT source,
+              CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT) AS h FROM g),
+      regs AS (SELECT source, h // 16777216 AS bucket,
+                 CASE WHEN h % 16777216 = 0 THEN 25
+                      ELSE 25 - length(bin(h % 16777216)) END AS rho
+               FROM h),
+      mx AS (SELECT source, bucket, max(rho) AS m
+             FROM regs GROUP BY source, bucket),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hit,
+                sum(power(2.0, -m)) AS s_hit
+              FROM mx GROUP BY source),
+      est AS (SELECT source, n_hit, CAST(256 - n_hit AS BIGINT) AS n_zero,
+                s_hit + CAST(256 - n_hit AS DOUBLE) AS s
+              FROM agg),
+      fin AS (SELECT source, n_hit, n_zero,
+                CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / s
+                          <= 640.0 AND n_zero > 0
+                     THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+                     ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / s
+                END AS e
+              FROM est),
+      ex AS (SELECT source, CAST(count(DISTINCT gr) AS BIGINT) AS exact_distinct
+             FROM g GROUP BY source)
+      SELECT f.source, f.n_hit, f.n_zero,
+        round(f.e, 6) AS est_distinct, x.exact_distinct,
+        round((round(f.e, 6) - CAST(x.exact_distinct AS DOUBLE)) /
+          CAST(x.exact_distinct AS DOUBLE), 6) AS rel_err
+      FROM fin f JOIN ex x ON x.source = f.source
+      ORDER BY f.source"""),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grams = docs.select(col("source"), explode(
+          graft.plans.TextSetExpressions.wordNgramSet(lower(col("text")), 3))
+          .as("gr"))
+        val exact = grams.groupBy("source")
+          .agg(countDistinct(col("gr")).as("exact_distinct"))
+        CorpusStats.hllDistinct(grams, "source", col("gr"), p = 8)
+          .withColumn("est_r", round(col("est_distinct"), 6))
+          .join(exact, Seq("source"))
+          .select(col("source"), col("n_hit"), col("n_zero"),
+            col("est_r").as("est_distinct"), col("exact_distinct"),
+            round((col("est_r") - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double"), 6).as("rel_err"))
+          .orderBy("source")
+      }),
+
+    // Triangle census of the embedding kNN graph (round 14, Watts &
+    // Strogatz 1998): per-node triangle count + local clustering
+    // coefficient over the MUTUAL kNN edges — the graph-density audit
+    // completing the graph family (q140 rank / q147 trust / q148
+    // classify / q150 structure). Counts are exact longs; lcc is one
+    // division of exact integers, round-6 for display
+    Q("q150_knn_triangles", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.triangleOracleCtes}
+      SELECT id AS vec_id, degree, n_tri, round(lcc, 6) AS lcc
+      FROM tstats ORDER BY vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        GraphRank.triangleStats(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst")
+          .select(col("id").as("vec_id"), col("degree"), col("n_tri"),
+            round(col("lcc"), 6).as("lcc"))
+          .orderBy("vec_id")
+      }),
+
+    // Token-frequency Gini concentration (round 14): per-source
+    // inequality of the token-frequency distribution — the
+    // vocabulary-concentration audit (template/boilerplate sources
+    // concentrate mass in few types). Exact integer arithmetic in
+    // decimal/HUGEINT up to ONE final division, round-6
+    Q("q151_token_gini", Some("""
+      WITH tok AS (SELECT source,
+              unnest(list_filter(string_split(lower(text), ' '),
+                x -> x <> '')) AS t
+            FROM documents),
+      cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY source, t),
+      rk AS (SELECT source, t, c,
+               row_number() OVER (PARTITION BY source ORDER BY c, t) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM cnt),
+      agg AS (SELECT source, CAST(max(n) AS BIGINT) AS vocab_n,
+                CAST(sum(c) AS BIGINT) AS total_count,
+                sum(CAST(rk AS HUGEINT) * CAST(c AS HUGEINT)) AS s1
+              FROM rk GROUP BY source)
+      SELECT source, vocab_n, total_count,
+        round(CAST(2 * s1 - (CAST(vocab_n AS HUGEINT) + 1) *
+                     CAST(total_count AS HUGEINT) AS DOUBLE) /
+              CAST(CAST(vocab_n AS HUGEINT) *
+                   CAST(total_count AS HUGEINT) AS DOUBLE), 6) AS gini
+      FROM agg ORDER BY source"""),
+      (s, d) => CorpusStats.giniConcentration(
+          Tables.documents(s, d).select(col("source"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t")),
+          "source", col("t"))
+        .select(col("source"), col("vocab_n"), col("total_count"),
+          round(col("gini"), 6).as("gini"))
+        .orderBy("source")),
+
+    // PMI collocations (round 14, Church & Hanks 1990): top adjacent
+    // pairs by pointwise mutual information with a min-count cut —
+    // the multiword-unit / boilerplate-phrase audit. Counts exact;
+    // the PMI float is the identical division/ln chain on both
+    // engines, round-6 BEFORE it becomes the sort key
+    Q("q152_pmi_collocations", Some("""
+      WITH tok AS (SELECT
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM tok),
+      uc AS (SELECT w, CAST(count(*) AS BIGINT) AS w_n FROM uni GROUP BY w),
+      bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+             FROM tok, LATERAL (SELECT unnest(
+               generate_series(1, len(t) - 1)) AS i) s
+             WHERE len(t) >= 2),
+      bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n
+             FROM bi GROUP BY w1, w2),
+      nu AS (SELECT CAST(sum(w_n) AS BIGINT) AS nu FROM uc),
+      nb AS (SELECT CAST(sum(pair_n) AS BIGINT) AS nb FROM bc)
+      SELECT w1, w2, pair_n, u1.w_n AS w1_n, u2.w_n AS w2_n,
+        round(ln((CAST(pair_n AS DOUBLE) / CAST(nb AS DOUBLE)) /
+          (CAST(u1.w_n AS DOUBLE) / CAST(nu AS DOUBLE) *
+           (CAST(u2.w_n AS DOUBLE) / CAST(nu AS DOUBLE)))), 6) AS pmi
+      FROM bc JOIN uc u1 ON u1.w = bc.w1
+      JOIN uc u2 ON u2.w = bc.w2
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE pair_n >= 10
+      ORDER BY pmi DESC, w1, w2 LIMIT 30"""),
+      (s, d) => CorpusStats.pmiCollocations(
+          Tables.documents(s, d), "text", minCount = 10L)
+        .orderBy(desc("pmi"), asc("w1"), asc("w2")).limit(30)),
+
+    // Distinct-n diversity (round 14, Li et al. 2016): per-source
+    // type/token ratio over 1/2/3-grams — the cross-document
+    // repetitiveness audit (templated sources score low on
+    // distinct-2/3 even when per-document repetition looks clean).
+    // Integer counts + one division
+    Q("q154_distinct_ngrams", Some("""
+      WITH tok AS (SELECT source,
+              list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+            FROM documents),
+      g AS (SELECT source, nn.n,
+              unnest([array_to_string(t[i:i+nn.n-1], ' ')
+                for i in range(1, greatest(len(t) - nn.n + 1, 0) + 1)]) AS gr
+            FROM tok CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) nn),
+      agg AS (SELECT source, n, CAST(count(*) AS BIGINT) AS total_ngrams,
+                CAST(count(DISTINCT gr) AS BIGINT) AS distinct_ngrams
+              FROM g GROUP BY source, n)
+      SELECT source, CAST(n AS INT) AS n, total_ngrams, distinct_ngrams,
+        CAST(distinct_ngrams AS DOUBLE) / CAST(total_ngrams AS DOUBLE)
+          AS distinct_ratio
+      FROM agg ORDER BY source, n"""),
+      (s, d) => CorpusStats.distinctNgramDiversity(
+          Tables.documents(s, d), "source", "text", maxN = 3)
+        .orderBy("source", "n")),
+
+    // Frequency-of-frequencies + raw Good-Turing (round 14, Good 1953
+    // / Gale & Sampson 1995): per-source N_c spectrum with the Turing
+    // re-estimate c* = (c+1)N_{c+1}/N_c — the LM-smoothing front
+    // table and the hapax audit in one shape. Counts exact; c* is one
+    // division of an integer product; N_{c+1} via keyed self-join
+    Q("q155_freq_of_freqs", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      ff AS (SELECT source, c, CAST(count(*) AS BIGINT) AS n_types
+             FROM cnt GROUP BY 1, 2)
+      SELECT f.source, CAST(f.c AS BIGINT) AS c, f.n_types,
+        round(CAST((f.c + 1) * n2.n_types AS DOUBLE) /
+              CAST(f.n_types AS DOUBLE), 6) AS gt_cstar
+      FROM ff f LEFT JOIN ff n2
+        ON n2.source = f.source AND n2.c = f.c + 1
+      WHERE f.c <= 100
+      ORDER BY f.source, c"""),
+      (s, d) => CorpusStats.freqOfFreqs(
+          Tables.documents(s, d).select(col("source"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t")),
+          "source", col("t"), maxC = 100)
+        .select(col("source"), col("c"), col("n_types"),
+          round(col("gt_cstar"), 6).as("gt_cstar"))
+        .orderBy("source", "c")),
+
+    // Degree assortativity of the kNN graph (round 14, Newman 2002):
+    // do similarity hubs attach to hubs? Over the symmetric
+    // ordered-pair mutual edge list, r = (M·Σjk − (Σj)²)/(M·Σj² −
+    // (Σj)²) — every operand an exact integer (HUGEINT/decimal sums),
+    // ONE double division, bit-identical replay
+    Q("q156_degree_assortativity", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ord AS (SELECT e1.src AS a, e1.dst AS b FROM edges e1
+              JOIN edges e2 ON e2.src = e1.dst AND e2.dst = e1.src),
+      deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg
+              FROM ord GROUP BY a),
+      p AS (SELECT da.deg AS ja, db.deg AS jb
+            FROM ord JOIN deg da ON da.id = ord.a
+            JOIN deg db ON db.id = ord.b),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                sum(CAST(ja AS HUGEINT)) AS sj,
+                sum(CAST(ja AS HUGEINT) * CAST(jb AS HUGEINT)) AS sjk,
+                sum(CAST(ja AS HUGEINT) * CAST(ja AS HUGEINT)) AS sj2
+              FROM p)
+      SELECT m AS m_ordered_edges,
+        CASE WHEN CAST(m AS HUGEINT) * sj2 - sj * sj <> 0
+             THEN round(CAST(CAST(m AS HUGEINT) * sjk - sj * sj AS DOUBLE) /
+                        CAST(CAST(m AS HUGEINT) * sj2 - sj * sj AS DOUBLE), 6)
+             ELSE NULL END AS assortativity
+      FROM agg"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        GraphRank.degreeAssortativity(edges, "src", "dst")
+          .select(col("m_ordered_edges"),
+            round(col("assortativity"), 6).as("assortativity"))
+      }),
+
+    // kNN label purity (round 14): per class, the fraction of kNN
+    // edges whose endpoint shares the source's label — the embedding-
+    // quality / class-separation audit (the graph-side 1-NN accuracy
+    // generalized to k). Exact integer counts + one division
+    Q("q160_knn_label_purity", Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      j AS (SELECT ls.label AS label,
+              CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END AS same
+            FROM edges eg
+            JOIN e ls ON ls.vec_id = eg.src
+            JOIN e ld ON ld.vec_id = eg.dst)
+      SELECT label, CAST(count(*) AS BIGINT) AS n_edges,
+        CAST(sum(same) AS BIGINT) AS same_label_edges,
+        CAST(sum(same) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS purity
+      FROM j GROUP BY label ORDER BY label"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val lab = emb.select(col("vec_id"), col("label"))
+        edges
+          .join(lab.select(col("vec_id").as("src"),
+            col("label").as("__ls")), Seq("src"))
+          .join(lab.select(col("vec_id").as("dst"),
+            col("label").as("__ld")), Seq("dst"))
+          .groupBy(col("__ls").as("label"))
+          .agg(count(lit(1)).as("n_edges"),
+            sum(when(col("__ls") === col("__ld"), 1L).otherwise(0L))
+              .as("same_label_edges"))
+          .select(col("label"), col("n_edges"), col("same_label_edges"),
+            (col("same_label_edges").cast("double") /
+              col("n_edges").cast("double")).as("purity"))
+          .orderBy("label")
       })
   )
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontamination, Dedup, ImportanceSampling, Packing, Quota, Sampling, TextAnalysis, VectorSearch}
+import graft.operators.{CorpusStats, Decontamination, Dedup, ImportanceSampling, Packing, Quota, Sampling, TextAnalysis, VectorSearch}
 import graft.util.Materialize.MatOps
 import org.apache.spark.sql.functions._
 
@@ -1874,6 +1874,104 @@ object CurationQueries {
                 .as("hit_rate"))
             .orderBy("split")
         })
-    }
+    },
+
+    // Source scorecard (round 14): the one-table per-source corpus
+    // health report a curation run opens with — doc/token volume,
+    // vocabulary size, Gini concentration (q151), hapax share (q155's
+    // N_1/V), distinct-3 diversity (q154), and JS drift vs the corpus
+    // (q146) — composed from the certified operators over ONE shared
+    // document scan (materializeOnce; the token-count table feeds
+    // gini, hapax and JSD without re-tokenizing). Every float is a
+    // round-6 single division or the q146-certified JSD fold
+    Q("q157_source_scorecard", Some(s"""
+      WITH tok AS (SELECT source, ${toksSql("text")} AS t FROM documents),
+      base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(t)) AS BIGINT) AS n_tokens
+               FROM tok GROUP BY source),
+      tk AS (SELECT source, unnest(t) AS tkn FROM tok),
+      cnt AS (SELECT source, tkn, CAST(count(*) AS BIGINT) AS c
+              FROM tk GROUP BY 1, 2),
+      rk AS (SELECT source, tkn, c,
+               row_number() OVER (PARTITION BY source ORDER BY c, tkn) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+             FROM cnt),
+      gin AS (SELECT source, CAST(max(n) AS BIGINT) AS vocab_n,
+                CAST(sum(c) AS BIGINT) AS tc,
+                sum(CAST(rk AS HUGEINT) * CAST(c AS HUGEINT)) AS s1
+              FROM rk GROUP BY source),
+      gini AS (SELECT source, vocab_n,
+                 round(CAST(2 * s1 - (CAST(vocab_n AS HUGEINT) + 1) *
+                              CAST(tc AS HUGEINT) AS DOUBLE) /
+                       CAST(CAST(vocab_n AS HUGEINT) *
+                            CAST(tc AS HUGEINT) AS DOUBLE), 6) AS gini
+               FROM gin),
+      hap AS (SELECT source,
+                round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                      CAST(count(*) AS DOUBLE), 6) AS hapax_share
+              FROM cnt GROUP BY source),
+      tri AS (SELECT source, unnest([array_to_string(t[i:i+2], ' ')
+                for i in range(1, greatest(len(t) - 2, 0) + 1)]) AS g
+              FROM tok),
+      d3 AS (SELECT source,
+               round(CAST(count(DISTINCT g) AS DOUBLE) /
+                     CAST(count(*) AS DOUBLE), 6) AS distinct3_ratio
+             FROM tri GROUP BY source),
+      corpus AS (SELECT tkn, CAST(sum(c) AS BIGINT) AS cc
+                 FROM cnt GROUP BY tkn),
+      tot AS (SELECT CAST(coalesce(sum(cc), 0) AS DOUBLE) AS nn FROM corpus),
+      ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+             FROM cnt GROUP BY source),
+      jj AS (SELECT cnt.source,
+               CAST(cnt.c AS DOUBLE) / CAST(ps.ns AS DOUBLE) AS p,
+               CAST(corpus.cc AS DOUBLE) / tot.nn AS q
+             FROM cnt JOIN corpus USING (tkn) JOIN ps USING (source)
+             CROSS JOIN tot),
+      js AS (SELECT source,
+               round((sum(p * ln(p / ((p + q) / 2.0)) +
+                          q * ln(q / ((p + q) / 2.0)))
+                      + (1.0 - sum(q)) * ${TextAnalysis.Ln2}) / 2.0
+                     / ${TextAnalysis.Ln2}, 6) AS jsd
+             FROM jj GROUP BY source)
+      SELECT b.source, b.n_docs, b.n_tokens, g.vocab_n, g.gini,
+        h.hapax_share, d.distinct3_ratio, j.jsd
+      FROM base b JOIN gini g USING (source) JOIN hap h USING (source)
+      JOIN d3 d USING (source) JOIN js j USING (source)
+      ORDER BY source"""),
+      (s, d) => {
+        import graft.util.Materialize.MatOps
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("text"))
+          .materializeOnce(eager = false) // one scan feeds all five audits
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.functions.TextFunctions.wordCount(col("text"))
+            .cast("long")).as("n_tokens"))
+        val tok = docs.select(col("source"), explode(
+          graft.functions.TextFunctions.tokens(lower(col("text")))).as("t"))
+        val gin = CorpusStats.giniConcentration(tok, "source", col("t"))
+          .select(col("source"), col("vocab_n"),
+            round(col("gini"), 6).as("gini"))
+        val cnt = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val hap = cnt.groupBy("source").agg(
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("__h"),
+            count(lit(1)).as("__v"))
+          .select(col("source"),
+            round(col("__h").cast("double") / col("__v").cast("double"), 6)
+              .as("hapax_share"))
+        val d3 = CorpusStats.distinctNgramDiversity(docs, "source",
+            "text", maxN = 3)
+          .filter(col("n") === 3)
+          .select(col("source"),
+            round(col("distinct_ratio"), 6).as("distinct3_ratio"))
+        val jsd = TextAnalysis.sourceJsDivergence(docs, "source", "text")
+          .select(col("src").as("source"), round(col("jsd"), 6).as("jsd"))
+        base.join(gin, Seq("source")).join(hap, Seq("source"))
+          .join(d3, Seq("source")).join(jsd, Seq("source"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("vocab_n"), col("gini"), col("hapax_share"),
+            col("distinct3_ratio"), col("jsd"))
+          .orderBy("source")
+      })
   )
 }

@@ -525,6 +525,154 @@ object RelationalQueries {
             col("users").cast("double") /
               first("users").over(w).cast("double"))
           .orderBy("step")
+      }),
+
+    // Weekly burstiness z-scores (round 14): per event-type weekly
+    // counts on the DENSE week grid (zero weeks included — they carry
+    // the anomaly signal), z = (n·c − S) / sqrt(n·SS − S²) — the
+    // population z-score rearranged so every operand is an exact
+    // integer and the float tail is ONE correctly-rounded sqrt + ONE
+    // division (bit-identical across engines; round-6 for display).
+    // The grid is (#types × #weeks) rows — metadata-sized; the only
+    // corpus-scale shuffle is the (type, week) count aggregate
+    Q("q153_event_burstiness", Some("""
+      WITH e AS (SELECT event_type,
+              epoch_us(ts) // 1000000 // 604800 AS wk FROM events),
+      cnt AS (SELECT event_type, wk, CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2),
+      span AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM e),
+      grid AS (SELECT t.event_type, g.wk
+               FROM (SELECT DISTINCT event_type FROM e) t
+               CROSS JOIN (SELECT unnest(generate_series(
+                 (SELECT w0 FROM span), (SELECT w1 FROM span))) AS wk) g),
+      cells AS (SELECT g.event_type, g.wk, coalesce(c.c, 0) AS c
+                FROM grid g LEFT JOIN cnt c
+                ON c.event_type = g.event_type AND c.wk = g.wk),
+      st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS ss
+             FROM cells GROUP BY event_type)
+      SELECT c.event_type, CAST(c.wk AS BIGINT) AS week,
+        CAST(c.c AS BIGINT) AS n_events,
+        CASE WHEN st.n * st.ss - st.s * st.s > 0
+             THEN round(CAST(st.n * c.c - st.s AS DOUBLE) /
+                        sqrt(CAST(st.n * st.ss - st.s * st.s AS DOUBLE)), 6)
+             ELSE NULL END AS z
+      FROM cells c JOIN st ON st.event_type = c.event_type
+      ORDER BY c.event_type, week"""),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("cast(ts as long) div 604800").as("wk"))
+          .materializeOnce(eager = false) // counts + span + types, one scan
+        val cnt = e.groupBy("event_type", "wk")
+          .agg(count(lit(1)).as("c"))
+        val span = e.agg(min("wk").as("w0"), max("wk").as("w1"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(broadcast(span))
+          .select(col("event_type"),
+            explode(sequence(col("w0"), col("w1"))).as("wk"))
+        val cells = grid.join(cnt, Seq("event_type", "wk"), "left")
+          .select(col("event_type"), col("wk"),
+            coalesce(col("c"), lit(0L)).as("c"))
+          .materializeOnce(eager = false) // feeds st AND the output join
+        val st = cells.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("c").as("s"),
+            sum(col("c") * col("c")).as("ss"))
+        cells.join(broadcast(st), Seq("event_type"))
+          .select(col("event_type"), col("wk").as("week"),
+            col("c").as("n_events"),
+            when(col("n") * col("ss") - col("s") * col("s") > 0,
+              round((col("n") * col("c") - col("s")).cast("double") /
+                sqrt((col("n") * col("ss") - col("s") * col("s"))
+                  .cast("double")), 6)).as("z"))
+          .orderBy("event_type", "week")
+      }),
+
+    // Per-user inter-event gap percentiles (round 14): the recurrence
+    // cadence audit — for each event type, exact nearest-rank
+    // percentiles of the gap between a user's SUCCESSIVE events of
+    // that type. The sequence window is keyed (user, type) — user
+    // histories are short, so no hot-type giant partition; the
+    // percentile is the distributed prefix rank, never a per-type
+    // sorted window. Gaps are exact integer seconds
+    Q("q158_event_gaps", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                   event_id FROM events),
+      s AS (SELECT user_id, event_type, us,
+              lead(us) OVER (PARTITION BY user_id, event_type
+                ORDER BY us, event_id) AS nxt
+            FROM e),
+      g AS (SELECT event_type, (nxt - us) // 1000000 AS gap_s
+            FROM s WHERE nxt IS NOT NULL),
+      r AS (SELECT event_type, gap_s,
+              row_number() OVER (PARTITION BY event_type
+                ORDER BY gap_s) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM g)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        CAST(max(CASE WHEN rk = CAST(ceil(0.25 * n) AS BIGINT)
+                 THEN gap_s END) AS BIGINT) AS p25,
+        CAST(max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT)
+                 THEN gap_s END) AS BIGINT) AS p50,
+        CAST(max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT)
+                 THEN gap_s END) AS BIGINT) AS p90
+      FROM r GROUP BY event_type ORDER BY event_type"""),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("us").asc, col("event_id").asc)
+        val gaps = e
+          .withColumn("nxt", lead("us", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("event_type"),
+            expr("(nxt - us) div 1000000").as("gap_s"))
+        graft.operators.CorpusStats.exactPercentiles(
+            gaps, "gap_s", "event_type", Seq(0.25, 0.5, 0.9))
+          .withColumnRenamed("n_docs", "n_gaps")
+          .orderBy("event_type")
+      }),
+
+    // Event-type transition matrix (round 14): per-user ordered
+    // event_type bigrams → Markov transition counts and row-normalized
+    // probabilities — the session-flow audit next to q145's fixed
+    // funnel (the funnel asserts one path; this measures ALL of them).
+    // The sequence window is user-keyed; the matrix is (#types)² rows;
+    // p is one division of exact counts
+    Q("q159_event_transitions", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                   event_id FROM events),
+      s AS (SELECT user_id, event_type AS prev,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS nxt
+            FROM e),
+      t AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      r AS (SELECT prev, CAST(sum(n) AS BIGINT) AS row_n
+            FROM t GROUP BY prev)
+      SELECT t.prev, t.nxt, t.n,
+        CAST(t.n AS DOUBLE) / CAST(r.row_n AS DOUBLE) AS p
+      FROM t JOIN r ON r.prev = t.prev
+      ORDER BY t.prev, t.nxt"""),
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").asc, col("event_id").asc)
+        val trans = e
+          .withColumn("nxt", lead("event_type", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("event_type").as("prev"), col("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val rows = trans.groupBy("prev").agg(sum("n").as("row_n"))
+        trans.join(broadcast(rows), Seq("prev"))
+          .select(col("prev"), col("nxt"), col("n"),
+            (col("n").cast("double") / col("row_n").cast("double"))
+              .as("p"))
+          .orderBy("prev", "nxt")
       })
   )
 }

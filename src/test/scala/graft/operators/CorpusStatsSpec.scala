@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** `TextAnalysis.sourceOverlap` (cross-source n-gram overlap matrix)
   * and `TextAnalysis.charEntropy` against driver-side replicas.
@@ -355,5 +356,111 @@ class CorpusStatsSpec extends SparkSpec {
       "text", 4).orderBy("rank").collect().map(_.getDouble(3))
     assert(a.head < 0.0)
     assert(a.toSeq === b.toSeq) // partitioning-independent fold
+  }
+
+  /** Driver-side replica of [[graft.functions.TextFunctions.portableHash32]]. */
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(8)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("hllDistinct replays the register algorithm exactly; small sets hit linear counting") {
+    val items = (1 to 300).map(i => ("a", s"item_$i")) ++
+      (1 to 7).map(i => ("b", s"thing_$i"))
+    val got = CorpusStats.hllDistinct(items.toDF("src", "it"),
+        "src", col("it"), p = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // driver-side replica: same hash, same registers, same estimate
+    val want = items.groupBy(_._1).view.mapValues { g =>
+      val regs = scala.collection.mutable.Map.empty[Long, Int]
+      g.map(x => h32(x._2)).foreach { h =>
+        val b = h / 16777216L
+        val w = h % 16777216L
+        val rho = if (w == 0L) 25
+          else 25 - java.lang.Long.toBinaryString(w).length
+        regs(b) = math.max(regs.getOrElse(b, 0), rho)
+      }
+      val nHit = regs.size.toLong
+      val nZero = 256L - nHit
+      val s = regs.values.map(m => math.pow(2.0, -m)).sum + nZero.toDouble
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val raw = alpha * 256.0 * 256.0 / s
+      val e = if (raw <= 640.0 && nZero > 0)
+        256.0 * math.log(256.0 / nZero.toDouble) else raw
+      (nHit, nZero, e)
+    }.toMap
+    assert(got.keySet === Set("a", "b"))
+    for (k <- got.keySet) {
+      assert(got(k)._1 === want(k)._1, s"$k n_hit")
+      assert(got(k)._2 === want(k)._2, s"$k n_zero")
+      assert(math.abs(got(k)._3 - want(k)._3) < 1e-9, s"$k estimate")
+    }
+    // the small-range branch is near-exact up to register collisions
+    // (2 of the 7 md5 hashes share a register here -> est ~ 6.07)
+    assert(math.abs(got("b")._3 - 7.0) < 2.0)
+    // 300 distinct at m=256 registers: within the ~3-sigma sketch band
+    assert(math.abs(got("a")._3 - 300.0) / 300.0 < 0.25)
+  }
+
+  test("giniConcentration: equal frequencies pin 0; skew replays the rank formula") {
+    // source a: 4 tokens x 5 each -> G = 0 exactly
+    val eq = (1 to 4).flatMap(i => Seq.fill(5)(("a", s"w$i")))
+    // source b: counts 1,1,1,17 -> ranks asc (ties by token)
+    val sk = Seq.fill(17)(("b", "big")) ++
+      Seq(("b", "x1"), ("b", "x2"), ("b", "x3"))
+    val got = CorpusStats.giniConcentration(
+        (eq ++ sk).toDF("src", "t"), "src", col("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("a") === ((4L, 20L, 0.0)))
+    // b: sorted counts (1,1,1,17) ranks 1..4 -> s1 = 1+2+3+68 = 74
+    // G = (2*74 - 5*20) / (4*20) = 48/80 = 0.6
+    assert(got("b") === ((4L, 20L, 0.6)))
+  }
+
+  test("distinctNgramDiversity counts n-gram tokens vs types with multiplicity") {
+    val df = Seq(("a", "x y x y"), ("a", "x y z")).toDF("src", "text")
+    val got = CorpusStats.distinctNgramDiversity(df, "src", "text", maxN = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // unigrams: 7 tokens, types {x,y,z} = 3
+    assert(got(("a", 1)) === ((7L, 3L)))
+    // bigrams: "x y","y x","x y" + "x y","y z" = 5 tokens, 3 types
+    assert(got(("a", 2)) === ((5L, 3L)))
+    // trigrams: "x y x","y x y" + "x y z" = 3 tokens, 3 types
+    assert(got(("a", 3)) === ((3L, 3L)))
+  }
+
+  test("freqOfFreqs: spectrum counts and raw Good-Turing estimates replay by hand") {
+    // source a: counts {x:3, y:3, z:2, w:1, v:1, u:1}
+    val items = Seq.fill(3)("x") ++ Seq.fill(3)("y") ++ Seq.fill(2)("z") ++
+      Seq("w", "v", "u")
+    val df = items.map(("a", _)).toDF("src", "it")
+    val got = CorpusStats.freqOfFreqs(df, "src", col("it"), maxC = 10)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    // N_1=3, N_2=1, N_3=2; c*(1) = 2*N_2/N_1 = 2/3; c*(2) = 3*N_3/N_2 = 6
+    assert(got(1L) === ((3L, Some(2.0 / 3.0))))
+    assert(got(2L) === ((1L, Some(6.0))))
+    assert(got(3L) === ((2L, None))) // N_4 absent -> raw-Turing NULL
+    assert(got.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("pmiCollocations replays the count arithmetic; minCount cuts but keeps N_bi total") {
+    // 6x "strong coffee", 1x "weak coffee" -> N_uni = 14, N_bi = 7
+    val docs = Seq.fill(6)("strong coffee") ++ Seq("weak coffee")
+    val got = CorpusStats.pmiCollocations(
+        docs.toDF("text"), "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only (strong, coffee) survives minCount=2; N_bi stays 7
+    assert(got.keySet === Set(("strong", "coffee")))
+    val (cab, ca, cb, pmi) = got(("strong", "coffee"))
+    assert((cab, ca, cb) === ((6L, 6L, 7L)))
+    val want = math.log((6.0 / 7.0) / (6.0 / 14.0 * (7.0 / 14.0)))
+    assert(math.abs(pmi - math.rint(want * 1e6) / 1e6) < 1e-9)
   }
 }

@@ -183,4 +183,56 @@ class GraphRankSpec extends SparkSpec {
     val got = g.filter(_._1 == probe).sortBy(-_._3).map(_._2).toSeq
     assert(got === want)
   }
+
+  test("triangleStats: mutual-only symmetrization, exact counts, lcc arithmetic") {
+    // mutual triangle 1-2-3, mutual pendant 3-4, one-way arc 4->5
+    // (must NOT create an undirected edge), isolated node 6
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphRank.triangleStats(nodes, "id", edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((2L, 1L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 1.0)))
+    // node 3: neighbors {1,2,4}, one closed pair of three -> lcc = 1/3
+    assert(got(3L) === ((3L, 1L, 1.0 / 3.0)))
+    assert(got(4L) === ((1L, 0L, 0.0))) // pendant: deg 1, lcc 0 by convention
+    assert(got(5L) === ((0L, 0L, 0.0))) // one-way arc contributes nothing
+    assert(got(6L) === ((0L, 0L, 0.0)))
+    // partitioning independence
+    val rep = GraphRank.triangleStats(nodes.repartition(5), "id",
+        edges.repartition(7), "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rep === got)
+  }
+
+  test("degreeAssortativity: star is -1, constant-degree cycle is NULL, hand formula") {
+    def mutual(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    // star 1-{2,3,4}: perfectly disassortative -> r = -1 exactly
+    val star = GraphRank.degreeAssortativity(
+      mutual((1L, 2L), (1L, 3L), (1L, 4L)), "src", "dst").head()
+    assert(star.getLong(0) === 6L)
+    assert(star.getDouble(1) === -1.0)
+    // 4-cycle: every degree 2 -> zero variance -> NULL
+    val cyc = GraphRank.degreeAssortativity(
+      mutual((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), "src", "dst").head()
+    assert(cyc.getLong(0) === 8L)
+    assert(cyc.isNullAt(1))
+    // path 1-2-3: degrees (1,2,1); ordered pairs (j,k):
+    // (1,2),(2,1),(2,1),(1,2) -> M=4, Sj=6, Sjk=8, Sj2=10
+    // r = (4*8 - 36)/(4*10 - 36) = -4/4 = -1
+    val path = GraphRank.degreeAssortativity(
+      mutual((1L, 2L), (2L, 3L)), "src", "dst").head()
+    assert(path.getLong(0) === 4L)
+    assert(path.getDouble(1) === -1.0)
+    // one-way arcs contribute nothing (no mutual pair)
+    val arc = GraphRank.degreeAssortativity(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst").head()
+    assert(arc.getLong(0) === 0L)
+    assert(arc.isNullAt(1))
+  }
 }

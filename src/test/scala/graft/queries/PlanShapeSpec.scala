@@ -432,4 +432,26 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
     }
   }
+
+  test("q149-q160: audit tier plans no CartesianProduct; sketch/rank paths stay window-free") {
+    // q149 HLL / q151 Gini / q154 distinct-n / q155 spectrum / q157
+    // scorecard are aggregate + prefix-rank shapes — a Window in any
+    // of them means a vocabulary-sized frame crept in. The graph
+    // queries' only Window is the keyed per-node kNN rank; the event
+    // queries' only Window is the (user[, type])-keyed sequence lead.
+    val windowFree = Set("q149_hll_distinct", "q151_token_gini",
+      "q152_pmi_collocations", "q153_event_burstiness",
+      "q154_distinct_ngrams", "q155_freq_of_freqs",
+      "q157_source_scorecard")
+    for (q <- windowFree.toSeq.sorted ++ Seq("q150_knn_triangles",
+        "q156_degree_assortativity", "q158_event_gaps",
+        "q159_event_transitions", "q160_knn_label_purity")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (windowFree(q))
+        assert(!p.contains("Window"), s"$q plans a Window:\n$p")
+    }
+  }
 }
