@@ -250,6 +250,84 @@ object GraphRank {
         FROM nodes n LEFT JOIN l$rounds l ON l.id = n.id)"""
   }
 
+  /** Unsupervised community detection by synchronous label propagation
+    * (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks") — the topic/near-dup
+    * cluster audit with NO trained model and no seed set, completing
+    * the graph family: [[pagerank]] rank, [[trustRank]] trust,
+    * [[labelPropagate]] classify, [[triangleStats]] structure, this one
+    * partition. Every node starts as its own community (label = own
+    * id); each synchronous round every node adopts the argmax label
+    * over its OUT-neighbors (exact long vote counts, ties to the
+    * SMALLEST label), keeping its current label when it has no
+    * out-edges. Nothing is clamped. Raghavan's asynchronous/random
+    * variant converges faster but is NON-deterministic — the
+    * fixed-round synchronous form is the oracle-replayable one, and on
+    * kNN graphs the label landscape is stable after O(5) rounds.
+    *
+    * Scale shape: identical to [[labelPropagate]] — one keyed shuffle
+    * per round carrying (id, label) long pairs over the edge list,
+    * argmax windows keyed by node id. Output: (id, community). */
+  def communityDetect(nodes: DataFrame, idCol: String,
+                      edges: DataFrame, srcCol: String, dstCol: String,
+                      rounds: Int): DataFrame = {
+    val ids = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .materializeOnce(eager = false)
+    val e = edges.select(col(srcCol).cast("long").as("id"),
+        col(dstCol).cast("long").as("__dst"))
+      .materializeOnce(eager = false)
+    var lab = ids.select(col("id"), col("id").as("label"))
+    var r = 0
+    while (r < rounds) {
+      val votes = e.join(lab.select(col("id").as("__dst"),
+          col("label")), Seq("__dst"))
+        .groupBy("id", "label").agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(desc("__c"), asc("label"))
+      val argmax = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).select("id", "label")
+      // voteless nodes (no out-edges) keep their current label —
+      // the opposite default from labelPropagate's seed clamp
+      lab = argmax.union(lab.join(argmax, Seq("id"), "left_anti"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    ids.join(lab, Seq("id")).select(col("id"), col("label").as("community"))
+  }
+
+  /** The DuckDB replay of [[communityDetect]] over caller-provided
+    * `nodes(id)` / `edges(src, dst)` CTEs — self-labeled init, unrolled
+    * synchronous rounds, smallest-label tie-break, keep-own-label when
+    * voteless. A voteless node (no out-edges) never updates, so "keep
+    * current" ≡ "keep own id forever" — expressed through the
+    * round-independent `ciso` set so each round references the
+    * previous one exactly ONCE (a second reference per round inlines
+    * the upstream kNN window 2^rounds times in engines that expand
+    * CTEs textually). Ends at CTE `comm` = (id, community). */
+  def communityOracleCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { i => s"""
+      cv$i AS (
+        SELECT e.src AS id, l.label, CAST(count(*) AS BIGINT) AS c
+        FROM edges e JOIN c${i - 1} l ON l.id = e.dst
+        GROUP BY e.src, l.label),
+      c$i AS (
+        SELECT id, label FROM (
+          SELECT id, label,
+            row_number() OVER (PARTITION BY id
+              ORDER BY c DESC, label) AS rn
+          FROM cv$i) WHERE rn = 1
+        UNION ALL
+        SELECT id, id AS label FROM ciso)"""
+    }.mkString(",")
+    s"""ciso AS (
+        SELECT n.id FROM nodes n
+        LEFT JOIN (SELECT DISTINCT src FROM edges) s ON s.src = n.id
+        WHERE s.src IS NULL),
+      c0 AS (SELECT id, id AS label FROM nodes),$steps,
+      comm AS (SELECT id, CAST(label AS BIGINT) AS community
+               FROM c$rounds)"""
+  }
+
   /** Directed exact-kNN similarity graph over an embedding column:
     * node → its `k` nearest by (cosine desc, id asc), self excluded —
     * [[VectorSearch.topKBatch]]'s corpus×broadcast-batch shape with the
@@ -320,6 +398,25 @@ object GraphRank {
     local.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("src"), col("dst"), col("cos_sim"))
+  }
+
+  /** [[knnGraph]] as a build-once disk artifact stamped by the
+    * embedding corpus content and `k` ([[graft.util.DiskArtifact]] —
+    * the trained-LM-tier pattern): the similarity graph is an INDEX of
+    * the corpus, not a per-query computation, so the whole graph-audit
+    * family (rank, trust, classify, triangles, assortativity, purity)
+    * shares ONE materialized edge list per (corpus, k) and a corpus
+    * rewrite lands on a fresh stamp → rebuild, never a stale graph.
+    * At 100 TB this is the deployment contract anyway — the edge list
+    * is maintained alongside the embeddings (the HNSW tier already
+    * updates on ingest); recomputing N² per query is the
+    * anti-pattern. Edges round-trip exactly (ids are longs, cos_sim a
+    * double — parquet preserves both bit-for-bit). */
+  def knnGraphArtifact(df: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val stamp = graft.util.DiskArtifact.corpusStamp(df, idCol, vecCol)
+    graft.util.DiskArtifact.getOrBuild(df.sparkSession, s"knn$k-edges",
+      stamp)(() => knnGraph(df, idCol, vecCol, k))
   }
 
   /** Per-node triangle count and local clustering coefficient (Watts &

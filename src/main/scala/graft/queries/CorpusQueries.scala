@@ -1176,7 +1176,7 @@ object CorpusQueries {
       ORDER BY score DESC, id LIMIT 20"""),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
         GraphRank.pagerank(emb.select("vec_id"), "vec_id",
             edges, "src", "dst", rounds = 5)
           .select(col("id").as("vec_id"), col("score"))
@@ -1296,7 +1296,7 @@ object CorpusQueries {
       ORDER BY score DESC, id LIMIT 30"""),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
         GraphRank.trustRank(emb.select("vec_id"), "vec_id",
             emb.filter(col("label") === 0).select("vec_id"), "vec_id",
             edges, "src", "dst", rounds = 5)
@@ -1331,7 +1331,7 @@ object CorpusQueries {
       ORDER BY vec_id"""),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
         GraphRank.labelPropagate(emb.select("vec_id"), "vec_id",
             emb.filter(col("vec_id") % 5 === 0)
               .select(col("vec_id"), col("label")), "vec_id", "label",
@@ -1430,7 +1430,7 @@ object CorpusQueries {
       FROM tstats ORDER BY vec_id"""),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
         GraphRank.triangleStats(emb.select("vec_id"), "vec_id",
             edges, "src", "dst")
           .select(col("id").as("vec_id"), col("degree"), col("n_tri"),
@@ -1590,7 +1590,7 @@ object CorpusQueries {
       FROM agg"""),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
         GraphRank.degreeAssortativity(edges, "src", "dst")
           .select(col("m_ordered_edges"),
             round(col("assortativity"), 6).as("assortativity"))
@@ -1621,7 +1621,7 @@ object CorpusQueries {
       FROM j GROUP BY label ORDER BY label"""),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val edges = GraphRank.knnGraph(emb, "vec_id", "embedding", k = 8)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
         val lab = emb.select(col("vec_id"), col("label"))
         edges
           .join(lab.select(col("vec_id").as("src"),
@@ -1636,6 +1636,42 @@ object CorpusQueries {
             (col("same_label_edges").cast("double") /
               col("n_edges").cast("double")).as("purity"))
           .orderBy("label")
+      }),
+
+    // Unsupervised community detection over the kNN graph (round 14,
+    // Raghavan 2007 LPA): topic/near-dup partitions with no trained
+    // model and no seed set — every node starts as its own community,
+    // 5 synchronous argmax rounds (exact long votes, smallest-label
+    // ties, voteless nodes keep their label). The deterministic
+    // synchronous form is the oracle-replayable one; per-round traffic
+    // is (id, label) long pairs over the shared edge artifact
+    Q("q161_knn_communities", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.communityOracleCtes(rounds = 5)},
+      sz AS (SELECT community, CAST(count(*) AS BIGINT) AS n_members
+             FROM comm GROUP BY community)
+      SELECT comm.id AS vec_id, comm.community, sz.n_members
+      FROM comm JOIN sz USING (community)
+      ORDER BY vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k = 8)
+        val comm = GraphRank.communityDetect(emb.select("vec_id"),
+          "vec_id", edges, "src", "dst", rounds = 5)
+        val sz = comm.groupBy("community").agg(count(lit(1)).as("n_members"))
+        comm.join(sz, Seq("community"))
+          .select(col("id").as("vec_id"), col("community"),
+            col("n_members"))
+          .orderBy("vec_id")
       })
   )
 

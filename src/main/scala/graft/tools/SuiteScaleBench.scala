@@ -118,6 +118,17 @@ object SuiteScaleBench {
     "q69_semdedup" -> "fixed k=10 oracle replay; contract is autoK (c69 row)",
     "q73_curation_v2" -> "contains the q69 fixed-k stage; same contract")
 
+  /** graph-audit queries whose kNN edges come from the shared
+    * build-once (corpus, k) disk artifact: the N² certification build
+    * is paid once, in whichever of these runs first — the min of every
+    * other row measures the deployment regime (edges read from disk). */
+  private val artifactNote = "kNN edges from the shared (corpus,k) " +
+    "artifact; the N^2 build lands once in whichever graph query runs first"
+  private val artifactShared = Seq("q140_knn_pagerank", "q147_trustrank",
+    "q148_label_propagation", "q150_knn_triangles",
+    "q156_degree_assortativity", "q160_knn_label_purity",
+    "q161_knn_communities").map(_ -> artifactNote).toMap
+
   private def planCounts(plan: String): Map[String, Int] = {
     def c(re: String) = re.r.findAllIn(plan).length
     Map(
@@ -202,7 +213,8 @@ object SuiteScaleBench {
         time(fn, big, 1)
         val (l, plan, lRows) = time(fn, big, runs)
         val pc = planCounts(plan)
-        val note = designedSuperlinear.getOrElse(name, "")
+        val note = designedSuperlinear.getOrElse(name,
+          artifactShared.getOrElse(name, ""))
         val r = Row(name, s.head, s(s.length / 2), l.head, l(l.length / 2),
           sRows, lRows, pc, note)
         println(f"${r.name}%-26s 1x ${r.sMin}%6.2fs  ${factor}x ${r.lMin}%6.2fs  " +

@@ -184,6 +184,54 @@ class GraphRankSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("communityDetect: two cliques resolve to per-clique min ids; bridge doesn't merge them") {
+    // two directed 3-cliques {1,2,3} and {10,11,12} plus one bridge
+    // arc 3->10: inside a clique the min id wins in one round (each
+    // node sees two labels once, tie to smallest overall after round
+    // 2); the single bridge vote can never outvote 10's two in-clique
+    // neighbors, so the cliques keep distinct communities
+    val cl = Seq(1L, 2L, 3L).flatMap(a => Seq(1L, 2L, 3L).filter(_ != a)
+        .map(b => (a, b))) ++
+      Seq(10L, 11L, 12L).flatMap(a => Seq(10L, 11L, 12L).filter(_ != a)
+        .map(b => (a, b))) :+ (3L, 10L)
+    val nodes = (Seq(1L, 2L, 3L, 10L, 11L, 12L) :+ 99L).toDF("id")
+    val got = GraphRank.communityDetect(nodes, "id",
+        cl.toDF("src", "dst"), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(10L) === 10L && got(11L) === 10L && got(12L) === 10L)
+    // the isolated node (no out-edges) keeps its own label forever
+    assert(got(99L) === 99L)
+    // partitioning invariance: same labels at a different parallelism
+    val got2 = GraphRank.communityDetect(nodes.repartition(7), "id",
+        cl.toDF("src", "dst").repartition(5), "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === got)
+  }
+
+  test("knnGraphArtifact == knnGraph; a corpus rewrite lands on a fresh stamp") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(60)
+    val direct = GraphRank.knnGraph(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val art = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(art === direct)
+    // second read serves the persisted edges (same stamp, same rows)
+    val again = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === direct)
+    // a rewritten corpus (one node dropped) must NOT serve the old
+    // graph: the stamp moves, the artifact rebuilds
+    val emb2 = emb.filter(col("vec_id") =!= direct.head._1)
+    val art2 = GraphRank.knnGraphArtifact(emb2, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct2 = GraphRank.knnGraph(emb2, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(art2 === direct2)
+    assert(art2 !== direct)
+  }
+
   test("triangleStats: mutual-only symmetrization, exact counts, lcc arithmetic") {
     // mutual triangle 1-2-3, mutual pendant 3-4, one-way arc 4->5
     // (must NOT create an undirected edge), isolated node 6

@@ -445,7 +445,8 @@ class PlanShapeSpec extends SparkSpec {
       "q157_source_scorecard")
     for (q <- windowFree.toSeq.sorted ++ Seq("q150_knn_triangles",
         "q156_degree_assortativity", "q158_event_gaps",
-        "q159_event_transitions", "q160_knn_label_purity")) {
+        "q159_event_transitions", "q160_knn_label_purity",
+        "q161_knn_communities")) {
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
