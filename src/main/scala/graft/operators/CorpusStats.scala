@@ -238,15 +238,23 @@ object CorpusStats {
     * per-stratum fold over ≤ m registers. Output: (strataCol, n_hit,
     * n_zero, est_distinct-double-unrounded). */
   def hllDistinct(df: DataFrame, strataCol: String, item: Column,
-                  p: Int = 8): DataFrame = {
+                  p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, strataCol, item, p), strataCol, p)
+
+  /** The sketch STATE of [[hllDistinct]]: per-stratum non-empty
+    * registers (__src, __bucket, __m) — ≤ 2^p rows per stratum. This
+    * is the mergeable representation the 100 TB tier ships between
+    * shards: registers of a union are the per-bucket MAX of the
+    * shards' registers (max is associative/commutative/idempotent),
+    * so `regsA.union(regsB).groupBy(src, bucket).agg(max(m))` ≡
+    * sketching the concatenated input — pinned by
+    * `CorpusStatsSpec`'s shard-merge property. */
+  def hllRegisters(df: DataFrame, strataCol: String, item: Column,
+                   p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
-    val m = 1 << p
     val wBits = 32 - p
     val wMod = 1L << wBits
-    // α_m as the literal float expression both engines evaluate
-    // identically: 0.7213 / (1 + 1.079/m) (the m ≥ 128 constant)
-    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val regs = df
+    df
       .select(col(strataCol).as("__src"),
         TextFunctions.portableHash32(item.cast("string")).as("__h"))
       .filter(col("__h").isNotNull)
@@ -256,6 +264,22 @@ object CorpusStats {
         when(col("__w") === 0, lit(wBits + 1))
           .otherwise(lit(wBits + 1) - length(bin(col("__w")))))
       .groupBy("__src", "__bucket").agg(max("__rho").as("__m"))
+  }
+
+  /** Merge two register tables (same p) — the cross-shard combine:
+    * per-bucket max. */
+  def hllMerge(regsA: DataFrame, regsB: DataFrame): DataFrame =
+    regsA.union(regsB).groupBy("__src", "__bucket")
+      .agg(max("__m").as("__m"))
+
+  /** The estimator over a register table: harmonic fold + α_m bias
+    * correction + the small-range linear-counting branch. */
+  def hllEstimate(regs: DataFrame, strataCol: String, p: Int)
+      : DataFrame = {
+    val m = 1 << p
+    // α_m as the literal float expression both engines evaluate
+    // identically: 0.7213 / (1 + 1.079/m) (the m ≥ 128 constant)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
     val agg = regs.groupBy("__src").agg(
       count(lit(1)).as("n_hit"),
       sum(pow(lit(2.0), -col("__m").cast("double"))).as("__s_hit"))
@@ -480,4 +504,93 @@ object CorpusStats {
         when(col("ws_tokens") > 0,
           col("subword_tokens").cast("double") /
             col("ws_tokens").cast("double")).as("tokens_per_word"))
+
+  /** Vocabulary richness per stratum: bias-corrected Chao1 (Chao 1984,
+    * "Nonparametric estimation of the number of classes in a
+    * population") — how many token types the sample has NOT seen yet —
+    * plus Good's sample coverage 1 − N₁/N (the probability mass of
+    * unseen types, Good 1953): together the "is this source's
+    * vocabulary saturated or still growing" audit that decides whether
+    * more data from a source buys diversity. Chao1's bias-corrected
+    * form V + N₁(N₁−1)/(2(N₂+1)) needs no doubleton guard.
+    *
+    * Counts are exact longs off one (stratum, token) aggregate (the
+    * same map-side-combined shape as [[freqOfFreqs]]); each estimate
+    * is ONE double division (+ one add), bit-identical cross-engine.
+    * Output: (strataCol, v_types, n_tokens, n1, n2, chao1-double,
+    * coverage-double) — unrounded; round at the query layer. */
+  def vocabRichness(df: DataFrame, strataCol: String, item: Column)
+      : DataFrame = {
+    val cnt = df
+      .select(col(strataCol).as("__src"), item.cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
+    cnt.groupBy("__src").agg(
+        count(lit(1)).as("v_types"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("__src").as(strataCol), col("v_types"),
+        col("n_tokens"), col("n1"), col("n2"),
+        (col("v_types").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+            (lit(2L) * (col("n2") + 1)).cast("double")).as("chao1"),
+        (lit(1.0) - col("n1").cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+  }
+
+  /** Token dispersion across strata (Gries 2008, "Dispersions and
+    * adjusted frequencies in corpora" — the DP measure): for each of
+    * the `topK` corpus-frequency tokens, DP = ½·Σᵢ |vᵢ − sᵢ| where sᵢ
+    * is stratum i's share of all tokens and vᵢ its share of this
+    * token's occurrences. DP ≈ 0 = the token is spread like the corpus
+    * (function words); DP → 1 = concentrated in one stratum
+    * (boilerplate, source-local jargon) — the "is this frequent token
+    * corpus-wide or a single source shouting" audit.
+    *
+    * EXACT integer arithmetic to one division:
+    * |vᵢ − sᵢ| = |cᵢ·N − C·Sᵢ| / (C·N), so
+    * DP = (Σ_present |cᵢ·N − C·Sᵢ| + C·(N − Σ_present Sᵢ)) / (2·C·N)
+    * — absent strata contribute C·Sᵢ each, TELESCOPED into the closed
+    * tail (the q146/JSD move) so the frame only ever holds
+    * (token, stratum) pairs that exist. Products ride decimal(38,0)
+    * (c·N overflows longs at corpus scale); the one final division is
+    * double/double, bit-identical cross-engine.
+    *
+    * Scale: one (stratum, token) count, one stratum-size aggregate
+    * (≤ #strata rows, broadcast), one corpus top-K (TakeOrdered,
+    * broadcast); the per-pair work joins the bounded top-K list.
+    * Output: (token, c_total, n_strata_present, dp-double-unrounded)
+    * — ordered by (c_total desc, token). */
+  def tokenDispersion(df: DataFrame, strataCol: String, item: Column,
+                      topK: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cnt = df
+      .select(col(strataCol).as("__src"), item.cast("string").as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy("__src", "__t").agg(count(lit(1)).as("__c"))
+      .materializeOnce(eager = false) // feeds sizes, totals and pairs
+    val sizes = cnt.groupBy("__src").agg(sum("__c").as("__s"))
+    val nRow = sizes.agg(sum("__s").as("__n"))
+    val top = cnt.groupBy("__t").agg(sum("__c").as("c_total"))
+      .orderBy(desc("c_total"), asc("__t")).limit(topK)
+    cnt
+      .join(broadcast(top), Seq("__t"))
+      .join(broadcast(sizes), Seq("__src"))
+      .crossJoin(broadcast(nRow))
+      .groupBy(col("__t"), col("c_total"), col("__n"))
+      .agg(
+        count(lit(1)).as("n_strata_present"),
+        sum(abs(dec(col("__c")) * dec(col("__n")) -
+          dec(col("c_total")) * dec(col("__s")))).as("__num_present"),
+        sum(dec(col("__s"))).as("__sp"))
+      .select(col("__t").as("token"), col("c_total"),
+        col("n_strata_present"),
+        ((col("__num_present") +
+          dec(col("c_total")) * (dec(col("__n")) - col("__sp")))
+            .cast("double") /
+          (dec(lit(2L)) * dec(col("c_total")) * dec(col("__n")))
+            .cast("double")).as("dp"))
+      .orderBy(desc("c_total"), asc("token"))
+  }
 }

@@ -1672,7 +1672,82 @@ object CorpusQueries {
           .select(col("id").as("vec_id"), col("community"),
             col("n_members"))
           .orderBy("vec_id")
-      })
+      }),
+
+    // Vocabulary richness (round 14, Chao 1984 + Good 1953): per
+    // source, bias-corrected Chao1 (how many types the sample hasn't
+    // seen) and Good's coverage 1 - N1/N (the unseen probability
+    // mass) — the "is more data from this source buying diversity"
+    // audit, read straight off the q155 frequency spectrum's moments.
+    // Counts exact; each estimate is one division (+ one add)
+    Q("q162_vocab_richness", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS v_types,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+              FROM cnt GROUP BY source)
+      SELECT source, v_types, n_tokens, n1, n2,
+        round(CAST(v_types AS DOUBLE) +
+              CAST(n1 * (n1 - 1) AS DOUBLE) /
+              CAST(2 * (n2 + 1) AS DOUBLE), 6) AS chao1,
+        round(1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          AS coverage
+      FROM agg ORDER BY source"""),
+      (s, d) => CorpusStats.vocabRichness(
+          Tables.documents(s, d).select(col("source"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t")),
+          "source", col("t"))
+        .select(col("source"), col("v_types"), col("n_tokens"),
+          col("n1"), col("n2"),
+          round(col("chao1"), 6).as("chao1"),
+          round(col("coverage"), 6).as("coverage"))
+        .orderBy("source")),
+
+    // Token dispersion across sources (round 14, Gries 2008 DP): for
+    // the top-40 corpus tokens, is the token spread like the corpus
+    // (DP~0, function words) or concentrated in one source (DP->1,
+    // boilerplate/jargon)? Exact integer cross-products to ONE double
+    // division; absent (token, source) pairs telescope into a closed
+    // tail (the q146 move) so the frame never leaves present pairs
+    Q("q163_token_dispersion", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      sizes AS (SELECT source, CAST(sum(c) AS BIGINT) AS s
+                FROM cnt GROUP BY source),
+      nn AS (SELECT CAST(sum(s) AS BIGINT) AS n FROM sizes),
+      tot AS (SELECT t, CAST(sum(c) AS BIGINT) AS c_total
+              FROM cnt GROUP BY t
+              ORDER BY c_total DESC, t LIMIT 40),
+      pairs AS (SELECT cnt.t, tot.c_total, nn.n, sizes.s, cnt.c
+                FROM cnt JOIN tot ON tot.t = cnt.t
+                JOIN sizes ON sizes.source = cnt.source
+                CROSS JOIN nn),
+      agg AS (SELECT t, c_total, n,
+                CAST(count(*) AS BIGINT) AS n_strata_present,
+                sum(abs(CAST(c AS HUGEINT) * CAST(n AS HUGEINT) -
+                        CAST(c_total AS HUGEINT) * CAST(s AS HUGEINT)))
+                  AS num_present,
+                sum(CAST(s AS HUGEINT)) AS sp
+              FROM pairs GROUP BY t, c_total, n)
+      SELECT t AS token, c_total, n_strata_present,
+        round(CAST(num_present + CAST(c_total AS HUGEINT) *
+                     (CAST(n AS HUGEINT) - sp) AS DOUBLE) /
+              CAST(2 * CAST(c_total AS HUGEINT) * CAST(n AS HUGEINT)
+                   AS DOUBLE), 6) AS dp
+      FROM agg ORDER BY c_total DESC, token"""),
+      (s, d) => CorpusStats.tokenDispersion(
+          Tables.documents(s, d).select(col("source"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t")),
+          "source", col("t"), topK = 40)
+        .select(col("token"), col("c_total"), col("n_strata_present"),
+          round(col("dp"), 6).as("dp"))
+        .orderBy(desc("c_total"), asc("token")))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

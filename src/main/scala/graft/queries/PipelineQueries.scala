@@ -697,5 +697,69 @@ object PipelineQueries {
             .filter(col("source").isin("src0", "src7")),
           "doc_id", "text", col("source"), n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"))
+  ) ++ Seq(
+
+    // OOV rate of the held-out split against the train-split
+    // vocabulary (round 14): the tokenizer/vocab-coverage audit every
+    // training run opens with — split by the certified q103 machinery
+    // (exact-proportion stratified, hash-ordered, floor boundary as
+    // the same IEEE double), build the train vocabulary, then flag
+    // test tokens missing from it. Counts exact; rate is one division.
+    // The vocab join is token-keyed (never text); at 100 TB the train
+    // vocabulary is a shuffle-join side, vocabulary-sized not
+    // corpus-sized
+    Q("q164_oov_rate", Some(s"""
+      WITH h AS (
+        SELECT doc_id, source, text,
+          CAST('0x' || substr(md5('ss0|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ss_ord
+        FROM documents),
+      r AS (
+        SELECT doc_id, source, text,
+          row_number() OVER (PARTITION BY source ORDER BY ss_ord, doc_id) AS rk,
+          count(*) OVER (PARTITION BY source) AS n
+        FROM h),
+      sp AS (
+        SELECT source, text,
+          CASE WHEN rk <= floor(${0.8.toString} * n) THEN 'train'
+               ELSE 'test' END AS split
+        FROM r),
+      vocab AS (
+        SELECT DISTINCT unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS t
+        FROM sp WHERE split = 'train'),
+      tt AS (
+        SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+          x -> x <> '')) AS t
+        FROM sp WHERE split = 'test'),
+      j AS (
+        SELECT tt.source,
+          CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tt LEFT JOIN vocab v ON v.t = tt.t)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_test_tokens,
+        CAST(sum(oov) AS BIGINT) AS n_oov,
+        round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          AS oov_rate
+      FROM j GROUP BY source ORDER BY source"""),
+      (s, d) => {
+        val sp = Sampling.stratifiedSplit(
+          Tables.documents(s, d).select(col("doc_id"), col("source"),
+            col("text")),
+          "doc_id", "source", Seq("train" -> 0.8, "test" -> 0.2))
+        val vocab = sp.filter(col("split") === "train")
+          .select(explode(graft.functions.TextFunctions.tokens(
+            lower(col("text")))).as("t"))
+          .distinct().withColumn("__in", lit(1))
+        sp.filter(col("split") === "test")
+          .select(col("source"), explode(graft.functions.TextFunctions
+            .tokens(lower(col("text")))).as("t"))
+          .join(vocab, Seq("t"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_test_tokens"),
+            sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("source"), col("n_test_tokens"), col("n_oov"),
+            round(col("n_oov").cast("double") /
+              col("n_test_tokens").cast("double"), 6).as("oov_rate"))
+          .orderBy("source")
+      })
   )
 }

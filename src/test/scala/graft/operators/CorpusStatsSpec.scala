@@ -405,6 +405,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(got("a")._3 - 300.0) / 300.0 < 0.25)
   }
 
+  test("hll registers merge across shards: max-merge == sketch of the union, estimates identical") {
+    // the 100 TB contract in one property: shard the input, sketch
+    // each shard, max-merge the registers — identical state AND
+    // estimate to sketching the concatenated corpus (overlapping
+    // items included: idempotence is the point of max)
+    val all = (1 to 400).map(i => ("s", s"u_$i"))
+    val shardA = all.take(260)               // overlap on 1..260
+    val shardB = all.drop(120)               // overlap on 121..260
+    val whole = CorpusStats.hllRegisters(all.toDF("src", "it"),
+        "src", col("it"), p = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val merged = CorpusStats.hllMerge(
+        CorpusStats.hllRegisters(shardA.toDF("src", "it"), "src", col("it"), p = 8),
+        CorpusStats.hllRegisters(shardB.toDF("src", "it"), "src", col("it"), p = 8))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(merged === whole)
+    val estWhole = CorpusStats.hllEstimate(
+        CorpusStats.hllRegisters(all.toDF("src", "it"), "src", col("it"), p = 8),
+        "src", p = 8).collect().head.getDouble(3)
+    val estMerged = CorpusStats.hllEstimate(CorpusStats.hllMerge(
+        CorpusStats.hllRegisters(shardA.toDF("src", "it"), "src", col("it"), p = 8),
+        CorpusStats.hllRegisters(shardB.toDF("src", "it"), "src", col("it"), p = 8)),
+        "src", p = 8).collect().head.getDouble(3)
+    assert(estWhole === estMerged)
+  }
+
   test("giniConcentration: equal frequencies pin 0; skew replays the rank formula") {
     // source a: 4 tokens x 5 each -> G = 0 exactly
     val eq = (1 to 4).flatMap(i => Seq.fill(5)(("a", s"w$i")))
@@ -447,6 +473,46 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got(2L) === ((1L, Some(6.0))))
     assert(got(3L) === ((2L, None))) // N_4 absent -> raw-Turing NULL
     assert(got.keySet === Set(1L, 2L, 3L))
+  }
+
+  test("vocabRichness: Chao1 and coverage replay the moment formulas by hand") {
+    // stratum a: [x, x, y, z] -> V=3, N=4, N1=2 (y,z), N2=1 (x)
+    //   chao1 = 3 + 2*1/(2*(1+1)) = 3.5 ; coverage = 1 - 2/4 = 0.5
+    // stratum b: [q, q] -> V=1, N=2, N1=0, N2=1
+    //   chao1 = 1 + 0 = 1.0 ; coverage = 1 - 0/2 = 1.0
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "q"), ("b", "q")).toDF("src", "t")
+    val got = CorpusStats.vocabRichness(df, "src", col("t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got("a") === ((3L, 4L, 2L, 1L, 3.5, 0.5)))
+    assert(got("b") === ((1L, 2L, 0L, 1L, 1.0, 1.0)))
+  }
+
+  test("tokenDispersion: hand DP with the telescoped absent-stratum tail; topK cut is (c desc, token)") {
+    // A: [w, w, v]  B: [w, u, u, u]  ->  N=7, S_A=3, S_B=4
+    // w: C=3, both present: |2*7-3*3| + |1*7-3*4| = 10, tail 0 -> 10/42
+    // u: C=3, only B:       |3*7-3*4| = 9, tail 3*(7-4)=9      -> 18/42
+    // v: C=1, only A:       |1*7-1*3| = 4, tail 1*(7-3)=4      -> 8/14
+    val df = Seq(("A", "w"), ("A", "w"), ("A", "v"),
+      ("B", "w"), ("B", "u"), ("B", "u"), ("B", "u")).toDF("src", "t")
+    val got = CorpusStats.tokenDispersion(df, "src", col("t"), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // ties on c_total=3 break to token asc: u before w; v (c=1) last
+    assert(got.map(_._1).toSeq === Seq("u", "w", "v"))
+    val byTok = got.map(x => x._1 -> x).toMap
+    assert(byTok("w")._2 === 3L && byTok("w")._3 === 2L)
+    assert(math.abs(byTok("w")._4 - 10.0 / 42.0) < 1e-12)
+    assert(byTok("u")._2 === 3L && byTok("u")._3 === 1L)
+    assert(math.abs(byTok("u")._4 - 18.0 / 42.0) < 1e-12)
+    assert(byTok("v")._2 === 1L && byTok("v")._3 === 1L)
+    assert(math.abs(byTok("v")._4 - 8.0 / 14.0) < 1e-12)
+    // topK=2 cuts v, keeps the (c desc, token asc) head
+    val cut = CorpusStats.tokenDispersion(df, "src", col("t"), topK = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut === Seq("u", "w"))
   }
 
   test("pmiCollocations replays the count arithmetic; minCount cuts but keeps N_bi total") {
