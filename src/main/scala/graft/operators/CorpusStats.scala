@@ -505,6 +505,76 @@ object CorpusStats {
           col("subword_tokens").cast("double") /
             col("ws_tokens").cast("double")).as("tokens_per_word"))
 
+  /** Count-Min Sketch table (Cormode & Muthukrishnan 2005, "An
+    * improved data stream summary: the count-min sketch and its
+    * applications") — the fixed-state FREQUENCY sketch completing the
+    * tier next to [[kmvDistinct]] (order statistics) and
+    * [[hllDistinct]] (cardinality): d×w counters answer "about how
+    * often has item x appeared" for ANY x with a ONE-SIDED guarantee
+    * (estimate ≥ truth always; overestimate ≤ εN w.h.p.). Like the
+    * other two it is built deterministic and SQL-replayable: row i's
+    * bucket is (h1 + i·h2) mod w over the portable md5-derived hashes
+    * (the standard 2-universal chain, same as the MinHash family),
+    * and every counter is an EXACT long count — zero float freedom.
+    *
+    * The table is a MERGEABLE monoid under element-wise SUM (counts
+    * add), so shards combine by unioning tables and re-summing —
+    * pinned by `CorpusStatsSpec`'s shard-merge property.
+    *
+    * Scale shape: one map-side-combined (stratum, row, bucket)
+    * aggregate — the shuffle carries ≤ d·w counter rows per stratum,
+    * never items. Output: (strataCol, cms_row, cms_bucket, cnt). */
+  def cmsTable(df: DataFrame, strataCol: String, item: Column,
+               d: Int = 4, w: Int = 512): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2, got d=$d w=$w")
+    df.select(col(strataCol).as("__src"),
+        TextFunctions.portableHash32(item.cast("string")).as("__h1"),
+        TextFunctions.portableHash32(
+          concat(lit("x|"), item.cast("string"))).as("__h2"))
+      .filter(col("__h1").isNotNull)
+      .select(col("__src"), col("__h1"), col("__h2"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("cms_row"))
+      .select(col("__src"),
+        col("cms_row"),
+        ((col("__h1") + col("cms_row") * col("__h2")) % w)
+          .as("cms_bucket"))
+      .groupBy("__src", "cms_row", "cms_bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumnRenamed("__src", strataCol)
+  }
+
+  /** Point queries against a [[cmsTable]]: for each (stratum, item)
+    * probe, the CMS estimate = MIN over the d counters the item hashes
+    * to. The d-row expansion and the min fold are bounded by d; the
+    * probe join is counter-keyed. Output: (strataCol, item-string,
+    * cms_est). Items absent from the sketch estimate ≥ 0 via the
+    * coalesce (an empty counter row never exists in the sparse
+    * table). */
+  def cmsEstimate(cms: DataFrame, strataCol: String,
+                  items: DataFrame, itemCol: String,
+                  d: Int = 4, w: Int = 512): DataFrame = {
+    val probes = items
+      .select(col(strataCol).as("__src"),
+        col(itemCol).cast("string").as("__item"))
+      .distinct()
+      .select(col("__src"), col("__item"),
+        TextFunctions.portableHash32(col("__item")).as("__h1"),
+        TextFunctions.portableHash32(concat(lit("x|"), col("__item")))
+          .as("__h2"))
+      .select(col("__src"), col("__item"), col("__h1"), col("__h2"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("cms_row"))
+      .select(col("__src"), col("__item"), col("cms_row"),
+        ((col("__h1") + col("cms_row") * col("__h2")) % w)
+          .as("cms_bucket"))
+    probes
+      .join(cms.withColumnRenamed(strataCol, "__src"),
+        Seq("__src", "cms_row", "cms_bucket"), "left")
+      .groupBy("__src", "__item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .select(col("__src").as(strataCol), col("__item").as(itemCol),
+        col("cms_est"))
+  }
+
   /** Vocabulary richness per stratum: bias-corrected Chao1 (Chao 1984,
     * "Nonparametric estimation of the number of classes in a
     * population") — how many token types the sample has NOT seen yet —

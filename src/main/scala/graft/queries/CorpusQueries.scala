@@ -1747,7 +1747,64 @@ object CorpusQueries {
           "source", col("t"), topK = 40)
         .select(col("token"), col("c_total"), col("n_strata_present"),
           round(col("dp"), 6).as("dp"))
-        .orderBy(desc("c_total"), asc("token")))
+        .orderBy(desc("c_total"), asc("token"))),
+
+    // Count-Min frequency sketch (round 14, Cormode & Muthukrishnan
+    // 2005): the fixed-state frequency estimator completing the sketch
+    // tier (q132 KMV order statistics, q149 HLL cardinality, this one
+    // point frequency) — per source, the d=4 × w=512 sketch's estimate
+    // for the source's top-5 exact tokens vs their exact counts, with
+    // the one-sided guarantee surfaced (overestimate >= 0 always).
+    // Every counter is an exact long; the per-source rank rides the
+    // distributed prefix rank, never a vocabulary window
+    Q("q165_cms_frequency", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      top AS (SELECT source, t, c FROM (
+                SELECT source, t, c,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY c DESC, t) AS rn
+                FROM cnt) WHERE rn <= 5),
+      h AS (SELECT source, ${hash32Sql("t")} AS h1,
+              ${hash32Sql("'x|' || t")} AS h2
+            FROM tok),
+      occ AS (SELECT source, h1, h2, unnest(generate_series(0, 3)) AS r
+              FROM h),
+      cms AS (SELECT source, r, (h1 + r * h2) % 512 AS b,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM occ GROUP BY 1, 2, 3),
+      qh AS (SELECT source, t, c, ${hash32Sql("t")} AS h1,
+               ${hash32Sql("'x|' || t")} AS h2
+             FROM top),
+      qp AS (SELECT source, t, c, r, (h1 + r * h2) % 512 AS b
+             FROM qh, LATERAL (
+               SELECT unnest(generate_series(0, 3)) AS r) x),
+      est AS (SELECT qp.source, qp.t, qp.c,
+                CAST(min(cms.cnt) AS BIGINT) AS cms_est
+              FROM qp JOIN cms ON cms.source = qp.source
+                AND cms.r = qp.r AND cms.b = qp.b
+              GROUP BY 1, 2, 3)
+      SELECT source, t AS token, c AS exact_n, cms_est,
+        cms_est - c AS overestimate
+      FROM est ORDER BY source, token"""),
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(col("source"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        val cnt = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val top = graft.operators.Sampling.stratumRank(cnt, "source",
+            Seq(col("c").desc, col("t").asc), "__rk", "__n")
+          .filter(col("__rk") <= 5).select("source", "t", "c")
+        val cms = CorpusStats.cmsTable(tok, "source", col("t"),
+          d = 4, w = 512)
+        CorpusStats.cmsEstimate(cms, "source", top, "t", d = 4, w = 512)
+          .join(top, Seq("source", "t"))
+          .select(col("source"), col("t").as("token"),
+            col("c").as("exact_n"), col("cms_est"),
+            (col("cms_est") - col("c")).as("overestimate"))
+          .orderBy("source", "token")
+      })
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

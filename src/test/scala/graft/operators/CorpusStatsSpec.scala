@@ -475,6 +475,45 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.keySet === Set(1L, 2L, 3L))
   }
 
+  test("cms: estimate == driver replica, one-sided (est >= exact), shards merge by counter sum") {
+    val rnd = new scala.util.Random(53)
+    val items = (1 to 1200).map(_ => ("s", s"w${rnd.nextInt(300)}"))
+    val d = 4; val w = 64 // small w forces real collisions
+    val df = items.toDF("src", "it")
+    // driver-side replica of the full table
+    val replica = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    items.foreach { case (_, t) =>
+      val h1 = h32(t); val h2 = h32("x|" + t)
+      for (r <- 0 until d) {
+        val b = (h1 + r * h2) % w
+        replica((r, b)) = replica.getOrElse((r, b), 0L) + 1L
+      }
+    }
+    val cms = CorpusStats.cmsTable(df, "src", col("it"), d, w)
+    val gotTable = cms.collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(gotTable === replica.toMap)
+    // point estimates: exact replica min, and est >= exact for EVERY token
+    val exact = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val est = CorpusStats.cmsEstimate(cms, "src",
+        exact.keys.toSeq.map(("s", _)).toDF("src", "it"), "it", d, w)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    for ((t, c) <- exact) {
+      val want = (0 until d).map { r =>
+        replica((r, (h32(t) + r * h32("x|" + t)) % w)) }.min
+      assert(est(t) === want, s"estimate for $t")
+      assert(est(t) >= c, s"one-sided guarantee broken for $t")
+    }
+    // shard-merge: counter tables SUM — union + re-aggregate == whole
+    val (sa, sb) = items.splitAt(700)
+    val merged = CorpusStats.cmsTable(sa.toDF("src", "it"), "src", col("it"), d, w)
+      .union(CorpusStats.cmsTable(sb.toDF("src", "it"), "src", col("it"), d, w))
+      .groupBy("src", "cms_row", "cms_bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(merged === replica.toMap)
+  }
+
   test("vocabRichness: Chao1 and coverage replay the moment formulas by hand") {
     // stratum a: [x, x, y, z] -> V=3, N=4, N1=2 (y,z), N2=1 (x)
     //   chao1 = 3 + 2*1/(2*(1+1)) = 3.5 ; coverage = 1 - 2/4 = 0.5
