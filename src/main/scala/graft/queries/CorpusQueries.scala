@@ -1790,8 +1790,10 @@ object CorpusQueries {
         cms_est - c AS overestimate
       FROM est ORDER BY source, token"""),
       (s, d) => {
+        import graft.util.Materialize.MatOps
         val tok = Tables.documents(s, d).select(col("source"),
-          explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+            explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+          .materializeOnce(eager = false) // feeds the counts AND the sketch
         val cnt = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
         val top = graft.operators.Sampling.stratumRank(cnt, "source",
             Seq(col("c").desc, col("t").asc), "__rk", "__n")
