@@ -67,4 +67,48 @@ object Quantization {
       .orderBy(desc("qcos"), col(tieCol).asc)
       .limit(k)
   }
+
+  /** Group-affinity matrix in code space: for every group pair, the
+    * cosine between the groups' RESULTANT vectors Σ codes — "which
+    * classes/sources occupy the same embedding region", the pairwise
+    * complement to the kNN label-purity audit (purity says how
+    * separated the classes are; this says WHICH pairs collide).
+    *
+    * Exactness: the max-abs quantization scale involves NO
+    * accumulation (a max fold + one division + one multiply + floor —
+    * every step bit-identical cross-engine, unlike a norm-based scale
+    * whose Σv² accumulates float error), so the per-dimension code
+    * sums are exact longs and the pair dot/norms exact
+    * decimal(38,0)/HUGEINT; ONE double division chain per pair at the
+    * end. The statistic is the cosine of max-abs-normalized direction
+    * sums — a deterministic, engine-replayable proxy for
+    * mean-embedding cosine.
+    *
+    * Scale: the corpus-sized work is quantize + posexplode + one
+    * (group, dim)-keyed sum — the shuffle carries #groups·dims cells,
+    * never vectors; the pair stage runs on that metadata-sized table.
+    * Output: (group_a, group_b, affinity-double-unrounded), a < b. */
+  def codeSumAffinity(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val sums = quantized(df, vecCol)
+      .select(col(groupCol).as("__g"), posexplode(col("codes")).as(Seq("__dim", "__c")))
+      .groupBy("__g", "__dim").agg(sum("__c").as("__s"))
+    val norms = sums.groupBy("__g")
+      .agg(sum(dec(col("__s")) * dec(col("__s"))).as("__n2"))
+    val dots = sums.select(col("__g").as("__ga"), col("__dim"), col("__s").as("__sa"))
+      .join(sums.select(col("__g").as("__gb"), col("__dim"), col("__s").as("__sb")),
+        Seq("__dim"))
+      .filter(col("__ga") < col("__gb"))
+      .groupBy("__ga", "__gb")
+      .agg(sum(dec(col("__sa")) * dec(col("__sb"))).as("__dot"))
+    dots
+      .join(norms.select(col("__g").as("__ga"), col("__n2").as("__n2a")), Seq("__ga"))
+      .join(norms.select(col("__g").as("__gb"), col("__n2").as("__n2b")), Seq("__gb"))
+      .select(col("__ga").as("group_a"), col("__gb").as("group_b"),
+        when(col("__n2a") === dec(lit(0)) || col("__n2b") === dec(lit(0)), lit(0.0))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__n2a").cast("double")) *
+              sqrt(col("__n2b").cast("double")))).as("affinity"))
+  }
 }

@@ -1806,7 +1806,50 @@ object CorpusQueries {
             col("c").as("exact_n"), col("cms_est"),
             (col("cms_est") - col("c")).as("overestimate"))
           .orderBy("source", "token")
-      })
+      }),
+
+    // Class-affinity matrix in embedding space (round 14): for every
+    // label pair, the cosine between the classes' int8-code resultant
+    // vectors — WHICH classes collide, the pairwise complement to
+    // q160's purity (how separated overall). Rides the q48-certified
+    // max-abs quantization (its scale has NO accumulation, so codes
+    // are bit-identical cross-engine); per-dim sums exact longs, pair
+    // dot/norms exact HUGEINT, one double chain per pair
+    Q("q166_label_affinity", Some(s"""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT label,
+              127.0 / greatest(list_max(list_transform(v, x -> abs(x))),
+                               1e-30) AS qs, v
+            FROM e),
+      codes AS (SELECT label, i AS dim,
+                  CAST(floor(v[i] * qs) AS BIGINT) AS c
+                FROM q, LATERAL (
+                  SELECT unnest(generate_series(1, len(v))) AS i) t),
+      sums AS (SELECT label, dim, CAST(sum(c) AS BIGINT) AS s
+               FROM codes GROUP BY 1, 2),
+      norms AS (SELECT label,
+                  sum(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS n2
+                FROM sums GROUP BY label),
+      dots AS (SELECT a.label AS label_a, b.label AS label_b,
+                 sum(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS dot
+               FROM sums a JOIN sums b ON b.dim = a.dim
+                 AND a.label < b.label
+               GROUP BY 1, 2)
+      SELECT d.label_a, d.label_b,
+        round(CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+          ELSE CAST(d.dot AS DOUBLE) /
+            (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          END, 6) AS affinity
+      FROM dots d
+      JOIN norms na ON na.label = d.label_a
+      JOIN norms nb ON nb.label = d.label_b
+      ORDER BY label_a, label_b"""),
+      (s, d) => graft.operators.Quantization.codeSumAffinity(
+          Tables.embeddings(s, d).select(col("label"), col("embedding")),
+          "label", "embedding")
+        .select(col("group_a").as("label_a"), col("group_b").as("label_b"),
+          round(col("affinity"), 6).as("affinity"))
+        .orderBy("label_a", "label_b"))
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

@@ -414,4 +414,28 @@ class PipelineOpsSpec extends SparkSpec {
       .select(explode(col("codes"))).collect().map(_.getLong(0))
     assert(codes.forall(c => c >= Byte.MinValue && c <= Byte.MaxValue))
   }
+
+  test("codeSumAffinity: orthogonal groups pin 0, identical pin 1, 45-degree pins 1/sqrt(2)") {
+    // A: two copies of [1,0] -> codes [127,0] each -> resultant [254,0]
+    // B: [0,2]              -> codes [0,127]      -> resultant [0,127]
+    // C: [1,1]              -> codes [127,127]    -> resultant [127,127]
+    // D: duplicate of A     -> resultant [254,0]
+    val df = Seq(
+      ("A", Array(1f, 0f)), ("A", Array(1f, 0f)),
+      ("B", Array(0f, 2f)),
+      ("C", Array(1f, 1f)),
+      ("D", Array(1f, 0f)), ("D", Array(1f, 0f))).toDF("g", "v")
+    val got = Quantization.codeSumAffinity(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("A", "B")) === 0.0)
+    assert(got(("A", "D")) === 1.0) // identical resultants divide to exactly 1
+    assert(math.abs(got(("A", "C")) - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(got.size === 6) // all unordered pairs of 4 groups, a < b
+    // partitioning invariance: integer sums, same doubles
+    val got2 = Quantization.codeSumAffinity(df.repartition(5), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got2 === got)
+  }
 }

@@ -443,7 +443,8 @@ class PlanShapeSpec extends SparkSpec {
       "q152_pmi_collocations", "q153_event_burstiness",
       "q154_distinct_ngrams", "q155_freq_of_freqs",
       "q157_source_scorecard", "q162_vocab_richness",
-      "q163_token_dispersion", "q164_oov_rate", "q165_cms_frequency")
+      "q163_token_dispersion", "q164_oov_rate", "q165_cms_frequency",
+      "q166_label_affinity")
     for (q <- windowFree.toSeq.sorted ++ Seq("q150_knn_triangles",
         "q156_degree_assortativity", "q158_event_gaps",
         "q159_event_transitions", "q160_knn_label_purity",
