@@ -22,6 +22,38 @@ object Bench {
     mins.collect { case (n, m)
       if floors.get(n).exists(f => m > math.max(2.0 * f, f + 0.25)) => n }
 
+  /** The stdout artifact line under a HARD length budget (round 15,
+    * VERDICT r14 #2): the driver keeps only the last ~2000 chars of
+    * stdout, and at 166 queries the full compact per-query map outgrew
+    * it — BENCH_r14 parsed as null with the total and the
+    * contamination tells truncated out of the artifact of record. The
+    * fix is structural, not another constant-factor squeeze: the
+    * header (total, tells, failed, sf) ALWAYS fits, and the per-query
+    * map keeps only the SLOWEST entries that still fit `budget`,
+    * with `"queries_omitted":N` declaring the cut (no silent
+    * truncation). The slowest queries are the ones a human reads the
+    * line for; full per-query medians+mins under full names live in
+    * bench_full.json either way. Pure — spec-driven at 200 synthetic
+    * queries in BenchGateSpec. */
+  def compactLine(header: String, entries: Seq[(String, Double)],
+                  budget: Int = 1800): String = {
+    def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val bySlow = entries.sortBy { case (n, v) => (-v, n) }
+      .map { case (k, v) => "\"" + k + "\":" + f2(v) }
+    // fixed overhead: header + ,"queries":{} + worst-case omitted tag
+    val fixed = header.length + 13 + 2 +
+      (",\"queries_omitted\":" + entries.size).length
+    var used = 0; var kept = 0
+    bySlow.foreach { s =>
+      val add = s.length + (if (kept > 0) 1 else 0)
+      if (used + add + fixed <= budget) { used += add; kept += 1 }
+    }
+    val qs = bySlow.take(kept).mkString("{", ",", "}")
+    val omitted = entries.size - kept
+    val tag = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+    s"""$header,"queries":$qs$tag}"""
+  }
+
   /** Flat {"name": seconds} JSON (no nesting) — floors file parser. */
   def loadFloors(path: String): Map[String, Double] =
     try {
@@ -156,8 +188,6 @@ object Bench {
     val useShort =
       shortened.map(prefix).distinct.size == shortened.size
     def shortKey(name: String) = if (useShort) prefix(name) else name
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + f2(v) }
-      .mkString("{", ",", "}")
     val failedJson = failed.map(n => "\"" + shortKey(n) + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // suite-level spread tell: total medians minus total mins. On a
@@ -210,7 +240,10 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"), fullLine.getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop() // before the JSON line: shutdown logs must not push it out of the tail
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec",$tell,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val header =
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec",$tell,"failed":$failedJson,"sf":"$sfDir""""
+    println(compactLine(header,
+      results.map { case (k, v) => shortKey(k) -> v }))
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -523,7 +523,11 @@ object CorpusStats {
     *
     * Scale shape: one map-side-combined (stratum, row, bucket)
     * aggregate — the shuffle carries ≤ d·w counter rows per stratum,
-    * never items. Output: (strataCol, cms_row, cms_bucket, cnt). */
+    * never items. The sketch CARRIES its own dimensions (cms_d, cms_w
+    * constant columns — ADVICE r14): a probe can never silently use
+    * mismatched d/w, which would return wrong counts and could even
+    * undercut the one-sided guarantee.
+    * Output: (strataCol, cms_row, cms_bucket, cnt, cms_d, cms_w). */
   def cmsTable(df: DataFrame, strataCol: String, item: Column,
                d: Int = 4, w: Int = 512): DataFrame = {
     require(d >= 1 && w >= 2, s"need d >= 1, w >= 2, got d=$d w=$w")
@@ -541,18 +545,40 @@ object CorpusStats {
       .groupBy("__src", "cms_row", "cms_bucket")
       .agg(count(lit(1)).as("cnt"))
       .withColumnRenamed("__src", strataCol)
+      .withColumn("cms_d", lit(d))
+      .withColumn("cms_w", lit(w))
   }
+
+  /** Shard-merge of like-configured CMS tables: counters SUM under
+    * union (the mergeable-monoid property the spec pins). Refuses
+    * mixed (d, w) configs — summing counters hashed into different
+    * geometries is meaningless. */
+  def cmsMerge(a: DataFrame, b: DataFrame, strataCol: String): DataFrame =
+    a.union(b)
+      .groupBy(strataCol, "cms_row", "cms_bucket", "cms_d", "cms_w")
+      .agg(sum("cnt").as("cnt"))
+      .select(col(strataCol), col("cms_row"), col("cms_bucket"),
+        col("cnt"), col("cms_d"), col("cms_w"))
 
   /** Point queries against a [[cmsTable]]: for each (stratum, item)
     * probe, the CMS estimate = MIN over the d counters the item hashes
-    * to. The d-row expansion and the min fold are bounded by d; the
-    * probe join is counter-keyed. Output: (strataCol, item-string,
-    * cms_est). Items absent from the sketch estimate ≥ 0 via the
-    * coalesce (an empty counter row never exists in the sparse
-    * table). */
+    * to. d and w come from the SKETCH's own carried dimensions — a
+    * caller can no longer probe with independently-defaulted constants
+    * (ADVICE r14); a sketch carrying more than one (d, w) config (a
+    * mis-merge) is rejected loudly. The d-row expansion and the min
+    * fold are bounded by d; the probe join is counter-keyed. Output:
+    * (strataCol, item-string, cms_est). Items absent from the sketch
+    * estimate ≥ 0 via the coalesce (an empty counter row never exists
+    * in the sparse table). */
   def cmsEstimate(cms: DataFrame, strataCol: String,
-                  items: DataFrame, itemCol: String,
-                  d: Int = 4, w: Int = 512): DataFrame = {
+                  items: DataFrame, itemCol: String): DataFrame = {
+    val metas = cms.select("cms_d", "cms_w").distinct().limit(3).collect()
+    require(metas.length == 1,
+      if (metas.isEmpty) "cmsEstimate: empty sketch (no counters, no dims)"
+      else s"cmsEstimate: sketch carries ${metas.length} distinct (d, w) " +
+        "configs - only like-configured sketches may merge")
+    val d = metas(0).getInt(0)
+    val w = metas(0).getInt(1)
     val probes = items
       .select(col(strataCol).as("__src"),
         col(itemCol).cast("string").as("__item"))
@@ -567,7 +593,8 @@ object CorpusStats {
         ((col("__h1") + col("cms_row") * col("__h2")) % w)
           .as("cms_bucket"))
     probes
-      .join(cms.withColumnRenamed(strataCol, "__src"),
+      .join(cms.select(col(strataCol).as("__src"), col("cms_row"),
+          col("cms_bucket"), col("cnt")),
         Seq("__src", "cms_row", "cms_bucket"), "left")
       .groupBy("__src", "__item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))

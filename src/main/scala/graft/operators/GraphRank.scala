@@ -340,9 +340,14 @@ object GraphRank {
     * is the top-k of per-partition top-ks. Exact all-pairs is the
     * CERTIFICATION shape; at 100 TB the candidate generation swaps to
     * the IVF probe or SRP-banded pairs with this same (src, dst)
-    * contract. The query set (= the corpus here) must be
-    * driver/broadcast-sized — the certification regime; ids must be
-    * integral. Output: (src, dst, cos_sim). */
+    * contract ([[knnGraphIvf]] / [[knnGraphSrp]]). The query set (= the
+    * corpus here) must be driver/broadcast-sized — the certification
+    * regime; ids must be integral. MEMORY BOUND: besides the broadcast,
+    * each task holds one ArrayBuffer per query that grows to 4k entries
+    * before trimming — O(N·4k) (id, cos) tuples per partition with the
+    * corpus as its own query batch; do NOT reuse this shape with large
+    * N (that's what [[knnGraphIvf]] is for).
+    * Output: (src, dst, cos_sim). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int)
       : DataFrame = {
     val spark = df.sparkSession
@@ -400,6 +405,120 @@ object GraphRank {
       .select(col("src"), col("dst"), col("cos_sim"))
   }
 
+  /** The 100 TB kNN edge builder: IVF-probed candidate generation with
+    * the same (src, dst, cos_sim) contract as [[knnGraph]] and ZERO
+    * driver collects — fully distributed end to end (VERDICT r14 #1).
+    *
+    * Shape = the certified [[IvfIndex.topKBatch]] probe (q51/q81) with
+    * the corpus as its own query set, minus the query broadcast that
+    * shape assumes: a seeded k-means partitions the corpus into
+    * `nCells` cells (the assignment is a distributed MLlib fit — the
+    * corpus never touches the driver); each row ranks the BROADCAST
+    * centroid table in-plan (centroids are √N-sized by design — the
+    * only driver-adjacent structure) and keeps its `nProbe` nearest
+    * cells (ties on distance break to the smaller cell id, matching
+    * the probe registry); candidates form by a SHUFFLE equi-join of
+    * the probe rows against the cell-keyed corpus — the corpus × corpus
+    * cross join never exists and candidate volume is
+    * N² · nProbe/nCells; exact cosine + the per-src
+    * (cos desc, dst asc) top-k window finish the edge list.
+    *
+    * `nProbe = nCells` probes every cell → candidate set = all pairs →
+    * edge-for-edge ≡ [[knnGraph]] including cos_sim bits (the
+    * [[graft.plans.CosineSimilarity]] codegen accumulates in the same
+    * left-to-right double order as knnGraph's JVM loop) — the
+    * certification mode. `nProbe < nCells` is the scale mode: recall
+    * follows the IVF probe curve, out-degree may drop below k for rows
+    * whose true neighbors live in unprobed cells.
+    * Output: (src, dst, cos_sim). */
+  def knnGraphIvf(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    val idx = IvfIndex.build(typed, "id", "__v", nCells, seed, cache = false)
+    val centersDf = df.sparkSession.createDataFrame(
+      idx.model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("__cell", "__center")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(asc("__cdist"), asc("__cell"))
+    val probes = typed
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
+        col("__v").cast("array<double>"), col("__center")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") <= nProbe)
+      .select(col("id").as("src"), col("__v").as("__qv"), col("__cell"))
+    // each dst lives in exactly ONE cell and probes are distinct cells
+    // per src, so every (src, dst) pair forms at most once — no dedup
+    val cand = probes.join(
+        idx.assigned.select(col("id").as("dst"), col("__v").as("__cv"),
+          col("__cell")),
+        Seq("__cell"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        graft.plans.CosineSimilarity(col("__cv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("cos_sim"), asc("dst"))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"))
+  }
+
+  /** SRP-banded kNN edge builder — the candidate-generation alternative
+    * to [[knnGraphIvf]] when no clustering pass is wanted: reuses the
+    * q61 sign-random-projection bands ([[VectorSearch.lshNearDupPairs]]'s
+    * pipeline) to propose candidate pairs, then exact cosine + the same
+    * per-src (cos desc, dst asc) top-k. Fully distributed, zero driver
+    * collects; banded rows carry (id, band_key) only — vectors join
+    * back for candidate ids. Approximate by construction: a src whose
+    * true neighbors never share a band gets fewer than k edges (recall
+    * rises with `numBands`, precision with bits per band); the
+    * hot-bucket cap bounds any degenerate band at `maxBucketSize`.
+    * Output: (src, dst, cos_sim) — directed, both orientations of a
+    * colliding pair are candidates. */
+  def knnGraphSrp(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                  dim: Int, bits: Int = 32, numBands: Int = 8,
+                  maxBucketSize: Int = 10000): DataFrame = {
+    require(bits % numBands == 0, "bands must tile the signature")
+    val bandBits = bits / numBands
+    val mask = (1L << bandBits) - 1
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    val sig = typed.select(col("id"),
+      graft.plans.HyperplaneSignature(col("__v"), bits, dim).as("__sig"))
+    val keys = (0 until numBands).map { b =>
+      concat_ws("_", lit(b.toString),
+        (shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask)))
+          .cast("string"))
+    }
+    val banded = sig.filter(col("__sig").isNotNull)
+      .select(col("id"), explode(array(keys: _*)).as("band_key"))
+      .materializeOnce(eager = false)
+    val hotKeys = banded.groupBy("band_key").count()
+      .filter(col("count") > maxBucketSize)
+      .select("band_key")
+    val capped = banded.join(broadcast(hotKeys), Seq("band_key"), "left_anti")
+    val cands = capped.select(col("band_key"), col("id").as("src"))
+      .join(capped.select(col("band_key"), col("id").as("dst")),
+        Seq("band_key"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+      .distinct()
+    val cand = cands
+      .join(typed.select(col("id").as("src"), col("__v").as("__qv")), Seq("src"))
+      .join(typed.select(col("id").as("dst"), col("__v").as("__cv")), Seq("dst"))
+      .withColumn("cos_sim",
+        graft.plans.CosineSimilarity(col("__cv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("cos_sim"), asc("dst"))
+    cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"))
+  }
+
   /** [[knnGraph]] as a build-once disk artifact stamped by the
     * embedding corpus content and `k` ([[graft.util.DiskArtifact]] —
     * the trained-LM-tier pattern): the similarity graph is an INDEX of
@@ -411,12 +530,164 @@ object GraphRank {
     * is maintained alongside the embeddings (the HNSW tier already
     * updates on ingest); recomputing N² per query is the
     * anti-pattern. Edges round-trip exactly (ids are longs, cos_sim a
-    * double — parquet preserves both bit-for-bit). */
+    * double — parquet preserves both bit-for-bit).
+    *
+    * `edgeSource` picks the candidate generator (VERDICT r14 #1):
+    *   - `"exact"` — [[knnGraph]], the broadcast N² certification shape
+    *     (requires driver-sized embeddings);
+    *   - `"ivf"` — [[knnGraphIvf]], fully distributed; with
+    *     `nProbe = nCells` it is edge-for-edge ≡ exact, with
+    *     `nProbe < nCells` it is the 100 TB approximate mode;
+    *   - `"srp"` — [[knnGraphSrp]], the banded-LSH candidate path
+    *     (`srpDim` = embedding dimension, required).
+    * Non-exact sources stamp under a source-tagged artifact kind so an
+    * approximate graph can never be served where exact was asked. */
   def knnGraphArtifact(df: DataFrame, idCol: String, vecCol: String,
-                       k: Int): DataFrame = {
+                       k: Int, edgeSource: String = "exact",
+                       nCells: Int = 16, nProbe: Int = 16,
+                       srpDim: Int = 0, seed: Long = 42L): DataFrame = {
     val stamp = graft.util.DiskArtifact.corpusStamp(df, idCol, vecCol)
-    graft.util.DiskArtifact.getOrBuild(df.sparkSession, s"knn$k-edges",
-      stamp)(() => knnGraph(df, idCol, vecCol, k))
+    val (kind, build) = edgeSource match {
+      case "exact" =>
+        (s"knn$k-edges", () => knnGraph(df, idCol, vecCol, k))
+      case "ivf" =>
+        (s"knn$k-edges-ivf$nCells-$nProbe-$seed",
+          () => knnGraphIvf(df, idCol, vecCol, k, nCells, nProbe, seed))
+      case "srp" =>
+        require(srpDim > 0, "srp edge source needs srpDim = embedding dim")
+        (s"knn$k-edges-srp$srpDim",
+          () => knnGraphSrp(df, idCol, vecCol, k, srpDim))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown edgeSource '$other' (exact | ivf | srp)")
+    }
+    graft.util.DiskArtifact.getOrBuild(df.sparkSession, kind, stamp)(build)
+  }
+
+  /** Scored-pair counter for the LAST [[knnGraphAppend]] action on this
+    * JVM — the spec's O(batch) work assertion reads it (an incremental
+    * append must score |corpus|·|batch| pairs, never |corpus|²). */
+  private[graft] var lastAppendScored
+      : Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Incremental EXACT maintenance of a kNN edge list under a corpus
+    * append (VERDICT r14 #3): given the exact edges of the OLD corpus
+    * C and the appended full corpus C ∪ B, produce the exact edges of
+    * C ∪ B with O(|C∪B|·|B|) scoring instead of the O(|C∪B|²) rebuild.
+    *
+    * Correct because a top-k is decomposable: for an old node, its new
+    * true top-k over (C∪B)\{src} is the top-k of (its old top-k over
+    * C\{src}) ∪ (its scores against B) — nothing outside those
+    * candidates can enter; for a new node the full scan against C∪B is
+    * the definition. One distributed pass streams every corpus
+    * partition against the BROADCAST batch (the batch is
+    * ingest-batch-sized by contract — the same regime as the HNSW
+    * ingest hook), emitting (old-src → batch-dst) update candidates
+    * and map-side partial top-k rows for the new sources; two keyed
+    * windows finish both sides. Cosines are bit-identical to
+    * [[knnGraph]]'s in BOTH orientations (IEEE multiply is commutative,
+    * the dot accumulates in the same element order).
+    *
+    * `newIds` must be exactly the appended ids (present in `full`);
+    * Output: (src, dst, cos_sim) ≡ knnGraph(full) edge-for-edge. */
+  def knnGraphAppend(oldEdges: DataFrame, full: DataFrame, idCol: String,
+                     vecCol: String, k: Int, newIds: Seq[Long]): DataFrame = {
+    val spark = full.sparkSession
+    import spark.implicits._
+    val newSet = newIds.toSet
+    val typed = full.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).as[(Long, Array[Float])]
+    val batch = typed.filter(r => newSet(r._1)).collect().sortBy(_._1)
+    require(batch.length == newSet.size,
+      s"newIds must all be present in full (got ${batch.length} of ${newSet.size})")
+    if (batch.isEmpty) return oldEdges
+    val bc = spark.sparkContext.broadcast(batch)
+    val bcSet = spark.sparkContext.broadcast(newSet)
+    val acc = spark.sparkContext.longAccumulator("knnAppendScored")
+    lastAppendScored = Some(acc)
+    // one corpus pass: rows tagged 0 = update candidates (old src →
+    // batch dst, all of them); rows tagged 1 = partial top-k for the
+    // NEW sources (bounded per-task buffers, the knnGraph discipline)
+    val scored = typed.mapPartitions { it =>
+      val qs = bc.value
+      val isNew = bcSet.value
+      val nq = qs.length
+      val bufs = Array.fill(nq)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+      def trim(b: scala.collection.mutable.ArrayBuffer[(Long, Double)])
+          : Unit = {
+        val t = b.sortBy { case (id, c) => (-c, id) }.take(k)
+        b.clear(); b ++= t
+      }
+      val upd = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+      it.foreach { case (cid, cv) =>
+        var qi = 0
+        while (qi < nq) {
+          val (qid, qv) = qs(qi)
+          if (qid != cid) {
+            var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+            while (d < cv.length) {
+              dot += cv(d).toDouble * qv(d).toDouble
+              na += cv(d).toDouble * cv(d).toDouble
+              nb += qv(d).toDouble * qv(d).toDouble
+              d += 1
+            }
+            val c = dot / (math.sqrt(na) * math.sqrt(nb))
+            acc.add(1L)
+            // new-src side: cid is a candidate for the batch node qid
+            val b = bufs(qi)
+            b += ((cid, c))
+            if (b.length > 4 * k) trim(b)
+            // old-src side: qid is a NEW candidate for the old node cid
+            if (!isNew(cid)) upd += ((0, cid, qid, c))
+          }
+          qi += 1
+        }
+      }
+      upd.iterator ++ (0 until nq).iterator.flatMap { qi =>
+        trim(bufs(qi))
+        bufs(qi).iterator.map { case (cid, c) => (1, qs(qi)._1, cid, c) }
+      }
+    }.toDF("tag", "src", "dst", "cos_sim")
+      .materializeOnce(eager = false) // feeds both windows below
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("cos_sim"), asc("dst"))
+    val newSrc = scored.filter(col("tag") === 1)
+      .select("src", "dst", "cos_sim")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("src", "dst", "cos_sim")
+    val oldSrc = oldEdges.select("src", "dst", "cos_sim")
+      .union(scored.filter(col("tag") === 0).select("src", "dst", "cos_sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("src", "dst", "cos_sim")
+    newSrc.union(oldSrc)
+  }
+
+  /** Stamp-aware incremental maintenance of the [[knnGraphArtifact]]
+    * (exact source): when the PRE-APPEND corpus (full minus `newIds`)
+    * has a materialized edge artifact, the post-append artifact builds
+    * from [[knnGraphAppend]]'s O(N·batch) delta instead of the O(N²)
+    * rebuild; with no prior artifact it falls back to the full build.
+    * Either way the result lands under the full corpus's own content
+    * stamp — a reader asking for the graph of THIS corpus state gets
+    * it or rebuilds, never a stale set (crash-torn writes rebuild via
+    * the `_SUCCESS` check, pinned in `CrashRecoverySpec`). */
+  def knnGraphArtifactAppend(full: DataFrame, idCol: String,
+                             vecCol: String, k: Int,
+                             newIds: Seq[Long]): DataFrame = {
+    val newSet = newIds.toSet
+    val old = full.filter(!col(idCol).cast("long").isInCollection(newSet))
+    val oldStamp = graft.util.DiskArtifact.corpusStamp(old, idCol, vecCol)
+    val newStamp = graft.util.DiskArtifact.corpusStamp(full, idCol, vecCol)
+    val kind = s"knn$k-edges"
+    graft.util.DiskArtifact.getOrBuild(full.sparkSession, kind, newStamp)(
+      () =>
+        if (graft.util.DiskArtifact.exists(kind, oldStamp))
+          knnGraphAppend(
+            graft.util.DiskArtifact.getOrBuild(full.sparkSession, kind,
+              oldStamp)(() => knnGraph(old, idCol, vecCol, k)),
+            full, idCol, vecCol, k, newIds)
+        else knnGraph(full, idCol, vecCol, k))
   }
 
   /** Per-node triangle count and local clustering coefficient (Watts &

@@ -68,7 +68,8 @@ object Hnsw {
                     /** neighbors(layer)(nodeIdx) = Array[nodeIdx] */
                     val neighbors: Array[Array[Array[Int]]],
                     val entryPoint: Int,
-                    val m: Int, val efConstruction: Int, val seed: Long) {
+                    val m: Int, val efConstruction: Int, val seed: Long)
+      extends Serializable { // broadcastable: searchKnnBatch ships it
     def size: Int = ids.length
     def maxLevel: Int = neighbors.length - 1
   }
@@ -217,14 +218,18 @@ object Hnsw {
     * [[fromDF]]). New nodes append past the existing index range
     * (node indexes are NOT globally id-sorted afterwards — nothing
     * reads that; ids only break ties). Rows whose id already exists
-    * are skipped. Deterministic: same base graph + same batch → the
+    * are skipped, and a batch that repeats an id keeps only its FIRST
+    * occurrence (ADVICE r14 — two nodes sharing an id would break the
+    * id-tie-break determinism contract every search surface relies on).
+    * Deterministic: same base graph + same batch → the
     * same graph; an incremental graph is NOT link-identical to a full
     * rebuild over the union (insertion order differs — standard for
     * HNSW), but serves the same contract, recall-certified in
     * `HnswSpec`. */
   def insert(g: Graph, rows: Seq[(Long, Array[Float])]): Graph = {
     val existing = g.ids.toSet
-    val fresh = rows.filterNot(r => existing(r._1)).sortBy(_._1)
+    val fresh = rows.filterNot(r => existing(r._1))
+      .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1)
     if (fresh.isEmpty) return g
     val n0 = g.size
     val ids = g.ids ++ fresh.map(_._1)
@@ -262,6 +267,36 @@ object Hnsw {
     }
     searchLayer(g.ids, g.vecs, adj, 0, ep, q, math.max(ef, k))
       .take(k).map { case (d, i) => (g.ids(i), d) }.toSeq
+  }
+
+  /** Batch HNSW search (VERDICT r14 #6): serve a query SET from the
+    * graph — the q29/q81 batch regime — instead of one driver-side
+    * query at a time. The graph broadcasts once (it is JVM-sized by
+    * this tier's contract — see the scale envelope above) and every
+    * executor answers its partition's queries with the same in-memory
+    * pointer-chasing as [[searchKnn]]; the query set itself never
+    * collects to the driver and results come back as a DataFrame.
+    * Exactly ≡ running searchKnn once per query (same graph, same
+    * beam, same tie-breaks) — spec-pinned. Output: (qid, rn,
+    * id, cos_dist) with rn 1..k by (dist asc, id asc), the engine-wide
+    * ordering contract. */
+  def searchKnnBatch(g: Graph, queries: DataFrame, qidCol: String,
+                     qvecCol: String, k: Int, ef: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(g)
+    queries
+      .select(org.apache.spark.sql.functions.col(qidCol).cast("long")
+        .as("qid"),
+        org.apache.spark.sql.functions.col(qvecCol).as("v"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val graph = bc.value
+        it.flatMap { case (qid, v) =>
+          searchKnn(graph, v, k, ef).iterator.zipWithIndex.map {
+            case ((id, d), i) => (qid, i + 1, id, d) }
+        }
+      }.toDF("qid", "rn", "id", "cos_dist")
   }
 
   /** Persist as a parquet edge table (id, level, layer, neighbor ids) —

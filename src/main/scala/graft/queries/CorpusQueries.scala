@@ -1800,7 +1800,7 @@ object CorpusQueries {
           .filter(col("__rk") <= 5).select("source", "t", "c")
         val cms = CorpusStats.cmsTable(tok, "source", col("t"),
           d = 4, w = 512)
-        CorpusStats.cmsEstimate(cms, "source", top, "t", d = 4, w = 512)
+        CorpusStats.cmsEstimate(cms, "source", top, "t")
           .join(top, Seq("source", "t"))
           .select(col("source"), col("t").as("token"),
             col("c").as("exact_n"), col("cms_est"),
@@ -1849,7 +1849,41 @@ object CorpusQueries {
           "label", "embedding")
         .select(col("group_a").as("label_a"), col("group_b").as("label_b"),
           round(col("affinity"), 6).as("affinity"))
-        .orderBy("label_a", "label_b"))
+        .orderBy("label_a", "label_b")),
+
+    // IVF-built kNN edge artifact (round 15, VERDICT r14 #1): the same
+    // integer PageRank regime as q140, but the edge list comes from the
+    // DISTRIBUTED candidate path — GraphRank.knnGraphIvf: seeded k-means
+    // cells, in-plan probe ranking against the broadcast centroid table,
+    // cell-keyed candidate equi-join, per-src top-k — with ZERO driver
+    // collects anywhere in the build (the exact q140 builder broadcasts
+    // the whole corpus; this is the shape a 100 TB corpus uses). At full
+    // probe (nProbe = nCells) the candidate set is all pairs, so edges
+    // are bit-identical to exact and the oracle is the same kNN-window
+    // replay. 4 rounds / k=8 / top 24 to make the row distinct from q140
+    Q("q167_knn_pagerank_ivf", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.oracleSqlCtes(rounds = 4)}
+      SELECT id AS vec_id, score FROM pr
+      ORDER BY score DESC, id LIMIT 24"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+          k = 8, edgeSource = "ivf", nCells = 8, nProbe = 8)
+        GraphRank.pagerank(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 4)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(24)
+      })
   )
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band

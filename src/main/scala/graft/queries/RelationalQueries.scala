@@ -38,6 +38,16 @@ object RelationalQueries {
   private val dec = "decimal(23,8)" // for <=2dp inputs: exact in both engines
   private def d2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
 
+  // Fixed 7-day epoch week bucket as a FLOOR division (ADVICE r14):
+  // Spark's `div` truncates toward zero while the DuckDB oracle's `//`
+  // floors, so a bare `cast(ts as long) div 604800` diverges for
+  // pre-1970 timestamps (the timestamp->long cast itself floor-divides
+  // micros on both engines). pmod is non-negative for a positive
+  // divisor, so (x - pmod(x, w)) div w is exact integer floor division
+  // at any sign — parity holds on any epoch, not just the fixtures'.
+  private[queries] def weekFloor = expr(
+    "(cast(ts as long) - pmod(cast(ts as long), 604800)) div 604800")
+
   val all: Seq[Q] = Seq(
 
     // A: multi-aggregate groupBy with exact accumulation (TPC-H Q1 shape)
@@ -444,7 +454,7 @@ object RelationalQueries {
       (s, d) => {
         val e = Tables.events(s, d)
           .select(col("user_id"),
-            expr("cast(ts as long) div 604800").as("wk"))
+            weekFloor.as("wk"))
         val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
         val act = e.distinct()
         val cells = act.join(cohort, Seq("user_id"))
@@ -563,7 +573,7 @@ object RelationalQueries {
       (s, d) => {
         val e = Tables.events(s, d)
           .select(col("event_type"),
-            expr("cast(ts as long) div 604800").as("wk"))
+            weekFloor.as("wk"))
           .materializeOnce(eager = false) // counts + span + types, one scan
         val cnt = e.groupBy("event_type", "wk")
           .agg(count(lit(1)).as("c"))

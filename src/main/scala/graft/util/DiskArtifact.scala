@@ -40,6 +40,19 @@ object DiskArtifact {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Test hook: forget the per-JVM memo, as a fresh JVM would — crash
+    * simulations delete on-disk state and must not have the memo paper
+    * over it. */
+  private[graft] def resetMemo(): Unit = cache.clear()
+
+  /** True iff (`kind`, `stamp`) is already FULLY materialized on disk
+    * (`_SUCCESS` present — a torn write reads as absent, same rule as
+    * [[getOrBuild]]). Lets incremental maintainers ask "is there a
+    * prior state to delta from" without triggering a build. */
+  def exists(kind: String, stamp: String): Boolean =
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-$kind-$stamp"), "_SUCCESS").exists()
+
   /** Read the artifact for (`kind`, `stamp`), building + writing it
     * first if this stamped path has never been materialized (checked by
     * parquet's `_SUCCESS` marker, so a torn write rebuilds too). The

@@ -55,6 +55,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(one === Seq("q34_top_keywords") && one.size < 5)
   }
 
+  test("compactLine stays under budget at 200 queries; header always survives") {
+    // the r14 artifact regression: 166 full per-query entries overran
+    // the driver's ~2000-char stdout tail and truncated the total +
+    // tells out of the artifact of record (VERDICT r14 #2)
+    val header = """{"metric":"total","value":123.45,"unit":"sec","runs":5,""" +
+      """"load0":0.50,"warm":11.80,"spread":2.10,"contaminated_queries":[],""" +
+      """"contaminated":false,"failed":[],"sf":"/root/testdata/sf0.1""""
+    val entries = (1 to 200).map(i => s"q$i" -> (i * 0.037 % 7.0))
+    val line = Bench.compactLine(header, entries)
+    assert(line.length <= 1800, s"line length ${line.length}")
+    // parses as one JSON object with the header fields intact
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.contains("\"value\":123.45"))
+    assert(line.contains("\"contaminated\":false"))
+    assert(line.contains("\"queries\":{"))
+    // the cut is DECLARED, and what's kept is the slowest entries
+    assert(line.contains("\"queries_omitted\":"))
+    val slowest = entries.maxBy(_._2)
+    assert(line.contains("\"" + slowest._1 + "\":"))
+    // balanced braces = structurally parseable
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    // a small suite keeps EVERY query and omits the tag
+    val small = Bench.compactLine(header, (1 to 40).map(i => s"q$i" -> 0.25))
+    assert(!small.contains("queries_omitted"))
+    assert((1 to 40).forall(i => small.contains(s""""q$i":""")))
+  }
+
   test("loadFloors parses the committed calibration file") {
     val f = Bench.loadFloors("bench_floors.json")
     assert(f.size >= 100)

