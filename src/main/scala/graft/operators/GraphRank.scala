@@ -539,7 +539,10 @@ object GraphRank {
     *     `nProbe = nCells` it is edge-for-edge ≡ exact, with
     *     `nProbe < nCells` it is the 100 TB approximate mode;
     *   - `"srp"` — [[knnGraphSrp]], the banded-LSH candidate path
-    *     (`srpDim` = embedding dimension, required).
+    *     (`srpDim` = embedding dimension, required);
+    *   - `"hnsw"` — [[knnGraphHnsw]], the graph-ANN tier as candidate
+    *     generator (O(N log N) build + broadcast batch search; exact
+    *     cos re-rank).
     * Non-exact sources stamp under a source-tagged artifact kind so an
     * approximate graph can never be served where exact was asked. */
   def knnGraphArtifact(df: DataFrame, idCol: String, vecCol: String,
@@ -557,11 +560,53 @@ object GraphRank {
         require(srpDim > 0, "srp edge source needs srpDim = embedding dim")
         (s"knn$k-edges-srp$srpDim",
           () => knnGraphSrp(df, idCol, vecCol, k, srpDim))
+      case "hnsw" =>
+        (s"knn$k-edges-hnsw",
+          () => knnGraphHnsw(df, idCol, vecCol, k))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown edgeSource '$other' (exact | ivf | srp)")
+          s"unknown edgeSource '$other' (exact | ivf | srp | hnsw)")
     }
     graft.util.DiskArtifact.getOrBuild(df.sparkSession, kind, stamp)(build)
+  }
+
+  /** HNSW-served kNN edge builder (VERDICT r14 missing-#5: the graph-ANN
+    * tier wired into the edge builder): build the serving graph once
+    * (O(N log N) — the driver-memory regime the exact builder already
+    * occupies, minus its O(N²) compute), then answer the corpus as one
+    * BATCH via [[Hnsw.searchKnnBatch]] (broadcast graph, executors
+    * answer their partitions). Candidates re-rank by the EXACT codegen
+    * cosine (same bits as [[knnGraph]]) so emitted edges carry true
+    * cos_sim and the (cos desc, dst asc) contract; `ef` is the recall
+    * knob (measured 1.000 at ef=64 on the testdata corpus — SCALE.md
+    * round-15). Approximate by construction: a node whose true
+    * neighbor the beam missed gets its next-best candidate. */
+  def knnGraphHnsw(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   m: Int = 16, efConstruction: Int = 100,
+                   ef: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val g = Hnsw.build(typed.as[(Long, Array[Float])].collect().toSeq,
+      m, efConstruction)
+    // k+1 beam: the query point itself sits at distance 0 in its own
+    // corpus; drop it, keep the k best OTHER candidates by exact cos
+    val cand = Hnsw.searchKnnBatch(g, typed, "id", "v",
+        k + 1, math.max(ef, k + 1))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("src"), col("id").as("dst"))
+    val vecs = typed.select(col("id"), col("v"))
+    val scored = cand
+      .join(vecs.select(col("id").as("src"), col("v").as("__qv")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("__cv")), Seq("dst"))
+      .withColumn("cos_sim",
+        graft.plans.CosineSimilarity(col("__cv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("cos_sim"), asc("dst"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"))
   }
 
   /** Scored-pair counter for the LAST [[knnGraphAppend]] action on this

@@ -1883,6 +1883,165 @@ object CorpusQueries {
             edges, "src", "dst", rounds = 4)
           .select(col("id").as("vec_id"), col("score"))
           .orderBy(desc("score"), asc("vec_id")).limit(24)
+      }),
+
+    // Maintained HLL state under ingest-batch merging (round 15,
+    // VERDICT r14 #4): the corpus arrives as THREE batches (doc_id mod
+    // 3 — the ingest simulation), each batch sketches independently,
+    // and the states fold with hllMerge (per-bucket register MAX — the
+    // Library.addMarkdown maintenance path). Register max is an EXACT
+    // merge, so the folded state is bit-identical to sketching the
+    // whole corpus at once — which is exactly what the oracle computes
+    // from scratch. A hash match here certifies the ingest-merge path
+    // end to end cross-engine
+    Q("q168_hll_ingest_merge", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      h AS (SELECT DISTINCT source, ${hash32Sql("t")} AS h FROM tok),
+      regs AS (SELECT source, h // 16777216 AS bucket,
+                 CASE WHEN h % 16777216 = 0 THEN 25
+                      ELSE 25 - length(bin(h % 16777216)) END AS rho
+               FROM h),
+      mx AS (SELECT source, bucket, max(rho) AS m
+             FROM regs GROUP BY source, bucket),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_hit,
+                sum(power(2.0, -m)) AS s_hit
+              FROM mx GROUP BY source),
+      fin AS (SELECT source, n_hit, CAST(256 - n_hit AS BIGINT) AS n_zero,
+                s_hit + CAST(256 - n_hit AS DOUBLE) AS s
+              FROM agg)
+      SELECT source, n_hit, n_zero,
+        round(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / s
+                        <= 640.0 AND n_zero > 0
+                   THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+                   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 / s
+              END, 6) AS est_distinct
+      FROM fin ORDER BY source"""),
+      (s, d) => {
+        val tok = Tables.documents(s, d).select(col("source"),
+            col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        val merged = (0 until 3).map(b =>
+            CorpusStats.hllRegisters(
+              tok.filter(pmod(col("doc_id"), lit(3)) === b),
+              "source", col("t"), p = 8))
+          .reduce(CorpusStats.hllMerge)
+        CorpusStats.hllEstimate(merged, "source", p = 8)
+          .select(col("source"), col("n_hit"), col("n_zero"),
+            round(col("est_distinct"), 6).as("est_distinct"))
+          .orderBy("source")
+      }),
+
+    // Maintained CMS state under ingest-batch merging (round 15,
+    // VERDICT r14 #4): three doc_id-mod-3 batches sketch independently
+    // and fold with cmsMerge (element-wise counter SUM — exact), then
+    // the top-3 tokens per source probe the FOLDED state; the oracle
+    // probes a from-scratch whole-corpus sketch. Counter sums are
+    // exact longs, so estimates match bit-for-bit — and the one-sided
+    // guarantee (est >= truth) survives the merge
+    Q("q169_cms_ingest_merge", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2),
+      top AS (SELECT source, t, c FROM (
+                SELECT source, t, c,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY c DESC, t) AS rn
+                FROM cnt) WHERE rn <= 3),
+      h AS (SELECT source, ${hash32Sql("t")} AS h1,
+              ${hash32Sql("'x|' || t")} AS h2
+            FROM tok),
+      occ AS (SELECT source, h1, h2, unnest(generate_series(0, 3)) AS r
+              FROM h),
+      cms AS (SELECT source, r, (h1 + r * h2) % 512 AS b,
+                CAST(count(*) AS BIGINT) AS cnt
+              FROM occ GROUP BY 1, 2, 3),
+      qh AS (SELECT source, t, c, ${hash32Sql("t")} AS h1,
+               ${hash32Sql("'x|' || t")} AS h2
+             FROM top),
+      qp AS (SELECT source, t, c, r, (h1 + r * h2) % 512 AS b
+             FROM qh, LATERAL (
+               SELECT unnest(generate_series(0, 3)) AS r) x),
+      est AS (SELECT qp.source, qp.t, qp.c,
+                CAST(min(cms.cnt) AS BIGINT) AS cms_est
+              FROM qp JOIN cms ON cms.source = qp.source
+                AND cms.r = qp.r AND cms.b = qp.b
+              GROUP BY 1, 2, 3)
+      SELECT source, t AS token, c AS exact_n, cms_est
+      FROM est ORDER BY source, token"""),
+      (s, d) => {
+        import graft.util.Materialize.MatOps
+        val tok = Tables.documents(s, d).select(col("source"),
+            col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+          .materializeOnce(eager = false) // counts + three batch sketches
+        val cnt = tok.groupBy("source", "t").agg(count(lit(1)).as("c"))
+        val top = graft.operators.Sampling.stratumRank(cnt, "source",
+            Seq(col("c").desc, col("t").asc), "__rk", "__n")
+          .filter(col("__rk") <= 3).select("source", "t", "c")
+        val merged = (0 until 3).map(b =>
+            CorpusStats.cmsTable(
+              tok.filter(pmod(col("doc_id"), lit(3)) === b),
+              "source", col("t"), d = 4, w = 512))
+          .reduce(CorpusStats.cmsMerge(_, _, "source"))
+        CorpusStats.cmsEstimate(merged, "source", top, "t")
+          .join(top, Seq("source", "t"))
+          .select(col("source"), col("t").as("token"),
+            col("c").as("exact_n"), col("cms_est"))
+          .orderBy("source", "token")
+      }),
+
+    // Maintained KMV state under ingest-batch merging (round 15,
+    // VERDICT r14 #4): three doc_id-mod-3 batches keep their k smallest
+    // distinct token hashes; the states fold by union + re-rank (min-k
+    // of a union is the min-k of the per-batch min-ks — exact), and the
+    // per-source estimate runs off the folded state. The oracle ranks
+    // the whole corpus's distinct hashes at once. k = 64 so every
+    // source overflows the sketch and the (k-1)*2^32/h_k estimator is
+    // exercised, not the exact-count degenerate branch
+    Q("q170_kmv_ingest_merge", Some(s"""
+      WITH tok AS (SELECT source, unnest(${toksSql("text")}) AS t
+                   FROM documents),
+      h AS (SELECT DISTINCT source, ${hash32Sql("t")} AS h FROM tok),
+      rk AS (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+             FROM h),
+      sk AS (SELECT source, h FROM rk WHERE rk <= 64),
+      agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tracked,
+                CAST(max(h) AS BIGINT) AS kth_hash
+              FROM sk GROUP BY source)
+      SELECT source, n_tracked, kth_hash,
+        round(CASE WHEN n_tracked < 64 THEN CAST(n_tracked AS DOUBLE)
+                   ELSE ${(63 * 4294967296.0).toString} /
+                        CAST(kth_hash AS DOUBLE) END, 6) AS est_distinct
+      FROM agg ORDER BY source"""),
+      (s, d) => {
+        val k = 64
+        val tok = Tables.documents(s, d).select(col("source"),
+            col("doc_id"),
+            explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+        val batchMins = (0 until 3).map { b =>
+          val hb = tok.filter(pmod(col("doc_id"), lit(3)) === b)
+            .select(col("source"),
+              TextFunctions.portableHash32(col("t")).as("h"))
+            .filter(col("h").isNotNull).distinct()
+          graft.operators.Sampling.stratumRank(hb, "source",
+              Seq(col("h").asc), "__rk", "__n")
+            .filter(col("__rk") <= k).select("source", "h")
+        }
+        val folded = graft.operators.Sampling.stratumRank(
+            batchMins.reduce(_ union _).distinct(), "source",
+            Seq(col("h").asc), "__rk", "__n")
+          .filter(col("__rk") <= k).select("source", "h")
+        folded.groupBy("source")
+          .agg(count(lit(1)).as("n_tracked"), max("h").as("kth_hash"))
+          .select(col("source"), col("n_tracked"), col("kth_hash"),
+            round(when(col("n_tracked") < k,
+                col("n_tracked").cast("double"))
+              .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+                col("kth_hash").cast("double")), 6).as("est_distinct"))
+          .orderBy("source")
       })
   )
 

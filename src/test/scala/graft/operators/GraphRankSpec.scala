@@ -329,6 +329,29 @@ class GraphRankSpec extends SparkSpec {
         edgeSource = "diskann") }
   }
 
+  test("knnGraphHnsw: invariants, true-cos edges, high recall at ef=64") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(120)
+    val k = 4
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val hnsw = GraphRank.knnGraphHnsw(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hnsw.forall { case (s, d, _) => s != d })
+    assert(hnsw.groupBy(_._1).forall(_._2.length <= k))
+    // every emitted edge carries the exact cosine bits
+    hnsw.foreach { case (s, d, c) =>
+      exact.get((s, d)).foreach(e => assert(e === c, s"cos bits ($s,$d)")) }
+    val recall = hnsw.count { case (s, d, _) => exact.contains((s, d)) }
+      .toDouble / exact.size
+    assert(recall >= 0.9, s"hnsw edge recall $recall")
+    // and the artifact switch serves it under its own stamp kind
+    val art = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", k,
+        edgeSource = "hnsw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(art === hnsw.toSet)
+  }
+
   test("communityDetect: two cliques resolve to per-clique min ids; bridge doesn't merge them") {
     // two directed 3-cliques {1,2,3} and {10,11,12} plus one bridge
     // arc 3->10: inside a clique the min id wins in one round (each
