@@ -31,6 +31,10 @@ object GraphRank {
   /** Total integer mass: scores are micro-units of 10^-12 of the graph. */
   val Scale: Long = 1000000000000L
 
+  /** [[hits]]'s renormalization target — smaller than [[Scale]] so the
+    * max-normalizing integer product stays inside a long (see hits). */
+  val HitsScale: Long = 1000000L
+
   /** Fixed-round integer PageRank.
     *
     * @param nodes (idCol) — every rankable node (isolated ones included)
@@ -733,6 +737,235 @@ object GraphRank {
               oldStamp)(() => knnGraph(old, idCol, vecCol, k)),
             full, idCol, vecCol, k, newIds)
         else knnGraph(full, idCol, vecCol, k))
+  }
+
+  /** Fixed-round synchronous k-core peeling (Seidman 1983, "Network
+    * structure and minimum degree") over the MUTUAL subgraph: each
+    * round removes EVERY node whose current mutual degree is below
+    * `coreK` simultaneously, then recounts — after enough rounds the
+    * survivors are exactly the k-core (the densely-interconnected
+    * near-duplicate mass a curation audit wants separated from the
+    * sparse periphery). The synchronous fixed-round form is the
+    * oracle-replayable one (the classic sequential peel is
+    * order-dependent); `rounds` bounds the unrolled replay, and the
+    * output marks survival AFTER that many rounds — both engines run
+    * the identical schedule, converged or not (kNN graphs converge in
+    * O(5) rounds: each peel strictly shrinks the node set or stops).
+    *
+    * Scale shape: per round one ids-only degree count over surviving
+    * edges + two semi-joins — never features, no windows. Output:
+    * (id, in_core int 0/1). */
+  def kCore(nodes: DataFrame, idCol: String,
+            edges: DataFrame, srcCol: String, dstCol: String,
+            coreK: Int, rounds: Int): DataFrame = {
+    require(coreK >= 1 && rounds >= 1)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val d1 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val d2 = edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
+    // ordered mutual pairs, BOTH orientations (degree = row count per a)
+    val und0 = d1.join(d2, Seq("a", "b"), "left_semi")
+      .materializeOnce(eager = false)
+    var live = ids
+    var und = und0
+    var r = 0
+    while (r < rounds) {
+      val deg = und.groupBy(col("a").as("id"))
+        .agg(count(lit(1)).as("__deg"))
+      live = live.join(deg.filter(col("__deg") >= coreK),
+          Seq("id"), "left_semi")
+        .materializeOnce(eager = false)
+      und = und
+        .join(live.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(live.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    ids.join(live.withColumn("__in", lit(1)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__in"), lit(0)).as("in_core"))
+  }
+
+  /** The DuckDB replay of [[kCore]] over caller-provided `nodes(id)` /
+    * `edges(src, dst)` CTEs — mutual symmetrization, unrolled
+    * simultaneous-removal rounds. Every round references the previous
+    * one exactly ONCE (the q161 lesson: textual-CTE engines inline a
+    * doubly-referenced round 2^rounds times): survival of BOTH
+    * endpoints folds into the same scan as two count() windows — in
+    * the symmetric edge list deg(x) = rows with a = x = rows with
+    * b = x, so PARTITION BY a and PARTITION BY b both read the true
+    * mutual degree. Ends at CTE `kc` = (id, in_core). */
+  def kCoreOracleCtes(coreK: Int, rounds: Int): String = {
+    val steps = (1 until rounds).map { i => s"""
+      u$i AS (
+        SELECT a, b FROM (
+          SELECT a, b,
+            count(*) OVER (PARTITION BY a) AS da,
+            count(*) OVER (PARTITION BY b) AS db
+          FROM u${i - 1})
+        WHERE da >= $coreK AND db >= $coreK)"""
+    }.mkString(",")
+    val sep = if (rounds > 1) "," else ""
+    s"""u0 AS (
+        SELECT e1.src AS a, e1.dst AS b FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst AND e2.dst = e1.src)$sep$steps,
+      lfin AS (SELECT a AS id FROM u${rounds - 1}
+               GROUP BY a HAVING count(*) >= $coreK),
+      kc AS (
+        SELECT n.id,
+          CAST(CASE WHEN l.id IS NULL THEN 0 ELSE 1 END AS INT) AS in_core
+        FROM nodes n LEFT JOIN lfin l ON l.id = n.id)"""
+  }
+
+  /** Fixed-round integer HITS (Kleinberg 1999, "Authoritative sources
+    * in a hyperlinked environment"): hub and authority scores over the
+    * directed edge set — on a kNN similarity graph, high AUTHORITY =
+    * chosen as neighbor by many strong hubs (a centrality complementary
+    * to [[pagerank]]'s teleport-damped flow). Each round:
+    * a_i = Σ_{j→i} h_j then renormalize to max [[HitsScale]] by
+    * LEFT-TO-RIGHT long arithmetic (a·HitsScale div max — both engines
+    * replay the same divisions), then the mirror step for h. All
+    * integer, zero float freedom. Nodes outside the edge set hold 0.
+    *
+    * HitsScale is 10^6 (not [[Scale]]'s 10^12) because the
+    * renormalization's intermediate product is Σ ≤ maxInDeg·HitsScale
+    * times HitsScale again — exact longs require
+    * maxInDeg · HitsScale² < 2^63, i.e. in-degree < 9.2×10^6 at 10^6
+    * (any kNN graph qualifies; for power-law webgraphs rescale or move
+    * the product to decimal(38,0) on both engines).
+    *
+    * Scale shape: two (id, score)-keyed shuffles per round plus one
+    * single-row max aggregate — metadata-sized driver traffic only.
+    * Output: (id, hub, authority) exact longs in [0, HitsScale]. */
+  def hits(nodes: DataFrame, idCol: String,
+           edges: DataFrame, srcCol: String, dstCol: String,
+           rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .materializeOnce(eager = false)
+    var h = ids.withColumn("score", lit(HitsScale))
+    var a = ids.withColumn("score", lit(0L))
+    var r = 0
+    while (r < rounds) {
+      val aRaw = e.join(h.select(col("id").as("src"), col("score")),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum("score").as("__s"))
+        .materializeOnce(eager = false)
+      val aMax = math.max(1L,
+        Option(aRaw.agg(max("__s")).head().get(0))
+          .fold(0L)(_.asInstanceOf[Long]))
+      a = ids.join(aRaw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"coalesce(__s, 0L) * ${HitsScale}L div ${aMax}L")
+            .as("score"))
+        .materializeOnce(eager = false)
+      val hRaw = e.join(a.select(col("id").as("dst"), col("score")),
+          Seq("dst"))
+        .groupBy(col("src").as("id")).agg(sum("score").as("__s"))
+        .materializeOnce(eager = false)
+      val hMax = math.max(1L,
+        Option(hRaw.agg(max("__s")).head().get(0))
+          .fold(0L)(_.asInstanceOf[Long]))
+      h = ids.join(hRaw, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"coalesce(__s, 0L) * ${HitsScale}L div ${hMax}L")
+            .as("score"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    h.select(col("id"), col("score").as("hub"))
+      .join(a.select(col("id"), col("score").as("authority")), Seq("id"))
+  }
+
+  /** The DuckDB replay of [[hits]] over `nodes(id)` / `edges(src, dst)`
+    * CTEs — unrolled rounds with identical left-to-right integer
+    * normalization. Each CTE references its predecessor exactly ONCE
+    * (the q161 lesson): the per-round max comes from a `max() OVER ()`
+    * window inside the normalizing CTE, never a second scalar-subquery
+    * reference that a textual-CTE engine would inline exponentially.
+    * Ends at CTE `ht` = (id, hub, authority). */
+  def hitsOracleCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { i => s"""
+      ar$i AS (SELECT e.dst AS id, CAST(sum(h.score) AS BIGINT) AS s
+               FROM edges e JOIN h${i - 1} h ON h.id = e.src
+               GROUP BY e.dst),
+      a$i AS (SELECT id,
+                s * ${HitsScale} // greatest(max(s) OVER (), 1) AS score
+              FROM ar$i),
+      hr$i AS (SELECT e.src AS id, CAST(sum(a.score) AS BIGINT) AS s
+               FROM edges e JOIN a$i a ON a.id = e.dst
+               GROUP BY e.src),
+      h$i AS (SELECT id,
+                s * ${HitsScale} // greatest(max(s) OVER (), 1) AS score
+              FROM hr$i)"""
+    }.mkString(",")
+    s"""h0 AS (SELECT id, ${HitsScale}::BIGINT AS score FROM nodes),$steps,
+      ht AS (SELECT n.id,
+               coalesce(h.score, 0) AS hub,
+               coalesce(a.score, 0) AS authority
+             FROM nodes n
+             LEFT JOIN h$rounds h ON h.id = n.id
+             LEFT JOIN a$rounds a ON a.id = n.id)"""
+  }
+
+  /** Fixed-round seed-hop distance (unrolled Bellman-Ford over unit
+    * weights): minimum number of directed edge hops from a trusted
+    * seed set — [[trustRank]]'s structural cousin ("HOW FAR is this
+    * document from vetted territory" instead of "how much trust mass
+    * reached it"); the curation cut "keep everything within h hops of
+    * the seed set" reads straight off it. Round r improves
+    * dist(dst) = min(dist(dst), dist(src) + 1) simultaneously across
+    * all edges — after `rounds` rounds the column holds exact hop
+    * distances ≤ rounds and NULL past the horizon (both engines replay
+    * the same unrolled schedule, so un-converged states still match).
+    *
+    * Scale shape: one (id, dist)-keyed shuffle per round over the edge
+    * list, integer minimum folds. Output: (id, hops-or-NULL). */
+  def seedDistance(nodes: DataFrame, idCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   edges: DataFrame, srcCol: String, dstCol: String,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("__dst"))
+      .materializeOnce(eager = false)
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .join(ids, Seq("id"), "left_semi")
+      .withColumn("hops", lit(0L))
+      .materializeOnce(eager = false)
+    var r = 0
+    while (r < rounds) {
+      val relax = e.join(dist, Seq("id"))
+        .select(col("__dst").as("id"), (col("hops") + 1L).as("hops"))
+      dist = dist.union(relax)
+        .groupBy("id").agg(min("hops").as("hops"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    ids.join(dist, Seq("id"), "left")
+  }
+
+  /** The DuckDB replay of [[seedDistance]] over `nodes(id)` /
+    * `seeds(id)` / `edges(src, dst)` CTEs. Ends at CTE `sd` =
+    * (id, hops-or-NULL). */
+  def seedDistanceOracleCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { i => s"""
+      s$i AS (
+        SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM (
+          SELECT id, hops FROM s${i - 1}
+          UNION ALL
+          SELECT e.dst AS id, p.hops + 1 AS hops
+          FROM edges e JOIN s${i - 1} p ON p.id = e.src)
+        GROUP BY id)"""
+    }.mkString(",")
+    s"""s0 AS (
+        SELECT DISTINCT s.id, CAST(0 AS BIGINT) AS hops
+        FROM seeds s JOIN nodes n ON n.id = s.id),$steps,
+      sd AS (SELECT n.id, d.hops FROM nodes n
+             LEFT JOIN s$rounds d ON d.id = n.id)"""
   }
 
   /** Per-node triangle count and local clustering coefficient (Watts &

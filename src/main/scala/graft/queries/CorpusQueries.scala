@@ -2042,6 +2042,98 @@ object CorpusQueries {
               .otherwise(lit((k - 1).toDouble * 4294967296.0) /
                 col("kth_hash").cast("double")), 6).as("est_distinct"))
           .orderBy("source")
+      }),
+
+    // k-core membership of the embedding kNN graph (round 15, Seidman
+    // 1983): which nodes sit in densely-interconnected mutual
+    // neighborhoods (near-duplicate / template mass) vs the sparse
+    // periphery — the density CUT the q150 lcc only scores. Fixed-round
+    // SIMULTANEOUS peeling (the sequential peel is order-dependent;
+    // this form unrolls identically in both engines, converged or
+    // not); per round one ids-only degree count + two semi-joins
+    Q("q171_kcore", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.kCoreOracleCtes(coreK = 4, rounds = 5)}
+      SELECT id AS vec_id, in_core FROM kc ORDER BY id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+          k = 8)
+        GraphRank.kCore(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", coreK = 4, rounds = 5)
+          .select(col("id").as("vec_id"), col("in_core"))
+          .orderBy("vec_id")
+      }),
+
+    // Integer HITS over the embedding kNN graph (round 15, Kleinberg
+    // 1999): hub = consistently points at strong authorities,
+    // authority = chosen by many strong hubs — the centrality
+    // complementary to q140's teleport-damped flow (PageRank rewards
+    // being reachable; HITS separates the chooser/chosen roles). Every
+    // round renormalizes to HitsScale by the same left-to-right long
+    // division in both engines — zero float freedom
+    Q("q172_hits", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.hitsOracleCtes(rounds = 3)}
+      SELECT id AS vec_id, hub, authority FROM ht
+      ORDER BY authority DESC, id LIMIT 25"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+          k = 8)
+        GraphRank.hits(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 3)
+          .select(col("id").as("vec_id"), col("hub"), col("authority"))
+          .orderBy(desc("authority"), asc("vec_id")).limit(25)
+      }),
+
+    // Seed-hop distance over the embedding kNN graph (round 15,
+    // unrolled Bellman-Ford): how many similarity hops from the
+    // label-0 trusted set — q147's structural cousin (trust MASS vs
+    // trust DISTANCE), and the "keep everything within h hops of
+    // vetted data" curation cut. Integer hop counts, NULL past the
+    // 3-round horizon; (id, dist) shuffles only
+    Q("q173_seed_distance", Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      seeds AS (SELECT vec_id AS id FROM e WHERE label = 0),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.seedDistanceOracleCtes(rounds = 3)}
+      SELECT id AS vec_id, hops FROM sd ORDER BY id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+          k = 8)
+        GraphRank.seedDistance(emb.select("vec_id"), "vec_id",
+            emb.filter(col("label") === 0).select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 3)
+          .select(col("id").as("vec_id"), col("hops"))
+          .orderBy("vec_id")
       })
   )
 

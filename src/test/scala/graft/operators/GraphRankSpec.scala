@@ -400,6 +400,70 @@ class GraphRankSpec extends SparkSpec {
     assert(art2 !== direct)
   }
 
+  test("kCore: simultaneous peeling on a clique+pendant; cascade at higher k") {
+    // mutual 4-clique {1,2,3,4}, mutual pendant 5-1, one-way arc 6->1,
+    // isolate 7
+    val mut = (for {
+      a <- Seq(1L, 2L, 3L, 4L); b <- Seq(1L, 2L, 3L, 4L) if a != b
+    } yield (a, b)) ++ Seq((1L, 5L), (5L, 1L), (6L, 1L))
+    val nodes = (1L to 7L).toDF("id")
+    val edges = mut.toDF("src", "dst")
+    val c3 = GraphRank.kCore(nodes, "id", edges, "src", "dst",
+        coreK = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c3 === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> 0, 6L -> 0, 7L -> 0))
+    // k=4: node 1 survives round 1 (deg 4 with the pendant) but its
+    // support peels away -> the cascade empties the core
+    val c4 = GraphRank.kCore(nodes, "id", edges, "src", "dst",
+        coreK = 4, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(c4.values.forall(_ == 0))
+    // partitioning invariance
+    val rep = GraphRank.kCore(nodes.repartition(5), "id",
+        edges.toDF("src", "dst").repartition(3), "src", "dst", 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rep === c3)
+  }
+
+  test("hits: star authority concentrates, hubs tie, integer replay") {
+    // 2,3,4 -> 1 and 1 -> 2; isolate 9
+    val nodes = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val M = GraphRank.HitsScale
+    val got = GraphRank.hits(nodes, "id", edges, "src", "dst", rounds = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // hand replay: round 1 -> a = (1: 3M/3M=M, 2: M/3)...; round 2
+    // authorities keep 1 at the max, 2 at M/9 of it
+    assert(got(1L)._2 === M)              // authority max
+    assert(got(2L)._2 === M * M / (3 * M) * M / (3 * M)) // 111111
+    assert(got(3L)._2 === 0L && got(4L)._2 === 0L)
+    assert(got(2L)._1 === M && got(3L)._1 === M && got(4L)._1 === M) // hubs tie
+    assert(got(1L)._1 < M)                // 1's only out-edge hits a weak authority
+    assert(got(9L) === ((0L, 0L)))        // isolate: zero both
+    // determinism across partitionings
+    val rep = GraphRank.hits(nodes.repartition(3), "id",
+        edges.repartition(2), "src", "dst", rounds = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(rep === got)
+  }
+
+  test("seedDistance: unrolled Bellman-Ford hop counts and horizon NULLs") {
+    val nodes = (1L to 5L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id") // 99 outside the graph: ignored
+    def run(r: Int) = GraphRank.seedDistance(nodes, "id", seeds, "id",
+        edges, "src", "dst", rounds = r)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    val r2 = run(2)
+    assert(r2 === Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> None, 5L -> None))
+    val r3 = run(3)
+    assert(r3(4L) === Some(3L) && r3(5L) === None)
+  }
+
   test("triangleStats: mutual-only symmetrization, exact counts, lcc arithmetic") {
     // mutual triangle 1-2-3, mutual pendant 3-4, one-way arc 4->5
     // (must NOT create an undirected edge), isolated node 6
