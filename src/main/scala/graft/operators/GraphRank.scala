@@ -79,6 +79,89 @@ object GraphRank {
     s
   }
 
+  /** Similarity-WEIGHTED fixed-round PageRank: mass transfers along an
+    * edge in proportion to its integer weight instead of uniformly
+    * over out-degree — on the kNN graph the weight is the quantized
+    * cosine, so a near-duplicate neighbor receives more rank than a
+    * marginal one (the similarity-weighted variant of the standard
+    * random-surfer model; Page et al. 1999 §2.4 sketches exactly this
+    * generalization). Same integer discipline as [[pagerank]]:
+    * transfer = score · dampNum div dampDen · w div W_src, all
+    * left-to-right long divisions (score ≤ Scale=10^12, dampNum ≤ 100,
+    * w ≤ 10^6 quantized weights → the widest intermediate is
+    * ~8.5×10^17, inside a long). Non-positive-weight edges must be
+    * filtered by the CALLER (a ≤0-weight transfer has no surfer
+    * semantics); nodes whose out-weight sum is 0 are dangling and
+    * their mass evaporates, like pagerank's.
+    *
+    * Scale shape identical to [[pagerank]] — the out-weight table
+    * computes once; each round shuffles (id, score) pairs only. */
+  def weightedPagerank(nodes: DataFrame, idCol: String,
+                       edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, rounds: Int,
+                       dampNum: Long = 85L, dampDen: Long = 100L)
+      : DataFrame = {
+    require(rounds >= 1 && dampNum >= 0 && dampNum <= dampDen)
+    val ids = nodes.select(col(idCol).as("id")).distinct()
+      .materializeOnce(eager = false)
+    val n = ids.count()
+    require(n > 0, "weightedPagerank needs at least one node")
+    val init = Scale / n
+    val base = Scale / n * (dampDen - dampNum) / dampDen
+    val wsum = edges.groupBy(col(srcCol).as("id"))
+      .agg(sum(col(wCol)).as("__wsum"))
+    val e = edges.select(col(srcCol).as("id"), col(dstCol).as("__dst"),
+        col(wCol).cast("long").as("__w"))
+      .join(wsum, Seq("id"))
+      .materializeOnce(eager = false)
+    var s = ids.withColumn("score", lit(init))
+    var r = 0
+    while (r < rounds) {
+      val contrib = e.join(s, Seq("id"))
+        .select(col("__dst").as("id"),
+          expr(s"score * $dampNum div $dampDen * __w div __wsum").as("__c"))
+        .groupBy("id").agg(sum("__c").as("__in"))
+      s = ids.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + coalesce(col("__in"), lit(0L))).as("score"))
+        .materializeOnce(eager = false)
+      r += 1
+    }
+    s
+  }
+
+  /** The DuckDB replay of [[weightedPagerank]] over `nodes(id)` /
+    * `edges(src, dst, w)` CTEs — unrolled rounds, the same
+    * left-to-right integer chain. Ends at CTE `wpr` = (id, score). */
+  def weightedOracleCtes(rounds: Int, dampNum: Long = 85L,
+                         dampDen: Long = 100L): String = {
+    val keep = dampDen - dampNum
+    val steps = (1 to rounds).map { i => s"""
+      wc$i AS (
+        SELECT e.dst AS id,
+          CAST(sum(p.score * $dampNum // $dampDen * e.w // d.wsum)
+            AS BIGINT) AS s
+        FROM edges e
+        JOIN wr${i - 1} p ON p.id = e.src
+        JOIN wdeg d ON d.id = e.src
+        GROUP BY e.dst),
+      wr$i AS (
+        SELECT n.id, wn.base + coalesce(c.s, 0) AS score
+        FROM nodes n CROSS JOIN wn
+        LEFT JOIN wc$i c ON c.id = n.id)"""
+    }.mkString(",")
+    s"""wn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          ${Scale}::BIGINT // CAST(count(*) AS BIGINT) AS init,
+          ${Scale}::BIGINT // CAST(count(*) AS BIGINT)
+            * $keep // $dampDen AS base
+        FROM nodes),
+      wdeg AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wsum
+               FROM edges GROUP BY src),
+      wr0 AS (SELECT id, wn.init AS score FROM nodes, wn),$steps,
+      wpr AS (SELECT id, score FROM wr$rounds)"""
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004):
     * personalized PageRank whose teleport mass lands ONLY on a trusted
     * seed set — the seed-based quality-propagation technique web-corpus

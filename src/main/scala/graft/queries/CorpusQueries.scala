@@ -2134,6 +2134,46 @@ object CorpusQueries {
             edges, "src", "dst", rounds = 3)
           .select(col("id").as("vec_id"), col("hops"))
           .orderBy("vec_id")
+      }),
+
+    // Similarity-WEIGHTED PageRank (round 15): q140's integer rank
+    // with per-edge transfer proportional to the quantized cosine —
+    // a near-duplicate neighbor receives more rank than a marginal
+    // one. Weights are floor(cos·10^6) (floor, never round: Spark's
+    // round() goes through shortest-string BigDecimal and can diverge
+    // from an exact-binary engine on ties; floor of the identical
+    // IEEE product is bit-safe), non-positive weights dropped on both
+    // sides by the same integer predicate
+    Q("q174_weighted_pagerank", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) AS c
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      knn AS (
+        SELECT src, dst, c,
+          row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+        FROM scored),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (
+        SELECT src, dst, CAST(floor(c * 1000000) AS BIGINT) AS w
+        FROM knn WHERE rn <= 8 AND CAST(floor(c * 1000000) AS BIGINT) > 0),
+      ${graft.operators.GraphRank.weightedOracleCtes(rounds = 5)}
+      SELECT id AS vec_id, score FROM wpr
+      ORDER BY score DESC, id LIMIT 20"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+            k = 8)
+          .withColumn("w",
+            floor(col("cos_sim") * lit(1000000.0)).cast("long"))
+          .filter(col("w") > 0)
+        GraphRank.weightedPagerank(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", "w", rounds = 5)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(20)
       })
   )
 

@@ -400,6 +400,37 @@ class GraphRankSpec extends SparkSpec {
     assert(art2 !== direct)
   }
 
+  test("weightedPagerank: hand transfer arithmetic; equal weights == pagerank bit-for-bit") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // 1 splits 3:1 between 2 and 3; 2 and 3 return everything to 1
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 5L), (3L, 1L, 2L))
+      .toDF("src", "dst", "w")
+    val S = GraphRank.Scale
+    val init = S / 3
+    val base = S / 3 * 15 / 100
+    val got = GraphRank.weightedPagerank(nodes, "id", edges,
+        "src", "dst", "w", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val damp = init * 85 / 100
+    assert(got(2L) === base + damp * 3 / 4)
+    assert(got(3L) === base + damp * 1 / 4)
+    // 2 and 3 each have ONE out-edge: w div wsum = 1 regardless of w
+    assert(got(1L) === base + damp * 5 / 5 + damp * 2 / 2)
+    // (A*c) div (c*deg) == A div deg exactly, so constant weights
+    // reproduce the unweighted rank bit-for-bit — any constant
+    val e40 = (1L to 40L).flatMap(i =>
+      Seq((i, i % 40 + 1), (i, (i * 7) % 40 + 1), ((i * 3) % 40 + 1, i)))
+    val n40 = (1L to 40L).toDF("id")
+    val want = GraphRank.pagerank(n40, "id", e40.toDF("src", "dst"),
+        "src", "dst", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = GraphRank.weightedPagerank(n40, "id",
+        e40.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat === want)
+  }
+
   test("kCore: simultaneous peeling on a clique+pendant; cascade at higher k") {
     // mutual 4-clique {1,2,3,4}, mutual pendant 5-1, one-way arc 6->1,
     // isolate 7

@@ -457,4 +457,49 @@ class PlanShapeSpec extends SparkSpec {
         assert(!p.contains("Window"), s"$q plans a Window:\n$p")
     }
   }
+
+  test("round-15 builders: IVF edge build is equi-join-only, centroids broadcast; batch HNSW is map-only") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(150)
+    // knnGraphIvf: the probe ranking crossJoins only the BROADCAST
+    // centroid table (never corpus x corpus) and candidates form via
+    // the __cell equi-join — no CartesianProduct anywhere
+    val ivf = graft.operators.GraphRank.knnGraphIvf(
+      emb, "vec_id", "embedding", 4, nCells = 5, nProbe = 2)
+    val ip = ivf.queryExecution.executedPlan.toString
+    assert(!ip.contains("CartesianProduct"), s"ivf cartesian:\n$ip")
+    assert(ip.contains("BroadcastNestedLoopJoin") ||
+      ip.contains("BroadcastExchange"), s"centroids not broadcast:\n$ip")
+    // the per-src top-k Window must not carry the vectors through the
+    // shuffle: the window's sort columns are (cos desc, dst) only
+    val winLine = ip.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(!winLine.contains("__qv") && !winLine.contains("__cv"),
+      s"vectors leak into the ranking window:\n$winLine")
+    // searchKnnBatch: one projection/mapPartitions pipeline, ZERO
+    // shuffles — the graph broadcasts, the query set stays put
+    // (queries as a LocalRelation so the input carries no exchange of
+    // its own; the operator must not add one)
+    val vecs = emb.as[(Long, Array[Float])](
+      org.apache.spark.sql.Encoders.product[(Long, Array[Float])])
+      .collect().toSeq
+    val g = graft.operators.Hnsw.build(vecs, m = 8, efConstruction = 40)
+    val queries = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val hp = graft.operators.Hnsw.searchKnnBatch(
+        g, queries, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"), s"batch HNSW shuffles:\n$hp")
+    // knnGraphAppend: the delta scoring is mapPartitions over the
+    // corpus + two keyed windows — no cartesian, no corpus broadcast
+    // beyond the batch
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    val newIds = ids.takeRight(10).toSeq
+    val old = emb.filter(!col("vec_id").isInCollection(newIds))
+    val oldEdges = graft.operators.GraphRank.knnGraph(
+      old, "vec_id", "embedding", 3)
+    val ap = graft.operators.GraphRank.knnGraphAppend(
+        oldEdges, emb, "vec_id", "embedding", 3, newIds)
+      .queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct"), s"append cartesian:\n$ap")
+  }
 }
