@@ -550,15 +550,24 @@ object CorpusStats {
   }
 
   /** Shard-merge of like-configured CMS tables: counters SUM under
-    * union (the mergeable-monoid property the spec pins). Refuses
-    * mixed (d, w) configs — summing counters hashed into different
-    * geometries is meaningless. */
-  def cmsMerge(a: DataFrame, b: DataFrame, strataCol: String): DataFrame =
+    * union (the mergeable-monoid property the spec pins). REFUSES
+    * mixed (d, w) configs up front — summing counters hashed into
+    * different geometries is meaningless, and grouping by the carried
+    * dims would otherwise build a silently two-config table that only
+    * fails later at probe time. The check reads each side's carried
+    * dims (metadata-sized). */
+  def cmsMerge(a: DataFrame, b: DataFrame, strataCol: String): DataFrame = {
+    val cfgs = a.select("cms_d", "cms_w")
+      .union(b.select("cms_d", "cms_w")).distinct().limit(3).collect()
+    require(cfgs.length <= 1,
+      s"cmsMerge: sides carry ${cfgs.length} distinct (d, w) configs - " +
+        "only like-configured sketches may merge")
     a.union(b)
       .groupBy(strataCol, "cms_row", "cms_bucket", "cms_d", "cms_w")
       .agg(sum("cnt").as("cnt"))
       .select(col(strataCol), col("cms_row"), col("cms_bucket"),
         col("cnt"), col("cms_d"), col("cms_w"))
+  }
 
   /** Point queries against a [[cmsTable]]: for each (stratum, item)
     * probe, the CMS estimate = MIN over the d counters the item hashes

@@ -524,6 +524,12 @@ object GraphRank {
       s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
     val typed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
+    // cells must not outnumber vectors — k-means with k > n fails deep
+    // in MLlib with an unhelpful error; the count is one cheap job on
+    // the build-once artifact path
+    val n = typed.count()
+    require(nCells <= n,
+      s"nCells=$nCells exceeds corpus size $n - shrink the cell count")
     val idx = IvfIndex.build(typed, "id", "__v", nCells, seed, cache = false)
     val centersDf = df.sparkSession.createDataFrame(
       idx.model.clusterCenters.zipWithIndex.toSeq

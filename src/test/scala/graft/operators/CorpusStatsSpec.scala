@@ -523,9 +523,13 @@ class CorpusStatsSpec extends SparkSpec {
         "src", Seq(("s", "w1")).toDF("src", "it"), "it")
       .collect()
     assert(estM.length === 1 && estM(0).getLong(2) === est("w1"))
-    // mixed-geometry sketches are rejected loudly, not mis-probed
+    // mixed-geometry sketches are rejected loudly, not mis-probed —
+    // at the merge AND at the probe
     val other = CorpusStats.cmsTable(sa.toDF("src", "it"), "src", col("it"),
       d, w * 2)
+    intercept[IllegalArgumentException] {
+      CorpusStats.cmsMerge(cms, other, "src")
+    }
     intercept[IllegalArgumentException] {
       CorpusStats.cmsEstimate(cms.union(other), "src",
         Seq(("s", "w1")).toDF("src", "it"), "it")

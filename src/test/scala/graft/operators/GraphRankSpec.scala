@@ -327,6 +327,10 @@ class GraphRankSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       GraphRank.knnGraphArtifact(emb, "vec_id", "embedding", 4,
         edgeSource = "diskann") }
+    // more cells than vectors fails loudly up front, not inside MLlib
+    intercept[IllegalArgumentException] {
+      GraphRank.knnGraphIvf(emb, "vec_id", "embedding", 4,
+        nCells = 100000, nProbe = 4) }
   }
 
   test("knnGraphHnsw: invariants, true-cos edges, high recall at ef=64") {
