@@ -166,19 +166,18 @@ object Bench {
     val results = samples.map { case (name, ts) => name -> ts(ts.length / 2) }
     val mins = samples.map { case (name, ts) => name -> ts.head }
     // The driver keeps only the last ~2000 chars of stdout and parses the
-    // JSON line out of that tail. Round 6's 75-query line with 3-decimal
-    // values and full "qNN_descriptive" keys overflowed it → parsed:null,
-    // q01-q05 truncated out of the artifact of record. So the emitted
-    // line is COMPACT: 2 decimals + the bare "qNN" key prefix (~12 chars
-    // per query → 90+ queries fit with headroom). Full-precision values
-    // under full names go to bench_full.json next to the repo for humans.
+    // JSON line out of that tail. Round 6's 75-query line overflowed it
+    // (full names, 3 decimals); round 14's 166-query line overflowed the
+    // COMPACT form too. The emitted line now goes through [[compactLine]]:
+    // header always fits, per-query entries slowest-first under a hard
+    // 1800-char budget, any cut declared via queries_omitted.
+    // Full-precision values under full names go to bench_full.json.
     def f2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // the "qNN" prefix is only usable while it stays unique — on a
     // collision the compact map would silently emit duplicate keys and
     // the artifact of record would lose a query with no error, so fall
-    // back to full names (the tail budget holds either way before ~150
-    // queries)
+    // back to full names (compactLine's budget handles either form)
     def prefix(name: String) = name.takeWhile(_ != '_')
     // the collision check over results covers every shortened name:
     // a failed query still lands in results (its timing loop records
