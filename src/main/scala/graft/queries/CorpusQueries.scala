@@ -2174,6 +2174,54 @@ object CorpusQueries {
             edges, "src", "dst", "w", rounds = 5)
           .select(col("id").as("vec_id"), col("score"))
           .orderBy(desc("score"), asc("vec_id")).limit(20)
+      }),
+
+    // Per-node graph scorecard (round 15): the one-page graph-side
+    // report a curation run opens with — q157's per-source scorecard
+    // re-expressed per NODE over the shared kNN edge artifact: core
+    // membership (q171's density cut), hub/authority (q172's
+    // chooser/chosen split), and hops-from-vetted (q173's trust
+    // distance), composed from the three certified stages in one
+    // output. All three stages read the SAME materialized artifact;
+    // the oracle replays all three unrolled-round families over one
+    // kNN CTE (disjoint CTE namespaces, every round single-reference)
+    Q("q175_graph_scorecard", Some(s"""
+      WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      seeds AS (SELECT vec_id AS id FROM e WHERE label = 0),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.kCoreOracleCtes(coreK = 4, rounds = 5)},
+      ${graft.operators.GraphRank.hitsOracleCtes(rounds = 3)},
+      ${graft.operators.GraphRank.seedDistanceOracleCtes(rounds = 3)}
+      SELECT n.id AS vec_id, kc.in_core, ht.hub, ht.authority, sd.hops
+      FROM nodes n
+      JOIN kc ON kc.id = n.id
+      JOIN ht ON ht.id = n.id
+      JOIN sd ON sd.id = n.id
+      ORDER BY n.id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+          k = 8)
+        val ids = emb.select("vec_id")
+        val core = GraphRank.kCore(ids, "vec_id", edges, "src", "dst",
+          coreK = 4, rounds = 5)
+        val ht = GraphRank.hits(ids, "vec_id", edges, "src", "dst",
+          rounds = 3)
+        val sd = GraphRank.seedDistance(ids, "vec_id",
+          emb.filter(col("label") === 0).select("vec_id"), "vec_id",
+          edges, "src", "dst", rounds = 3)
+        core.join(ht, Seq("id")).join(sd, Seq("id"))
+          .select(col("id").as("vec_id"), col("in_core"),
+            col("hub"), col("authority"), col("hops"))
+          .orderBy("vec_id")
       })
   )
 
