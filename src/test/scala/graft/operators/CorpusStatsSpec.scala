@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, udf}
 
 /** `TextAnalysis.sourceOverlap` (cross-source n-gram overlap matrix)
   * and `TextAnalysis.charEntropy` against driver-side replicas.
@@ -534,11 +534,56 @@ class CorpusStatsSpec extends SparkSpec {
       CorpusStats.cmsEstimate(cms.union(other), "src",
         Seq(("s", "w1")).toDF("src", "it"), "it")
     }
-    // an empty sketch (zero rows) cannot silently estimate
+    // an EMPTY sketch is a valid state (ADVICE r15): every probe
+    // estimates the correct 0 — both when the dims are still readable
+    // off the plan (filter passthrough) and when the plan is opaque
+    // (checkpoint boundary, the parquet-loaded shape)
+    val emptyEst = CorpusStats.cmsEstimate(cms.filter(col("cnt") < 0),
+        "src", Seq(("s", "w1")).toDF("src", "it"), "it").collect()
+    assert(emptyEst.length === 1 && emptyEst(0).getLong(2) === 0L)
+    val opaqueEmpty = cms.filter(col("cnt") < 0).localCheckpoint(true)
+    val opaqueEst = CorpusStats.cmsEstimate(opaqueEmpty,
+        "src", Seq(("s", "w1")).toDF("src", "it"), "it").collect()
+    assert(opaqueEst.length === 1 && opaqueEst(0).getLong(2) === 0L)
+    // ...and a mixed-config sketch behind an opaque plan still fails
+    // loudly via the one-job fallback check
     intercept[IllegalArgumentException] {
-      CorpusStats.cmsEstimate(cms.filter(col("cnt") < 0), "src",
-        Seq(("s", "w1")).toDF("src", "it"), "it")
+      CorpusStats.cmsEstimate(cms.union(other).localCheckpoint(true),
+        "src", Seq(("s", "w1")).toDF("src", "it"), "it")
     }
+  }
+
+  test("cms: chained merges execute each batch sketch's lineage exactly once (VERDICT r15 #1)") {
+    // The r15 geometry guard ran an EAGER collect over un-materialized
+    // sketch frames, re-executing every upstream cmsTable shuffle per
+    // merge (q169 regressed 0.94 -> 2.0+ s). The guard now reads the
+    // lit() dims off the analyzed plan — zero jobs — so a chained
+    // 3-way merge + probe reads the base data exactly once, at the
+    // single final action. Accumulator-asserted, the knnGraphAppend
+    // pattern.
+    val acc = spark.sparkContext.longAccumulator("cmsBaseReads")
+    val tick = udf((s: String) => { acc.add(1L); s })
+    val base = (1 to 900).map(i => ("s", s"w${i % 120}", i % 3))
+      .toDF("src", "it", "b")
+    val counted = base.withColumn("it", tick(col("it")))
+    val sketches = (0 until 3).map(b =>
+      CorpusStats.cmsTable(counted.filter(col("b") === b),
+        "src", col("it"), d = 4, w = 64))
+    val merged = sketches.reduce(CorpusStats.cmsMerge(_, _, "src"))
+    assert(acc.value === 0L,
+      "merge guards must not run jobs over the sketch lineage")
+    val estDf = CorpusStats.cmsEstimate(merged, "src",
+      Seq(("s", "w1")).toDF("src", "it"), "it")
+    assert(acc.value === 0L,
+      "the probe guard must not run jobs over the sketch lineage")
+    val est = estDf.collect()
+    assert(est.length === 1 && est(0).getLong(2) >= 1L)
+    // one action total: each branch evaluated the tick over at most the
+    // full base once (<= 2700 across 3 branches, plan-shape agnostic);
+    // the r15 bug re-ran every upstream aggregate per merge AND per
+    // probe, tripping the two zero asserts above before this one
+    assert(acc.value <= 2700L && acc.value >= 900L,
+      s"chained merge re-executed sketch lineage: ${acc.value} reads")
   }
 
   test("vocabRichness: Chao1 and coverage replay the moment formulas by hand") {
