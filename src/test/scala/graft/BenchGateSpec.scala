@@ -82,6 +82,51 @@ class BenchGateSpec extends AnyFunSuite {
     assert((1 to 40).forall(i => small.contains(s""""q$i":""")))
   }
 
+  test("compactLine prefix semantics: a boundary-rejected long entry is never emitted (ADVICE r15)") {
+    // the r15 keep-loop counted the SET of individually-fitting entries
+    // but emitted bySlow.take(kept): one long name rejected at the
+    // boundary followed by short accepted ones re-overflowed the budget
+    val header = """{"metric":"total","value":1.00,"unit":"sec","sf":"x""""
+    val long = "q2_" + ("x" * 120) // slower, long — rejected at boundary
+    val entries = Seq("q1_slowest" -> 9.0, long -> 8.0) ++
+      (1 to 50).map(i => s"q$i" -> 0.5)
+    val budget = header.length + 13 + 2 + 25 + 30 // room for ~2 short entries
+    val line = Bench.compactLine(header, entries, budget)
+    assert(line.length <= budget, s"line length ${line.length} > $budget")
+    // prefix of the slowest-first order: once the long entry is cut,
+    // nothing after it sneaks in — the kept set IS the declared prefix
+    assert(line.contains("\"q1_slowest\":"))
+    assert(!line.contains(long))
+    assert(!line.contains("\"q1\":0.50"),
+      "entries after the first non-fitting one must not be emitted")
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+  }
+
+  test("tail-retry clears the r15 noise stretch but a true regression survives (VERDICT r15 #5)") {
+    // the judge's r15 re-run: a contended host stretch (q107-q121
+    // shape, replayed here on the r12 names) raised 11 noise flags
+    // that also masked the ONE real regression (q169-style: cmsMerge
+    // recompute — above its tell on EVERY execution). Retries on the
+    // post-suite idle JVM read quiet floors for the noise, but the
+    // true regression exceeds its tell again.
+    val trueRegFloors = floors + ("q169_cms_ingest_merge" -> 0.938)
+    val recording = contendedMins :+ ("q169_cms_ingest_merge" -> 2.04)
+    val initial = Bench.contaminatedQueries(recording, trueRegFloors)
+    assert(initial.contains("q169_cms_ingest_merge") && initial.size === 12)
+    // retries: the noise stretch lands back on its quiet floors; the
+    // real regression re-measures 2.1x its floor
+    val retries = initial.map { n =>
+      n -> (if (n == "q169_cms_ingest_merge") 2.01 else trueRegFloors(n))
+    }.toMap
+    val confirmed = Bench.confirmedFlags(initial, retries, trueRegFloors)
+    assert(confirmed === Seq("q169_cms_ingest_merge"))
+    // post-retry the suite verdict no longer flips on noise (< 5)
+    assert(confirmed.size < 5)
+    // a flagged query with NO retry recorded keeps its flag
+    assert(Bench.confirmedFlags(Seq("q34_top_keywords"), Map.empty,
+      trueRegFloors) === Seq("q34_top_keywords"))
+  }
+
   test("loadFloors parses the committed calibration file") {
     val f = Bench.loadFloors("bench_floors.json")
     assert(f.size >= 100)
