@@ -216,6 +216,51 @@ class GraphRankSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf nProbe=2/6 recall $recall")
   }
 
+  test("knnGraphIvf skew guard: one giant k-means cell splits to bounded sub-keys; edges unchanged at full probe (VERDICT r15 #2)") {
+    // >= 90% near-identical vectors: k-means lumps them into ONE cell,
+    // the r15 shape where the candidate join fanned |cell|·probes rows
+    // into a single key. Tiny deterministic jitter keeps cosines
+    // distinct so top-k ties can't mask a wrong candidate set.
+    val rnd = new scala.util.Random(7)
+    val skewed = (0L until 220L).map { i =>
+      val v =
+        if (i < 200) Array.tabulate(16)(d =>
+          1.0f + (rnd.nextFloat() - 0.5f) * 1e-3f + d * 0.01f)
+        else Array.tabulate(16)(d =>
+          (if (d == (i % 16).toInt) 50f else 0f) + rnd.nextFloat())
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val k = 4
+    val exact = GraphRank.knnGraph(skewed, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap 32 forces the ~200-member cell into >= 7 sub-keys
+    val capped = GraphRank.knnGraphIvf(skewed, "vec_id", "embedding", k,
+        nCells = 4, nProbe = 4, maxCellSize = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === exact,
+      "full-probe IVF must stay edge-for-edge == exact under the split")
+    // guard off (maxCellSize <= 0) is also exact — the escape hatch
+    val uncapped = GraphRank.knnGraphIvf(skewed, "vec_id", "embedding", k,
+        nCells = 4, nProbe = 4, maxCellSize = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped === exact)
+    // the split really bounds per-group member counts: replay the
+    // operator's assignment (nsplit = ceil(size/cap), sub =
+    // GraphRank.subKey) over the hot cell and check no (cell, sub)
+    // group exceeds 2x the cap (hash balance, not an exact partition)
+    val nsplit = (200 + 32 - 1) / 32
+    assert(nsplit === 7) // ceil(200/32), the operator's formula
+    val groupSizes = (0L until 200L).groupBy(GraphRank.subKey(_, nsplit))
+    assert(groupSizes.size === nsplit, "all sub-keys populated")
+    assert(groupSizes.values.map(_.size).max <= 64,
+      s"hot-cell sub-key still holds ${groupSizes.values.map(_.size).max} rows")
+    // sequential AND strided id spaces stay balanced (the splitmix
+    // finalizer, not a plain mod)
+    val strided = (0L until 200L).map(_ * nsplit)
+      .groupBy(GraphRank.subKey(_, nsplit))
+    assert(strided.values.map(_.size).max <= 64, "strided ids unbalanced")
+  }
+
   test("knnGraphSrp: invariants, true-cos edges, banded recall") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").limit(120)
