@@ -217,6 +217,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       appendToVectorIndex(embRows.toDF())
       appendToHnswIndex(embRows.toDF())
       appendToSketchStates(rows)
+      appendToKnnEdges(embRows.toDF())
     }
   }
 
@@ -281,6 +282,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       appendToVectorIndex(embRows.toDF())
       appendToHnswIndex(embRows.toDF())
       appendToSketchStates(rows)
+      appendToKnnEdges(embRows.toDF())
     }
   }
 
@@ -525,6 +527,62 @@ class Library(val spark: SparkSession, val warehouse: String,
             .parquet(path("embeddings_hnsw_ids"))
           hnswCache = Some((g2, cids ++ fresh.map(_._1)))
         }
+    }
+
+  // ------------------------------------------------ maintained kNN edges
+
+  /** Opt-in maintained kNN edge artifact over the warehouse chunk
+    * embeddings (VERDICT r15 #3): `enableKnnEdges(k)` records k in
+    * `knn_edges_meta` and builds the edge artifact for the current
+    * corpus; every subsequent ingest batch maintains it through
+    * [[graft.operators.GraphRank.knnGraphArtifactAppend]]'s
+    * O(corpus·batch) delta — the first graph query after an ingest
+    * reads a FRESH content-stamped artifact instead of paying a full
+    * rebuild (the HNSW/sketch maintenance contract extended to the
+    * edge tier). Chunk ids key the graph as xxhash64 longs (the
+    * engine's integral-id contract; collision odds ~n²/2^64). */
+  def enableKnnEdges(k: Int = 8): Unit = {
+    Seq(k).toDF("k").coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(path("knn_edges_meta"))
+    if (tableExists("embeddings")) { knnEdges(); () }
+  }
+
+  /** The maintained edge list for the CURRENT corpus, chunkId-keyed:
+    * (src_chunk, dst_chunk, cos_sim). Reads the content-stamped
+    * artifact — fresh after every maintained ingest; a corpus changed
+    * outside ingest (delete, external rewrite) rebuilds once here,
+    * never serves stale edges. */
+  def knnEdges(): DataFrame = {
+    val k = spark.read.parquet(path("knn_edges_meta")).head().getInt(0)
+    val emb = embeddings
+      .select(xxhash64(col("chunkId")).as("id"), col("embedding"))
+    val edges = graft.operators.GraphRank.knnGraphArtifact(
+      emb, "id", "embedding", k)
+    val ids = embeddings
+      .select(xxhash64(col("chunkId")).as("__h"), col("chunkId"))
+    edges
+      .join(ids.select(col("__h").as("src"),
+        col("chunkId").as("src_chunk")), Seq("src"))
+      .join(ids.select(col("__h").as("dst"),
+        col("chunkId").as("dst_chunk")), Seq("dst"))
+      .select("src_chunk", "dst_chunk", "cos_sim")
+  }
+
+  /** Ingest-time edge maintenance: when the maintained edge tier is
+    * enabled, the post-append corpus's artifact materializes HERE via
+    * the O(corpus·batch) delta — the batch ids the delta needs are
+    * exactly what the hook has. Runs after the embeddings append,
+    * like the HNSW and sketch hooks. */
+  private def appendToKnnEdges(newEmbeddings: DataFrame): Unit =
+    if (tableExists("knn_edges_meta")) {
+      val k = spark.read.parquet(path("knn_edges_meta")).head().getInt(0)
+      val emb = embeddings
+        .select(xxhash64(col("chunkId")).as("id"), col("embedding"))
+      val newIds = newEmbeddings
+        .select(xxhash64(col("chunkId")).as("id")).as[Long].collect().toSeq
+      graft.operators.GraphRank.knnGraphArtifactAppend(
+        emb, "id", "embedding", k, newIds)
+      ()
     }
 
   // ------------------------------------------------ maintained sketches
@@ -1244,7 +1302,7 @@ object Library {
     "concepts", "hierarchy", "relations", "doc_concepts",
     "concept_embeddings", "tombstones",
     "embeddings_hnsw", "embeddings_hnsw_ids", "embeddings_hnsw_meta",
-    "sketch_hll", "sketch_cms", "sketch_kmv")
+    "sketch_hll", "sketch_cms", "sketch_kmv", "knn_edges_meta")
 
   /** Maintained-sketch geometry (round 15): fixed per warehouse —
     * states merge only with like-configured states (the CMS table

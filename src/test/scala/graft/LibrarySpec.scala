@@ -239,6 +239,48 @@ class LibrarySpec extends SparkSpec {
     lib.buildClusterSummaries(k = 2) // restore the shared fixture's layer
   }
 
+  test("ingest maintains the kNN edge artifact: fresh without a rebuild, delta == scratch (VERDICT r15 #3)") {
+    val wh = Files.createTempDirectory("graft-wh-knn").toString
+    val l = new Library(spark, wh)
+    l.addMarkdown(Seq(
+      ("/k1.md", "# One\n" + ("alpha beta gamma delta epsilon words. " * 12)),
+      ("/k2.md", "# Two\n" + ("zeta eta theta iota kappa tokens here. " * 12))).toDS())
+    val k = 2
+    l.enableKnnEdges(k)
+    val nOld = l.embeddings.count()
+    // ingest a batch: the hook must materialize the post-append
+    // artifact via the O(corpus x batch) delta
+    l.addMarkdown(Seq(
+      ("/k3.md", "# Three\n" + ("lambda mu nu xi omicron fresh text. " * 12))).toDS())
+    val nFull = l.embeddings.count()
+    val nBatch = nFull - nOld
+    assert(nBatch >= 1)
+    val scored = graft.operators.GraphRank.lastAppendScored.get.value
+    assert(scored === nFull * nBatch - nBatch,
+      s"ingest hook scored $scored pairs - not the O(corpus x batch) delta")
+    // the artifact for the CURRENT corpus already exists (the hook
+    // built it) — reading it is not a rebuild
+    val emb = l.embeddings.select(
+      org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+      col("embedding"))
+    val stamp = graft.util.DiskArtifact.corpusStamp(emb, "id", "embedding")
+    assert(graft.util.DiskArtifact.exists(s"knn$k-edges", stamp),
+      "first graph query after ingest must not pay a rebuild")
+    // ...and it matches a from-scratch exact build, chunk-keyed
+    val viaLib = l.knnEdges().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val idMap = l.embeddings.select(
+        org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+        col("chunkId"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scratch = graft.operators.GraphRank
+      .knnGraph(emb, "id", "embedding", k)
+      .collect()
+      .map(r => (idMap(r.getLong(0)), idMap(r.getLong(1)), r.getDouble(2)))
+      .toSet
+    assert(viaLib === scratch)
+  }
+
   test("removeDocument cascades to chunks and embeddings (S13)") {
     val wh2 = Files.createTempDirectory("graft-wh2").toString
     val l2 = new Library(spark, wh2)

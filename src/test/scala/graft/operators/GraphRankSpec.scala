@@ -313,6 +313,156 @@ class GraphRankSpec extends SparkSpec {
     }
   }
 
+  test("graph-audit conclusions survive the approximate artifact: nProbe agreement curve (VERDICT r15 #4)") {
+    // At 100 TB the graph is IVF-built at nProbe < nCells (r15 measured
+    // edge recall 0.604 at 4/16 on the hard corpus); nothing had shown
+    // audit CONCLUSIONS survive recall < 1. This pins the agreement
+    // curve of k-core membership and HITS top-25 authorities between
+    // the exact and probe-built graphs on the seeded 500-vector corpus,
+    // and the floors at the documented operating point (nProbe=8/16).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val nodes = emb.select("vec_id")
+    val k = 8; val nCells = 16
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .cache()
+    def coreSet(edges: org.apache.spark.sql.DataFrame): Set[Long] =
+      GraphRank.kCore(nodes, "vec_id", edges, "src", "dst",
+          coreK = 4, rounds = 5)
+        .filter(col("in_core") === 1).collect().map(_.getLong(0)).toSet
+    def top25Auth(edges: org.apache.spark.sql.DataFrame): Set[Long] =
+      GraphRank.hits(nodes, "vec_id", edges, "src", "dst", rounds = 3)
+        .orderBy(desc("authority"), asc("id")).limit(25)
+        .collect().map(_.getLong(0)).toSet
+    val n = nodes.count().toDouble
+    val exactCore = coreSet(exact)
+    val exactAuth = top25Auth(exact)
+    val curve = Seq(2, 4, 8, 10, 12, 14, 16).map { nProbe =>
+      val edges = GraphRank.knnGraphIvf(emb, "vec_id", "embedding", k,
+        nCells, nProbe).cache()
+      val c = coreSet(edges)
+      val coreAgree = 1.0 -
+        ((exactCore diff c).size + (c diff exactCore).size) / n
+      val authOverlap = (top25Auth(edges) intersect exactAuth).size / 25.0
+      val recall = edges.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(exact.select("src", "dst").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet).size /
+        exact.count().toDouble
+      edges.unpersist()
+      info(f"nProbe=$nProbe%2d/16: edge recall $recall%.3f  " +
+        f"kcore agreement $coreAgree%.3f  top-25 authority overlap $authOverlap%.2f")
+      (nProbe, recall, coreAgree, authOverlap)
+    }
+    exact.unpersist()
+    // full probe is the exact graph: every conclusion identical
+    val full = curve.last
+    assert(full._2 === 1.0 && full._3 === 1.0 && full._4 === 1.0)
+    // the documented operating point (SCALE.md round-16 row)
+    val op = curve.find(_._1 == 12).get
+    assert(op._3 >= 0.9, s"kcore agreement ${op._3} at nProbe=12/16")
+    assert(op._4 >= 0.9, s"authority overlap ${op._4} at nProbe=12/16")
+    // the 10/16 point already clears both floors (measured 0.998 /
+    // 0.96 with the reverse harvest) — pinned one step looser at 12 so
+    // k-means drift on a testdata refresh doesn't flake the suite; the
+    // SCALE.md round-16 row records the full measured curve. Finding
+    // worth keeping: edge recall OVERSTATES audit fidelity (the
+    // pre-harvest build carried recall 0.873 at 8/16 but only 0.52
+    // authority overlap — k-core thresholds cascade and HITS top-k
+    // reorders under missing edges), so audit-grade runs gate on
+    // conclusion-agreement floors, never on edge recall alone.
+    val r8 = curve.find(_._1 == 8).get
+    assert(r8._2 >= 0.9, s"8/16 harvested edge recall ${r8._2}")
+  }
+
+  test("knnGraphIvfAppend: delta == frozen-centers rebuild bit-for-bit; O(batch) work (VERDICT r15 #3)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(120)
+    val ids = emb.collect().map(_.getLong(0)).sorted
+    val newIds = ids.takeRight(20).toSeq
+    val old = emb.filter(!col("vec_id").isInCollection(newIds))
+    val k = 4; val nCells = 6
+    val oldTyped = old.select(col("vec_id").cast("long").as("id"),
+      col("embedding").as("__v"))
+    val centers = GraphRank.ivfCenters(oldTyped, nCells, 42L)
+    // PARTIAL probe: the append must reproduce what a rebuild UNDER
+    // THE SAME FROZEN CLUSTERING would build — the maintenance
+    // contract (a refit moves cell walls; re-train = delete artifact)
+    for (nProbe <- Seq(2, nCells)) {
+      val oldEdges = GraphRank.ivfEdgesFrozen(old, "vec_id", "embedding",
+        k, centers, nProbe, 65536)
+      val appended = GraphRank.knnGraphIvfAppend(oldEdges, centers, emb,
+          "vec_id", "embedding", k, nProbe, newIds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val frozenRebuild = GraphRank.ivfEdgesFrozen(emb, "vec_id",
+          "embedding", k, centers, nProbe, 65536)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(appended === frozenRebuild, s"nProbe=$nProbe")
+      // O(batch)-proportional scoring: both sides of the delta touch
+      // batch-sized candidate sets — never the N^2 (or N^2·p/c)
+      // rebuild volume. Bound: every corpus row scores against at
+      // most the whole batch once per side.
+      val scored = GraphRank.lastAppendScored.get.value
+      assert(scored <= 2L * 120L * 20L,
+        s"delta scored $scored pairs - not O(corpus x batch)")
+      // at FULL probe the frozen build is the all-pairs graph, so the
+      // append also == the refit rebuild == exact
+      if (nProbe == nCells) {
+        val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(appended === exact)
+      }
+    }
+  }
+
+  test("knnGraphArtifactAppend(ivf): delta under carried frozen centers; torn write recovers") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .withColumn("vec_id", col("vec_id") + 7000000L) // unique stamps
+      .limit(90)
+    val ids = emb.collect().map(_.getLong(0)).sorted
+    val newIds = ids.takeRight(15).toSeq
+    val old = emb.filter(!col("vec_id").isInCollection(newIds))
+    val k = 3; val nCells = 5; val nProbe = 2
+    // materialize the pre-append artifact + its centroid companion
+    GraphRank.knnGraphArtifact(old, "vec_id", "embedding", k,
+      edgeSource = "ivf", nCells = nCells, nProbe = nProbe).count()
+    val oldStamp = graft.util.DiskArtifact
+      .corpusStamp(old, "vec_id", "embedding")
+    assert(graft.util.DiskArtifact.exists(
+      GraphRank.ivfCentKind(nCells, 42L), oldStamp),
+      "ivf artifact build must persist its clustering companion")
+    val centers = GraphRank.readCenters(spark,
+      GraphRank.ivfCentKind(nCells, 42L), oldStamp)
+    val viaAppend = GraphRank.knnGraphArtifactAppend(emb, "vec_id",
+        "embedding", k, newIds, edgeSource = "ivf", nCells = nCells,
+        nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // == a rebuild under the carried frozen clustering
+    val frozen = GraphRank.ivfEdgesFrozen(emb, "vec_id", "embedding", k,
+        centers, nProbe, 65536)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAppend === frozen)
+    // the centers were carried forward: the NEXT append deltas too
+    val newStamp = graft.util.DiskArtifact
+      .corpusStamp(emb, "vec_id", "embedding")
+    assert(graft.util.DiskArtifact.exists(
+      GraphRank.ivfCentKind(nCells, 42L), newStamp))
+    // torn post-append write + fresh JVM -> rebuild, not stale serve
+    val kind = s"knn$k-edges-ivf2-$nCells-$nProbe-42"
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-$kind-$newStamp")
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+    new java.io.File(dir, "_SUCCESS").delete()
+    graft.util.DiskArtifact.resetMemo()
+    val recovered = GraphRank.knnGraphArtifactAppend(emb, "vec_id",
+        "embedding", k, newIds, edgeSource = "ivf", nCells = nCells,
+        nProbe = nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(recovered === frozen)
+    assert(new java.io.File(dir, "_SUCCESS").exists())
+  }
+
   test("knnGraphArtifactAppend: delta path == rebuild; torn write recovers") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").limit(70)
