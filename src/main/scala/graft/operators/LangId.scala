@@ -52,6 +52,21 @@ object LangId {
     "id", "it", "lt", "lv", "nl", "no", "pl", "pt", "ro", "sk", "sl",
     "sv", "tr", "vi")
 
+  /** Languages decided WITHIN the Cyrillic script bucket (round 16,
+    * VERDICT r15 #6): when the Cyrillic codepoint ratio fires, the
+    * text scores trigram profiles over the CYRILLIC-normalized text
+    * instead of collapsing to 'ru' (which mislabeled uk/bg/sr — wrong
+    * labels, not just missing ones). Priority order for ties. */
+  val CyrillicLangs: Seq[String] = Seq("bg", "ru", "sr", "uk")
+
+  /** Languages decided within the Arabic script bucket — same
+    * mechanism (ar was the collapse label; fa/ur were unservable). */
+  val ArabicLangs: Seq[String] = Seq("ar", "fa", "ur")
+
+  /** The per-script language lists, keyed by the script bucket name. */
+  val ScriptLangs: Map[String, Seq[String]] = Map(
+    "latin" -> TrigramLangs, "cyr" -> CyrillicLangs, "arab" -> ArabicLangs)
+
   /** Penalty (scaled log-prob) for a trigram absent from a language's
     * profile. More negative than any real profile weight. */
   val Penalty: Long = -1000L
@@ -406,7 +421,99 @@ object LangId {
       del medi ambient. La música i l'art tenen un paper important en la
       vida de molta gent. Ahir vam escriure una carta llarga als nostres
       amics sobre el viatge. El llibre és sobre la taula al costat de la
-      finestra i espera el seu lector.""")
+      finestra i espera el seu lector.""",
+    // --- Cyrillic-script seeds (round 16, VERDICT r15 #6): same
+    // encyclopedic register, normalized with NormRegexCyr ---
+    "ru" -> """История науки показывает, что новые идеи часто встречают
+      сопротивление, прежде чем их принимают. Исследователи разрабатывают
+      методы, чтобы лучше понять мир вокруг нас. Погода в горах может
+      быстро меняться, и туристам нужно быть осторожными. Многие люди
+      живут в больших городах и работают в конторах или на заводах. Дети
+      каждое утро идут в школу, чтобы учиться читать, писать и считать.
+      Здоровое питание с фруктами и овощами важно для тела и ума. Поезд
+      вовремя отходит от вокзала и вечером прибывает в город. Летом
+      семьи едут к морю или в горы, чтобы отдохнуть. Правительство
+      приняло новый закон об охране окружающей среды. Музыка и искусство
+      играют важную роль в жизни многих людей. Вчера мы написали друзьям
+      длинное письмо о путешествии. Книга лежит на столе у окна и ждёт
+      своего читателя.""",
+    "uk" -> """Історія науки показує, що нові ідеї часто зустрічають
+      опір, перш ніж їх приймають. Дослідники розробляють методи, щоб
+      краще зрозуміти світ навколо нас. Погода в горах може швидко
+      змінюватися, і мандрівники повинні бути обережними. Багато людей
+      живуть у великих містах і працюють в установах або на заводах.
+      Діти щоранку йдуть до школи, щоб навчатися читати, писати й
+      рахувати. Здорове харчування з фруктами та овочами важливе для
+      тіла й розуму. Потяг вчасно відходить від вокзалу і ввечері
+      прибуває до міста. Влітку родини їдуть до моря або в гори, щоб
+      відпочити. Уряд ухвалив новий закон про охорону довкілля. Музика
+      й мистецтво відіграють важливу роль у житті багатьох людей. Учора
+      ми написали друзям довгого листа про подорож. Книжка лежить на
+      столі біля вікна й чекає на свого читача.""",
+    "bg" -> """Историята на науката показва, че новите идеи често
+      срещат съпротива, преди да бъдат приети. Изследователите
+      разработват методи, за да разберат по-добре света около нас.
+      Времето в планините може бързо да се променя и туристите трябва
+      да бъдат внимателни. Много хора живеят в големи градове и работят
+      в канцеларии или заводи. Децата всяка сутрин отиват на училище,
+      за да се учат да четат, пишат и смятат. Здравословното хранене с
+      плодове и зеленчуци е важно за тялото и ума. Влакът тръгва
+      навреме от гарата и вечерта пристига в града. През лятото
+      семействата пътуват до морето или в планината, за да си починат.
+      Правителството прие нов закон за опазване на околната среда.
+      Музиката и изкуството играят важна роля в живота на много хора.
+      Вчера написахме дълго писмо на приятелите си за пътуването.
+      Книгата лежи на масата до прозореца и чака своя читател.""",
+    "sr" -> """Историја науке показује да нове идеје често наилазе на
+      отпор пре него што буду прихваћене. Истраживачи развијају методе
+      да боље разумеју свет око нас. Време у планинама може брзо да се
+      мења и планинари морају бити опрезни. Много људи живи у великим
+      градовима и ради у канцеларијама или фабрикама. Деца свако јутро
+      иду у школу да уче да читају, пишу и рачунају. Здрава исхрана са
+      воћем и поврћем важна је за тело и ум. Воз полази са станице на
+      време и увече стиже у град. Лети породице путују на море или у
+      планине да се одморе. Влада је донела нови закон о заштити
+      животне средине. Музика и уметност играју важну улогу у животу
+      многих људи. Јуче смо пријатељима написали дуго писмо о путовању.
+      Књига лежи на столу поред прозора и чека свог читаоца.""",
+    // --- Arabic-script seeds: normalized with NormRegexArab ---
+    "ar" -> """تاريخ العلم يبين أن الأفكار الجديدة كثيرا ما تواجه مقاومة
+      قبل أن تقبل. يطور الباحثون طرقا لفهم العالم من حولنا بشكل أفضل.
+      الطقس في الجبال يمكن أن يتغير بسرعة وعلى المتنزهين أن يكونوا
+      حذرين. كثير من الناس يعيشون في مدن كبيرة ويعملون في مكاتب أو
+      مصانع. يذهب الأطفال إلى المدرسة كل صباح ليتعلموا القراءة والكتابة
+      والحساب. الغذاء الصحي مع الفواكه والخضروات مهم للجسم والعقل.
+      يغادر القطار المحطة في موعده ويصل إلى المدينة في المساء. في الصيف
+      تسافر العائلات إلى البحر أو الجبال للراحة. أقرت الحكومة قانونا
+      جديدا حول حماية البيئة. تلعب الموسيقى والفن دورا مهما في حياة
+      كثير من الناس. كتبنا أمس رسالة طويلة إلى أصدقائنا عن الرحلة.
+      الكتاب على الطاولة بجانب النافذة ينتظر قارئه.""",
+    "fa" -> """تاریخ علم نشان می دهد که اندیشه های نو پیش از پذیرفته
+      شدن اغلب با مقاومت روبرو می شوند. پژوهشگران روش هایی را گسترش می
+      دهند تا جهان پیرامون ما را بهتر بشناسند. هوای کوهستان می تواند به
+      سرعت تغییر کند و کوهنوردان باید محتاط باشند. بسیاری از مردم در
+      شهرهای بزرگ زندگی می کنند و در اداره ها یا کارخانه ها کار می
+      کنند. کودکان هر روز صبح به مدرسه می روند تا خواندن و نوشتن و حساب
+      را بیاموزند. خوراک سالم با میوه و سبزی برای تن و روان اهمیت دارد.
+      قطار به موقع از ایستگاه حرکت می کند و شامگاه به شهر می رسد. در
+      تابستان خانواده ها برای آسودن به دریا یا کوهستان می روند. دولت
+      قانون تازه ای درباره نگهداری از محیط زیست گذرانده است. موسیقی و
+      هنر در زندگی بسیاری از مردم نقش مهمی دارند. دیروز نامه ای بلند
+      درباره سفر برای دوستان خود نوشتیم. کتاب روی میز کنار پنجره است و
+      چشم به راه خواننده خود می ماند.""",
+    "ur" -> """سائنس کی تاریخ بتاتی ہے کہ نئے خیالات قبول ہونے سے پہلے
+      اکثر مزاحمت کا سامنا کرتے ہیں۔ محقق ایسے طریقے بناتے ہیں جن سے
+      ہمارے گرد کی دنیا کو بہتر سمجھا جا سکے۔ پہاڑوں کا موسم تیزی سے
+      بدل سکتا ہے اور سیاحوں کو محتاط رہنا چاہیے۔ بہت سے لوگ بڑے شہروں
+      میں رہتے ہیں اور دفتروں یا کارخانوں میں کام کرتے ہیں۔ بچے ہر صبح
+      پڑھنا لکھنا اور حساب سیکھنے کے لیے اسکول جاتے ہیں۔ پھلوں اور
+      سبزیوں والی صحت مند خوراک جسم اور ذہن کے لیے ضروری ہے۔ ریل گاڑی
+      وقت پر اسٹیشن سے چلتی ہے اور شام کو شہر پہنچتی ہے۔ گرمیوں میں
+      خاندان آرام کے لیے سمندر یا پہاڑوں کا رخ کرتے ہیں۔ حکومت نے ماحول
+      کے تحفظ کے بارے میں نیا قانون منظور کیا ہے۔ موسیقی اور فن بہت سے
+      لوگوں کی زندگی میں اہم کردار ادا کرتے ہیں۔ کل ہم نے سفر کے بارے
+      میں اپنے دوستوں کو لمبا خط لکھا۔ کتاب میز پر کھڑکی کے پاس پڑی
+      اپنے پڑھنے والے کا انتظار کرتی ہے۔""")
 
   /** The shared normalization: lowercase, collapse every non-letter run
     * to a single space. Letters = ASCII + Latin-1 + Latin Extended-A
@@ -419,8 +526,40 @@ object LangId {
   val NormRegexRe2: String =
     "[^a-z\\x{00DF}-\\x{017F}\\x{01A0}-\\x{01B0}\\x{1E00}-\\x{1EFF}]+"
 
-  def normalizeJvm(text: String): String =
-    text.toLowerCase(java.util.Locale.ROOT).replaceAll(NormRegexJava, " ")
+  /** Cyrillic normalization: lowercase, keep the lowercase Cyrillic
+    * block U+0430–045F (а-я, ё, Ukrainian є/і/ї, Serbian ј/љ/њ/ћ/ђ/џ,
+    * Bulgarian ъ is in the base range) plus Ukrainian ґ (U+0491);
+    * everything else collapses to single spaces. */
+  val NormRegexCyrJava: String = "[^а-џґ]+"
+  val NormRegexCyrRe2: String = "[^\\x{0430}-\\x{045F}\\x{0491}]+"
+
+  /** Arabic-script normalization (no case): core letters U+0621–064A
+    * plus the extended block U+0679–06D3 carrying the Persian/Urdu
+    * letters (پ چ ژ گ ک ی ے ...); digits (U+0660s, U+06F0s), harakat
+    * (U+064B+) and punctuation collapse to spaces. */
+  val NormRegexArabJava: String = "[^ء-يٹ-ۓ]+"
+  val NormRegexArabRe2: String =
+    "[^\\x{0621}-\\x{064A}\\x{0679}-\\x{06D3}]+"
+
+  /** The Java-regex spelling of each script's normalization. */
+  def normRegexJavaFor(script: String): String = script match {
+    case "latin" => NormRegexJava
+    case "cyr"   => NormRegexCyrJava
+    case "arab"  => NormRegexArabJava
+    case other   => throw new IllegalArgumentException(s"script $other")
+  }
+
+  /** The RE2 (DuckDB) spelling — codepoint-identical to the Java one. */
+  def normRegexRe2For(script: String): String = script match {
+    case "latin" => NormRegexRe2
+    case "cyr"   => NormRegexCyrRe2
+    case "arab"  => NormRegexArabRe2
+    case other   => throw new IllegalArgumentException(s"script $other")
+  }
+
+  def normalizeJvm(text: String, script: String = "latin"): String =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll(normRegexJavaFor(script), " ")
 
   private def trigramsOf(norm: String): Iterator[String] = {
     val cps = norm.codePoints().toArray
@@ -428,40 +567,53 @@ object LangId {
     else (0 to cps.length - 3).iterator.map(i => new String(cps, i, 3))
   }
 
-  /** lang -> (trigram -> scaled log-prob weight). Deterministic:
+  /** lang -> (trigram -> scaled log-prob weight), per script bucket —
+    * each seed normalizes with ITS script's regex. Deterministic:
     * StrictMath.log, ties broken by trigram code order. */
-  lazy val Profiles: Map[String, Seq[(String, Long)]] =
-    Seeds.map { case (lang, seed) =>
-      val counts = trigramsOf(normalizeJvm(seed))
-        .foldLeft(Map.empty[String, Long]) { (m, t) =>
-          m.updated(t, m.getOrElse(t, 0L) + 1L)
-        }
-      val total = counts.values.sum.toDouble
-      val top = counts.toSeq
-        .sortBy { case (t, c) => (-c, t) }
-        .take(ProfileK)
-        .map { case (t, c) =>
-          val w = math.round(100.0 * StrictMath.log(c.toDouble / total))
-          // keep every real profile entry strictly above the penalty
-          (t, math.max(w, Penalty + 1L))
-        }
-      lang -> top
+  lazy val ProfilesByScript: Map[String, Map[String, Seq[(String, Long)]]] =
+    ScriptLangs.map { case (script, langs) =>
+      script -> langs.map { lang =>
+        val counts = trigramsOf(normalizeJvm(Seeds(lang), script))
+          .foldLeft(Map.empty[String, Long]) { (m, t) =>
+            m.updated(t, m.getOrElse(t, 0L) + 1L)
+          }
+        val total = counts.values.sum.toDouble
+        val top = counts.toSeq
+          .sortBy { case (t, c) => (-c, t) }
+          .take(ProfileK)
+          .map { case (t, c) =>
+            val w = math.round(100.0 * StrictMath.log(c.toDouble / total))
+            // keep every real profile entry strictly above the penalty
+            (t, math.max(w, Penalty + 1L))
+          }
+        lang -> top
+      }.toMap
     }
 
+  /** The Latin bucket's profiles — the original q86 surface. */
+  lazy val Profiles: Map[String, Seq[(String, Long)]] =
+    ProfilesByScript("latin")
+
   /** Combined lookup used by the scoring expression: trigram -> weight
-    * per TrigramLangs position, Penalty where the language's profile
-    * lacks the trigram. */
-  lazy val CombinedProfile: java.util.HashMap[String, Array[Long]] = {
-    val m = new java.util.HashMap[String, Array[Long]]()
-    Profiles.foreach { case (lang, entries) =>
-      val j = TrigramLangs.indexOf(lang)
-      entries.foreach { case (t, w) =>
-        val arr = m.computeIfAbsent(t, _ => Array.fill(TrigramLangs.size)(Penalty))
-        arr(j) = w
+    * per ScriptLangs(script) position, Penalty where the language's
+    * profile lacks the trigram. */
+  lazy val CombinedProfiles
+      : Map[String, java.util.HashMap[String, Array[Long]]] =
+    ScriptLangs.map { case (script, langs) =>
+      val m = new java.util.HashMap[String, Array[Long]]()
+      ProfilesByScript(script).foreach { case (lang, entries) =>
+        val j = langs.indexOf(lang)
+        entries.foreach { case (t, w) =>
+          val arr = m.computeIfAbsent(t, _ => Array.fill(langs.size)(Penalty))
+          arr(j) = w
+        }
       }
+      script -> m
     }
-    m
-  }
+
+  /** Latin combined profile (back-compat name for the expression). */
+  lazy val CombinedProfile: java.util.HashMap[String, Array[Long]] =
+    CombinedProfiles("latin")
 
   // --- script detection (shared ranges; Java and RE2 spellings) ---
   private val ScriptRanges: Seq[(String, String, String)] = Seq(
@@ -474,53 +626,85 @@ object LangId {
     ("deva", "[\\u0900-\\u097F]", "[\\x{0900}-\\x{097F}]"),
     ("thai", "[\\u0E00-\\u0E7F]", "[\\x{0E00}-\\x{0E7F}]"))
 
-  /** Language ID over a DataFrame. Output: id, n_tri, score_<lang> per
-    * TrigramLangs, pred_lang. Map-only (no shuffle). */
+  /** Language ID over a DataFrame. Output: id, n_tri, n_tri_cyr,
+    * n_tri_arab, score_<lang> per ScriptLangs bucket, pred_lang.
+    * Map-only (no shuffle): all three normalizations, the script
+    * ratios and the three trigram scans fuse into the scan; each
+    * profile table rides along as task-local state. Script ratios
+    * route to the script's OWN trigram argmax (round 16) — 'ru'/'ar'
+    * remain only the zero-trigram priors of their buckets. */
   def detect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tx = coalesce(col(textCol), lit(""))
-    val nrm = regexp_replace(lower(tx), NormRegexJava, " ")
+    val low = lower(tx)
     val base = df.select(
       col(idCol).as("id"),
       tx.as("__tx"),
-      nrm.as("__nrm"),
+      regexp_replace(low, NormRegexJava, " ").as("__nrm"),
+      regexp_replace(low, NormRegexCyrJava, " ").as("__nrmc"),
+      regexp_replace(low, NormRegexArabJava, " ").as("__nrma"),
       greatest(length(tx), lit(1)).cast("long").as("__len"))
     val withCounts = ScriptRanges.foldLeft(base) { case (d, (name, javaRe, _)) =>
       d.withColumn(s"__$name", regexp_count(col("__tx"), lit(javaRe)).cast("long"))
     }
-    val scores = GraftBridge.column(
-      graft.plans.LangTrigramScores(GraftBridge.expression(col("__nrm"))))
+    def scoresOf(c: String, script: String) = GraftBridge.column(
+      graft.plans.LangTrigramScores(GraftBridge.expression(col(c)), script))
     val scored = withCounts
       .withColumn("n_tri", greatest(length(col("__nrm")) - 2, lit(0)).cast("long"))
-      .withColumn("__scores", scores)
-    val withScoreCols = TrigramLangs.zipWithIndex.foldLeft(scored) {
-      case (d, (lang, i)) =>
-        d.withColumn(s"score_$lang", element_at(col("__scores"), i + 1))
+      .withColumn("n_tri_cyr",
+        greatest(length(col("__nrmc")) - 2, lit(0)).cast("long"))
+      .withColumn("n_tri_arab",
+        greatest(length(col("__nrma")) - 2, lit(0)).cast("long"))
+      .withColumn("__scores", scoresOf("__nrm", "latin"))
+      .withColumn("__scoresC", scoresOf("__nrmc", "cyr"))
+      .withColumn("__scoresA", scoresOf("__nrma", "arab"))
+    val withScoreCols = Seq(
+      ("__scores", TrigramLangs), ("__scoresC", CyrillicLangs),
+      ("__scoresA", ArabicLangs)).foldLeft(scored) {
+      case (d0, (arr, langs)) => langs.zipWithIndex.foldLeft(d0) {
+        case (d, (lang, i)) =>
+          d.withColumn(s"score_$lang", element_at(col(arr), i + 1))
+      }
     }
-    val best = TrigramLangs.map(l => col(s"score_$l")).reduce(greatest(_, _))
-    val trigramPick = TrigramLangs.foldRight(lit("und")) { (l, acc) =>
-      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    def pickIn(langs: Seq[String]): Column = {
+      val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+      langs.foldRight(lit("und")) { (l, acc) =>
+        when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+      }
     }
+    val cyrPick =
+      when(col("n_tri_cyr") === 0, lit("ru")).otherwise(pickIn(CyrillicLangs))
+    val arabPick =
+      when(col("n_tri_arab") === 0, lit("ar")).otherwise(pickIn(ArabicLangs))
     val pred =
       when(col("__kana") * 20 >= col("__len"), lit("ja"))
         .when(col("__han") * 20 >= col("__len") * 3, lit("zh"))
         .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
-        .when(col("__cyr") * 10 >= col("__len") * 3, lit("ru"))
-        .when(col("__arab") * 20 >= col("__len") * 3, lit("ar"))
+        .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
+        .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
         .when(col("__deva") * 20 >= col("__len") * 3, lit("hi"))
         .when(col("__thai") * 20 >= col("__len") * 3, lit("th"))
         .when(col("n_tri") === 0, lit("und"))
-        .otherwise(trigramPick)
+        .otherwise(pickIn(TrigramLangs))
+    val scoreCols =
+      (TrigramLangs ++ CyrillicLangs ++ ArabicLangs).map(l => s"score_$l")
     withScoreCols
       .withColumn("pred_lang", pred)
-      .select(("id" +: "n_tri" +: TrigramLangs.map(l => s"score_$l") :+ "pred_lang")
-        .map(col): _*)
+      .select(("id" +: "n_tri" +: "n_tri_cyr" +: "n_tri_arab" +:
+        scoreCols :+ "pred_lang").map(col): _*)
   }
 
-  /** DuckDB oracle replaying the SAME profiles (as a VALUES literal
-    * table), normalization, integer scoring and decision chain. */
-  def oracleSql(table: String, idCol: String, textCol: String): String = {
-    val profRows = TrigramLangs.flatMap { lang =>
-      Profiles(lang).map { case (t, w) =>
+  /** DuckDB oracle replaying the SAME profiles (as VALUES literal
+    * tables, one per script bucket), normalizations, integer scoring
+    * and decision chain. `prelude` prepends extra CTEs (e.g. a literal
+    * `docs(...) AS (VALUES ...)` corpus for the script-bucket query). */
+  def oracleSql(table: String, idCol: String, textCol: String,
+                prelude: String = ""): String = {
+    // (script, CTE suffix, n_tri column) — latin keeps the unsuffixed
+    // names so the q86 surface is unchanged in shape
+    val buckets = Seq(("latin", "", "n_tri"), ("cyr", "_c", "n_tri_cyr"),
+      ("arab", "_a", "n_tri_arab"))
+    def profRows(script: String) = ScriptLangs(script).flatMap { lang =>
+      ProfilesByScript(script)(lang).map { case (t, w) =>
         val esc = t.replace("'", "''")
         s"('$lang', '$esc', ${w}::BIGINT)"
       }
@@ -528,56 +712,81 @@ object LangId {
     val scriptCols = ScriptRanges.map { case (name, _, re2) =>
       s"len(regexp_extract_all(tx, '$re2')) AS c_$name"
     }.mkString(",\n          ")
-    val pivot = TrigramLangs.map { l =>
-      s"""coalesce(sum(CASE WHEN m.lang = '$l' THEN m.mw END), 0) AS mw_$l,
-          coalesce(sum(CASE WHEN m.lang = '$l' THEN m.mc END), 0) AS mc_$l"""
+    def pivot(script: String) = ScriptLangs(script).map { l =>
+      s"""coalesce(sum(CASE WHEN lang = '$l' THEN mw END), 0) AS mw_$l,
+          coalesce(sum(CASE WHEN lang = '$l' THEN mc END), 0) AS mc_$l"""
     }.mkString(",\n          ")
-    val scoreCols = TrigramLangs.map { l =>
-      s"CAST(coalesce(mw_$l, 0) + (s.n_tri - coalesce(mc_$l, 0)) * (${Penalty}) AS BIGINT) AS score_$l"
-    }.mkString(",\n          ")
-    val bestExpr = s"greatest(${TrigramLangs.map(l => s"score_$l").mkString(", ")})"
-    val caseArms = TrigramLangs.map(l => s"WHEN score_$l = $bestExpr THEN '$l'")
-      .mkString("\n             ")
+    def scoreCols(script: String, nTriCol: String) =
+      ScriptLangs(script).map { l =>
+        s"CAST(coalesce(mw_$l, 0) + (s.$nTriCol - coalesce(mc_$l, 0)) * (${Penalty}) AS BIGINT) AS score_$l"
+      }.mkString(",\n          ")
+    def caseArms(script: String) = {
+      val langs = ScriptLangs(script)
+      val bestExpr =
+        s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+      langs.map(l => s"WHEN score_$l = $bestExpr THEN '$l'")
+        .mkString("\n             ")
+    }
+    val scoreBlocks = buckets.map { case (script, sx, nTriCol) => s"""
+      tg$sx AS (
+        SELECT id, unnest(list_transform(generate_series(1, length(nrm$sx) - 2),
+            i -> substring(nrm$sx, i, 3))) AS t
+        FROM base WHERE length(nrm$sx) >= 3),
+      prof$sx(lang, t, w) AS (VALUES
+        ${profRows(script)}),
+      m$sx AS (
+        SELECT tg$sx.id, prof$sx.lang, sum(prof$sx.w) AS mw, count(*) AS mc
+        FROM tg$sx JOIN prof$sx ON tg$sx.t = prof$sx.t GROUP BY 1, 2),
+      mp$sx AS (
+        SELECT id,
+          ${pivot(script)}
+        FROM m$sx GROUP BY id)"""
+    }.mkString(",")
+    val allScoreCols = buckets.map { case (script, _, nTriCol) =>
+      scoreCols(script, nTriCol) }.mkString(",\n          ")
+    val allScoreNames = buckets.flatMap { case (script, _, _) =>
+      ScriptLangs(script).map(l => s"score_$l") }.mkString(", ")
     s"""
-      WITH base AS (
+      WITH ${prelude}base AS (
         SELECT $idCol AS id,
           coalesce($textCol, '') AS tx,
-          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexRe2', ' ', 'g') AS nrm
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexRe2', ' ', 'g') AS nrm,
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexCyrRe2', ' ', 'g') AS nrm_c,
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexArabRe2', ' ', 'g') AS nrm_a
         FROM $table),
       feat AS (
-        SELECT id, tx, nrm,
+        SELECT id, tx,
           greatest(length(tx), 1) AS l,
           $scriptCols,
-          greatest(length(nrm) - 2, 0) AS n_tri
-        FROM base),
-      tg AS (
-        SELECT id, unnest(list_transform(generate_series(1, length(nrm) - 2),
-            i -> substring(nrm, i, 3))) AS t
-        FROM base WHERE length(nrm) >= 3),
-      prof(lang, t, w) AS (VALUES
-        $profRows),
-      m AS (
-        SELECT tg.id, prof.lang, sum(prof.w) AS mw, count(*) AS mc
-        FROM tg JOIN prof ON tg.t = prof.t GROUP BY 1, 2),
-      mp AS (
-        SELECT m.id,
-          $pivot
-        FROM m GROUP BY m.id),
+          greatest(length(nrm) - 2, 0) AS n_tri,
+          greatest(length(nrm_c) - 2, 0) AS n_tri_cyr,
+          greatest(length(nrm_a) - 2, 0) AS n_tri_arab
+        FROM base),$scoreBlocks,
       fin AS (
         SELECT s.id, CAST(s.n_tri AS BIGINT) AS n_tri,
+          CAST(s.n_tri_cyr AS BIGINT) AS n_tri_cyr,
+          CAST(s.n_tri_arab AS BIGINT) AS n_tri_arab,
           s.l, ${ScriptRanges.map { case (n, _, _) => s"s.c_$n" }.mkString(", ")},
-          $scoreCols
-        FROM feat s LEFT JOIN mp ON mp.id = s.id)
-      SELECT id AS $idCol, n_tri, ${TrigramLangs.map(l => s"score_$l").mkString(", ")},
+          $allScoreCols
+        FROM feat s LEFT JOIN mp ON mp.id = s.id
+          LEFT JOIN mp_c ON mp_c.id = s.id
+          LEFT JOIN mp_a ON mp_a.id = s.id)
+      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, $allScoreNames,
         CASE WHEN c_kana * 20 >= l THEN 'ja'
              WHEN c_han * 20 >= l * 3 THEN 'zh'
              WHEN c_hangul * 20 >= l * 3 THEN 'ko'
-             WHEN c_cyr * 10 >= l * 3 THEN 'ru'
-             WHEN c_arab * 20 >= l * 3 THEN 'ar'
+             WHEN c_cyr * 10 >= l * 3 THEN
+               CASE WHEN n_tri_cyr = 0 THEN 'ru'
+             ${caseArms("cyr")}
+             ELSE 'und' END
+             WHEN c_arab * 20 >= l * 3 THEN
+               CASE WHEN n_tri_arab = 0 THEN 'ar'
+             ${caseArms("arab")}
+             ELSE 'und' END
              WHEN c_deva * 20 >= l * 3 THEN 'hi'
              WHEN c_thai * 20 >= l * 3 THEN 'th'
              WHEN n_tri = 0 THEN 'und'
-             $caseArms
+             ${caseArms("latin")}
              ELSE 'und' END AS pred_lang
       FROM fin ORDER BY id"""
   }

@@ -31,13 +31,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Trigrams are taken over Unicode CODE POINTS, matching Spark's and
   * DuckDB's character semantics for `substring`/`length`.
   */
-case class LangTrigramScores(child: Expression)
+case class LangTrigramScores(child: Expression, script: String = "latin")
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val profile = graft.operators.LangId.CombinedProfile
-  @transient private lazy val nLangs = graft.operators.LangId.TrigramLangs.size
+  @transient private lazy val profile =
+    graft.operators.LangId.CombinedProfiles(script)
+  @transient private lazy val nLangs =
+    graft.operators.LangId.ScriptLangs(script).size
   private val penalty = graft.operators.LangId.Penalty
 
   override def nullSafeEval(input: Any): Any = {

@@ -2222,8 +2222,50 @@ object CorpusQueries {
           .select(col("id").as("vec_id"), col("in_core"),
             col("hub"), col("authority"), col("hops"))
           .orderBy("vec_id")
+      }),
+
+    // Per-language ID inside the Cyrillic and Arabic script buckets
+    // (round 16, VERDICT r15 #6): the script ratio used to collapse to
+    // 'ru'/'ar'; it now routes into per-script trigram profiles. The
+    // synthetic documents table is English-ish, so the corpus is a
+    // LITERAL table both engines read verbatim (the q50/q69
+    // literal-replay precedent extended to the input): held-out
+    // sentences per script-bucket language + Latin/Han controls. The
+    // oracle replays all three normalizations, the three profile
+    // tables and the bucketed decision chain.
+    Q("q176_langid_scripts", Some {
+      val rows = LangScriptDocs.map { case (i, t) =>
+        s"($i, '${t.replace("'", "''")}')" }.mkString(",\n        ")
+      LangId.oracleSql("ldocs", "doc_id", "text",
+        prelude = s"""ldocs AS (
+        SELECT CAST(v.c0 AS BIGINT) AS doc_id, v.c1 AS text
+        FROM (VALUES
+        $rows) v(c0, c1)), """)
+    },
+      (s, d) => {
+        import s.implicits._
+        LangId.detect(LangScriptDocs.toDF("doc_id", "text"),
+            "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
       })
   )
+
+  /** The q176 literal corpus: one held-out sentence per script-bucket
+    * language plus Latin and Han controls — both engines read these
+    * SAME strings (Spark as a local relation, DuckDB as a VALUES CTE),
+    * so the certification is engine parity on real multilingual text,
+    * not synthetic word salad. */
+  private lazy val LangScriptDocs: Seq[(Long, String)] = Seq(
+    1L -> "Осенью в парке дети собирают жёлтые листья и несут их домой, чтобы сделать красивый букет для бабушки.",
+    2L -> "Восени в парку діти збирають жовте листя та несуть його додому, щоб зробити гарний букет для бабусі.",
+    3L -> "През есента в парка децата събират жълти листа и ги носят вкъщи, за да направят красив букет за баба си.",
+    4L -> "У јесен у парку деца скупљају жуто лишће и носе га кући да направе леп букет за баку.",
+    5L -> "في الخريف يجمع الأطفال أوراق الشجر الصفراء في الحديقة ويحملونها إلى البيت ليصنعوا باقة جميلة لجدتهم.",
+    6L -> "در پاییز کودکان در پارک برگ های زرد را جمع می کنند و به خانه می برند تا دسته گلی زیبا برای مادربزرگ خود بسازند.",
+    7L -> "خزاں میں بچے پارک میں پیلے پتے جمع کرتے ہیں اور گھر لے جاتے ہیں تاکہ اپنی دادی کے لیے خوبصورت گلدستہ بنائیں۔",
+    8L -> "The quick brown fox jumps over the lazy dog near the river bank every sunny morning in spring.",
+    9L -> "北京是中华人民共和国的首都，也是全国的政治和文化中心，有着悠久的历史。")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

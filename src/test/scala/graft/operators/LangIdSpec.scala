@@ -112,6 +112,38 @@ class LangIdSpec extends SparkSpec {
     assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
   }
 
+  test("confusion matrix: Cyrillic and Arabic script buckets on held-out text (round 16)") {
+    // VERDICT r15 #6: Cyrillic used to collapse to 'ru' and Arabic
+    // script to 'ar' — wrong labels for uk/bg/sr and fa/ur. The script
+    // ratio now routes into per-script trigram profiles. None of these
+    // sentences appear in the profile seeds; two per language.
+    val heldOut: Seq[(String, String)] = Seq(
+      "ru" -> "Осенью в парке дети собирают жёлтые листья и несут их домой, чтобы сделать красивый букет для бабушки.",
+      "ru" -> "Зимой мы часто пьём горячий чай с мёдом и читаем старые книги у окна, пока идёт снег.",
+      "uk" -> "Восени в парку діти збирають жовте листя та несуть його додому, щоб зробити гарний букет для бабусі.",
+      "uk" -> "Взимку ми часто готуємо гарячий чай з медом і читаємо старі книжки біля вікна, коли падає сніг.",
+      "bg" -> "През есента в парка децата събират жълти листа и ги носят вкъщи, за да направят красив букет за баба си.",
+      "bg" -> "През зимата често пием горещ чай с мед и четем стари книги до прозореца, докато навън вали сняг.",
+      "sr" -> "У јесен у парку деца скупљају жуто лишће и носе га кући да направе леп букет за баку.",
+      "sr" -> "Зими често пијемо врућ чај са медом и читамо старе књиге поред прозора док напољу пада снег.",
+      "ar" -> "في الخريف يجمع الأطفال أوراق الشجر الصفراء في الحديقة ويحملونها إلى البيت ليصنعوا باقة جميلة لجدتهم.",
+      "ar" -> "في الشتاء نشرب الشاي الساخن مع العسل ونقرأ الكتب القديمة قرب النافذة بينما يتساقط الثلج في الخارج.",
+      "fa" -> "در پاییز کودکان در پارک برگ های زرد را جمع می کنند و به خانه می برند تا دسته گلی زیبا برای مادربزرگ خود بسازند.",
+      "fa" -> "در زمستان اغلب چای داغ با عسل می نوشیم و کتاب های کهنه را کنار پنجره می خوانیم در حالی که برف می بارد.",
+      "ur" -> "خزاں میں بچے پارک میں پیلے پتے جمع کرتے ہیں اور گھر لے جاتے ہیں تاکہ اپنی دادی کے لیے خوبصورت گلدستہ بنائیں۔",
+      "ur" -> "سردیوں میں ہم اکثر شہد کے ساتھ گرم چائے پیتے ہیں اور کھڑکی کے پاس پرانی کتابیں پڑھتے ہیں جب باہر برف گرتی ہے۔")
+    val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val confusions = heldOut.zipWithIndex.collect {
+      case ((want, _), i) if preds(i.toLong) != want =>
+        s"$want -> ${preds(i.toLong)}"
+    }
+    assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
+    // the Latin tier is untouched by the script buckets
+    val latin = predict(Seq(
+      100L -> "The weather was fine and the children played outside all afternoon in the garden."))
+    assert(latin(100L) == "en")
+  }
+
   test("profiles are deterministic literals with sane shape") {
     val p = LangId.Profiles
     assert(p.keySet == LangId.TrigramLangs.toSet)

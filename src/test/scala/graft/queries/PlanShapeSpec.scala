@@ -469,13 +469,32 @@ class PlanShapeSpec extends SparkSpec {
       emb, "vec_id", "embedding", 4, nCells = 5, nProbe = 2)
     val ip = ivf.queryExecution.executedPlan.toString
     assert(!ip.contains("CartesianProduct"), s"ivf cartesian:\n$ip")
-    assert(ip.contains("BroadcastNestedLoopJoin") ||
-      ip.contains("BroadcastExchange"), s"centroids not broadcast:\n$ip")
-    // the per-src top-k Window must not carry the vectors through the
-    // shuffle: the window's sort columns are (cos desc, dst) only
-    val winLine = ip.linesIterator.find(_.contains("Window")).getOrElse("")
-    assert(!winLine.contains("__qv") && !winLine.contains("__cv"),
-      s"vectors leak into the ranking window:\n$winLine")
+    // round-16 shape: scoring is the per-(cell, sub) COGROUP (primitive
+    // JVM loops, bounded member blocks) and the reduction is the
+    // bounded native TopKEdges aggregate — a full-candidate-volume
+    // ranking window must never resurface (the r15 regression: 4M rows
+    // through one window at full probe)
+    assert(ip.contains("CoGroup"), s"cogroup scoring missing:\n$ip")
+    assert(ip.toLowerCase.contains("topkedges"),
+      s"per-src top-k aggregate missing:\n$ip")
+    assert(!ip.contains("Window"), s"ranking window resurfaced:\n$ip")
+    // the probe ranking upstream of the (plan-truncating) reuse point
+    // still broadcasts the centroid table and never builds a
+    // corpus x corpus join — asserted on the same ranking shape the
+    // builder constructs, un-truncated
+    val centersDf = spark.createDataFrame(
+      (0 until 5).map(i => (i, Seq.fill(8)(i.toDouble))))
+      .toDF("__cell", "__center")
+    val rankedShape = emb
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").as("__v"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(centersDf))
+      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
+        col("__v").cast("array<double>"), col("__center")))
+    val rp = rankedShape.queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct") &&
+      rp.contains("BroadcastNestedLoopJoin"),
+      s"centroid ranking not a broadcast crossjoin:\n$rp")
     // searchKnnBatch: one projection/mapPartitions pipeline, ZERO
     // shuffles — the graph broadcasts, the query set stays put
     // (queries as a LocalRelation so the input carries no exchange of
