@@ -1885,6 +1885,47 @@ object CorpusQueries {
           .orderBy(desc("score"), asc("vec_id")).limit(24)
       }),
 
+    // The MAINTAINED edge artifact certified end to end (round 16,
+    // VERDICT r15 #3): the corpus arrives as an old corpus + a 10%
+    // ingest batch; the old IVF artifact (full probe, with its frozen
+    // centroid companion) materializes first, then
+    // knnGraphArtifactAppend lands the post-append artifact via the
+    // O(corpus·batch) frozen-clustering delta — and PageRank over THAT
+    // maintained graph must hash-match the oracle's from-scratch exact
+    // kNN over the full corpus (full probe ≡ exact, append ≡ rebuild).
+    // A hash here certifies the whole ingest-maintenance chain.
+    Q("q177_knn_pagerank_append", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.oracleSqlCtes(rounds = 4)}
+      SELECT id AS vec_id, score FROM pr
+      ORDER BY score DESC, id LIMIT 24"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ids = emb.select(col("vec_id").cast("long")).orderBy(desc("vec_id"))
+          .limit((emb.count() / 10).toInt.max(1))
+          .collect().map(_.getLong(0)).toSeq
+        val old = emb.filter(!col("vec_id").isInCollection(ids))
+        // the pre-ingest state an earlier session would have built
+        GraphRank.knnGraphArtifact(old, "vec_id", "embedding", k = 8,
+          edgeSource = "ivf", nCells = 8, nProbe = 8).count()
+        val edges = GraphRank.knnGraphArtifactAppend(emb, "vec_id",
+          "embedding", k = 8, newIds = ids, edgeSource = "ivf",
+          nCells = 8, nProbe = 8)
+        GraphRank.pagerank(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 4)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(24)
+      }),
+
     // Maintained HLL state under ingest-batch merging (round 15,
     // VERDICT r14 #4): the corpus arrives as THREE batches (doc_id mod
     // 3 — the ingest simulation), each batch sketches independently,

@@ -242,16 +242,20 @@ class LibrarySpec extends SparkSpec {
   test("ingest maintains the kNN edge artifact: fresh without a rebuild, delta == scratch (VERDICT r15 #3)") {
     val wh = Files.createTempDirectory("graft-wh-knn").toString
     val l = new Library(spark, wh)
+    // the temp-dir suffix salts the corpus so its DiskArtifact stamp is
+    // unique per run — a prior run's cached artifact would otherwise
+    // satisfy the append's getOrBuild and skip the delta under test
+    val salt = wh.split('/').last.takeRight(8)
     l.addMarkdown(Seq(
-      ("/k1.md", "# One\n" + ("alpha beta gamma delta epsilon words. " * 12)),
-      ("/k2.md", "# Two\n" + ("zeta eta theta iota kappa tokens here. " * 12))).toDS())
+      ("/k1.md", s"# One $salt\n" + (s"alpha beta gamma delta epsilon words $salt. " * 12)),
+      ("/k2.md", s"# Two $salt\n" + (s"zeta eta theta iota kappa tokens here $salt. " * 12))).toDS())
     val k = 2
     l.enableKnnEdges(k)
     val nOld = l.embeddings.count()
     // ingest a batch: the hook must materialize the post-append
     // artifact via the O(corpus x batch) delta
     l.addMarkdown(Seq(
-      ("/k3.md", "# Three\n" + ("lambda mu nu xi omicron fresh text. " * 12))).toDS())
+      ("/k3.md", s"# Three $salt\n" + (s"lambda mu nu xi omicron fresh text $salt. " * 12))).toDS())
     val nFull = l.embeddings.count()
     val nBatch = nFull - nOld
     assert(nBatch >= 1)
