@@ -102,6 +102,67 @@ object ShardedHnsw {
     new Shards(table, centers, m, efConstruction, seed)
   }
 
+  /** Ingest-time maintenance (the [[Hnsw.insert]] contract, sharded):
+    * the batch assigns to the FROZEN centers (same squared-distance
+    * fold and low-cell tie-break as the build), and only the touched
+    * (cell, sub) shards rewrite — each deserializes, [[Hnsw.insert]]s
+    * its new members, re-serializes; untouched blob rows pass through
+    * unchanged, so the maintenance job is O(touched shards), not a
+    * rebuild. The sub-shard fan is frozen at build time: an inserted
+    * shard grows past the cap the way the monolithic ingest hook's
+    * graph does (re-shard = rebuild, the same re-train-by-delete
+    * contract as the IVF edge artifact). The batch is
+    * ingest-batch-sized by contract (it broadcasts). */
+  def insert(sh: Shards, batch: Seq[(Long, Array[Float])]): Shards = {
+    if (batch.isEmpty) return sh
+    val spark = sh.table.sparkSession
+    import spark.implicits._
+    val nCells = sh.centers.length
+    def cellOf(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCells) {
+        val ctr = sh.centers(c); var s = 0.0; var d = 0
+        while (d < ctr.length) {
+          val diff = v(d).toDouble - ctr(d); s += diff * diff; d += 1
+        }
+        if (s < bestD) { bestD = s; best = c } // ties keep the lower cell
+        c += 1
+      }
+      best
+    }
+    val subsOf: Map[Int, Int] = sh.table.groupBy("__cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1).toInt).toMap
+    val byKey: Map[(Int, Int), Seq[(Long, Array[Float])]] = batch
+      .groupBy { case (id, v) =>
+        val cell = cellOf(v)
+        (cell, GraphRank.subKey(id, subsOf.getOrElse(cell, 1)))
+      }.map { case (k, rows) => k -> rows.sortBy(_._1).toSeq }
+    val bc = spark.sparkContext.broadcast(byKey)
+    val m = sh.m; val efC = sh.efConstruction; val seed = sh.seed
+    val updated = sh.table.as[(Int, Int, Array[Byte])]
+      .map { case (cell, sub, bytes) =>
+        bc.value.get((cell, sub)) match {
+          case None => (cell, sub, bytes)
+          case Some(rows) =>
+            (cell, sub,
+              serialize(Hnsw.insert(deserialize(bytes), rows)))
+        }
+      }.toDF("__cell", "__sub", "__graph")
+    // a batch member landing in a cell the build left without a shard
+    // row (possible only on degenerate layouts) gets a fresh subgraph
+    val missing = byKey.keys.filterNot(k => subsOf.contains(k._1)).toSeq
+    val table2 =
+      if (missing.isEmpty) updated
+      else updated.union(
+        spark.createDataFrame(missing.map { case (cell, sub) =>
+          (cell, sub, serialize(Hnsw.build(byKey((cell, sub)), m, efC,
+            seed)))
+        }).toDF("__cell", "__sub", "__graph"))
+    new Shards(table2.materializeOnce(eager = false), sh.centers,
+      m, efC, seed)
+  }
+
   /** Batch search over the shards: queries shuffle to their probed
     * (cell, sub) shards, each shard deserializes ONCE per task and
     * answers its cogroup's queries in-memory. */

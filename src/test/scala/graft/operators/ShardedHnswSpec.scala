@@ -73,6 +73,36 @@ class ShardedHnswSpec extends SparkSpec {
       probed2.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("insert maintains the shards: only touched blobs rewrite, new vectors served at full recall") {
+    val all = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (oldRows, batch) = all.splitAt(all.length - 100)
+    val oldDf = oldRows.toSeq.toDF("vec_id", "embedding")
+    val sh0 = ShardedHnsw.build(oldDf, "vec_id", "embedding", nCells = 8)
+    val before = sh0.table.as[(Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> java.util.Arrays.hashCode(r._3)).toMap
+    val sh1 = ShardedHnsw.insert(sh0, batch.toSeq)
+    val after = sh1.table.as[(Int, Int, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> java.util.Arrays.hashCode(r._3)).toMap
+    assert(after.keySet.size >= before.keySet.size)
+    // untouched shards pass through byte-identical
+    val untouched = before.keySet.filter(k => before(k) == after(k))
+    assert(untouched.nonEmpty, "every shard rewrote - not a delta")
+    // full-coverage search over the maintained shards serves the WHOLE
+    // corpus (old + batch) at exact-parity recall
+    val queries = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val served = ShardedHnsw.searchBatch(sh1, queries, "qid", "qv",
+        k = 10, nProbe = 8)
+      .select("qid", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = served.count(exactTop).toDouble / exactTop.size
+    info(f"post-insert full-coverage recall $recall%.4f")
+    assert(recall >= 0.99, s"post-insert recall $recall")
+    // batch members are themselves findable (self top-1)
+    val selfHits = served.count { case (q, i) => q == i }
+    assert(selfHits === emb.count(), "every vector must find itself")
+  }
+
   test("oversized cells sub-shard: per-shard memory bounded, recall kept") {
     // cap 64 forces every ~500/8-member cell layout into sub-shards
     val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4,
