@@ -849,9 +849,14 @@ object GraphRank {
       case "hnsw" =>
         (s"knn$k-edges-hnsw",
           () => knnGraphHnsw(df, idCol, vecCol, k))
+      case "hnsw-sharded" =>
+        (s"knn$k-edges-hnswsh$nCells-$seed",
+          () => knnGraphShardedHnsw(df, idCol, vecCol, k, nCells,
+            seed = seed))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown edgeSource '$other' (exact | ivf | srp | hnsw)")
+          s"unknown edgeSource '$other' " +
+            "(exact | ivf | srp | hnsw | hnsw-sharded)")
     }
     graft.util.DiskArtifact.getOrBuild(df.sparkSession, kind, stamp)(build)
   }
@@ -893,6 +898,42 @@ object GraphRank {
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .select(col("src"), col("dst"), col("cos_sim"))
+  }
+
+  /** Sharded-HNSW kNN edge builder (round 16): the graph-ANN candidate
+    * generator WITHOUT [[knnGraphHnsw]]'s driver-built graph — shards
+    * build distributed ([[ShardedHnsw.build]]: mapGroups, no vector
+    * reaches the driver), the corpus queries itself as one sharded
+    * batch at FULL coverage (every shard answers, so per-shard beam
+    * recall is the only approximation), and candidates re-rank by the
+    * exact codegen cosine so emitted edges carry true cos bits under
+    * the (cos desc, dst asc) contract — through [[perSrcTopK]], never
+    * a raw window. Completes the edge-source matrix: every candidate
+    * generator (exact / ivf / srp / hnsw) now has a zero-driver-collect
+    * construction. Output: (src, dst, cos_sim). */
+  def knnGraphShardedHnsw(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, nCells: Int = 16, m: Int = 16,
+                          efConstruction: Int = 100, ef: Int = 64,
+                          seed: Long = 42L,
+                          maxCellSize: Int = 65536): DataFrame = {
+    val sh = ShardedHnsw.build(df, idCol, vecCol, nCells, m,
+      efConstruction, seed, maxCellSize)
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    // k+1 beam: the query point itself sits at distance 0 in its own
+    // corpus; drop it, keep the k best OTHER candidates by exact cos
+    val cand = ShardedHnsw.searchBatch(sh,
+        typed.select(col("id").as("qid"), col("v").as("qv")),
+        "qid", "qv", k + 1, nProbe = nCells, ef = math.max(ef, k + 1))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("src"), col("id").as("dst"))
+    val vecs = typed.select(col("id"), col("v"))
+    val scored = cand
+      .join(vecs.select(col("id").as("src"), col("v").as("__qv")), Seq("src"))
+      .join(vecs.select(col("id").as("dst"), col("v").as("__cv")), Seq("dst"))
+      .withColumn("cos_sim",
+        graft.plans.CosineSimilarity(col("__cv"), col("__qv")))
+    perSrcTopK(scored, k)
   }
 
   /** Scored-pair counter for the LAST [[knnGraphAppend]] action on this

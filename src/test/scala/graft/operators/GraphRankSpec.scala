@@ -375,6 +375,28 @@ class GraphRankSpec extends SparkSpec {
     assert(r8._2 >= 0.9, s"8/16 harvested edge recall ${r8._2}")
   }
 
+  test("knnGraphShardedHnsw: zero-driver edge source, true-cos edges, near-exact at full coverage") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(150)
+    val k = 4
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sharded = GraphRank.knnGraphShardedHnsw(emb, "vec_id",
+        "embedding", k, nCells = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sharded.forall { case (s, d, _) => s != d })
+    assert(sharded.groupBy(_._1).forall(_._2.length <= k))
+    // every emitted edge carries the TRUE cosine (bit-equal to exact's
+    // scoring of the same pair when that pair made exact's top-k)
+    sharded.foreach { case (s, d, c) =>
+      exact.get((s, d)).foreach(e => assert(e === c, s"cos bits ($s,$d)")) }
+    // full coverage: the only approximation is per-shard beam recall
+    val recall = sharded.count { case (s, d, _) =>
+      exact.contains((s, d)) }.toDouble / exact.size
+    info(f"sharded-hnsw edge recall $recall%.3f")
+    assert(recall >= 0.95, s"sharded-hnsw recall $recall")
+  }
+
   test("knnGraphIvfAppend: delta == frozen-centers rebuild bit-for-bit; O(batch) work (VERDICT r15 #3)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding").limit(120)
