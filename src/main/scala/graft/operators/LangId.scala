@@ -63,9 +63,14 @@ object LangId {
     * mechanism (ar was the collapse label; fa/ur were unservable). */
   val ArabicLangs: Seq[String] = Seq("ar", "fa", "ur")
 
+  /** Languages decided within the Devanagari bucket — hi was the
+    * collapse label; mr/ne were unservable. */
+  val DevanagariLangs: Seq[String] = Seq("hi", "mr", "ne")
+
   /** The per-script language lists, keyed by the script bucket name. */
   val ScriptLangs: Map[String, Seq[String]] = Map(
-    "latin" -> TrigramLangs, "cyr" -> CyrillicLangs, "arab" -> ArabicLangs)
+    "latin" -> TrigramLangs, "cyr" -> CyrillicLangs,
+    "arab" -> ArabicLangs, "deva" -> DevanagariLangs)
 
   /** Penalty (scaled log-prob) for a trigram absent from a language's
     * profile. More negative than any real profile weight. */
@@ -513,7 +518,49 @@ object LangId {
       کے تحفظ کے بارے میں نیا قانون منظور کیا ہے۔ موسیقی اور فن بہت سے
       لوگوں کی زندگی میں اہم کردار ادا کرتے ہیں۔ کل ہم نے سفر کے بارے
       میں اپنے دوستوں کو لمبا خط لکھا۔ کتاب میز پر کھڑکی کے پاس پڑی
-      اپنے پڑھنے والے کا انتظار کرتی ہے۔""")
+      اپنے پڑھنے والے کا انتظار کرتی ہے۔""",
+    // --- Devanagari seeds: normalized with NormRegexDeva ---
+    "hi" -> """विज्ञान का इतिहास दिखाता है कि नए विचारों को स्वीकार किए
+      जाने से पहले अक्सर विरोध का सामना करना पड़ता है। शोधकर्ता ऐसे
+      तरीके बनाते हैं जिनसे हमारे आसपास की दुनिया को बेहतर समझा जा
+      सके। पहाड़ों का मौसम तेजी से बदल सकता है और यात्रियों को सावधान
+      रहना चाहिए। बहुत से लोग बड़े शहरों में रहते हैं और दफ्तरों या
+      कारखानों में काम करते हैं। बच्चे हर सुबह पढ़ना लिखना और गिनती
+      सीखने के लिए स्कूल जाते हैं। फलों और सब्जियों वाला स्वस्थ भोजन
+      शरीर और मन के लिए जरूरी है। रेलगाड़ी समय पर स्टेशन से चलती है
+      और शाम को शहर पहुंचती है। गर्मियों में परिवार आराम के लिए समुद्र
+      या पहाड़ों की ओर जाते हैं। सरकार ने पर्यावरण की रक्षा के बारे
+      में नया कानून पारित किया है। संगीत और कला बहुत से लोगों के जीवन
+      में महत्वपूर्ण भूमिका निभाते हैं। कल हमने यात्रा के बारे में
+      अपने दोस्तों को लंबा पत्र लिखा। किताब मेज पर खिड़की के पास पड़ी
+      अपने पाठक की प्रतीक्षा करती है।""",
+    "mr" -> """विज्ञानाचा इतिहास दाखवतो की नव्या कल्पनांना स्वीकारले
+      जाण्यापूर्वी अनेकदा विरोधाला तोंड द्यावे लागते. संशोधक असे मार्ग
+      शोधतात ज्यांमुळे आपल्या भोवतालचे जग अधिक चांगले समजते. डोंगरातले
+      हवामान झपाट्याने बदलू शकते आणि प्रवाशांनी काळजी घेतली पाहिजे.
+      पुष्कळ लोक मोठ्या शहरांमध्ये राहतात आणि कार्यालयांत किंवा
+      कारखान्यांत काम करतात. मुले रोज सकाळी वाचन लेखन आणि गणित
+      शिकण्यासाठी शाळेत जातात. फळे आणि भाज्या असलेला सकस आहार शरीरासाठी
+      आणि मनासाठी आवश्यक आहे. आगगाडी वेळेवर स्थानकावरून निघते आणि
+      संध्याकाळी शहरात पोहोचते. उन्हाळ्यात कुटुंबे विश्रांतीसाठी
+      समुद्रावर किंवा डोंगरात जातात. सरकारने पर्यावरणाच्या रक्षणाबाबत
+      नवा कायदा मंजूर केला आहे. संगीत आणि कला अनेक लोकांच्या जीवनात
+      महत्त्वाची भूमिका बजावतात. काल आम्ही प्रवासाबद्दल आमच्या
+      मित्रांना लांब पत्र लिहिले. पुस्तक टेबलावर खिडकीजवळ पडून आपल्या
+      वाचकाची वाट पाहते आहे.""",
+    "ne" -> """विज्ञानको इतिहासले देखाउँछ कि नयाँ विचारहरूले स्वीकार
+      हुनुअघि प्रायः विरोधको सामना गर्नुपर्छ। अनुसन्धानकर्ताहरूले
+      हाम्रो वरपरको संसारलाई राम्ररी बुझ्न सकिने तरिकाहरू बनाउँछन्।
+      पहाडको मौसम छिटो बदलिन सक्छ र यात्रीहरू होसियार हुनुपर्छ। धेरै
+      मानिसहरू ठूला सहरहरूमा बस्छन् र कार्यालय वा कारखानाहरूमा काम
+      गर्छन्। केटाकेटीहरू हरेक बिहान पढ्न लेख्न र हिसाब सिक्न विद्यालय
+      जान्छन्। फलफूल र तरकारी भएको स्वस्थ खाना शरीर र मनका लागि जरुरी
+      छ। रेल समयमै स्टेसनबाट छुट्छ र साँझ सहर पुग्छ। गर्मीमा परिवारहरू
+      आराम गर्न समुद्र वा पहाडतिर जान्छन्। सरकारले वातावरणको संरक्षणका
+      बारेमा नयाँ कानुन पारित गरेको छ। सङ्गीत र कलाले धेरै मानिसहरूको
+      जीवनमा महत्त्वपूर्ण भूमिका खेल्छन्। हिजो हामीले यात्राका बारेमा
+      आफ्ना साथीहरूलाई लामो चिठी लेख्यौं। किताब टेबलमा झ्यालनजिकै रहेर
+      आफ्नो पाठकको प्रतीक्षा गर्छ।""")
 
   /** The shared normalization: lowercase, collapse every non-letter run
     * to a single space. Letters = ASCII + Latin-1 + Latin Extended-A
@@ -541,11 +588,18 @@ object LangId {
   val NormRegexArabRe2: String =
     "[^\\x{0621}-\\x{064A}\\x{0679}-\\x{06D3}]+"
 
+  /** Devanagari normalization (no case): signs, letters and matras
+    * U+0901–0963; digits (U+0966–096F) and the danda punctuation
+    * (U+0964–0965) collapse to spaces. */
+  val NormRegexDevaJava: String = "[^ँ-ॣ]+"
+  val NormRegexDevaRe2: String = "[^\\x{0901}-\\x{0963}]+"
+
   /** The Java-regex spelling of each script's normalization. */
   def normRegexJavaFor(script: String): String = script match {
     case "latin" => NormRegexJava
     case "cyr"   => NormRegexCyrJava
     case "arab"  => NormRegexArabJava
+    case "deva"  => NormRegexDevaJava
     case other   => throw new IllegalArgumentException(s"script $other")
   }
 
@@ -554,6 +608,7 @@ object LangId {
     case "latin" => NormRegexRe2
     case "cyr"   => NormRegexCyrRe2
     case "arab"  => NormRegexArabRe2
+    case "deva"  => NormRegexDevaRe2
     case other   => throw new IllegalArgumentException(s"script $other")
   }
 
@@ -642,6 +697,7 @@ object LangId {
       regexp_replace(low, NormRegexJava, " ").as("__nrm"),
       regexp_replace(low, NormRegexCyrJava, " ").as("__nrmc"),
       regexp_replace(low, NormRegexArabJava, " ").as("__nrma"),
+      regexp_replace(low, NormRegexDevaJava, " ").as("__nrmd"),
       greatest(length(tx), lit(1)).cast("long").as("__len"))
     val withCounts = ScriptRanges.foldLeft(base) { case (d, (name, javaRe, _)) =>
       d.withColumn(s"__$name", regexp_count(col("__tx"), lit(javaRe)).cast("long"))
@@ -654,12 +710,16 @@ object LangId {
         greatest(length(col("__nrmc")) - 2, lit(0)).cast("long"))
       .withColumn("n_tri_arab",
         greatest(length(col("__nrma")) - 2, lit(0)).cast("long"))
+      .withColumn("n_tri_deva",
+        greatest(length(col("__nrmd")) - 2, lit(0)).cast("long"))
       .withColumn("__scores", scoresOf("__nrm", "latin"))
       .withColumn("__scoresC", scoresOf("__nrmc", "cyr"))
       .withColumn("__scoresA", scoresOf("__nrma", "arab"))
+      .withColumn("__scoresD", scoresOf("__nrmd", "deva"))
     val withScoreCols = Seq(
       ("__scores", TrigramLangs), ("__scoresC", CyrillicLangs),
-      ("__scoresA", ArabicLangs)).foldLeft(scored) {
+      ("__scoresA", ArabicLangs), ("__scoresD", DevanagariLangs))
+      .foldLeft(scored) {
       case (d0, (arr, langs)) => langs.zipWithIndex.foldLeft(d0) {
         case (d, (lang, i)) =>
           d.withColumn(s"score_$lang", element_at(col(arr), i + 1))
@@ -675,22 +735,26 @@ object LangId {
       when(col("n_tri_cyr") === 0, lit("ru")).otherwise(pickIn(CyrillicLangs))
     val arabPick =
       when(col("n_tri_arab") === 0, lit("ar")).otherwise(pickIn(ArabicLangs))
+    val devaPick =
+      when(col("n_tri_deva") === 0, lit("hi"))
+        .otherwise(pickIn(DevanagariLangs))
     val pred =
       when(col("__kana") * 20 >= col("__len"), lit("ja"))
         .when(col("__han") * 20 >= col("__len") * 3, lit("zh"))
         .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
         .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
         .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
-        .when(col("__deva") * 20 >= col("__len") * 3, lit("hi"))
+        .when(col("__deva") * 20 >= col("__len") * 3, devaPick)
         .when(col("__thai") * 20 >= col("__len") * 3, lit("th"))
         .when(col("n_tri") === 0, lit("und"))
         .otherwise(pickIn(TrigramLangs))
     val scoreCols =
-      (TrigramLangs ++ CyrillicLangs ++ ArabicLangs).map(l => s"score_$l")
+      (TrigramLangs ++ CyrillicLangs ++ ArabicLangs ++ DevanagariLangs)
+        .map(l => s"score_$l")
     withScoreCols
       .withColumn("pred_lang", pred)
       .select(("id" +: "n_tri" +: "n_tri_cyr" +: "n_tri_arab" +:
-        scoreCols :+ "pred_lang").map(col): _*)
+        "n_tri_deva" +: scoreCols :+ "pred_lang").map(col): _*)
   }
 
   /** DuckDB oracle replaying the SAME profiles (as VALUES literal
@@ -702,7 +766,7 @@ object LangId {
     // (script, CTE suffix, n_tri column) — latin keeps the unsuffixed
     // names so the q86 surface is unchanged in shape
     val buckets = Seq(("latin", "", "n_tri"), ("cyr", "_c", "n_tri_cyr"),
-      ("arab", "_a", "n_tri_arab"))
+      ("arab", "_a", "n_tri_arab"), ("deva", "_d", "n_tri_deva"))
     def profRows(script: String) = ScriptLangs(script).flatMap { lang =>
       ProfilesByScript(script)(lang).map { case (t, w) =>
         val esc = t.replace("'", "''")
@@ -752,7 +816,8 @@ object LangId {
           coalesce($textCol, '') AS tx,
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexRe2', ' ', 'g') AS nrm,
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexCyrRe2', ' ', 'g') AS nrm_c,
-          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexArabRe2', ' ', 'g') AS nrm_a
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexArabRe2', ' ', 'g') AS nrm_a,
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexDevaRe2', ' ', 'g') AS nrm_d
         FROM $table),
       feat AS (
         SELECT id, tx,
@@ -760,18 +825,21 @@ object LangId {
           $scriptCols,
           greatest(length(nrm) - 2, 0) AS n_tri,
           greatest(length(nrm_c) - 2, 0) AS n_tri_cyr,
-          greatest(length(nrm_a) - 2, 0) AS n_tri_arab
+          greatest(length(nrm_a) - 2, 0) AS n_tri_arab,
+          greatest(length(nrm_d) - 2, 0) AS n_tri_deva
         FROM base),$scoreBlocks,
       fin AS (
         SELECT s.id, CAST(s.n_tri AS BIGINT) AS n_tri,
           CAST(s.n_tri_cyr AS BIGINT) AS n_tri_cyr,
           CAST(s.n_tri_arab AS BIGINT) AS n_tri_arab,
+          CAST(s.n_tri_deva AS BIGINT) AS n_tri_deva,
           s.l, ${ScriptRanges.map { case (n, _, _) => s"s.c_$n" }.mkString(", ")},
           $allScoreCols
         FROM feat s LEFT JOIN mp ON mp.id = s.id
           LEFT JOIN mp_c ON mp_c.id = s.id
-          LEFT JOIN mp_a ON mp_a.id = s.id)
-      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, $allScoreNames,
+          LEFT JOIN mp_a ON mp_a.id = s.id
+          LEFT JOIN mp_d ON mp_d.id = s.id)
+      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, n_tri_deva, $allScoreNames,
         CASE WHEN c_kana * 20 >= l THEN 'ja'
              WHEN c_han * 20 >= l * 3 THEN 'zh'
              WHEN c_hangul * 20 >= l * 3 THEN 'ko'
@@ -783,7 +851,10 @@ object LangId {
                CASE WHEN n_tri_arab = 0 THEN 'ar'
              ${caseArms("arab")}
              ELSE 'und' END
-             WHEN c_deva * 20 >= l * 3 THEN 'hi'
+             WHEN c_deva * 20 >= l * 3 THEN
+               CASE WHEN n_tri_deva = 0 THEN 'hi'
+             ${caseArms("deva")}
+             ELSE 'und' END
              WHEN c_thai * 20 >= l * 3 THEN 'th'
              WHEN n_tri = 0 THEN 'und'
              ${caseArms("latin")}

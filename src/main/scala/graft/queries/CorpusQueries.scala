@@ -2306,7 +2306,10 @@ object CorpusQueries {
     6L -> "در پاییز کودکان در پارک برگ های زرد را جمع می کنند و به خانه می برند تا دسته گلی زیبا برای مادربزرگ خود بسازند.",
     7L -> "خزاں میں بچے پارک میں پیلے پتے جمع کرتے ہیں اور گھر لے جاتے ہیں تاکہ اپنی دادی کے لیے خوبصورت گلدستہ بنائیں۔",
     8L -> "The quick brown fox jumps over the lazy dog near the river bank every sunny morning in spring.",
-    9L -> "北京是中华人民共和国的首都，也是全国的政治和文化中心，有着悠久的历史。")
+    9L -> "北京是中华人民共和国的首都，也是全国的政治和文化中心，有着悠久的历史。",
+    10L -> "शरद ऋतु में बच्चे बगीचे में पीले पत्ते इकट्ठा करते हैं और दादी के लिए सुंदर गुलदस्ता बनाने घर ले जाते हैं।",
+    11L -> "शरद ऋतूत मुले बागेत पिवळी पाने गोळा करतात आणि आजीसाठी सुंदर पुष्पगुच्छ करण्यासाठी घरी नेतात.",
+    12L -> "शरद ऋतुमा केटाकेटीहरू बगैंचामा पहेंला पातहरू बटुल्छन् र हजुरआमाका लागि राम्रो गुच्छा बनाउन घर लैजान्छन्।")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

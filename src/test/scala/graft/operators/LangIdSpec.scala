@@ -112,11 +112,12 @@ class LangIdSpec extends SparkSpec {
     assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
   }
 
-  test("confusion matrix: Cyrillic and Arabic script buckets on held-out text (round 16)") {
-    // VERDICT r15 #6: Cyrillic used to collapse to 'ru' and Arabic
-    // script to 'ar' — wrong labels for uk/bg/sr and fa/ur. The script
-    // ratio now routes into per-script trigram profiles. None of these
-    // sentences appear in the profile seeds; two per language.
+  test("confusion matrix: Cyrillic, Arabic and Devanagari script buckets on held-out text (round 16)") {
+    // VERDICT r15 #6: Cyrillic used to collapse to 'ru', Arabic script
+    // to 'ar' (and Devanagari to 'hi') — wrong labels for uk/bg/sr,
+    // fa/ur and mr/ne. The script ratio now routes into per-script
+    // trigram profiles. None of these sentences appear in the profile
+    // seeds; two per language.
     val heldOut: Seq[(String, String)] = Seq(
       "ru" -> "Осенью в парке дети собирают жёлтые листья и несут их домой, чтобы сделать красивый букет для бабушки.",
       "ru" -> "Зимой мы часто пьём горячий чай с мёдом и читаем старые книги у окна, пока идёт снег.",
@@ -131,7 +132,13 @@ class LangIdSpec extends SparkSpec {
       "fa" -> "در پاییز کودکان در پارک برگ های زرد را جمع می کنند و به خانه می برند تا دسته گلی زیبا برای مادربزرگ خود بسازند.",
       "fa" -> "در زمستان اغلب چای داغ با عسل می نوشیم و کتاب های کهنه را کنار پنجره می خوانیم در حالی که برف می بارد.",
       "ur" -> "خزاں میں بچے پارک میں پیلے پتے جمع کرتے ہیں اور گھر لے جاتے ہیں تاکہ اپنی دادی کے لیے خوبصورت گلدستہ بنائیں۔",
-      "ur" -> "سردیوں میں ہم اکثر شہد کے ساتھ گرم چائے پیتے ہیں اور کھڑکی کے پاس پرانی کتابیں پڑھتے ہیں جب باہر برف گرتی ہے۔")
+      "ur" -> "سردیوں میں ہم اکثر شہد کے ساتھ گرم چائے پیتے ہیں اور کھڑکی کے پاس پرانی کتابیں پڑھتے ہیں جب باہر برف گرتی ہے۔",
+      "hi" -> "शरद ऋतु में बच्चे बगीचे में पीले पत्ते इकट्ठा करते हैं और दादी के लिए सुंदर गुलदस्ता बनाने घर ले जाते हैं।",
+      "hi" -> "सर्दियों में हम अक्सर शहद के साथ गर्म चाय पीते हैं और खिड़की के पास पुरानी किताबें पढ़ते हैं।",
+      "mr" -> "शरद ऋतूत मुले बागेत पिवळी पाने गोळा करतात आणि आजीसाठी सुंदर पुष्पगुच्छ करण्यासाठी घरी नेतात.",
+      "mr" -> "हिवाळ्यात आम्ही अनेकदा मधासोबत गरम चहा पितो आणि खिडकीजवळ जुनी पुस्तके वाचतो.",
+      "ne" -> "शरद ऋतुमा केटाकेटीहरू बगैंचामा पहेंला पातहरू बटुल्छन् र हजुरआमाका लागि राम्रो गुच्छा बनाउन घर लैजान्छन्।",
+      "ne" -> "जाडोमा हामी प्रायः महसँग तातो चिया पिउँछौं र झ्यालनजिकै पुराना किताबहरू पढ्छौं।")
     val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
     val confusions = heldOut.zipWithIndex.collect {
       case ((want, _), i) if preds(i.toLong) != want =>
