@@ -21,16 +21,29 @@ final class TopKEdgesBuf(val k: Int) {
     if (n == cap) trim()
   }
 
-  /** Keep the k best by (cos desc, dst asc). */
-  def trim(): Unit = if (n > k) {
+  /** Keep the k best DISTINCT entries by (cos desc, dst asc), sorted in
+    * place. Adjacent entries with identical (cos, dst) bits collapse to
+    * one — the reverse harvest's second orientation of a pair arrives
+    * bit-identical (IEEE multiply is commutative), so deduping inside
+    * the buffer replaces the corpus-wide `distinct()` shuffle the edge
+    * builders used to pay purely to drop it (VERDICT r16 #6). A
+    * duplicate can never displace the true k-th candidate: dedup runs
+    * BEFORE the k cut. */
+  def trim(): Unit = if (n > 1) {
     val order = Array.range(0, n).sortBy(i => (-cs(i), ids(i)))
-    val keep = math.min(k, n)
-    val tIds = new Array[Long](keep); val tCs = new Array[Double](keep)
-    var i = 0
-    while (i < keep) { tIds(i) = ids(order(i)); tCs(i) = cs(order(i)); i += 1 }
-    System.arraycopy(tIds, 0, ids, 0, keep)
-    System.arraycopy(tCs, 0, cs, 0, keep)
-    n = keep
+    val tIds = new Array[Long](math.min(k, n))
+    val tCs = new Array[Double](tIds.length)
+    var out = 0; var i = 0
+    while (i < n && out < k) {
+      val j = order(i)
+      if (out == 0 || tIds(out - 1) != ids(j) || tCs(out - 1) != cs(j)) {
+        tIds(out) = ids(j); tCs(out) = cs(j); out += 1
+      }
+      i += 1
+    }
+    System.arraycopy(tIds, 0, ids, 0, out)
+    System.arraycopy(tCs, 0, cs, 0, out)
+    n = out
   }
 }
 
@@ -52,8 +65,15 @@ final class TopKEdgesBuf(val k: Int) {
   * decomposable. Buffer is O(max(4k, 256)) primitives per group per
   * task; shuffle carries ≤ k entries per (group, task).
   *
+  * Bit-identical (cos, dst) duplicates dedup inside the buffer
+  * (VERDICT r16 #6): the IVF builders' reverse harvest emits a pair in
+  * both orientations with identical bits, and the dedup here replaces
+  * the full `distinct()` shuffle of the candidate volume they used to
+  * need before ranking. Rows with the same dst but different cos are
+  * NOT merged (same as distinct()'s whole-row semantics).
+  *
   * Output: array<struct<dst: long, cos_sim: double>> — the group's k
-  * best, sorted (cos desc, dst asc).
+  * best distinct entries, sorted (cos desc, dst asc).
   */
 case class TopKEdges(dst: Expression, cos: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
@@ -83,10 +103,9 @@ case class TopKEdges(dst: Expression, cos: Expression, k: Int,
   }
 
   override def eval(b: TopKEdgesBuf): Any = {
-    b.trim()
-    val order = Array.range(0, b.n).sortBy(i => (-b.cs(i), b.ids(i)))
-    new GenericArrayData(order.map(i =>
-      InternalRow(b.ids(i), b.cs(i))).toArray[Any])
+    b.trim() // sorts (cos desc, dst asc), dedups, cuts to k — in place
+    new GenericArrayData(Array.tabulate[Any](b.n)(i =>
+      InternalRow(b.ids(i), b.cs(i))))
   }
 
   override def serialize(b: TopKEdgesBuf): Array[Byte] = {

@@ -206,6 +206,11 @@ class GraphRankSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(approx.forall { case (s, d, _) => s != d })
     assert(approx.groupBy(_._1).forall(_._2.length <= k))
+    // the reverse harvest's duplicate orientation must never survive to
+    // the output — dedup now lives inside TopKEdges' buffer, with no
+    // distinct() shuffle before the ranking (VERDICT r16 #6)
+    assert(approx.map(e => (e._1, e._2)).distinct.length === approx.length,
+      "duplicate (src, dst) pair in probe-mode edges")
     // every emitted edge carries the TRUE cosine (bit-equal to exact's
     // scoring of the same pair when that pair made exact's top-k)
     approx.foreach { case (s, d, c) =>

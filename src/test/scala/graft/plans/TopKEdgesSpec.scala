@@ -59,6 +59,31 @@ class TopKEdgesSpec extends SparkSpec {
     assert(got(2L) === Seq((20L, 0.1)))
   }
 
+  test("bit-identical duplicate rows dedup inside the buffer (VERDICT r16 #6)") {
+    // the reverse harvest emits a pair in both orientations with the
+    // SAME bits; the buffer must not let the duplicate occupy a second
+    // top-k slot or displace the true k-th candidate — this is what
+    // replaced the candidate-volume distinct() shuffle
+    val base = (1 to 40).map(i => (1L, i.toLong, i / 40.0))
+    val want = base.map(t => (t._2, t._3))
+      .sortBy { case (d, c) => (-c, d) }.take(5)
+    for (parts <- Seq(1, 2, 7)) { // dups within AND across partials
+      val got = runAgg(base ++ base, 5, parts)(1L)
+      assert(got === want, s"parts=$parts")
+    }
+    // same dst with DIFFERENT cos is not merged — whole-row semantics,
+    // exactly what distinct() used to do
+    val mixed = Seq((1L, 10L, 0.9), (1L, 10L, 0.8), (1L, 11L, 0.85))
+    assert(runAgg(mixed, 3, 1)(1L) ===
+      Seq((10L, 0.9), (11L, 0.85), (10L, 0.8)))
+    // saturation path: duplicates past the cap trim correctly
+    val heavy = (1 to 2000).flatMap(i =>
+      Seq((1L, (i % 50).toLong, (i % 50) / 50.0)))
+    val wantH = (0 until 50).map(d => (d.toLong, d / 50.0))
+      .sortBy { case (d, c) => (-c, d) }.take(7)
+    assert(runAgg(heavy, 7, 3)(1L) === wantH)
+  }
+
   test("buffer round-trips through serialize/deserialize; partials keep only top-k") {
     val agg = TopKEdges(GraftBridge.expression(lit(0L)),
       GraftBridge.expression(lit(0.0)), 3)

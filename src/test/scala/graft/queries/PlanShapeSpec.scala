@@ -478,6 +478,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(ip.toLowerCase.contains("topkedges"),
       s"per-src top-k aggregate missing:\n$ip")
     assert(!ip.contains("Window"), s"ranking window resurfaced:\n$ip")
+    // round-17 (VERDICT r16 #6): the harvest's duplicate orientation
+    // dedups INSIDE the TopKEdges buffer — the full-candidate-volume
+    // distinct() (a hash aggregate keyed on every column, plus its own
+    // exchange) must not resurface in probe mode. TopKEdges itself
+    // appears in `functions=[...]`, never with cos_sim as a KEY.
+    assert("""keys=\[[^\]]*cos_sim""".r.findFirstIn(ip).isEmpty,
+      s"candidate-volume distinct() resurfaced:\n$ip")
     // the probe ranking upstream of the (plan-truncating) reuse point
     // still broadcasts the centroid table and never builds a
     // corpus x corpus join — asserted on the same ranking shape the
