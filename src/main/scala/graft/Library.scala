@@ -218,6 +218,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       appendToHnswIndex(embRows.toDF())
       appendToSketchStates(rows)
       appendToKnnEdges(embRows.toDF())
+      appendToShardedIndex(embRows.toDF())
     }
   }
 
@@ -283,6 +284,7 @@ class Library(val spark: SparkSession, val warehouse: String,
       appendToHnswIndex(embRows.toDF())
       appendToSketchStates(rows)
       appendToKnnEdges(embRows.toDF())
+      appendToShardedIndex(embRows.toDF())
     }
   }
 
@@ -293,7 +295,8 @@ class Library(val spark: SparkSession, val warehouse: String,
     * indexes; the IVF layout keeps its `__cell` hive partitioning). */
   def exportTo(dest: String): Unit = {
     migrateLegacyFtsLayout()
-    val partCols = Map("embeddings_ivf" -> "__cell", "fts_postings" -> "__tb")
+    val partCols = Map("embeddings_ivf" -> "__cell", "fts_postings" -> "__tb",
+      "embeddings_hnsw_sharded" -> "__cell")
     Library.AllTables.filter(tableExists).foreach { t =>
       val w = spark.read.parquet(path(t)).write.mode(SaveMode.Overwrite)
       partCols.get(t).map(w.partitionBy(_)).getOrElse(w)
@@ -583,6 +586,133 @@ class Library(val spark: SparkSession, val warehouse: String,
       graft.operators.GraphRank.knnGraphArtifactAppend(
         emb, "id", "embedding", k, newIds)
       ()
+    }
+
+  // ------------------------------------------- sharded HNSW serving tier
+
+  /** Opt-in sharded-HNSW serving over the warehouse embeddings
+    * (VERDICT r16 #1 — the beyond-one-JVM graph-ANN tier, persisted):
+    * builds [[graft.operators.ShardedHnsw]] shards over the current
+    * corpus (chunkIds keyed as xxhash64 longs, the engine's
+    * integral-id contract) and lands them as warehouse tables — the
+    * blob table partitioned by `__cell` so ingest maintenance rewrites
+    * only touched leaves, the meta table freezing centers/fan/params,
+    * and an ids table recording which chunkIds are indexed. Every
+    * subsequent ingest batch maintains the tier through
+    * [[graft.operators.ShardedHnsw.insertPersisted]] — O(touched
+    * partitions) I/O, per-leaf rename + swap crash discipline.
+    *
+    * Deletes: tombstoned or physically removed chunks simply drop at
+    * [[shardedSearch]]'s live-chunks join (the same tolerance as the
+    * monolithic tier), so deletes never invalidate the tier. The one
+    * stale state — a REMOVED document re-ingested under recurring
+    * chunkIds with changed content — is detected by the ingest hook
+    * (a known chunkId arriving in a fresh batch) and drops the tier;
+    * re-enable to rebuild. */
+  def enableShardedServing(nCells: Int = 16, m: Int = 16,
+                           efConstruction: Int = 100, seed: Long = 42L,
+                           maxCellSize: Int = 65536): Unit = {
+    val emb = embeddings.select(col("chunkId"), col("embedding"))
+    val sh = graft.operators.ShardedHnsw.build(
+      emb.select(xxhash64(col("chunkId")).as("id"), col("embedding")),
+      "id", "embedding", nCells, m, efConstruction, seed, maxCellSize)
+    graft.operators.ShardedHnsw.save(sh,
+      path("embeddings_hnsw_sharded"), path("embeddings_hnsw_sharded_meta"))
+    graft.util.TableSwap.rewrite(path("embeddings_hnsw_sharded_ids"),
+      emb.select("chunkId"))
+    shardedCache = None
+  }
+
+  /** Ingest-time maintenance of the persisted sharded tier: the batch
+    * routes to the frozen clustering and only its touched cell leaves
+    * rewrite ([[graft.operators.ShardedHnsw.insertPersisted]]); the
+    * ids table appends its delta. A batch chunkId the ids table
+    * already knows signals a remove+re-ingest under a recurring id —
+    * the indexed vector may be stale, so the tier drops (rebuilt by
+    * the next [[enableShardedServing]]) instead of ever serving a
+    * wrong vector. */
+  private def appendToShardedIndex(newEmbeddings: DataFrame): Unit =
+    if (tableExists("embeddings_hnsw_sharded_meta") &&
+        tableExists("embeddings_hnsw_sharded_ids")) {
+      val known = spark.read.parquet(path("embeddings_hnsw_sharded_ids"))
+      val batch = newEmbeddings.select(col("chunkId"), col("embedding"))
+        .materializeOnce(eager = false)
+      val fresh = batch.join(known, Seq("chunkId"), "left_anti")
+        .select(col("chunkId"), xxhash64(col("chunkId")).as("id"),
+          col("embedding"))
+        .as[(String, Long, Array[Float])].collect().sortBy(_._1)
+      if (fresh.length < batch.count()) dropShardedTier()
+      else if (fresh.nonEmpty) {
+        graft.operators.ShardedHnsw.insertPersisted(spark,
+          path("embeddings_hnsw_sharded"),
+          path("embeddings_hnsw_sharded_meta"),
+          fresh.map { case (_, id, v) => (id, v) }.toSeq)
+        fresh.map(_._1).toSeq.toDF("chunkId").coalesce(1)
+          .write.mode(SaveMode.Append)
+          .parquet(path("embeddings_hnsw_sharded_ids"))
+        shardedCache = None
+      }
+    }
+
+  private def dropShardedTier(): Unit = {
+    Seq("embeddings_hnsw_sharded", "embeddings_hnsw_sharded_meta",
+      "embeddings_hnsw_sharded_ids")
+      .foreach(t => graft.util.TableSwap.delete(fs, new HPath(path(t))))
+    shardedCache = None
+  }
+
+  @transient private var shardedCache
+      : Option[graft.operators.ShardedHnsw.Shards] = None
+  private def loadSharded(): Option[graft.operators.ShardedHnsw.Shards] =
+    shardedCache.orElse {
+      if (!tableExists("embeddings_hnsw_sharded_meta") ||
+          !tableExists("embeddings_hnsw_sharded")) None
+      else {
+        shardedCache = Some(graft.operators.ShardedHnsw.load(spark,
+          path("embeddings_hnsw_sharded"),
+          path("embeddings_hnsw_sharded_meta")))
+        shardedCache
+      }
+    }
+
+  /** Single-query search served by the sharded tier: the query probes
+    * its `nProbe` nearest shards (0 = full coverage), candidates map
+    * back to chunkIds and take the usual chunk/doc joins — same output
+    * shape as [[vectorSearch]]/[[hnswSearch]]; tombstoned or deleted
+    * chunks drop at the live-chunks join (`k` over-fetches so
+    * survivors remain). Falls back to [[vectorSearch]] when the tier
+    * is absent. Unlike [[hnswSearch]] nothing index-sized ever sits in
+    * driver memory — the per-executor bound is the largest shard. */
+  def shardedSearch(queryVec: Array[Float], opts: SearchOptions,
+                    nProbe: Int = 0, ef: Int = 64): DataFrame =
+    loadSharded() match {
+      case None => vectorSearch(queryVec, opts)
+      case Some(sh) =>
+        val k = math.max(opts.limit * 2, 16)
+        val np = if (nProbe <= 0) sh.centers.length
+          else math.min(nProbe, sh.centers.length)
+        val q = Seq((0L, queryVec.toSeq)).toDF("qid", "qv")
+        val hits = graft.operators.ShardedHnsw.searchBatch(sh, q,
+            "qid", "qv", k, np, math.max(ef, k))
+          .select(col("id"),
+            (lit(1.0) - col("cos_dist") / lit(2.0)).as("score"))
+        val idMap = embeddings
+          .select(xxhash64(col("chunkId")).as("id"), col("chunkId"))
+        val hitDf = hits.join(idMap, Seq("id")).select("chunkId", "score")
+        val thresholded = opts.threshold
+          .map(t => hitDf.filter(col("score") >= t)).getOrElse(hitDf)
+        val ch = chunks
+        val docs = tagFiltered(opts.tags)
+          .select(col("id").as("docId"), col("title"))
+        thresholded
+          .join(ch.select(col("id").as("chunkId"), col("docId"),
+            col("page"), col("chunkIndex"), col("content")), Seq("chunkId"))
+          .join(broadcast(docs), Seq("docId"))
+          .select(col("docId"), col("title"), col("page"),
+            col("chunkIndex"), col("content"), col("score"),
+            lit("vector").as("matchType"))
+          .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+          .limit(opts.limit)
     }
 
   // ------------------------------------------------ maintained sketches
@@ -1165,6 +1295,10 @@ class Library(val spark: SparkSession, val warehouse: String,
       restoreIfMissing(new HPath(path(s"embeddings_ivf/__cell=$n")), old)
     }
     scratch.foreach(graft.util.TableSwap.delete(fs, _))
+    // sharded-HNSW single-leaf swaps keep the same cell-in-the-name
+    // scratch convention; the tier's writer owns the heal logic
+    graft.operators.ShardedHnsw.repairLeaves(spark,
+      path("embeddings_hnsw_sharded"))
   }
 
   /** Restore any IVF cell leaves stranded by a crashed bulk swap (the
@@ -1302,7 +1436,9 @@ object Library {
     "concepts", "hierarchy", "relations", "doc_concepts",
     "concept_embeddings", "tombstones",
     "embeddings_hnsw", "embeddings_hnsw_ids", "embeddings_hnsw_meta",
-    "sketch_hll", "sketch_cms", "sketch_kmv", "knn_edges_meta")
+    "sketch_hll", "sketch_cms", "sketch_kmv", "knn_edges_meta",
+    "embeddings_hnsw_sharded", "embeddings_hnsw_sharded_meta",
+    "embeddings_hnsw_sharded_ids")
 
   /** Maintained-sketch geometry (round 15): fixed per warehouse —
     * states merge only with like-configured states (the CMS table

@@ -169,6 +169,35 @@ class CrashRecoverySpec extends SparkSpec {
     assert(probed === res(new Library(spark, wh)))
   }
 
+  test("sharded-HNSW torn leaf swap: repair restores the cell and search is unchanged") {
+    val l = freshLib("crash-shnsw")
+    l.enableShardedServing(nCells = 4)
+    val fs = fsOf(l)
+    val wh = l.warehouse
+    val qv = l.embedder.embed("searchable corpus words")
+    def res(lib2: Library) = lib2.shardedSearch(qv, SearchOptions(limit = 6))
+      .collect().map(r => (r.getAs[String]("docId"),
+        r.getAs[Int]("chunkIndex"), r.getAs[Double]("score"))).toSeq
+    val want = res(l)
+    assert(want.nonEmpty)
+    // pick a populated cell leaf and tear its swap: live leaf moved
+    // aside into the per-leaf _old scratch, install never happened
+    val cell = Option(new java.io.File(s"$wh/embeddings_hnsw_sharded")
+      .listFiles()).get.map(_.getName)
+      .filter(_.startsWith("__cell=")).head.stripPrefix("__cell=")
+    assert(fs.rename(
+      new HPath(s"$wh/embeddings_hnsw_sharded/__cell=$cell"),
+      new HPath(s"$wh/embeddings_hnsw_sharded_cell${cell}_old")))
+    // stale _tmp from the same crash window is swept too
+    Seq((0, Array.emptyByteArray)).toDF("__sub", "__graph")
+      .write.parquet(s"$wh/embeddings_hnsw_sharded_cell${cell}_tmp")
+    l.repair()
+    assert(!rootNames(wh).exists(
+      _.matches("embeddings_hnsw_sharded_cell-?\\d+_(tmp|old)")))
+    // a cold Library serves the pre-crash results
+    assert(res(new Library(spark, wh)) === want)
+  }
+
   test("tombstone-compaction crash: tables already rewritten, sidecar still present") {
     val l = freshLib("crash-tomb")
     val wh = l.warehouse

@@ -103,6 +103,173 @@ class ShardedHnswSpec extends SparkSpec {
     assert(selfHits === emb.count(), "every vector must find itself")
   }
 
+  // ---------------------------------------------------------- persistence
+
+  private def tempTier(prefix: String): (String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    (s"$dir/shards", s"$dir/shards_meta")
+  }
+
+  private def searchAll(sh: ShardedHnsw.Shards, k: Int = 10)
+      : Seq[(Long, Int, Long, Double)] = {
+    val queries = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    ShardedHnsw.searchBatch(sh, queries, "qid", "qv", k,
+        nProbe = sh.centers.length)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+  }
+
+  test("save/load roundtrip: the reloaded tier serves identical rows") {
+    val (shardsPath, metaPath) = tempTier("shnsw-roundtrip")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 8)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    assert(re.centers.map(_.toSeq).toSeq === sh.centers.map(_.toSeq).toSeq)
+    assert(re.subsOf === sh.subsOf)
+    assert((re.m, re.efConstruction, re.seed) ===
+      (sh.m, sh.efConstruction, sh.seed))
+    assert(searchAll(re) === searchAll(sh))
+  }
+
+  test("persisted insert is O(touched): untouched leaves neither read nor rewritten") {
+    val (shardsPath, metaPath) = tempTier("shnsw-touched")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    // a batch sitting exactly on center 0 routes to cell 0 (distance 0,
+    // low-cell tie-break) — every other cell's leaf must stay untouched
+    // tiny unique perturbations keep the cell-0 routing but make each
+    // member its own unique nearest (identical vectors would tie-break
+    // to the lowest id)
+    val batch = (0 until 5).map { i =>
+      val v = sh.centers(0).map(_.toFloat)
+      v(0) += (i + 1) * 1e-4f
+      (9_000_000L + i, v)
+    }
+    val leafDirs = (0 until 4).map(c =>
+        c -> new java.io.File(s"$shardsPath/__cell=$c"))
+      .filter(_._2.isDirectory)
+    val untouched = leafDirs.filter(_._1 != 0)
+    assert(untouched.nonEmpty)
+    def statusOf(d: java.io.File): Set[(String, Long, Long)] =
+      d.listFiles().map(f =>
+        (f.getName, f.length(), f.lastModified())).toSet
+    val before = untouched.map { case (c, d) => c -> statusOf(d) }.toMap
+    // read-isolation proof: corrupt one untouched leaf's data files —
+    // any read of them during the insert would throw
+    val victim = untouched.head._2
+    val backups = victim.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map { f =>
+        val orig = java.nio.file.Files.readAllBytes(f.toPath)
+        val mtime = f.lastModified()
+        java.nio.file.Files.write(f.toPath,
+          "not a parquet file".getBytes("UTF-8"))
+        (f, orig, mtime)
+      }
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath, batch)
+    // restore the victim byte-for-byte (original bytes + mtime) so the
+    // write-isolation comparison below sees the pre-insert state
+    backups.foreach { case (f, orig, mtime) =>
+      java.nio.file.Files.write(f.toPath, orig)
+      f.setLastModified(mtime)
+    }
+    untouched.foreach { case (c, d) =>
+      assert(statusOf(d) === before(c), s"cell $c leaf changed")
+    }
+    // no scratch left behind
+    val parent = new java.io.File(shardsPath).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.contains("_cell") &&
+        (f.getName.endsWith("_tmp") || f.getName.endsWith("_old"))))
+    // the maintained tier serves old and new members at full coverage
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val q = batch.map { case (id, v) => (id, v.toSeq) }
+      .toDF("qid", "qv")
+    val self = ShardedHnsw.searchBatch(re, q, "qid", "qv", 1,
+        nProbe = re.centers.length)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(self.forall { case (qid, id) => qid == id },
+      "inserted members must find themselves")
+    // recall vs the exact top-10 over the POST-insert corpus (the
+    // inserted members are true near-neighbors of cell-0 queries and
+    // legitimately displace pre-insert entries)
+    val unionDf = emb.union(batch.toSeq.toDF("vec_id", "embedding"))
+    val exactUnion = VectorSearch.topKBatch(unionDf, "embedding",
+        "vec_id", emb.select(col("vec_id").as("__qid"),
+          col("embedding").as("__qv")), "__qid", "__qv", 10,
+        excludeSelf = false)
+      .select(col("__qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(searchAll(re).map(t => (t._1, t._3)).toSet
+      .count(exactUnion).toDouble / exactUnion.size >= 0.99)
+  }
+
+  test("frozen fan: an unpopulated sub stays reachable and inserts are never dropped") {
+    // cap 64 forces multi-sub cells; simulate a build where splitmix64
+    // left one (cell, sub) without members by dropping its blob row
+    // while keeping the FROZEN fan (ADVICE r16: a count-inferred fan
+    // made high-numbered subs unreachable and dropped inserts)
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4,
+      maxCellSize = 64)
+    val split = sh.subsOf.find(_._2 > 1)
+    assert(split.nonEmpty, "cap 64 must force sub-sharding")
+    val (cell, nsplit) = split.get
+    val dropped = sh.table.filter(col("__cell") === cell)
+      .orderBy(desc("__sub")).select("__sub").as[Int].head()
+    val filtered = new ShardedHnsw.Shards(
+      sh.table.filter(!(col("__cell") === cell && col("__sub") === dropped)),
+      sh.centers, sh.m, sh.efConstruction, sh.seed, sh.subsOf)
+    // members of the REMAINING subs of the split cell stay reachable at
+    // full coverage even though the cell's row count < frozen fan
+    val queries = emb.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val served = ShardedHnsw.searchBatch(filtered, queries, "qid", "qv",
+        k = 1, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val lost = ShardedHnsw.deserialize(
+      sh.table.filter(col("__cell") === cell && col("__sub") === dropped)
+        .select("__graph").head().getAs[Array[Byte]](0)).ids.toSet
+    emb.select("vec_id").as[Long].collect().filterNot(lost).foreach { id =>
+      assert(served.get(id).contains(id), s"member $id unreachable")
+    }
+    // a batch routed across the split cell's subs — including the
+    // dropped one — is fully served post-insert (fresh row, no drop)
+    val batch = (0 until 4 * nsplit).map { i =>
+      val v = sh.centers(cell).map(_.toFloat)
+      v(0) += (i + 1) * 1e-4f
+      (8_000_000L + i, v)
+    }
+    val post = ShardedHnsw.insert(filtered, batch)
+    val q = batch.map { case (id, v) => (id, v.toSeq) }.toDF("qid", "qv")
+    val self = ShardedHnsw.searchBatch(post, q, "qid", "qv", 1,
+        nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(self.length === batch.length)
+    assert(self.forall { case (qid, id) => qid == id },
+      "an insert routed to an unpopulated sub was dropped")
+  }
+
+  test("torn single-leaf swap heals: _old restores, scratch clears") {
+    val (shardsPath, metaPath) = tempTier("shnsw-torn")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val want = searchAll(ShardedHnsw.load(spark, shardsPath, metaPath))
+    val cell = sh.table.select("__cell").as[Int].head()
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    import org.apache.hadoop.fs.{Path => HPath}
+    // crash between move-aside and install: live leaf gone, _old holds it
+    assert(fs.rename(new HPath(s"$shardsPath/__cell=$cell"),
+      new HPath(s"${shardsPath}_cell${cell}_old")))
+    ShardedHnsw.repairLeaves(spark, shardsPath)
+    assert(fs.exists(new HPath(s"$shardsPath/__cell=$cell")))
+    assert(!fs.exists(new HPath(s"${shardsPath}_cell${cell}_old")))
+    assert(searchAll(ShardedHnsw.load(spark, shardsPath, metaPath))
+      === want)
+    // idempotent
+    ShardedHnsw.repairLeaves(spark, shardsPath)
+    assert(fs.exists(new HPath(s"$shardsPath/__cell=$cell")))
+  }
+
   test("oversized cells sub-shard: per-shard memory bounded, recall kept") {
     // cap 64 forces every ~500/8-member cell layout into sub-shards
     val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4,
@@ -126,5 +293,82 @@ class ShardedHnswSpec extends SparkSpec {
     val recall = sharded.count(exactTop).toDouble / exactTop.size
     info(f"sub-sharded full-coverage recall $recall%.4f")
     assert(recall >= 0.99, s"sub-sharding cost recall: $recall")
+  }
+
+  // ----------------------------------------------------- Library facade
+
+  test("Library facade: enableShardedServing + ingest maintenance + cold reload") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-shnsw").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 25).map(i => (s"/sh/doc$i.md",
+      s"# Doc$i\n" + (s"baseline sharded corpus retrieval text $i body. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 4)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("docId")).toSeq
+    val qv0 = lib.embedder.embed("sharded corpus retrieval text")
+    val opts = graft.model.SearchOptions(limit = 5)
+    // output contract parity with the exact path
+    assert(lib.shardedSearch(qv0, opts).columns
+      === lib.vectorSearch(qv0, opts).columns)
+    val exact0 = ids(lib.vectorSearch(qv0, opts))
+    val sharded0 = ids(lib.shardedSearch(qv0, opts))
+    assert((exact0.toSet & sharded0.toSet).size.toDouble
+      / exact0.size >= 0.75, s"exact=$exact0 sharded=$sharded0")
+    // ingest AFTER enable: the maintenance hook must insert, not stale
+    lib.addMarkdown((1 to 6).map(i => (s"/sh/new$i.md",
+      s"# New$i\n" + (s"zephyr quasar sharded novelty payload $i. " * 6)))
+      .toDS())
+    val qv = lib.embedder.embed("zephyr quasar sharded novelty payload")
+    val exact = ids(lib.vectorSearch(qv, opts))
+    val served = ids(lib.shardedSearch(qv, opts))
+    assert(exact.nonEmpty && served.contains(exact.head),
+      s"sharded=$served exact=$exact")
+    // COLD reload (fresh Library over the same warehouse) agrees — the
+    // tier is a persisted warehouse artifact, not session state
+    val lib2 = new graft.Library(spark, wh)
+    assert(ids(lib2.shardedSearch(qv, opts)) === served)
+    // a tombstoned doc's chunks drop at the live join, no rebuild
+    val victim = served.head
+    lib.removeDocumentFast(victim)
+    assert(!ids(lib.shardedSearch(qv, opts)).contains(victim))
+    // tier absent -> clean fallback to the exact path (same columns)
+    val bare = new graft.Library(spark,
+      java.nio.file.Files.createTempDirectory("graft-shnsw2").toString)
+    bare.addMarkdown(Seq(("/sh2/a.md", "# A\nfallback body words. " * 8)).toDS())
+    assert(bare.shardedSearch(qv, graft.model.SearchOptions(limit = 3))
+      .columns === bare.vectorSearch(qv,
+        graft.model.SearchOptions(limit = 3)).columns)
+  }
+
+  test("Library facade: re-ingest under a recurring chunkId drops the tier instead of serving stale vectors") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-shnsw3").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 12).map(i => (s"/st/doc$i.md",
+      s"# Doc$i\n" + (s"stale detection corpus text $i body words. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 4)
+    val qv = lib.embedder.embed("stale detection corpus text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("docId")).toSeq
+    val victim = ids(lib.shardedSearch(qv,
+      graft.model.SearchOptions(limit = 3))).head
+    // remove + re-ingest the same path with CHANGED content: chunkIds
+    // recur, so the indexed vectors may be stale -> the hook must drop
+    // the tier, and shardedSearch falls back to the exact path
+    val srcPath = lib.documents.filter(col("id") === victim)
+      .select("path").head().getString(0)
+    lib.removeDocument(victim)
+    lib.addMarkdown(Seq((srcPath,
+      "# Changed\n" + ("entirely different replacement content now. " * 6)))
+      .toDS())
+    val fs = graft.util.TableSwap.fileSystem(spark, wh)
+    import org.apache.hadoop.fs.{Path => HPath}
+    assert(!fs.exists(new HPath(s"$wh/embeddings_hnsw_sharded_meta")),
+      "a recurring chunkId must drop the sharded tier")
+    // fallback still answers, and never the stale vector set
+    val after = ids(lib.shardedSearch(qv, graft.model.SearchOptions(limit = 3)))
+    assert(after === ids(lib.vectorSearch(qv,
+      graft.model.SearchOptions(limit = 3))))
   }
 }
