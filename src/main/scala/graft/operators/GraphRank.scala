@@ -825,23 +825,9 @@ object GraphRank {
         // reuse a companion that already exists (e.g. carried forward
         // by knnGraphArtifactAppend) or its edges would disagree with
         // the centers a later append deltas from
-        (s"knn$k-edges-ivf2-$nCells-$nProbe-$seed", () => {
-          val typed = df.select(col(idCol).cast("long").as("id"),
-            col(vecCol).as("__v"))
-          val centKind = ivfCentKind(nCells, seed)
-          val centers =
-            if (graft.util.DiskArtifact.exists(centKind, stamp))
-              readCenters(df.sparkSession, centKind, stamp)
-            else {
-              val n = typed.count()
-              require(nCells <= n,
-                s"nCells=$nCells exceeds corpus size $n")
-              val c = ivfCenters(typed, nCells, seed)
-              persistCenters(df.sparkSession, centKind, stamp, c)
-              c
-            }
-          ivfEdgesFrozen(df, idCol, vecCol, k, centers, nProbe, 65536)
-        })
+        (s"knn$k-edges-ivf2-$nCells-$nProbe-$seed",
+          () => ivfArtifactBuild(df, idCol, vecCol, k, nCells, nProbe,
+            seed, stamp))
       case "srp" =>
         require(srpDim > 0, "srp edge source needs srpDim = embedding dim")
         (s"knn$k-edges-srp$srpDim",
@@ -850,9 +836,14 @@ object GraphRank {
         (s"knn$k-edges-hnsw",
           () => knnGraphHnsw(df, idCol, vecCol, k))
       case "hnsw-sharded" =>
+        // the shard handle persists as a stamp-keyed companion (the
+        // ivf centroid pattern) so incremental maintenance can
+        // ShardedHnsw.insert into the FROZEN clustering + fan instead
+        // of rebuilding the index per batch
         (s"knn$k-edges-hnswsh$nCells-$seed",
-          () => knnGraphShardedHnsw(df, idCol, vecCol, k, nCells,
-            seed = seed))
+          () => shardedHnswEdges(
+            shardedCompanion(df, idCol, vecCol, nCells, seed, stamp),
+            df, idCol, vecCol, k))
       case other =>
         throw new IllegalArgumentException(
           s"unknown edgeSource '$other' " +
@@ -918,13 +909,25 @@ object GraphRank {
                           maxCellSize: Int = 65536): DataFrame = {
     val sh = ShardedHnsw.build(df, idCol, vecCol, nCells, m,
       efConstruction, seed, maxCellSize)
+    shardedHnswEdges(sh, df, idCol, vecCol, k, ef)
+  }
+
+  /** Edge query half of [[knnGraphShardedHnsw]] against an EXISTING
+    * shard handle — shared by the fresh build and the stamp-keyed
+    * artifact path, whose handle reloads from the persisted companion
+    * instead of rebuilding. */
+  private[graft] def shardedHnswEdges(sh: ShardedHnsw.Shards,
+                                      df: DataFrame, idCol: String,
+                                      vecCol: String, k: Int,
+                                      ef: Int = 64): DataFrame = {
     val typed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     // k+1 beam: the query point itself sits at distance 0 in its own
     // corpus; drop it, keep the k best OTHER candidates by exact cos
     val cand = ShardedHnsw.searchBatch(sh,
         typed.select(col("id").as("qid"), col("v").as("qv")),
-        "qid", "qv", k + 1, nProbe = nCells, ef = math.max(ef, k + 1))
+        "qid", "qv", k + 1, nProbe = sh.centers.length,
+        ef = math.max(ef, k + 1))
       .filter(col("qid") =!= col("id"))
       .select(col("qid").as("src"), col("id").as("dst"))
     val vecs = typed.select(col("id"), col("v"))
@@ -1235,8 +1238,17 @@ object GraphRank {
     *     clustering read from the persisted centroid companion; the
     *     frozen centers are carried forward under the new stamp so
     *     every subsequent batch deltas too (re-train by deleting the
-    *     artifact).
-    * Either way the result lands under the full corpus's own content
+    *     artifact);
+    *   - `"hnsw-sharded"` — the serving companion (shard blob table +
+    *     meta) maintains through [[ShardedHnsw.insert]] under its
+    *     FROZEN clustering and fan and lands under the new stamp,
+    *     while the edge delta itself rides [[knnGraphAppend]]'s exact
+    *     O(corpus·batch) decomposability pass: the batch srcs' edges
+    *     and every old src's batch candidates come out exact — at
+    *     least as good as re-querying the beam, in the same single
+    *     pass the old-src side needs anyway — so at full coverage
+    *     append ≡ rebuild ≡ exact (VERDICT r16 #2).
+    * In every kind the result lands under the full corpus's own content
     * stamp — a reader asking for the graph of THIS corpus state gets
     * it or rebuilds, never a stale set (crash-torn writes rebuild via
     * the `_SUCCESS` check, pinned in `CrashRecoverySpec`). */
@@ -1277,16 +1289,134 @@ object GraphRank {
                   seed)),
               centers, full, idCol, vecCol, k, nProbe, newIds)
           } else
-            knnGraphArtifact(full, idCol, vecCol, k, edgeSource = "ivf",
-              nCells = nCells, nProbe = nProbe, seed = seed))
+            // build directly — wrapping knnGraphArtifact would re-enter
+            // getOrBuild for THIS (kind, newStamp) and self-overwrite
+            ivfArtifactBuild(full, idCol, vecCol, k, nCells, nProbe,
+              seed, newStamp))
+      case "hnsw-sharded" =>
+        val kind = s"knn$k-edges-hnswsh$nCells-$seed"
+        val ik = shardedIdxKind(nCells, seed)
+        val mk = shardedMetaKind(nCells, seed)
+        graft.util.DiskArtifact.getOrBuild(spark, kind, newStamp)(() =>
+          if (graft.util.DiskArtifact.exists(kind, oldStamp) &&
+              graft.util.DiskArtifact.exists(ik, oldStamp) &&
+              graft.util.DiskArtifact.exists(mk, oldStamp)) {
+            import spark.implicits._
+            // maintain the serving companion: the batch inserts into
+            // the FROZEN clustering + fan, only touched shards rewrite,
+            // and the maintained index lands under the new stamp so the
+            // NEXT batch deltas from it too
+            val oldSh = ShardedHnsw.fromFrames(
+              graft.util.DiskArtifact.getOrBuild(spark, ik, oldStamp)(
+                () => throw new IllegalStateException(
+                  s"$ik@$oldStamp should exist")),
+              graft.util.DiskArtifact.getOrBuild(spark, mk, oldStamp)(
+                () => throw new IllegalStateException(
+                  s"$mk@$oldStamp should exist")))
+            val batch = full
+              .select(col(idCol).cast("long").as("id"), col(vecCol))
+              .as[(Long, Array[Float])]
+              .filter(r => newSet(r._1)).collect().sortBy(_._1).toSeq
+            require(batch.length == newSet.size,
+              s"newIds must all be present in full " +
+                s"(got ${batch.length} of ${newSet.size})")
+            persistSharded(spark, ShardedHnsw.insert(oldSh, batch),
+              ik, mk, newStamp)
+            // exact O(corpus·batch) edge delta (decomposability): new
+            // srcs and old srcs' batch candidates come out exact — the
+            // beam cannot beat it, and the single pass is the same
+            // work the old-src side needs regardless
+            knnGraphAppend(
+              graft.util.DiskArtifact.getOrBuild(spark, kind, oldStamp)(
+                () => throw new IllegalStateException(
+                  s"$kind@$oldStamp should exist")),
+              full, idCol, vecCol, k, newIds)
+          } else
+            shardedHnswEdges(
+              shardedCompanion(full, idCol, vecCol, nCells, seed,
+                newStamp),
+              full, idCol, vecCol, k))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown edgeSource '$other' for append (exact | ivf)")
+          s"unknown edgeSource '$other' for append " +
+            "(exact | ivf | hnsw-sharded)")
     }
   }
 
   private[graft] def ivfCentKind(nCells: Int, seed: Long): String =
     s"ivfcent$nCells-$seed"
+
+  /** Fresh-build half of the ivf artifact: resolve (or fit + persist)
+    * the stamp-keyed centroid companion, then build the frozen-center
+    * edges. Factored out of [[knnGraphArtifact]] so the append path's
+    * no-prior-artifact fallback can build DIRECTLY inside its own
+    * getOrBuild — re-entering getOrBuild for the same (kind, stamp)
+    * would overwrite the parquet path it is simultaneously reading. */
+  private def ivfArtifactBuild(df: DataFrame, idCol: String,
+                               vecCol: String, k: Int, nCells: Int,
+                               nProbe: Int, seed: Long,
+                               stamp: String): DataFrame = {
+    val typed = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"))
+    val centKind = ivfCentKind(nCells, seed)
+    val centers =
+      if (graft.util.DiskArtifact.exists(centKind, stamp))
+        readCenters(df.sparkSession, centKind, stamp)
+      else {
+        val n = typed.count()
+        require(nCells <= n,
+          s"nCells=$nCells exceeds corpus size $n")
+        val c = ivfCenters(typed, nCells, seed)
+        persistCenters(df.sparkSession, centKind, stamp, c)
+        c
+      }
+    ivfEdgesFrozen(df, idCol, vecCol, k, centers, nProbe, 65536)
+  }
+
+  private[graft] def shardedIdxKind(nCells: Int, seed: Long): String =
+    s"hnswshidx$nCells-$seed"
+  private[graft] def shardedMetaKind(nCells: Int, seed: Long): String =
+    s"hnswshmeta$nCells-$seed"
+
+  /** Get-or-build the persisted sharded-HNSW companion for (corpus
+    * stamp, nCells, seed): the shard blob table + meta land as two
+    * stamp-keyed artifacts, so the serving index of a corpus state
+    * materializes exactly once and incremental maintenance
+    * ([[knnGraphArtifactAppend]] hnsw-sharded) can insert into the
+    * FROZEN clustering instead of rebuilding. The returned handle's
+    * table reads the PERSISTED copy — the artifact serves, session
+    * frames don't linger. */
+  private def shardedCompanion(df: DataFrame, idCol: String,
+                               vecCol: String, nCells: Int, seed: Long,
+                               stamp: String): ShardedHnsw.Shards = {
+    val spark = df.sparkSession
+    val ik = shardedIdxKind(nCells, seed)
+    val mk = shardedMetaKind(nCells, seed)
+    if (graft.util.DiskArtifact.exists(ik, stamp) &&
+        graft.util.DiskArtifact.exists(mk, stamp))
+      ShardedHnsw.fromFrames(
+        graft.util.DiskArtifact.getOrBuild(spark, ik, stamp)(() =>
+          throw new IllegalStateException(s"$ik@$stamp should exist")),
+        graft.util.DiskArtifact.getOrBuild(spark, mk, stamp)(() =>
+          throw new IllegalStateException(s"$mk@$stamp should exist")))
+    else {
+      val sh = ShardedHnsw.build(df, idCol, vecCol, nCells, seed = seed)
+      persistSharded(spark, sh, ik, mk, stamp)
+    }
+  }
+
+  /** Land a shard handle's frames under (kind, stamp) and return the
+    * handle re-bound to the persisted table. */
+  private def persistSharded(spark: org.apache.spark.sql.SparkSession,
+                             sh: ShardedHnsw.Shards, ik: String,
+                             mk: String, stamp: String)
+      : ShardedHnsw.Shards = {
+    val table = graft.util.DiskArtifact.getOrBuild(spark, ik, stamp)(
+      () => sh.table)
+    val meta = graft.util.DiskArtifact.getOrBuild(spark, mk, stamp)(
+      () => ShardedHnsw.metaFrame(sh))
+    ShardedHnsw.fromFrames(table, meta)
+  }
 
   private[graft] def readCenters(spark: org.apache.spark.sql.SparkSession,
                                  centKind: String, stamp: String)
