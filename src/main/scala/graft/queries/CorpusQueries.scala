@@ -1926,6 +1926,84 @@ object CorpusQueries {
           .orderBy(desc("score"), asc("vec_id")).limit(24)
       }),
 
+    // Sharded-HNSW edge source certified end to end (round 17, VERDICT
+    // r16 #5): the graph-ANN candidate generator with ZERO driver
+    // collects anywhere — shards build in mapGroups over the frozen
+    // k-means cells, the corpus queries itself as one cogrouped batch
+    // at FULL coverage, candidates re-rank by the exact codegen cosine
+    // — and PageRank over that artifact must hash-match the oracle's
+    // from-scratch exact kNN window (at full coverage the beam covers
+    // each bounded shard, so edges equal exact). The LAST uncertified
+    // edge source: exact (q140), ivf (q167), hnsw-sharded here
+    Q("q178_knn_pagerank_sharded", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 8),
+      ${graft.operators.GraphRank.oracleSqlCtes(rounds = 4)}
+      SELECT id AS vec_id, score FROM pr
+      ORDER BY score DESC, id LIMIT 22"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
+          k = 8, edgeSource = "hnsw-sharded", nCells = 8)
+        GraphRank.pagerank(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 4)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(22)
+      }),
+
+    // The sharded-HNSW MAINTAINED artifact end to end (round 17,
+    // VERDICT r16 #2): the corpus arrives as an old corpus + a 10%
+    // ingest batch; the old hnsw-sharded artifact (with its persisted
+    // shard-table + meta companions) materializes first, then
+    // knnGraphArtifactAppend inserts the batch into the FROZEN
+    // clustering + fan (only touched shards rewrite) and lands the
+    // edge delta via the exact O(corpus·batch) decomposability pass —
+    // and PageRank over THAT maintained graph must hash-match the
+    // oracle's from-scratch exact kNN over the full corpus (full
+    // coverage ≡ exact, append ≡ rebuild). The q177 chain for the
+    // graph-ANN tier. k=6 (not q178's 8) so the artifact KIND differs
+    // from q178's — the append branch must actually run, not serve
+    // the full-corpus artifact q178 already landed under this stamp
+    Q("q179_knn_pagerank_sharded_append", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      nodes AS (SELECT vec_id AS id FROM e),
+      edges AS (SELECT src, dst FROM knn WHERE rn <= 6),
+      ${graft.operators.GraphRank.oracleSqlCtes(rounds = 4)}
+      SELECT id AS vec_id, score FROM pr
+      ORDER BY score DESC, id LIMIT 26"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ids = emb.select(col("vec_id").cast("long")).orderBy(desc("vec_id"))
+          .limit((emb.count() / 10).toInt.max(1))
+          .collect().map(_.getLong(0)).toSeq
+        val old = emb.filter(!col("vec_id").isInCollection(ids))
+        // the pre-ingest state an earlier session would have built
+        GraphRank.knnGraphArtifact(old, "vec_id", "embedding", k = 6,
+          edgeSource = "hnsw-sharded", nCells = 8).count()
+        val edges = GraphRank.knnGraphArtifactAppend(emb, "vec_id",
+          "embedding", k = 6, newIds = ids, edgeSource = "hnsw-sharded",
+          nCells = 8)
+        GraphRank.pagerank(emb.select("vec_id"), "vec_id",
+            edges, "src", "dst", rounds = 4)
+          .select(col("id").as("vec_id"), col("score"))
+          .orderBy(desc("score"), asc("vec_id")).limit(26)
+      }),
+
     // Maintained HLL state under ingest-batch merging (round 15,
     // VERDICT r14 #4): the corpus arrives as THREE batches (doc_id mod
     // 3 — the ingest simulation), each batch sketches independently,
@@ -2315,7 +2393,24 @@ object CorpusQueries {
     // via the Latin zero-trigram prior as 'en'
     13L -> "Το φθινόπωρο τα παιδιά μαζεύουν κίτρινα φύλλα στο πάρκο και τα πηγαίνουν σπίτι για να φτιάξουν ένα όμορφο μπουκέτο για τη γιαγιά τους.",
     14L -> "בסתיו הילדים אוספים עלים צהובים בפארק ולוקחים אותם הביתה כדי להכין זר יפה לסבתא שלהם.",
-    15L -> "শরৎকালে শিশুরা পার্কে হলুদ পাতা কুড়িয়ে বাড়িতে নিয়ে যায় যাতে দাদির জন্য সুন্দর একটি তোড়া বানাতে পারে।")
+    15L -> "শরৎকালে শিশুরা পার্কে হলুদ পাতা কুড়িয়ে বাড়িতে নিয়ে যায় যাতে দাদির জন্য সুন্দর একটি তোড়া বানাতে পারে।",
+    // round 17 widening: the remaining single-language script blocks
+    // (ta te kn ml gu pa or si ka hy am lo km my) — same held-out
+    // register, one sentence per block
+    16L -> "இலையுதிர் காலத்தில் குழந்தைகள் பூங்காவில் மஞ்சள் இலைகளை சேகரித்து பாட்டிக்காக அழகான பூங்கொத்து செய்ய வீட்டிற்கு கொண்டு செல்கிறார்கள்.",
+    17L -> "శరదృతువులో పిల్లలు పార్కులో పసుపు ఆకులను సేకరించి అమ్మమ్మ కోసం అందమైన పూలగుత్తిని చేయడానికి ఇంటికి తీసుకెళ్తారు.",
+    18L -> "ಶರತ್ಕಾಲದಲ್ಲಿ ಮಕ್ಕಳು ಉದ್ಯಾನದಲ್ಲಿ ಹಳದಿ ಎಲೆಗಳನ್ನು ಸಂಗ್ರಹಿಸಿ ಅಜ್ಜಿಗೆ ಸುಂದರವಾದ ಹೂಗುಚ್ಛ ಮಾಡಲು ಮನೆಗೆ ಒಯ್ಯುತ್ತಾರೆ.",
+    19L -> "ശരത്കാലത്ത് കുട്ടികൾ പാർക്കിൽ മഞ്ഞ ഇലകൾ ശേഖരിച്ച് മുത്തശ്ശിക്ക് മനോഹരമായ പൂച്ചെണ്ട് ഉണ്ടാക്കാൻ വീട്ടിലേക്ക് കൊണ്ടുപോകുന്നു.",
+    20L -> "પાનખરમાં બાળકો બગીચામાં પીળાં પાંદડાં ભેગાં કરે છે અને દાદી માટે સુંદર ગુલદસ્તો બનાવવા ઘરે લઈ જાય છે.",
+    21L -> "ਪਤਝੜ ਵਿੱਚ ਬੱਚੇ ਪਾਰਕ ਵਿੱਚ ਪੀਲੇ ਪੱਤੇ ਇਕੱਠੇ ਕਰਦੇ ਹਨ ਅਤੇ ਦਾਦੀ ਲਈ ਸੁੰਦਰ ਗੁਲਦਸਤਾ ਬਣਾਉਣ ਲਈ ਘਰ ਲੈ ਜਾਂਦੇ ਹਨ।",
+    22L -> "ଶରତ ଋତୁରେ ପିଲାମାନେ ଉଦ୍ୟାନରେ ହଳଦିଆ ପତ୍ର ସଂଗ୍ରହ କରନ୍ତି ଏବଂ ଜେଜେମା ପାଇଁ ସୁନ୍ଦର ଫୁଲତୋଡ଼ା ତିଆରି କରିବାକୁ ଘରକୁ ନିଅନ୍ତି।",
+    23L -> "සරත් සෘතුවේදී ළමයි උද්‍යානයේ කහ පැහැති කොළ එකතු කර ආච්චිට ලස්සන මල් කළඹක් සෑදීමට ගෙදර ගෙන යති.",
+    24L -> "შემოდგომაზე ბავშვები პარკში ყვითელ ფოთლებს აგროვებენ და სახლში მიაქვთ, რომ ბებიისთვის ლამაზი თაიგული გააკეთონ.",
+    25L -> "Աշնանը երեխաները այգում դեղին տերևներ են հավաքում և տանում տուն, որպեսզի տատիկի համար գեղեցիկ ծաղկեփունջ պատրաստեն։",
+    26L -> "በመኸር ወቅት ልጆች በፓርኩ ውስጥ ቢጫ ቅጠሎችን ይሰበስባሉ እና ለአያታቸው ቆንጆ የአበባ እቅፍ ለመሥራት ወደ ቤት ይወስዳሉ።",
+    27L -> "ໃນລະດູໃບໄມ້ຫຼົ່ນ ເດັກນ້ອຍເກັບໃບໄມ້ສີເຫຼືອງຢູ່ສວນສາທາລະນະ ແລະ ນຳກັບບ້ານເພື່ອເຮັດຊໍ່ດອກໄມ້ງາມໃຫ້ແມ່ເຖົ້າ.",
+    28L -> "នៅរដូវស្លឹកឈើជ្រុះ ក្មេងៗប្រមូលស្លឹកឈើពណ៌លឿងនៅសួនច្បារ ហើយយកទៅផ្ទះដើម្បីធ្វើបាច់ផ្កាស្អាតសម្រាប់ជីដូន។",
+    29L -> "ဆောင်းဦးရာသီတွင် ကလေးများသည် ပန်းခြံထဲတွင် အဝါရောင်သစ်ရွက်များကို စုဆောင်းပြီး အဖွားအတွက် လှပသော ပန်းစည်းလုပ်ရန် အိမ်သို့ ယူသွားကြသည်။")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

@@ -182,6 +182,46 @@ class LangIdSpec extends SparkSpec {
       controls(204L) == "hi")
   }
 
+  test("confusion matrix: the 14 round-17 single-language script blocks on held-out text") {
+    // ta te kn ml gu pa or si ka hy am lo km my — each block carries
+    // one servable language, decided by script ratio alone (the same
+    // mechanism as el/he/bn). Before this, all fourteen normalized to
+    // nothing in every trigram bucket and exited as 'en'.
+    val heldOut: Seq[(String, String)] = Seq(
+      "ta" -> "குளிர்காலத்தில் நாங்கள் அடிக்கடி தேனுடன் சூடான தேநீர் குடித்து ஜன்னல் அருகில் பழைய புத்தகங்களை படிக்கிறோம்.",
+      "te" -> "శీతాకాలంలో మేము తరచుగా తేనెతో వేడి టీ తాగుతూ కిటికీ పక్కన పాత పుస్తకాలు చదువుతాము.",
+      "kn" -> "ಚಳಿಗಾಲದಲ್ಲಿ ನಾವು ಆಗಾಗ ಜೇನುತುಪ್ಪದೊಂದಿಗೆ ಬಿಸಿ ಚಹಾ ಕುಡಿದು ಕಿಟಕಿಯ ಪಕ್ಕ ಹಳೆಯ ಪುಸ್ತಕಗಳನ್ನು ಓದುತ್ತೇವೆ.",
+      "ml" -> "ശൈത്യകാലത്ത് ഞങ്ങൾ പലപ്പോഴും തേനോടുകൂടിയ ചൂടുള്ള ചായ കുടിച്ച് ജനലിനരികിൽ പഴയ പുസ്തകങ്ങൾ വായിക്കുന്നു.",
+      "gu" -> "શિયાળામાં અમે ઘણીવાર મધ સાથે ગરમ ચા પીએ છીએ અને બારી પાસે જૂનાં પુસ્તકો વાંચીએ છીએ.",
+      "pa" -> "ਸਰਦੀਆਂ ਵਿੱਚ ਅਸੀਂ ਅਕਸਰ ਸ਼ਹਿਦ ਨਾਲ ਗਰਮ ਚਾਹ ਪੀਂਦੇ ਹਾਂ ਅਤੇ ਖਿੜਕੀ ਕੋਲ ਪੁਰਾਣੀਆਂ ਕਿਤਾਬਾਂ ਪੜ੍ਹਦੇ ਹਾਂ।",
+      "or" -> "ଶୀତଦିନେ ଆମେ ପ୍ରାୟତଃ ମହୁ ସହିତ ଗରମ ଚା ପିଉ ଏବଂ ଝରକା ପାଖରେ ପୁରୁଣା ବହି ପଢ଼ୁ।",
+      "si" -> "ශීත කාලයේදී අපි බොහෝ විට මී පැණි සමඟ උණුසුම් තේ බොමින් ජනේලය අසල පරණ පොත් කියවමු.",
+      "ka" -> "ზამთარში ჩვენ ხშირად ვსვამთ ცხელ ჩაის თაფლით და ვკითხულობთ ძველ წიგნებს ფანჯარასთან.",
+      "hy" -> "Ձմռանը մենք հաճախ տաք թեյ ենք խմում մեղրով և հին գրքեր կարդում պատուհանի մոտ։",
+      "am" -> "በክረምት ብዙ ጊዜ ሙቅ ሻይ ከማር ጋር እንጠጣለን እና በመስኮቱ አጠገብ የድሮ መጻሕፍትን እናነባለን።",
+      "lo" -> "ໃນລະດູໜາວ ພວກເຮົາມັກດື່ມຊາຮ້ອນກັບນໍ້າເຜິ້ງ ແລະ ອ່ານປຶ້ມເກົ່າຢູ່ຂ້າງປ່ອງຢ້ຽມ.",
+      "km" -> "នៅរដូវរងារ យើងច្រើនតែផឹកតែក្តៅជាមួយទឹកឃ្មុំ ហើយអានសៀវភៅចាស់នៅក្បែរបង្អួច។",
+      "my" -> "ဆောင်းရာသီတွင် ကျွန်ုပ်တို့သည် ပျားရည်နှင့် လက်ဖက်ရည်ပူကို မကြာခဏ သောက်ပြီး ပြတင်းပေါက်အနီးတွင် စာအုပ်ဟောင်းများကို ဖတ်ကြသည်။")
+    val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val confusions = heldOut.zipWithIndex.collect {
+      case ((want, _), i) if preds(i.toLong) != want =>
+        s"$want -> ${preds(i.toLong)}"
+    }
+    assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
+    // neighboring blocks untouched: Bengali stays bn (Odia is a
+    // DIFFERENT block), Thai stays th (Lao is a different block),
+    // Devanagari trigram routing and the Latin tier are unaffected —
+    // note pa/or sentences end in Devanagari danda '।' (one deva char,
+    // far below the ratio gate)
+    val controls = predict(Seq(
+      300L -> "শরৎকালে শিশুরা পার্কে হলুদ পাতা কুড়ায় এবং বাড়িতে নিয়ে যায়।",
+      301L -> "อากาศในฤดูหนาวเย็นมาก เราจึงดื่มชาร้อนและอ่านหนังสือเก่าข้างหน้าต่าง",
+      302L -> "दिल्ली भारत की राजधानी है और यहाँ बहुत से लोग रहते हैं।",
+      303L -> "The weather was fine and the children played outside all afternoon."))
+    assert(controls(300L) == "bn" && controls(301L) == "th" &&
+      controls(302L) == "hi" && controls(303L) == "en")
+  }
+
   test("profiles are deterministic literals with sane shape") {
     val p = LangId.Profiles
     assert(p.keySet == LangId.TrigramLangs.toSet)
