@@ -328,17 +328,23 @@ object ShardedHnsw {
     (s"${shardsPath}_cell${cell}_tmp", s"${shardsPath}_cell${cell}_old")
 
   /** O(touched) ingest maintenance of the PERSISTED tier (VERDICT r16
-    * #1): route the batch by the frozen clustering + fan, then for
-    * each touched CELL read only that cell's partition leaf, update
+    * #1): route the batch by the frozen clustering + fan, read ONLY
+    * the touched cell partition leaves (per-leaf paths — untouched
+    * leaves are neither listed, read, nor rewritten; the maintenance
+    * I/O is bounded by the touched partitions, not the index), update
     * the routed-to blobs ([[Hnsw.insert]]; blobs of other subs in the
-    * same leaf pass through as bytes, never deserialized), and swap
-    * the rewritten leaf in via the per-leaf rename discipline.
-    * Untouched cell leaves are neither listed, read, nor rewritten —
-    * the maintenance I/O is bounded by the touched partitions, not
-    * the index. A routed-to (cell, sub) with no blob row gets a fresh
-    * subgraph row appended to its leaf. Crash-safe: a torn swap
-    * leaves the original leaf recoverable in `_old`
-    * ([[repairLeaves]]). */
+    * same leaf pass through as bytes, never deserialized), land every
+    * rewritten leaf in ONE write job into scratch OUTSIDE the table
+    * root, then swap each touched leaf in via the per-leaf rename
+    * discipline. One job instead of two per touched leaf — a
+    * 1000-chunk batch costs 2 jobs, not ~2000 (round-17 bench: the
+    * per-leaf-job form was 3.6x slower than a FULL rewrite at 20k
+    * vectors purely on job overhead). A routed-to (cell, sub) with no
+    * blob row gets a fresh subgraph row in its leaf. Crash-safe: a
+    * torn swap leaves the original leaf recoverable in `_old` and
+    * stranded scratch sweeps ([[repairLeaves]]); a retry of the whole
+    * batch is idempotent ([[Hnsw.insert]] skips ids the subgraph
+    * already holds). */
   def insertPersisted(spark: SparkSession, shardsPath: String,
                       metaPath: String,
                       batch: Seq[(Long, Array[Float])]): Unit = {
@@ -347,41 +353,61 @@ object ShardedHnsw {
     val (centers, subsOf, m, efc, seed) = readMeta(spark, metaPath)
     val byKey = routeBatch(centers, subsOf, batch)
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
-    byKey.groupBy(_._1._1).foreach { case (cell, cellKeys) =>
-      val leaf = leafPath(shardsPath, cell)
-      val (tmp, old) = leafScratch(shardsPath, cell)
-      val bySub: Map[Int, Seq[(Long, Array[Float])]] =
-        cellKeys.map { case ((_, sub), rows) => sub -> rows }
-      val freshDf = (present: Set[Int]) => {
-        val missing = bySub.keySet -- present
-        if (missing.isEmpty) None
-        else Some(spark.createDataFrame(missing.toSeq.map { sub =>
-          (sub, serialize(Hnsw.build(bySub(sub), m, efc, seed)))
-        }).toDF("__sub", "__graph"))
-      }
-      val next =
-        if (fs.exists(new HPath(leaf))) {
-          val cur = spark.read.parquet(leaf) // (__sub, __graph)
-          val present = cur.select("__sub").as[Int].collect().toSet
-          val bc = spark.sparkContext.broadcast(bySub)
-          val updated = cur.as[(Int, Array[Byte])].map {
-            case (sub, bytes) =>
-              bc.value.get(sub) match {
-                case None => (sub, bytes)
-                case Some(rows) =>
-                  (sub, serialize(Hnsw.insert(deserialize(bytes), rows)))
-              }
-          }.toDF("__sub", "__graph")
-          freshDf(present).map(updated.union).getOrElse(updated)
-        } else freshDf(Set.empty).get
-      graft.util.TableSwap.rewriteVia(leaf, next, tmp, old)
+    val touched: Seq[Int] = byKey.keys.map(_._1).toSeq.distinct.sorted
+    val liveLeaves = touched.filter(c =>
+      fs.exists(new HPath(leafPath(shardsPath, c))))
+    val existing = liveLeaves.map { cell =>
+        spark.read.parquet(leafPath(shardsPath, cell))
+          .select(lit(cell).as("__cell"), col("__sub"), col("__graph"))
+      }.reduceOption(_ unionByName _)
+    val present: Set[(Int, Int)] = existing.map(
+        _.select("__cell", "__sub").as[(Int, Int)].collect().toSet)
+      .getOrElse(Set.empty)
+    val bc = spark.sparkContext.broadcast(byKey)
+    val updated = existing.map(_.as[(Int, Int, Array[Byte])].map {
+      case (cell, sub, bytes) =>
+        bc.value.get((cell, sub)) match {
+          case None => (cell, sub, bytes)
+          case Some(rows) =>
+            (cell, sub, serialize(Hnsw.insert(deserialize(bytes), rows)))
+        }
+    }.toDF("__cell", "__sub", "__graph"))
+    val freshKeys = byKey.keys.filterNot(present).toSeq.sorted
+    val freshDf =
+      if (freshKeys.isEmpty) None
+      else Some(spark.createDataFrame(freshKeys.map { case (cell, sub) =>
+        (cell, sub, serialize(Hnsw.build(byKey((cell, sub)), m, efc, seed)))
+      }).toDF("__cell", "__sub", "__graph"))
+    val next = (updated.toSeq ++ freshDf.toSeq).reduce(_ unionByName _)
+    val scratch = batchScratch(shardsPath)
+    graft.util.TableSwap.delete(fs, new HPath(scratch))
+    next.write.partitionBy("__cell").parquet(scratch)
+    touched.foreach { cell =>
+      val live = new HPath(leafPath(shardsPath, cell))
+      val old = new HPath(leafScratch(shardsPath, cell)._2)
+      val from = new HPath(s"$scratch/__cell=$cell")
+      if (!fs.exists(from))
+        throw new IllegalStateException(s"no scratch leaf for cell $cell")
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(s"swap failed moving aside $live")
+      if (!fs.rename(from, live))
+        throw new java.io.IOException(s"swap failed installing $live")
+      graft.util.TableSwap.delete(fs, old)
     }
+    graft.util.TableSwap.delete(fs, new HPath(scratch))
   }
+
+  /** Scratch root for the one-job batch write — OUTSIDE the table
+    * root, so a crash leftover never enters partition discovery. */
+  private def batchScratch(shardsPath: String): String =
+    s"${shardsPath}_batch_tmp"
 
   /** Heal torn single-leaf swaps: any `<shards>_cell<N>_old` whose
     * live leaf is missing renames back (the swap died between
-    * move-aside and install); every scratch sibling then clears.
-    * Idempotent; wired into `Library.repair`'s crash sweep. */
+    * move-aside and install); every scratch sibling — per-leaf
+    * `_cell<N>_(tmp|old)` and the one-job batch write's `_batch_tmp`
+    * root — then clears. Idempotent; wired into `Library.repair`'s
+    * crash sweep. */
   def repairLeaves(spark: SparkSession, shardsPath: String): Unit = {
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
     val root = new HPath(shardsPath)
@@ -400,5 +426,6 @@ object ShardedHnsw {
           s"crash recovery failed restoring $live")
     }
     scratch.foreach(graft.util.TableSwap.delete(fs, _))
+    graft.util.TableSwap.delete(fs, new HPath(batchScratch(shardsPath)))
   }
 }

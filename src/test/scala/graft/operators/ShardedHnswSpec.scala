@@ -176,11 +176,12 @@ class ShardedHnswSpec extends SparkSpec {
     untouched.foreach { case (c, d) =>
       assert(statusOf(d) === before(c), s"cell $c leaf changed")
     }
-    // no scratch left behind
+    // no scratch left behind — neither per-leaf nor the one-job batch root
     val parent = new java.io.File(shardsPath).getParentFile
     assert(!parent.listFiles().exists(f =>
-      f.getName.contains("_cell") &&
-        (f.getName.endsWith("_tmp") || f.getName.endsWith("_old"))))
+      (f.getName.contains("_cell") &&
+        (f.getName.endsWith("_tmp") || f.getName.endsWith("_old"))) ||
+        f.getName.endsWith("_batch_tmp")))
     // the maintained tier serves old and new members at full coverage
     val re = ShardedHnsw.load(spark, shardsPath, metaPath)
     val q = batch.map { case (id, v) => (id, v.toSeq) }
@@ -260,9 +261,13 @@ class ShardedHnswSpec extends SparkSpec {
     // crash between move-aside and install: live leaf gone, _old holds it
     assert(fs.rename(new HPath(s"$shardsPath/__cell=$cell"),
       new HPath(s"${shardsPath}_cell${cell}_old")))
+    // a stranded batch-write scratch root from the same crash window
+    Seq((0, 0, Array.emptyByteArray)).toDF("__cell", "__sub", "__graph")
+      .write.partitionBy("__cell").parquet(s"${shardsPath}_batch_tmp")
     ShardedHnsw.repairLeaves(spark, shardsPath)
     assert(fs.exists(new HPath(s"$shardsPath/__cell=$cell")))
     assert(!fs.exists(new HPath(s"${shardsPath}_cell${cell}_old")))
+    assert(!fs.exists(new HPath(s"${shardsPath}_batch_tmp")))
     assert(searchAll(ShardedHnsw.load(spark, shardsPath, metaPath))
       === want)
     // idempotent
