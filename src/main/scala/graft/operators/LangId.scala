@@ -46,7 +46,8 @@ object LangId {
     * buckets (bg/sr/uk, fa/ur, mr/ne) brought 39; round 17's
     * single-language script buckets (el/he/bn first — VERDICT r16 #3 —
     * then ta/te/kn/ml/gu/pa/or/si/ka/hy/am/lo/km/my, see
-    * [[SingleLangScripts]]) bring the servable set to 56. Romanian
+    * [[SingleLangScripts]]) and the Bengali trigram bucket (bn→bn/as,
+    * [[BengaliLangs]]) bring the servable set to 57. Romanian
     * note: the seed uses the
     * cedilla forms ş/ţ (U+015F/U+0163, inside the normalization
     * alphabet); comma-below ș/ț (U+0219/U+021B, Latin Extended-B) fall
@@ -72,10 +73,19 @@ object LangId {
     * collapse label; mr/ne were unservable. */
   val DevanagariLangs: Seq[String] = Seq("hi", "mr", "ne")
 
+  /** Languages decided within the Bengali-script bucket (round 17,
+    * the VERDICT r16 "as/or later" path): the block carries Bengali
+    * AND Assamese — bn was the collapse label; as was unservable.
+    * Assamese's ৰ/ৱ (U+09F0/09F1) sit inside the normalization
+    * alphabet, so its trigrams are sharply distinctive. (Odia is NOT
+    * here — it has its own block, served by [[SingleLangScripts]].) */
+  val BengaliLangs: Seq[String] = Seq("as", "bn")
+
   /** The per-script language lists, keyed by the script bucket name. */
   val ScriptLangs: Map[String, Seq[String]] = Map(
     "latin" -> TrigramLangs, "cyr" -> CyrillicLangs,
-    "arab" -> ArabicLangs, "deva" -> DevanagariLangs)
+    "arab" -> ArabicLangs, "deva" -> DevanagariLangs,
+    "beng" -> BengaliLangs)
 
   /** SINGLE-LANGUAGE script buckets, in decision order: scripts whose
     * codepoint ratio alone decides the label (each block carries one
@@ -85,11 +95,12 @@ object LangId {
     * scripts normalized to nothing in every trigram bucket and exited
     * via the Latin zero-trigram prior as 'en', a WRONG label (the
     * class VERDICT r15/r16 flagged for Cyrillic/Greek). Known
-    * collapses kept deliberately: Ethiopic → am (Tigrinya shares the
-    * block — the 'ru'-style bucket prior), Bengali script → bn (as/or
-    * would widen beng into a Devanagari-style trigram bucket). */
+    * collapse kept deliberately: Ethiopic → am (Tigrinya shares the
+    * block — the 'ru'-style bucket prior). The Bengali block is NOT
+    * here: it carries bn AND as, so it routes into its own trigram
+    * bucket ([[BengaliLangs]]); Odia has its own block and stays. */
   val SingleLangScripts: Seq[(String, String)] = Seq(
-    "greek" -> "el", "hebr" -> "he", "beng" -> "bn", "thai" -> "th",
+    "greek" -> "el", "hebr" -> "he", "thai" -> "th",
     "taml" -> "ta", "telu" -> "te", "knda" -> "kn", "mlym" -> "ml",
     "gujr" -> "gu", "guru" -> "pa", "orya" -> "or", "sinh" -> "si",
     "geor" -> "ka", "armn" -> "hy", "ethi" -> "am", "laoo" -> "lo",
@@ -583,7 +594,35 @@ object LangId {
       बारेमा नयाँ कानुन पारित गरेको छ। सङ्गीत र कलाले धेरै मानिसहरूको
       जीवनमा महत्त्वपूर्ण भूमिका खेल्छन्। हिजो हामीले यात्राका बारेमा
       आफ्ना साथीहरूलाई लामो चिठी लेख्यौं। किताब टेबलमा झ्यालनजिकै रहेर
-      आफ्नो पाठकको प्रतीक्षा गर्छ।""")
+      आफ्नो पाठकको प्रतीक्षा गर्छ।""",
+    // --- Bengali-script seeds: normalized with NormRegexBeng ---
+    "bn" -> """বিজ্ঞানের ইতিহাস দেখায় যে নতুন ধারণাগুলি গৃহীত হওয়ার
+      আগে প্রায়ই বাধার সম্মুখীন হয়। গবেষকেরা এমন পদ্ধতি তৈরি করেন
+      যার মাধ্যমে আমাদের চারপাশের জগৎকে আরও ভালোভাবে বোঝা যায়।
+      পাহাড়ের আবহাওয়া দ্রুত বদলে যেতে পারে এবং যাত্রীদের সাবধান
+      থাকা উচিত। অনেক মানুষ বড় শহরে বাস করে এবং অফিসে বা কারখানায়
+      কাজ করে। শিশুরা প্রতিদিন সকালে পড়া লেখা আর অঙ্ক শিখতে
+      বিদ্যালয়ে যায়। ফল ও সবজি সহ স্বাস্থ্যকর খাবার শরীর ও মনের
+      জন্য জরুরি। রেলগাড়ি সময়মতো স্টেশন থেকে ছাড়ে এবং সন্ধ্যায়
+      শহরে পৌঁছায়। গ্রীষ্মে পরিবারগুলি বিশ্রামের জন্য সমুদ্রে বা
+      পাহাড়ে যায়। সরকার পরিবেশ রক্ষার বিষয়ে নতুন আইন পাস করেছে।
+      সংগীত ও শিল্প বহু মানুষের জীবনে গুরুত্বপূর্ণ ভূমিকা পালন করে।
+      গতকাল আমরা যাত্রা সম্পর্কে আমাদের বন্ধুদের দীর্ঘ চিঠি লিখেছি।
+      বইটি টেবিলের উপর জানালার পাশে পড়ে তার পাঠকের অপেক্ষা করছে।""",
+    "as" -> """বিজ্ঞানৰ ইতিহাসে দেখুৱায় যে নতুন ধাৰণাবোৰ গ্ৰহণ হোৱাৰ
+      আগতে প্ৰায়ে বাধাৰ সন্মুখীন হয়। গৱেষকসকলে এনে পদ্ধতি উলিয়ায়
+      যাৰ জৰিয়তে আমাৰ চাৰিওফালৰ জগতখন ভালদৰে বুজিব পাৰি। পাহাৰৰ বতৰ
+      সোনকালে সলনি হব পাৰে আৰু যাত্ৰীসকলে সাৱধান হোৱা উচিত। বহুতো
+      মানুহে ডাঙৰ চহৰত বাস কৰে আৰু কাৰ্যালয়ত বা কাৰখানাত কাম কৰে।
+      শিশুসকলে প্ৰতিদিনে ৰাতিপুৱা পঢ়া লিখা আৰু অংক শিকিবলৈ
+      বিদ্যালয়লৈ যায়। ফলমূল আৰু পাচলিৰে সৈতে স্বাস্থ্যকৰ আহাৰ শৰীৰ
+      আৰু মনৰ বাবে প্ৰয়োজনীয়। ৰেলগাড়ীখন সময়মতে ষ্টেচনৰ পৰা এৰে
+      আৰু সন্ধিয়া চহৰ পায়। গৰমৰ দিনত পৰিয়ালবোৰে জিৰণিৰ বাবে
+      সাগৰলৈ বা পাহাৰলৈ যায়। চৰকাৰে পৰিৱেশ সুৰক্ষাৰ বিষয়ে নতুন আইন
+      গ্ৰহণ কৰিছে। সংগীত আৰু কলাই বহু মানুহৰ জীৱনত গুৰুত্বপূৰ্ণ
+      ভূমিকা পালন কৰে। যোৱাকালি আমি যাত্ৰাৰ বিষয়ে আমাৰ বন্ধুসকললৈ
+      দীঘল চিঠি লিখিছিলোঁ। কিতাপখন মেজৰ ওপৰত খিৰিকীৰ কাষত পৰি আছে
+      আৰু পঢ়ুৱৈৰ বাবে ৰৈ আছে।""")
 
   /** The shared normalization: lowercase, collapse every non-letter run
     * to a single space. Letters = ASCII + Latin-1 + Latin Extended-A
@@ -617,12 +656,22 @@ object LangId {
   val NormRegexDevaJava: String = "[^ँ-ॣ]+"
   val NormRegexDevaRe2: String = "[^\\x{0901}-\\x{0963}]+"
 
+  /** Bengali-script normalization (no case): signs, letters, matras
+    * and vowel signs U+0981–09E3 (covers the nukta forms ড়/ঢ়/য়,
+    * khanda-ta ৎ, the au-length mark ৗ) PLUS the Assamese letters
+    * ৰ/ৱ (U+09F0–09F1) — the discriminating pair; digits (U+09E6+)
+    * collapse to spaces (the danda is in the Devanagari block). */
+  val NormRegexBengJava: String = "[^ঁ-ৣৰৱ]+"
+  val NormRegexBengRe2: String =
+    "[^\\x{0981}-\\x{09E3}\\x{09F0}-\\x{09F1}]+"
+
   /** The Java-regex spelling of each script's normalization. */
   def normRegexJavaFor(script: String): String = script match {
     case "latin" => NormRegexJava
     case "cyr"   => NormRegexCyrJava
     case "arab"  => NormRegexArabJava
     case "deva"  => NormRegexDevaJava
+    case "beng"  => NormRegexBengJava
     case other   => throw new IllegalArgumentException(s"script $other")
   }
 
@@ -632,6 +681,7 @@ object LangId {
     case "cyr"   => NormRegexCyrRe2
     case "arab"  => NormRegexArabRe2
     case "deva"  => NormRegexDevaRe2
+    case "beng"  => NormRegexBengRe2
     case other   => throw new IllegalArgumentException(s"script $other")
   }
 
@@ -748,6 +798,7 @@ object LangId {
       regexp_replace(low, NormRegexCyrJava, " ").as("__nrmc"),
       regexp_replace(low, NormRegexArabJava, " ").as("__nrma"),
       regexp_replace(low, NormRegexDevaJava, " ").as("__nrmd"),
+      regexp_replace(low, NormRegexBengJava, " ").as("__nrmb"),
       greatest(length(tx), lit(1)).cast("long").as("__len"))
     val withCounts = ScriptRanges.foldLeft(base) { case (d, (name, javaRe, _)) =>
       d.withColumn(s"__$name", regexp_count(col("__tx"), lit(javaRe)).cast("long"))
@@ -762,13 +813,17 @@ object LangId {
         greatest(length(col("__nrma")) - 2, lit(0)).cast("long"))
       .withColumn("n_tri_deva",
         greatest(length(col("__nrmd")) - 2, lit(0)).cast("long"))
+      .withColumn("n_tri_beng",
+        greatest(length(col("__nrmb")) - 2, lit(0)).cast("long"))
       .withColumn("__scores", scoresOf("__nrm", "latin"))
       .withColumn("__scoresC", scoresOf("__nrmc", "cyr"))
       .withColumn("__scoresA", scoresOf("__nrma", "arab"))
       .withColumn("__scoresD", scoresOf("__nrmd", "deva"))
+      .withColumn("__scoresB", scoresOf("__nrmb", "beng"))
     val withScoreCols = Seq(
       ("__scores", TrigramLangs), ("__scoresC", CyrillicLangs),
-      ("__scoresA", ArabicLangs), ("__scoresD", DevanagariLangs))
+      ("__scoresA", ArabicLangs), ("__scoresD", DevanagariLangs),
+      ("__scoresB", BengaliLangs))
       .foldLeft(scored) {
       case (d0, (arr, langs)) => langs.zipWithIndex.foldLeft(d0) {
         case (d, (lang, i)) =>
@@ -788,6 +843,9 @@ object LangId {
     val devaPick =
       when(col("n_tri_deva") === 0, lit("hi"))
         .otherwise(pickIn(DevanagariLangs))
+    val bengPick =
+      when(col("n_tri_beng") === 0, lit("bn"))
+        .otherwise(pickIn(BengaliLangs))
     val pred =
       SingleLangScripts.foldLeft(
         when(col("__kana") * 20 >= col("__len"), lit("ja"))
@@ -795,19 +853,21 @@ object LangId {
           .when(col("__hangul") * 20 >= col("__len") * 3, lit("ko"))
           .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
           .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
-          .when(col("__deva") * 20 >= col("__len") * 3, devaPick)) {
+          .when(col("__deva") * 20 >= col("__len") * 3, devaPick)
+          .when(col("__beng") * 20 >= col("__len") * 3, bengPick)) {
         case (w, (script, lang)) =>
           w.when(col(s"__$script") * 20 >= col("__len") * 3, lit(lang))
       }
         .when(col("n_tri") === 0, lit("und"))
         .otherwise(pickIn(TrigramLangs))
     val scoreCols =
-      (TrigramLangs ++ CyrillicLangs ++ ArabicLangs ++ DevanagariLangs)
-        .map(l => s"score_$l")
+      (TrigramLangs ++ CyrillicLangs ++ ArabicLangs ++ DevanagariLangs ++
+        BengaliLangs).map(l => s"score_$l")
     withScoreCols
       .withColumn("pred_lang", pred)
       .select(("id" +: "n_tri" +: "n_tri_cyr" +: "n_tri_arab" +:
-        "n_tri_deva" +: scoreCols :+ "pred_lang").map(col): _*)
+        "n_tri_deva" +: "n_tri_beng" +: scoreCols :+ "pred_lang")
+        .map(col): _*)
   }
 
   /** DuckDB oracle replaying the SAME profiles (as VALUES literal
@@ -819,7 +879,8 @@ object LangId {
     // (script, CTE suffix, n_tri column) — latin keeps the unsuffixed
     // names so the q86 surface is unchanged in shape
     val buckets = Seq(("latin", "", "n_tri"), ("cyr", "_c", "n_tri_cyr"),
-      ("arab", "_a", "n_tri_arab"), ("deva", "_d", "n_tri_deva"))
+      ("arab", "_a", "n_tri_arab"), ("deva", "_d", "n_tri_deva"),
+      ("beng", "_b", "n_tri_beng"))
     def profRows(script: String) = ScriptLangs(script).flatMap { lang =>
       ProfilesByScript(script)(lang).map { case (t, w) =>
         val esc = t.replace("'", "''")
@@ -870,7 +931,8 @@ object LangId {
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexRe2', ' ', 'g') AS nrm,
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexCyrRe2', ' ', 'g') AS nrm_c,
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexArabRe2', ' ', 'g') AS nrm_a,
-          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexDevaRe2', ' ', 'g') AS nrm_d
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexDevaRe2', ' ', 'g') AS nrm_d,
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexBengRe2', ' ', 'g') AS nrm_b
         FROM $table),
       feat AS (
         SELECT id, tx,
@@ -879,20 +941,23 @@ object LangId {
           greatest(length(nrm) - 2, 0) AS n_tri,
           greatest(length(nrm_c) - 2, 0) AS n_tri_cyr,
           greatest(length(nrm_a) - 2, 0) AS n_tri_arab,
-          greatest(length(nrm_d) - 2, 0) AS n_tri_deva
+          greatest(length(nrm_d) - 2, 0) AS n_tri_deva,
+          greatest(length(nrm_b) - 2, 0) AS n_tri_beng
         FROM base),$scoreBlocks,
       fin AS (
         SELECT s.id, CAST(s.n_tri AS BIGINT) AS n_tri,
           CAST(s.n_tri_cyr AS BIGINT) AS n_tri_cyr,
           CAST(s.n_tri_arab AS BIGINT) AS n_tri_arab,
           CAST(s.n_tri_deva AS BIGINT) AS n_tri_deva,
+          CAST(s.n_tri_beng AS BIGINT) AS n_tri_beng,
           s.l, ${ScriptRanges.map { case (n, _, _) => s"s.c_$n" }.mkString(", ")},
           $allScoreCols
         FROM feat s LEFT JOIN mp ON mp.id = s.id
           LEFT JOIN mp_c ON mp_c.id = s.id
           LEFT JOIN mp_a ON mp_a.id = s.id
-          LEFT JOIN mp_d ON mp_d.id = s.id)
-      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, n_tri_deva, $allScoreNames,
+          LEFT JOIN mp_d ON mp_d.id = s.id
+          LEFT JOIN mp_b ON mp_b.id = s.id)
+      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, n_tri_deva, n_tri_beng, $allScoreNames,
         CASE WHEN c_kana * 20 >= l THEN 'ja'
              WHEN c_han * 20 >= l * 3 THEN 'zh'
              WHEN c_hangul * 20 >= l * 3 THEN 'ko'
@@ -907,6 +972,10 @@ object LangId {
              WHEN c_deva * 20 >= l * 3 THEN
                CASE WHEN n_tri_deva = 0 THEN 'hi'
              ${caseArms("deva")}
+             ELSE 'und' END
+             WHEN c_beng * 20 >= l * 3 THEN
+               CASE WHEN n_tri_beng = 0 THEN 'bn'
+             ${caseArms("beng")}
              ELSE 'und' END
              ${SingleLangScripts.map { case (script, lang) =>
                s"WHEN c_$script * 20 >= l * 3 THEN '$lang'" }

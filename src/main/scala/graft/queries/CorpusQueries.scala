@@ -2410,7 +2410,10 @@ object CorpusQueries {
     26L -> "በመኸር ወቅት ልጆች በፓርኩ ውስጥ ቢጫ ቅጠሎችን ይሰበስባሉ እና ለአያታቸው ቆንጆ የአበባ እቅፍ ለመሥራት ወደ ቤት ይወስዳሉ።",
     27L -> "ໃນລະດູໃບໄມ້ຫຼົ່ນ ເດັກນ້ອຍເກັບໃບໄມ້ສີເຫຼືອງຢູ່ສວນສາທາລະນະ ແລະ ນຳກັບບ້ານເພື່ອເຮັດຊໍ່ດອກໄມ້ງາມໃຫ້ແມ່ເຖົ້າ.",
     28L -> "នៅរដូវស្លឹកឈើជ្រុះ ក្មេងៗប្រមូលស្លឹកឈើពណ៌លឿងនៅសួនច្បារ ហើយយកទៅផ្ទះដើម្បីធ្វើបាច់ផ្កាស្អាតសម្រាប់ជីដូន។",
-    29L -> "ဆောင်းဦးရာသီတွင် ကလေးများသည် ပန်းခြံထဲတွင် အဝါရောင်သစ်ရွက်များကို စုဆောင်းပြီး အဖွားအတွက် လှပသော ပန်းစည်းလုပ်ရန် အိမ်သို့ ယူသွားကြသည်။")
+    29L -> "ဆောင်းဦးရာသီတွင် ကလေးများသည် ပန်းခြံထဲတွင် အဝါရောင်သစ်ရွက်များကို စုဆောင်းပြီး အဖွားအတွက် လှပသော ပန်းစည်းလုပ်ရန် အိမ်သို့ ယူသွားကြသည်။",
+    // round 17: the Bengali block is now a TRIGRAM bucket (bn/as) —
+    // row 15 above stays bn, this held-out Assamese row must label as
+    30L -> "শৰৎ কালত ল'ৰা-ছোৱালীবোৰে উদ্যানত হালধীয়া পাত গোটাই আইতাৰ বাবে ধুনীয়া ফুলৰ থোপা বনাবলৈ ঘৰলৈ লৈ যায়।")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

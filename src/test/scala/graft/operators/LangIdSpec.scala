@@ -182,6 +182,32 @@ class LangIdSpec extends SparkSpec {
       controls(204L) == "hi")
   }
 
+  test("confusion matrix: the Bengali-script trigram bucket (bn/as) on held-out text") {
+    // the VERDICT r16 "as later" path: the Bengali block carries
+    // Bengali AND Assamese, so the script ratio now routes into a
+    // bn/as trigram bucket instead of collapsing to bn. None of these
+    // sentences appear in the profile seeds; two per language.
+    val heldOut: Seq[(String, String)] = Seq(
+      "bn" -> "শরৎকালে শিশুরা পার্কে হলুদ পাতা কুড়িয়ে বাড়িতে নিয়ে যায় যাতে দাদির জন্য সুন্দর একটি তোড়া বানাতে পারে।",
+      "bn" -> "শীতকালে আমরা প্রায়ই মধু দিয়ে গরম চা খাই এবং বাইরে তুষার পড়ার সময় জানালার পাশে পুরনো বই পড়ি।",
+      "as" -> "শৰৎ কালত ল'ৰা-ছোৱালীবোৰে উদ্যানত হালধীয়া পাত গোটাই আইতাৰ বাবে ধুনীয়া ফুলৰ থোপা বনাবলৈ ঘৰলৈ লৈ যায়।",
+      "as" -> "জাৰ কালত আমি সঘনাই মৌৰ সৈতে গৰম চাহ খাওঁ আৰু খিৰিকীৰ কাষত বহি পুৰণি কিতাপ পঢ়োঁ।")
+    val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val confusions = heldOut.zipWithIndex.collect {
+      case ((want, _), i) if preds(i.toLong) != want =>
+        s"$want -> ${preds(i.toLong)}"
+    }
+    assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
+    // neighbors unaffected: Odia keeps its own block, Devanagari
+    // routing and the Latin tier untouched
+    val controls = predict(Seq(
+      400L -> "ଶୀତଦିନେ ଆମେ ପ୍ରାୟତଃ ମହୁ ସହିତ ଗରମ ଚା ପିଉ ଏବଂ ଝରକା ପାଖରେ ପୁରୁଣା ବହି ପଢ଼ୁ।",
+      401L -> "दिल्ली भारत की राजधानी है और यहाँ बहुत से लोग रहते हैं।",
+      402L -> "The weather was fine and the children played outside all afternoon."))
+    assert(controls(400L) == "or" && controls(401L) == "hi" &&
+      controls(402L) == "en")
+  }
+
   test("confusion matrix: the 14 round-17 single-language script blocks on held-out text") {
     // ta te kn ml gu pa or si ka hy am lo km my — each block carries
     // one servable language, decided by script ratio alone (the same
