@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.operators.ShardedHnsw
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming ANN serving over the PERSISTED sharded-HNSW tier (round
+  * 17): a stream of query vectors answers per micro-batch through
+  * [[ShardedHnsw.searchBatch]] — queries cogroup to their probed
+  * shards exactly like the batch path, so a streamed query set is
+  * answer-for-answer identical to one batch call (spec-pinned).
+  *
+  * The serving-while-maintaining story: the tier is RELOADED per
+  * micro-batch (one ~KB meta read; the blob table reads lazily and
+  * only probed leaves are touched), so vectors a concurrent ingest
+  * lands through `ShardedHnsw.insertPersisted` (or
+  * `Library.addMarkdown` with sharded serving enabled) become
+  * servable at the NEXT micro-batch — no query restart, no index
+  * broadcast, per-executor memory bounded by the largest shard.
+  *
+  * 100 TB shape: every micro-batch is the batch serving plan (probe
+  * ranking against the broadcast centroid table, shuffle to probed
+  * shards, bounded per-query window); the stream adds only the
+  * trigger loop. Exactly-once: results are append-only keyed by
+  * (qid, rn) — a redelivered micro-batch re-emits identical rows. */
+object StreamingAnn {
+
+  /** Answer a query stream against the persisted tier, appending
+    * (qid, rn, id, cos_dist) per micro-batch through `sink`. */
+  def searchSink(queries: DataFrame, qidCol: String, qvecCol: String,
+                 shardsPath: String, metaPath: String, k: Int,
+                 nProbe: Int, checkpointDir: String, ef: Int = 64)
+                (sink: DataFrame => Unit): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // fresh handle per batch: picks up leaves a concurrent
+          // insertPersisted swapped in since the last trigger
+          val sh = ShardedHnsw.load(spark, shardsPath, metaPath)
+          val np =
+            if (nProbe <= 0) sh.centers.length
+            else math.min(nProbe, sh.centers.length)
+          sink(ShardedHnsw.searchBatch(sh, batch, qidCol, qvecCol,
+            k, np, ef))
+        }
+      }
+      .start()
+}
