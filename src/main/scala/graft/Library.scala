@@ -153,6 +153,25 @@ class Library(val spark: SparkSession, val warehouse: String,
     // next hnswSearch reloads against the compacted embeddings (the
     // persisted edge table stays — fromDF skips dead ids; ADVICE r13)
     hnswCache = None
+    // sharded tier: physically retire the dead members — blobs compact
+    // (only leaves holding dead ids rewrite) and the ids table drops
+    // them TOGETHER, preserving the invariant the recurring-chunkId
+    // ingest guard reads (ids table ↔ blob contents): a compacted
+    // chunkId may re-ingest with new content and the tier keeps
+    // serving instead of dropping
+    if (tableExists("embeddings_hnsw_sharded_meta") &&
+        tableExists("embeddings_hnsw_sharded_ids")) {
+      val dead = chunkT.select(xxhash64(col("chunkId")).as("id"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      graft.operators.ShardedHnsw.compactPersisted(spark,
+        path("embeddings_hnsw_sharded"),
+        path("embeddings_hnsw_sharded_meta"), dead)
+      rewrite("embeddings_hnsw_sharded_ids",
+        spark.read.parquet(path("embeddings_hnsw_sharded_ids"))
+          .join(broadcast(chunkT), Seq("chunkId"), "left_anti"))
+      shardedCache = None
+    }
     graft.util.TableSwap.delete(fs, new HPath(path("tombstones")))
   }
 
@@ -666,7 +685,8 @@ class Library(val spark: SparkSession, val warehouse: String,
   private def loadSharded(): Option[graft.operators.ShardedHnsw.Shards] =
     shardedCache.orElse {
       if (!tableExists("embeddings_hnsw_sharded_meta") ||
-          !tableExists("embeddings_hnsw_sharded")) None
+          !tableExists("embeddings_hnsw_sharded") ||
+          !tableExists("embeddings_hnsw_sharded_ids")) None
       else {
         shardedCache = Some(graft.operators.ShardedHnsw.load(spark,
           path("embeddings_hnsw_sharded"),
@@ -696,7 +716,13 @@ class Library(val spark: SparkSession, val warehouse: String,
             "qid", "qv", k, np, math.max(ef, k))
           .select(col("id"),
             (lit(1.0) - col("cos_dist") / lit(2.0)).as("score"))
-        val idMap = embeddings
+        // map hit ids back through the NARROW ids table (one string
+        // column), never the embeddings table — the graph tier's
+        // point is sublinear serving, and a wide-vector corpus scan
+        // for id mapping would defeat it (the ids table is ~16x
+        // narrower than embeddings at dim 64, more at real dims)
+        val idMap = spark.read
+          .parquet(path("embeddings_hnsw_sharded_ids"))
           .select(xxhash64(col("chunkId")).as("id"), col("chunkId"))
         val hitDf = hits.join(idMap, Seq("id")).select("chunkId", "score")
         val thresholded = opts.threshold

@@ -402,6 +402,74 @@ object ShardedHnsw {
   private def batchScratch(shardsPath: String): String =
     s"${shardsPath}_batch_tmp"
 
+  /** Physically retire deleted members from the PERSISTED tier.
+    * Serving already tolerates deletes (dead ids drop at the caller's
+    * live join), so this is the COMPACTION path — without it, deleted
+    * vectors accumulate in the blobs forever. A dead id's location is
+    * unknown (routing needs its vector, which is gone from the
+    * embeddings table), so one pass READS every blob to find the
+    * touched cells — but only the touched leaves REWRITE: each
+    * affected subgraph rebuilds from its surviving members (the blob
+    * itself holds their vectors — nothing is needed from outside the
+    * tier), untouched subs of a touched leaf pass through as bytes, a
+    * fully-dead sub drops its row, and a fully-dead LEAF deletes (the
+    * frozen fan keeps its key probe-able — an absent row is a no-op
+    * cogroup bucket). Same one-write-job + per-leaf swap discipline
+    * as [[insertPersisted]]; idempotent (a retry finds no dead ids in
+    * the already-compacted leaves). */
+  def compactPersisted(spark: SparkSession, shardsPath: String,
+                       metaPath: String, deadIds: Set[Long]): Unit = {
+    if (deadIds.isEmpty) return
+    import spark.implicits._
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    if (!fs.exists(new HPath(shardsPath))) return
+    val (_, _, m, efc, seed) = readMeta(spark, metaPath)
+    val bc = spark.sparkContext.broadcast(deadIds)
+    val table = spark.read.parquet(shardsPath)
+      .select("__cell", "__sub", "__graph")
+    // pass 1: which cells hold dead members (ids only — cells×subs rows)
+    val touched = table.as[(Int, Int, Array[Byte])].flatMap {
+      case (cell, _, bytes) =>
+        if (deserialize(bytes).ids.exists(bc.value)) Iterator.single(cell)
+        else Iterator.empty
+    }.distinct().collect().sorted.toSeq
+    if (touched.isEmpty) return
+    // pass 2: rewrite ONLY the touched leaves (untouched leaves are
+    // not re-read — per-leaf paths, same as insertPersisted)
+    val next = touched.map { cell =>
+        spark.read.parquet(leafPath(shardsPath, cell))
+          .select(lit(cell).as("__cell"), col("__sub"), col("__graph"))
+      }.reduce(_ unionByName _)
+      .as[(Int, Int, Array[Byte])].flatMap { case (cell, sub, bytes) =>
+        val g = deserialize(bytes)
+        val dead = bc.value
+        if (!g.ids.exists(dead)) Iterator.single((cell, sub, bytes))
+        else {
+          val survivors = g.ids.zip(g.vecs)
+            .filterNot { case (id, _) => dead(id) }.toSeq
+          if (survivors.isEmpty) Iterator.empty // fully-dead sub: drop
+          else Iterator.single(
+            (cell, sub, serialize(Hnsw.build(survivors, m, efc, seed))))
+        }
+      }.toDF("__cell", "__sub", "__graph")
+    val scratch = batchScratch(shardsPath)
+    graft.util.TableSwap.delete(fs, new HPath(scratch))
+    next.write.partitionBy("__cell").parquet(scratch)
+    touched.foreach { cell =>
+      val live = new HPath(leafPath(shardsPath, cell))
+      val old = new HPath(leafScratch(shardsPath, cell)._2)
+      val from = new HPath(s"$scratch/__cell=$cell")
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(s"swap failed moving aside $live")
+      // a fully-dead leaf has no scratch output — the move-aside IS
+      // the delete
+      if (fs.exists(from) && !fs.rename(from, live))
+        throw new java.io.IOException(s"swap failed installing $live")
+      graft.util.TableSwap.delete(fs, old)
+    }
+    graft.util.TableSwap.delete(fs, new HPath(scratch))
+  }
+
   /** Heal torn single-leaf swaps: any `<shards>_cell<N>_old` whose
     * live leaf is missing renames back (the swap died between
     * move-aside and install); every scratch sibling — per-leaf

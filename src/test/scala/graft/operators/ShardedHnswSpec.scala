@@ -300,6 +300,54 @@ class ShardedHnswSpec extends SparkSpec {
     assert(recall >= 0.99, s"sub-sharding cost recall: $recall")
   }
 
+  test("compactPersisted: dead members physically retire; only their leaves rewrite; fully-dead leaves drop") {
+    val (shardsPath, metaPath) = tempTier("shnsw-compact")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    // dead set: every member of cell 0's subgraphs (the fully-dead
+    // leaf case) plus two members from one other leaf (partial case)
+    def leafIds(cell: Int): Set[Long] =
+      spark.read.parquet(s"$shardsPath/__cell=$cell")
+        .select("__graph").collect()
+        .flatMap(r => ShardedHnsw.deserialize(
+          r.getAs[Array[Byte]](0)).ids).toSet
+    val cell0 = leafIds(0)
+    val partialVictims = leafIds(1).toSeq.sorted.take(2).toSet
+    val dead = cell0 ++ partialVictims
+    assert(dead.nonEmpty && partialVictims.size == 2)
+    def statusOf(cell: Int): Set[(String, Long, Long)] =
+      Option(new java.io.File(s"$shardsPath/__cell=$cell").listFiles())
+        .map(_.map(f => (f.getName, f.length(), f.lastModified())).toSet)
+        .getOrElse(Set.empty)
+    val before23 = Seq(2, 3).map(c => c -> statusOf(c)).toMap
+    ShardedHnsw.compactPersisted(spark, shardsPath, metaPath, dead)
+    // untouched leaves byte-identical; fully-dead leaf gone
+    Seq(2, 3).foreach(c => assert(statusOf(c) === before23(c)))
+    assert(!new java.io.File(s"$shardsPath/__cell=0").exists(),
+      "fully-dead leaf must drop")
+    // no scratch left
+    val parent = new java.io.File(shardsPath).getParentFile
+    assert(!parent.listFiles().exists(f =>
+      f.getName.endsWith("_tmp") || f.getName.endsWith("_old")))
+    // dead ids unreachable at full coverage; every survivor self-hits
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val served = ShardedHnsw.searchBatch(re,
+        emb.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(served.forall { case (_, id) => !dead(id) },
+      "a compacted member must never serve")
+    val survivors = emb.select("vec_id").as[Long].collect()
+      .filterNot(dead).toSet
+    val selfHits = served.collect { case (q, id) if q == id => q }.toSet
+    assert(survivors.subsetOf(selfHits),
+      s"${(survivors diff selfHits).size} survivors lost their self-hit")
+    // idempotent: a second compaction with the same dead set is a no-op
+    val snap = (0 until 4).map(statusOf)
+    ShardedHnsw.compactPersisted(spark, shardsPath, metaPath, dead)
+    assert((0 until 4).map(statusOf) === snap)
+  }
+
   // ----------------------------------------------------- Library facade
 
   test("Library facade: enableShardedServing + ingest maintenance + cold reload") {
@@ -344,6 +392,58 @@ class ShardedHnswSpec extends SparkSpec {
     assert(bare.shardedSearch(qv, graft.model.SearchOptions(limit = 3))
       .columns === bare.vectorSearch(qv,
         graft.model.SearchOptions(limit = 3)).columns)
+  }
+
+  test("Library facade: compactTombstones retires dead members, and a compacted chunkId re-ingests WITHOUT dropping the tier") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-shnsw4").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 15).map(i => (s"/cp/doc$i.md",
+      s"# Doc$i\n" + (s"compaction corpus searchable text $i body words. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 4)
+    val qv = lib.embedder.embed("compaction corpus searchable text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[String]("docId")).toSeq
+    val victim = ids(lib.shardedSearch(qv,
+      graft.model.SearchOptions(limit = 3))).head
+    lib.removeDocumentFast(victim)
+    lib.compactTombstones()
+    // the tier physically retired the victim's members: its chunkIds
+    // are gone from the ids table AND from every blob
+    val fs = graft.util.TableSwap.fileSystem(spark, wh)
+    import org.apache.hadoop.fs.{Path => HPath}
+    assert(fs.exists(new HPath(s"$wh/embeddings_hnsw_sharded_meta")))
+    val idsLeft = spark.read
+      .parquet(s"$wh/embeddings_hnsw_sharded_ids")
+      .select("chunkId").collect().map(_.getString(0)).toSet
+    assert(!idsLeft.exists(_.startsWith(victim)))
+    val blobIds = spark.read.parquet(s"$wh/embeddings_hnsw_sharded")
+      .select("__graph").collect()
+      .flatMap(r => ShardedHnsw.deserialize(
+        r.getAs[Array[Byte]](0)).ids).toSet
+    val deadHashes = (0 until 40).map(i =>  // victim chunkIds are docId-idx
+      s"$victim-$i").map(c => Seq(c).toDF("c")
+        .select(xxhash64(col("c"))).head().getLong(0)).toSet
+    assert((blobIds intersect deadHashes).isEmpty,
+      "compacted members must leave the blobs")
+    // a COMPACTED chunkId re-ingests under the same path with NEW
+    // content and the tier keeps serving (no stale vector exists to
+    // protect against - the drop guard must NOT fire)
+    lib.addMarkdown(Seq((s"/cp/${victim.take(8)}-readd.md",
+      "# Readd\n" + ("fresh replacement corpus content words here. " * 6)))
+      .toDS())
+    val srcPath = s"/cp/doc${(1 to 15).find(i =>
+      graft.Library.docId(s"/cp/doc$i.md") == victim).get}.md"
+    lib.addMarkdown(Seq((srcPath,
+      "# Changed\n" + ("entirely new replacement body after compaction. " * 6)))
+      .toDS())
+    assert(fs.exists(new HPath(s"$wh/embeddings_hnsw_sharded_meta")),
+      "re-ingest of a COMPACTED chunkId must not drop the tier")
+    val qv2 = lib.embedder.embed("entirely new replacement body after compaction")
+    val served = ids(lib.shardedSearch(qv2,
+      graft.model.SearchOptions(limit = 3)))
+    assert(served.contains(victim),
+      s"re-ingested doc must serve from the maintained tier: $served")
   }
 
   test("Library facade: re-ingest under a recurring chunkId drops the tier instead of serving stale vectors") {
