@@ -132,6 +132,20 @@ class Library(val spark: SparkSession, val warehouse: String,
       .select(col("id").as("chunkId")).materializeOnce()
     val docT = tombstonesRaw.filter(col("kind") === "doc")
       .select("id").materializeOnce()
+    // capture the dead members' VECTORS before the embeddings rewrite
+    // destroys them — the sharded-tier compaction routes them through
+    // the frozen clustering and touches only their leaves, instead of
+    // scanning the whole index to locate them (tombstone-sized by the
+    // compaction contract, like the hash set it replaces)
+    val shardedDead: Option[Array[(Long, Array[Float])]] =
+      if (tableExists("embeddings_hnsw_sharded_meta") &&
+          tableExists("embeddings_hnsw_sharded_ids"))
+        Some(spark.read.parquet(path("embeddings"))
+          .join(broadcast(chunkT), Seq("chunkId"))
+          .select(xxhash64(col("chunkId")).as("id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .collect())
+      else None
     rewrite("embeddings", spark.read.parquet(path("embeddings"))
       .join(broadcast(chunkT), Seq("chunkId"), "left_anti"))
     if (tableExists("fts_postings")) {
@@ -159,17 +173,19 @@ class Library(val spark: SparkSession, val warehouse: String,
     // ingest guard reads (ids table ↔ blob contents): a compacted
     // chunkId may re-ingest with new content and the tier keeps
     // serving instead of dropping
-    if (tableExists("embeddings_hnsw_sharded_meta") &&
-        tableExists("embeddings_hnsw_sharded_ids")) {
-      val dead = chunkT.select(xxhash64(col("chunkId")).as("id"))
-        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
-        .collect().toSet
+    shardedDead.foreach { dead =>
       graft.operators.ShardedHnsw.compactPersisted(spark,
         path("embeddings_hnsw_sharded"),
-        path("embeddings_hnsw_sharded_meta"), dead)
-      rewrite("embeddings_hnsw_sharded_ids",
-        spark.read.parquet(path("embeddings_hnsw_sharded_ids"))
-          .join(broadcast(chunkT), Seq("chunkId"), "left_anti"))
+        path("embeddings_hnsw_sharded_meta"), dead.toSeq)
+      val idsLeft = spark.read
+        .parquet(path("embeddings_hnsw_sharded_ids"))
+        .join(broadcast(chunkT), Seq("chunkId"), "left_anti")
+        .materializeOnce()
+      // a fully-compacted tier (every indexed member retired) must
+      // DROP, not half-serve: its blob table root survives with zero
+      // leaves and a later load would throw instead of falling back
+      if (idsLeft.isEmpty) dropShardedTier()
+      else rewrite("embeddings_hnsw_sharded_ids", idsLeft.toDF())
       shardedCache = None
     }
     graft.util.TableSwap.delete(fs, new HPath(path("tombstones")))
@@ -724,21 +740,8 @@ class Library(val spark: SparkSession, val warehouse: String,
         val idMap = spark.read
           .parquet(path("embeddings_hnsw_sharded_ids"))
           .select(xxhash64(col("chunkId")).as("id"), col("chunkId"))
-        val hitDf = hits.join(idMap, Seq("id")).select("chunkId", "score")
-        val thresholded = opts.threshold
-          .map(t => hitDf.filter(col("score") >= t)).getOrElse(hitDf)
-        val ch = chunks
-        val docs = tagFiltered(opts.tags)
-          .select(col("id").as("docId"), col("title"))
-        thresholded
-          .join(ch.select(col("id").as("chunkId"), col("docId"),
-            col("page"), col("chunkIndex"), col("content")), Seq("chunkId"))
-          .join(broadcast(docs), Seq("docId"))
-          .select(col("docId"), col("title"), col("page"),
-            col("chunkIndex"), col("content"), col("score"),
-            lit("vector").as("matchType"))
-          .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
-          .limit(opts.limit)
+        rankAnnHits(
+          hits.join(idMap, Seq("id")).select("chunkId", "score"), opts)
     }
 
   // ------------------------------------------------ maintained sketches
@@ -866,20 +869,31 @@ class Library(val spark: SparkSession, val warehouse: String,
         .searchKnn(g, queryVec, math.max(opts.limit * 2, 16),
           math.max(ef, opts.limit * 2))
         .map { case (sid, d) => (cids(sid.toInt), 1.0 - d / 2.0) }
-      val hitDf = hits.toSeq.toDF("chunkId", "score")
-      val thresholded = opts.threshold
-        .map(t => hitDf.filter(col("score") >= t)).getOrElse(hitDf)
-      val ch = chunks
-      val docs = tagFiltered(opts.tags)
-        .select(col("id").as("docId"), col("title"))
-      thresholded
-        .join(ch.select(col("id").as("chunkId"), col("docId"), col("page"),
-          col("chunkIndex"), col("content")), Seq("chunkId"))
-        .join(broadcast(docs), Seq("docId"))
-        .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
-          col("content"), col("score"), lit("vector").as("matchType"))
-        .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
-        .limit(opts.limit)
+      rankAnnHits(hits.toSeq.toDF("chunkId", "score"), opts)
+  }
+
+  /** Shared tail of the graph-ANN serving paths ([[hnswSearch]],
+    * [[shardedSearch]]): shape a (chunkId, score) candidate frame into
+    * the [[vectorSearch]] output contract — threshold, live-chunks
+    * join (tombstoned/deleted chunks drop here), broadcast tag-filtered
+    * docs join, the seven-column select and the (score desc, docId,
+    * chunkIndex) order + limit. One definition so the ANN tiers can
+    * never drift apart in shape. */
+  private def rankAnnHits(hitDf: DataFrame, opts: SearchOptions)
+      : DataFrame = {
+    val thresholded = opts.threshold
+      .map(t => hitDf.filter(col("score") >= t)).getOrElse(hitDf)
+    val ch = chunks
+    val docs = tagFiltered(opts.tags)
+      .select(col("id").as("docId"), col("title"))
+    thresholded
+      .join(ch.select(col("id").as("chunkId"), col("docId"), col("page"),
+        col("chunkIndex"), col("content")), Seq("chunkId"))
+      .join(broadcast(docs), Seq("docId"))
+      .select(col("docId"), col("title"), col("page"), col("chunkIndex"),
+        col("content"), col("score"), lit("vector").as("matchType"))
+      .orderBy(desc("score"), asc("docId"), asc("chunkIndex"))
+      .limit(opts.limit)
   }
 
   // ------------------------------------------------------------- FTS index

@@ -318,14 +318,15 @@ object ShardedHnsw {
   private def leafPath(shardsPath: String, cell: Int): String =
     s"$shardsPath/__cell=$cell"
 
-  /** Scratch siblings for a single-leaf swap — OUTSIDE the table root,
-    * so a crash leftover never enters partition discovery (the
-    * `TableSwap.rewriteVia` contract). The names match the
-    * `embeddings_ivf_cell<N>_(tmp|old)` convention `Library`'s crash
-    * sweep already recognizes. */
-  private def leafScratch(shardsPath: String, cell: Int)
-      : (String, String) =
-    (s"${shardsPath}_cell${cell}_tmp", s"${shardsPath}_cell${cell}_old")
+  /** Move-aside sibling for a single-leaf swap — OUTSIDE the table
+    * root, so a crash leftover never enters partition discovery; the
+    * name matches the `embeddings_ivf_cell<N>_old` convention
+    * `Library`'s crash sweep already recognizes. (The matching
+    * `_cell<N>_tmp` name is LEGACY: the round-17 per-leaf rewriteVia
+    * wrote it, the current one-job writers never do — [[repairLeaves]]
+    * keeps sweeping it for warehouses that crashed under that form.) */
+  private def leafOld(shardsPath: String, cell: Int): String =
+    s"${shardsPath}_cell${cell}_old"
 
   /** O(touched) ingest maintenance of the PERSISTED tier (VERDICT r16
     * #1): route the batch by the frozen clustering + fan, read ONLY
@@ -384,7 +385,7 @@ object ShardedHnsw {
     next.write.partitionBy("__cell").parquet(scratch)
     touched.foreach { cell =>
       val live = new HPath(leafPath(shardsPath, cell))
-      val old = new HPath(leafScratch(shardsPath, cell)._2)
+      val old = new HPath(leafOld(shardsPath, cell))
       val from = new HPath(s"$scratch/__cell=$cell")
       if (!fs.exists(from))
         throw new IllegalStateException(s"no scratch leaf for cell $cell")
@@ -423,7 +424,6 @@ object ShardedHnsw {
     import spark.implicits._
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
     if (!fs.exists(new HPath(shardsPath))) return
-    val (_, _, m, efc, seed) = readMeta(spark, metaPath)
     val bc = spark.sparkContext.broadcast(deadIds)
     val table = spark.read.parquet(shardsPath)
       .select("__cell", "__sub", "__graph")
@@ -433,9 +433,46 @@ object ShardedHnsw {
         if (deserialize(bytes).ids.exists(bc.value)) Iterator.single(cell)
         else Iterator.empty
     }.distinct().collect().sorted.toSeq
+    compactLeaves(spark, shardsPath, metaPath, deadIds, touched)
+  }
+
+  /** [[compactPersisted]] for callers that still HOLD the dead
+    * members' vectors (e.g. `Library.compactTombstones`, which
+    * captures them before the embeddings rewrite): the touched cells
+    * come from ROUTING the vectors through the frozen clustering —
+    * the same assignment insert used — so the whole-index discovery
+    * scan is skipped and the compaction is O(touched leaves) like
+    * insert. A dead id whose vector the caller no longer has must go
+    * through the scanning overload instead. */
+  def compactPersisted(spark: SparkSession, shardsPath: String,
+                       metaPath: String,
+                       dead: Seq[(Long, Array[Float])]): Unit = {
+    if (dead.isEmpty) return
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    if (!fs.exists(new HPath(shardsPath))) return
+    val (centers, _, _, _, _) = readMeta(spark, metaPath)
+    val touched = dead.map { case (_, v) => cellOf(centers, v) }
+      .distinct.sorted
+      .filter(c => fs.exists(new HPath(leafPath(shardsPath, c))))
+    compactLeaves(spark, shardsPath, metaPath,
+      dead.map(_._1).toSet, touched)
+  }
+
+  /** Shared tail of both compaction overloads: rewrite ONLY `touched`
+    * leaves (per-leaf paths — untouched leaves are not re-read),
+    * rebuilding each affected subgraph from its surviving members'
+    * vectors (held in the blob itself), passing clean subs through as
+    * bytes, dropping fully-dead subs, deleting fully-dead leaves.
+    * Same one-write-job + per-leaf swap discipline as
+    * [[insertPersisted]]. */
+  private def compactLeaves(spark: SparkSession, shardsPath: String,
+                            metaPath: String, deadIds: Set[Long],
+                            touched: Seq[Int]): Unit = {
     if (touched.isEmpty) return
-    // pass 2: rewrite ONLY the touched leaves (untouched leaves are
-    // not re-read — per-leaf paths, same as insertPersisted)
+    import spark.implicits._
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    val (_, _, m, efc, seed) = readMeta(spark, metaPath)
+    val bc = spark.sparkContext.broadcast(deadIds)
     val next = touched.map { cell =>
         spark.read.parquet(leafPath(shardsPath, cell))
           .select(lit(cell).as("__cell"), col("__sub"), col("__graph"))
@@ -457,7 +494,7 @@ object ShardedHnsw {
     next.write.partitionBy("__cell").parquet(scratch)
     touched.foreach { cell =>
       val live = new HPath(leafPath(shardsPath, cell))
-      val old = new HPath(leafScratch(shardsPath, cell)._2)
+      val old = new HPath(leafOld(shardsPath, cell))
       val from = new HPath(s"$scratch/__cell=$cell")
       if (fs.exists(live) && !fs.rename(live, old))
         throw new java.io.IOException(s"swap failed moving aside $live")

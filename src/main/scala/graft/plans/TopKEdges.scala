@@ -36,7 +36,12 @@ final class TopKEdgesBuf(val k: Int) {
     var out = 0; var i = 0
     while (i < n && out < k) {
       val j = order(i)
-      if (out == 0 || tIds(out - 1) != ids(j) || tCs(out - 1) != cs(j)) {
+      // BIT equality, not ==: a NaN cosine (zero-norm vector) arrives
+      // with identical bits in both orientations, and == would keep
+      // both copies where the replaced distinct() collapsed them
+      if (out == 0 || tIds(out - 1) != ids(j) ||
+          java.lang.Double.doubleToRawLongBits(tCs(out - 1)) !=
+            java.lang.Double.doubleToRawLongBits(cs(j))) {
         tIds(out) = ids(j); tCs(out) = cs(j); out += 1
       }
       i += 1

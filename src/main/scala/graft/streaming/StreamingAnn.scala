@@ -13,11 +13,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
   *
   * The serving-while-maintaining story: the tier is RELOADED per
   * micro-batch (one ~KB meta read; the blob table reads lazily and
-  * only probed leaves are touched), so vectors a concurrent ingest
-  * lands through `ShardedHnsw.insertPersisted` (or
-  * `Library.addMarkdown` with sharded serving enabled) become
-  * servable at the NEXT micro-batch — no query restart, no index
-  * broadcast, per-executor memory bounded by the largest shard.
+  * only probed leaves are touched), so vectors ingest lands through
+  * `ShardedHnsw.insertPersisted` (or `Library.addMarkdown` with
+  * sharded serving enabled) become servable at the NEXT micro-batch —
+  * no query restart, no index broadcast, per-executor memory bounded
+  * by the largest shard.
+  *
+  * Concurrency contract (the same single-writer discipline as every
+  * TableSwap-maintained warehouse table): maintenance swaps must not
+  * OVERLAP a running trigger — a leaf's two-rename swap has a window
+  * where a reader listing that exact cell mid-swap would miss it (or
+  * read moved-aside files). Sequence ingest between triggers (the
+  * usual driver-side loop: foreachBatch and the ingest hook run on
+  * the same driver) or pause maintenance while a trigger is in
+  * flight; the spec pins the between-triggers flow.
   *
   * 100 TB shape: every micro-batch is the batch serving plan (probe
   * ranking against the broadcast centroid table, shuffle to probed
@@ -38,8 +47,9 @@ object StreamingAnn {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          // fresh handle per batch: picks up leaves a concurrent
-          // insertPersisted swapped in since the last trigger
+          // fresh handle per batch: picks up leaves insertPersisted
+          // swapped in since the last trigger (swaps must not overlap
+          // a running trigger — see the concurrency contract above)
           val sh = ShardedHnsw.load(spark, shardsPath, metaPath)
           val np =
             if (nProbe <= 0) sh.centers.length

@@ -24,33 +24,16 @@ object Round17Bench {
     import spark.implicits._
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    // 10x pair-interpolated corpus (the GraphRankSpec 10x recipe):
-    // copies fill the space BETWEEN base vectors, so cells are honest
+    // 10x pair-interpolated corpus (ScaleCorpus — one recipe shared
+    // with GraphRankSpec's audit-fidelity-at-10x floors): copies fill
+    // the space BETWEEN base vectors, so cells are honest
     val baseArr = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val nb = baseArr.length
-    def interpolated(copy: Int, idOffset: Long): Seq[(Long, Array[Float])] =
-      baseArr.zipWithIndex.map { case ((id, v), i) =>
-        if (copy == 0) (id + idOffset, v)
-        else {
-          val partner = baseArr(((i + 37 * copy) % nb + nb) % nb)._2
-          val t = copy / 12.0
-          val rnd = new java.util.SplittableRandom(id * 10 + copy)
-          val vv = new Array[Float](v.length)
-          var d = 0
-          while (d < v.length) {
-            vv(d) = ((1.0 - t) * v(d) + t * partner(d) +
-              (rnd.nextDouble() * 0.02 - 0.01)).toFloat
-            d += 1
-          }
-          (id + copy * 1000000L + idOffset, vv)
-        }
-      }.toSeq
-    val rows = (0 until 10).flatMap(c => interpolated(c, 0L))
+    val rows = ScaleCorpus.interpolate(baseArr, 10)
     val big = spark.createDataset(rows).repartition(32)
       .toDF("vec_id", "embedding")
-    println(s"[r17bench] corpus n=${rows.length} (${nb} base x 10)")
+    println(s"[r17bench] corpus n=${rows.length} (${baseArr.length} base x 10)")
 
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -69,8 +52,8 @@ object Round17Bench {
     // copy 11 is outside the build's 0..9, so the vectors are NEW
     // points, not bit-twins of indexed ones (a twin would tie-break
     // the self-hit check to the smaller indexed id)
-    val batch = interpolated(11, 90000000L).take(20)
-      .map { case (id, v) => (id, v) }
+    val batch = ScaleCorpus.interpolateCopy(baseArr, 11, 90000000L)
+      .take(20)
 
     // the touched FRACTION is the scale story: at a fixed batch size
     // it shrinks as cells grow (and at 100 TB cell count grows with

@@ -384,36 +384,16 @@ class GraphRankSpec extends SparkSpec {
   test("audit fidelity at 10x: conclusion floors hold where the IVF artifact is the only affordable build (VERDICT r16 #7)") {
     // The 500-vector curve may not transfer: cell occupancy changes
     // with N (16 cells hold ~31 members at 1x but ~312 at 10x, so a
-    // fixed nProbe covers a different candidate mass). Synthesize a
-    // 10x corpus by INTERPOLATING between deterministic vector pairs
-    // — replicated or merely jittered copies sit on top of their
+    // fixed nProbe covers a different candidate mass). Synthesize the
+    // shared 10x PAIR-INTERPOLATED corpus (graft.tools.ScaleCorpus —
+    // replicated or merely jittered copies sit on top of their
     // parent, land in its cell, and flatten the curve to 1.0 at any
-    // probe (measured); pair interpolation fills the space BETWEEN
-    // clusters, so cell walls and neighbor structure genuinely move —
-    // and re-pin the k-core / HITS conclusion floors at the
-    // documented 12/16 operating point.
+    // probe, measured) and re-pin the k-core / HITS conclusion floors
+    // at the documented 12/16 operating point.
     val baseArr = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val nb = baseArr.length
-    val rows = (0 until 10).flatMap { c =>
-      baseArr.zipWithIndex.map { case ((id, v), i) =>
-        if (c == 0) (id, v)
-        else {
-          val partner = baseArr(((i + 37 * c) % nb + nb) % nb)._2
-          val t = c / 12.0
-          val rnd = new java.util.SplittableRandom(id * 10 + c)
-          val vv = new Array[Float](v.length)
-          var d = 0
-          while (d < v.length) {
-            vv(d) = ((1.0 - t) * v(d) + t * partner(d) +
-              (rnd.nextDouble() * 0.02 - 0.01)).toFloat
-            d += 1
-          }
-          (id + c * 1000000L, vv)
-        }
-      }
-    }
+    val rows = graft.tools.ScaleCorpus.interpolate(baseArr, 10)
     val big = spark.createDataset(rows).repartition(16)
       .toDF("vec_id", "embedding").materializeOnce(eager = false)
     val nodes = big.select("vec_id")

@@ -446,6 +446,28 @@ class ShardedHnswSpec extends SparkSpec {
       s"re-ingested doc must serve from the maintained tier: $served")
   }
 
+  test("Library facade: compacting away EVERY indexed member drops the tier, and shardedSearch falls back cleanly") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-shnsw5").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 6).map(i => (s"/fd/doc$i.md",
+      s"# Doc$i\n" + (s"full drop corpus text $i words. " * 6))).toDS())
+    lib.enableShardedServing(nCells = 2)
+    (1 to 6).foreach(i =>
+      lib.removeDocumentFast(graft.Library.docId(s"/fd/doc$i.md")))
+    lib.compactTombstones()
+    // every member retired: the tier must DROP (a leaf-less blob table
+    // root would make the next load throw instead of falling back)
+    val fs = graft.util.TableSwap.fileSystem(spark, wh)
+    import org.apache.hadoop.fs.{Path => HPath}
+    assert(!fs.exists(new HPath(s"$wh/embeddings_hnsw_sharded_meta")))
+    // fresh corpus + fallback both still work
+    lib.addMarkdown(Seq(("/fd/new.md",
+      "# New\n" + ("fresh corpus after the full drop words. " * 6))).toDS())
+    val qv = lib.embedder.embed("fresh corpus after the full drop")
+    val res = lib.shardedSearch(qv, graft.model.SearchOptions(limit = 3))
+    assert(res.collect().nonEmpty)
+  }
+
   test("Library facade: re-ingest under a recurring chunkId drops the tier instead of serving stale vectors") {
     val wh = java.nio.file.Files.createTempDirectory("graft-shnsw3").toString
     val lib = new graft.Library(spark, wh)
