@@ -1247,7 +1247,11 @@ object GraphRank {
     *     and every old src's batch candidates come out exact — at
     *     least as good as re-querying the beam, in the same single
     *     pass the old-src side needs anyway — so at full coverage
-    *     append ≡ rebuild ≡ exact (VERDICT r16 #2).
+    *     append ≡ rebuild ≡ exact (VERDICT r16 #2);
+    *   - `"hnsw"` / `"srp"` — the same [[knnGraphAppend]] edge delta
+    *     over the prior kind-tagged artifact (the delta needs only
+    *     the OLD EDGES; `srpDim` is required for srp, matching the
+    *     builder).
     * In every kind the result lands under the full corpus's own content
     * stamp — a reader asking for the graph of THIS corpus state gets
     * it or rebuilds, never a stale set (crash-torn writes rebuild via
@@ -1256,7 +1260,8 @@ object GraphRank {
                              vecCol: String, k: Int, newIds: Seq[Long],
                              edgeSource: String = "exact",
                              nCells: Int = 16, nProbe: Int = 16,
-                             seed: Long = 42L): DataFrame = {
+                             seed: Long = 42L,
+                             srpDim: Int = 0): DataFrame = {
     val spark = full.sparkSession
     val newSet = newIds.toSet
     val old = full.filter(!col(idCol).cast("long").isInCollection(newSet))
@@ -1336,10 +1341,37 @@ object GraphRank {
               shardedCompanion(full, idCol, vecCol, nCells, seed,
                 newStamp),
               full, idCol, vecCol, k))
+      // the decomposability delta needs only the OLD EDGES (an old
+      // src's new top-k ⊆ old top-k ∪ its exact batch scores; a new
+      // src's side is exact by construction), so the hnsw and srp
+      // kinds append through the same pass — batch srcs come out
+      // EXACT, at least as good as the candidate generator's beam or
+      // bands would give a rebuild
+      case "hnsw" =>
+        val kind = s"knn$k-edges-hnsw"
+        graft.util.DiskArtifact.getOrBuild(spark, kind, newStamp)(() =>
+          if (graft.util.DiskArtifact.exists(kind, oldStamp))
+            knnGraphAppend(
+              graft.util.DiskArtifact.getOrBuild(spark, kind, oldStamp)(
+                () => throw new IllegalStateException(
+                  s"$kind@$oldStamp should exist")),
+              full, idCol, vecCol, k, newIds)
+          else knnGraphHnsw(full, idCol, vecCol, k))
+      case "srp" =>
+        require(srpDim > 0, "srp append needs srpDim = embedding dim")
+        val kind = s"knn$k-edges-srp$srpDim"
+        graft.util.DiskArtifact.getOrBuild(spark, kind, newStamp)(() =>
+          if (graft.util.DiskArtifact.exists(kind, oldStamp))
+            knnGraphAppend(
+              graft.util.DiskArtifact.getOrBuild(spark, kind, oldStamp)(
+                () => throw new IllegalStateException(
+                  s"$kind@$oldStamp should exist")),
+              full, idCol, vecCol, k, newIds)
+          else knnGraphSrp(full, idCol, vecCol, k, srpDim))
       case other =>
         throw new IllegalArgumentException(
           s"unknown edgeSource '$other' for append " +
-            "(exact | ivf | hnsw-sharded)")
+            "(exact | ivf | srp | hnsw | hnsw-sharded)")
     }
   }
 

@@ -601,6 +601,60 @@ class GraphRankSpec extends SparkSpec {
       "maintained companion must serve every member incl. the batch")
   }
 
+  test("knnGraphArtifactAppend(hnsw, srp): the edge-delta pass maintains every remaining kind") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .withColumn("vec_id", col("vec_id") + 9600000L) // unique stamps
+      .limit(80)
+    val ids = emb.collect().map(_.getLong(0)).sorted
+    val newIds = ids.takeRight(10).toSeq
+    val old = emb.filter(!col("vec_id").isInCollection(newIds))
+    val k = 3
+    val exact = GraphRank.knnGraph(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // hnsw kind: old beam edges are exact on this corpus (ef=64 covers
+    // it), and the delta's batch candidates are exact — append == exact
+    GraphRank.knnGraphArtifact(old, "vec_id", "embedding", k,
+      edgeSource = "hnsw").count()
+    val hnswAppend = GraphRank.knnGraphArtifactAppend(emb, "vec_id",
+        "embedding", k, newIds, edgeSource = "hnsw")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hnswAppend === exact)
+    // srp kind: banded candidates are approximate, so the invariants
+    // are structural — new srcs come out EXACT (the delta scans them
+    // against the whole corpus), old srcs keep out-degree <= k with
+    // true-cos edges drawn from (old edges ∪ batch)
+    val dim = emb.head().getAs[Seq[Float]]("embedding").length
+    val srpOld = GraphRank.knnGraphArtifact(old, "vec_id", "embedding",
+        k, edgeSource = "srp", srpDim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val srpAppend = GraphRank.knnGraphArtifactAppend(emb, "vec_id",
+        "embedding", k, newIds, edgeSource = "srp", srpDim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val newSet = newIds.toSet
+    assert(srpAppend.filter(e => newSet(e._1))
+      === exact.filter(e => newSet(e._1)),
+      "batch srcs must come out exact")
+    val exactCos = exact.map(e => (e._1, e._2) -> e._3).toMap ++
+      srpOld.map(e => (e._1, e._2) -> e._3).toMap
+    srpAppend.groupBy(_._1).foreach { case (_, es) =>
+      assert(es.size <= k)
+    }
+    srpAppend.filterNot(e => newSet(e._1)).foreach { case (s, d, c) =>
+      assert(srpOld.contains((s, d, c)) || newSet(d),
+        s"old src $s gained non-batch edge to $d outside its old set")
+      exactCos.get((s, d)).foreach(want => assert(want === c,
+        s"cos bits ($s,$d)"))
+    }
+    // unknown kinds still rejected loudly; srp needs its dim
+    intercept[IllegalArgumentException] {
+      GraphRank.knnGraphArtifactAppend(emb, "vec_id", "embedding", k,
+        newIds, edgeSource = "srp") }
+    intercept[IllegalArgumentException] {
+      GraphRank.knnGraphArtifactAppend(emb, "vec_id", "embedding", k,
+        newIds, edgeSource = "diskann") }
+  }
+
   test("artifact append with NO prior artifact builds fresh in-place (ivf and hnsw-sharded fallbacks)") {
     // regression for the self-overwrite hazard: the fallback used to
     // re-enter getOrBuild for the same (kind, newStamp) it was building
