@@ -23,12 +23,16 @@ import org.apache.spark.sql.functions._
   * exportable like every warehouse artifact.
   *
   * The sub-shard fan per cell FREEZES at build time and travels in the
-  * [[Shards]] handle (and the persisted meta table) — never inferred
-  * from per-cell row counts, which undercount when splitmix64 leaves a
-  * (cell, sub) key unpopulated (ADVICE r16: a count-inferred fan made
-  * the populated high-numbered sub unreachable and silently dropped
-  * inserts routed to the empty one). Insert fills a routed-to key that
-  * has no blob row with a fresh subgraph instead of dropping it.
+  * [[Shards]] handle (and the persisted manifest/meta) — never
+  * inferred from per-cell row counts, which undercount when splitmix64
+  * leaves a (cell, sub) key unpopulated (ADVICE r16: a count-inferred
+  * fan made the populated high-numbered sub unreachable and silently
+  * dropped inserts routed to the empty one). Insert fills a routed-to
+  * key that has no blob row with a fresh subgraph instead of dropping
+  * it. The persisted tier's fan can GROW past build time — the
+  * re-shard watermark (round 18, VERDICT r17 #4) splits a hot leaf
+  * locally once ingest pushes it past `growFactor × maxCellSize`; the
+  * grown fan commits atomically with the leaf through the manifest.
   *
   * Serve: queries rank the BROADCAST centroid table in-plan and
   * SHUFFLE to their `nProbe` nearest shards (a cogroup — the shard
@@ -40,42 +44,253 @@ import org.apache.spark.sql.functions._
   * full-coverage mode whose recall the spec pins against the
   * monolithic graph and the exact scan.
   *
-  * Persistence (round 17, VERDICT r16 #1): [[save]] lands the blob
-  * table as a parquet table PARTITIONED BY `__cell` plus a meta table
-  * (frozen centers, per-cell fan, build params); [[insertPersisted]]
-  * maintains it with TRUE O(touched) I/O — only the cell leaves the
-  * batch routes to are read or rewritten, each through the per-leaf
-  * rename + swap discipline (`TableSwap.rewriteVia`, scratch OUTSIDE
-  * the table root so crash leftovers never enter partition
-  * discovery); untouched leaves are not even listed. Torn swaps are
-  * healed by [[repairLeaves]] (wired into `Library.repair`).
+  * Persistence (rounds 17–18): the tier lives under one root as
+  * immutable epoch-suffixed leaf directories plus a tiny versioned
+  * MANIFEST, and every maintenance batch commits through ONE atomic
+  * manifest rename (VERDICT r17 #1 — the serving/maintenance contract
+  * is mechanical, not conventional):
+  *
+  * {{{
+  *   <root>/_manifest/m<epoch>      one text file per committed epoch
+  *   <root>/leaf-<cell>-e<epoch>/   parquet: __cell,__sub,__graph,__size
+  *   <root>/_SUCCESS                table-presence marker
+  * }}}
+  *
+  * Writers ([[insertPersisted]], [[compactPersisted]]) write NEW leaf
+  * dirs for the touched cells (invisible until referenced), then
+  * install manifest `m<epoch+1>` by a single rename — the commit
+  * point. Readers ([[load]], each [[graft.streaming.StreamingAnn]]
+  * trigger) pin the manifest they started with: the handle resolves
+  * leaf paths from its manifest, and superseded leaf dirs are
+  * RETAINED for one epoch (GC keeps everything referenced by the
+  * newest two manifests), so a reader that loaded at epoch E serves a
+  * consistent epoch-E snapshot even while epoch E+1 lands — no missed
+  * leaf, no torn read, no convention to remember. A reader must not
+  * outlive two maintenance commits (retention depth 1) — at the
+  * engine's trigger/batch granularity that is structural, not a
+  * discipline. Crash anywhere before the manifest rename leaves only
+  * unreferenced orphan dirs ([[repairLeaves]] sweeps them, with an
+  * mtime staleness guard so a sweep can never destroy a LIVE writer's
+  * in-flight scratch — ADVICE r17). Pre-manifest warehouses (round-17
+  * hive `__cell=N` layout) read through a synthesized epoch-0 manifest
+  * and migrate leaf-by-leaf as maintenance touches them.
+  *
+  * Blob codec (round 18, VERDICT r17 #2): subgraphs serialize in a
+  * primitive-array layout (header, ids, levels, packed vectors,
+  * CSR-offset adjacency per layer) — no Java object-stream overhead;
+  * legacy `ObjectOutputStream` blobs still deserialize (magic-number
+  * dispatch). Serving decodes through a content-keyed per-JVM LRU
+  * ([[deserializeCached]]) so a hot shard deserializes once per
+  * executor, not once per trigger/task.
   *
   * Output contract ≡ [[Hnsw.searchKnnBatch]]: (qid, rn, id, cos_dist),
   * rn 1..k by (dist asc, id asc). */
 object ShardedHnsw {
 
   /** Handle: the shard table (cell, sub, graph-bytes), the frozen
-    * centers, the frozen per-cell sub-shard fan (`subsOf`; cells
-    * absent from the map have fan 1), and the build parameters
-    * (needed to interpret blobs). */
+    * centers, the per-cell sub-shard fan (`subsOf`; cells absent from
+    * the map have fan 1 — build-frozen, grown only by the persisted
+    * re-shard watermark), the build parameters (needed to interpret
+    * blobs), and the `maxCellSize` cap the watermark enforces (0 =
+    * uncapped). */
   final class Shards(val table: DataFrame,
                      val centers: Array[Array[Double]],
                      val m: Int, val efConstruction: Int,
                      val seed: Long,
-                     val subsOf: Map[Int, Int]) extends Serializable
+                     val subsOf: Map[Int, Int],
+                     val maxCellSize: Int = 0) extends Serializable
 
+  // ------------------------------------------------------------------ codec
+
+  /** v2 blob magic ("GSH2" — graft sharded hnsw, layout 2). Java
+    * serialization streams begin 0xACED0005, so the first int
+    * dispatches the decoder unambiguously. */
+  private val Magic = 0x47534832
+
+  /** Primitive-array graph codec (VERDICT r17 #2): header (magic, n,
+    * dim, entryPoint, m, efC, nLayers, seed), then ids, levels, packed
+    * row-major vectors, then per layer a CSR adjacency (n+1 offsets +
+    * flat neighbor ids). ~40% smaller than the Java object stream at
+    * the bench shape and decodes in bulk-copy time. */
   private[operators] def serialize(g: Hnsw.Graph): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val oos = new java.io.ObjectOutputStream(bos)
-    oos.writeObject(g); oos.close()
-    bos.toByteArray
+    val n = g.size
+    val dim = if (n == 0) 0 else g.vecs(0).length
+    val layers = g.neighbors.length
+    var adjInts = 0L
+    var l = 0
+    while (l < layers) {
+      var i = 0
+      while (i < n) { adjInts += g.neighbors(l)(i).length; i += 1 }
+      adjInts += n + 1
+      l += 1
+    }
+    val bytes = 4L * 7 + 8 + 8L * n + 4L * n + 4L * n * dim + 4L * adjInts
+    require(bytes <= Int.MaxValue, s"shard blob of $bytes bytes exceeds 2GB")
+    val buf = java.nio.ByteBuffer.allocate(bytes.toInt)
+    buf.putInt(Magic).putInt(n).putInt(dim).putInt(g.entryPoint)
+      .putInt(g.m).putInt(g.efConstruction).putInt(layers)
+      .putLong(g.seed)
+    buf.asLongBuffer().put(g.ids); buf.position(buf.position() + 8 * n)
+    buf.asIntBuffer().put(g.levels); buf.position(buf.position() + 4 * n)
+    val fb = buf.asFloatBuffer()
+    var i = 0
+    while (i < n) { fb.put(g.vecs(i)); i += 1 }
+    buf.position(buf.position() + 4 * n * dim)
+    l = 0
+    while (l < layers) {
+      val ib = buf.asIntBuffer()
+      var off = 0
+      var j = 0
+      while (j < n) { ib.put(off); off += g.neighbors(l)(j).length; j += 1 }
+      ib.put(off)
+      j = 0
+      while (j < n) { ib.put(g.neighbors(l)(j)); j += 1 }
+      buf.position(buf.position() + 4 * (n + 1 + off))
+      l += 1
+    }
+    buf.array()
   }
 
   private[operators] def deserialize(bytes: Array[Byte]): Hnsw.Graph = {
-    val ois = new java.io.ObjectInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    val g = ois.readObject().asInstanceOf[Hnsw.Graph]
-    ois.close(); g
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    if (bytes.length < 4 || buf.getInt(0) != Magic) { // legacy blob
+      val ois = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val g = ois.readObject().asInstanceOf[Hnsw.Graph]
+      ois.close(); return g
+    }
+    buf.getInt() // magic
+    val n = buf.getInt(); val dim = buf.getInt()
+    val entry = buf.getInt(); val m = buf.getInt()
+    val efc = buf.getInt(); val layers = buf.getInt()
+    val seed = buf.getLong()
+    val ids = new Array[Long](n)
+    buf.asLongBuffer().get(ids); buf.position(buf.position() + 8 * n)
+    val levels = new Array[Int](n)
+    buf.asIntBuffer().get(levels); buf.position(buf.position() + 4 * n)
+    val vecs = new Array[Array[Float]](n)
+    val fb = buf.asFloatBuffer()
+    var i = 0
+    while (i < n) {
+      val v = new Array[Float](dim); fb.get(v); vecs(i) = v; i += 1
+    }
+    buf.position(buf.position() + 4 * n * dim)
+    val neighbors = new Array[Array[Array[Int]]](layers)
+    var l = 0
+    while (l < layers) {
+      val ib = buf.asIntBuffer()
+      val offs = new Array[Int](n + 1); ib.get(offs)
+      val flat = new Array[Int](offs(n)); ib.get(flat)
+      val layer = new Array[Array[Int]](n)
+      var j = 0
+      while (j < n) {
+        layer(j) = java.util.Arrays.copyOfRange(flat, offs(j), offs(j + 1))
+        j += 1
+      }
+      neighbors(l) = layer
+      buf.position(buf.position() + 4 * (n + 1 + offs(n)))
+      l += 1
+    }
+    new Hnsw.Graph(ids, levels = levels, vecs = vecs,
+      neighbors = neighbors, entryPoint = entry, m = m,
+      efConstruction = efc, seed = seed)
+  }
+
+  /** Member count of a blob without materializing the graph: a header
+    * peek for v2 blobs; legacy Java blobs pay a full decode (they
+    * rewrite in v2 the first time maintenance touches their leaf). */
+  private def peekSize(bytes: Array[Byte]): Int = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    if (bytes.length >= 8 && buf.getInt(0) == Magic) buf.getInt(4)
+    else deserialize(bytes).size
+  }
+
+  /** Per-JVM content-keyed LRU over decoded shards (VERDICT r17 #2):
+    * serving paths decode a blob at most once per executor process —
+    * a hot shard answering every streaming trigger stops paying a
+    * per-task deserialization. Keyed by two independent-seed XXH64s of
+    * the blob bytes + length (a false hit needs a simultaneous 128-bit
+    * collision), sized by encoded bytes (the decoded graph is the same
+    * arrays), bounded by `graft.shardCacheBytes` (default 512 MB).
+    * Graphs are immutable after decode ([[Hnsw.insert]] copies), so a
+    * cached instance is safe to share across tasks. */
+  private object GraphCache {
+    private val maxBytes: Long =
+      java.lang.Long.getLong("graft.shardCacheBytes", 512L << 20)
+    private var totalBytes = 0L
+    private val map =
+      new java.util.LinkedHashMap[(Long, Long, Int), (Hnsw.Graph, Int)](
+        64, 0.75f, true)
+    private[ShardedHnsw] def get(bytes: Array[Byte]): Hnsw.Graph = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      import org.apache.spark.unsafe.Platform
+      val h1 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 0x9E3779B97F4A7C15L)
+      val h2 = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 0xC2B2AE3D27D4EB4FL)
+      val key = (h1, h2, bytes.length)
+      synchronized {
+        val hit = map.get(key)
+        if (hit != null) return hit._1
+      }
+      val g = deserialize(bytes) // decode outside the lock
+      synchronized {
+        if (!map.containsKey(key)) {
+          map.put(key, (g, bytes.length))
+          totalBytes += bytes.length
+          val it = map.entrySet().iterator()
+          while (totalBytes > maxBytes && map.size() > 1 && it.hasNext) {
+            totalBytes -= it.next().getValue._2
+            it.remove()
+          }
+        }
+        map.get(key)._1
+      }
+    }
+    private[ShardedHnsw] def reset(): Unit = synchronized {
+      map.clear(); totalBytes = 0L
+    }
+  }
+
+  /** Serving-path decode: the per-executor cache, falling through to
+    * [[deserialize]] on miss. Maintenance paths decode uncached — the
+    * blobs they read are about to be superseded. */
+  private[operators] def deserializeCached(bytes: Array[Byte]): Hnsw.Graph =
+    GraphCache.get(bytes)
+
+  /** Test hook: drop the per-JVM shard cache. */
+  private[graft] def resetCache(): Unit = GraphCache.reset()
+
+  // ------------------------------------------------------------------ build
+
+  /** (member id, assigned cell) for every indexed member, read from
+    * the blobs themselves — what the warehouse ids table records so
+    * compaction can route to a dead member's leaves without its
+    * vector (VERDICT r17 #3); also the one-time migration read for
+    * pre-round-18 ids tables that lack the cell column. */
+  def memberCells(sh: Shards): DataFrame = {
+    val spark = sh.table.sparkSession
+    import spark.implicits._
+    sh.table.as[(Int, Int, Array[Byte])].flatMap {
+      case (cell, _, bytes) =>
+        deserialize(bytes).ids.iterator.map(id => (id, cell))
+    }.toDF("id", "__cell")
+  }
+
+  private def assignToCenters(spark: SparkSession, typed: DataFrame,
+                              centers: Array[Array[Double]]): DataFrame = {
+    val centersDf = spark.createDataFrame(
+      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
+      .toDF("__cell", "__center")
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(asc("__cdist"), asc("__cell"))
+    typed
+      .crossJoin(broadcast(centersDf))
+      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
+        col("__v").cast("array<double>"), col("__center")))
+      .withColumn("__crn", row_number().over(probeW))
+      .filter(col("__crn") === 1)
+      .select(col("__cell"), col("id"), col("__v"))
   }
 
   /** Distributed shard build. One k-means fit (centroids are the only
@@ -92,18 +307,7 @@ object ShardedHnsw {
     require(nCells >= 1 && nCells <= n,
       s"need 1 <= nCells <= corpus size, got nCells=$nCells n=$n")
     val centers = GraphRank.ivfCenters(typed, nCells, seed)
-    val centersDf = spark.createDataFrame(
-      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-      .toDF("__cell", "__center")
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(asc("__cdist"), asc("__cell"))
-    val assigned = typed
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
-        col("__v").cast("array<double>"), col("__center")))
-      .withColumn("__crn", row_number().over(probeW))
-      .filter(col("__crn") === 1)
-      .select(col("__cell"), col("id"), col("__v"))
+    val assigned = assignToCenters(spark, typed, centers)
       .materializeOnce(eager = false) // sizes + the grouped build
     val splits: Map[Int, Int] =
       if (maxCellSize <= 0) Map.empty
@@ -121,7 +325,7 @@ object ShardedHnsw {
       }
       .toDF("__cell", "__sub", "__graph")
       .materializeOnce(eager = false)
-    new Shards(table, centers, m, efConstruction, seed, splits)
+    new Shards(table, centers, m, efConstruction, seed, splits, maxCellSize)
   }
 
   // ------------------------------------------------------------ maintenance
@@ -196,15 +400,16 @@ object ShardedHnsw {
             seed)))
         }).toDF("__cell", "__sub", "__graph"))
     new Shards(table2.materializeOnce(eager = false), sh.centers,
-      m, efC, seed, sh.subsOf)
+      m, efC, seed, sh.subsOf, sh.maxCellSize)
   }
 
   /** Batch search over the shards: queries shuffle to their probed
-    * (cell, sub) shards, each shard deserializes ONCE per task and
-    * answers its cogroup's queries in-memory. The sub-shard fan-out is
-    * the handle's FROZEN fan — a probe of a split cell fans over every
-    * sub the build could have populated (probing an empty one costs a
-    * no-op cogroup bucket, never recall). */
+    * (cell, sub) shards, each shard decodes through the per-executor
+    * [[GraphCache]] and answers its cogroup's queries in-memory. The
+    * sub-shard fan-out is the handle's fan — a probe of a split cell
+    * fans over every sub the build (or the re-shard watermark) could
+    * have populated (probing an empty one costs a no-op cogroup
+    * bucket, never recall). */
   def searchBatch(sh: Shards, queries: DataFrame, qidCol: String,
                   qvecCol: String, k: Int, nProbe: Int,
                   ef: Int = 64): DataFrame = {
@@ -237,7 +442,7 @@ object ShardedHnsw {
         gs.toSeq.headOption match {
           case None => Iterator.empty
           case Some((_, _, bytes)) =>
-            val g = deserialize(bytes)
+            val g = deserializeCached(bytes)
             qs.flatMap { case (_, _, qid, qv) =>
               Hnsw.searchKnn(g, qv, k, ef).iterator.map {
                 case (id, d) => (qid, id, d) }
@@ -258,33 +463,31 @@ object ShardedHnsw {
     import spark.implicits._
     sh.centers.zipWithIndex.toSeq.map { case (c, i) =>
       (i, c.toSeq, sh.subsOf.getOrElse(i, 1), sh.m, sh.efConstruction,
-        sh.seed)
-    }.toDF("__cell", "__center", "__nsplit", "m", "efc", "seed")
+        sh.seed, sh.maxCellSize)
+    }.toDF("__cell", "__center", "__nsplit", "m", "efc", "seed",
+      "__maxcell")
   }
 
-  /** Persist the tier: the blob table partitioned by `__cell` (so
-    * maintenance can rewrite single leaves) + the meta table (frozen
-    * centers, frozen fan, build params). Whole-table swaps — the
-    * initial build rewrites everything anyway. */
-  def save(sh: Shards, shardsPath: String, metaPath: String): Unit = {
-    graft.util.TableSwap.rewrite(shardsPath, sh.table,
-      partitionBy = Seq("__cell"))
-    graft.util.TableSwap.rewrite(metaPath,
-      metaDf(sh.table.sparkSession, sh))
-  }
+  private[operators] final case class MetaInfo(
+      centers: Array[Array[Double]], subsOf: Map[Int, Int],
+      m: Int, efConstruction: Int, seed: Long, maxCellSize: Int)
 
-  private def parseMeta(rows: Array[org.apache.spark.sql.Row])
-      : (Array[Array[Double]], Map[Int, Int], Int, Int, Long) = {
+  private def parseMeta(rows: Array[org.apache.spark.sql.Row]): MetaInfo = {
     val centers = rows.map(r => r.getInt(0) ->
       r.getSeq[Double](1).toArray).sortBy(_._1).map(_._2)
     val subsOf = rows.map(r => r.getInt(0) -> r.getInt(2))
       .filter(_._2 > 1).toMap
     val h = rows.head
-    (centers, subsOf, h.getInt(3), h.getInt(4), h.getLong(5))
+    // pre-round-18 meta tables lack __maxcell → 0 (no watermark)
+    val maxCell =
+      if (h.schema != null && h.schema.fieldNames.contains("__maxcell"))
+        h.getInt(h.fieldIndex("__maxcell"))
+      else 0
+    MetaInfo(centers, subsOf, h.getInt(3), h.getInt(4), h.getLong(5),
+      maxCell)
   }
 
-  private def readMeta(spark: SparkSession, metaPath: String)
-      : (Array[Array[Double]], Map[Int, Int], Int, Int, Long) =
+  private def readMeta(spark: SparkSession, metaPath: String): MetaInfo =
     parseMeta(spark.read.parquet(metaPath).collect())
 
   /** The handle's meta table as a frame — the persisted companion form
@@ -298,104 +501,334 @@ object ShardedHnsw {
     * canonical column order regardless of how the store laid it out. */
   private[graft] def fromFrames(table: DataFrame, meta: DataFrame)
       : Shards = {
-    val (centers, subsOf, m, efc, seed) = parseMeta(meta.collect())
+    val mi = parseMeta(meta.collect())
     new Shards(table.select("__cell", "__sub", "__graph"),
-      centers, m, efc, seed, subsOf)
+      mi.centers, mi.m, mi.efConstruction, mi.seed, mi.subsOf,
+      mi.maxCellSize)
   }
 
-  /** Reload the persisted tier. The blob table reads lazily — a reload
-    * costs one meta read until a search actually probes shards. */
-  def load(spark: SparkSession, shardsPath: String,
-           metaPath: String): Shards = {
-    val (centers, subsOf, m, efc, seed) = readMeta(spark, metaPath)
-    // hive partition discovery appends __cell LAST; restore the
-    // canonical order the tuple-typed readers bind positionally
-    new Shards(
-      spark.read.parquet(shardsPath).select("__cell", "__sub", "__graph"),
-      centers, m, efc, seed, subsOf)
+  // ----------------------------------------------------- manifest machinery
+
+  /** One committed leaf: its directory name under the root, its member
+    * count (−1 = unknown, a migrated legacy leaf not yet touched), and
+    * its sub-shard fan. The fan rides HERE (not only in the meta
+    * table) so a watermark-grown fan commits atomically with the leaf
+    * it re-sharded — a reader can never pair an old fan with a new
+    * leaf or vice versa. */
+  private[operators] final case class LeafEntry(dir: String, count: Long,
+                                                fan: Int)
+
+  private[operators] final case class Manifest(
+      epoch: Long, leaves: Map[Int, LeafEntry]) {
+    def fanOf(cell: Int, metaFallback: Map[Int, Int]): Int =
+      leaves.get(cell).map(_.fan)
+        .getOrElse(metaFallback.getOrElse(cell, 1))
   }
 
-  private def leafPath(shardsPath: String, cell: Int): String =
-    s"$shardsPath/__cell=$cell"
+  private def manifestDir(root: String) = s"$root/_manifest"
 
-  /** Move-aside sibling for a single-leaf swap — OUTSIDE the table
-    * root, so a crash leftover never enters partition discovery; the
-    * name matches the `embeddings_ivf_cell<N>_old` convention
-    * `Library`'s crash sweep already recognizes. (The matching
-    * `_cell<N>_tmp` name is LEGACY: the round-17 per-leaf rewriteVia
-    * wrote it, the current one-job writers never do — [[repairLeaves]]
-    * keeps sweeping it for warehouses that crashed under that form.) */
-  private def leafOld(shardsPath: String, cell: Int): String =
-    s"${shardsPath}_cell${cell}_old"
+  private val ManifestName = "m(\\d+)".r
 
-  /** O(touched) ingest maintenance of the PERSISTED tier (VERDICT r16
-    * #1): route the batch by the frozen clustering + fan, read ONLY
-    * the touched cell partition leaves (per-leaf paths — untouched
-    * leaves are neither listed, read, nor rewritten; the maintenance
-    * I/O is bounded by the touched partitions, not the index), update
-    * the routed-to blobs ([[Hnsw.insert]]; blobs of other subs in the
-    * same leaf pass through as bytes, never deserialized), land every
-    * rewritten leaf in ONE write job into scratch OUTSIDE the table
-    * root, then swap each touched leaf in via the per-leaf rename
-    * discipline. One job instead of two per touched leaf — a
-    * 1000-chunk batch costs 2 jobs, not ~2000 (round-17 bench: the
-    * per-leaf-job form was 3.6x slower than a FULL rewrite at 20k
-    * vectors purely on job overhead). A routed-to (cell, sub) with no
-    * blob row gets a fresh subgraph row in its leaf. Crash-safe: a
-    * torn swap leaves the original leaf recoverable in `_old` and
-    * stranded scratch sweeps ([[repairLeaves]]); a retry of the whole
-    * batch is idempotent ([[Hnsw.insert]] skips ids the subgraph
-    * already holds). */
-  def insertPersisted(spark: SparkSession, shardsPath: String,
-                      metaPath: String,
-                      batch: Seq[(Long, Array[Float])]): Unit = {
-    if (batch.isEmpty) return
-    import spark.implicits._
-    val (centers, subsOf, m, efc, seed) = readMeta(spark, metaPath)
-    val byKey = routeBatch(centers, subsOf, batch)
+  /** The newest committed manifest, or a synthesized epoch-0 manifest
+    * over a pre-manifest hive layout (`__cell=N` leaf dirs; fans from
+    * the meta table, counts unknown), or an empty epoch-0 manifest for
+    * a tier with no leaves at all. */
+  private[operators] def currentManifest(
+      spark: SparkSession, shardsPath: String,
+      metaFans: Map[Int, Int]): Manifest = {
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
-    val touched: Seq[Int] = byKey.keys.map(_._1).toSeq.distinct.sorted
-    val liveLeaves = touched.filter(c =>
-      fs.exists(new HPath(leafPath(shardsPath, c))))
-    val existing = liveLeaves.map { cell =>
-        spark.read.parquet(leafPath(shardsPath, cell))
-          .select(lit(cell).as("__cell"), col("__sub"), col("__graph"))
-      }.reduceOption(_ unionByName _)
-    val present: Set[(Int, Int)] = existing.map(
-        _.select("__cell", "__sub").as[(Int, Int)].collect().toSet)
-      .getOrElse(Set.empty)
-    val bc = spark.sparkContext.broadcast(byKey)
-    val updated = existing.map(_.as[(Int, Int, Array[Byte])].map {
-      case (cell, sub, bytes) =>
-        bc.value.get((cell, sub)) match {
-          case None => (cell, sub, bytes)
-          case Some(rows) =>
-            (cell, sub, serialize(Hnsw.insert(deserialize(bytes), rows)))
-        }
-    }.toDF("__cell", "__sub", "__graph"))
-    val freshKeys = byKey.keys.filterNot(present).toSeq.sorted
-    val freshDf =
-      if (freshKeys.isEmpty) None
-      else Some(spark.createDataFrame(freshKeys.map { case (cell, sub) =>
-        (cell, sub, serialize(Hnsw.build(byKey((cell, sub)), m, efc, seed)))
-      }).toDF("__cell", "__sub", "__graph"))
-    val next = (updated.toSeq ++ freshDf.toSeq).reduce(_ unionByName _)
+    val mdir = new HPath(manifestDir(shardsPath))
+    val committed =
+      if (!fs.exists(mdir)) None
+      else fs.listStatus(mdir).map(_.getPath.getName).collect {
+        case n @ ManifestName(e) => (e.toLong, n)
+      }.sortBy(_._1).lastOption
+    committed match {
+      case Some((epoch, name)) =>
+        val in = fs.open(new HPath(mdir, name))
+        val text = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+          bos.toString("UTF-8")
+        } finally in.close()
+        Manifest(epoch, text.linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(cell, dir, count, fan) = line.split("\t")
+          cell.toInt -> LeafEntry(dir, count.toLong, fan.toInt)
+        }.toMap)
+      case None =>
+        val root = new HPath(shardsPath)
+        val legacy =
+          if (!fs.exists(root)) Map.empty[Int, LeafEntry]
+          else fs.listStatus(root).map(_.getPath.getName).collect {
+            case n if n.startsWith("__cell=") =>
+              val cell = n.stripPrefix("__cell=").toInt
+              cell -> LeafEntry(n, -1L, metaFans.getOrElse(cell, 1))
+          }.toMap
+        Manifest(0L, legacy)
+    }
+  }
+
+  /** Install `next` as the newest manifest: write a hidden temp file,
+    * then ONE rename — the commit point. GC afterwards keeps
+    * everything the newest TWO manifests reference (retention depth 1:
+    * a reader pinned at the previous epoch stays consistent through
+    * this commit) and sweeps older manifests and superseded or
+    * orphaned leaf dirs. */
+  private def installManifest(spark: SparkSession, shardsPath: String,
+                              next: Manifest, prev: Manifest): Unit = {
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    val mdir = new HPath(manifestDir(shardsPath))
+    fs.mkdirs(mdir)
+    val tmp = new HPath(mdir, s".m${next.epoch}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.leaves.toSeq.sortBy(_._1).map {
+      case (cell, e) => s"$cell\t${e.dir}\t${e.count}\t${e.fan}"
+    }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val target = new HPath(mdir, s"m${next.epoch}")
+    graft.util.TableSwap.delete(fs, target) // a crashed retry's twin
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"manifest install failed: $target")
+    // GC: older manifests; leaf dirs neither manifest references
+    fs.listStatus(mdir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case ManifestName(e) if e.toLong < next.epoch - 1 =>
+          graft.util.TableSwap.delete(fs, p)
+        case _ => ()
+      }
+    }
+    val keep = (next.leaves.values ++ prev.leaves.values).map(_.dir).toSet
+    val root = new HPath(shardsPath)
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val isLeaf = n.startsWith("leaf-") || n.startsWith("__cell=")
+      if (isLeaf && !keep(n)) graft.util.TableSwap.delete(fs, p)
+    }
+    // table-presence marker for warehouse discovery (the hive layout
+    // inherited one from its parquet write)
+    val marker = new HPath(root, "_SUCCESS")
+    if (!fs.exists(marker)) fs.create(marker, true).close()
+  }
+
+  private def leafDirName(cell: Int, epoch: Long) = s"leaf-$cell-e$epoch"
+
+  /** Read the leaves a manifest references as one frame with the
+    * canonical (__cell, __sub, __graph) columns. Modern leaves carry
+    * `__cell` in their data; legacy hive leaves recover it from the
+    * dir name via a basePath read. Restricting to `cells` reads only
+    * those leaves' files. */
+  private def readLeaves(spark: SparkSession, shardsPath: String,
+                         manifest: Manifest,
+                         cells: Option[Set[Int]] = None): DataFrame = {
+    val chosen = cells match {
+      case Some(cs) => manifest.leaves.filter { case (c, _) => cs(c) }
+      case None => manifest.leaves
+    }
+    val (legacy, modern) = chosen.partition(_._2.dir.startsWith("__cell="))
+    val frames = Seq(
+      if (modern.isEmpty) None
+      else Some(spark.read.parquet(
+          modern.values.map(e => s"$shardsPath/${e.dir}").toSeq: _*)
+        .select("__cell", "__sub", "__graph")),
+      if (legacy.isEmpty) None
+      else Some(spark.read.option("basePath", shardsPath).parquet(
+          legacy.values.map(e => s"$shardsPath/${e.dir}").toSeq: _*)
+        .select(col("__cell").cast("int"), col("__sub"), col("__graph")))
+    ).flatten
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("__sub",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("__graph",
+            org.apache.spark.sql.types.BinaryType))))
+    else frames.reduce(_ unionByName _)
+  }
+
+  /** Persist the tier: modern epoch-0 leaves + manifest + the meta
+    * table (frozen centers, build fans, build params, watermark cap).
+    * A full (re)build — any previous state under the root is
+    * replaced. */
+  def save(sh: Shards, shardsPath: String, metaPath: String): Unit = {
+    val spark = sh.table.sparkSession
+    import spark.implicits._
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    graft.util.TableSwap.delete(fs, new HPath(shardsPath))
     val scratch = batchScratch(shardsPath)
     graft.util.TableSwap.delete(fs, new HPath(scratch))
-    next.write.partitionBy("__cell").parquet(scratch)
-    touched.foreach { cell =>
-      val live = new HPath(leafPath(shardsPath, cell))
-      val old = new HPath(leafOld(shardsPath, cell))
-      val from = new HPath(s"$scratch/__cell=$cell")
-      if (!fs.exists(from))
-        throw new IllegalStateException(s"no scratch leaf for cell $cell")
-      if (fs.exists(live) && !fs.rename(live, old))
-        throw new java.io.IOException(s"swap failed moving aside $live")
-      if (!fs.rename(from, live))
-        throw new java.io.IOException(s"swap failed installing $live")
-      graft.util.TableSwap.delete(fs, old)
-    }
+    sh.table.as[(Int, Int, Array[Byte])]
+      .map { case (cell, sub, bytes) =>
+        (cell, cell, sub, bytes, peekSize(bytes)) }
+      .toDF("__pcell", "__cell", "__sub", "__graph", "__size")
+      .write.partitionBy("__pcell").parquet(scratch)
+    fs.mkdirs(new HPath(shardsPath))
+    val counts = spark.read.parquet(scratch)
+      .groupBy("__cell").agg(sum("__size").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val leaves = counts.keys.map { cell =>
+      val dir = leafDirName(cell, 0L)
+      if (!fs.rename(new HPath(s"$scratch/__pcell=$cell"),
+          new HPath(s"$shardsPath/$dir")))
+        throw new java.io.IOException(s"save failed installing $dir")
+      cell -> LeafEntry(dir, counts(cell), sh.subsOf.getOrElse(cell, 1))
+    }.toMap
     graft.util.TableSwap.delete(fs, new HPath(scratch))
+    installManifest(spark, shardsPath, Manifest(0L, leaves),
+      Manifest(0L, leaves))
+    graft.util.TableSwap.rewrite(metaPath,
+      metaDf(sh.table.sparkSession, sh))
+  }
+
+  /** Reload the persisted tier, PINNED at the newest committed
+    * manifest: the handle resolves exactly that epoch's leaf dirs, so
+    * a maintenance commit landing after this load does not change
+    * what the handle serves (snapshot isolation — retention keeps the
+    * pinned epoch's files until the commit after next). Costs one
+    * meta read + one manifest read; blob files read lazily. */
+  def load(spark: SparkSession, shardsPath: String,
+           metaPath: String): Shards = {
+    val mi = readMeta(spark, metaPath)
+    val manifest = currentManifest(spark, shardsPath, mi.subsOf)
+    val fans = (mi.subsOf ++ manifest.leaves.map {
+      case (c, e) => c -> e.fan }).filter(_._2 > 1)
+    new Shards(readLeaves(spark, shardsPath, manifest),
+      mi.centers, mi.m, mi.efConstruction, mi.seed, fans, mi.maxCellSize)
+  }
+
+  /** O(touched) ingest maintenance of the PERSISTED tier (VERDICT r16
+    * #1, manifest-committed since round 18): route the batch by the
+    * frozen clustering + current fan, read ONLY the touched cells'
+    * leaf files (untouched leaves are neither listed, read, nor
+    * rewritten — the maintenance I/O is bounded by the touched
+    * leaves, not the index), update the routed-to blobs
+    * ([[Hnsw.insert]]; blobs of other subs in the same leaf pass
+    * through as bytes, never deserialized), land every rewritten leaf
+    * in ONE write job into scratch OUTSIDE the table root, rename the
+    * new leaf dirs in (invisible until referenced), then COMMIT with
+    * a single manifest rename — concurrent readers pinned at the
+    * previous epoch keep a consistent snapshot, the next load serves
+    * the grown tier. A routed-to (cell, sub) with no blob row gets a
+    * fresh subgraph row in its leaf.
+    *
+    * Re-shard watermark (VERDICT r17 #4): a touched cell whose member
+    * count crosses `growFactor × maxCellSize` (growFactor from
+    * `spark.graft.shardedGrowFactor`, default 2.0; cap from the meta
+    * table) re-shards LOCALLY — its members re-bucket by
+    * [[GraphRank.subKey]] under the grown fan and each sub rebuilds,
+    * all inside the same per-cell task, so the per-executor bound
+    * holds under skewed ingest without a global rebuild. The grown
+    * fan commits atomically with the leaf via the manifest.
+    *
+    * Crash-safe: everything before the manifest rename is invisible
+    * (orphan dirs, swept by [[repairLeaves]]); a retry of the whole
+    * batch is idempotent ([[Hnsw.insert]] skips ids the subgraph
+    * already holds, and counts recompute from the blobs themselves).
+    *
+    * Returns the batch's cell assignment (id → cell) so the caller's
+    * ids table can record it (the O(touched) compaction route). */
+  def insertPersisted(spark: SparkSession, shardsPath: String,
+                      metaPath: String,
+                      batch: Seq[(Long, Array[Float])]): Seq[(Long, Int)] = {
+    if (batch.isEmpty) return Nil
+    import spark.implicits._
+    val mi = readMeta(spark, metaPath)
+    val manifest = currentManifest(spark, shardsPath, mi.subsOf)
+    val growFactor = spark.conf
+      .get("spark.graft.shardedGrowFactor", "2.0").toDouble
+    val fans: Map[Int, Int] = mi.subsOf ++ manifest.leaves.map {
+      case (c, e) => c -> e.fan }
+    val byCell: Map[Int, Seq[(Long, Array[Float])]] =
+      batch.groupBy { case (_, v) => cellOf(mi.centers, v) }
+        .map { case (c, rows) => c -> rows.sortBy(_._1).toSeq }
+    val touched = byCell.keySet
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    fs.mkdirs(new HPath(shardsPath))
+    val existing = readLeaves(spark, shardsPath, manifest, Some(touched))
+    val bcBatch = spark.sparkContext.broadcast(byCell)
+    val bcFans = spark.sparkContext.broadcast(
+      touched.map(c => c -> fans.getOrElse(c, 1)).toMap)
+    val m = mi.m; val efc = mi.efConstruction; val seed = mi.seed
+    val maxCell = mi.maxCellSize
+    // cogroup so a touched cell with no existing leaf still gets a
+    // group (fresh build); the per-task working set is one cell
+    val next = touched.toSeq.sorted.toDS()
+      .groupByKey(identity)
+      .cogroup(existing.as[(Int, Int, Array[Byte])]
+        .groupByKey(_._1)) { (cell, _, leafRows) =>
+        val blobs: Map[Int, Array[Byte]] =
+          leafRows.map { case (_, sub, b) => sub -> b }.toMap
+        val rows = bcBatch.value(cell)
+        val fan0 = bcFans.value(cell)
+        val routed = rows.groupBy { case (id, _) =>
+          GraphRank.subKey(id, fan0) }
+        // untouched subs stay encoded; routed-to subs decode + insert
+        val merged: Map[Int, Either[Array[Byte], Hnsw.Graph]] =
+          (blobs.keySet ++ routed.keySet).iterator.map { sub =>
+            (blobs.get(sub), routed.get(sub)) match {
+              case (Some(b), None) => sub -> Left(b)
+              case (Some(b), Some(rs)) =>
+                sub -> Right(Hnsw.insert(deserialize(b), rs.sortBy(_._1)))
+              case (None, Some(rs)) =>
+                sub -> Right(Hnsw.build(rs.sortBy(_._1), m, efc, seed))
+              case (None, None) => throw new IllegalStateException("unreachable")
+            }
+          }.toMap
+        val sizes = merged.map {
+          case (sub, Left(b)) => sub -> peekSize(b)
+          case (sub, Right(g)) => sub -> g.size
+        }
+        val total = sizes.values.map(_.toLong).sum
+        val overflow = maxCell > 0 && total > (growFactor * maxCell).toLong
+        if (!overflow) {
+          merged.toSeq.sortBy(_._1).iterator.map {
+            case (sub, Left(b)) => (cell, sub, b, sizes(sub), fan0)
+            case (sub, Right(g)) => (cell, sub, serialize(g), g.size, fan0)
+          }
+        } else {
+          // the watermark: re-bucket every member under the grown fan
+          // and rebuild each sub — one cell's local rebuild, same
+          // deterministic build as from scratch
+          val newFan = math.max(fan0 + 1,
+            ((total + maxCell - 1) / maxCell).toInt)
+          val members = merged.valuesIterator.flatMap {
+            case Left(b) =>
+              val g = deserialize(b); g.ids.iterator.zip(g.vecs.iterator)
+            case Right(g) => g.ids.iterator.zip(g.vecs.iterator)
+          }.toSeq
+          members.groupBy { case (id, _) => GraphRank.subKey(id, newFan) }
+            .toSeq.sortBy(_._1).iterator.map { case (sub, rs) =>
+              val g = Hnsw.build(rs.sortBy(_._1), m, efc, seed)
+              (cell, sub, serialize(g), g.size, newFan)
+            }
+        }
+      }
+      .map { case (cell, sub, bytes, size, fan) =>
+        (cell, cell, sub, bytes, size, fan) }
+      .toDF("__pcell", "__cell", "__sub", "__graph", "__size", "__fan")
+    val scratch = batchScratch(shardsPath)
+    graft.util.TableSwap.delete(fs, new HPath(scratch))
+    next.write.partitionBy("__pcell").parquet(scratch)
+    // narrow read-back (blob column pruned): per-cell count + fan
+    val stats = spark.read.parquet(scratch)
+      .groupBy("__cell").agg(sum("__size").as("n"), max("__fan").as("fan"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val epoch = manifest.epoch + 1
+    val installed = stats.keys.map { cell =>
+      val dir = leafDirName(cell, epoch)
+      val target = new HPath(s"$shardsPath/$dir")
+      graft.util.TableSwap.delete(fs, target) // a crashed retry's twin
+      if (!fs.rename(new HPath(s"$scratch/__pcell=$cell"), target))
+        throw new java.io.IOException(s"swap failed installing $dir")
+      cell -> LeafEntry(dir, stats(cell)._1, stats(cell)._2)
+    }.toMap
+    graft.util.TableSwap.delete(fs, new HPath(scratch))
+    installManifest(spark, shardsPath,
+      Manifest(epoch, manifest.leaves ++ installed), manifest)
+    byCell.toSeq.flatMap { case (cell, rows) =>
+      rows.map { case (id, _) => (id, cell) } }.sortBy(_._1)
   }
 
   /** Scratch root for the one-job batch write — OUTSIDE the table
@@ -406,115 +839,101 @@ object ShardedHnsw {
   /** Physically retire deleted members from the PERSISTED tier.
     * Serving already tolerates deletes (dead ids drop at the caller's
     * live join), so this is the COMPACTION path — without it, deleted
-    * vectors accumulate in the blobs forever. A dead id's location is
-    * unknown (routing needs its vector, which is gone from the
-    * embeddings table), so one pass READS every blob to find the
-    * touched cells — but only the touched leaves REWRITE: each
-    * affected subgraph rebuilds from its surviving members (the blob
-    * itself holds their vectors — nothing is needed from outside the
-    * tier), untouched subs of a touched leaf pass through as bytes, a
-    * fully-dead sub drops its row, and a fully-dead LEAF deletes (the
-    * frozen fan keeps its key probe-able — an absent row is a no-op
-    * cogroup bucket). Same one-write-job + per-leaf swap discipline
-    * as [[insertPersisted]]; idempotent (a retry finds no dead ids in
+    * vectors accumulate in the blobs forever. `touchedCells` is where
+    * the dead members live — the caller reads it from its ids table,
+    * which records each member's assigned cell at insert time
+    * (VERDICT r17 #3: no vector needed, no whole-index discovery
+    * scan; compaction is O(touched leaves) like insert, and a retry
+    * after a partial crash recomputes the same cells from the same
+    * ids table — crash-idempotent where the round-17 vector-capture
+    * form was not, ADVICE r17). Cells whose leaves don't exist are
+    * skipped; within a touched leaf each affected subgraph rebuilds
+    * from its surviving members (the blob itself holds their vectors
+    * — nothing is needed from outside the tier), untouched subs pass
+    * through as bytes, a fully-dead sub drops its row, and a
+    * fully-dead LEAF leaves the manifest (its fan keeps its key
+    * probe-able — an absent row is a no-op cogroup bucket). Same
+    * one-write-job + manifest-commit discipline as
+    * [[insertPersisted]]; idempotent (a retry finds no dead ids in
     * the already-compacted leaves). */
   def compactPersisted(spark: SparkSession, shardsPath: String,
-                       metaPath: String, deadIds: Set[Long]): Unit = {
-    if (deadIds.isEmpty) return
+                       metaPath: String, deadIds: Set[Long],
+                       touchedCells: Seq[Int]): Unit = {
+    if (deadIds.isEmpty || touchedCells.isEmpty) return
     import spark.implicits._
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
     if (!fs.exists(new HPath(shardsPath))) return
-    val bc = spark.sparkContext.broadcast(deadIds)
-    val table = spark.read.parquet(shardsPath)
-      .select("__cell", "__sub", "__graph")
-    // pass 1: which cells hold dead members (ids only — cells×subs rows)
-    val touched = table.as[(Int, Int, Array[Byte])].flatMap {
-      case (cell, _, bytes) =>
-        if (deserialize(bytes).ids.exists(bc.value)) Iterator.single(cell)
-        else Iterator.empty
-    }.distinct().collect().sorted.toSeq
-    compactLeaves(spark, shardsPath, metaPath, deadIds, touched)
-  }
-
-  /** [[compactPersisted]] for callers that still HOLD the dead
-    * members' vectors (e.g. `Library.compactTombstones`, which
-    * captures them before the embeddings rewrite): the touched cells
-    * come from ROUTING the vectors through the frozen clustering —
-    * the same assignment insert used — so the whole-index discovery
-    * scan is skipped and the compaction is O(touched leaves) like
-    * insert. A dead id whose vector the caller no longer has must go
-    * through the scanning overload instead. */
-  def compactPersisted(spark: SparkSession, shardsPath: String,
-                       metaPath: String,
-                       dead: Seq[(Long, Array[Float])]): Unit = {
-    if (dead.isEmpty) return
-    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
-    if (!fs.exists(new HPath(shardsPath))) return
-    val (centers, _, _, _, _) = readMeta(spark, metaPath)
-    val touched = dead.map { case (_, v) => cellOf(centers, v) }
-      .distinct.sorted
-      .filter(c => fs.exists(new HPath(leafPath(shardsPath, c))))
-    compactLeaves(spark, shardsPath, metaPath,
-      dead.map(_._1).toSet, touched)
-  }
-
-  /** Shared tail of both compaction overloads: rewrite ONLY `touched`
-    * leaves (per-leaf paths — untouched leaves are not re-read),
-    * rebuilding each affected subgraph from its surviving members'
-    * vectors (held in the blob itself), passing clean subs through as
-    * bytes, dropping fully-dead subs, deleting fully-dead leaves.
-    * Same one-write-job + per-leaf swap discipline as
-    * [[insertPersisted]]. */
-  private def compactLeaves(spark: SparkSession, shardsPath: String,
-                            metaPath: String, deadIds: Set[Long],
-                            touched: Seq[Int]): Unit = {
+    val mi = readMeta(spark, metaPath)
+    val manifest = currentManifest(spark, shardsPath, mi.subsOf)
+    val touched = touchedCells.distinct.sorted
+      .filter(manifest.leaves.contains)
     if (touched.isEmpty) return
-    import spark.implicits._
-    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
-    val (_, _, m, efc, seed) = readMeta(spark, metaPath)
     val bc = spark.sparkContext.broadcast(deadIds)
-    val next = touched.map { cell =>
-        spark.read.parquet(leafPath(shardsPath, cell))
-          .select(lit(cell).as("__cell"), col("__sub"), col("__graph"))
-      }.reduce(_ unionByName _)
+    val m = mi.m; val efc = mi.efConstruction; val seed = mi.seed
+    val next = readLeaves(spark, shardsPath, manifest, Some(touched.toSet))
       .as[(Int, Int, Array[Byte])].flatMap { case (cell, sub, bytes) =>
         val g = deserialize(bytes)
         val dead = bc.value
-        if (!g.ids.exists(dead)) Iterator.single((cell, sub, bytes))
+        if (!g.ids.exists(dead))
+          Iterator.single((cell, cell, sub, bytes, g.size))
         else {
           val survivors = g.ids.zip(g.vecs)
             .filterNot { case (id, _) => dead(id) }.toSeq
           if (survivors.isEmpty) Iterator.empty // fully-dead sub: drop
-          else Iterator.single(
-            (cell, sub, serialize(Hnsw.build(survivors, m, efc, seed))))
+          else {
+            val g2 = Hnsw.build(survivors, m, efc, seed)
+            Iterator.single((cell, cell, sub, serialize(g2), g2.size))
+          }
         }
-      }.toDF("__cell", "__sub", "__graph")
+      }.toDF("__pcell", "__cell", "__sub", "__graph", "__size")
     val scratch = batchScratch(shardsPath)
     graft.util.TableSwap.delete(fs, new HPath(scratch))
-    next.write.partitionBy("__cell").parquet(scratch)
-    touched.foreach { cell =>
-      val live = new HPath(leafPath(shardsPath, cell))
-      val old = new HPath(leafOld(shardsPath, cell))
-      val from = new HPath(s"$scratch/__cell=$cell")
-      if (fs.exists(live) && !fs.rename(live, old))
-        throw new java.io.IOException(s"swap failed moving aside $live")
-      // a fully-dead leaf has no scratch output — the move-aside IS
-      // the delete
-      if (fs.exists(from) && !fs.rename(from, live))
-        throw new java.io.IOException(s"swap failed installing $live")
-      graft.util.TableSwap.delete(fs, old)
-    }
+    next.write.partitionBy("__pcell").parquet(scratch)
+    // explicit schema: an all-dead compaction writes ZERO rows, and a
+    // fileless parquet dir cannot infer one
+    val counts = spark.read
+      .schema("`__cell` INT, `__sub` INT, `__graph` BINARY, " +
+        "`__size` INT, `__pcell` INT")
+      .parquet(scratch)
+      .groupBy("__cell").agg(sum("__size").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val epoch = manifest.epoch + 1
+    val survivorsOf = touched.filter(counts.contains).map { cell =>
+      val dir = leafDirName(cell, epoch)
+      val target = new HPath(s"$shardsPath/$dir")
+      graft.util.TableSwap.delete(fs, target)
+      if (!fs.rename(new HPath(s"$scratch/__pcell=$cell"), target))
+        throw new java.io.IOException(s"swap failed installing $dir")
+      cell -> LeafEntry(dir, counts(cell),
+        manifest.leaves(cell).fan)
+    }.toMap
     graft.util.TableSwap.delete(fs, new HPath(scratch))
+    // fully-dead leaves leave the manifest entirely
+    installManifest(spark, shardsPath,
+      Manifest(epoch, (manifest.leaves -- touched) ++ survivorsOf),
+      manifest)
   }
 
-  /** Heal torn single-leaf swaps: any `<shards>_cell<N>_old` whose
-    * live leaf is missing renames back (the swap died between
-    * move-aside and install); every scratch sibling — per-leaf
-    * `_cell<N>_(tmp|old)` and the one-job batch write's `_batch_tmp`
-    * root — then clears. Idempotent; wired into `Library.repair`'s
-    * crash sweep. */
+  /** Crash sweep for the persisted tier. The manifest design has no
+    * torn-swap state (the rename IS the commit), so recovery is
+    * garbage collection: leaf dirs no committed manifest references
+    * (a crashed batch's orphans), stranded `_batch_tmp` scratch, and
+    * stale manifest temps all clear — but ONLY once older than
+    * `spark.graft.repair.minScratchAgeMs` (default 10 min), so a
+    * sweep racing a LIVE writer's in-flight batch can never destroy
+    * its scratch (ADVICE r17). Legacy round-17 states still heal
+    * unconditionally: a `<shards>_cell<N>_old` whose live leaf is
+    * missing renames back (the old two-rename swap died between
+    * move-aside and install), and legacy per-leaf scratch sweeps
+    * under the same age guard. Idempotent; wired into
+    * `Library.repair`'s crash sweep. */
   def repairLeaves(spark: SparkSession, shardsPath: String): Unit = {
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    val minAge = spark.conf
+      .get("spark.graft.repair.minScratchAgeMs", "600000").toLong
+    val now = System.currentTimeMillis()
+    def oldEnough(p: HPath): Boolean =
+      now - fs.getFileStatus(p).getModificationTime >= minAge
     val root = new HPath(shardsPath)
     val parent = root.getParent
     if (parent == null || !fs.exists(parent)) return
@@ -523,14 +942,64 @@ object ShardedHnsw {
       "_cell(-?\\d+)_(tmp|old)").r
     val scratch = fs.listStatus(parent).map(_.getPath)
       .filter(p => Scratch.pattern.matcher(p.getName).matches())
+    // legacy torn swap: restore is a correctness fix — unconditional
     scratch.filter(_.getName.endsWith("_old")).foreach { old =>
       val cell = Scratch.findFirstMatchIn(old.getName).get.group(1)
-      val live = new HPath(leafPath(shardsPath, cell.toInt))
+      val live = new HPath(s"$shardsPath/__cell=$cell")
       if (!fs.exists(live) && !fs.rename(old, live))
         throw new java.io.IOException(
           s"crash recovery failed restoring $live")
     }
-    scratch.foreach(graft.util.TableSwap.delete(fs, _))
-    graft.util.TableSwap.delete(fs, new HPath(batchScratch(shardsPath)))
+    scratch.filter(p => fs.exists(p) && oldEnough(p))
+      .foreach(graft.util.TableSwap.delete(fs, _))
+    val batchTmp = new HPath(batchScratch(shardsPath))
+    if (fs.exists(batchTmp) && oldEnough(batchTmp))
+      graft.util.TableSwap.delete(fs, batchTmp)
+    if (!fs.exists(root)) return
+    // orphan leaf dirs + stale manifest temps, age-guarded
+    val manifest = currentManifest(spark, shardsPath, Map.empty)
+    val prevEpochs = {
+      val mdir = new HPath(manifestDir(shardsPath))
+      if (!fs.exists(mdir)) Set.empty[Long]
+      else fs.listStatus(mdir).map(_.getPath.getName).collect {
+        case ManifestName(e) => e.toLong }.toSet
+    }
+    val keep: Set[String] =
+      if (prevEpochs.isEmpty) manifest.leaves.values.map(_.dir).toSet
+      else prevEpochs.toSeq.sorted.takeRight(2).flatMap { e =>
+        val mi = currentManifestAt(spark, shardsPath, e)
+        mi.leaves.values.map(_.dir)
+      }.toSet
+    fs.listStatus(root).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val isLeaf = n.startsWith("leaf-") || n.startsWith("__cell=")
+      if (isLeaf && !keep(n) && oldEnough(p))
+        graft.util.TableSwap.delete(fs, p)
+    }
+    val mdir = new HPath(manifestDir(shardsPath))
+    if (fs.exists(mdir))
+      fs.listStatus(mdir).map(_.getPath)
+        .filter(p => p.getName.startsWith(".m") &&
+          p.getName.endsWith(".tmp") && oldEnough(p))
+        .foreach(graft.util.TableSwap.delete(fs, _))
+  }
+
+  /** The committed manifest at a specific epoch (repair's retention
+    * resolution); absent file → empty. */
+  private def currentManifestAt(spark: SparkSession, shardsPath: String,
+                                epoch: Long): Manifest = {
+    val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+    val p = new HPath(manifestDir(shardsPath), s"m$epoch")
+    if (!fs.exists(p)) return Manifest(epoch, Map.empty)
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    Manifest(epoch, text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(cell, dir, count, fan) = line.split("\t")
+      cell.toInt -> LeafEntry(dir, count.toLong, fan.toInt)
+    }.toMap)
   }
 }

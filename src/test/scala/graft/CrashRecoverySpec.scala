@@ -169,10 +169,9 @@ class CrashRecoverySpec extends SparkSpec {
     assert(probed === res(new Library(spark, wh)))
   }
 
-  test("sharded-HNSW torn leaf swap: repair restores the cell and search is unchanged") {
+  test("sharded-HNSW crashed maintenance batch: uncommitted leftovers are invisible and repair sweeps them") {
     val l = freshLib("crash-shnsw")
     l.enableShardedServing(nCells = 4)
-    val fs = fsOf(l)
     val wh = l.warehouse
     val qv = l.embedder.embed("searchable corpus words")
     def res(lib2: Library) = lib2.shardedSearch(qv, SearchOptions(limit = 6))
@@ -180,20 +179,23 @@ class CrashRecoverySpec extends SparkSpec {
         r.getAs[Int]("chunkIndex"), r.getAs[Double]("score"))).toSeq
     val want = res(l)
     assert(want.nonEmpty)
-    // pick a populated cell leaf and tear its swap: live leaf moved
-    // aside into the per-leaf _old scratch, install never happened
-    val cell = Option(new java.io.File(s"$wh/embeddings_hnsw_sharded")
-      .listFiles()).get.map(_.getName)
-      .filter(_.startsWith("__cell=")).head.stripPrefix("__cell=")
-    assert(fs.rename(
-      new HPath(s"$wh/embeddings_hnsw_sharded/__cell=$cell"),
-      new HPath(s"$wh/embeddings_hnsw_sharded_cell${cell}_old")))
-    // stale _tmp from the same crash window is swept too
-    Seq((0, Array.emptyByteArray)).toDF("__sub", "__graph")
-      .write.parquet(s"$wh/embeddings_hnsw_sharded_cell${cell}_tmp")
-    l.repair()
-    assert(!rootNames(wh).exists(
-      _.matches("embeddings_hnsw_sharded_cell-?\\d+_(tmp|old)")))
+    // crash window: a maintenance batch wrote its scratch root and an
+    // orphan leaf dir but died BEFORE the manifest rename — nothing is
+    // referenced, so serving is already unchanged, and repair merely
+    // garbage-collects
+    val orphan = new java.io.File(
+      s"$wh/embeddings_hnsw_sharded/leaf-0-e9")
+    orphan.mkdirs()
+    Seq((0, 0, Array.emptyByteArray)).toDF("__cell", "__sub", "__graph")
+      .write.partitionBy("__cell")
+      .parquet(s"$wh/embeddings_hnsw_sharded_batch_tmp")
+    assert(res(new Library(spark, wh)) === want,
+      "an uncommitted crash leftover must be invisible to serving")
+    spark.conf.set("spark.graft.repair.minScratchAgeMs", "0")
+    try l.repair()
+    finally spark.conf.unset("spark.graft.repair.minScratchAgeMs")
+    assert(!orphan.exists(), "repair must sweep the orphan leaf")
+    assert(!rootNames(wh).exists(_ == "embeddings_hnsw_sharded_batch_tmp"))
     // a cold Library serves the pre-crash results
     assert(res(new Library(spark, wh)) === want)
   }

@@ -110,6 +110,64 @@ class ShardedHnswSpec extends SparkSpec {
     (s"$dir/shards", s"$dir/shards_meta")
   }
 
+  /** Resolve a cell's live leaf directory through the committed
+    * manifest — the only way readers locate leaves since round 18. */
+  private def leafDir(shardsPath: String, cell: Int): Option[java.io.File] =
+    ShardedHnsw.currentManifest(spark, shardsPath, Map.empty)
+      .leaves.get(cell).map(e => new java.io.File(s"$shardsPath/${e.dir}"))
+
+  private def manifestOf(shardsPath: String) =
+    ShardedHnsw.currentManifest(spark, shardsPath, Map.empty)
+
+  test("codec: v2 primitive layout round-trips bit-identically, reads legacy Java blobs, and shrinks them") {
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+      .take(200).toSeq
+    val g = Hnsw.build(rows, 16, 100)
+    val v2 = ShardedHnsw.serialize(g)
+    val g2 = ShardedHnsw.deserialize(v2)
+    assert(g2.ids.toSeq === g.ids.toSeq)
+    assert(g2.levels.toSeq === g.levels.toSeq)
+    assert(g2.vecs.map(_.toSeq).toSeq === g.vecs.map(_.toSeq).toSeq)
+    assert((g2.entryPoint, g2.m, g2.efConstruction, g2.seed) ===
+      (g.entryPoint, g.m, g.efConstruction, g.seed))
+    assert(g2.neighbors.map(_.map(_.toSeq).toSeq).toSeq ===
+      g.neighbors.map(_.map(_.toSeq).toSeq).toSeq)
+    // search over the decoded graph is row-identical
+    val q = rows.take(10)
+    q.foreach { case (_, v) =>
+      assert(Hnsw.searchKnn(g2, v, 5, 64).toSeq ===
+        Hnsw.searchKnn(g, v, 5, 64).toSeq)
+    }
+    // a legacy ObjectOutputStream blob (pre-round-18 warehouses) still
+    // decodes through the magic-number dispatch
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(g); oos.close()
+    val legacy = bos.toByteArray
+    val g3 = ShardedHnsw.deserialize(legacy)
+    assert(g3.ids.toSeq === g.ids.toSeq)
+    assert(g3.neighbors.map(_.map(_.toSeq).toSeq).toSeq ===
+      g.neighbors.map(_.map(_.toSeq).toSeq).toSeq)
+    info(s"v2 blob ${v2.length} bytes vs legacy ${legacy.length} " +
+      f"(${v2.length.toDouble / legacy.length}%.2fx)")
+    assert(v2.length < legacy.length,
+      "the primitive layout must beat Java serialization on size")
+  }
+
+  test("serving decode cache: a hot shard deserializes once per JVM") {
+    ShardedHnsw.resetCache()
+    val rows = emb.as[(Long, Array[Float])].collect().sortBy(_._1)
+      .take(50).toSeq
+    val bytes = ShardedHnsw.serialize(Hnsw.build(rows, 16, 100))
+    val a = ShardedHnsw.deserializeCached(bytes)
+    val b = ShardedHnsw.deserializeCached(bytes.clone()) // same content
+    assert(a eq b, "content-identical blobs must share one decode")
+    assert(a.ids.toSeq === rows.map(_._1))
+    ShardedHnsw.resetCache()
+    val c = ShardedHnsw.deserializeCached(bytes)
+    assert(!(a eq c), "reset must drop the cached instance")
+  }
+
   private def searchAll(sh: ShardedHnsw.Shards, k: Int = 10)
       : Seq[(Long, Int, Long, Double)] = {
     val queries = emb.select(col("vec_id").as("qid"),
@@ -146,9 +204,8 @@ class ShardedHnswSpec extends SparkSpec {
       v(0) += (i + 1) * 1e-4f
       (9_000_000L + i, v)
     }
-    val leafDirs = (0 until 4).map(c =>
-        c -> new java.io.File(s"$shardsPath/__cell=$c"))
-      .filter(_._2.isDirectory)
+    val leafDirs = (0 until 4).flatMap(c =>
+      leafDir(shardsPath, c).map(c -> _)).filter(_._2.isDirectory)
     val untouched = leafDirs.filter(_._1 != 0)
     assert(untouched.nonEmpty)
     def statusOf(d: java.io.File): Set[(String, Long, Long)] =
@@ -182,6 +239,16 @@ class ShardedHnswSpec extends SparkSpec {
       (f.getName.contains("_cell") &&
         (f.getName.endsWith("_tmp") || f.getName.endsWith("_old"))) ||
         f.getName.endsWith("_batch_tmp")))
+    // the manifest advanced by exactly one epoch, and cell 0's leaf is
+    // the only re-pointed entry (the superseded epoch-0 leaf is
+    // RETAINED for readers pinned at the previous epoch)
+    val m1 = manifestOf(shardsPath)
+    assert(m1.epoch === 1L)
+    assert(m1.leaves(0).dir === "leaf-0-e1")
+    untouched.foreach { case (c, _) =>
+      assert(m1.leaves(c).dir === s"leaf-$c-e0") }
+    assert(new java.io.File(s"$shardsPath/leaf-0-e0").isDirectory,
+      "retention must keep the superseded leaf for one epoch")
     // the maintained tier serves old and new members at full coverage
     val re = ShardedHnsw.load(spark, shardsPath, metaPath)
     val q = batch.map { case (id, v) => (id, v.toSeq) }
@@ -250,29 +317,98 @@ class ShardedHnswSpec extends SparkSpec {
       "an insert routed to an unpopulated sub was dropped")
   }
 
-  test("torn single-leaf swap heals: _old restores, scratch clears") {
-    val (shardsPath, metaPath) = tempTier("shnsw-torn")
+  test("snapshot isolation: a pinned reader serves its epoch while maintenance commits mid-read; the next load serves the grown tier") {
+    val (shardsPath, metaPath) = tempTier("shnsw-snap")
     val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
     ShardedHnsw.save(sh, shardsPath, metaPath)
+    // pin a handle at epoch 0 — the interleaving the r17 design would
+    // corrupt: maintenance lands AFTER the load but BEFORE the read
+    val pinned = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val want = searchAll(pinned)
+    val nv = sh.centers(0).map(_.toFloat); nv(0) += 1e-3f
+    val newId = 7_600_000L
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      Seq((newId, nv)))
+    assert(manifestOf(shardsPath).epoch === 1L)
+    // the pinned handle still reads its epoch-0 files: identical rows,
+    // no missed leaf, no torn read, and the new vector is NOT visible
+    val pinnedAfter = searchAll(pinned)
+    assert(pinnedAfter === want)
+    assert(!pinnedAfter.exists(_._3 == newId))
+    // a FRESH load (the next trigger) serves the inserted vector
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val self = ShardedHnsw.searchBatch(re,
+        Seq((1L, nv.toSeq)).toDF("qid", "qv"), "qid", "qv", 1,
+        nProbe = 4)
+      .collect().map(r => r.getLong(2))
+    assert(self.toSeq === Seq(newId))
+    // a SECOND maintenance commit GCs the epoch-0 leaf (retention 1)
+    val nv2 = sh.centers(0).map(_.toFloat); nv2(0) += 2e-3f
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      Seq((newId + 1, nv2)))
+    assert(manifestOf(shardsPath).epoch === 2L)
+    assert(!new java.io.File(s"$shardsPath/leaf-0-e0").exists(),
+      "a twice-superseded leaf must be GCed")
+    assert(new java.io.File(s"$shardsPath/leaf-0-e1").exists(),
+      "the previous epoch's leaf must be retained")
+  }
+
+  test("crash sweep: orphan leaves and stranded scratch clear under the age guard; legacy hive layouts migrate and torn legacy swaps heal") {
+    val (shardsPath, metaPath) = tempTier("shnsw-repair")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
+    // build a LEGACY (round-17 hive) warehouse by hand: the blob table
+    // partitioned by __cell, no manifest
+    graft.util.TableSwap.rewrite(shardsPath, sh.table,
+      partitionBy = Seq("__cell"))
+    graft.util.TableSwap.rewrite(metaPath, ShardedHnsw.metaFrame(sh))
     val want = searchAll(ShardedHnsw.load(spark, shardsPath, metaPath))
-    val cell = sh.table.select("__cell").as[Int].head()
+    assert(want.nonEmpty, "a legacy layout must read via the synthesized manifest")
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
     import org.apache.hadoop.fs.{Path => HPath}
-    // crash between move-aside and install: live leaf gone, _old holds it
+    val cell = sh.table.select("__cell").as[Int].head()
+    // legacy torn swap: live leaf gone, `_old` sibling holds it
     assert(fs.rename(new HPath(s"$shardsPath/__cell=$cell"),
       new HPath(s"${shardsPath}_cell${cell}_old")))
-    // a stranded batch-write scratch root from the same crash window
+    // stranded batch scratch + an orphan modern leaf from a crashed
+    // batch (written, never referenced by any manifest)
     Seq((0, 0, Array.emptyByteArray)).toDF("__cell", "__sub", "__graph")
       .write.partitionBy("__cell").parquet(s"${shardsPath}_batch_tmp")
-    ShardedHnsw.repairLeaves(spark, shardsPath)
-    assert(fs.exists(new HPath(s"$shardsPath/__cell=$cell")))
+    new java.io.File(s"$shardsPath/leaf-99-e7").mkdirs()
+    spark.conf.set("spark.graft.repair.minScratchAgeMs", "0")
+    try ShardedHnsw.repairLeaves(spark, shardsPath)
+    finally spark.conf.unset("spark.graft.repair.minScratchAgeMs")
+    assert(fs.exists(new HPath(s"$shardsPath/__cell=$cell")),
+      "legacy torn swap must restore")
     assert(!fs.exists(new HPath(s"${shardsPath}_cell${cell}_old")))
     assert(!fs.exists(new HPath(s"${shardsPath}_batch_tmp")))
+    assert(!new java.io.File(s"$shardsPath/leaf-99-e7").exists(),
+      "an orphan leaf no manifest references must sweep")
     assert(searchAll(ShardedHnsw.load(spark, shardsPath, metaPath))
       === want)
-    // idempotent
-    ShardedHnsw.repairLeaves(spark, shardsPath)
-    assert(fs.exists(new HPath(s"$shardsPath/__cell=$cell")))
+    // the age guard: a YOUNG scratch root (a live writer's in-flight
+    // batch) must survive a default-threshold sweep (ADVICE r17)
+    Seq((0, 0, Array.emptyByteArray)).toDF("__cell", "__sub", "__graph")
+      .write.partitionBy("__cell").parquet(s"${shardsPath}_batch_tmp")
+    ShardedHnsw.repairLeaves(spark, shardsPath) // default 10-min guard
+    assert(fs.exists(new HPath(s"${shardsPath}_batch_tmp")),
+      "repair must not destroy a live writer's young scratch")
+    graft.util.TableSwap.delete(fs, new HPath(s"${shardsPath}_batch_tmp"))
+    // a maintenance batch over the LEGACY layout migrates only the
+    // touched leaf to the modern form and commits through the manifest
+    val nv = sh.centers(0).map(_.toFloat); nv(0) += 1e-3f
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      Seq((7_500_000L, nv)))
+    val m1 = manifestOf(shardsPath)
+    assert(m1.epoch === 1L)
+    assert(m1.leaves(0).dir === "leaf-0-e1")
+    assert(m1.leaves.exists(_._2.dir.startsWith("__cell=")),
+      "untouched legacy leaves stay in place, referenced by the manifest")
+    val self = ShardedHnsw.searchBatch(
+        ShardedHnsw.load(spark, shardsPath, metaPath),
+        Seq((1L, nv.toSeq)).toDF("qid", "qv"), "qid", "qv", 1,
+        nProbe = 4)
+      .collect().map(_.getLong(2))
+    assert(self.toSeq === Seq(7_500_000L))
   }
 
   test("oversized cells sub-shard: per-shard memory bounded, recall kept") {
@@ -280,12 +416,8 @@ class ShardedHnswSpec extends SparkSpec {
     val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4,
       maxCellSize = 64)
     // every blob's graph holds <= ~2x the cap (hash balance)
-    val sizes = sh.table.select("__graph").collect().map { r =>
-      val bytes = r.getAs[Array[Byte]](0)
-      val ois = new java.io.ObjectInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      ois.readObject().asInstanceOf[Hnsw.Graph].size
-    }
+    val sizes = sh.table.select("__graph").collect().map(r =>
+      ShardedHnsw.deserialize(r.getAs[Array[Byte]](0)).size)
     assert(sizes.sum === emb.count())
     assert(sizes.max <= 128,
       s"shard of ${sizes.max} members exceeds the documented bound")
@@ -305,26 +437,29 @@ class ShardedHnswSpec extends SparkSpec {
     val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
     ShardedHnsw.save(sh, shardsPath, metaPath)
     // dead set: every member of cell 0's subgraphs (the fully-dead
-    // leaf case) plus two members from one other leaf (partial case)
-    def leafIds(cell: Int): Set[Long] =
-      spark.read.parquet(s"$shardsPath/__cell=$cell")
-        .select("__graph").collect()
-        .flatMap(r => ShardedHnsw.deserialize(
-          r.getAs[Array[Byte]](0)).ids).toSet
-    val cell0 = leafIds(0)
-    val partialVictims = leafIds(1).toSeq.sorted.take(2).toSet
+    // leaf case) plus two members from one other leaf (partial case);
+    // the touched CELLS come from the ids-side mapping, exactly as
+    // Library's cell-carrying ids table provides them — no vectors
+    val byCell = ShardedHnsw
+      .memberCells(ShardedHnsw.load(spark, shardsPath, metaPath))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).toSet }
+    val cell0 = byCell(0)
+    val partialVictims = byCell(1).toSeq.sorted.take(2).toSet
     val dead = cell0 ++ partialVictims
     assert(dead.nonEmpty && partialVictims.size == 2)
     def statusOf(cell: Int): Set[(String, Long, Long)] =
-      Option(new java.io.File(s"$shardsPath/__cell=$cell").listFiles())
+      leafDir(shardsPath, cell).flatMap(d => Option(d.listFiles()))
         .map(_.map(f => (f.getName, f.length(), f.lastModified())).toSet)
         .getOrElse(Set.empty)
     val before23 = Seq(2, 3).map(c => c -> statusOf(c)).toMap
-    ShardedHnsw.compactPersisted(spark, shardsPath, metaPath, dead)
-    // untouched leaves byte-identical; fully-dead leaf gone
+    ShardedHnsw.compactPersisted(spark, shardsPath, metaPath, dead,
+      Seq(0, 1))
+    // untouched leaves byte-identical (same manifest entries); the
+    // fully-dead leaf leaves the manifest
     Seq(2, 3).foreach(c => assert(statusOf(c) === before23(c)))
-    assert(!new java.io.File(s"$shardsPath/__cell=0").exists(),
-      "fully-dead leaf must drop")
+    assert(leafDir(shardsPath, 0).isEmpty,
+      "fully-dead leaf must leave the manifest")
     // no scratch left
     val parent = new java.io.File(shardsPath).getParentFile
     assert(!parent.listFiles().exists(f =>
@@ -342,10 +477,74 @@ class ShardedHnswSpec extends SparkSpec {
     val selfHits = served.collect { case (q, id) if q == id => q }.toSet
     assert(survivors.subsetOf(selfHits),
       s"${(survivors diff selfHits).size} survivors lost their self-hit")
-    // idempotent: a second compaction with the same dead set is a no-op
-    val snap = (0 until 4).map(statusOf)
-    ShardedHnsw.compactPersisted(spark, shardsPath, metaPath, dead)
-    assert((0 until 4).map(statusOf) === snap)
+    // idempotent: a second compaction with the same dead set rewrites
+    // the surviving touched leaf to identical blob CONTENT (epoch dirs
+    // advance; the blobs and the served rows must not)
+    val want = searchAll(re)
+    ShardedHnsw.compactPersisted(spark, shardsPath, metaPath, dead,
+      Seq(0, 1))
+    assert(searchAll(ShardedHnsw.load(spark, shardsPath, metaPath))
+      === want)
+  }
+
+  test("re-shard watermark: a hot cell past growFactor x maxCellSize splits locally — fan grows, bound holds, recall kept, only that leaf rewrites") {
+    val (shardsPath, metaPath) = tempTier("shnsw-grow")
+    // cap 64: the ~500-member corpus over 4 cells builds multi-sub
+    // cells already near the cap
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4,
+      maxCellSize = 64)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val m0 = manifestOf(shardsPath)
+    val fan0 = m0.leaves(0).fan
+    val count0 = m0.leaves(0).count
+    // a skewed stream: enough unique near-center-0 vectors to push
+    // cell 0 past 2 x 64 regardless of its starting occupancy
+    val need = math.max((2 * 64 + 1 - count0).toInt, 0) + 16
+    val batch = (0 until need).map { i =>
+      val v = sh.centers(0).map(_.toFloat)
+      v(0) += (i + 1) * 1e-4f; v(1) += (i % 7) * 1e-4f
+      (6_000_000L + i, v)
+    }
+    val untouchedBefore = m0.leaves.collect {
+      case (c, e) if c != 0 => c -> e.dir }
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath, batch)
+    val m1 = manifestOf(shardsPath)
+    assert(m1.leaves(0).count === count0 + need)
+    assert(m1.leaves(0).fan > fan0,
+      s"fan must grow past the watermark (was $fan0)")
+    assert(m1.leaves(0).fan >= ((count0 + need + 63) / 64).toInt)
+    // only cell 0's leaf re-pointed; every other entry untouched
+    untouchedBefore.foreach { case (c, dir) =>
+      assert(m1.leaves(c).dir === dir, s"cell $c rewrote") }
+    // per-shard bound: every subgraph in the grown leaf is ~balanced
+    // around cap (the splitmix64 spread), never the whole hot cell
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    assert(re.subsOf(0) === m1.leaves(0).fan,
+      "the loaded handle's fan must come from the manifest")
+    val sizes = re.table.filter(col("__cell") === 0)
+      .select("__graph").collect()
+      .map(r => ShardedHnsw.deserialize(r.getAs[Array[Byte]](0)).size)
+    assert(sizes.sum === count0 + need)
+    assert(sizes.max <= 128,
+      s"a ${sizes.max}-member sub exceeds the per-executor bound")
+    // every member of the grown cell — old and new — still self-hits
+    // at full coverage (the re-bucketing lost nobody)
+    val q = batch.map { case (id, v) => (id, v.toSeq) }.toDF("qid", "qv")
+    val self = ShardedHnsw.searchBatch(re, q, "qid", "qv", 1, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(self.length === batch.length)
+    assert(self.forall { case (qid, id) => qid == id })
+    val exact = VectorSearch.topKBatch(
+        emb.union(batch.toSeq.toDF("vec_id", "embedding")), "embedding",
+        "vec_id", emb.select(col("vec_id").as("__qid"),
+          col("embedding").as("__qv")), "__qid", "__qv", 10,
+        excludeSelf = false)
+      .select(col("__qid"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = searchAll(re).map(t => (t._1, t._3)).toSet
+      .count(exact).toDouble / exact.size
+    info(f"post-split full-coverage recall $recall%.4f")
+    assert(recall >= 0.99, s"the split cost recall: $recall")
   }
 
   // ----------------------------------------------------- Library facade
@@ -417,10 +616,9 @@ class ShardedHnswSpec extends SparkSpec {
       .parquet(s"$wh/embeddings_hnsw_sharded_ids")
       .select("chunkId").collect().map(_.getString(0)).toSet
     assert(!idsLeft.exists(_.startsWith(victim)))
-    val blobIds = spark.read.parquet(s"$wh/embeddings_hnsw_sharded")
-      .select("__graph").collect()
-      .flatMap(r => ShardedHnsw.deserialize(
-        r.getAs[Array[Byte]](0)).ids).toSet
+    val blobIds = ShardedHnsw.memberCells(ShardedHnsw.load(spark,
+        s"$wh/embeddings_hnsw_sharded", s"$wh/embeddings_hnsw_sharded_meta"))
+      .select("id").collect().map(_.getLong(0)).toSet
     val deadHashes = (0 until 40).map(i =>  // victim chunkIds are docId-idx
       s"$victim-$i").map(c => Seq(c).toDF("c")
         .select(xxhash64(col("c"))).head().getLong(0)).toSet
