@@ -146,6 +146,26 @@ object Bench {
     // code) is self-identifying instead of costing a judge-side re-run
     val load0 = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // in-run load sampler (VERDICT r17 #6): the 1-min load sampled
+    // every 5 s across the WHOLE suite, so the artifact carries the
+    // recording's full host story instead of one pre-warmup snapshot
+    // (r17's artifact of record started at load 10.33 — a judge should
+    // not need a re-run to see whether the load persisted or cleared).
+    // Evidence fields, not gates: the suite's own local[N] work counts
+    // into the system load, so mean/max over the run are only
+    // comparable run-to-run, while load0 — measured before this JVM
+    // spins up work — stays the gate.
+    val loadSamples =
+      new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    val loadSampler = new Thread(() => {
+      try while (true) {
+        loadSamples.add(java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage)
+        Thread.sleep(5000)
+      } catch { case _: InterruptedException => () }
+    }, "graft-load-sampler")
+    loadSampler.setDaemon(true)
+    loadSampler.start()
     val warmT0 = System.nanoTime()
 
     // warmup: spin executors + codegen, touch the input footers
@@ -331,19 +351,35 @@ object Bench {
       .map(_.toDouble).getOrElse(math.max(probe0, 0.05))
     val (flagged, inconclusive) =
       adjudicateFlags(flagged0, retries, floors, probeRetry, quietProbe)
+    // stop the sampler before computing the artifact's load story
+    loadSampler.interrupt()
+    val loadArr = {
+      val it = loadSamples.iterator()
+      val b = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (it.hasNext) b += it.next().doubleValue()
+      b.toSeq
+    }
+    val loadMean = if (loadArr.nonEmpty) loadArr.sum / loadArr.size else load0
+    val loadMax = if (loadArr.nonEmpty) loadArr.max else load0
     // an inconclusive adjudication IS a contamination signal: the host
     // stayed loaded through the retry window, so the recording as a
-    // whole cannot clear itself
+    // whole cannot clear itself. The load gate is a WARN BAND, not
+    // half the cores (VERDICT r17 #6): on a 32-core box load0 > 2
+    // already means the session is not quiet even though 2 << 16 —
+    // the r17 artifact of record passed the nCores/2 gate at load
+    // 10.33 and still read 15-40% over its quiet floors.
+    val quietLoad = sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0")
+      .toDouble
     val contaminated = warmSec > 1.5 * quietWarm ||
       spreadSec > 0.2 * math.max(total, 1.0) ||
-      load0 > nCores / 2.0 ||
+      load0 > math.min(quietLoad, nCores / 2.0) ||
       flagged.size >= 5 || inconclusive.nonEmpty
     val adjTotal = adjudicatedTotal(mins, retries)
     // compact line carries short keys (tail budget), full file full names
     def tellWith(names: Seq[String], inc: Seq[String]) = {
       def arr(ns: Seq[String]) =
         ns.map(n => "\"" + n + "\"").mkString("[", ",", "]")
-      s""""runs":$runs,"load0":${f2(load0)},"warm":${f2(warmSec)},"spread":${f2(total - totalMin)},"adjudicated_total":${f2(adjTotal)},"contaminated_queries":${arr(names)},"inconclusive_host":${arr(inc)},"contaminated":$contaminated"""
+      s""""runs":$runs,"load0":${f2(load0)},"load_mean":${f2(loadMean)},"load_max":${f2(loadMax)},"warm":${f2(warmSec)},"spread":${f2(total - totalMin)},"adjudicated_total":${f2(adjTotal)},"contaminated_queries":${arr(names)},"inconclusive_host":${arr(inc)},"contaminated":$contaminated"""
     }
     val tell = tellWith(flagged.map(shortKey), inconclusive.map(shortKey))
     val tellFull = tellWith(flagged, inconclusive)

@@ -690,7 +690,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * the indexed vector may be stale, so the tier drops (rebuilt by
     * the next [[enableShardedServing]]) instead of ever serving a
     * wrong vector. */
-  private def appendToShardedIndex(newEmbeddings: DataFrame): Unit =
+  private[graft] def appendToShardedIndex(newEmbeddings: DataFrame): Unit =
     if (tableExists("embeddings_hnsw_sharded_meta") &&
         tableExists("embeddings_hnsw_sharded_ids")) {
       ensureShardedIdsCells()

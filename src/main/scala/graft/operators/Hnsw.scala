@@ -256,6 +256,20 @@ object Hnsw {
   /** k nearest ids to `q` (cosine distance ascending), `ef >= k` beam. */
   def searchKnn(g: Graph, q: Array[Float], k: Int,
                 ef: Int = 64): Seq[(Long, Double)] = {
+    // ef >= |graph| means the caller asked the beam to cover the WHOLE
+    // graph — the bounded-shard full-coverage contract (ShardedHnsw
+    // caps subs so this mode is exact). A dense near-duplicate cluster
+    // can disconnect layer 0 (the cluster saturates its own adjacency
+    // and link pruning drops the bridges), which would silently turn
+    // "exhaustive" into "exhaustive over one component" — so honor the
+    // contract literally: scan. Same cost order as the beam visiting
+    // every node, no graph-shape dependence.
+    if (ef >= g.size) {
+      return g.ids.indices
+        .map(i => (dist(g.vecs(i), q), i))
+        .sortBy { case (d, i) => (d, g.ids(i)) }
+        .take(k).map { case (d, i) => (g.ids(i), d) }
+    }
     val adj: Adj = (layer, node) =>
       if (layer < g.neighbors.length) g.neighbors(layer)(node)
       else Seq.empty

@@ -47,16 +47,26 @@ object LangId {
     * single-language script buckets (el/he/bn first — VERDICT r16 #3 —
     * then ta/te/kn/ml/gu/pa/or/si/ka/hy/am/lo/km/my, see
     * [[SingleLangScripts]]) and the Bengali trigram bucket (bn→bn/as,
-    * [[BengaliLangs]]) bring the servable set to 57. Romanian
+    * [[BengaliLangs]]) brought the servable set to 57; round 18
+    * (VERDICT r17 #5) widens the Latin bucket with the major
+    * Latin-script web languages af/az/eu/gl/ms/sq/sw (before this,
+    * text in them labeled as a wrong near-neighbor — af→nl, az→tr,
+    * gl→pt/es, ms→id — rather than unknown) and converts Ethiopic
+    * from an am-collapse to an am/ti trigram bucket
+    * ([[EthiopicLangs]]): 65 servable languages. Romanian
     * note: the seed uses the
     * cedilla forms ş/ţ (U+015F/U+0163, inside the normalization
     * alphabet); comma-below ș/ț (U+0219/U+021B, Latin Extended-B) fall
     * outside it and normalize to spaces — Romanian text in either
-    * convention still scores on its other trigrams. */
+    * convention still scores on its other trigrams. Azerbaijani note:
+    * its most frequent letter ə (U+0259) is WHY round 18 widened the
+    * normalization alphabet by that one codepoint — without it every
+    * "ə" collapsed to a space and az text was indistinguishable from
+    * Turkish. */
   val TrigramLangs: Seq[String] = Seq(
-    "ca", "cs", "da", "de", "en", "es", "et", "fi", "fr", "hr", "hu",
-    "id", "it", "lt", "lv", "nl", "no", "pl", "pt", "ro", "sk", "sl",
-    "sv", "tr", "vi")
+    "af", "az", "ca", "cs", "da", "de", "en", "es", "et", "eu", "fi",
+    "fr", "gl", "hr", "hu", "id", "it", "lt", "lv", "ms", "nl", "no",
+    "pl", "pt", "ro", "sk", "sl", "sq", "sv", "sw", "tr", "vi")
 
   /** Languages decided WITHIN the Cyrillic script bucket (round 16,
     * VERDICT r15 #6): when the Cyrillic codepoint ratio fires, the
@@ -81,11 +91,18 @@ object LangId {
     * here — it has its own block, served by [[SingleLangScripts]].) */
   val BengaliLangs: Seq[String] = Seq("as", "bn")
 
+  /** Languages decided within the Ethiopic-script bucket (round 18,
+    * VERDICT r17 #5): the block carries Amharic AND Tigrinya — am was
+    * the round-17 collapse label; ti was unservable. Tigrinya's
+    * function words (እዩ/ኣብ/ናብ/ከምኡውን and the ቕ/ኽ series) separate
+    * sharply from Amharic's (ነው/ውስጥ/እና) in trigram space. */
+  val EthiopicLangs: Seq[String] = Seq("am", "ti")
+
   /** The per-script language lists, keyed by the script bucket name. */
   val ScriptLangs: Map[String, Seq[String]] = Map(
     "latin" -> TrigramLangs, "cyr" -> CyrillicLangs,
     "arab" -> ArabicLangs, "deva" -> DevanagariLangs,
-    "beng" -> BengaliLangs)
+    "beng" -> BengaliLangs, "ethi" -> EthiopicLangs)
 
   /** SINGLE-LANGUAGE script buckets, in decision order: scripts whose
     * codepoint ratio alone decides the label (each block carries one
@@ -94,16 +111,17 @@ object LangId {
     * single-language blocks — before this, text in any of these
     * scripts normalized to nothing in every trigram bucket and exited
     * via the Latin zero-trigram prior as 'en', a WRONG label (the
-    * class VERDICT r15/r16 flagged for Cyrillic/Greek). Known
-    * collapse kept deliberately: Ethiopic → am (Tigrinya shares the
-    * block — the 'ru'-style bucket prior). The Bengali block is NOT
-    * here: it carries bn AND as, so it routes into its own trigram
-    * bucket ([[BengaliLangs]]); Odia has its own block and stays. */
+    * class VERDICT r15/r16 flagged for Cyrillic/Greek). The Bengali
+    * and Ethiopic blocks are NOT here: each carries TWO languages
+    * (bn/as, am/ti), so they route into their own trigram buckets
+    * ([[BengaliLangs]], [[EthiopicLangs]] — the latter cleared round
+    * 17's documented Ethiopic→am collapse); Odia has its own block
+    * and stays. */
   val SingleLangScripts: Seq[(String, String)] = Seq(
     "greek" -> "el", "hebr" -> "he", "thai" -> "th",
     "taml" -> "ta", "telu" -> "te", "knda" -> "kn", "mlym" -> "ml",
     "gujr" -> "gu", "guru" -> "pa", "orya" -> "or", "sinh" -> "si",
-    "geor" -> "ka", "armn" -> "hy", "ethi" -> "am", "laoo" -> "lo",
+    "geor" -> "ka", "armn" -> "hy", "laoo" -> "lo",
     "khmr" -> "km", "mymr" -> "my")
 
   /** Penalty (scaled log-prob) for a trigram absent from a language's
@@ -461,6 +479,111 @@ object LangId {
       vida de molta gent. Ahir vam escriure una carta llarga als nostres
       amics sobre el viatge. El llibre és sobre la taula al costat de la
       finestra i espera el seu lector.""",
+    // --- round-18 Latin additions (VERDICT r17 #5): af az eu gl ms
+    // sq sw — the major Latin-script web languages that previously
+    // labeled as a wrong near-neighbor (af→nl, az→tr, gl→pt, ms→id) ---
+    "af" -> """Die geskiedenis van die wetenskap wys dat nuwe idees
+      dikwels weerstand kry voordat hulle aanvaar word. Navorsers
+      ontwikkel metodes om die wêreld om ons beter te verstaan. Die weer
+      in die berge kan vinnig verander en stappers moet versigtig wees.
+      Baie mense woon in groot stede en werk in kantore of fabrieke. Die
+      kinders gaan elke oggend skool toe om te leer lees, skryf en
+      reken. Gesonde kos met vrugte en groente is belangrik vir die
+      liggaam. Die trein vertrek betyds van die stasie en bereik die
+      stad in die aand. In die somer reis gesinne na die see of na die
+      berge om te rus. Die regering het 'n nuwe wet oor die beskerming
+      van die omgewing aanvaar. Musiek en kuns speel 'n belangrike rol
+      in die lewens van baie mense. Ons het gister 'n lang brief aan ons
+      vriende geskryf oor die reis. Die boek lê op die tafel langs die
+      venster en wag vir sy leser.""",
+    "az" -> """Elmin tarixi göstərir ki, yeni fikirlər qəbul edilməzdən
+      əvvəl tez-tez müqavimətlə qarşılaşır. Tədqiqatçılar ətrafımızdakı
+      dünyanı daha yaxşı anlamaq üçün üsullar hazırlayırlar. Dağlarda
+      hava tez dəyişə bilər və səyahətçilər ehtiyatlı olmalıdırlar. Bir
+      çox insan böyük şəhərlərdə yaşayır və idarələrdə yaxud
+      zavodlarda işləyir. Uşaqlar oxumağı, yazmağı və saymağı öyrənmək
+      üçün hər səhər məktəbə gedirlər. Meyvə və tərəvəzlə sağlam
+      qidalanma bədən üçün vacibdir. Qatar stansiyadan vaxtında yola
+      düşür və axşam şəhərə çatır. Yayda ailələr dincəlmək üçün dənizə
+      və ya dağlara gedirlər. Hökumət ətraf mühitin qorunması haqqında
+      yeni qanun qəbul etmişdir. Musiqi və incəsənət bir çox insanın
+      həyatında mühüm rol oynayır. Dünən dostlarımıza səyahət haqqında
+      uzun məktub yazdıq. Kitab pəncərənin yanındakı masanın üstündə
+      oxucusunu gözləyir.""",
+    "eu" -> """Zientziaren historiak erakusten du ideia berriek askotan
+      erresistentzia aurkitzen dutela onartuak izan baino lehen.
+      Ikertzaileek metodoak garatzen dituzte inguratzen gaituen mundua
+      hobeto ulertzeko. Mendietako eguraldia azkar alda daiteke eta
+      mendizaleek kontuz ibili behar dute. Jende asko hiri handietan
+      bizi da eta bulegoetan edo lantegietan egiten du lan. Haurrak
+      goizero eskolara joaten dira irakurtzen, idazten eta zenbatzen
+      ikastera. Fruta eta barazkiekin osatutako elikadura osasuntsua
+      garrantzitsua da gorputzarentzat. Trena garaiz ateratzen da
+      geltokitik eta arratsaldean iristen da hirira. Udan familiak
+      itsasora edo mendietara joaten dira atseden hartzera. Gobernuak
+      ingurumenaren babesari buruzko lege berria onartu du. Musikak eta
+      arteak zeregin garrantzitsua dute jende askoren bizitzan. Atzo
+      gutun luzea idatzi genien gure lagunei bidaiari buruz. Liburua
+      mahai gainean dago leihoaren ondoan, irakurlearen zain.""",
+    "gl" -> """A historia da ciencia amosa que as ideas novas atopan
+      moitas veces resistencia antes de seren aceptadas. Os
+      investigadores desenvolven métodos para comprenderen mellor o
+      mundo que nos arrodea. O tempo nas montañas pode mudar axiña e os
+      camiñantes deben ter coidado. Moita xente vive nas cidades
+      grandes e traballa nas oficinas ou nas fábricas. Os nenos van á
+      escola cada mañá para aprenderen a ler, escribir e contar. Unha
+      alimentación sa con froita e verdura é importante para o corpo. O
+      tren sae da estación a tempo e chega á cidade pola noite. No
+      verán as familias viaxan ao mar ou á montaña para descansaren. O
+      goberno aprobou unha lei nova sobre a protección do medio
+      ambiente. A música e a arte xogan un papel importante na vida de
+      moita xente. Onte escribimos unha carta longa aos nosos amigos
+      sobre a viaxe. O libro está enriba da mesa á beira da fiestra,
+      agardando polo seu lector.""",
+    "ms" -> """Sejarah sains menunjukkan bahawa idea baharu sering
+      menghadapi tentangan sebelum diterima. Para penyelidik membina
+      kaedah untuk memahami dunia di sekeliling kita dengan lebih baik.
+      Cuaca di pergunungan boleh berubah dengan pantas dan pendaki
+      mesti berhati-hati. Ramai orang tinggal di bandar besar dan
+      bekerja di pejabat atau kilang. Kanak-kanak pergi ke sekolah
+      setiap pagi untuk belajar membaca, menulis dan mengira. Makanan
+      sihat dengan buah-buahan dan sayur-sayuran penting untuk badan.
+      Kereta api bertolak dari stesen tepat pada masanya dan tiba di
+      bandar pada waktu petang. Pada musim panas keluarga pergi ke laut
+      atau ke gunung untuk berehat. Kerajaan telah meluluskan
+      undang-undang baharu mengenai perlindungan alam sekitar. Muzik
+      dan seni memainkan peranan penting dalam kehidupan ramai orang.
+      Semalam kami menulis sepucuk surat panjang kepada rakan-rakan
+      kami tentang perjalanan itu. Buku itu terletak di atas meja di
+      sebelah tingkap menunggu pembacanya.""",
+    "sq" -> """Historia e shkencës tregon se idetë e reja shpesh hasin
+      kundërshtim para se të pranohen. Studiuesit zhvillojnë metoda për
+      ta kuptuar më mirë botën përreth nesh. Moti në male mund të
+      ndryshojë shpejt dhe udhëtarët duhet të jenë të kujdesshëm. Shumë
+      njerëz jetojnë në qytete të mëdha dhe punojnë në zyra ose në
+      fabrika. Fëmijët shkojnë çdo mëngjes në shkollë për të mësuar të
+      lexojnë, të shkruajnë dhe të numërojnë. Ushqimi i shëndetshëm me
+      fruta dhe perime është i rëndësishëm për trupin. Treni niset nga
+      stacioni në kohë dhe mbërrin në qytet në mbrëmje. Në verë
+      familjet udhëtojnë në det ose në male për t'u çlodhur. Qeveria ka
+      miratuar një ligj të ri për mbrojtjen e mjedisit. Muzika dhe arti
+      luajnë një rol të rëndësishëm në jetën e shumë njerëzve. Dje u
+      shkruam miqve tanë një letër të gjatë për udhëtimin. Libri
+      qëndron mbi tavolinë pranë dritares duke pritur lexuesin e vet.""",
+    "sw" -> """Historia ya sayansi inaonyesha kwamba mawazo mapya mara
+      nyingi hukutana na upinzani kabla ya kukubaliwa. Watafiti
+      huendeleza mbinu za kuelewa vizuri zaidi ulimwengu unaotuzunguka.
+      Hali ya hewa milimani inaweza kubadilika haraka na wasafiri
+      wanapaswa kuwa waangalifu. Watu wengi wanaishi katika miji mikubwa
+      na wanafanya kazi ofisini au viwandani. Watoto huenda shuleni kila
+      asubuhi kujifunza kusoma, kuandika na kuhesabu. Chakula bora chenye
+      matunda na mboga ni muhimu kwa mwili. Treni huondoka stesheni kwa
+      wakati na kufika mjini jioni. Wakati wa kiangazi familia husafiri
+      baharini au milimani kupumzika. Serikali imepitisha sheria mpya
+      kuhusu ulinzi wa mazingira. Muziki na sanaa vina nafasi muhimu
+      katika maisha ya watu wengi. Jana tuliwaandikia rafiki zetu barua
+      ndefu kuhusu safari. Kitabu kiko mezani karibu na dirisha
+      kikimsubiri msomaji wake.""",
     // --- Cyrillic-script seeds (round 16, VERDICT r15 #6): same
     // encyclopedic register, normalized with NormRegexCyr ---
     "ru" -> """История науки показывает, что новые идеи часто встречают
@@ -622,18 +745,47 @@ object LangId {
       গ্ৰহণ কৰিছে। সংগীত আৰু কলাই বহু মানুহৰ জীৱনত গুৰুত্বপূৰ্ণ
       ভূমিকা পালন কৰে। যোৱাকালি আমি যাত্ৰাৰ বিষয়ে আমাৰ বন্ধুসকললৈ
       দীঘল চিঠি লিখিছিলোঁ। কিতাপখন মেজৰ ওপৰত খিৰিকীৰ কাষত পৰি আছে
-      আৰু পঢ়ুৱৈৰ বাবে ৰৈ আছে।""")
+      আৰু পঢ়ুৱৈৰ বাবে ৰৈ আছে।""",
+    // --- Ethiopic-script seeds (round 18, VERDICT r17 #5): the block
+    // carries Amharic AND Tigrinya — normalized with NormRegexEthi ---
+    "am" -> """የሳይንስ ታሪክ አዳዲስ ሀሳቦች ተቀባይነት ከማግኘታቸው በፊት ብዙ ጊዜ
+      ተቃውሞ እንደሚገጥማቸው ያሳያል። ተመራማሪዎች በዙሪያችን ያለውን ዓለም በተሻለ
+      ለመረዳት ዘዴዎችን ያዘጋጃሉ። በተራሮች ላይ ያለው የአየር ሁኔታ በፍጥነት ሊለወጥ
+      ይችላል እና ተጓዦች ጥንቃቄ ማድረግ አለባቸው። ብዙ ሰዎች በትላልቅ ከተሞች
+      ይኖራሉ እና በቢሮዎች ወይም በፋብሪካዎች ይሠራሉ። ልጆች ማንበብ፣ መጻፍ እና
+      ማስላት ለመማር በየጠዋቱ ወደ ትምህርት ቤት ይሄዳሉ። ከፍራፍሬ እና ከአትክልት
+      ጋር ጤናማ ምግብ ለሰውነት አስፈላጊ ነው። ባቡሩ በሰዓቱ ከጣቢያው ይነሳል እና
+      ምሽት ላይ ከተማዋ ይደርሳል። በበጋ ወቅት ቤተሰቦች ለማረፍ ወደ ባሕር ወይም ወደ
+      ተራሮች ይሄዳሉ። መንግሥት ስለ አካባቢ ጥበቃ አዲስ ሕግ አጽድቋል። ሙዚቃ እና
+      ሥነ ጥበብ በብዙ ሰዎች ሕይወት ውስጥ ትልቅ ሚና ይጫወታሉ። ትናንት ስለ ጉዞው
+      ለጓደኞቻችን ረጅም ደብዳቤ ጻፍን። መጽሐፉ በመስኮቱ አጠገብ ባለው ጠረጴዛ ላይ
+      ተቀምጦ አንባቢውን ይጠብቃል።""",
+    "ti" -> """ታሪኽ ሳይንስ ሓደስቲ ሓሳባት ቅድሚ ምቕባሎም ብዙሕ ግዜ ተቓውሞ ከም
+      ዘጋጥሞም የርኢ። ተመራመርቲ ነቲ ኣብ ከባቢና ዘሎ ዓለም ብዝበለጸ ንምርዳእ
+      ሜላታት የማዕብሉ። ኣብ ጎቦታት ዘሎ ኩነታት ኣየር ብቕልጡፍ ክቕየር ይኽእል እዩ
+      እሞ ተጓዓዝቲ ጥንቃቐ ክገብሩ ኣለዎም። ብዙሓት ሰባት ኣብ ዓበይቲ ከተማታት
+      ይነብሩ ኣብ ቤት ጽሕፈታት ወይ ፋብሪካታት ከኣ ይሰርሑ። ቆልዑ ምንባብ፣ ምጽሓፍ
+      ከምኡውን ምቑጻር ንምምሃር ኣብ ነፍሲ ወከፍ ንግሆ ናብ ቤት ትምህርቲ ይኸዱ።
+      ምስ ፍረታት ከምኡውን ኣሕምልቲ ዝኾነ ጥዑይ መግቢ ንኣካላት ኣገዳሲ እዩ። እታ
+      ባቡር ብሰዓታ ካብ መደበር ትብገስ ምሸት ከኣ ናብታ ከተማ ትበጽሕ። ኣብ ክረምቲ
+      ስድራቤታት ንምዕራፍ ናብ ባሕሪ ወይ ናብ ጎቦታት ይኸዱ። መንግስቲ ብዛዕባ ሓለዋ
+      ኣከባቢ ሓድሽ ሕጊ ኣጽዲቑ ኣሎ። ሙዚቃን ስነ ጥበብን ኣብ ህይወት ብዙሓት ሰባት
+      ዓቢ ግደ ይጻወቱ። ትማሊ ብዛዕባ እቲ ጉዕዞ ንኣዕሩኽትና ነዊሕ ደብዳቤ ጸሓፍና።
+      እታ መጽሓፍ ኣብ ጥቓ መስኮት ኣብ ዘላ ጣውላ ተቐሚጣ ንኣንባቢኣ ትጽበ ኣላ።""")
 
   /** The shared normalization: lowercase, collapse every non-letter run
     * to a single space. Letters = ASCII + Latin-1 + Latin Extended-A
     * (Polish/Czech/Turkish diacritics, U+0100-017F, contiguous with
     * Latin-1) + Vietnamese horn vowels (U+01A0-01B0) + Latin Extended
-    * Additional (Vietnamese tone marks, U+1E00-1EFF). The regex MUST
+    * Additional (Vietnamese tone marks, U+1E00-1EFF) + the schwa ə
+    * (U+0259, round 18: Azerbaijani's most frequent letter — Ə
+    * U+018F lowercases into it; without it az text lost its one
+    * reliable discriminator against Turkish). The regex MUST
     * stay codepoint-identical across Java and DuckDB RE2 — see
     * [[oracleSql]]. */
-  val NormRegexJava: String = "[^a-zß-ſƠ-ưḀ-ỿ]+"
+  val NormRegexJava: String = "[^a-zß-ſƠ-ưḀ-ỿə]+"
   val NormRegexRe2: String =
-    "[^a-z\\x{00DF}-\\x{017F}\\x{01A0}-\\x{01B0}\\x{1E00}-\\x{1EFF}]+"
+    "[^a-z\\x{00DF}-\\x{017F}\\x{01A0}-\\x{01B0}\\x{1E00}-\\x{1EFF}\\x{0259}]+"
 
   /** Cyrillic normalization: lowercase, keep the lowercase Cyrillic
     * block U+0430–045F (а-я, ё, Ukrainian є/і/ї, Serbian ј/љ/њ/ћ/ђ/џ,
@@ -665,6 +817,13 @@ object LangId {
   val NormRegexBengRe2: String =
     "[^\\x{0981}-\\x{09E3}\\x{09F0}-\\x{09F1}]+"
 
+  /** Ethiopic normalization (no case): the syllable letters
+    * U+1200–135A (ሀ-ፚ, covering both Amharic and Tigrinya series);
+    * Ge'ez punctuation (።/፣, U+1361+) and digits collapse to
+    * spaces. */
+  val NormRegexEthiJava: String = "[^ሀ-ፚ]+"
+  val NormRegexEthiRe2: String = "[^\\x{1200}-\\x{135A}]+"
+
   /** The Java-regex spelling of each script's normalization. */
   def normRegexJavaFor(script: String): String = script match {
     case "latin" => NormRegexJava
@@ -672,6 +831,7 @@ object LangId {
     case "arab"  => NormRegexArabJava
     case "deva"  => NormRegexDevaJava
     case "beng"  => NormRegexBengJava
+    case "ethi"  => NormRegexEthiJava
     case other   => throw new IllegalArgumentException(s"script $other")
   }
 
@@ -682,6 +842,7 @@ object LangId {
     case "arab"  => NormRegexArabRe2
     case "deva"  => NormRegexDevaRe2
     case "beng"  => NormRegexBengRe2
+    case "ethi"  => NormRegexEthiRe2
     case other   => throw new IllegalArgumentException(s"script $other")
   }
 
@@ -799,6 +960,7 @@ object LangId {
       regexp_replace(low, NormRegexArabJava, " ").as("__nrma"),
       regexp_replace(low, NormRegexDevaJava, " ").as("__nrmd"),
       regexp_replace(low, NormRegexBengJava, " ").as("__nrmb"),
+      regexp_replace(low, NormRegexEthiJava, " ").as("__nrme"),
       greatest(length(tx), lit(1)).cast("long").as("__len"))
     val withCounts = ScriptRanges.foldLeft(base) { case (d, (name, javaRe, _)) =>
       d.withColumn(s"__$name", regexp_count(col("__tx"), lit(javaRe)).cast("long"))
@@ -815,15 +977,18 @@ object LangId {
         greatest(length(col("__nrmd")) - 2, lit(0)).cast("long"))
       .withColumn("n_tri_beng",
         greatest(length(col("__nrmb")) - 2, lit(0)).cast("long"))
+      .withColumn("n_tri_ethi",
+        greatest(length(col("__nrme")) - 2, lit(0)).cast("long"))
       .withColumn("__scores", scoresOf("__nrm", "latin"))
       .withColumn("__scoresC", scoresOf("__nrmc", "cyr"))
       .withColumn("__scoresA", scoresOf("__nrma", "arab"))
       .withColumn("__scoresD", scoresOf("__nrmd", "deva"))
       .withColumn("__scoresB", scoresOf("__nrmb", "beng"))
+      .withColumn("__scoresE", scoresOf("__nrme", "ethi"))
     val withScoreCols = Seq(
       ("__scores", TrigramLangs), ("__scoresC", CyrillicLangs),
       ("__scoresA", ArabicLangs), ("__scoresD", DevanagariLangs),
-      ("__scoresB", BengaliLangs))
+      ("__scoresB", BengaliLangs), ("__scoresE", EthiopicLangs))
       .foldLeft(scored) {
       case (d0, (arr, langs)) => langs.zipWithIndex.foldLeft(d0) {
         case (d, (lang, i)) =>
@@ -846,6 +1011,9 @@ object LangId {
     val bengPick =
       when(col("n_tri_beng") === 0, lit("bn"))
         .otherwise(pickIn(BengaliLangs))
+    val ethiPick =
+      when(col("n_tri_ethi") === 0, lit("am"))
+        .otherwise(pickIn(EthiopicLangs))
     val pred =
       SingleLangScripts.foldLeft(
         when(col("__kana") * 20 >= col("__len"), lit("ja"))
@@ -854,7 +1022,8 @@ object LangId {
           .when(col("__cyr") * 10 >= col("__len") * 3, cyrPick)
           .when(col("__arab") * 20 >= col("__len") * 3, arabPick)
           .when(col("__deva") * 20 >= col("__len") * 3, devaPick)
-          .when(col("__beng") * 20 >= col("__len") * 3, bengPick)) {
+          .when(col("__beng") * 20 >= col("__len") * 3, bengPick)
+          .when(col("__ethi") * 20 >= col("__len") * 3, ethiPick)) {
         case (w, (script, lang)) =>
           w.when(col(s"__$script") * 20 >= col("__len") * 3, lit(lang))
       }
@@ -862,11 +1031,12 @@ object LangId {
         .otherwise(pickIn(TrigramLangs))
     val scoreCols =
       (TrigramLangs ++ CyrillicLangs ++ ArabicLangs ++ DevanagariLangs ++
-        BengaliLangs).map(l => s"score_$l")
+        BengaliLangs ++ EthiopicLangs).map(l => s"score_$l")
     withScoreCols
       .withColumn("pred_lang", pred)
       .select(("id" +: "n_tri" +: "n_tri_cyr" +: "n_tri_arab" +:
-        "n_tri_deva" +: "n_tri_beng" +: scoreCols :+ "pred_lang")
+        "n_tri_deva" +: "n_tri_beng" +: "n_tri_ethi" +: scoreCols
+        :+ "pred_lang")
         .map(col): _*)
   }
 
@@ -880,7 +1050,7 @@ object LangId {
     // names so the q86 surface is unchanged in shape
     val buckets = Seq(("latin", "", "n_tri"), ("cyr", "_c", "n_tri_cyr"),
       ("arab", "_a", "n_tri_arab"), ("deva", "_d", "n_tri_deva"),
-      ("beng", "_b", "n_tri_beng"))
+      ("beng", "_b", "n_tri_beng"), ("ethi", "_e", "n_tri_ethi"))
     def profRows(script: String) = ScriptLangs(script).flatMap { lang =>
       ProfilesByScript(script)(lang).map { case (t, w) =>
         val esc = t.replace("'", "''")
@@ -932,7 +1102,8 @@ object LangId {
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexCyrRe2', ' ', 'g') AS nrm_c,
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexArabRe2', ' ', 'g') AS nrm_a,
           regexp_replace(lower(coalesce($textCol, '')), '$NormRegexDevaRe2', ' ', 'g') AS nrm_d,
-          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexBengRe2', ' ', 'g') AS nrm_b
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexBengRe2', ' ', 'g') AS nrm_b,
+          regexp_replace(lower(coalesce($textCol, '')), '$NormRegexEthiRe2', ' ', 'g') AS nrm_e
         FROM $table),
       feat AS (
         SELECT id, tx,
@@ -942,7 +1113,8 @@ object LangId {
           greatest(length(nrm_c) - 2, 0) AS n_tri_cyr,
           greatest(length(nrm_a) - 2, 0) AS n_tri_arab,
           greatest(length(nrm_d) - 2, 0) AS n_tri_deva,
-          greatest(length(nrm_b) - 2, 0) AS n_tri_beng
+          greatest(length(nrm_b) - 2, 0) AS n_tri_beng,
+          greatest(length(nrm_e) - 2, 0) AS n_tri_ethi
         FROM base),$scoreBlocks,
       fin AS (
         SELECT s.id, CAST(s.n_tri AS BIGINT) AS n_tri,
@@ -950,14 +1122,16 @@ object LangId {
           CAST(s.n_tri_arab AS BIGINT) AS n_tri_arab,
           CAST(s.n_tri_deva AS BIGINT) AS n_tri_deva,
           CAST(s.n_tri_beng AS BIGINT) AS n_tri_beng,
+          CAST(s.n_tri_ethi AS BIGINT) AS n_tri_ethi,
           s.l, ${ScriptRanges.map { case (n, _, _) => s"s.c_$n" }.mkString(", ")},
           $allScoreCols
         FROM feat s LEFT JOIN mp ON mp.id = s.id
           LEFT JOIN mp_c ON mp_c.id = s.id
           LEFT JOIN mp_a ON mp_a.id = s.id
           LEFT JOIN mp_d ON mp_d.id = s.id
-          LEFT JOIN mp_b ON mp_b.id = s.id)
-      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, n_tri_deva, n_tri_beng, $allScoreNames,
+          LEFT JOIN mp_b ON mp_b.id = s.id
+          LEFT JOIN mp_e ON mp_e.id = s.id)
+      SELECT id AS $idCol, n_tri, n_tri_cyr, n_tri_arab, n_tri_deva, n_tri_beng, n_tri_ethi, $allScoreNames,
         CASE WHEN c_kana * 20 >= l THEN 'ja'
              WHEN c_han * 20 >= l * 3 THEN 'zh'
              WHEN c_hangul * 20 >= l * 3 THEN 'ko'
@@ -976,6 +1150,10 @@ object LangId {
              WHEN c_beng * 20 >= l * 3 THEN
                CASE WHEN n_tri_beng = 0 THEN 'bn'
              ${caseArms("beng")}
+             ELSE 'und' END
+             WHEN c_ethi * 20 >= l * 3 THEN
+               CASE WHEN n_tri_ethi = 0 THEN 'am'
+             ${caseArms("ethi")}
              ELSE 'und' END
              ${SingleLangScripts.map { case (script, lang) =>
                s"WHEN c_$script * 20 >= l * 3 THEN '$lang'" }

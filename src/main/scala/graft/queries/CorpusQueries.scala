@@ -2004,6 +2004,64 @@ object CorpusQueries {
           .orderBy(desc("score"), asc("vec_id")).limit(26)
       }),
 
+    // The PERSISTED sharded-HNSW serving chain end to end (round 18,
+    // VERDICT r17 #1/#3 certification): build over 90% of the corpus,
+    // SAVE as the manifest-committed warehouse form, maintain with the
+    // 10% batch through insertPersisted (epoch commit, O(touched)
+    // leaves), RELOAD (pinning the new manifest), and answer a query
+    // batch at full coverage — and the served (qid, rn, id) ranking
+    // must hash-match the oracle's from-scratch exact kNN over the
+    // FULL corpus computed by DuckDB. Exactness argument: full
+    // coverage probes every (cell, sub); each sub is capped at 64
+    // members and searched with ef far above the cap, so the per-shard
+    // beam is exhaustive and the global window equals the exact
+    // ranking — the q178/q179 argument, now for the SERVING tier
+    // (they certify the edge-artifact path). Cos-dist stays internal;
+    // the output carries only integer ranks and ids.
+    Q("q180_sharded_serving_persisted", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 30),
+      knn AS (
+        SELECT q.vec_id AS qid, e.vec_id AS id,
+          row_number() OVER (PARTITION BY q.vec_id ORDER BY
+            1.0 - list_dot_product(q.v, e.v) /
+              (sqrt(list_dot_product(q.v, q.v)) *
+               sqrt(list_dot_product(e.v, e.v))) ASC,
+            e.vec_id ASC) AS rn
+        FROM q CROSS JOIN e)
+      SELECT qid, CAST(rn AS INT) AS rn, id FROM knn WHERE rn <= 5
+      ORDER BY qid, rn"""),
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val root = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft-q180-tier")
+        val shards = new java.io.File(root, "shards").getAbsolutePath
+        val meta = new java.io.File(root, "meta").getAbsolutePath
+        val fs = graft.util.TableSwap.fileSystem(s, shards)
+        graft.util.TableSwap.delete(fs,
+          new org.apache.hadoop.fs.Path(root.getAbsolutePath))
+        val ids = emb.select(col("vec_id").cast("long"))
+          .orderBy(desc("vec_id"))
+          .limit((emb.count() / 10).toInt.max(1))
+          .collect().map(_.getLong(0)).toSeq
+        val old = emb.filter(!col("vec_id").isInCollection(ids))
+        val sh0 = graft.operators.ShardedHnsw.build(old, "vec_id",
+          "embedding", nCells = 8, maxCellSize = 64)
+        graft.operators.ShardedHnsw.save(sh0, shards, meta)
+        val batch = emb.filter(col("vec_id").isInCollection(ids))
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+        graft.operators.ShardedHnsw.insertPersisted(s, shards, meta, batch)
+        val re = graft.operators.ShardedHnsw.load(s, shards, meta)
+        val queries = emb.select(col("vec_id").as("qid"),
+          col("embedding").as("qv")).orderBy("qid").limit(30)
+        graft.operators.ShardedHnsw.searchBatch(re, queries, "qid", "qv",
+            k = 5, nProbe = re.centers.length, ef = 256)
+          .select(col("qid"), col("rn"), col("id"))
+          .orderBy("qid", "rn")
+      }),
+
     // Maintained HLL state under ingest-batch merging (round 15,
     // VERDICT r14 #4): the corpus arrives as THREE batches (doc_id mod
     // 3 — the ingest simulation), each batch sketches independently,
@@ -2413,7 +2471,19 @@ object CorpusQueries {
     29L -> "ဆောင်းဦးရာသီတွင် ကလေးများသည် ပန်းခြံထဲတွင် အဝါရောင်သစ်ရွက်များကို စုဆောင်းပြီး အဖွားအတွက် လှပသော ပန်းစည်းလုပ်ရန် အိမ်သို့ ယူသွားကြသည်။",
     // round 17: the Bengali block is now a TRIGRAM bucket (bn/as) —
     // row 15 above stays bn, this held-out Assamese row must label as
-    30L -> "শৰৎ কালত ল'ৰা-ছোৱালীবোৰে উদ্যানত হালধীয়া পাত গোটাই আইতাৰ বাবে ধুনীয়া ফুলৰ থোপা বনাবলৈ ঘৰলৈ লৈ যায়।")
+    30L -> "শৰৎ কালত ল'ৰা-ছোৱালীবোৰে উদ্যানত হালধীয়া পাত গোটাই আইতাৰ বাবে ধুনীয়া ফুলৰ থোপা বনাবলৈ ঘৰলৈ লৈ যায়।",
+    // round 18 (VERDICT r17 #5): Ethiopic is now a TRIGRAM bucket —
+    // row 26 above stays am, this held-out Tigrinya row must label ti
+    31L -> "ኣብ ክረምቲ ብዙሕ ግዜ ምስ መዓር ውዑይ ሻሂ ንሰቲ ኣብ ጥቓ መስኮት ከኣ ኣረጊት መጻሕፍቲ ነንብብ።",
+    // round 18: the Latin-bucket additions (af az eu gl ms sq sw) —
+    // each previously labeled as its wrong near-neighbor
+    32L -> "Die boer het vroeg opgestaan om die koeie te melk en het daarna brood en koffie vir ontbyt geniet.",
+    33L -> "Balıqçılar səhər tezdən dənizə çıxdılar və axşam kəndə təzə balıqlarla qayıtdılar.",
+    34L -> "Arrantzaleak goizean goiz itsasoratu ziren eta iluntzean arrain freskoekin itzuli ziren herrira.",
+    35L -> "O panadeiro prepara cada noite pan fresco que os veciños mercan pola mañá cedo na praza da vila.",
+    36L -> "Para nelayan keluar ke laut awal pagi lagi dan balik ke kampung dengan ikan segar sebelum senja kerana hendak mengelakkan ribut.",
+    37L -> "Peshkatarët dolën në det herët në mëngjes dhe u kthyen në fshat me peshq të freskët para mbrëmjes.",
+    38L -> "Wavuvi walitoka baharini asubuhi na mapema na kurudi kijijini na samaki safi kabla ya giza kuingia.")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

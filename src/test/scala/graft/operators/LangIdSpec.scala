@@ -76,9 +76,20 @@ class LangIdSpec extends SparkSpec {
     assert(preds(7L) == "th")
   }
 
-  test("confusion matrix: all 25 Latin-script languages on held-out text") {
-    // none of these sentences appear in the profile seeds
+  test("confusion matrix: all 32 Latin-script languages on held-out text") {
+    // none of these sentences appear in the profile seeds; the
+    // round-18 additions (af az eu gl ms sq sw) include the
+    // adversarial near-neighbor pairs the widening exists for:
+    // af-vs-nl, az-vs-tr (a parallel fisherman sentence to the tr
+    // row), gl-vs-pt/es, ms-vs-id
     val heldOut: Seq[(String, String)] = Seq(
+      "af" -> "Die boer het vroeg opgestaan om die koeie te melk en het daarna brood en koffie vir ontbyt geniet.",
+      "az" -> "Balıqçılar səhər tezdən dənizə çıxdılar və axşam kəndə təzə balıqlarla qayıtdılar.",
+      "eu" -> "Arrantzaleak goizean goiz itsasoratu ziren eta iluntzean arrain freskoekin itzuli ziren herrira.",
+      "gl" -> "O panadeiro prepara cada noite pan fresco que os veciños mercan pola mañá cedo na praza da vila.",
+      "ms" -> "Para nelayan keluar ke laut awal pagi lagi dan balik ke kampung dengan ikan segar sebelum senja kerana hendak mengelakkan ribut.",
+      "sq" -> "Peshkatarët dolën në det herët në mëngjes dhe u kthyen në fshat me peshq të freskët para mbrëmjes.",
+      "sw" -> "Wavuvi walitoka baharini asubuhi na mapema na kurudi kijijini na samaki safi kabla ya giza kuingia.",
       "ca" -> "El pagès va collir les pomes del camp i les va portar al mercat del poble abans que es fes fosc.",
       "et" -> "Kalur sõitis varahommikul merele ja tuli õhtuks tagasi koju värske kalaga, mida ta turul müüs.",
       "hr" -> "Vrtlar zalijeva cvijeće rano ujutro, a poslije podne obrezuje grmlje i skuplja lišće po cijelom vrtu.",
@@ -208,11 +219,37 @@ class LangIdSpec extends SparkSpec {
       controls(402L) == "en")
   }
 
-  test("confusion matrix: the 14 round-17 single-language script blocks on held-out text") {
-    // ta te kn ml gu pa or si ka hy am lo km my — each block carries
+  test("confusion matrix: the Ethiopic-script trigram bucket (am/ti) on held-out text (round 18)") {
+    // VERDICT r17 #5: round 17 documented the Ethiopic→am collapse
+    // (Tigrinya shares the block); the script ratio now routes into an
+    // am/ti trigram bucket — the bn/as pattern. None of these
+    // sentences appear in the profile seeds; two per language.
+    val heldOut: Seq[(String, String)] = Seq(
+      "am" -> "በክረምት ብዙ ጊዜ ሙቅ ሻይ ከማር ጋር እንጠጣለን እና በመስኮቱ አጠገብ የድሮ መጻሕፍትን እናነባለን።",
+      "am" -> "አሣ አጥማጆች በማለዳ ወደ ባሕር ወጡ እና ምሽት ላይ ትኩስ ዓሣ ይዘው ወደ መንደሩ ተመለሱ።",
+      "ti" -> "ኣብ ክረምቲ ብዙሕ ግዜ ምስ መዓር ውዑይ ሻሂ ንሰቲ ኣብ ጥቓ መስኮት ከኣ ኣረጊት መጻሕፍቲ ነንብብ።",
+      "ti" -> "ገፈፍቲ ዓሳ ንግሆ ኣንጊሆም ናብ ባሕሪ ወጹ ምሸት ከኣ ትኩስ ዓሳ ሒዞም ናብታ ዓዲ ተመልሱ።")
+    val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })
+    val confusions = heldOut.zipWithIndex.collect {
+      case ((want, _), i) if preds(i.toLong) != want =>
+        s"$want -> ${preds(i.toLong)}"
+    }
+    assert(confusions.isEmpty, s"misclassified: ${confusions.mkString(", ")}")
+    // neighbors unaffected: Hebrew and Greek keep their single-language
+    // blocks, the Latin tier is untouched
+    val controls = predict(Seq(
+      500L -> "בסתיו הילדים אוספים עלים צהובים בפארק ולוקחים אותם הביתה.",
+      501L -> "The weather was fine and the children played outside all afternoon."))
+    assert(controls(500L) == "he" && controls(501L) == "en")
+  }
+
+  test("confusion matrix: the round-17 single-language script blocks on held-out text") {
+    // ta te kn ml gu pa or si ka hy lo km my — each block carries
     // one servable language, decided by script ratio alone (the same
-    // mechanism as el/he/bn). Before this, all fourteen normalized to
-    // nothing in every trigram bucket and exited as 'en'.
+    // mechanism as el/he). Before round 17, all of these normalized to
+    // nothing in every trigram bucket and exited as 'en'. (Ethiopic
+    // left this list in round 18 — it routes into the am/ti trigram
+    // bucket, tested below.)
     val heldOut: Seq[(String, String)] = Seq(
       "ta" -> "குளிர்காலத்தில் நாங்கள் அடிக்கடி தேனுடன் சூடான தேநீர் குடித்து ஜன்னல் அருகில் பழைய புத்தகங்களை படிக்கிறோம்.",
       "te" -> "శీతాకాలంలో మేము తరచుగా తేనెతో వేడి టీ తాగుతూ కిటికీ పక్కన పాత పుస్తకాలు చదువుతాము.",
@@ -224,8 +261,7 @@ class LangIdSpec extends SparkSpec {
       "si" -> "ශීත කාලයේදී අපි බොහෝ විට මී පැණි සමඟ උණුසුම් තේ බොමින් ජනේලය අසල පරණ පොත් කියවමු.",
       "ka" -> "ზამთარში ჩვენ ხშირად ვსვამთ ცხელ ჩაის თაფლით და ვკითხულობთ ძველ წიგნებს ფანჯარასთან.",
       "hy" -> "Ձմռանը մենք հաճախ տաք թեյ ենք խմում մեղրով և հին գրքեր կարդում պատուհանի մոտ։",
-      "am" -> "በክረምት ብዙ ጊዜ ሙቅ ሻይ ከማር ጋር እንጠጣለን እና በመስኮቱ አጠገብ የድሮ መጻሕፍትን እናነባለን።",
-      "lo" -> "ໃນລະດູໜາວ ພວກເຮົາມັກດື່ມຊາຮ້ອນກັບນໍ້າເຜິ້ງ ແລະ ອ່ານປຶ້ມເກົ່າຢູ່ຂ້າງປ່ອງຢ້ຽມ.",
+      "lo" ->"ໃນລະດູໜາວ ພວກເຮົາມັກດື່ມຊາຮ້ອນກັບນໍ້າເຜິ້ງ ແລະ ອ່ານປຶ້ມເກົ່າຢູ່ຂ້າງປ່ອງຢ້ຽມ.",
       "km" -> "នៅរដូវរងារ យើងច្រើនតែផឹកតែក្តៅជាមួយទឹកឃ្មុំ ហើយអានសៀវភៅចាស់នៅក្បែរបង្អួច។",
       "my" -> "ဆောင်းရာသီတွင် ကျွန်ုပ်တို့သည် ပျားရည်နှင့် လက်ဖက်ရည်ပူကို မကြာခဏ သောက်ပြီး ပြတင်းပေါက်အနီးတွင် စာအုပ်ဟောင်းများကို ဖတ်ကြသည်။")
     val preds = predict(heldOut.zipWithIndex.map { case ((_, t), i) => (i.toLong, t) })

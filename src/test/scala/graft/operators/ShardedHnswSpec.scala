@@ -498,11 +498,20 @@ class ShardedHnswSpec extends SparkSpec {
     val fan0 = m0.leaves(0).fan
     val count0 = m0.leaves(0).count
     // a skewed stream: enough unique near-center-0 vectors to push
-    // cell 0 past 2 x 64 regardless of its starting occupancy
-    val need = math.max((2 * 64 + 1 - count0).toInt, 0) + 16
+    // cell 0 past growFactor x cap x its CURRENT fan (the per-sub
+    // occupancy watermark) regardless of its starting occupancy
+    val need = math.max((2 * 64 * fan0 + 1 - count0).toInt, 0) + 16
+    // realistic skew: a stream of DISTINCT vectors clustered around
+    // center 0 (small multi-dim offsets — an e-clone batch would
+    // measure HNSW's known near-duplicate pathology, not the split)
     val batch = (0 until need).map { i =>
       val v = sh.centers(0).map(_.toFloat)
-      v(0) += (i + 1) * 1e-4f; v(1) += (i % 7) * 1e-4f
+      var d = 0
+      while (d < v.length) {
+        v(d) += (((i * 31 + d * 17) % 29) - 14) * 2e-3f
+        d += 1
+      }
+      v(0) += (i + 1) * 1e-5f // injective in i: no exact duplicates
       (6_000_000L + i, v)
     }
     val untouchedBefore = m0.leaves.collect {
@@ -591,6 +600,75 @@ class ShardedHnswSpec extends SparkSpec {
     assert(bare.shardedSearch(qv, graft.model.SearchOptions(limit = 3))
       .columns === bare.vectorSearch(qv,
         graft.model.SearchOptions(limit = 3)).columns)
+  }
+
+  test("Library facade: annSearch dispatch matrix — routes to the best enabled tier, output contract unchanged") {
+    // VERDICT r17 #8: one entry point routes to exact / monolithic
+    // HNSW / sharded by what is enabled; dispatch changes latency,
+    // never shape. Each matrix state asserts row-identity with the
+    // tier's own method (all are deterministic), so a mis-route shows
+    // up as a row diff, not just a column diff.
+    val wh = java.nio.file.Files.createTempDirectory("graft-dispatch").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 20).map(i => (s"/dp/doc$i.md",
+      s"# Doc$i\n" + (s"dispatch matrix corpus retrieval text $i body. " * 6)))
+      .toDS())
+    val qv = lib.embedder.embed("dispatch matrix corpus retrieval text")
+    val opts = graft.model.SearchOptions(limit = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // no tier enabled: annSearch IS the exact path
+    assert(rows(lib.annSearch(qv, opts)) === rows(lib.vectorSearch(qv, opts)))
+    // monolithic HNSW enabled: dispatch switches to hnswSearch
+    lib.buildHnswIndex()
+    assert(rows(lib.annSearch(qv, opts)) === rows(lib.hnswSearch(qv, opts)))
+    // sharded tier enabled: it wins over the monolithic graph
+    lib.enableShardedServing(nCells = 4)
+    assert(rows(lib.annSearch(qv, opts)) === rows(lib.shardedSearch(qv, opts)))
+    // the output contract is one shape across all three tiers
+    assert(lib.annSearch(qv, opts).columns.toSeq ===
+      lib.vectorSearch(qv, opts).columns.toSeq)
+  }
+
+  test("Library facade: the sharded ingest hook runs a bounded action budget (no second batch action)") {
+    // VERDICT r17 #7: the recurring-id guard rides the SAME collect as
+    // the insert feed — the old form paid an extra batch.count()
+    // ACTION. Budget derivation (Spark actions, AQE-independent where
+    // raw job counts are not): 1 probe-join collect over the batch +
+    // insertPersisted's meta collect, one-job leaf write and narrow
+    // stats read-back + 1 ids append = 5. A reintroduced second batch
+    // action breaks the budget.
+    val wh = java.nio.file.Files.createTempDirectory("graft-jobs").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 10).map(i => (s"/jb/doc$i.md",
+      s"# Doc$i\n" + (s"job budget corpus text $i body words here. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 2)
+    import spark.implicits._
+    val batch = Seq(("jb-extra-1", lib.embedder.embed("fresh vector one")),
+      ("jb-extra-2", lib.embedder.embed("fresh vector two")))
+      .toDF("chunkId", "embedding")
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = actions.incrementAndGet()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = actions.incrementAndGet()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      lib.appendToShardedIndex(batch)
+      // listener events are async; a short settle keeps the count honest
+      Thread.sleep(1000)
+    } finally spark.listenerManager.unregister(listener)
+    assert(actions.get() <= 5,
+      s"sharded append hook ran ${actions.get()} actions")
+    // and the appended ids are servable (the hook really ran)
+    val served = lib.shardedSearch(lib.embedder.embed("fresh vector one"),
+      graft.model.SearchOptions(limit = 3))
+    assert(served.columns.nonEmpty)
   }
 
   test("Library facade: compactTombstones retires dead members, and a compacted chunkId re-ingests WITHOUT dropping the tier") {
