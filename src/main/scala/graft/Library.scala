@@ -336,11 +336,33 @@ class Library(val spark: SparkSession, val warehouse: String,
     migrateLegacyFtsLayout()
     val partCols = Map("embeddings_ivf" -> "__cell", "fts_postings" -> "__tb",
       "embeddings_hnsw_sharded" -> "__cell")
-    Library.AllTables.filter(tableExists).foreach { t =>
-      val w = spark.read.parquet(path(t)).write.mode(SaveMode.Overwrite)
-      partCols.get(t).map(w.partitionBy(_)).getOrElse(w)
-        .parquet(s"$dest/$t")
-    }
+    // the sharded blob root is manifest-versioned (retention keeps the
+    // previous epoch's superseded leaves on disk), so a plain
+    // recursive read would export duplicate (cell, sub) rows — and
+    // legacy hive leaves carry no __cell data column at all. Resolve
+    // through the manifest handle: the export lands as a single-epoch
+    // hive layout the restored warehouse reads via the spec-pinned
+    // legacy-migration path. The build-id stamp is dropped with the
+    // manifest (it pairs ONE save's meta with ONE root; the export is
+    // a new pair). A tier that does not load (absent, or a torn save)
+    // is not exported at all — re-enable on the restored warehouse.
+    val shardedTier = Set("embeddings_hnsw_sharded",
+      "embeddings_hnsw_sharded_meta", "embeddings_hnsw_sharded_ids")
+    val shardedHandle = loadSharded()
+    Library.AllTables.filter(tableExists)
+      .filterNot(t => shardedTier(t) && shardedHandle.isEmpty)
+      .foreach { t =>
+        val df = t match {
+          case "embeddings_hnsw_sharded" => shardedHandle.get.table
+          case "embeddings_hnsw_sharded_meta" =>
+            val m = spark.read.parquet(path(t))
+            if (m.columns.contains("__buildid")) m.drop("__buildid") else m
+          case _ => spark.read.parquet(path(t))
+        }
+        val w = df.write.mode(SaveMode.Overwrite)
+        partCols.get(t).map(w.partitionBy(_)).getOrElse(w)
+          .parquet(s"$dest/$t")
+      }
   }
 
   // ---------------------------------------------------------------- search
@@ -661,12 +683,21 @@ class Library(val spark: SparkSession, val warehouse: String,
     // #3) so compaction can route to its leaves without vectors —
     // read from the just-built blobs, so it cannot drift from them
     graft.util.TableSwap.rewrite(path("embeddings_hnsw_sharded_ids"),
-      graft.operators.ShardedHnsw.memberCells(sh)
-        .join(emb.select(xxhash64(col("chunkId")).as("id"),
-          col("chunkId")), Seq("id"))
-        .select("chunkId", "__cell"))
+      shardedIdsFrame(sh, emb.select("chunkId")))
     shardedCache = None
   }
+
+  /** The cell-carrying ids frame for tier `sh`: each chunkId joined to
+    * its member's assigned cell AS READ FROM THE BLOBS (memberCells),
+    * so the recorded cells can never drift from where the vectors
+    * actually live. One definition for the build-time write and the
+    * pre-round-18 migration. */
+  private def shardedIdsFrame(sh: graft.operators.ShardedHnsw.Shards,
+                              chunkIds: DataFrame): DataFrame =
+    graft.operators.ShardedHnsw.memberCells(sh)
+      .join(chunkIds.select(xxhash64(col("chunkId")).as("id"),
+        col("chunkId")), Seq("id"))
+      .select("chunkId", "__cell")
 
   /** One-time migration of a pre-round-18 ids table (chunkId only) to
     * the cell-carrying form: the blobs know every member's cell — one
@@ -675,10 +706,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     val ids = spark.read.parquet(path("embeddings_hnsw_sharded_ids"))
     if (!ids.columns.contains("__cell")) loadSharded().foreach { sh =>
       rewrite("embeddings_hnsw_sharded_ids",
-        graft.operators.ShardedHnsw.memberCells(sh)
-          .join(ids.select(xxhash64(col("chunkId")).as("id"),
-            col("chunkId")), Seq("id"))
-          .select("chunkId", "__cell"))
+        shardedIdsFrame(sh, ids.select("chunkId")))
     }
   }
 
@@ -691,7 +719,12 @@ class Library(val spark: SparkSession, val warehouse: String,
     * the next [[enableShardedServing]]) instead of ever serving a
     * wrong vector. */
   private[graft] def appendToShardedIndex(newEmbeddings: DataFrame): Unit =
+    // ALL THREE tables must exist: a crashed enableShardedServing can
+    // leave meta+ids without the blob root, and maintaining into a
+    // missing root would resurrect an empty tier that "serves" only
+    // this batch while the ids table lists the whole corpus
     if (tableExists("embeddings_hnsw_sharded_meta") &&
+        tableExists("embeddings_hnsw_sharded") &&
         tableExists("embeddings_hnsw_sharded_ids")) {
       ensureShardedIdsCells()
       val known = spark.read.parquet(path("embeddings_hnsw_sharded_ids"))
@@ -734,11 +767,17 @@ class Library(val spark: SparkSession, val warehouse: String,
       if (!tableExists("embeddings_hnsw_sharded_meta") ||
           !tableExists("embeddings_hnsw_sharded") ||
           !tableExists("embeddings_hnsw_sharded_ids")) None
-      else {
+      else try {
         shardedCache = Some(graft.operators.ShardedHnsw.load(spark,
           path("embeddings_hnsw_sharded"),
           path("embeddings_hnsw_sharded_meta")))
         shardedCache
+      } catch {
+        // a torn enableShardedServing (crash between the meta rewrite
+        // and the root swap) leaves a meta/blob pair from different
+        // builds — load refuses it; serving degrades to the fallback
+        // tier and the next enableShardedServing rebuilds
+        case _: IllegalStateException => None
       }
     }
 

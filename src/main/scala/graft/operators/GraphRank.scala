@@ -923,7 +923,16 @@ object GraphRank {
     val typed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
     // k+1 beam: the query point itself sits at distance 0 in its own
-    // corpus; drop it, keep the k best OTHER candidates by exact cos
+    // corpus; drop it, keep the k best OTHER candidates by exact cos.
+    // Deliberately the BEAM, not searchBatch's exact mode: exact mode
+    // scans each probed sub (O(|sub|) per query -> O(|sub|^2) per
+    // block), while the beam keeps the per-block cost ~|sub|·ef — the
+    // bounded-cost property this edge source exists for. The
+    // full-coverage beam's exactness on the certified corpora is
+    // pinned empirically by q178/q179's oracle hash-match; a corpus
+    // where beam connectivity breaks (dense near-duplicate clusters)
+    // should dedup before graph audits anyway, and q180 certifies the
+    // exact mode itself on capped subs.
     val cand = ShardedHnsw.searchBatch(sh,
         typed.select(col("id").as("qid"), col("v").as("qv")),
         "qid", "qv", k + 1, nProbe = sh.centers.length,

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   * key that has no blob row with a fresh subgraph instead of dropping
   * it. The persisted tier's fan can GROW past build time — the
   * re-shard watermark (round 18, VERDICT r17 #4) splits a hot leaf
-  * locally once ingest pushes it past `growFactor × maxCellSize`; the
+  * locally once ingest pushes the cell past
+  * `growFactor × maxCellSize × fan` (per-SUB occupancy — a cell
+  * legitimately split at build holds ~fan·cap members by design); the
   * grown fan commits atomically with the leaf through the manifest.
   *
   * Serve: queries rank the BROADCAST centroid table in-plan and
@@ -413,18 +415,21 @@ object ShardedHnsw {
     * have populated (probing an empty one costs a no-op cogroup
     * bucket, never recall).
     *
-    * `nProbe = nCells` (full coverage) is EXACT by construction: every
-    * probed shard answers with an exhaustive scan instead of the beam
-    * (a full-coverage beam visits ~the whole bounded shard anyway, so
-    * this costs nothing asymptotically — and a beam is exhaustive only
-    * over CONNECTED structure, which a dense near-duplicate ingest
-    * cluster can break by saturating its own adjacency; the exactness
-    * contract q180 certifies cross-engine must not depend on graph
-    * shape). Probed mode (nProbe < nCells) keeps the beam — that tier
-    * is the recall/latency tradeoff. */
+    * `exact = true` + `nProbe = nCells` is EXACT by construction:
+    * every probed shard answers with an exhaustive scan instead of
+    * the beam — a beam is exhaustive only over CONNECTED structure,
+    * which a dense near-duplicate ingest cluster can break by
+    * saturating its own adjacency, so the exactness contract the
+    * edge-artifact builders and q180 certify cross-engine must not
+    * depend on graph shape. Exact mode is for BATCH consumers
+    * (certification, artifact builds) where per-shard work ~ shard
+    * size is the point; interactive serving keeps the beam at ANY
+    * coverage — full-coverage beam serving is the high-recall default
+    * (spec-pinned ≥ 0.99 on realistic corpora), never a corpus
+    * scan. */
   def searchBatch(sh: Shards, queries: DataFrame, qidCol: String,
                   qvecCol: String, k: Int, nProbe: Int,
-                  ef: Int = 64): DataFrame = {
+                  ef: Int = 64, exact: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val nCells = sh.centers.length
@@ -448,7 +453,7 @@ object ShardedHnsw {
       .flatMap { case (cell, qid, qv) =>
         (0 until subsOf.getOrElse(cell, 1)).map(sub =>
           (cell, sub, qid, qv)) }
-    val exhaustive = nProbe == nCells
+    val exhaustive = exact
     val shardKV = sh.table.as[(Int, Int, Array[Byte])]
     val local = probes.groupByKey(r => (r._1, r._2))
       .cogroup(shardKV.groupByKey(r => (r._1, r._2))) { case (_, qs, gs) =>
@@ -472,18 +477,20 @@ object ShardedHnsw {
 
   // ------------------------------------------------------------ persistence
 
-  private def metaDf(spark: SparkSession, sh: Shards): DataFrame = {
+  private def metaDf(spark: SparkSession, sh: Shards,
+                     buildId: Option[String] = None): DataFrame = {
     import spark.implicits._
     sh.centers.zipWithIndex.toSeq.map { case (c, i) =>
       (i, c.toSeq, sh.subsOf.getOrElse(i, 1), sh.m, sh.efConstruction,
-        sh.seed, sh.maxCellSize)
+        sh.seed, sh.maxCellSize, buildId.orNull)
     }.toDF("__cell", "__center", "__nsplit", "m", "efc", "seed",
-      "__maxcell")
+      "__maxcell", "__buildid")
   }
 
   private[operators] final case class MetaInfo(
       centers: Array[Array[Double]], subsOf: Map[Int, Int],
-      m: Int, efConstruction: Int, seed: Long, maxCellSize: Int)
+      m: Int, efConstruction: Int, seed: Long, maxCellSize: Int,
+      buildId: Option[String])
 
   private def parseMeta(rows: Array[org.apache.spark.sql.Row]): MetaInfo = {
     val centers = rows.map(r => r.getInt(0) ->
@@ -491,13 +498,15 @@ object ShardedHnsw {
     val subsOf = rows.map(r => r.getInt(0) -> r.getInt(2))
       .filter(_._2 > 1).toMap
     val h = rows.head
+    def optField(name: String): Boolean =
+      h.schema != null && h.schema.fieldNames.contains(name)
     // pre-round-18 meta tables lack __maxcell → 0 (no watermark)
-    val maxCell =
-      if (h.schema != null && h.schema.fieldNames.contains("__maxcell"))
-        h.getInt(h.fieldIndex("__maxcell"))
-      else 0
+    val maxCell = if (optField("__maxcell")) h.getInt(h.fieldIndex("__maxcell")) else 0
+    val buildId =
+      if (optField("__buildid")) Option(h.getString(h.fieldIndex("__buildid")))
+      else None
     MetaInfo(centers, subsOf, h.getInt(3), h.getInt(4), h.getLong(5),
-      maxCell)
+      maxCell, buildId)
   }
 
   private def readMeta(spark: SparkSession, metaPath: String): MetaInfo =
@@ -532,7 +541,8 @@ object ShardedHnsw {
                                                 fan: Int)
 
   private[operators] final case class Manifest(
-      epoch: Long, leaves: Map[Int, LeafEntry]) {
+      epoch: Long, leaves: Map[Int, LeafEntry],
+      buildId: Option[String] = None) {
     def fanOf(cell: Int, metaFallback: Map[Int, Int]): Int =
       leaves.get(cell).map(_.fan)
         .getOrElse(metaFallback.getOrElse(cell, 1))
@@ -541,6 +551,32 @@ object ShardedHnsw {
   private def manifestDir(root: String) = s"$root/_manifest"
 
   private val ManifestName = "m(\\d+)".r
+
+  /** Parse one committed manifest file — the ONE reader every
+    * manifest consumer goes through ([[currentManifest]], repair's
+    * retention resolution). Format: optional `#buildid<TAB><token>`
+    * header (pairs the blob root with the meta table a [[save]] wrote
+    * — a crash between the two must be detectable, never a silent
+    * wrong-routing), then one `cell<TAB>dir<TAB>count<TAB>fan` line
+    * per leaf. */
+  private def readManifestFile(
+      fs: org.apache.hadoop.fs.FileSystem, file: HPath,
+      epoch: Long): Manifest = {
+    val in = fs.open(file)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val buildId = lines.headOption.filter(_.startsWith("#buildid\t"))
+      .map(_.stripPrefix("#buildid\t"))
+    val leaves = lines.filterNot(_.startsWith("#")).map { line =>
+      val Array(cell, dir, count, fan) = line.split("\t")
+      cell.toInt -> LeafEntry(dir, count.toLong, fan.toInt)
+    }.toMap
+    Manifest(epoch, leaves, buildId)
+  }
 
   /** The newest committed manifest, or a synthesized epoch-0 manifest
     * over a pre-manifest hive layout (`__cell=N` leaf dirs; fans from
@@ -558,16 +594,7 @@ object ShardedHnsw {
       }.sortBy(_._1).lastOption
     committed match {
       case Some((epoch, name)) =>
-        val in = fs.open(new HPath(mdir, name))
-        val text = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-          bos.toString("UTF-8")
-        } finally in.close()
-        Manifest(epoch, text.linesIterator.filter(_.nonEmpty).map { line =>
-          val Array(cell, dir, count, fan) = line.split("\t")
-          cell.toInt -> LeafEntry(dir, count.toLong, fan.toInt)
-        }.toMap)
+        readManifestFile(fs, new HPath(mdir, name), epoch)
       case None =>
         val root = new HPath(shardsPath)
         val legacy =
@@ -594,9 +621,10 @@ object ShardedHnsw {
     fs.mkdirs(mdir)
     val tmp = new HPath(mdir, s".m${next.epoch}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(next.leaves.toSeq.sortBy(_._1).map {
-      case (cell, e) => s"$cell\t${e.dir}\t${e.count}\t${e.fan}"
-    }.mkString("\n").getBytes("UTF-8"))
+    val body = next.buildId.map(b => s"#buildid\t$b").toSeq ++
+      next.leaves.toSeq.sortBy(_._1).map {
+        case (cell, e) => s"$cell\t${e.dir}\t${e.count}\t${e.fan}" }
+    try out.write(body.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = new HPath(mdir, s"m${next.epoch}")
     graft.util.TableSwap.delete(fs, target) // a crashed retry's twin
@@ -663,13 +691,21 @@ object ShardedHnsw {
 
   /** Persist the tier: modern epoch-0 leaves + manifest + the meta
     * table (frozen centers, build fans, build params, watermark cap).
-    * A full (re)build — any previous state under the root is
-    * replaced. */
+    * A full (re)build replacing any previous state under the root —
+    * CRASH-SAFE: the whole new tier (leaves + manifest + marker)
+    * assembles under a `_build_tmp` sibling first, the meta table
+    * rewrites (stamped with a fresh build id the manifest also
+    * carries), and only then does the root swap. A crash at any point
+    * leaves either the OLD consistent tier, NO tier (readers fall
+    * back, the ingest hook no-ops on the missing root), or a
+    * meta/blob pair whose build ids disagree — which [[load]] rejects
+    * loudly instead of routing queries through the wrong centers. */
   def save(sh: Shards, shardsPath: String, metaPath: String): Unit = {
     val spark = sh.table.sparkSession
     import spark.implicits._
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
-    graft.util.TableSwap.delete(fs, new HPath(shardsPath))
+    val buildRoot = buildScratch(shardsPath)
+    graft.util.TableSwap.delete(fs, new HPath(buildRoot))
     val scratch = batchScratch(shardsPath)
     graft.util.TableSwap.delete(fs, new HPath(scratch))
     sh.table.as[(Int, Int, Array[Byte])]
@@ -677,22 +713,26 @@ object ShardedHnsw {
         (cell, cell, sub, bytes, peekSize(bytes)) }
       .toDF("__pcell", "__cell", "__sub", "__graph", "__size")
       .write.partitionBy("__pcell").parquet(scratch)
-    fs.mkdirs(new HPath(shardsPath))
+    fs.mkdirs(new HPath(buildRoot))
     val counts = spark.read.parquet(scratch)
       .groupBy("__cell").agg(sum("__size").as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val leaves = counts.keys.map { cell =>
       val dir = leafDirName(cell, 0L)
       if (!fs.rename(new HPath(s"$scratch/__pcell=$cell"),
-          new HPath(s"$shardsPath/$dir")))
-        throw new java.io.IOException(s"save failed installing $dir")
+          new HPath(s"$buildRoot/$dir")))
+        throw new java.io.IOException(s"save failed staging $dir")
       cell -> LeafEntry(dir, counts(cell), sh.subsOf.getOrElse(cell, 1))
     }.toMap
     graft.util.TableSwap.delete(fs, new HPath(scratch))
-    installManifest(spark, shardsPath, Manifest(0L, leaves),
-      Manifest(0L, leaves))
+    val buildId = java.util.UUID.randomUUID().toString
+    val m0 = Manifest(0L, leaves, Some(buildId))
+    installManifest(spark, buildRoot, m0, m0)
     graft.util.TableSwap.rewrite(metaPath,
-      metaDf(sh.table.sparkSession, sh))
+      metaDf(sh.table.sparkSession, sh, Some(buildId)))
+    graft.util.TableSwap.delete(fs, new HPath(shardsPath))
+    if (!fs.rename(new HPath(buildRoot), new HPath(shardsPath)))
+      throw new java.io.IOException(s"save failed installing $shardsPath")
   }
 
   /** Reload the persisted tier, PINNED at the newest committed
@@ -705,6 +745,22 @@ object ShardedHnsw {
            metaPath: String): Shards = {
     val mi = readMeta(spark, metaPath)
     val manifest = currentManifest(spark, shardsPath, mi.subsOf)
+    // a save() crash between the meta rewrite and the root swap leaves
+    // a meta/blob pair from DIFFERENT builds — the centers would route
+    // queries to the wrong cells, so refuse loudly (callers degrade to
+    // their fallback tier; re-running enableShardedServing heals)
+    (mi.buildId, manifest.buildId) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalStateException(
+          s"sharded tier build mismatch: meta=$a blobs=$b (torn save)")
+      case (Some(a), None) =>
+        // a buildId-stamped meta can only legitimately pair with a
+        // buildId-stamped manifest (exports strip the stamp): this is
+        // the new meta + old root state of a torn save
+        throw new IllegalStateException(
+          s"sharded tier build mismatch: meta=$a blobs=<none> (torn save)")
+      case _ => ()
+    }
     val fans = (mi.subsOf ++ manifest.leaves.map {
       case (c, e) => c -> e.fan }).filter(_._2 > 1)
     new Shards(readLeaves(spark, shardsPath, manifest),
@@ -727,9 +783,11 @@ object ShardedHnsw {
     * fresh subgraph row in its leaf.
     *
     * Re-shard watermark (VERDICT r17 #4): a touched cell whose member
-    * count crosses `growFactor × maxCellSize` (growFactor from
+    * count crosses `growFactor × maxCellSize × fan` — per-SUB
+    * occupancy, so a cell legitimately split at build does not
+    * re-shard on every insert (growFactor from
     * `spark.graft.shardedGrowFactor`, default 2.0; cap from the meta
-    * table) re-shards LOCALLY — its members re-bucket by
+    * table) — re-shards LOCALLY — its members re-bucket by
     * [[GraphRank.subKey]] under the grown fan and each sub rebuilds,
     * all inside the same per-cell task, so the per-executor bound
     * holds under skewed ingest without a global rebuild. The grown
@@ -844,7 +902,8 @@ object ShardedHnsw {
     }.toMap
     graft.util.TableSwap.delete(fs, new HPath(scratch))
     installManifest(spark, shardsPath,
-      Manifest(epoch, manifest.leaves ++ installed), manifest)
+      Manifest(epoch, manifest.leaves ++ installed, manifest.buildId),
+      manifest)
     byCell.toSeq.flatMap { case (cell, rows) =>
       rows.map { case (id, _) => (id, cell) } }.sortBy(_._1)
   }
@@ -853,6 +912,11 @@ object ShardedHnsw {
     * root, so a crash leftover never enters partition discovery. */
   private def batchScratch(shardsPath: String): String =
     s"${shardsPath}_batch_tmp"
+
+  /** Staging root for a full [[save]] rebuild — the whole new tier
+    * assembles here and installs with one directory rename. */
+  private def buildScratch(shardsPath: String): String =
+    s"${shardsPath}_build_tmp"
 
   /** Physically retire deleted members from the PERSISTED tier.
     * Serving already tolerates deletes (dead ids drop at the caller's
@@ -928,7 +992,8 @@ object ShardedHnsw {
     graft.util.TableSwap.delete(fs, new HPath(scratch))
     // fully-dead leaves leave the manifest entirely
     installManifest(spark, shardsPath,
-      Manifest(epoch, (manifest.leaves -- touched) ++ survivorsOf),
+      Manifest(epoch, (manifest.leaves -- touched) ++ survivorsOf,
+        manifest.buildId),
       manifest)
   }
 
@@ -973,6 +1038,9 @@ object ShardedHnsw {
     val batchTmp = new HPath(batchScratch(shardsPath))
     if (fs.exists(batchTmp) && oldEnough(batchTmp))
       graft.util.TableSwap.delete(fs, batchTmp)
+    val buildTmp = new HPath(buildScratch(shardsPath))
+    if (fs.exists(buildTmp) && oldEnough(buildTmp))
+      graft.util.TableSwap.delete(fs, buildTmp)
     if (!fs.exists(root)) return
     // orphan leaf dirs + stale manifest temps, age-guarded
     val manifest = currentManifest(spark, shardsPath, Map.empty)
@@ -1008,16 +1076,7 @@ object ShardedHnsw {
                                 epoch: Long): Manifest = {
     val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
     val p = new HPath(manifestDir(shardsPath), s"m$epoch")
-    if (!fs.exists(p)) return Manifest(epoch, Map.empty)
-    val in = fs.open(p)
-    val text = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 8192, false)
-      bos.toString("UTF-8")
-    } finally in.close()
-    Manifest(epoch, text.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(cell, dir, count, fan) = line.split("\t")
-      cell.toInt -> LeafEntry(dir, count.toLong, fan.toInt)
-    }.toMap)
+    if (!fs.exists(p)) Manifest(epoch, Map.empty)
+    else readManifestFile(fs, p, epoch)
   }
 }

@@ -2012,12 +2012,12 @@ object CorpusQueries {
     // batch at full coverage — and the served (qid, rn, id) ranking
     // must hash-match the oracle's from-scratch exact kNN over the
     // FULL corpus computed by DuckDB. Exactness argument: full
-    // coverage probes every (cell, sub); each sub is capped at 64
-    // members and searched with ef far above the cap, so the per-shard
-    // beam is exhaustive and the global window equals the exact
-    // ranking — the q178/q179 argument, now for the SERVING tier
-    // (they certify the edge-artifact path). Cos-dist stays internal;
-    // the output carries only integer ranks and ids.
+    // coverage probes every (cell, sub) and exact mode scans each
+    // probed shard exhaustively (graph-shape independent — a beam is
+    // exhaustive only over CONNECTED structure), so the global window
+    // equals the exact ranking — the q178/q179 argument, now for the
+    // SERVING tier (they certify the edge-artifact path). Cos-dist
+    // stays internal; the output carries only integer ranks and ids.
     Q("q180_sharded_serving_persisted", Some(s"""
       WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       q AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 30),
@@ -2057,7 +2057,7 @@ object CorpusQueries {
         val queries = emb.select(col("vec_id").as("qid"),
           col("embedding").as("qv")).orderBy("qid").limit(30)
         graft.operators.ShardedHnsw.searchBatch(re, queries, "qid", "qv",
-            k = 5, nProbe = re.centers.length, ef = 256)
+            k = 5, nProbe = re.centers.length, ef = 256, exact = true)
           .select(col("qid"), col("rn"), col("id"))
           .orderBy("qid", "rn")
       }),

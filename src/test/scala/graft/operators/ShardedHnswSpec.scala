@@ -168,12 +168,13 @@ class ShardedHnswSpec extends SparkSpec {
     assert(!(a eq c), "reset must drop the cached instance")
   }
 
-  private def searchAll(sh: ShardedHnsw.Shards, k: Int = 10)
+  private def searchAll(sh: ShardedHnsw.Shards, k: Int = 10,
+                        exact: Boolean = false)
       : Seq[(Long, Int, Long, Double)] = {
     val queries = emb.select(col("vec_id").as("qid"),
       col("embedding").as("qv"))
     ShardedHnsw.searchBatch(sh, queries, "qid", "qv", k,
-        nProbe = sh.centers.length)
+        nProbe = sh.centers.length, exact = exact)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
   }
@@ -537,9 +538,12 @@ class ShardedHnswSpec extends SparkSpec {
     assert(sizes.max <= 128,
       s"a ${sizes.max}-member sub exceeds the per-executor bound")
     // every member of the grown cell — old and new — still self-hits
-    // at full coverage (the re-bucketing lost nobody)
+    // in exact mode (the re-bucketing lost nobody; the clustered batch
+    // is exactly the disconnected-layer-0 shape exact mode exists for,
+    // so the BEAM is not the right probe of split correctness here)
     val q = batch.map { case (id, v) => (id, v.toSeq) }.toDF("qid", "qv")
-    val self = ShardedHnsw.searchBatch(re, q, "qid", "qv", 1, nProbe = 4)
+    val self = ShardedHnsw.searchBatch(re, q, "qid", "qv", 1, nProbe = 4,
+        exact = true)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     assert(self.length === batch.length)
     assert(self.forall { case (qid, id) => qid == id })
@@ -550,13 +554,95 @@ class ShardedHnswSpec extends SparkSpec {
         excludeSelf = false)
       .select(col("__qid"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = searchAll(re).map(t => (t._1, t._3)).toSet
+    val recall = searchAll(re, exact = true).map(t => (t._1, t._3)).toSet
       .count(exact).toDouble / exact.size
-    info(f"post-split full-coverage recall $recall%.4f")
-    assert(recall >= 0.99, s"the split cost recall: $recall")
+    info(f"post-split exact-mode recall $recall%.4f")
+    assert(recall === 1.0, s"exact mode must be exact: $recall")
   }
 
   // ----------------------------------------------------- Library facade
+
+  test("torn save: every crash state degrades loudly or cleanly — never wrong routing, never a resurrected empty tier") {
+    // save() assembles the new tier under _build_tmp, rewrites the
+    // meta (stamped with a build id the manifest also carries), then
+    // swaps the root. Simulate the two dangerous crash windows.
+    val wh = java.nio.file.Files.createTempDirectory("graft-torn").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 12).map(i => (s"/ts/doc$i.md",
+      s"# Doc$i\n" + (s"torn save corpus text $i body words here. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 2)
+    val qv = lib.embedder.embed("torn save corpus text")
+    val opts = graft.model.SearchOptions(limit = 3)
+    val want = lib.vectorSearch(qv, opts).collect().map(_.toSeq).toSeq
+    val fs = graft.util.TableSwap.fileSystem(spark, wh)
+    import org.apache.hadoop.fs.{Path => HPath}
+    // window 1: meta rewritten for a NEW build, crash before the root
+    // swap — old blobs + new meta would route through the wrong
+    // centers; load must refuse, serving must fall back to exact
+    val metaP = s"$wh/embeddings_hnsw_sharded_meta"
+    val meta = spark.read.parquet(metaP).collect()
+    val twisted = spark.createDataFrame(
+      spark.sparkContext.parallelize(meta.map { r =>
+        org.apache.spark.sql.Row(r.toSeq.updated(
+          r.fieldIndex("__buildid"), "crashed-build-token"): _*)
+      }.toSeq), spark.read.parquet(metaP).schema)
+    graft.util.TableSwap.rewrite(metaP, twisted)
+    val lib2 = new graft.Library(spark, wh)
+    assert(lib2.shardedSearch(qv, opts).collect().map(_.toSeq).toSeq
+      === want, "a torn save must degrade to the exact path, not misroute")
+    // window 2: crash between the root delete and the root install —
+    // meta+ids survive, blobs gone. The ingest hook must NOT resurrect
+    // an empty tier that serves only the new batch.
+    graft.util.TableSwap.delete(fs,
+      new HPath(s"$wh/embeddings_hnsw_sharded"))
+    val lib3 = new graft.Library(spark, wh)
+    lib3.addMarkdown(Seq(("/ts/new1.md",
+      "# New\n" + ("fresh vector after the torn save words. " * 6))).toDS())
+    assert(!fs.exists(new HPath(s"$wh/embeddings_hnsw_sharded/_SUCCESS")),
+      "the ingest hook must not resurrect a tier from meta+ids alone")
+    assert(lib3.shardedSearch(qv, opts).columns.nonEmpty) // clean fallback
+    // re-enabling heals fully
+    lib3.enableShardedServing(nCells = 2)
+    val lib4 = new graft.Library(spark, wh)
+    assert(lib4.shardedSearch(qv, opts).collect().nonEmpty)
+  }
+
+  test("exportTo of a MAINTAINED tier: single-epoch export, no duplicate shards, restored warehouse serves identically") {
+    // the blob root holds TWO epochs after an insert (retention); the
+    // export must resolve through the manifest — a recursive read
+    // would export the superseded epoch's blobs too, and a restored
+    // warehouse would serve stale vectors for touched shards
+    val wh = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 12).map(i => (s"/ex/doc$i.md",
+      s"# Doc$i\n" + (s"export corpus searchable text $i body words. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 2)
+    // a maintenance batch: epoch 1 lands, epoch-0 leaves retained
+    lib.addMarkdown(Seq(("/ex/new1.md",
+      "# New\n" + ("brand new export payload words here. " * 6))).toDS())
+    val qv = lib.embedder.embed("brand new export payload")
+    val opts = graft.model.SearchOptions(limit = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val want = rows(lib.shardedSearch(qv, opts))
+    val dest = java.nio.file.Files.createTempDirectory("graft-exp2").toString
+    lib.exportTo(dest)
+    // the exported blob table has exactly ONE row per (cell, sub)
+    val exported = spark.read.parquet(s"$dest/embeddings_hnsw_sharded")
+      .select("__cell", "__sub").collect()
+      .map(r => (r.getAs[Number]("__cell").intValue(), r.getInt(1)))
+    assert(exported.length === exported.distinct.length,
+      "export must carry one epoch, not the retention window")
+    // no build-id rides along (it pairs ONE save's meta with ONE root)
+    assert(!spark.read.parquet(s"$dest/embeddings_hnsw_sharded_meta")
+      .columns.contains("__buildid"))
+    // the restored warehouse serves the same rows through the
+    // legacy-migration read path
+    val restored = new graft.Library(spark, dest)
+    assert(rows(restored.shardedSearch(qv, opts)) === want)
+  }
 
   test("Library facade: enableShardedServing + ingest maintenance + cold reload") {
     val wh = java.nio.file.Files.createTempDirectory("graft-shnsw").toString
