@@ -81,15 +81,26 @@ class LangIdSpec extends SparkSpec {
     // round-18 additions (af az eu gl ms sq sw) include the
     // adversarial near-neighbor pairs the widening exists for:
     // af-vs-nl, az-vs-tr (a parallel fisherman sentence to the tr
-    // row), gl-vs-pt/es, ms-vs-id
+    // row), gl-vs-pt/es, ms-vs-id. Two sentences per new language.
+    // Honest limit: gl/pt is the tightest pair — a Galician sentence
+    // without any of the orthographic discriminators (x where pt
+    // writes j, unha/cunha, mentres) can still label pt; the matrix
+    // pins that the discriminators, when present, decide correctly.
     val heldOut: Seq[(String, String)] = Seq(
       "af" -> "Die boer het vroeg opgestaan om die koeie te melk en het daarna brood en koffie vir ontbyt geniet.",
+      "af" -> "Die onderwyser het vir die leerders van die sterre vertel terwyl hulle snags deur die teleskoop gekyk het.",
       "az" -> "Balıqçılar səhər tezdən dənizə çıxdılar və axşam kəndə təzə balıqlarla qayıtdılar.",
+      "az" -> "Müəllim gecə uşaqlara ulduzlar haqqında danışdı və onlar teleskopla səmaya baxdılar.",
       "eu" -> "Arrantzaleak goizean goiz itsasoratu ziren eta iluntzean arrain freskoekin itzuli ziren herrira.",
+      "eu" -> "Irakasleak izarrei buruz hitz egin zien ikasleei, gauez teleskopioaz zerura begiratzen zuten bitartean.",
       "gl" -> "O panadeiro prepara cada noite pan fresco que os veciños mercan pola mañá cedo na praza da vila.",
+      "gl" -> "Onte pola tarde os rapaces xogaron na praia e despois mercaron queixo e pan na tenda da vila xunto ao peirao.",
       "ms" -> "Para nelayan keluar ke laut awal pagi lagi dan balik ke kampung dengan ikan segar sebelum senja kerana hendak mengelakkan ribut.",
+      "ms" -> "Guru itu bercerita kepada murid-murid tentang bintang kerana mereka hendak melihat langit malam dengan teleskop.",
       "sq" -> "Peshkatarët dolën në det herët në mëngjes dhe u kthyen në fshat me peshq të freskët para mbrëmjes.",
+      "sq" -> "Mësuesja u tregoi nxënësve për yjet ndërsa shikonin qiellin e natës me teleskop nga kodra.",
       "sw" -> "Wavuvi walitoka baharini asubuhi na mapema na kurudi kijijini na samaki safi kabla ya giza kuingia.",
+      "sw" -> "Mwalimu aliwaambia wanafunzi kuhusu nyota walipokuwa wakitazama anga la usiku kwa darubini.",
       "ca" -> "El pagès va collir les pomes del camp i les va portar al mercat del poble abans que es fes fosc.",
       "et" -> "Kalur sõitis varahommikul merele ja tuli õhtuks tagasi koju värske kalaga, mida ta turul müüs.",
       "hr" -> "Vrtlar zalijeva cvijeće rano ujutro, a poslije podne obrezuje grmlje i skuplja lišće po cijelom vrtu.",
