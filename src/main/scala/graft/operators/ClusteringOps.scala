@@ -327,19 +327,14 @@ class IvfIndex(val model: KMeansModel, val assigned: DataFrame,
     * matching [[graft.plans.IvfRegistry.probeCells]]. */
   def topKBatch(queries: DataFrame, qidCol: String, qvecCol: String,
                 k: Int, nProbe: Int): DataFrame = {
-    val centersDf = assigned.sparkSession.createDataFrame(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.toSeq) })
-      .toDF("__cell", "__center")
-    val probeW = Window.partitionBy(qidCol)
-      .orderBy(asc("__cdist"), asc("__cell"))
-    val probes = queries.select(col(qidCol), col(qvecCol))
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__cdist", VectorFunctions.sqDist(
-        col(qvecCol).cast("array<double>"), col("__center")))
-      .withColumn("__crn", row_number().over(probeW))
-      .filter(col("__crn") <= nProbe)
-      .select(col(qidCol), col("__cell"))
+    // map-only probe ranking (VERDICT r18 #2): the codegen'd
+    // top-nProbe expression replaces crossJoin(broadcast)+window —
+    // same (dist asc, cell asc) ordering, zero exchange on the query
+    // set before the pruning join below
+    val probes = queries
+      .select(col(qidCol),
+        explode(graft.plans.NearestCells(col(qvecCol),
+          model.clusterCenters.map(_.toArray), nProbe)).as("__cell"))
     val w = Window.partitionBy(qidCol).orderBy(desc("cos_sim"), asc(idCol))
     assigned.join(broadcast(probes), Seq("__cell"))
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))

@@ -598,20 +598,20 @@ object GraphRank {
   private[graft] def ivfEdgesFrozen(df: DataFrame, idCol: String,
       vecCol: String, k: Int, centers: Array[Array[Double]], nProbe: Int,
       maxCellSize: Int): DataFrame = {
-    val centersDf = df.sparkSession.createDataFrame(
-      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-      .toDF("__cell", "__center")
     val typed = df.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("__v"))
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(asc("__cdist"), asc("__cell"))
+    // MAP-ONLY probe ranking (VERDICT r18 #2): the codegen'd
+    // [[graft.plans.NearestCells]] top-nProbe over the referenced
+    // center array replaces crossJoin(broadcast)+window — the
+    // N·nCells vector-carrying exchange is gone from the build path;
+    // ordering (dist asc, cell asc) is bit-identical
+    // (NearestCellsSpec), so assignments and probes cannot drift
     val ranked = typed
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
-        col("__v").cast("array<double>"), col("__center")))
-      .withColumn("__crn", row_number().over(probeW))
-      .filter(col("__crn") <= nProbe)
-      .select(col("id"), col("__v"), col("__cell"), col("__crn"))
+      .select(col("id"), col("__v"),
+        posexplode(graft.plans.NearestCells(col("__v"), centers, nProbe))
+          .as(Seq("__pos", "__cell")))
+      .select(col("id"), col("__v"), col("__cell"),
+        (col("__pos") + 1).as("__crn"))
       .materializeOnce(eager = false) // probes AND (rn=1) assignment
     val probes = ranked
       .select(col("id").as("src"), col("__v").as("__qv"), col("__cell"))

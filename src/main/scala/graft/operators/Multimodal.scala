@@ -163,9 +163,11 @@ object Multimodal {
     *     L∞-ball — every qualifying pair is enumerated and verified.
     *     Exact, but the candidate count IS the true pair count, which
     *     grows quadratically when the corpus concentrates inside eps
-    *     balls (the word-salad testdata is that adversarial case:
-    *     19.6× time at 10× rows). No pair-exact method avoids this —
-    *     the relation itself is quadratically dense.
+    *     balls (the word-salad testdata is that adversarial case: the
+    *     round-18 scale suite measures 78.6× time at 10× rows —
+    *     scale_suite.json q90). No pair-exact method avoids this —
+    *     the relation itself is quadratically dense; past toy scale
+    *     use `cell` mode (linear) or the `maxBucket` guard.
     *   - `mode = "cell"` (q91): the relation is shifted-grid EQUALITY
     *     (agree on the quantized histogram in ANY of the 4 grids) —
     *     standard perceptual-hash dedup. Bucket members are mutually

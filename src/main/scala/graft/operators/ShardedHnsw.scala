@@ -100,7 +100,30 @@ object ShardedHnsw {
                      val m: Int, val efConstruction: Int,
                      val seed: Long,
                      val subsOf: Map[Int, Int],
-                     val maxCellSize: Int = 0) extends Serializable
+                     val maxCellSize: Int = 0) extends Serializable {
+    /** Provenance when the handle came from [[load]]: the tier root +
+      * the PINNED manifest. Lets the probe-pruned serving path
+      * ([[searchSingle]]) read only the probed cells' leaf files, and
+      * lets the staleness guard ([[requireLive]]) detect a pinned
+      * epoch that maintenance has since garbage-collected. In-memory
+      * handles ([[build]], [[insert]], [[fromFrames]]) have none. */
+    @transient private[operators] var source: Option[(String, Manifest)] =
+      None
+  }
+
+  /** A meta/blob pair from DIFFERENT builds (a [[save]] crash between
+    * the meta rewrite and the root swap): the centers would route
+    * queries — or maintenance writes (ADVICE r18) — through the wrong
+    * cells, so every consumer refuses loudly. */
+  final class TornTierException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** A loaded handle outlived the retention window (VERDICT r18 #7):
+    * its pinned manifest's leaves may be garbage-collected, so a scan
+    * would die file-not-found MID-query (or worse, answer partially).
+    * Callers reload and retry. */
+  final class StaleSnapshotException(msg: String)
+    extends IllegalStateException(msg)
 
   // ------------------------------------------------------------------ codec
 
@@ -214,17 +237,37 @@ object ShardedHnsw {
     * a hot shard answering every streaming trigger stops paying a
     * per-task deserialization. Keyed by two independent-seed XXH64s of
     * the blob bytes + length (a false hit needs a simultaneous 128-bit
-    * collision), sized by encoded bytes (the decoded graph is the same
-    * arrays), bounded by `graft.shardCacheBytes` (default 512 MB).
-    * Graphs are immutable after decode ([[Hnsw.insert]] copies), so a
-    * cached instance is safe to share across tasks. */
+    * collision), charged by an ESTIMATED DECODED heap size — not
+    * `bytes.length` (ADVICE r18): a decoded v2 graph costs noticeably
+    * more heap than its blob (per-node vector-array headers, per-layer
+    * per-node adjacency arrays copied out of the CSR), so an
+    * encoded-bytes bound could pin well over the budget for
+    * small-dim/many-node shards — bounded by `graft.shardCacheBytes`
+    * (default 512 MB). Graphs are immutable after decode
+    * ([[Hnsw.insert]] copies), so a cached instance is safe to share
+    * across tasks. */
   private object GraphCache {
     private val maxBytes: Long =
       java.lang.Long.getLong("graft.shardCacheBytes", 512L << 20)
     private var totalBytes = 0L
     private val map =
-      new java.util.LinkedHashMap[(Long, Long, Int), (Hnsw.Graph, Int)](
+      new java.util.LinkedHashMap[(Long, Long, Int), (Hnsw.Graph, Long)](
         64, 0.75f, true)
+    /** Decoded heap estimate: ids + levels + vectors (16 B object
+      * header + payload per node) + per-layer CSR copy-out (16 B
+      * header + 4 B per neighbor per node). */
+    private def decodedBytes(g: Hnsw.Graph): Long = {
+      val n = g.size.toLong
+      val dim = if (g.size == 0) 0L else g.vecs(0).length.toLong
+      var adj = 0L
+      var l = 0
+      while (l < g.neighbors.length) {
+        var i = 0
+        while (i < g.size) { adj += 16L + 4L * g.neighbors(l)(i).length; i += 1 }
+        l += 1
+      }
+      64L + 12L * n + (16L + 4L * dim) * n + adj
+    }
     private[ShardedHnsw] def get(bytes: Array[Byte]): Hnsw.Graph = {
       import org.apache.spark.sql.catalyst.expressions.XXH64
       import org.apache.spark.unsafe.Platform
@@ -238,10 +281,11 @@ object ShardedHnsw {
         if (hit != null) return hit._1
       }
       val g = deserialize(bytes) // decode outside the lock
+      val charge = decodedBytes(g)
       synchronized {
         if (!map.containsKey(key)) {
-          map.put(key, (g, bytes.length))
-          totalBytes += bytes.length
+          map.put(key, (g, charge))
+          totalBytes += charge
           val it = map.entrySet().iterator()
           while (totalBytes > maxBytes && map.size() > 1 && it.hasNext) {
             totalBytes -= it.next().getValue._2
@@ -281,21 +325,17 @@ object ShardedHnsw {
     }.toDF("id", "__cell")
   }
 
-  private def assignToCenters(spark: SparkSession, typed: DataFrame,
-                              centers: Array[Array[Double]]): DataFrame = {
-    val centersDf = spark.createDataFrame(
-      centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-      .toDF("__cell", "__center")
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(asc("__cdist"), asc("__cell"))
-    typed
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
-        col("__v").cast("array<double>"), col("__center")))
-      .withColumn("__crn", row_number().over(probeW))
-      .filter(col("__crn") === 1)
-      .select(col("__cell"), col("id"), col("__v"))
-  }
+  /** MAP-ONLY cell assignment (VERDICT r18 #2): the codegen'd
+    * [[graft.plans.NearestCells]] argmin over the referenced center
+    * array replaces the old crossJoin(broadcast centers) + per-id
+    * window — no N·nCells vector-carrying exchange, no shuffle at all;
+    * bit-identical assignments incl. the low-cell tie-break
+    * (property-pinned in `NearestCellsSpec`). */
+  private def assignToCenters(typed: DataFrame,
+                              centers: Array[Array[Double]]): DataFrame =
+    typed.select(
+      graft.plans.NearestCells.assignCell(col("__v"), centers).as("__cell"),
+      col("id"), col("__v"))
 
   /** Distributed shard build. One k-means fit (centroids are the only
     * driver-adjacent structure, √N-sized by convention) + one grouped
@@ -311,7 +351,7 @@ object ShardedHnsw {
     require(nCells >= 1 && nCells <= n,
       s"need 1 <= nCells <= corpus size, got nCells=$nCells n=$n")
     val centers = GraphRank.ivfCenters(typed, nCells, seed)
-    val assigned = assignToCenters(spark, typed, centers)
+    val assigned = assignToCenters(typed, centers)
       .materializeOnce(eager = false) // sizes + the grouped build
     val splits: Map[Int, Int] =
       if (maxCellSize <= 0) Map.empty
@@ -407,6 +447,94 @@ object ShardedHnsw {
       m, efC, seed, sh.subsOf, sh.maxCellSize)
   }
 
+  /** Staleness guard for loaded handles (VERDICT r18 #7): retention
+    * keeps the newest TWO manifests' leaves, so a reader pinned at
+    * epoch E is structurally safe while the tier's newest commit is
+    * ≤ E+1. Past that its leaf files may already be swept — without
+    * this check the failure is a file-not-found MID-scan (or a
+    * partial answer from whatever leaves survived). One metadata
+    * listing per search entry; in-memory handles skip it. */
+  private def requireLive(spark: SparkSession, sh: Shards): Unit =
+    Option(sh.source).flatten.foreach { case (shardsPath, pinned) =>
+      val fs = graft.util.TableSwap.fileSystem(spark, shardsPath)
+      val mdir = new HPath(manifestDir(shardsPath))
+      val newest =
+        if (!fs.exists(mdir)) pinned.epoch
+        else fs.listStatus(mdir).map(_.getPath.getName).collect {
+          case ManifestName(e) => e.toLong
+        }.foldLeft(pinned.epoch)(math.max)
+      if (newest > pinned.epoch + 1)
+        throw new StaleSnapshotException(
+          s"stale snapshot: handle pinned epoch ${pinned.epoch} but the " +
+            s"tier has committed epoch $newest — the pinned leaves may " +
+            "be garbage-collected; reload the sharded tier")
+    }
+
+  /** Probe ranking for a DRIVER-held query vector: the `nProbe`
+    * nearest cells by squared distance, ties to the lower cell —
+    * exactly [[graft.plans.NearestCells]]'s kernel (shared code), so
+    * the driver-side ranking and the in-plan batch ranking can never
+    * disagree. */
+  def probeCells(sh: Shards, qv: Array[Float], nProbe: Int): Seq[Int] = {
+    val centers = sh.centers
+    require(centers.nonEmpty && centers.head.length == qv.length,
+      s"query dim ${qv.length} != centroid dim " +
+        s"${centers.headOption.map(_.length).getOrElse(0)}")
+    val dim = centers.head.length
+    val flat = new Array[Double](centers.length * dim)
+    var i = 0
+    while (i < centers.length) {
+      System.arraycopy(centers(i), 0, flat, i * dim, dim); i += 1
+    }
+    graft.plans.NearestCells.select(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(qv),
+      true, flat, dim, math.min(nProbe, centers.length))
+      .toIntArray().toSeq
+  }
+
+  /** Probe-pruned single-query serving (VERDICT r18 #1): the query
+    * vector is already on the driver, so the cells rank DRIVER-side
+    * and the scan reads ONLY the probed cells' leaf files — for a
+    * [[load]]ed handle the unprobed leaves are never listed, opened,
+    * or decoded (byte-corruption-pinned in `ShardedHnswSpec`), so
+    * per-query I/O and compute scale with `nProbe`, never with the
+    * index. This is the interactive serving path
+    * ([[graft.Library.shardedSearch]]); beam at every coverage —
+    * exactness certification goes through [[searchBatch]]'s exact
+    * flag. Output: (rn, id, cos_dist), rn 1..k by (dist asc, id asc)
+    * — [[searchBatch]]'s contract minus the qid. */
+  def searchSingle(sh: Shards, qv: Array[Float], k: Int, nProbe: Int,
+                   ef: Int = 64): DataFrame = {
+    val spark = sh.table.sparkSession
+    import spark.implicits._
+    val nCells = sh.centers.length
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
+    requireLive(spark, sh)
+    val probed = probeCells(sh, qv, nProbe).toSet
+    val frame = Option(sh.source).flatten match {
+      case Some((shardsPath, manifest)) =>
+        readLeaves(spark, shardsPath, manifest, Some(probed))
+      case None =>
+        sh.table.filter(col("__cell").isInCollection(probed))
+    }
+    val efEff = math.max(ef, k)
+    val local = frame.as[(Int, Int, Array[Byte])]
+      .flatMap { case (cell, _, bytes) =>
+        if (!probed(cell)) Iterator.empty
+        else {
+          val g = deserializeCached(bytes)
+          Hnsw.searchKnn(g, qv, k, efEff).iterator
+        }
+      }.toDF("id", "cos_dist")
+    // survivors are ≤ k · probed leaves — single-partition-window safe
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("cos_dist"), asc("id"))
+    local.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("rn"), col("id"), col("cos_dist"))
+  }
+
   /** Batch search over the shards: queries shuffle to their probed
     * (cell, sub) shards, each shard decodes through the per-executor
     * [[GraphCache]] and answers its cogroup's queries in-memory. The
@@ -435,19 +563,22 @@ object ShardedHnsw {
     val nCells = sh.centers.length
     require(nProbe >= 1 && nProbe <= nCells,
       s"need 1 <= nProbe <= nCells, got nProbe=$nProbe nCells=$nCells")
-    val centersDf = spark.createDataFrame(
-      sh.centers.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) })
-      .toDF("__cell", "__center")
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(asc("__cdist"), asc("__cell"))
+    // the exactness contract holds only at full coverage: a partial
+    // probe is per-shard-exact but globally approximate, which is NOT
+    // what a caller asking for `exact` means (ADVICE r18)
+    require(!exact || nProbe == nCells,
+      s"exact mode requires full coverage (nProbe=$nProbe nCells=$nCells)" +
+        " — a partial probe is only per-shard exact")
+    requireLive(spark, sh)
+    // map-only probe ranking (VERDICT r18 #2): the codegen'd top-nProbe
+    // expression over the referenced center array — the query set never
+    // pays a crossJoin + window exchange
     val subsOf = sh.subsOf
     val probes = queries
       .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qv"))
-      .crossJoin(broadcast(centersDf))
-      .withColumn("__cdist", graft.functions.VectorFunctions.sqDist(
-        col("__qv").cast("array<double>"), col("__center")))
-      .withColumn("__crn", row_number().over(probeW))
-      .filter(col("__crn") <= nProbe)
+      .select(col("qid"), col("__qv"),
+        explode(graft.plans.NearestCells(col("__qv"), sh.centers, nProbe))
+          .as("__cell"))
       .select(col("__cell"), col("qid"), col("__qv"))
       .as[(Int, Long, Array[Float])]
       .flatMap { case (cell, qid, qv) =>
@@ -511,6 +642,26 @@ object ShardedHnsw {
 
   private def readMeta(spark: SparkSession, metaPath: String): MetaInfo =
     parseMeta(spark.read.parquet(metaPath).collect())
+
+  /** The meta/blob build-id pairing EVERY persisted-tier consumer must
+    * enforce — reads ([[load]]) and writes ([[insertPersisted]],
+    * [[compactPersisted]]; ADVICE r18: without the write-side check, a
+    * torn save's hooks keep committing epochs into the OLD blob root
+    * using the NEW meta's centers — wasted, mixed-build writes the
+    * refusing load then strands forever). */
+  private def requirePaired(mi: MetaInfo, manifest: Manifest): Unit =
+    (mi.buildId, manifest.buildId) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new TornTierException(
+          s"sharded tier build mismatch: meta=$a blobs=$b (torn save)")
+      case (Some(a), None) =>
+        // a buildId-stamped meta can only legitimately pair with a
+        // buildId-stamped manifest (exports strip the stamp): this is
+        // the new meta + old root state of a torn save
+        throw new TornTierException(
+          s"sharded tier build mismatch: meta=$a blobs=<none> (torn save)")
+      case _ => ()
+    }
 
   /** The handle's meta table as a frame — the persisted companion form
     * the stamp-keyed artifact store uses (`GraphRank`'s hnsw-sharded
@@ -749,22 +900,13 @@ object ShardedHnsw {
     // a meta/blob pair from DIFFERENT builds — the centers would route
     // queries to the wrong cells, so refuse loudly (callers degrade to
     // their fallback tier; re-running enableShardedServing heals)
-    (mi.buildId, manifest.buildId) match {
-      case (Some(a), Some(b)) if a != b =>
-        throw new IllegalStateException(
-          s"sharded tier build mismatch: meta=$a blobs=$b (torn save)")
-      case (Some(a), None) =>
-        // a buildId-stamped meta can only legitimately pair with a
-        // buildId-stamped manifest (exports strip the stamp): this is
-        // the new meta + old root state of a torn save
-        throw new IllegalStateException(
-          s"sharded tier build mismatch: meta=$a blobs=<none> (torn save)")
-      case _ => ()
-    }
+    requirePaired(mi, manifest)
     val fans = (mi.subsOf ++ manifest.leaves.map {
       case (c, e) => c -> e.fan }).filter(_._2 > 1)
-    new Shards(readLeaves(spark, shardsPath, manifest),
+    val sh = new Shards(readLeaves(spark, shardsPath, manifest),
       mi.centers, mi.m, mi.efConstruction, mi.seed, fans, mi.maxCellSize)
+    sh.source = Some((shardsPath, manifest))
+    sh
   }
 
   /** O(touched) ingest maintenance of the PERSISTED tier (VERDICT r16
@@ -807,6 +949,9 @@ object ShardedHnsw {
     import spark.implicits._
     val mi = readMeta(spark, metaPath)
     val manifest = currentManifest(spark, shardsPath, mi.subsOf)
+    // write-side torn-save gate (ADVICE r18): never commit an epoch
+    // into a blob root whose build the meta doesn't match
+    requirePaired(mi, manifest)
     val growFactor = spark.conf
       .get("spark.graft.shardedGrowFactor", "2.0").toDouble
     val fans: Map[Int, Int] = mi.subsOf ++ manifest.leaves.map {
@@ -947,6 +1092,8 @@ object ShardedHnsw {
     if (!fs.exists(new HPath(shardsPath))) return
     val mi = readMeta(spark, metaPath)
     val manifest = currentManifest(spark, shardsPath, mi.subsOf)
+    // write-side torn-save gate (ADVICE r18), same as insertPersisted
+    requirePaired(mi, manifest)
     val touched = touchedCells.distinct.sorted
       .filter(manifest.leaves.contains)
     if (touched.isEmpty) return

@@ -2034,13 +2034,13 @@ object CorpusQueries {
       (s, d) => {
         import s.implicits._
         val emb = Tables.embeddings(s, d)
-        val root = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft-q180-tier")
+        // per-run scratch (ADVICE r18): a fixed tmpdir path races
+        // concurrent suite runs on one host and leaks the tier
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q180-tier").toFile
         val shards = new java.io.File(root, "shards").getAbsolutePath
         val meta = new java.io.File(root, "meta").getAbsolutePath
         val fs = graft.util.TableSwap.fileSystem(s, shards)
-        graft.util.TableSwap.delete(fs,
-          new org.apache.hadoop.fs.Path(root.getAbsolutePath))
         val ids = emb.select(col("vec_id").cast("long"))
           .orderBy(desc("vec_id"))
           .limit((emb.count() / 10).toInt.max(1))
@@ -2056,10 +2056,74 @@ object CorpusQueries {
         val re = graft.operators.ShardedHnsw.load(s, shards, meta)
         val queries = emb.select(col("vec_id").as("qid"),
           col("embedding").as("qv")).orderBy("qid").limit(30)
-        graft.operators.ShardedHnsw.searchBatch(re, queries, "qid", "qv",
+        // materialize before deleting the tier — the result frame reads
+        // the blobs lazily, so the scratch must outlive the collect
+        val rows = graft.operators.ShardedHnsw
+          .searchBatch(re, queries, "qid", "qv",
             k = 5, nProbe = re.centers.length, ef = 256, exact = true)
           .select(col("qid"), col("rn"), col("id"))
           .orderBy("qid", "rn")
+          .as[(Long, Int, Long)].collect().toSeq
+        graft.util.TableSwap.delete(fs,
+          new org.apache.hadoop.fs.Path(root.getAbsolutePath))
+        rows.toDF("qid", "rn", "id")
+      }),
+
+    // The maintained kNN-edge tier THROUGH THE LIBRARY FACADE with a
+    // PERSISTED bounded edge source (round 19, VERDICT r18 #1b):
+    // enableKnnEdges records edgeSource=ivf (+nCells/nProbe) in
+    // knn_edges_meta; then the corpus changes OUT OF BAND (a filtered
+    // rewrite of the embeddings table — the delete/external-rewrite
+    // class the content stamp exists for) and knnEdges() must rebuild
+    // through the PERSISTED bounded source — never the N² path — and
+    // still hash-match DuckDB's from-scratch exact kNN on the changed
+    // corpus (ivf at full probe is edge-for-edge exact). Certifies the
+    // exact facade chain a 100 TB user runs: enable bounded once,
+    // every later read routes bounded.
+    Q("q181_knn_edges_facade_persisted_source", Some(s"""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id % 10 <> 0),
+      knn AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          row_number() OVER (PARTITION BY a.vec_id ORDER BY
+            list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+      SELECT src, dst, CAST(rn AS INT) AS rn FROM knn WHERE rn <= 7
+      ORDER BY src, rn"""),
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val wh = java.nio.file.Files
+          .createTempDirectory("graft-q181-wh").toString
+        def asWarehouse(df: org.apache.spark.sql.DataFrame): Unit = df
+          .select(col("vec_id").cast("string").as("chunkId"),
+            col("embedding"))
+          .write.mode("overwrite").parquet(s"$wh/embeddings")
+        asWarehouse(emb)
+        val lib = new graft.Library(s, wh)
+        // k=7 keeps the artifact KIND distinct from q167/q178/q179 —
+        // the facade build must actually run for this stamp
+        lib.enableKnnEdges(k = 7, edgeSource = "ivf", nCells = 8,
+          nProbe = 8)
+        // out-of-band corpus change: the content stamp moves, so the
+        // next read rebuilds — through the persisted ivf source
+        asWarehouse(emb.filter(col("vec_id") % 10 =!= 0))
+        val lib2 = new graft.Library(s, wh)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(desc("cos_sim"), asc("dst"))
+        val rows = lib2.knnEdges()
+          .select(col("src_chunk").cast("long").as("src"),
+            col("dst_chunk").cast("long").as("dst"), col("cos_sim"))
+          .withColumn("rn", row_number().over(w))
+          .select(col("src"), col("dst"), col("rn"))
+          .orderBy("src", "rn")
+          .as[(Long, Long, Int)].collect().toSeq
+        val fs = graft.util.TableSwap.fileSystem(s, wh)
+        graft.util.TableSwap.delete(fs,
+          new org.apache.hadoop.fs.Path(wh))
+        rows.toDF("src", "dst", "rn")
       }),
 
     // Maintained HLL state under ingest-batch merging (round 15,

@@ -285,6 +285,77 @@ class LibrarySpec extends SparkSpec {
     assert(viaLib === scratch)
   }
 
+  test("enableKnnEdges persists the edge source: bounded sources route the facade AND the ingest hook (VERDICT r18 #1b)") {
+    val wh = Files.createTempDirectory("graft-wh-knnsrc").toString
+    val l = new Library(spark, wh)
+    val salt = wh.split('/').last.takeRight(8)
+    l.addMarkdown((1 to 5).map(i => (s"/es$i.md",
+      s"# ES$i $salt\n" + (s"edge source matrix corpus words $i $salt. " * 10)))
+      .toDS())
+    val k = 2
+    def meta() = spark.read.parquet(s"$wh/knn_edges_meta").head()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // auto on a small corpus resolves to exact — and PERSISTS the
+    // resolution (a stable maintenance contract, not a per-read flip)
+    l.enableKnnEdges(k)
+    assert(meta().getAs[String]("edgeSource") === "exact")
+    val exactEdges = edgeSet(l.knnEdges())
+    assert(exactEdges.nonEmpty)
+    // bounded source: ivf at FULL probe is edge-for-edge exact while
+    // fully distributed — the facade must serve identical edges
+    l.enableKnnEdges(k, edgeSource = "ivf", nCells = 2, nProbe = 2)
+    assert(meta().getAs[String]("edgeSource") === "ivf")
+    assert(meta().getAs[Int]("nCells") === 2)
+    assert(edgeSet(l.knnEdges()) === exactEdges)
+    // the ingest hook deltas under the PERSISTED source: after a batch
+    // the ivf-tagged artifact exists for the new corpus stamp and the
+    // exact-tagged one does NOT — the N² path never ran
+    l.addMarkdown(Seq((s"/es9.md",
+      s"# ES9 $salt\n" + (s"post enable ingest fresh payload $salt. " * 10)))
+      .toDS())
+    val emb = l.embeddings.select(
+      org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+      col("embedding"))
+    val stamp = graft.util.DiskArtifact.corpusStamp(emb, "id", "embedding")
+    assert(graft.util.DiskArtifact.exists(s"knn$k-edges-ivf2-2-2-42", stamp),
+      "the hook must maintain the PERSISTED bounded source")
+    assert(!graft.util.DiskArtifact.exists(s"knn$k-edges", stamp),
+      "the hook must not fall back to the N² exact kind")
+    // ...and the maintained bounded artifact still equals from-scratch
+    // exact on the grown corpus (full probe ≡ exact)
+    val idMap = l.embeddings.select(
+        org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+        col("chunkId"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scratch = graft.operators.GraphRank
+      .knnGraph(emb, "id", "embedding", k).collect()
+      .map(r => (idMap(r.getLong(0)), idMap(r.getLong(1)), r.getDouble(2)))
+      .toSet
+    assert(edgeSet(l.knnEdges()) === scratch)
+    // auto past the size threshold resolves BOUNDED
+    spark.conf.set("spark.graft.knnEdgesExactMax", "1")
+    try {
+      l.enableKnnEdges(k, nCells = 2, nProbe = 2)
+      assert(meta().getAs[String]("edgeSource") === "ivf",
+        "auto must route around N² past the size threshold")
+    } finally spark.conf.unset("spark.graft.knnEdgesExactMax")
+    // the remaining bounded sources flow through the facade too
+    l.enableKnnEdges(k, edgeSource = "hnsw-sharded", nCells = 2)
+    assert(meta().getAs[String]("edgeSource") === "hnsw-sharded")
+    assert(l.knnEdges().groupBy("src_chunk").count().collect()
+      .forall(_.getLong(1) <= k))
+    l.enableKnnEdges(k, edgeSource = "srp", srpDim = 64)
+    assert(meta().getAs[String]("edgeSource") === "srp")
+    assert(l.knnEdges().collect().nonEmpty)
+    // a pre-round-19 meta table (k only) still reads: exact source
+    Seq(k).toDF("k").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$wh/knn_edges_meta")
+    val l2 = new Library(spark, wh)
+    assert(edgeSet(l2.knnEdges()) === scratch)
+  }
+
   test("removeDocument cascades to chunks and embeddings (S13)") {
     val wh2 = Files.createTempDirectory("graft-wh2").toString
     val l2 = new Library(spark, wh2)

@@ -860,4 +860,151 @@ class ShardedHnswSpec extends SparkSpec {
     assert(after === ids(lib.vectorSearch(qv,
       graft.model.SearchOptions(limit = 3))))
   }
+
+  // ------------------------------- probe-pruned serving (VERDICT r18 #1)
+
+  test("searchSingle reads ONLY the probed cells' leaf files — unprobed leaves can be byte-corrupted and serving is unchanged") {
+    val (shardsPath, metaPath) = tempTier("shnsw-probe")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 8)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val qv = emb.orderBy("vec_id").limit(1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probed = ShardedHnsw.probeCells(re, qv, 3).toSet
+    assert(probed.size === 3)
+    // parity with the batch path at the same coverage, before any
+    // corruption: one query through searchBatch ≡ searchSingle
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val single = rows(ShardedHnsw.searchSingle(re, qv, 10, 3)
+      .select("rn", "id", "cos_dist"))
+    val batch = ShardedHnsw.searchBatch(re,
+        Seq((0L, qv.toSeq)).toDF("qid", "qv"), "qid", "qv", 10, 3)
+      .select("rn", "id", "cos_dist").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(single === batch,
+      "single-query serving must match the batch contract")
+    // corrupt EVERY byte of every unprobed leaf — if the pruned read
+    // ever listed/opened them, the parquet footer parse would throw
+    (0 until 8).filterNot(probed).foreach { cell =>
+      val dir = leafDir(shardsPath, cell)
+      assert(dir.isDefined, s"cell $cell has no leaf")
+      dir.get.listFiles().filter(_.isFile).foreach { f =>
+        java.nio.file.Files.write(f.toPath,
+          Array.fill(64)(0x5A.toByte))
+      }
+    }
+    ShardedHnsw.resetCache() // no help from a warm decode cache
+    assert(rows(ShardedHnsw.searchSingle(re, qv, 10, 3)
+      .select("rn", "id", "cos_dist")) === single,
+      "probe-pruned serving read an unprobed leaf")
+    // and the corruption is REAL: full coverage now fails loudly
+    intercept[Throwable] {
+      ShardedHnsw.searchSingle(re, qv, 10, 8).collect()
+    }
+  }
+
+  test("auto-probe serving default: recall >= 0.99 on a clustered corpus at ceil(2*sqrt(nCells)) probes") {
+    // the shape the auto default is for: a corpus with real cluster
+    // structure (the 100 TB regime — embedding spaces are never
+    // uniform), where the nearest-centroid cells hold the neighbors
+    val dim = 16
+    val clustered = (0 until 8).flatMap { c =>
+      val center = Array.tabulate(dim)(d =>
+        (((c * 31 + d * 17) % 23) - 11).toFloat)
+      (0 until 60).map { i =>
+        val v = center.clone()
+        var d = 0
+        while (d < dim) {
+          v(d) += (((i * 13 + d * 7 + c) % 19) - 9) * 0.02f; d += 1
+        }
+        (c * 1000L + i, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val (shardsPath, metaPath) = tempTier("shnsw-auto")
+    val sh = ShardedHnsw.build(clustered, "vec_id", "embedding",
+      nCells = 8)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val auto = graft.Library.autoProbe(spark, 8)
+    assert(auto === 6, s"ceil(2*sqrt(8)) = 6, got $auto") // < full
+    val queries = clustered.orderBy("vec_id")
+      .limit(100).as[(Long, Array[Float])].collect()
+    val exact = VectorSearch.topKBatch(clustered, "embedding", "vec_id",
+        clustered.select(col("vec_id").as("__qid"),
+          col("embedding").as("__qv")).orderBy("__qid").limit(100),
+        "__qid", "__qv", 10, excludeSelf = false)
+      .select("__qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = queries.flatMap { case (qid, qv) =>
+      ShardedHnsw.searchSingle(re, qv, 10, auto).collect()
+        .map(r => (qid, r.getLong(1)))
+    }.toSet
+    val recall = served.count(exact).toDouble / exact.size
+    info(f"auto-probe ($auto/8) recall $recall%.4f")
+    assert(recall >= 0.99, s"auto-probe recall $recall < 0.99")
+  }
+
+  test("staleness guard (VERDICT r18 #7): a handle may survive ONE maintenance commit, the second fails loudly — and the Library facade self-heals") {
+    val (shardsPath, metaPath) = tempTier("shnsw-stale")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val pinned = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val qv = emb.limit(1).select("embedding").head()
+      .getSeq[Float](0).toArray
+    def batchAt(base: Long) = (0 until 3).map(i =>
+      (base + i, qv.map(x => x + (i + 1) * 1e-4f)))
+    // ONE commit: retention keeps the pinned epoch's leaves — the
+    // epoch-0 reader must keep serving a consistent snapshot
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      batchAt(9_000_000L))
+    assert(ShardedHnsw.searchSingle(pinned, qv, 5, 4).collect()
+      .length === 5)
+    // TWO commits: the pinned epoch may be garbage-collected — the
+    // guard must fail loudly BEFORE a scan dies file-not-found
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      batchAt(9_100_000L))
+    intercept[ShardedHnsw.StaleSnapshotException] {
+      ShardedHnsw.searchSingle(pinned, qv, 5, 4)
+    }
+    intercept[ShardedHnsw.StaleSnapshotException] {
+      ShardedHnsw.searchBatch(pinned,
+        Seq((0L, qv.toSeq)).toDF("qid", "qv"), "qid", "qv", 5, 4)
+    }
+    // the fresh handle serves — and an in-memory handle (no source)
+    // never trips the guard
+    val fresh = ShardedHnsw.load(spark, shardsPath, metaPath)
+    assert(ShardedHnsw.searchSingle(fresh, qv, 5, 4).collect()
+      .length === 5)
+    assert(ShardedHnsw.searchSingle(sh, qv, 5, 4).collect()
+      .length === 5)
+  }
+
+  test("Library facade: out-of-band maintenance past the retention window self-heals; annSearch passes nProbe through") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 16).map(i => (s"/hl/doc$i.md",
+      s"# Doc$i\n" + (s"self heal corpus retrieval text $i body words. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 2)
+    val qv = lib.embedder.embed("self heal corpus retrieval text")
+    val opts = graft.model.SearchOptions(limit = 3)
+    val before = lib.shardedSearch(qv, opts).collect().map(_.toSeq).toSeq
+    assert(before.nonEmpty)
+    // two out-of-band maintenance commits through a SECOND Library
+    // over the same warehouse: the first library's cached handle is
+    // now past the retention window
+    val outOfBand = new graft.Library(spark, wh)
+    outOfBand.addMarkdown(Seq(("/hl/n1.md",
+      "# N1\n" + ("first out of band batch words. " * 6))).toDS())
+    outOfBand.addMarkdown(Seq(("/hl/n2.md",
+      "# N2\n" + ("second out of band batch words. " * 6))).toDS())
+    // the facade reloads and retries instead of surfacing the guard
+    assert(lib.shardedSearch(qv, opts).collect().nonEmpty)
+    // nProbe passthrough: explicit full coverage and explicit 1-probe
+    // both flow through annSearch (nCells=2 — both are answerable)
+    assert(lib.annSearch(qv, opts, nProbe = 0).collect().nonEmpty)
+    assert(lib.annSearch(qv, opts, nProbe = 1).collect().nonEmpty)
+  }
 }
