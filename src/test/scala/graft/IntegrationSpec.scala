@@ -183,6 +183,73 @@ class IntegrationSpec extends SparkSpec {
     assert(imported.stats() === lib.stats())
   }
 
+  test("FULL-tier export round-trip: sharded serving + bounded edge artifact + sketches + FTS all restore and serve identically (VERDICT r18 #8)") {
+    // the integration seam where torn-state classes hide: a warehouse
+    // with EVERY maintained artifact enabled, maintained by a
+    // post-enable ingest, exported, and restored — the restore must
+    // serve identically through every tier
+    val wh = Files.createTempDirectory("graft-full-exp").toString
+    val l = new Library(spark, wh)
+    val salt = wh.split('/').last.takeRight(8)
+    l.addMarkdown((1 to 16).map(i => (s"/fx/doc$i.md",
+      s"# Doc$i $salt\n" + (s"full tier export corpus text $i $salt words. " * 8)))
+      .toDS())
+    l.rebuildFtsIndex()
+    l.enableShardedServing(nCells = 2)
+    l.enableKnnEdges(k = 2, edgeSource = "ivf", nCells = 2, nProbe = 2)
+    // a maintenance batch AFTER enabling: every tier is now in its
+    // MAINTAINED state (sharded epoch 1 + retention, edge delta,
+    // merged sketches, appended postings) — the state the export must
+    // flatten correctly
+    l.addMarkdown((1 to 4).map(i => (s"/fx/new$i.md",
+      s"# New$i $salt\n" + (s"novel maintained payload $i $salt tokens. " * 8)))
+      .toDS())
+    val dest = Files.createTempDirectory("graft-full-exp2").toString
+    l.exportTo(dest)
+    val r = new Library(spark, dest)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val qv = l.embedder.embed(s"novel maintained payload $salt")
+    val opts = SearchOptions(limit = 5)
+    // ANN serving through the restored sharded tier (auto-probe
+    // default), plus the explicit full-coverage mode
+    assert(rows(r.annSearch(qv, opts)) === rows(l.annSearch(qv, opts)))
+    assert(rows(r.annSearch(qv, opts, nProbe = 0))
+      === rows(l.annSearch(qv, opts, nProbe = 0)))
+    // the restored tier really is the sharded one, not a fallback
+    assert(new java.io.File(s"$dest/embeddings_hnsw_sharded/_SUCCESS")
+      .exists())
+    // FTS + hybrid
+    assert(rows(r.ftsSearch(s"novel maintained $salt", opts))
+      === rows(l.ftsSearch(s"novel maintained $salt", opts)))
+    assert(rows(r.search(s"maintained payload $salt", opts))
+      === rows(l.search(s"maintained payload $salt", opts)))
+    // the bounded edge artifact: the persisted source config travels,
+    // and the restored read rebuilds through it to the same edges
+    assert(spark.read.parquet(s"$dest/knn_edges_meta").collect().toSeq
+      === spark.read.parquet(s"$wh/knn_edges_meta").collect().toSeq)
+    assert(r.knnEdges().collect().map(_.toSeq).toSet
+      === l.knnEdges().collect().map(_.toSeq).toSet)
+    // maintained sketch states: canonical layouts — row-identical
+    for (t <- Seq("sketch_hll", "sketch_cms", "sketch_kmv")) {
+      assert(spark.read.parquet(s"$dest/$t").collect().map(_.toSeq).toSet
+        === spark.read.parquet(s"$wh/$t").collect().map(_.toSeq).toSet,
+        s"$t did not round-trip")
+    }
+    assert(rows(r.sketchDistinctTokens) === rows(l.sketchDistinctTokens))
+    assert(rows(r.sketchKmvDistinct) === rows(l.sketchKmvDistinct))
+    // the restored warehouse is a full working library
+    assert(r.stats() === l.stats())
+    // ...and stays maintainable: an ingest into the RESTORED warehouse
+    // maintains its tiers without dropping them
+    r.addMarkdown(Seq((s"/fx/post.md",
+      s"# Post\n" + (s"post restore ingest $salt body. " * 8))).toDS())
+    val qv2 = r.embedder.embed(s"post restore ingest $salt")
+    assert(new java.io.File(s"$dest/embeddings_hnsw_sharded/_SUCCESS")
+      .exists(), "the restored tier must survive a maintenance batch")
+    assert(rows(r.annSearch(qv2, opts)).nonEmpty)
+  }
+
   test("driver contract: entry() returns rows; every query has matching oracle columns") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key refers to a declared query

@@ -214,4 +214,31 @@ class HnswSpec extends SparkSpec {
     assert(bare.hnswSearch(qv, SearchOptions(limit = 3)).columns
       === bare.vectorSearch(qv, SearchOptions(limit = 3)).columns)
   }
+
+  test("driver-residency budget: an over-budget corpus degrades LOUDLY to the exact scan, never a driver-side rebuild (VERDICT r18 #5)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-hnswbud").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 12).map(i => (s"/hb/doc$i.md",
+      s"# Doc$i\n" + (s"driver budget corpus words $i body here. " * 6)))
+      .toDS())
+    lib.buildHnswIndex(m = 8, efConstruction = 80)
+    val qv = lib.embedder.embed("driver budget corpus words")
+    val opts = graft.model.SearchOptions(limit = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(lib.hnswSearch(qv, opts)).nonEmpty)
+    // shrink the budget below the corpus: a FRESH library (cold cache)
+    // must refuse the driver-side rebuild and serve the exact rows —
+    // through hnswSearch AND the annSearch dispatch
+    spark.conf.set("spark.graft.hnswDriverMaxRows", "1")
+    try {
+      val over = new graft.Library(spark, wh)
+      val exact = rows(over.vectorSearch(qv, opts))
+      assert(rows(over.hnswSearch(qv, opts)) === exact)
+      assert(rows(over.annSearch(qv, opts)) === exact)
+    } finally spark.conf.unset("spark.graft.hnswDriverMaxRows")
+    // budget restored: the tier loads again (nothing was dropped)
+    val back = new graft.Library(spark, wh)
+    assert(rows(back.hnswSearch(qv, opts)).nonEmpty)
+  }
 }

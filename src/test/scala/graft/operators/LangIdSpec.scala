@@ -76,7 +76,7 @@ class LangIdSpec extends SparkSpec {
     assert(preds(7L) == "th")
   }
 
-  test("confusion matrix: all 32 Latin-script languages on held-out text") {
+  test("confusion matrix: all 35 Latin-script languages on held-out text") {
     // none of these sentences appear in the profile seeds; the
     // round-18 additions (af az eu gl ms sq sw) include the
     // adversarial near-neighbor pairs the widening exists for:
@@ -101,6 +101,15 @@ class LangIdSpec extends SparkSpec {
       "sq" -> "Mësuesja u tregoi nxënësve për yjet ndërsa shikonin qiellin e natës me teleskop nga kodra.",
       "sw" -> "Wavuvi walitoka baharini asubuhi na mapema na kurudi kijijini na samaki safi kabla ya giza kuingia.",
       "sw" -> "Mwalimu aliwaambia wanafunzi kuhusu nyota walipokuwa wakitazama anga la usiku kwa darubini.",
+      // round-19 additions: tl-vs-ceb is the adversarial Philippine
+      // pair (shared vocabulary, distinct function words); uz-vs-az/tr
+      // is the Latin-Turkic triple
+      "tl" -> "Ang mga mangingisda ay pumalaot nang maagang-maaga at bumalik sa nayon na may sariwang isda bago lumubog ang araw.",
+      "tl" -> "Ikinuwento ng guro sa mga mag-aaral ang tungkol sa mga bituin habang nakatingin sila sa langit gamit ang teleskopyo.",
+      "uz" -> "Baliqchilar erta tongda dengizga chiqishdi va kechga yaqin qishloqqa yangi baliqlar bilan qaytib kelishdi.",
+      "uz" -> "O'qituvchi bolalarga yulduzlar haqida gapirib berdi va ular teleskop orqali tungi osmonga qarashdi.",
+      "ceb" -> "Ang mga mangingisda milawod sayo sa buntag ug mibalik sa baryo nga adunay lab-as nga isda sa dili pa mosalop ang adlaw.",
+      "ceb" -> "Gisuginlan sa magtutudlo ang mga estudyante bahin sa mga bituon samtang nagtan-aw sila sa langit pinaagi sa teleskopyo.",
       "ca" -> "El pagès va collir les pomes del camp i les va portar al mercat del poble abans que es fes fosc.",
       "et" -> "Kalur sõitis varahommikul merele ja tuli õhtuks tagasi koju värske kalaga, mida ta turul müüs.",
       "hr" -> "Vrtlar zalijeva cvijeće rano ujutro, a poslije podne obrezuje grmlje i skuplja lišće po cijelom vrtu.",
@@ -149,12 +158,33 @@ class LangIdSpec extends SparkSpec {
       "bg" -> "През зимата често пием горещ чай с мед и четем стари книги до прозореца, докато навън вали сняг.",
       "sr" -> "У јесен у парку деца скупљају жуто лишће и носе га кући да направе леп букет за баку.",
       "sr" -> "Зими често пијемо врућ чај са медом и читамо старе књиге поред прозора док напољу пада снег.",
+      // round-19 Cyrillic additions (VERDICT r18 #3): be/mk are the
+      // tight Slavic near-neighbors (be-vs-uk/ru, mk-vs-sr/bg); the
+      // Turkic/Mongolic/Iranian rows (kk/ky/mn/tg) depend on the
+      // widened U+0460–04FF normalization — before it their
+      // discriminating letters collapsed and they labeled ru
+      "be" -> "Увосень у парку дзеці збіраюць жоўтае лісце і нясуць яго дадому, каб зрабіць прыгожы букет для бабулі.",
+      "be" -> "Узімку мы часта п'ём гарачую гарбату з мёдам і чытаем старыя кнігі каля акна, пакуль ідзе снег.",
+      "kk" -> "Күзде саябақта балалар сары жапырақтарды жинап, әжелеріне әдемі гүл шоғын жасау үшін үйге алып барады.",
+      "kk" -> "Қыста біз жиі балмен ыстық шай ішеміз және терезенің жанында ескі кітаптарды оқимыз, далада қар жауып тұрғанда.",
+      "ky" -> "Күзүндө паркта балдар сары жалбырактарды чогултуп, чоң энесине кооз гүлдесте жасоо үчүн үйгө алып барышат.",
+      "ky" -> "Кышында биз көп учурда бал менен ысык чай ичебиз жана терезенин жанында эски китептерди окуйбуз, сыртта кар жааганда.",
+      "mk" -> "Наесен во паркот децата собираат жолти лисја и ги носат дома за да направат убав букет за баба си.",
+      "mk" -> "Во зима често пиеме топол чај со мед и читаме стари книги покрај прозорецот додека надвор паѓа снег.",
+      "mn" -> "Намар цэцэрлэгт хүрээлэнд хүүхдүүд шар навчис түүж, эмээдээ үзэсгэлэнтэй баглаа хийхээр гэртээ авчирдаг.",
+      "mn" -> "Өвөлдөө бид ихэвчлэн зөгийн балтай халуун цай ууж, гадаа цас орох үед цонхны дэргэд хуучин ном уншдаг.",
+      "tg" -> "Дар тирамоҳ кӯдакон дар боғ баргҳои зардро ҷамъ мекунанд ва ба хона мебаранд, то барои бибии худ гулдастаи зебо созанд.",
+      "tg" -> "Дар зимистон мо аксар вақт чои гарм бо асал менӯшем ва дар назди тиреза китобҳои кӯҳнаро мехонем, вақте ки дар берун барф меборад.",
       "ar" -> "في الخريف يجمع الأطفال أوراق الشجر الصفراء في الحديقة ويحملونها إلى البيت ليصنعوا باقة جميلة لجدتهم.",
       "ar" -> "في الشتاء نشرب الشاي الساخن مع العسل ونقرأ الكتب القديمة قرب النافذة بينما يتساقط الثلج في الخارج.",
       "fa" -> "در پاییز کودکان در پارک برگ های زرد را جمع می کنند و به خانه می برند تا دسته گلی زیبا برای مادربزرگ خود بسازند.",
       "fa" -> "در زمستان اغلب چای داغ با عسل می نوشیم و کتاب های کهنه را کنار پنجره می خوانیم در حالی که برف می بارد.",
       "ur" -> "خزاں میں بچے پارک میں پیلے پتے جمع کرتے ہیں اور گھر لے جاتے ہیں تاکہ اپنی دادی کے لیے خوبصورت گلدستہ بنائیں۔",
       "ur" -> "سردیوں میں ہم اکثر شہد کے ساتھ گرم چائے پیتے ہیں اور کھڑکی کے پاس پرانی کتابیں پڑھتے ہیں جب باہر برف گرتی ہے۔",
+      // round-19 Arabic-script addition: ps (retroflex letters +
+      // ې/ۍ/ږ/ښ discriminate against fa/ur)
+      "ps" -> "په مني کې ماشومان په پارک کې ژېړې پاڼې راټولوي او کور ته يې وړي چې د خپلې انا لپاره ښکلې ګېډۍ جوړه کړي.",
+      "ps" -> "په ژمي کې موږ ډېر ځله له شاتو سره ګرم چای څښو او د کړکۍ څنګ ته زاړه کتابونه لولو کله چې بهر واوره اوري.",
       "hi" -> "शरद ऋतु में बच्चे बगीचे में पीले पत्ते इकट्ठा करते हैं और दादी के लिए सुंदर गुलदस्ता बनाने घर ले जाते हैं।",
       "hi" -> "सर्दियों में हम अक्सर शहद के साथ गर्म चाय पीते हैं और खिड़की के पास पुरानी किताबें पढ़ते हैं।",
       "mr" -> "शरद ऋतूत मुले बागेत पिवळी पाने गोळा करतात आणि आजीसाठी सुंदर पुष्पगुच्छ करण्यासाठी घरी नेतात.",
