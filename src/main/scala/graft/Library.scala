@@ -355,6 +355,12 @@ class Library(val spark: SparkSession, val warehouse: String,
     // is not exported at all — re-enable on the restored warehouse.
     val shardedTier = Set("embeddings_hnsw_sharded",
       "embeddings_hnsw_sharded_meta", "embeddings_hnsw_sharded_ids")
+    // re-pin at the NEWEST committed manifest for the export (round-19
+    // self-review): a session-cached handle can trail out-of-band
+    // maintenance — exporting its older snapshot next to fresh direct
+    // reads of every other table would produce an INCOHERENT export
+    // (or fail on a GC'd epoch two commits behind)
+    shardedCache = None
     val shardedHandle = loadSharded()
     Library.AllTables.filter(tableExists)
       .filterNot(t => shardedTier(t) && shardedHandle.isEmpty)
