@@ -55,8 +55,11 @@ object LangId {
     * from an am-collapse to an am/ti trigram bucket
     * ([[EthiopicLangs]]): 65 servable languages. Round 19 (VERDICT
     * r18 #3) widens Cyrillic with be/kk/ky/mk/mn/tg (the widened
-    * normalization range, see [[NormRegexCyrJava]]), Arabic with ps,
-    * and Latin with tl/uz/ceb: **75 servable languages**. Romanian
+    * normalization range, see [[NormRegexCyrJava]]), Arabic with
+    * ps/ckb (ckb needs ە, see [[NormRegexArabJava]]), and Latin with
+    * tl/uz/ceb/ha/yo (ha's hooked consonants and yo's combining tone
+    * marks need the widened alphabet, see [[NormRegexJava]]):
+    * **78 servable languages**. Romanian
     * note: the seed uses the
     * cedilla forms ş/ţ (U+015F/U+0163, inside the normalization
     * alphabet); comma-below ș/ț (U+0219/U+021B, Latin Extended-B) fall
@@ -68,9 +71,9 @@ object LangId {
     * Turkish. */
   val TrigramLangs: Seq[String] = Seq(
     "af", "az", "ca", "ceb", "cs", "da", "de", "en", "es", "et", "eu",
-    "fi", "fr", "gl", "hr", "hu", "id", "it", "lt", "lv", "ms", "nl",
-    "no", "pl", "pt", "ro", "sk", "sl", "sq", "sv", "sw", "tl", "tr",
-    "uz", "vi")
+    "fi", "fr", "gl", "ha", "hr", "hu", "id", "it", "lt", "lv", "ms",
+    "nl", "no", "pl", "pt", "ro", "sk", "sl", "sq", "sv", "sw", "tl",
+    "tr", "uz", "vi", "yo")
 
   /** Languages decided WITHIN the Cyrillic script bucket (round 16,
     * VERDICT r15 #6): when the Cyrillic codepoint ratio fires, the
@@ -86,10 +89,11 @@ object LangId {
 
   /** Languages decided within the Arabic script bucket — same
     * mechanism (ar was the collapse label; fa/ur were unservable).
-    * Round 19 adds ps: the Pashto retroflex letters (ټ/ډ/ړ/ږ/ښ/ګ/ڼ)
+    * Round 19 adds ps (the Pashto retroflex letters ټ/ډ/ړ/ږ/ښ/ګ/ڼ
     * and ې/ۍ sit in the U+0679–06D3 extension the normalization
-    * already keeps. */
-  val ArabicLangs: Seq[String] = Seq("ar", "fa", "ps", "ur")
+    * already keeps) and ckb (Sorani Kurdish — needs ە U+06D5 in the
+    * normalization; ڕ/ڵ/ۆ/ێ are in the extension block). */
+  val ArabicLangs: Seq[String] = Seq("ar", "ckb", "fa", "ps", "ur")
 
   /** Languages decided within the Devanagari bucket — hi was the
     * collapse label; mr/ne were unservable. */
@@ -648,6 +652,39 @@ object LangId {
       nagsulat kami og taas nga sulat sa among mga higala bahin sa
       panaw. Ang libro anaa sa lamesa tapad sa bintana ug nagpaabot sa
       magbabasa niini.""",
+    // ha/yo (round 19, the last of the VERDICT r18 #3 Latin list):
+    // Hausa's hooked ɓ/ɗ/ƙ and Yoruba's tone-marked underdot vowels
+    // (combining U+0300/0301 over U+1ECD/1EB9 — no precomposed form)
+    // depend on the widened Latin normalization alphabet
+    "ha" -> """Tarihin kimiyya ya nuna cewa sababbin ra'ayoyi sukan
+      fuskanci turjiya kafin a karɓe su. Masu bincike suna ƙirƙiro
+      hanyoyi don fahimtar duniyar da ke kewaye da mu sosai. Yanayin
+      sama a kan duwatsu na iya canzawa da sauri kuma dole matafiya su
+      yi taka tsantsan. Mutane da yawa suna zaune a manyan birane kuma
+      suna aiki a ofisoshi ko masana'antu. Yara suna zuwa makaranta
+      kowace safiya don koyon karatu da rubutu da lissafi. Abinci mai
+      lafiya tare da 'ya'yan itace da kayan lambu yana da muhimmanci
+      ga jiki. Jirgin ƙasa yana tashi daga tashar a kan lokaci kuma
+      yana isa birni da yamma. A lokacin rani iyalai sukan tafi bakin
+      teku ko duwatsu don hutawa. Gwamnati ta zartar da sabuwar doka
+      game da kare muhalli. Kiɗa da fasaha suna taka muhimmiyar rawa a
+      rayuwar mutane da yawa. Jiya mun rubuta wa abokanmu doguwar
+      wasiƙa game da tafiyar. Littafin yana kan tebur kusa da taga
+      yana jiran mai karanta shi.""",
+    "yo" -> """Ìtàn ìmọ̀ sáyẹ́nsì fi hàn pé àwọn èrò tuntun sábà máa ń
+      kojú àtakò kí wọ́n tó gbà wọ́n. Àwọn olùwádìí ń ṣe àgbékalẹ̀ àwọn
+      ọ̀nà láti ní òye ayé tí ó yí wa ká dáadáa. Ojú ọjọ́ lórí àwọn òkè
+      lè yí padà kíákíá, àwọn arìnrìn-àjò sì gbọ́dọ̀ ṣọ́ra. Ọ̀pọ̀lọpọ̀
+      ènìyàn ń gbé ní àwọn ìlú ńlá, wọ́n sì ń ṣiṣẹ́ ní ọ́fíìsì tàbí ilé
+      iṣẹ́. Àwọn ọmọdé máa ń lọ sí ilé ìwé ní àárọ̀ kọ̀ọ̀kan láti kọ́
+      kíkà, kíkọ àti ìṣirò. Oúnjẹ tó dára pẹ̀lú èso àti ẹ̀fọ́ ṣe pàtàkì
+      fún ara. Ọkọ̀ ojú irin máa ń kúrò ní ibùdó ní àkókò, yóò sì dé
+      ìlú ní ìrọ̀lẹ́. Ní ìgbà ẹ̀ẹ̀rùn àwọn ìdílé máa ń lọ sí etí òkun
+      tàbí orí òkè láti sinmi. Ìjọba ti fọwọ́ sí òfin tuntun nípa
+      ìdáàbòbò àyíká. Orin àti iṣẹ́ ọnà ní ipa pàtàkì nínú ìgbésí ayé
+      ọ̀pọ̀ ènìyàn. Lánàá a kọ lẹ́tà gígùn sí àwọn ọ̀rẹ́ wa nípa
+      ìrìn-àjò náà. Ìwé náà wà lórí tábìlì lẹ́gbẹ̀ẹ́ fèrèsé, ó sì ń
+      dúró de òǹkàwé rẹ̀.""",
     // --- Cyrillic-script seeds (round 16, VERDICT r15 #6): same
     // encyclopedic register, normalized with NormRegexCyr ---
     "ru" -> """История науки показывает, что новые идеи часто встречают
@@ -843,6 +880,22 @@ object LangId {
       هنر د ډېرو خلکو په ژوند کې مهم رول لوبوي. پرون موږ خپلو ملګرو ته
       د سفر په اړه اوږد لیک ولیکه. کتاب د کړکۍ څنګ ته پر مېز پروت دی
       او خپل لوستونکي ته انتظار باسي.""",
+    // ckb (round 19): Sorani Kurdish — ە-heavy, depends on the
+    // widened Arabic normalization
+    "ckb" -> """مێژووی زانست نیشان دەدات کە بیرۆکە نوێیەکان زۆر جار
+      پێش ئەوەی قبووڵ بکرێن ڕووبەڕووی بەرهەڵستی دەبنەوە. توێژەران
+      ڕێگاکان پەرە پێدەدەن بۆ ئەوەی جیهانی دەوروبەرمان باشتر تێبگەن.
+      کەشوهەوای چیاکان دەتوانێت بە خێرایی بگۆڕێت و گەشتیاران دەبێت
+      وریا بن. زۆر کەس لە شارە گەورەکاندا دەژین و لە نووسینگە یان
+      کارگەکاندا کار دەکەن. منداڵان هەموو بەیانییەک دەچنە قوتابخانە بۆ
+      فێربوونی خوێندنەوە و نووسین و ژماردن. خواردنی تەندروست لەگەڵ
+      میوە و سەوزە بۆ لەش گرنگە. شەمەندەفەر لە کاتی خۆیدا لە وێستگە
+      دەردەچێت و ئێوارە دەگاتە شار. لە هاویندا خێزانەکان بۆ پشوودان
+      دەچنە دەریا یان چیاکان. حکومەت یاسایەکی نوێی لەسەر پاراستنی
+      ژینگە پەسەند کرد. مۆسیقا و هونەر ڕۆڵێکی گرنگ دەگێڕن لە ژیانی
+      زۆر کەسدا. دوێنێ نامەیەکی درێژمان بۆ هاوڕێکانمان نووسی دەربارەی
+      گەشتەکە. کتێبەکە لەسەر مێزەکەیە لە تەنیشت پەنجەرەکە و چاوەڕوانی
+      خوێنەرەکەی دەکات.""",
     // --- Devanagari seeds: normalized with NormRegexDeva ---
     "hi" -> """विज्ञान का इतिहास दिखाता है कि नए विचारों को स्वीकार किए
       जाने से पहले अक्सर विरोध का सामना करना पड़ता है। शोधकर्ता ऐसे
@@ -947,12 +1000,23 @@ object LangId {
     * Additional (Vietnamese tone marks, U+1E00-1EFF) + the schwa ə
     * (U+0259, round 18: Azerbaijani's most frequent letter — Ə
     * U+018F lowercases into it; without it az text lost its one
-    * reliable discriminator against Turkish). The regex MUST
-    * stay codepoint-identical across Java and DuckDB RE2 — see
+    * reliable discriminator against Turkish). Round 19 widens to the
+    * FULL contiguous U+00DF–02AF block (subsuming the former
+    * Latin-1/Ext-A/horn-vowel/schwa islands and adding Latin
+    * Extended-B + IPA: Hausa's hooked ɓ/ɗ/ƙ/ƴ live there — without
+    * them ha text shredded at every hooked consonant) plus the
+    * combining diacritics U+0300–036F (Yoruba tone marks compose onto
+    * underdot vowels with no precomposed form — ọ̀ is U+1ECD+U+0300;
+    * dropping the mark also stops shredding any NFD-decomposed Latin
+    * text). Zero existing profiles move: the seeds use nothing in the
+    * added ranges (scan-verified; Romanian comma-below ș/ț U+0219/021B
+    * are now KEPT rather than collapsed, so either orthography scores
+    * on its full trigram stream). The regex MUST stay
+    * codepoint-identical across Java and DuckDB RE2 — see
     * [[oracleSql]]. */
-  val NormRegexJava: String = "[^a-zß-ſƠ-ưḀ-ỿə]+"
+  val NormRegexJava: String = "[^a-z\u00DF-\u02AF\u0300-\u036F\u1E00-\u1EFF]+"
   val NormRegexRe2: String =
-    "[^a-z\\x{00DF}-\\x{017F}\\x{01A0}-\\x{01B0}\\x{1E00}-\\x{1EFF}\\x{0259}]+"
+    "[^a-z\\x{00DF}-\\x{02AF}\\x{0300}-\\x{036F}\\x{1E00}-\\x{1EFF}]+"
 
   /** Cyrillic normalization: lowercase, keep the lowercase Cyrillic
     * block U+0430–045F (а-я, ё, Ukrainian є/і/ї, Serbian ј/љ/њ/ћ/ђ/џ,
@@ -970,12 +1034,16 @@ object LangId {
   val NormRegexCyrRe2: String = "[^\\x{0430}-\\x{04FF}]+"
 
   /** Arabic-script normalization (no case): core letters U+0621–064A
-    * plus the extended block U+0679–06D3 carrying the Persian/Urdu
-    * letters (پ چ ژ گ ک ی ے ...); digits (U+0660s, U+06F0s), harakat
-    * (U+064B+) and punctuation collapse to spaces. */
-  val NormRegexArabJava: String = "[^ء-يٹ-ۓ]+"
+    * plus the extended block U+0679–06D3 carrying the Persian/Urdu/
+    * Pashto letters (پ چ ژ گ ک ی ے ټ ډ ړ ښ ...) plus ە (U+06D5 alone —
+    * round 19: Sorani Kurdish's most frequent letter; U+06D4, the
+    * Urdu full stop between them, must stay PUNCTUATION or the ur
+    * profile would span sentence boundaries); digits (U+0660s,
+    * U+06F0s), harakat (U+064B+) and punctuation collapse to
+    * spaces. */
+  val NormRegexArabJava: String = "[^ء-يٹ-ۓە]+"
   val NormRegexArabRe2: String =
-    "[^\\x{0621}-\\x{064A}\\x{0679}-\\x{06D3}]+"
+    "[^\\x{0621}-\\x{064A}\\x{0679}-\\x{06D3}\\x{06D5}]+"
 
   /** Devanagari normalization (no case): signs, letters and matras
     * U+0901–0963; digits (U+0966–096F) and the danda punctuation

@@ -585,7 +585,22 @@ object ShardedHnsw {
         (0 until subsOf.getOrElse(cell, 1)).map(sub =>
           (cell, sub, qid, qv)) }
     val exhaustive = exact
-    val shardKV = sh.table.as[(Int, Int, Array[Byte])]
+    // probe-pruned leaf I/O for the BATCH path too (round 19): a
+    // loaded handle at partial probe reads only the UNION of the
+    // batch's probed cells' leaf files — one nCells-bounded collect
+    // over a map-only projection of the queries buys it (at full
+    // coverage the union is everything, so skip the job). Without
+    // this, compute was pruned but every leaf was still read.
+    val shardFrame = Option(sh.source).flatten match {
+      case Some((shardsPath, manifest)) if nProbe < nCells =>
+        val probedCells = queries
+          .select(explode(graft.plans.NearestCells(
+            col(qvecCol), sh.centers, nProbe)).as("__cell"))
+          .distinct().as[Int].collect().toSet
+        readLeaves(spark, shardsPath, manifest, Some(probedCells))
+      case _ => sh.table
+    }
+    val shardKV = shardFrame.as[(Int, Int, Array[Byte])]
     val local = probes.groupByKey(r => (r._1, r._2))
       .cogroup(shardKV.groupByKey(r => (r._1, r._2))) { case (_, qs, gs) =>
         gs.toSeq.headOption match {

@@ -76,7 +76,7 @@ class LangIdSpec extends SparkSpec {
     assert(preds(7L) == "th")
   }
 
-  test("confusion matrix: all 35 Latin-script languages on held-out text") {
+  test("confusion matrix: all 37 Latin-script languages on held-out text") {
     // none of these sentences appear in the profile seeds; the
     // round-18 additions (af az eu gl ms sq sw) include the
     // adversarial near-neighbor pairs the widening exists for:
@@ -110,6 +110,13 @@ class LangIdSpec extends SparkSpec {
       "uz" -> "O'qituvchi bolalarga yulduzlar haqida gapirib berdi va ular teleskop orqali tungi osmonga qarashdi.",
       "ceb" -> "Ang mga mangingisda milawod sayo sa buntag ug mibalik sa baryo nga adunay lab-as nga isda sa dili pa mosalop ang adlaw.",
       "ceb" -> "Gisuginlan sa magtutudlo ang mga estudyante bahin sa mga bituon samtang nagtan-aw sila sa langit pinaagi sa teleskopyo.",
+      // ha/yo complete the r18-#3 Latin list; both depend on the
+      // widened normalization alphabet (hooked consonants, combining
+      // tone marks over underdot vowels)
+      "ha" -> "Manoma suna shuka hatsi a lokacin damina kuma suna girbi bayan watanni da yawa tare da iyalansu.",
+      "ha" -> "Ɗalibai a ɗakin karatu suna shirye-shiryen jarrabawa kuma suna karanta tsofaffin littattafai da wasiƙu.",
+      "yo" -> "Àwọn àgbẹ̀ máa ń gbin àgbàdo ní àkókò òjò, wọ́n á sì kórè rẹ̀ lẹ́yìn ọ̀pọ̀ oṣù pẹ̀lú ẹbí wọn.",
+      "yo" -> "Àwọn akẹ́kọ̀ọ́ nínú ilé ìkàwé ń múra fún ìdánwò, wọ́n sì ń ka àwọn ìwé àtijọ́ lọ́jọ́ kọ̀ọ̀kan.",
       "ca" -> "El pagès va collir les pomes del camp i les va portar al mercat del poble abans que es fes fosc.",
       "et" -> "Kalur sõitis varahommikul merele ja tuli õhtuks tagasi koju värske kalaga, mida ta turul müüs.",
       "hr" -> "Vrtlar zalijeva cvijeće rano ujutro, a poslije podne obrezuje grmlje i skuplja lišće po cijelom vrtu.",
@@ -181,10 +188,13 @@ class LangIdSpec extends SparkSpec {
       "fa" -> "در زمستان اغلب چای داغ با عسل می نوشیم و کتاب های کهنه را کنار پنجره می خوانیم در حالی که برف می بارد.",
       "ur" -> "خزاں میں بچے پارک میں پیلے پتے جمع کرتے ہیں اور گھر لے جاتے ہیں تاکہ اپنی دادی کے لیے خوبصورت گلدستہ بنائیں۔",
       "ur" -> "سردیوں میں ہم اکثر شہد کے ساتھ گرم چائے پیتے ہیں اور کھڑکی کے پاس پرانی کتابیں پڑھتے ہیں جب باہر برف گرتی ہے۔",
-      // round-19 Arabic-script addition: ps (retroflex letters +
-      // ې/ۍ/ږ/ښ discriminate against fa/ur)
+      // round-19 Arabic-script additions: ps (retroflex letters +
+      // ې/ۍ/ږ/ښ discriminate against fa/ur), ckb (ە-heavy Sorani —
+      // depends on the widened Arabic normalization)
       "ps" -> "په مني کې ماشومان په پارک کې ژېړې پاڼې راټولوي او کور ته يې وړي چې د خپلې انا لپاره ښکلې ګېډۍ جوړه کړي.",
       "ps" -> "په ژمي کې موږ ډېر ځله له شاتو سره ګرم چای څښو او د کړکۍ څنګ ته زاړه کتابونه لولو کله چې بهر واوره اوري.",
+      "ckb" -> "لە پاییزدا منداڵان لە پارکەکەدا گەڵا زەردەکان کۆدەکەنەوە و دەیانبەنە ماڵەوە بۆ ئەوەی چەپکێکی جوان بۆ داپیرەیان دروست بکەن.",
+      "ckb" -> "لە زستاندا زۆر جار چای گەرم لەگەڵ هەنگوین دەخۆینەوە و لە تەنیشت پەنجەرەکە کتێبە کۆنەکان دەخوێنینەوە کاتێک بەفر دەبارێت.",
       "hi" -> "शरद ऋतु में बच्चे बगीचे में पीले पत्ते इकट्ठा करते हैं और दादी के लिए सुंदर गुलदस्ता बनाने घर ले जाते हैं।",
       "hi" -> "सर्दियों में हम अक्सर शहद के साथ गर्म चाय पीते हैं और खिड़की के पास पुरानी किताबें पढ़ते हैं।",
       "mr" -> "शरद ऋतूत मुले बागेत पिवळी पाने गोळा करतात आणि आजीसाठी सुंदर पुष्पगुच्छ करण्यासाठी घरी नेतात.",

@@ -905,6 +905,37 @@ class ShardedHnswSpec extends SparkSpec {
     }
   }
 
+  test("searchBatch at partial probe reads ONLY the batch's probed-cell UNION of leaf files (round 19)") {
+    val (shardsPath, metaPath) = tempTier("shnsw-bprobe")
+    val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 8)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val qs = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val union = qs.collect()
+      .flatMap(r => ShardedHnsw.probeCells(re,
+        r.getSeq[Float](1).toArray, 2)).toSet
+    assert(union.size < 8, s"fixture degenerated: union=$union")
+    def run(np: Int) = ShardedHnsw
+      .searchBatch(re, qs, "qid", "qv", 5, np)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val want = run(2)
+    // corrupt every leaf OUTSIDE the union — a batch read that still
+    // listed all leaves would die on the parquet footer parse
+    (0 until 8).filterNot(union).foreach { cell =>
+      val dir = leafDir(shardsPath, cell)
+      assert(dir.isDefined, s"cell $cell has no leaf")
+      dir.get.listFiles().filter(_.isFile).foreach { f =>
+        java.nio.file.Files.write(f.toPath,
+          Array.fill(64)(0x5A.toByte))
+      }
+    }
+    ShardedHnsw.resetCache()
+    assert(run(2) === want,
+      "partial-probe batch serving read a leaf outside the probed union")
+    intercept[Throwable] { run(8) } // the corruption is real
+  }
+
   test("auto-probe serving default: recall >= 0.99 on a clustered corpus at ceil(2*sqrt(nCells)) probes") {
     // the shape the auto default is for: a corpus with real cluster
     // structure (the 100 TB regime — embedding spaces are never
