@@ -570,36 +570,42 @@ object ShardedHnsw {
       s"exact mode requires full coverage (nProbe=$nProbe nCells=$nCells)" +
         " — a partial probe is only per-shard exact")
     requireLive(spark, sh)
+    // probe-pruned leaf I/O for the BATCH path too (round 19): a
+    // loaded handle at partial probe reads only the UNION of the
+    // batch's probed cells' leaf files — one nCells-bounded collect
+    // buys it (at full coverage the union is everything, so skip the
+    // job). Without this, compute was pruned but every leaf was still
+    // read. The union pass re-reads the query set, so the slim
+    // (qid, qv) projection materializes once in that case.
+    val pruneLeaves = Option(sh.source).flatten.isDefined && nProbe < nCells
+    val qSlim = {
+      val base = queries
+        .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qv"))
+      if (pruneLeaves) base.materializeOnce(eager = false) else base
+    }
     // map-only probe ranking (VERDICT r18 #2): the codegen'd top-nProbe
     // expression over the referenced center array — the query set never
     // pays a crossJoin + window exchange
     val subsOf = sh.subsOf
-    val probes = queries
-      .select(col(qidCol).cast("long").as("qid"), col(qvecCol).as("__qv"))
+    val ranked = qSlim
       .select(col("qid"), col("__qv"),
         explode(graft.plans.NearestCells(col("__qv"), sh.centers, nProbe))
           .as("__cell"))
       .select(col("__cell"), col("qid"), col("__qv"))
+    val probes = ranked
       .as[(Int, Long, Array[Float])]
       .flatMap { case (cell, qid, qv) =>
         (0 until subsOf.getOrElse(cell, 1)).map(sub =>
           (cell, sub, qid, qv)) }
     val exhaustive = exact
-    // probe-pruned leaf I/O for the BATCH path too (round 19): a
-    // loaded handle at partial probe reads only the UNION of the
-    // batch's probed cells' leaf files — one nCells-bounded collect
-    // over a map-only projection of the queries buys it (at full
-    // coverage the union is everything, so skip the job). Without
-    // this, compute was pruned but every leaf was still read.
-    val shardFrame = Option(sh.source).flatten match {
-      case Some((shardsPath, manifest)) if nProbe < nCells =>
-        val probedCells = queries
-          .select(explode(graft.plans.NearestCells(
-            col(qvecCol), sh.centers, nProbe)).as("__cell"))
+    val shardFrame =
+      if (!pruneLeaves) sh.table
+      else {
+        val (shardsPath, manifest) = Option(sh.source).flatten.get
+        val probedCells = ranked.select("__cell")
           .distinct().as[Int].collect().toSet
         readLeaves(spark, shardsPath, manifest, Some(probedCells))
-      case _ => sh.table
-    }
+      }
     val shardKV = shardFrame.as[(Int, Int, Array[Byte])]
     val local = probes.groupByKey(r => (r._1, r._2))
       .cogroup(shardKV.groupByKey(r => (r._1, r._2))) { case (_, qs, gs) =>
