@@ -866,7 +866,17 @@ class Library(val spark: SparkSession, val warehouse: String,
     *     ⌈`spark.graft.servingProbeFactor` (2.0) · √nCells⌉ nearest
     *     cells by centroid distance. Per-query cost scales with
     *     √index, not index; recall ≥ 0.99 on clustered corpora is
-    *     spec-pinned (`ShardedHnswSpec`).
+    *     spec-pinned (`ShardedHnswSpec`). Setting
+    *     `spark.graft.servingProbeMass` ∈ (0, 1] switches the auto
+    *     budget to a coverage-mass cut: probe the nearest cells until
+    *     their manifest member counts reach that corpus fraction —
+    *     per query, so skewed tiers probe where the mass is
+    *     (unknown-count tiers fall back to the √n cut). Honest limit
+    *     either way: on a STRUCTURELESS corpus (uniform-random
+    *     vectors) any partial probe pays the generic IVF recall
+    *     curve — raise the factor or pass `nProbe = 0` there; real
+    *     embedding corpora are the clustered case the default
+    *     targets.
     *   - **0**: explicit full coverage — every cell probes (the
     *     high-recall certification mode, the pre-round-19 default).
     *   - **≥ 1**: that many cells.
@@ -884,7 +894,24 @@ class Library(val spark: SparkSession, val warehouse: String,
         val nCells = sh.centers.length
         val np =
           if (nProbe == 0) nCells
-          else if (nProbe < 0) Library.autoProbe(spark, nCells)
+          else if (nProbe < 0) {
+            // optional coverage-mass policy (the VERDICT r18 #1
+            // alternative): probe the nearest cells until their
+            // manifest counts cover `spark.graft.servingProbeMass` of
+            // the corpus — PER QUERY, so a query whose nearest cell
+            // dominates probes fewer cells than a query amid tiny
+            // ones. Off (0) by default; the √nCells count is the
+            // spec-pinned default, and the fallback when counts are
+            // unknown (in-memory or legacy tiers).
+            val mass = spark.conf
+              .get("spark.graft.servingProbeMass", "0").toDouble
+            val byMass =
+              if (mass > 0 && mass <= 1)
+                graft.operators.ShardedHnsw
+                  .probeCountByMass(sh, queryVec, mass)
+              else None
+            byMass.getOrElse(Library.autoProbe(spark, nCells))
+          }
           else math.min(nProbe, nCells)
         val hits =
           try graft.operators.ShardedHnsw.searchSingle(

@@ -492,6 +492,37 @@ object ShardedHnsw {
       .toIntArray().toSeq
   }
 
+  /** Coverage-mass probe budget (round 19, the VERDICT r18 #1
+    * alternative policy): the number of nearest cells — in the same
+    * (dist asc, cell asc) order as every other probe ranking — whose
+    * cumulative MEMBER COUNT reaches `massFrac` of the indexed
+    * corpus, per THIS query. Adapts to skew where the fixed ⌈c·√n⌉
+    * count cannot: a query whose nearest cell holds half the corpus
+    * probes one or two cells; a query ranked against many tiny cells
+    * probes more. Counts come free from the pinned manifest's leaf
+    * entries (loaded handles only) — returns None for in-memory
+    * handles or when any count is the legacy unknown (−1), and the
+    * caller falls back to the √n default. */
+  private[graft] def probeCountByMass(sh: Shards, qv: Array[Float],
+                                      massFrac: Double): Option[Int] =
+    Option(sh.source).flatten.flatMap { case (_, manifest) =>
+      val counts = sh.centers.indices.map(c =>
+        manifest.leaves.get(c).map(_.count).getOrElse(0L))
+      val total = counts.sum
+      if (counts.exists(_ < 0) || total <= 0) None
+      else {
+        val order = probeCells(sh, qv, sh.centers.length)
+        val want = massFrac * total
+        var acc = 0L
+        var n = 0
+        val it = order.iterator
+        while (acc < want && it.hasNext) {
+          acc += counts(it.next()); n += 1
+        }
+        Some(math.max(1, n))
+      }
+    }
+
   /** Probe-pruned single-query serving (VERDICT r18 #1): the query
     * vector is already on the driver, so the cells rank DRIVER-side
     * and the scan reads ONLY the probed cells' leaf files — for a

@@ -977,6 +977,61 @@ class ShardedHnswSpec extends SparkSpec {
     assert(recall >= 0.99, s"auto-probe recall $recall < 0.99")
   }
 
+  test("coverage-mass probe budget: the cut adapts to cell skew per query, from manifest counts alone") {
+    // a skewed corpus: one dominant cluster (360 members) + 3 small
+    // ones (40 each) — kmeans at nCells=4 recovers the structure, so
+    // the manifest counts are skewed the way real embedding corpora
+    // are. A query inside the dominant cluster must satisfy a 0.5
+    // mass cut with ONE cell; a query in a small cluster needs more.
+    val dim = 8
+    def cluster(c: Int, n: Int, base: Long) = (0 until n).map { i =>
+      val center = Array.tabulate(dim)(d =>
+        (((c * 37 + d * 11) % 17) - 8).toFloat * 2f)
+      var d = 0
+      while (d < dim) {
+        center(d) += (((i * 13 + d * 7) % 19) - 9) * 0.01f; d += 1
+      }
+      (base + i, center)
+    }
+    val skewed = (cluster(0, 360, 0L) ++ cluster(1, 40, 1000L) ++
+      cluster(2, 40, 2000L) ++ cluster(3, 40, 3000L))
+      .toDF("vec_id", "embedding")
+    val (shardsPath, metaPath) = tempTier("shnsw-mass")
+    val sh = ShardedHnsw.build(skewed, "vec_id", "embedding", nCells = 4)
+    ShardedHnsw.save(sh, shardsPath, metaPath)
+    val re = ShardedHnsw.load(spark, shardsPath, metaPath)
+    val counts = manifestOf(shardsPath).leaves.values.map(_.count).toSeq
+    assert(counts.max >= 300, s"kmeans failed to isolate the skew: $counts")
+    val qBig = cluster(0, 1, 0L).head._2
+    val qSmall = cluster(1, 1, 1000L).head._2
+    val nBig = ShardedHnsw.probeCountByMass(re, qBig, 0.5).get
+    val nSmall = ShardedHnsw.probeCountByMass(re, qSmall, 0.5).get
+    assert(nBig === 1,
+      s"a dominant-cell query must satisfy 0.5 mass with one cell ($nBig)")
+    assert(nSmall > nBig,
+      s"a small-cell query must probe further ($nSmall vs $nBig)")
+    // full mass = full coverage; in-memory handles have no counts
+    assert(ShardedHnsw.probeCountByMass(re, qBig, 1.0).get === 4)
+    assert(ShardedHnsw.probeCountByMass(sh, qBig, 0.5).isEmpty)
+    // serving under the mass budget still finds the query's own
+    // cluster (self-hit at rank 1)
+    val top = ShardedHnsw.searchSingle(re, qBig, 1, nBig).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 0L)
+    // the Library facade routes through the conf
+    val wh = java.nio.file.Files.createTempDirectory("graft-mass").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 12).map(i => (s"/ms/doc$i.md",
+      s"# Doc$i\n" + (s"mass budget corpus words $i body here. " * 6)))
+      .toDS())
+    lib.enableShardedServing(nCells = 2)
+    val qv = lib.embedder.embed("mass budget corpus words")
+    spark.conf.set("spark.graft.servingProbeMass", "0.5")
+    try {
+      val opts = graft.model.SearchOptions(limit = 3)
+      assert(lib.shardedSearch(qv, opts).collect().nonEmpty)
+    } finally spark.conf.unset("spark.graft.servingProbeMass")
+  }
+
   test("staleness guard (VERDICT r18 #7): a handle may survive ONE maintenance commit, the second fails loudly — and the Library facade self-heals") {
     val (shardsPath, metaPath) = tempTier("shnsw-stale")
     val sh = ShardedHnsw.build(emb, "vec_id", "embedding", nCells = 4)
