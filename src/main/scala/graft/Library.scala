@@ -922,8 +922,11 @@ class Library(val spark: SparkSession, val warehouse: String,
               // re-pin at the newest committed manifest and retry once
               shardedCache = None
               loadSharded() match {
-                case Some(sh2) => graft.operators.ShardedHnsw
-                  .searchSingle(sh2, queryVec, k, np, math.max(ef, k))
+                case Some(sh2) =>
+                  // clamp: an out-of-band REBUILD may have fewer cells
+                  // than the budget computed against the stale handle
+                  graft.operators.ShardedHnsw.searchSingle(sh2, queryVec,
+                    k, math.min(np, sh2.centers.length), math.max(ef, k))
                 case None => return vectorSearch(queryVec, opts)
               }
           }
