@@ -731,14 +731,31 @@ class Library(val spark: SparkSession, val warehouse: String,
     * stale state — a REMOVED document re-ingested under recurring
     * chunkIds with changed content — is detected by the ingest hook
     * (a known chunkId arriving in a fresh batch) and drops the tier;
-    * re-enable to rebuild. */
-  def enableShardedServing(nCells: Int = 16, m: Int = 16,
+    * re-enable to rebuild.
+    *
+    * `nCells ≤ 0` (the default) sizes the clustering to ⌈√n⌉ — the
+    * tier's own convention (round 19): the centroid table stays
+    * √N-sized (driver-safe), per-cell occupancy stays ~√N (executor-
+    * safe without leaning on sub-shard fans), and the auto-probe
+    * serving default's √nCells budget keeps per-query work sublinear
+    * as the corpus grows. A fixed cell count would silently become
+    * toy-sized at 100 TB — 16 cells over 10⁹ chunks is a 6·10⁷-member
+    * cell held together only by its fan. Explicit values still
+    * pin it (tests, certification). */
+  def enableShardedServing(nCells: Int = 0, m: Int = 16,
                            efConstruction: Int = 100, seed: Long = 42L,
                            maxCellSize: Int = 65536): Unit = {
     val emb = embeddings.select(col("chunkId"), col("embedding"))
+    val cells =
+      if (nCells > 0) nCells
+      else {
+        val n = emb.count()
+        math.max(1L, math.min(math.ceil(math.sqrt(n.toDouble)).toLong, n))
+          .toInt
+      }
     val sh = graft.operators.ShardedHnsw.build(
       emb.select(xxhash64(col("chunkId")).as("id"), col("embedding")),
-      "id", "embedding", nCells, m, efConstruction, seed, maxCellSize)
+      "id", "embedding", cells, m, efConstruction, seed, maxCellSize)
     graft.operators.ShardedHnsw.save(sh,
       path("embeddings_hnsw_sharded"), path("embeddings_hnsw_sharded_meta"))
     // the ids table records each member's ASSIGNED CELL (VERDICT r17

@@ -948,11 +948,26 @@ object GraphRank {
     perSrcTopK(scored, k)
   }
 
-  /** Scored-pair counter for the LAST [[knnGraphAppend]] action on this
-    * JVM — the spec's O(batch) work assertion reads it (an incremental
-    * append must score |corpus|·|batch| pairs, never |corpus|²). */
-  private[graft] var lastAppendScored
-      : Option[org.apache.spark.util.LongAccumulator] = None
+  /** Scored-pair counter for the last [[knnGraphAppend]] /
+    * [[knnGraphIvfAppend]] action on THIS THREAD — the spec's O(batch)
+    * work assertion reads it (an incremental append must score
+    * |corpus|·|batch| pairs, never |corpus|²). Thread-local since
+    * round 19: the appends always set it on the calling thread and the
+    * specs read it on that same thread, but a JVM-global var let a
+    * CONCURRENT suite's ingest hook clobber the value between another
+    * suite's write and read (observed once parallel suites gained a
+    * second appendToKnnEdges caller). */
+  private val lastAppendScoredTl =
+    new ThreadLocal[Option[org.apache.spark.util.LongAccumulator]] {
+      override def initialValue
+          : Option[org.apache.spark.util.LongAccumulator] = None
+    }
+  private[graft] def lastAppendScored
+      : Option[org.apache.spark.util.LongAccumulator] =
+    lastAppendScoredTl.get()
+  private[graft] def lastAppendScored_=(
+      v: Option[org.apache.spark.util.LongAccumulator]): Unit =
+    lastAppendScoredTl.set(v)
 
   /** Incremental EXACT maintenance of a kNN edge list under a corpus
     * append (VERDICT r14 #3): given the exact edges of the OLD corpus

@@ -259,7 +259,10 @@ class LibrarySpec extends SparkSpec {
     val nFull = l.embeddings.count()
     val nBatch = nFull - nOld
     assert(nBatch >= 1)
-    val scored = graft.operators.GraphRank.lastAppendScored.get.value
+    val accOpt = graft.operators.GraphRank.lastAppendScored
+    assert(accOpt.isDefined, "the ingest hook must take the APPEND path " +
+      "(a prior-stamp artifact was missing, or the full rebuild ran)")
+    val scored = accOpt.get.value
     assert(scored === nFull * nBatch - nBatch,
       s"ingest hook scored $scored pairs - not the O(corpus x batch) delta")
     // the artifact for the CURRENT corpus already exists (the hook

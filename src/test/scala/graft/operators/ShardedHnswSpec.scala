@@ -1067,6 +1067,24 @@ class ShardedHnswSpec extends SparkSpec {
       .length === 5)
   }
 
+  test("enableShardedServing default sizes the clustering to ceil(sqrt(n)) — the sqrt-N convention, not a fixed toy count") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-autocell").toString
+    val lib = new graft.Library(spark, wh)
+    lib.addMarkdown((1 to 30).map(i => (s"/ac/doc$i.md",
+      s"# Doc$i\n" + (s"auto cell sizing corpus text $i body words. " * 6)))
+      .toDS())
+    lib.enableShardedServing() // nCells <= 0 = auto
+    val n = lib.embeddings.count()
+    val want = math.ceil(math.sqrt(n.toDouble)).toInt
+    val got = spark.read
+      .parquet(s"$wh/embeddings_hnsw_sharded_meta")
+      .select("__cell").distinct().count().toInt
+    assert(got === want, s"auto nCells: got $got want ceil(sqrt($n))=$want")
+    val qv = lib.embedder.embed("auto cell sizing corpus text")
+    assert(lib.annSearch(qv, graft.model.SearchOptions(limit = 3))
+      .collect().nonEmpty)
+  }
+
   test("Library facade: out-of-band maintenance past the retention window self-heals; annSearch passes nProbe through") {
     val wh = java.nio.file.Files.createTempDirectory("graft-heal").toString
     val lib = new graft.Library(spark, wh)
