@@ -170,7 +170,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     // the warm HNSW graph may hold just-retired nodes; drop it so the
     // next hnswSearch reloads against the compacted embeddings (the
     // persisted edge table stays — fromDF skips dead ids; ADVICE r13)
-    hnswCache = None
+    hnswCache = None; hnswBudgetVerdict = None
     // sharded tier: physically retire the dead members — blobs compact
     // (only leaves holding dead ids rewrite) and the ids table drops
     // them TOGETHER, preserving the invariant the recurring-chunkId
@@ -572,7 +572,7 @@ class Library(val spark: SparkSession, val warehouse: String,
         .toDF("sid", "chunkId"))
     graft.util.TableSwap.rewrite(path("embeddings_hnsw_meta"),
       Seq((m, efConstruction, seed)).toDF("m", "efc", "seed"))
-    hnswCache = None
+    hnswCache = None; hnswBudgetVerdict = None
   }
 
   /** Ingest-time HNSW maintenance (round 14 — the insert-side complement
@@ -624,48 +624,119 @@ class Library(val spark: SparkSession, val warehouse: String,
     * re-builds the artifact — the choice PERSISTS in `knn_edges_meta`
     * so every later [[knnEdges]] read and ingest-hook delta uses the
     * same bounded source.
-    *   - `"auto"` (default): resolve ONCE at enable time — `"exact"`
-    *     while the corpus is at most `spark.graft.knnEdgesExactMax`
-    *     (100k) embeddings, `"ivf"` past it. The resolved source is
-    *     what persists (a stable maintenance contract, not a
-    *     per-batch flip-flop).
+    *   - `"auto"` (default): `"exact"` while the corpus is at most
+    *     `spark.graft.knnEdgesExactMax` (100k) embeddings, `"ivf"`
+    *     past it — resolved at enable time AND re-resolved at every
+    *     rebuild/hook run (the policy persists, so growth flips the
+    *     source exactly once, loudly, when the threshold is crossed).
     *   - `"exact"` — the N² [[graft.operators.GraphRank.knnGraph]]
     *     certification shape (driver-sized corpora only).
     *   - `"ivf"` / `"srp"` / `"hnsw"` / `"hnsw-sharded"` — the bounded
     *     generators of [[graft.operators.GraphRank.knnGraphArtifact]];
     *     `nCells`/`nProbe`/`srpDim` parameterize them and persist too.
     *     `"ivf"` at `nProbe = nCells` is edge-for-edge exact while
-    *     fully distributed — the 100 TB default. */
+    *     fully distributed — the 100 TB default.
+    *
+    * Growth (VERDICT r19 #1 — the enable-time resolution must not
+    * outlive its own validity): the POLICY (`"auto"` vs an explicit
+    * source) persists alongside the resolved source. When the policy
+    * is auto, every [[knnEdges]] rebuild and ingest-hook delta
+    * RE-RESOLVES against the current corpus count — a warehouse
+    * enabled at 10k rows and grown past `knnEdgesExactMax` flips to
+    * the bounded ivf path at its next rebuild (loudly, and the flip
+    * persists) instead of running the N² shape forever. An EXPLICIT
+    * `"exact"` policy past the threshold warns loudly at every run —
+    * it is the documented certification shape, so the engine honors
+    * the pin but refuses to be silent about it. */
   def enableKnnEdges(k: Int = 8, edgeSource: String = "auto",
                      nCells: Int = 16, nProbe: Int = 16,
                      srpDim: Int = 0): Unit = {
     val resolved = edgeSource match {
       case "auto" =>
-        val exactMax = spark.conf
-          .get("spark.graft.knnEdgesExactMax", "100000").toLong
         val n = if (tableExists("embeddings")) embeddings.count() else 0L
-        if (n <= exactMax) "exact" else "ivf"
+        if (n <= knnEdgesExactMax) "exact" else "ivf"
       case s => s
     }
-    Seq((k, resolved, nCells, nProbe, srpDim))
-      .toDF("k", "edgeSource", "nCells", "nProbe", "srpDim")
-      .coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(path("knn_edges_meta"))
+    writeKnnEdgesMeta(k, resolved, nCells, nProbe, srpDim, edgeSource)
     if (tableExists("embeddings")) { knnEdges(); () }
   }
 
+  private def knnEdgesExactMax: Long =
+    spark.conf.get("spark.graft.knnEdgesExactMax", "100000").toLong
+
+  private def writeKnnEdgesMeta(k: Int, resolved: String, nCells: Int,
+                                nProbe: Int, srpDim: Int,
+                                policy: String): Unit =
+    Seq((k, resolved, nCells, nProbe, srpDim, policy))
+      .toDF("k", "edgeSource", "nCells", "nProbe", "srpDim", "policy")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(path("knn_edges_meta"))
+
   /** The persisted edge config: (k, edgeSource, nCells, nProbe,
-    * srpDim). Pre-round-19 meta tables carry only k → the exact
-    * source they were built with. */
-  private def knnEdgesConfig(): (Int, String, Int, Int, Int) = {
+    * srpDim, policy). Pre-round-19 meta tables carry only k → the
+    * exact source they were built with (noted once on stderr so old
+    * warehouses get routed toward the bounded facade); round-19 meta
+    * carries no policy column → the persisted source doubles as the
+    * policy (exactly the enable-time pin those warehouses were built
+    * with; the growth warning below still covers them). */
+  private def knnEdgesConfig(): (Int, String, Int, Int, Int, String) = {
     val df = spark.read.parquet(path("knn_edges_meta"))
     val r = df.head()
     val k = r.getInt(r.fieldIndex("k"))
-    if (df.columns.contains("edgeSource"))
-      (k, r.getString(r.fieldIndex("edgeSource")),
-        r.getInt(r.fieldIndex("nCells")), r.getInt(r.fieldIndex("nProbe")),
-        r.getInt(r.fieldIndex("srpDim")))
-    else (k, "exact", 16, 16, 0)
+    if (df.columns.contains("edgeSource")) {
+      val src = r.getString(r.fieldIndex("edgeSource"))
+      val policy =
+        if (df.columns.contains("policy"))
+          r.getString(r.fieldIndex("policy"))
+        else src
+      (k, src, r.getInt(r.fieldIndex("nCells")),
+        r.getInt(r.fieldIndex("nProbe")),
+        r.getInt(r.fieldIndex("srpDim")), policy)
+    } else {
+      if (!legacyEdgeMetaNoticed) {
+        legacyEdgeMetaNoticed = true
+        System.err.println(
+          "graft: legacy knn_edges_meta (k only) reads as the exact " +
+            "edge source; re-run enableKnnEdges to choose a bounded one")
+      }
+      (k, "exact", 16, 16, 0, "exact")
+    }
+  }
+
+  private var legacyEdgeMetaNoticed = false
+
+  /** The edge config to RUN with right now: re-resolves an `"auto"`
+    * policy against the current corpus count (persisting a flip so
+    * the next run deltas from the new kind), and warns loudly when an
+    * explicitly pinned `"exact"` source meets a corpus past
+    * `knnEdgesExactMax` — the loadHnsw loud-degrade discipline applied
+    * to the edge tier (VERDICT r19 #1). The count job only runs when
+    * the answer can change the plan (auto policy, or a pinned exact
+    * source that might have outgrown the threshold). */
+  private def knnEdgesRunConfig(): (Int, String, Int, Int, Int) = {
+    val (k, src, nCells, nProbe, srpDim, policy) = knnEdgesConfig()
+    if (policy == "auto") {
+      val n = if (tableExists("embeddings")) embeddings.count() else 0L
+      val want = if (n <= knnEdgesExactMax) "exact" else "ivf"
+      if (want != src) {
+        System.err.println(
+          s"graft: auto edge source re-resolved $src -> $want " +
+            s"(corpus $n vs knnEdgesExactMax $knnEdgesExactMax); " +
+            "persisting the flip")
+        writeKnnEdgesMeta(k, want, nCells, nProbe, srpDim, policy)
+      }
+      (k, want, nCells, nProbe, srpDim)
+    } else {
+      if (src == "exact") {
+        val n = if (tableExists("embeddings")) embeddings.count() else 0L
+        if (n > knnEdgesExactMax) System.err.println(
+          s"graft: WARNING: pinned exact edge source on $n embeddings " +
+            s"(> knnEdgesExactMax $knnEdgesExactMax) - this is the N^2 " +
+            "certification shape; re-run enableKnnEdges(edgeSource = " +
+            "\"ivf\", nProbe = nCells) for identical edges, bounded")
+      }
+      (k, src, nCells, nProbe, srpDim)
+    }
   }
 
   /** The maintained edge list for the CURRENT corpus, chunkId-keyed:
@@ -676,7 +747,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * never fall back to the N² path on a corpus that was enabled
     * bounded — never serves stale edges. */
   def knnEdges(): DataFrame = {
-    val (k, src, nCells, nProbe, srpDim) = knnEdgesConfig()
+    val (k, src, nCells, nProbe, srpDim) = knnEdgesRunConfig()
     val emb = embeddings
       .select(xxhash64(col("chunkId")).as("id"), col("embedding"))
     val edges = graft.operators.GraphRank.knnGraphArtifact(
@@ -700,7 +771,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     * the HNSW and sketch hooks. */
   private def appendToKnnEdges(newEmbeddings: DataFrame): Unit =
     if (tableExists("knn_edges_meta")) {
-      val (k, src, nCells, nProbe, srpDim) = knnEdgesConfig()
+      val (k, src, nCells, nProbe, srpDim) = knnEdgesRunConfig()
       val emb = embeddings
         .select(xxhash64(col("chunkId")).as("id"), col("embedding"))
       val newIds = newEmbeddings
@@ -879,21 +950,25 @@ class Library(val spark: SparkSession, val warehouse: String,
     *
     * `nProbe` (VERDICT r18 #1 — the serving default must be
     * scale-safe, not corpus-wide):
-    *   - **−1 (default)**: recall-targeted auto probe — the
-    *     ⌈`spark.graft.servingProbeFactor` (2.0) · √nCells⌉ nearest
-    *     cells by centroid distance. Per-query cost scales with
-    *     √index, not index; recall ≥ 0.99 on clustered corpora is
-    *     spec-pinned (`ShardedHnswSpec`). Setting
-    *     `spark.graft.servingProbeMass` ∈ (0, 1] switches the auto
-    *     budget to a coverage-mass cut: probe the nearest cells until
-    *     their manifest member counts reach that corpus fraction —
-    *     per query, so skewed tiers probe where the mass is
-    *     (unknown-count tiers fall back to the √n cut). Honest limit
-    *     either way: on a STRUCTURELESS corpus (uniform-random
-    *     vectors) any partial probe pays the generic IVF recall
-    *     curve — raise the factor or pass `nProbe = 0` there; real
-    *     embedding corpora are the clustered case the default
-    *     targets.
+    *   - **−1 (default)**: recall-targeted auto probe. For a LOADED
+    *     tier (manifest member counts available) the budget is a
+    *     coverage-mass cut (the round-20 default, VERDICT r19 #5):
+    *     probe the nearest cells until their counts reach the
+    *     ⌈`spark.graft.servingProbeFactor` (2.0) · √nCells⌉ / nCells
+    *     corpus fraction — PER QUERY, so a balanced tier pays exactly
+    *     the spec-pinned ⌈2·√nCells⌉ cells while a skewed tier probes
+    *     where the mass is (fewer cells when the nearest cell
+    *     dominates, more amid tiny ones). Unknown-count handles
+    *     (in-memory, legacy) pay the fixed ⌈2·√nCells⌉ count. Either
+    *     way per-query cost scales with √index, not index; recall
+    *     ≥ 0.99 on clustered corpora is spec-pinned at BOTH policies
+    *     (`ShardedHnswSpec`). `spark.graft.servingProbeMass`
+    *     overrides the fraction (∈ (0,1]; > 1 clamps to 1.0 loudly;
+    *     0 forces the fixed-count policy). Honest limit either way:
+    *     on a STRUCTURELESS corpus (uniform-random vectors) any
+    *     partial probe pays the generic IVF recall curve — raise the
+    *     factor or pass `nProbe = 0` there; real embedding corpora
+    *     are the clustered case the default targets.
     *   - **0**: explicit full coverage — every cell probes (the
     *     high-recall certification mode, the pre-round-19 default).
     *   - **≥ 1**: that many cells.
@@ -912,29 +987,62 @@ class Library(val spark: SparkSession, val warehouse: String,
         val np =
           if (nProbe == 0) nCells
           else if (nProbe < 0) {
-            // optional coverage-mass policy (the VERDICT r18 #1
-            // alternative): probe the nearest cells until their
-            // manifest counts cover `spark.graft.servingProbeMass` of
-            // the corpus — PER QUERY, so a query whose nearest cell
-            // dominates probes fewer cells than a query amid tiny
-            // ones. Off (0) by default; the √nCells count is the
-            // spec-pinned default, and the fallback when counts are
-            // unknown (in-memory or legacy tiers).
-            val mass = spark.conf
-              .get("spark.graft.servingProbeMass", "0").toDouble
+            // coverage-mass probe policy — the DEFAULT for loaded
+            // handles since round 20 (VERDICT r19 #5): probe the
+            // nearest cells until their manifest member counts cover
+            // a corpus-mass fraction, PER QUERY, so a query whose
+            // nearest cell dominates probes fewer cells than a query
+            // amid tiny ones. The default fraction is the √n budget
+            // expressed as mass — autoProbe/nCells — so a balanced
+            // tier pays exactly the spec-pinned ⌈2·√nCells⌉ cells
+            // while a skewed tier reallocates the same expected work
+            // to where the mass is (strictly better, spec-proven).
+            // `spark.graft.servingProbeMass`: unset → that default;
+            // 0 → mass policy off (the fixed √n count); (0,1] → that
+            // fraction; > 1 → clamped to 1.0 with a loud note
+            // (ADVICE r19 — '1.5' used to silently mean OFF).
+            // In-memory / legacy tiers have no counts → the √n count.
+            val auto = Library.autoProbe(spark, nCells)
+            val massConf = spark.conf
+              .get("spark.graft.servingProbeMass", "")
+            val mass = massConf match {
+              case "" => auto.toDouble / nCells
+              case s =>
+                val m = s.toDouble
+                require(m >= 0,
+                  s"spark.graft.servingProbeMass must be >= 0, got $m")
+                if (m > 1) {
+                  System.err.println(
+                    s"graft: servingProbeMass $m > 1 clamped to 1.0 " +
+                      "(full coverage)")
+                  1.0
+                } else m
+            }
             val byMass =
-              if (mass > 0 && mass <= 1)
+              if (mass > 0)
                 graft.operators.ShardedHnsw
                   .probeCountByMass(sh, queryVec, mass)
               else None
-            byMass.getOrElse(Library.autoProbe(spark, nCells))
+            byMass.getOrElse(auto)
           }
           else math.min(nProbe, nCells)
-        val hits =
-          try graft.operators.ShardedHnsw.searchSingle(
-            sh, queryVec, k, np, math.max(ef, k))
+        // materialize the ≤ k hit rows EAGERLY (ADVICE r19): the
+        // staleness guard must cover the leaf scan itself, and the
+        // returned frame is consumed lazily by the caller's joins —
+        // collecting here closes the consumption-time window (and a
+        // leaf file GC'd between requireLive and the scan surfaces as
+        // file-not-found, which the retry below treats as stale too)
+        def runOnce(s: graft.operators.ShardedHnsw.Shards,
+                    npEff: Int): Array[(Long, Double)] =
+          graft.operators.ShardedHnsw.searchSingle(
+              s, queryVec, k, npEff, math.max(ef, k))
+            .select(col("id"), col("cos_dist"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        val hitRows =
+          try runOnce(sh, np)
           catch {
-            case _: graft.operators.ShardedHnsw.StaleSnapshotException =>
+            case e: Throwable
+                if Library.isStaleOrGone(e) =>
               // out-of-band maintenance outran the retention window:
               // re-pin at the newest committed manifest and retry once
               shardedCache = None
@@ -942,13 +1050,13 @@ class Library(val spark: SparkSession, val warehouse: String,
                 case Some(sh2) =>
                   // clamp: an out-of-band REBUILD may have fewer cells
                   // than the budget computed against the stale handle
-                  graft.operators.ShardedHnsw.searchSingle(sh2, queryVec,
-                    k, math.min(np, sh2.centers.length), math.max(ef, k))
+                  runOnce(sh2, math.min(np, sh2.centers.length))
                 case None => return vectorSearch(queryVec, opts)
               }
           }
-        val scored = hits.select(col("id"),
-          (lit(1.0) - col("cos_dist") / lit(2.0)).as("score"))
+        val scored = hitRows.toSeq.toDF("id", "cos_dist")
+          .select(col("id"),
+            (lit(1.0) - col("cos_dist") / lit(2.0)).as("score"))
         // map hit ids back through the NARROW ids table (one string
         // column), never the embeddings table — the graph tier's
         // point is sublinear serving, and a wide-vector corpus scan
@@ -960,6 +1068,20 @@ class Library(val spark: SparkSession, val warehouse: String,
         rankAnnHits(
           scored.join(idMap, Seq("id")).select("chunkId", "score"), opts)
     }
+
+  /** Centroid-drift watermark reading for the sharded serving tier
+    * (VERDICT r19 #2): running-insert mean assigned-center distance ÷
+    * the build corpus's mean — ~1.0 while ingest matches the build
+    * distribution, rising as it diverges (the regime where the frozen
+    * clustering silently costs probe recall). The ingest hook already
+    * warns past `spark.graft.shardedDriftWarnRatio` (1.5); poll this
+    * to alert/automate. None: no tier, pre-watermark tier, or no
+    * maintained inserts yet. Remedy: re-run [[enableShardedServing]]. */
+  def shardedDriftRatio(): Option[Double] =
+    if (!tableExists("embeddings_hnsw_sharded_meta") ||
+        !tableExists("embeddings_hnsw_sharded")) None
+    else graft.operators.ShardedHnsw.driftRatio(spark,
+      path("embeddings_hnsw_sharded"), path("embeddings_hnsw_sharded_meta"))
 
   // ------------------------------------------------ maintained sketches
 
@@ -1056,16 +1178,28 @@ class Library(val spark: SparkSession, val warehouse: String,
   private def hnswWithinDriverBudget(): Boolean = {
     val budget = spark.conf
       .get("spark.graft.hnswDriverMaxRows", "2000000").toLong
-    val live = spark.read.parquet(path("embeddings")).count()
-    val ok = live <= budget
-    if (!ok)
-      System.err.println(
-        s"[graft] monolithic HNSW tier refused: $live embeddings exceed " +
-          s"spark.graft.hnswDriverMaxRows=$budget (a driver-side " +
-          "rebuild would OOM) — serving the exact scan; use " +
-          "enableShardedServing for graph ANN at this scale")
-    ok
+    // memoize the verdict until the next ingest/compaction invalidates
+    // it (ADVICE r19): without this, an over-budget corpus re-ran the
+    // count job AND re-printed the warning once per query
+    hnswBudgetVerdict match {
+      case Some((b, ok)) if b == budget => ok
+      case _ =>
+        val live = spark.read.parquet(path("embeddings")).count()
+        val ok = live <= budget
+        if (!ok)
+          System.err.println(
+            s"[graft] monolithic HNSW tier refused: $live embeddings exceed " +
+              s"spark.graft.hnswDriverMaxRows=$budget (a driver-side " +
+              "rebuild would OOM) — serving the exact scan; use " +
+              "enableShardedServing for graph ANN at this scale")
+        hnswBudgetVerdict = Some((budget, ok))
+        ok
+    }
   }
+
+  /** (budget it was judged against, verdict) — invalidated wherever
+    * [[hnswCache]] is, so a grown/compacted corpus re-counts. */
+  @transient private var hnswBudgetVerdict: Option[(Long, Boolean)] = None
 
   @transient private var hnswCache
       : Option[(graft.operators.Hnsw.Graph, Array[String])] = None
@@ -1552,7 +1686,7 @@ class Library(val spark: SparkSession, val warehouse: String,
     rewrite("chunks", chunks.filter(col("docId") =!= id))
     rewrite("documents", documents.filter(col("id") =!= id))
     removeFromVectorIndex(deadChunks)
-    hnswCache = None // same invalidation as compactTombstones (ADVICE r13)
+    hnswCache = None; hnswBudgetVerdict = None // same invalidation as compactTombstones (ADVICE r13)
   }
 
   /** S14: tag update via column rewrite. */
@@ -1760,6 +1894,25 @@ object Library {
       .get("spark.graft.servingProbeFactor", "2.0").toDouble
     math.min(nCells,
       math.max(1, math.ceil(factor * math.sqrt(nCells.toDouble)).toInt))
+  }
+
+  /** True for the two shapes out-of-band maintenance leaves behind
+    * (ADVICE r19): the tier's own [[graft.operators.ShardedHnsw.StaleSnapshotException]]
+    * (requireLive tripped at search entry), or a leaf file
+    * garbage-collected BETWEEN the entry check and the scan —
+    * surfacing as a FileNotFoundException somewhere in Spark's cause
+    * chain. Both mean the same thing to the serving facade: re-pin at
+    * the newest committed manifest and retry once. */
+  private[graft] def isStaleOrGone(t: Throwable): Boolean = {
+    @annotation.tailrec
+    def loop(cur: Throwable, depth: Int): Boolean =
+      if (cur == null || depth > 16) false
+      else cur match {
+        case _: graft.operators.ShardedHnsw.StaleSnapshotException => true
+        case _: java.io.FileNotFoundException => true
+        case e => loop(e.getCause, depth + 1)
+      }
+    loop(t, 0)
   }
 
   /** Maintained-sketch geometry (round 15): fixed per warehouse —

@@ -81,6 +81,24 @@ case class NearestCells(child: Expression, centersFlat: Array[Double],
     """)
   }
 
+  // value equality over the centroid array (ADVICE r19): the generated
+  // case-class equals compares Array[Double] by REFERENCE, so two
+  // semantically identical instances would never be equal —
+  // canonicalization / common-subexpression elimination could not
+  // dedupe them, and each would serialize its own centroid copy into
+  // the plan. Content equality restores both.
+  override def equals(other: Any): Boolean = other match {
+    case o: NearestCells =>
+      dim == o.dim && nProbe == o.nProbe && child == o.child &&
+        java.util.Arrays.equals(centersFlat, o.centersFlat)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(dim),
+      Integer.valueOf(nProbe),
+      Integer.valueOf(java.util.Arrays.hashCode(centersFlat)))
+
   override protected def withNewChildInternal(newChild: Expression): NearestCells =
     copy(child = newChild)
 }

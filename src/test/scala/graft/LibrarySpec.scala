@@ -359,6 +359,71 @@ class LibrarySpec extends SparkSpec {
     assert(edgeSet(l2.knnEdges()) === scratch)
   }
 
+  test("auto edge source re-resolves on corpus growth; a pinned exact source is honored (VERDICT r19 #1)") {
+    val wh = Files.createTempDirectory("graft-wh-knngrow").toString
+    val l = new Library(spark, wh)
+    val salt = wh.split('/').last.takeRight(8)
+    l.addMarkdown((1 to 4).map(i => (s"/gr$i.md",
+      s"# GR$i $salt\n" + (s"growth guard corpus words $i $salt. " * 10)))
+      .toDS())
+    val k = 2
+    def meta() = spark.read.parquet(s"$wh/knn_edges_meta").head()
+    // enable small: auto resolves exact, and the POLICY persists too
+    l.enableKnnEdges(k, nCells = 2, nProbe = 2)
+    assert(meta().getAs[String]("edgeSource") === "exact")
+    assert(meta().getAs[String]("policy") === "auto")
+    // the corpus "grows" past the threshold (simulated by lowering it):
+    // the next facade rebuild must RE-RESOLVE, route bounded, and
+    // persist the flip — not run the N² shape forever
+    spark.conf.set("spark.graft.knnEdgesExactMax", "1")
+    try {
+      val edges = l.knnEdges()
+      assert(meta().getAs[String]("edgeSource") === "ivf",
+        "auto policy must re-resolve past the threshold at rebuild time")
+      assert(meta().getAs[String]("policy") === "auto",
+        "the flip must persist the resolved source, never the policy")
+      val emb = l.embeddings.select(
+        org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+        col("embedding"))
+      val stamp = graft.util.DiskArtifact.corpusStamp(emb, "id", "embedding")
+      assert(graft.util.DiskArtifact.exists(s"knn$k-edges-ivf2-2-2-42", stamp),
+        "the re-resolved rebuild must land under the bounded kind")
+      // full-probe ivf is edge-for-edge exact: the flip changes the
+      // plan, never the answer
+      val idMap = l.embeddings.select(
+          org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+          col("chunkId"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val scratch = graft.operators.GraphRank
+        .knnGraph(emb, "id", "embedding", k).collect()
+        .map(r => (idMap(r.getLong(0)), idMap(r.getLong(1)), r.getDouble(2)))
+        .toSet
+      assert(edges.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSet === scratch)
+      // the ingest hook deltas under the FLIPPED source: after a batch
+      // the ivf-kind artifact exists for the new stamp, the exact kind
+      // does not
+      l.addMarkdown(Seq((s"/gr9.md",
+        s"# GR9 $salt\n" + (s"post flip ingest payload $salt. " * 10)))
+        .toDS())
+      val emb2 = l.embeddings.select(
+        org.apache.spark.sql.functions.xxhash64(col("chunkId")).as("id"),
+        col("embedding"))
+      val stamp2 = graft.util.DiskArtifact.corpusStamp(emb2, "id", "embedding")
+      assert(graft.util.DiskArtifact.exists(s"knn$k-edges-ivf2-2-2-42", stamp2))
+      assert(!graft.util.DiskArtifact.exists(s"knn$k-edges", stamp2),
+        "the hook must not fall back to the N² kind after the flip")
+      // an EXPLICIT exact pin past the threshold is honored (it is the
+      // certification shape) — warned about on stderr, never flipped
+      l.enableKnnEdges(k, edgeSource = "exact")
+      assert(meta().getAs[String]("policy") === "exact")
+      l.knnEdges().collect()
+      assert(meta().getAs[String]("edgeSource") === "exact",
+        "an explicit exact pin must never be silently re-routed")
+    } finally spark.conf.unset("spark.graft.knnEdgesExactMax")
+  }
+
   test("removeDocument cascades to chunks and embeddings (S13)") {
     val wh2 = Files.createTempDirectory("graft-wh2").toString
     val l2 = new Library(spark, wh2)

@@ -975,6 +975,23 @@ class ShardedHnswSpec extends SparkSpec {
     val recall = served.count(exact).toDouble / exact.size
     info(f"auto-probe ($auto/8) recall $recall%.4f")
     assert(recall >= 0.99, s"auto-probe recall $recall < 0.99")
+    // round-20 default promotion (VERDICT r19 #5): the loaded-handle
+    // default is the coverage-mass cut at fraction auto/nCells. On
+    // this BALANCED tier the mass cut must cost the same work as the
+    // fixed count (±1 cell for count rounding), and recall must hold
+    // the same ≥ 0.99 pin.
+    val massDefault = auto.toDouble / 8
+    val massServed = queries.flatMap { case (qid, qv) =>
+      val np = ShardedHnsw.probeCountByMass(re, qv, massDefault)
+        .getOrElse(auto)
+      assert(math.abs(np - auto) <= 1,
+        s"balanced tier: mass cut $np strayed from the √n budget $auto")
+      ShardedHnsw.searchSingle(re, qv, 10, np).collect()
+        .map(r => (qid, r.getLong(1)))
+    }.toSet
+    val massRecall = massServed.count(exact).toDouble / exact.size
+    info(f"mass-default recall $massRecall%.4f")
+    assert(massRecall >= 0.99, s"mass-default recall $massRecall < 0.99")
   }
 
   test("coverage-mass probe budget: the cut adapts to cell skew per query, from manifest counts alone") {
@@ -1017,6 +1034,37 @@ class ShardedHnswSpec extends SparkSpec {
     // cluster (self-hit at rank 1)
     val top = ShardedHnsw.searchSingle(re, qBig, 1, nBig).collect()
     assert(top.length === 1 && top.head.getLong(1) === 0L)
+    // recall pin at the ROUND-20 DEFAULT fraction (auto/nCells) on a
+    // SKEWED tier — the shape where the default differs from the
+    // fixed count: a finer clustering so the budget is partial
+    val (sp2, mp2) = tempTier("shnsw-mass9")
+    ShardedHnsw.save(
+      ShardedHnsw.build(skewed, "vec_id", "embedding", nCells = 9),
+      sp2, mp2)
+    val re9 = ShardedHnsw.load(spark, sp2, mp2)
+    val auto9 = graft.Library.autoProbe(spark, 9)
+    assert(auto9 < 9, s"fixture: auto budget $auto9 must be partial")
+    val frac9 = auto9.toDouble / 9
+    val qs9 = skewed.orderBy("vec_id").limit(120)
+      .as[(Long, Array[Float])].collect()
+    val exact9 = VectorSearch.topKBatch(skewed, "embedding", "vec_id",
+        skewed.select(col("vec_id").as("__qid"),
+          col("embedding").as("__qv")).orderBy("__qid").limit(120),
+        "__qid", "__qv", 10, excludeSelf = false)
+      .select("__qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var probeSum = 0
+    val served9 = qs9.flatMap { case (qid, qv) =>
+      val np = ShardedHnsw.probeCountByMass(re9, qv, frac9)
+        .getOrElse(auto9)
+      probeSum += np
+      ShardedHnsw.searchSingle(re9, qv, 10, np).collect()
+        .map(r => (qid, r.getLong(1)))
+    }.toSet
+    val recall9 = served9.count(exact9).toDouble / exact9.size
+    info(f"skewed mass-default recall $recall9%.4f, " +
+      f"mean probes ${probeSum.toDouble / qs9.length}%.2f vs fixed $auto9")
+    assert(recall9 >= 0.99, s"skewed mass-default recall $recall9 < 0.99")
     // the Library facade routes through the conf
     val wh = java.nio.file.Files.createTempDirectory("graft-mass").toString
     val lib = new graft.Library(spark, wh)
@@ -1065,6 +1113,24 @@ class ShardedHnswSpec extends SparkSpec {
       .length === 5)
     assert(ShardedHnsw.searchSingle(sh, qv, 5, 4).collect()
       .length === 5)
+    // a DERIVED handle (in-memory insert on a loaded handle) still
+    // lazily reads the parent's pinned leaves: the guard must cover it
+    // through the inherited pin (ADVICE r19), not fail file-not-found
+    val derived = ShardedHnsw.insert(fresh, batchAt(9_200_000L))
+    val derived2 = ShardedHnsw.insert(derived, batchAt(9_500_000L))
+    assert(ShardedHnsw.searchSingle(derived, qv, 5, 4).collect()
+      .length === 5)
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      batchAt(9_300_000L))
+    ShardedHnsw.insertPersisted(spark, shardsPath, metaPath,
+      batchAt(9_400_000L))
+    intercept[ShardedHnsw.StaleSnapshotException] {
+      ShardedHnsw.searchSingle(derived, qv, 5, 4)
+    }
+    // ...and a derived-of-derived handle inherits the same pin
+    intercept[ShardedHnsw.StaleSnapshotException] {
+      ShardedHnsw.searchSingle(derived2, qv, 5, 4)
+    }
   }
 
   test("enableShardedServing default sizes the clustering to ceil(sqrt(n)) — the sqrt-N convention, not a fixed toy count") {
@@ -1106,9 +1172,111 @@ class ShardedHnswSpec extends SparkSpec {
       "# N2\n" + ("second out of band batch words. " * 6))).toDS())
     // the facade reloads and retries instead of surfacing the guard
     assert(lib.shardedSearch(qv, opts).collect().nonEmpty)
+    // maintained inserts landed → the drift watermark has a reading
+    // (its value is honest here: a 2-doc out-of-band batch of novel
+    // text on a 16-doc corpus IS far from the build centers — which
+    // is exactly why the warn path demands 32+ inserts of evidence)
+    assert(lib.shardedDriftRatio().isDefined,
+      "maintained tier must expose a drift ratio")
     // nProbe passthrough: explicit full coverage and explicit 1-probe
     // both flow through annSearch (nCells=2 — both are answerable)
     assert(lib.annSearch(qv, opts, nProbe = 0).collect().nonEmpty)
     assert(lib.annSearch(qv, opts, nProbe = 1).collect().nonEmpty)
+  }
+
+  test("centroid-drift watermark (VERDICT r19 #2): in-distribution ingest stays quiet, a shifted distribution trips the band sitting below the recall-degrading regime") {
+    val dim = 16
+    def clusterPoint(c: Int, i: Int): Array[Float] = {
+      val v = Array.tabulate(dim)(d =>
+        (((c * 31 + d * 17) % 23) - 11).toFloat)
+      var d = 0
+      while (d < dim) {
+        v(d) += (((i * 13 + d * 7 + c) % 19) - 9) * 0.02f; d += 1
+      }
+      v
+    }
+    val built = (0 until 8).flatMap(c =>
+      (0 until 60).map(i => (c * 1000L + i, clusterPoint(c, i))))
+    val (sp, mp) = tempTier("shnsw-drift")
+    val sh = ShardedHnsw.build(built.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCells = 8)
+    ShardedHnsw.save(sh, sp, mp)
+    // baseline frozen, no inserts yet → no ratio
+    assert(ShardedHnsw.driftRatio(spark, sp, mp).isEmpty)
+    // IN-DISTRIBUTION maintenance batch: fresh draws from the same
+    // generator — the watermark must stay quiet
+    ShardedHnsw.insertPersisted(spark, sp, mp,
+      (0 until 8).flatMap(c => (200 until 205).map(i =>
+        (50_000L + c * 100 + i, clusterPoint(c, i)))))
+    val rIn = ShardedHnsw.driftRatio(spark, sp, mp).get
+    info(f"in-distribution drift ratio $rIn%.3f")
+    assert(rIn < 1.5, s"in-distribution ingest tripped the band: $rIn")
+    // SHIFTED distribution: a tight new cluster midway between two
+    // centers, members alternating ±ε along the axis so the frozen
+    // quantizer SPLITS genuine neighbors across two cells — the
+    // failure mode the watermark exists to flag. Pick the first pair
+    // (by descending separation) whose midpoint actually straddles a
+    // cell boundary: the midpoint of a far pair can belong to a THIRD
+    // cell, which would not split.
+    val centers = sh.centers
+    def shiftedBatchFor(a: Int, b: Int): IndexedSeq[(Long, Array[Float])] = {
+      val axis = centers(b).zip(centers(a)).map { case (x, y) => x - y }
+      val len = math.sqrt(axis.map(x => x * x).sum)
+      val unit = axis.map(_ / len)
+      val mid = centers(a).zip(centers(b)).map { case (x, y) => (x + y) / 2 }
+      (0 until 40).map { i =>
+        val side = if (i % 2 == 0) 1.0 else -1.0
+        val v = Array.tabulate(dim)(d => (mid(d) + side * 0.3 * unit(d) +
+          (((i * 13 + d * 7) % 19) - 9) * 0.005).toFloat)
+        (90_000L + i, v)
+      }
+    }
+    val shifted = (for { a <- centers.indices; b <- centers.indices
+        if a < b } yield (a, b))
+      .sortBy { case (a, b) => -ShardedHnsw.distToCenter(centers(a),
+        centers(b).map(_.toFloat)) }
+      .iterator.map { case (a, b) => shiftedBatchFor(a, b) }
+      .find { batch =>
+        batch.map { case (_, v) =>
+          ShardedHnsw.probeCells(sh, v, 1).head }.toSet.size >= 2
+      }
+      .getOrElse(fail("fixture: no straddling pair found"))
+    ShardedHnsw.insertPersisted(spark, sp, mp, shifted)
+    val rShift = ShardedHnsw.driftRatio(spark, sp, mp).get
+    info(f"post-shift drift ratio $rShift%.3f")
+    assert(rShift > 1.5, s"shifted ingest must trip the 1.5 band: $rShift")
+    // WHY the band: at the drifted geometry, partial probing loses the
+    // neighbors the quantizer split — measure recall@nProbe=1 for the
+    // shifted members vs in-distribution members on the SAME tier
+    val re = ShardedHnsw.load(spark, sp, mp)
+    val all = built ++ shifted
+    def recallAt1(qs: Seq[(Long, Array[Float])]): Double = {
+      val allDf = all.toDF("vec_id", "embedding")
+      val exact = VectorSearch.topKBatch(allDf, "embedding", "vec_id",
+          qs.toDF("__qid", "__qv"), "__qid", "__qv", 10,
+          excludeSelf = false)
+        .select("__qid", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val served = qs.flatMap { case (qid, qv) =>
+        ShardedHnsw.searchSingle(re, qv, 10, 1).collect()
+          .map(r => (qid, r.getLong(1)))
+      }.toSet
+      served.count(exact).toDouble / exact.size
+    }
+    val recallShift = recallAt1(shifted.take(20))
+    val recallIn = recallAt1(built.take(20))
+    info(f"recall@1probe: in-distribution $recallIn%.3f, " +
+      f"drifted $recallShift%.3f (ratio $rShift%.2f)")
+    assert(recallIn >= 0.9,
+      s"in-distribution recall@1 must stay high: $recallIn")
+    assert(recallShift <= recallIn - 0.2,
+      "the drifted regime must show the recall damage the band warns " +
+        s"about (drifted $recallShift vs in-dist $recallIn)")
+    // the facade surfaces the same reading
+    // (compaction carries the state: drop nothing, just re-commit)
+    ShardedHnsw.compactPersisted(spark, sp, mp, Set(90_000L),
+      Seq(ShardedHnsw.probeCells(re, shifted.head._2, 1).head))
+    assert(math.abs(ShardedHnsw.driftRatio(spark, sp, mp).get - rShift)
+      < 1e-9, "compaction must carry the drift state unchanged")
   }
 }
