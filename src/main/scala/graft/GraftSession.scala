@@ -40,7 +40,10 @@ object GraftSession {
     }
 
   def registerFunctions(spark: SparkSession): Unit = {
-    graft.plans.CosineSimilarity.register(spark)
+    // cosine_similarity + nearest_cells/assign_cell + the ann_topk
+    // table function — the same surface graft.plans.GraftExtensions
+    // injects at session build (VERDICT r19 #6)
+    graft.plans.GraftSqlFunctions.registerOn(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => graft.plans.MinHashSignature(exprs.head,

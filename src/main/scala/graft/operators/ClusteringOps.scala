@@ -373,7 +373,7 @@ object IvfIndex {
     val idx = build(df, idCol, vecCol, nCells, seed, cache = false)
     idx.assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     graft.plans.IvfRegistry.register(path,
-      idx.model.clusterCenters.map(_.toArray), nProbe)
+      idx.model.clusterCenters.map(_.toArray), nProbe, idCol, vecCol)
     idx
   }
 }

@@ -59,7 +59,13 @@ object LangId {
     * ps/ckb (ckb needs ە, see [[NormRegexArabJava]]), and Latin with
     * tl/uz/ceb/ha/yo (ha's hooked consonants and yo's combining tone
     * marks need the widened alphabet, see [[NormRegexJava]]):
-    * **78 servable languages**. Romanian
+    * 78 servable languages. Round 20 (VERDICT r19 #4) clears the
+    * remaining wrong-near-neighbor tail: tt/ba/cv into the Cyrillic
+    * bucket and ug/sd into the Arabic bucket (their discriminating
+    * letters — Tatar/Bashkir ә/җ/ң/ҡ/ҙ/ҫ, Chuvash ӑ/ӗ/ҫ/ӳ, Uyghur
+    * ۇ/ۆ/ۈ/ې/ڭ, Sindhi ٻ/ڄ/ڏ/ڳ/ڻ/ڪ — already sit inside the round-19
+    * normalization ranges, so this is pure profile addition):
+    * **83 servable languages**. Romanian
     * note: the seed uses the
     * cedilla forms ş/ţ (U+015F/U+0163, inside the normalization
     * alphabet); comma-below ș/ț (U+0219/U+021B, Latin Extended-B) fall
@@ -83,17 +89,27 @@ object LangId {
     * the bucket with be/kk/ky/mk/mn/tg — before this, the major
     * non-Slavic Cyrillic web languages labeled as a wrong
     * near-neighbor (kk/ky/mn→ru, mk→sr/bg, be→ru/uk) rather than
-    * unknown. Priority order for ties. */
-  val CyrillicLangs: Seq[String] =
-    Seq("be", "bg", "kk", "ky", "mk", "mn", "ru", "sr", "tg", "uk")
+    * unknown. Round 20 (VERDICT r19 #4) adds tt/ba/cv — the last
+    * Cyrillic web languages labeling as a wrong near-neighbor
+    * (tt/ba→kk, cv→ru); their letters (ә җ ң һ ҡ ҙ ҫ ӑ ӗ ӳ) live in
+    * the already-kept U+0460–04FF extension, so no normalization
+    * change. Priority order for ties. */
+  val CyrillicLangs: Seq[String] = Seq("ba", "be", "bg", "cv", "kk",
+    "ky", "mk", "mn", "ru", "sr", "tg", "tt", "uk")
 
   /** Languages decided within the Arabic script bucket — same
     * mechanism (ar was the collapse label; fa/ur were unservable).
     * Round 19 adds ps (the Pashto retroflex letters ټ/ډ/ړ/ږ/ښ/ګ/ڼ
     * and ې/ۍ sit in the U+0679–06D3 extension the normalization
     * already keeps) and ckb (Sorani Kurdish — needs ە U+06D5 in the
-    * normalization; ڕ/ڵ/ۆ/ێ are in the extension block). */
-  val ArabicLangs: Seq[String] = Seq("ar", "ckb", "fa", "ps", "ur")
+    * normalization; ڕ/ڵ/ۆ/ێ are in the extension block). Round 20
+    * (VERDICT r19 #4) adds ug (Uyghur — fully vowelled Arabic script,
+    * ۇ/ۆ/ۈ/ې/ۋ/ڭ all in the extension) and sd (Sindhi — the implosive
+    * letters ٻ/ڄ/ڏ/ڳ and ڙ/ڻ/ڪ likewise; its ۽ 'and'-sign U+06FD sits
+    * OUTSIDE the kept ranges and collapses to a space, which only
+    * drops a standalone conjunction word). */
+  val ArabicLangs: Seq[String] =
+    Seq("ar", "ckb", "fa", "ps", "sd", "ug", "ur")
 
   /** Languages decided within the Devanagari bucket — hi was the
     * collapse label; mr/ne were unservable. */
@@ -829,6 +845,52 @@ object LangId {
       мебозанд. Дирӯз мо ба дӯстонамон дар бораи сафар номаи дароз
       навиштем. Китоб дар рӯи миз дар назди тиреза хобидааст ва
       хонандаи худро интизор аст.""",
+    // round-20 Cyrillic additions (VERDICT r19 #4): tt/ba are the
+    // tight Kipchak pair (their discriminators against kk and each
+    // other: tt җ/чы vs ba ҙ/ҫ/ҡ), cv is the lone Oghur language
+    // (ӑ/ӗ/ҫ/ӳ-heavy, structurally far from all of them)
+    "tt" -> """Фән тарихы яңа фикерләрнең кабул ителгәнче еш кына
+      каршылыкка очравын күрсәтә. Тикшеренүчеләр тирә-юньдәге дөньяны
+      яхшырак аңлар өчен ысуллар эшлиләр. Таулардагы һава торышы тиз
+      үзгәрергә мөмкин, шуңа күрә сәяхәтчеләр сак булырга тиеш. Күп
+      кешеләр зур шәһәрләрдә яши һәм офисларда яки заводларда эшли.
+      Балалар һәр иртә укырга, язарга һәм санарга өйрәнер өчен
+      мәктәпкә баралар. Җиләк-җимеш һәм яшелчәләр белән сәламәт ризык
+      тән өчен бик мөһим. Поезд станциядән үз вакытында чыга һәм кичен
+      шәһәргә килеп җитә. Җәен гаиләләр ял итәр өчен диңгезгә яки
+      тауларга баралар. Хөкүмәт әйләнә-тирә мохитне саклау турында яңа
+      закон кабул итте. Музыка һәм сәнгать күп кешеләрнең тормышында
+      мөһим роль уйный. Кичә без дусларыбызга сәяхәт турында озын хат
+      яздык. Китап тәрәзә янындагы өстәлдә ята һәм үз укучысын
+      көтә.""",
+    "ba" -> """Фән тарихы яңы фекерҙәрҙең ҡабул ителгәнсе йыш ҡына
+      ҡаршылыҡҡа осрауын күрһәтә. Тикшеренеүселәр тирә-яҡтағы донъяны
+      яҡшыраҡ аңлау өсөн ысулдар эшләй. Тауҙарҙағы һауа торошо тиҙ
+      үҙгәрергә мөмкин, шуға күрә сәйәхәтселәр һаҡ булырға тейеш. Күп
+      кешеләр ҙур ҡалаларҙа йәшәй һәм офистарҙа йәки заводтарҙа эшләй.
+      Балалар һәр иртә уҡырға, яҙырға һәм һанарға өйрәнеү өсөн
+      мәктәпкә бара. Емеш-еләк һәм йәшелсәләр менән файҙалы аҙыҡ тән
+      өсөн бик мөһим. Поезд станциянан үҙ ваҡытында сыға һәм кис
+      ҡалаға килеп етә. Йәйен ғаиләләр ял итеү өсөн диңгеҙгә йәки
+      тауҙарға бара. Хөкүмәт әйләнә-тирә мөхитте һаҡлау тураһында яңы
+      закон ҡабул итте. Музыка һәм сәнғәт күп кешеләрҙең тормошонда
+      мөһим роль уйнай. Кисә беҙ дуҫтарыбыҙға сәйәхәт тураһында оҙон
+      хат яҙҙыҡ. Китап тәҙрә янындағы өҫтәлдә ята һәм үҙ уҡыусыһын
+      көтә.""",
+    "cv" -> """Ӑслӑлӑх историйӗ ҫӗнӗ шухӑшсем йышӑниччен час-часах
+      хирӗҫӳпе тӗл пулнине кӑтартать. Тӗпчевҫӗсем таврари тӗнчене
+      лайӑхрах ӑнланма меслетсем хатӗрлеҫҫӗ. Тусем ҫинчи ҫанталӑк
+      хӑвӑрт улшӑнма пултарать, ҫавӑнпа ҫулҫӳревҫӗсен асӑрхануллӑ
+      пулмалла. Нумай ҫын пысӑк хуласенче пурӑнать тата офиссенче е
+      заводсенче ӗҫлет. Ачасем кашни ир вулама, ҫырма тата шутлама
+      вӗренме шкула каяҫҫӗ. Улма-ҫырлапа пахча ҫимӗҫлӗ сывлӑхлӑ апат
+      ӳт-пӳшӗн питӗ кирлӗ. Поезд станцирен хӑй вӑхӑтӗнче тухать те
+      каҫхине хулана ҫитет. Ҫулла ҫемьесем канма тинӗсе е тусем патне
+      каяҫҫӗ. Правительство таврари ҫутҫанталӑка сыхласси ҫинчен ҫӗнӗ
+      саккун йышӑннӑ. Кӗвӗпе ӳнер нумай ҫын пурнӑҫӗнче пысӑк вырӑн
+      йышӑнаҫҫӗ. Ӗнер эпир туссене ҫул ҫӳрев ҫинчен вӑрӑм ҫыру
+      ҫыртӑмӑр. Кӗнеке чӳрече ҫумӗнчи сӗтел ҫинче выртать те хӑйӗн
+      вулаканне кӗтет.""",
     // --- Arabic-script seeds: normalized with NormRegexArab ---
     "ar" -> """تاريخ العلم يبين أن الأفكار الجديدة كثيرا ما تواجه مقاومة
       قبل أن تقبل. يطور الباحثون طرقا لفهم العالم من حولنا بشكل أفضل.
@@ -896,6 +958,37 @@ object LangId {
       زۆر کەسدا. دوێنێ نامەیەکی درێژمان بۆ هاوڕێکانمان نووسی دەربارەی
       گەشتەکە. کتێبەکە لەسەر مێزەکەیە لە تەنیشت پەنجەرەکە و چاوەڕوانی
       خوێنەرەکەی دەکات.""",
+    // round-20 Arabic-script additions (VERDICT r19 #4): ug (fully
+    // vowelled — the ئـ hamza carrier + ۇ/ۆ/ۈ/ې vowels separate it
+    // sharply from the consonantal neighbors), sd (the implosive
+    // series ٻ/ڄ/ڏ/ڳ plus ڪ for kaf)
+    "ug" -> """پەن تارىخى يېڭى پىكىرلەرنىڭ قوبۇل قىلىنىشتىن بۇرۇن دائىم
+      قارشىلىققا ئۇچرايدىغانلىقىنى كۆرسىتىدۇ. تەتقىقاتچىلار
+      ئەتراپىمىزدىكى دۇنيانى تېخىمۇ ياخشى چۈشىنىش ئۈچۈن ئۇسۇللارنى
+      يارىتىدۇ. تاغدىكى ھاۋا تېز ئۆزگىرىشى مۇمكىن، شۇڭا ساياھەتچىلەر
+      ئېھتىياتچان بولۇشى كېرەك. نۇرغۇن كىشىلەر چوڭ شەھەرلەردە ياشايدۇ
+      ۋە ئىشخانىلاردا ياكى زاۋۇتلاردا ئىشلەيدۇ. بالىلار ھەر كۈنى
+      ئەتىگەندە ئوقۇش، يېزىش ۋە ھېسابلاشنى ئۆگىنىش ئۈچۈن مەكتەپكە
+      بارىدۇ. مېۋە ۋە كۆكتاتلىق ساغلام يېمەكلىك بەدەن ئۈچۈن مۇھىم.
+      پويىز ئىستانسىدىن ئۆز ۋاقتىدا يولغا چىقىدۇ ۋە كەچتە شەھەرگە
+      يېتىپ بارىدۇ. يازدا ئائىلىلەر دەم ئېلىش ئۈچۈن دېڭىزغا ياكى
+      تاغقا بارىدۇ. ھۆكۈمەت مۇھىت ئاسراش توغرىسىدا يېڭى قانۇن
+      ماقۇللىدى. مۇزىكا ۋە سەنئەت نۇرغۇن كىشىلەرنىڭ ھاياتىدا مۇھىم
+      رول ئوينايدۇ. تۈنۈگۈن بىز دوستلىرىمىزغا ساياھەت توغرىسىدا
+      ئۇزۇن خەت يازدۇق. كىتاب دېرىزە يېنىدىكى ئۈستەلدە تۇرىدۇ ۋە ئۆز
+      ئوقۇرمىنىنى كۈتىدۇ.""",
+    "sd" -> """سائنس جي تاريخ ڏيکاري ٿي ته نوان خيال قبول ٿيڻ کان اڳ
+      اڪثر مزاحمت کي منهن ڏين ٿا. محقق اهڙا طريقا ٺاهين ٿا جن سان
+      اسان جي چوڌاري دنيا کي بهتر سمجهي سگهجي. جبلن جي موسم تيزيءَ
+      سان بدلجي سگهي ٿي ۽ سياحن کي محتاط رهڻ گهرجي. گهڻا ماڻهو وڏن
+      شهرن ۾ رهن ٿا ۽ آفيسن يا ڪارخانن ۾ ڪم ڪن ٿا. ٻار هر صبح پڙهڻ،
+      لکڻ ۽ حساب سکڻ لاءِ اسڪول وڃن ٿا. ميون ۽ ڀاڄين سان صحتمند کاڌو
+      جسم لاءِ ضروري آهي. ريل گاڏي وقت تي اسٽيشن کان هلي ٿي ۽ شام جو
+      شهر پهچي ٿي. اونهاري ۾ خاندان آرام لاءِ سمنڊ يا جبلن ڏانهن وڃن
+      ٿا. حڪومت ماحول جي حفاظت بابت نئون قانون منظور ڪيو آهي. موسيقي
+      ۽ فن گهڻن ماڻهن جي زندگيءَ ۾ اهم ڪردار ادا ڪن ٿا. ڪالهه اسان
+      سفر بابت پنهنجن دوستن کي ڊگهو خط لکيو. ڪتاب ميز تي دريءَ جي
+      ڀرسان پيو آهي ۽ پنهنجي پڙهندڙ جو انتظار ڪري ٿو.""",
     // --- Devanagari seeds: normalized with NormRegexDeva ---
     "hi" -> """विज्ञान का इतिहास दिखाता है कि नए विचारों को स्वीकार किए
       जाने से पहले अक्सर विरोध का सामना करना पड़ता है। शोधकर्ता ऐसे

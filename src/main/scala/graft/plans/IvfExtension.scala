@@ -35,11 +35,17 @@ object IvfRegistry {
     * directory costs nothing, so the rule adds it unconditionally. */
   val DeltaCell = -1
 
-  case class Entry(centers: Array[Array[Double]], nProbe: Int)
+  /** `idCol`/`vecCol` are the persisted table's column names — the
+    * `ann_topk` SQL table function scores `vecCol` and tie-breaks the
+    * top-k on `idCol` (the optimizer-rule path never needs them: it
+    * rewrites whatever columns the user's own query scored). */
+  case class Entry(centers: Array[Array[Double]], nProbe: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding")
   private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
-  def register(pathPrefix: String, centers: Array[Array[Double]], nProbe: Int): Unit =
-    entries.put(normalize(pathPrefix), Entry(centers, nProbe))
+  def register(pathPrefix: String, centers: Array[Array[Double]], nProbe: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    entries.put(normalize(pathPrefix), Entry(centers, nProbe, idCol, vecCol))
   def unregister(pathPrefix: String): Unit = entries.remove(normalize(pathPrefix))
   def clear(): Unit = entries.clear()
 
@@ -108,12 +114,30 @@ object IvfRegistry {
 case class IvfProbeRule() extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case gl @ GlobalLimit(_, LocalLimit(_, s: Sort))
-      if s.global && s.order.nonEmpty &&
-        s.order.head.direction == Descending &&
-        sortKeyQuery(s.order.head.child, s.child).isDefined =>
-      val (vecExpr, queryLit) = sortKeyQuery(s.order.head.child, s.child).get
-      rewrite(gl, s, s.child, vecExpr, queryLit).getOrElse(gl)
+    // DataFrame shape: limit directly over the sort
+    case gl @ GlobalLimit(le, LocalLimit(ll, s: Sort)) if candidate(s) =>
+      rewrittenSort(s).map(s2 =>
+        GlobalLimit(le, LocalLimit(ll, s2))).getOrElse(gl)
+    // SQL shape (round 20): `ORDER BY cosine_similarity(...) DESC
+    // LIMIT k` sorts by an expression outside the SELECT list, so the
+    // analyzer interposes a Project that drops the hidden sort column
+    // between the limit and the sort — same probe, one more hop
+    case gl @ GlobalLimit(le, LocalLimit(ll, p @ Project(_, s: Sort)))
+        if candidate(s) =>
+      rewrittenSort(s).map(s2 =>
+        GlobalLimit(le, LocalLimit(ll, p.copy(child = s2)))).getOrElse(gl)
+  }
+
+  private def candidate(s: Sort): Boolean =
+    s.global && s.order.nonEmpty &&
+      s.order.head.direction == Descending &&
+      sortKeyQuery(s.order.head.child, s.child).isDefined
+
+  /** The sort with the probed `__cell IN (...)` filter injected below
+    * it, when every precondition holds. */
+  private def rewrittenSort(s: Sort): Option[Sort] = {
+    val (vecExpr, queryLit) = sortKeyQuery(s.order.head.child, s.child).get
+    rewrite(s, s.child, vecExpr, queryLit)
   }
 
   /** The sort key is either `cosine_similarity(col, <lit>)` directly or
@@ -134,8 +158,8 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def rewrite(top: LogicalPlan, sort: Sort, child: LogicalPlan,
-                      vecExpr: Expression, queryLit: Literal): Option[LogicalPlan] = {
+  private def rewrite(sort: Sort, child: LogicalPlan,
+                      vecExpr: Expression, queryLit: Literal): Option[Sort] = {
     // idempotency: the fixed-point optimizer re-runs this rule on its
     // own output — a plan already carrying a __cell predicate must not
     // get another (it would never converge). Match ANY filter touching
@@ -176,10 +200,7 @@ case class IvfProbeRule() extends Rule[LogicalPlan] {
           Filter(In(cellAttr,
             (cells :+ IvfRegistry.DeltaCell).map(c => Literal(c))), l)
       }
-      top match {
-        case GlobalLimit(le, LocalLimit(ll, _)) =>
-          GlobalLimit(le, LocalLimit(ll, sort.copy(child = pruned)))
-      }
+      sort.copy(child = pruned)
     }
   }
 

@@ -2547,7 +2547,15 @@ object CorpusQueries {
     35L -> "O panadeiro prepara cada noite pan fresco que os veciños mercan pola mañá cedo na praza da vila.",
     36L -> "Para nelayan keluar ke laut awal pagi lagi dan balik ke kampung dengan ikan segar sebelum senja kerana hendak mengelakkan ribut.",
     37L -> "Peshkatarët dolën në det herët në mëngjes dhe u kthyen në fshat me peshq të freskët para mbrëmjes.",
-    38L -> "Wavuvi walitoka baharini asubuhi na mapema na kurudi kijijini na samaki safi kabla ya giza kuingia.")
+    38L -> "Wavuvi walitoka baharini asubuhi na mapema na kurudi kijijini na samaki safi kabla ya giza kuingia.",
+    // round 20 (VERDICT r19 #4): the tt/ba/cv Cyrillic and ug/sd
+    // Arabic-script additions — each previously labeled as its wrong
+    // near-neighbor (tt/ba→kk, cv→ru, ug→fa/ur, sd→ur/ar)
+    39L -> "Көздә паркта балалар сары яфракларны җыялар һәм әбиләренә матур бәйләм ясар өчен өйгә алып кайталар.",
+    40L -> "Көҙөн паркта балалар һары япраҡтарҙы йыя һәм өләсәйҙәренә матур гөлләмә яһау өсөн өйгә алып ҡайта.",
+    41L -> "Кӗркунне паркра ачасем сарӑ ҫулҫӑсем пуҫтараҫҫӗ те асламӑшӗ валли илемлӗ ҫыхӑ тума киле илсе каяҫҫӗ.",
+    42L -> "كۈزدە بالىلار باغچىدا سېرىق يوپۇرماقلارنى يىغىپ، مومىسىغا چىرايلىق گۈل باغلىمى ياساش ئۈچۈن ئۆيگە ئېلىپ بارىدۇ.",
+    43L -> "سرءُ ۾ ٻار پارڪ ۾ پيلا پن گڏ ڪن ٿا ۽ ڏاڏيءَ لاءِ سهڻو گلدستو ٺاهڻ لاءِ گهر کڻي وڃن ٿا.")
 
   /** q95's batch-equivalent scoring CTEs (signature algebra → band
     * candidates → component agreement), shared with the q100

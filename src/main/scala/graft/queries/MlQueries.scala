@@ -151,6 +151,45 @@ object MlQueries {
           .orderBy("qid", "rn")
       }),
 
+    // Round 20 (VERDICT r19 #6): the ANN SQL surface end to end —
+    // `ann_topk` from plain spark.sql over a per-run persisted IVF
+    // index. Full probe (nProbe = nCells) is provably exact, so the
+    // q51-style brute-force oracle certifies the whole TVF chain:
+    // parse → registry lookup → driver-side probe ranking → pruned
+    // scan → cosine top-k. (The partial-probe pruning and the plan
+    // shape — PartitionFilters, no Window — are pinned in
+    // GraftSqlExtensionSpec.)
+    Q("q182_sql_ann_topk", Some("""
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, round(cs, 6) AS cos_sim FROM (
+        SELECT vec_id,
+          list_dot_product(embedding::DOUBLE[], qv) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product(qv, qv))) AS cs
+        FROM embeddings, q
+        ORDER BY cs DESC, vec_id
+        LIMIT 10) t
+      ORDER BY cos_sim DESC, vec_id"""),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select("embedding").head().getSeq[Float](0).toArray
+        // per-run scratch (the q180 precedent): concurrent suite runs
+        // must not race one fixed index dir
+        val idxRoot = java.nio.file.Files
+          .createTempDirectory("graft-q182-ivf").toFile
+        val idxPath = new java.io.File(idxRoot, "emb").getAbsolutePath
+        graft.operators.IvfIndex.persist(emb, "vec_id", "embedding",
+          nCells = 8, path = idxPath, nProbe = 8)
+        graft.plans.GraftSqlFunctions.registerOn(s)
+        val qSql = qv.map(v => s"cast($v AS FLOAT)")
+          .mkString("array(", ", ", ")")
+        s.sql(s"""
+          SELECT vec_id, round(cos_sim, 6) AS cos_sim
+          FROM ann_topk('$idxPath', $qSql, 10, 8)
+          ORDER BY cos_sim DESC, vec_id""")
+      }),
+
     // M3: soft clustering membership counts (softmax over -dist/T). The
     // oracle replays the softmax (T = 0.5, keep p >= 0.01) against the
     // fitted centroid literals; per-row scalar double math (exp, sqrt)

@@ -182,6 +182,16 @@ class LangIdSpec extends SparkSpec {
       "mn" -> "Өвөлдөө бид ихэвчлэн зөгийн балтай халуун цай ууж, гадаа цас орох үед цонхны дэргэд хуучин ном уншдаг.",
       "tg" -> "Дар тирамоҳ кӯдакон дар боғ баргҳои зардро ҷамъ мекунанд ва ба хона мебаранд, то барои бибии худ гулдастаи зебо созанд.",
       "tg" -> "Дар зимистон мо аксар вақт чои гарм бо асал менӯшем ва дар назди тиреза китобҳои кӯҳнаро мехонем, вақте ки дар берун барф меборад.",
+      // round-20 Cyrillic additions (VERDICT r19 #4): tt-vs-ba is the
+      // adversarial Kipchak pair (shared register, discriminated by
+      // tt җ vs ba ҙ/ҫ/ҡ); cv is structurally distant but used to
+      // label ru
+      "tt" -> "Көздә паркта балалар сары яфракларны җыялар һәм әбиләренә матур бәйләм ясар өчен өйгә алып кайталар.",
+      "tt" -> "Кышын без еш кына бал белән кайнар чәй эчәбез һәм тәрәзә янында иске китаплар укыйбыз, урамда кар ява.",
+      "ba" -> "Көҙөн паркта балалар һары япраҡтарҙы йыя һәм өләсәйҙәренә матур гөлләмә яһау өсөн өйгә алып ҡайта.",
+      "ba" -> "Ҡышын беҙ йыш ҡына бал менән ҡайнар сәй эсәбеҙ һәм тәҙрә янында иҫке китаптар уҡыйбыҙ, тышта ҡар яуа.",
+      "cv" -> "Кӗркунне паркра ачасем сарӑ ҫулҫӑсем пуҫтараҫҫӗ те асламӑшӗ валли илемлӗ ҫыхӑ тума киле илсе каяҫҫӗ.",
+      "cv" -> "Хӗлле эпир час-часах пылпа вӗри чей ӗҫетпӗр те чӳрече умӗнче кивӗ кӗнекесем вулатпӑр, тулта юр ҫӑвать.",
       "ar" -> "في الخريف يجمع الأطفال أوراق الشجر الصفراء في الحديقة ويحملونها إلى البيت ليصنعوا باقة جميلة لجدتهم.",
       "ar" -> "في الشتاء نشرب الشاي الساخن مع العسل ونقرأ الكتب القديمة قرب النافذة بينما يتساقط الثلج في الخارج.",
       "fa" -> "در پاییز کودکان در پارک برگ های زرد را جمع می کنند و به خانه می برند تا دسته گلی زیبا برای مادربزرگ خود بسازند.",
@@ -195,6 +205,13 @@ class LangIdSpec extends SparkSpec {
       "ps" -> "په ژمي کې موږ ډېر ځله له شاتو سره ګرم چای څښو او د کړکۍ څنګ ته زاړه کتابونه لولو کله چې بهر واوره اوري.",
       "ckb" -> "لە پاییزدا منداڵان لە پارکەکەدا گەڵا زەردەکان کۆدەکەنەوە و دەیانبەنە ماڵەوە بۆ ئەوەی چەپکێکی جوان بۆ داپیرەیان دروست بکەن.",
       "ckb" -> "لە زستاندا زۆر جار چای گەرم لەگەڵ هەنگوین دەخۆینەوە و لە تەنیشت پەنجەرەکە کتێبە کۆنەکان دەخوێنینەوە کاتێک بەفر دەبارێت.",
+      // round-20 Arabic-script additions (VERDICT r19 #4): ug's
+      // vowelled orthography and sd's implosive letters — both used
+      // to label ar/fa/ur
+      "ug" -> "كۈزدە بالىلار باغچىدا سېرىق يوپۇرماقلارنى يىغىپ، مومىسىغا چىرايلىق گۈل باغلىمى ياساش ئۈچۈن ئۆيگە ئېلىپ بارىدۇ.",
+      "ug" -> "قىشتا بىز دائىم ھەسەل بىلەن ئىسسىق چاي ئىچىمىز ۋە دېرىزە يېنىدا كونا كىتابلارنى ئوقۇيمىز، سىرتتا قار ياغىدۇ.",
+      "sd" -> "سرءُ ۾ ٻار پارڪ ۾ پيلا پن گڏ ڪن ٿا ۽ ڏاڏيءَ لاءِ سهڻو گلدستو ٺاهڻ لاءِ گهر کڻي وڃن ٿا.",
+      "sd" -> "سياري ۾ اسين اڪثر ماکيءَ سان گرم چانهه پيئون ٿا ۽ دريءَ ڀرسان پراڻا ڪتاب پڙهون ٿا، جڏهن ٻاهر برف پوي ٿي.",
       "hi" -> "शरद ऋतु में बच्चे बगीचे में पीले पत्ते इकट्ठा करते हैं और दादी के लिए सुंदर गुलदस्ता बनाने घर ले जाते हैं।",
       "hi" -> "सर्दियों में हम अक्सर शहद के साथ गर्म चाय पीते हैं और खिड़की के पास पुरानी किताबें पढ़ते हैं।",
       "mr" -> "शरद ऋतूत मुले बागेत पिवळी पाने गोळा करतात आणि आजीसाठी सुंदर पुष्पगुच्छ करण्यासाठी घरी नेतात.",
