@@ -70,9 +70,17 @@ object TextFunctions {
   }
 
   /** Portable 32-bit hash: first 8 hex chars of md5, as an unsigned int
-    * in a long. Identical in any engine with md5 + hex parsing. */
+    * in a long. Identical in any engine with md5 + hex parsing.
+    *
+    * Round 20: computed by the native [[graft.plans.Md5Hash32]] kernel —
+    * bit-identical to `conv(substring(md5(c),1,8),16,10)` (the first 8
+    * hex chars ARE the first 4 digest bytes) without the hex-string
+    * round-trip and its three per-call allocations. Oracles keep
+    * replaying the conv/substring form; only the engine-side evaluation
+    * changed. The cast is a no-op for string inputs and preserves the
+    * old implicit-cast behavior for the rest. */
   def portableHash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    graft.plans.Md5Hash32(c.cast("string"))
 
   /** Hash-family names for [[hash32]]: md5 is the oracle mode (portable
     * across engines, certifiable against a SQL oracle bit-for-bit);

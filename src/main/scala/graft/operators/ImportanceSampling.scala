@@ -65,6 +65,17 @@ object ImportanceSampling {
                   isTarget: Column, buckets: Int = 4096,
                   hashFamily: String = graft.functions.TextFunctions.HashMd5): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    if (hashFamily == graft.functions.TextFunctions.HashMd5)
+      dsirWeightsNative(df, idCol, textCol, isTarget, buckets)
+    else dsirWeightsColumns(df, idCol, textCol, isTarget, buckets, hashFamily)
+  }
+
+  /** The pre-round-20 column formulation — the path for hash families
+    * without a native kernel, and the parity reference the spec pins
+    * the map-only form against. */
+  private[operators] def dsirWeightsColumns(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      buckets: Int, hashFamily: String): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       coalesce(isTarget.cast("int"), lit(0)).as("is_target"),
       grams(lower(col(textCol))).as("__gs"))
@@ -100,6 +111,60 @@ object ImportanceSampling {
       .select(col("id"), col("is_target"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** Round-20 md5-family path (guide §2.3/§2.4): the per-doc feature
+    * histogram is ONE map-only expression
+    * ([[graft.plans.HashedGramBuckets]] — no gram-string explode, no
+    * hex round-trip, hashing paid once behind a checkpoint), the bucket
+    * statistics are one slim (bucket, count) shuffle over pre-combined
+    * per-doc entries, the ≤ `buckets`-row ratio table collapses to a
+    * driver-side double array (same IEEE ops as the previous in-plan
+    * log10 columns — Spark's Log10 IS Math.log10, division is exact
+    * IEEE, and the inputs are integer counts, so each lr is
+    * bit-identical), and scoring folds each doc's histogram against
+    * that array map-only ([[graft.plans.BucketArrayDot]]) — no scoring
+    * join, no second keyed shuffle, no join-back.
+    *
+    * The per-doc weight fold runs in ascending-bucket order — a fixed
+    * deterministic order where the previous hash-aggregate sum was
+    * partitioning-dependent; both sit inside the documented ≤1-ulp
+    * envelope the 6dp output rounding absorbs (the DuckDB oracle's own
+    * unordered sum already certifies that envelope). n_grams stays
+    * integer-exact. */
+  private def dsirWeightsNative(df: DataFrame, idCol: String,
+                                textCol: String, isTarget: Column,
+                                buckets: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      coalesce(isTarget.cast("int"), lit(0)).as("is_target"),
+      graft.plans.HashedGramBuckets(lower(col(textCol)), buckets).as("__h"))
+      .materializeOnce(eager = false) // hashing paid once: stats + scoring
+    val stats = base
+      .select(col("is_target"), explode(col("__h")).as("e"))
+      .groupBy(col("e.b").as("__b"))
+      .agg(
+        sum(when(col("is_target") === 1, col("e.n")).otherwise(lit(0L))).as("ct"),
+        sum(when(col("is_target") === 0, col("e.n")).otherwise(lit(0L))).as("cs"))
+      .collect()
+    var nt = 0L
+    var ns = 0L
+    stats.foreach { r => nt += r.getLong(1); ns += r.getLong(2) }
+    val lr = new Array[Double](buckets)
+    val smoothT = math.log10(1.0 / (nt.toDouble + buckets.toDouble))
+    val smoothS = math.log10(1.0 / (ns.toDouble + buckets.toDouble))
+    java.util.Arrays.fill(lr, smoothT - smoothS) // untouched buckets (ct=cs=0)
+    stats.foreach { r =>
+      lr(r.getInt(0)) =
+        math.log10((r.getLong(1).toDouble + 1.0) / (nt.toDouble + buckets.toDouble)) -
+        math.log10((r.getLong(2).toDouble + 1.0) / (ns.toDouble + buckets.toDouble))
+    }
+    base
+      .select(col("id"), col("is_target"),
+        graft.plans.BucketArrayDot(col("__h"), lr).as("__d"))
+      .select(col("id"), col("is_target"),
+        // NULL text → NULL struct; the legacy path coalesced to (0, 0.0)
+        coalesce(col("__d.n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__d.dot"), lit(0.0)).as("weight"))
   }
 
   /** The resampling step: the `fraction` highest-weight rows of a

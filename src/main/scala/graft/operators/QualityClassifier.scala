@@ -102,9 +102,35 @@ object QualityClassifier {
     * differ from z by 1 ulp — order-stable in practice (q124 pins
     * every rank), so rank on z and round any DISPLAYED margin.
     *
+    * Round 20 (guide §2.4): scoring is ONE map-only expression
+    * ([[graft.plans.HashedGramDot]]) — no explode, no keyed shuffle,
+    * no join-back. The dot is the same ascending-bucket IEEE fold as
+    * the previous explode → groupBy → array_sort formulation
+    * (bit-identity pinned in QualityClassifierSpec), so every z/score
+    * and the frozen oracle are unchanged. The non-portable xxh64
+    * family keeps the column formulation (its per-gram hash is already
+    * codegen'd; only md5 paid the hex-string round-trip).
+    *
     * Output: (id, n_grams, z, score). */
   def scoreWithMargin(df: DataFrame, idCol: String, textCol: String,
-                      model: LrQualityModel): DataFrame = {
+                      model: LrQualityModel): DataFrame =
+    if (model.hashFamily == TextFunctions.HashMd5) {
+      require(model.weights.length == model.buckets,
+        s"weights length ${model.weights.length} != buckets ${model.buckets}")
+      val d = graft.plans.HashedGramDot(lower(col(textCol)), model.weights)
+      df.select(col(idCol).as("id"), d.as("__d"))
+        .select(col("id"),
+          coalesce(col("__d.n_grams"), lit(0L)).as("n_grams"),
+          (lit(model.intercept) + coalesce(col("__d.dot"), lit(0.0))).as("z"))
+        .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("z"))))
+    } else scoreWithMarginColumns(df, idCol, textCol, model)
+
+  /** The pre-round-20 column formulation — the path for hash families
+    * without a native kernel, and the bit-identity reference the spec
+    * pins the map-only form against. */
+  private[operators] def scoreWithMarginColumns(
+      df: DataFrame, idCol: String, textCol: String,
+      model: LrQualityModel): DataFrame = {
     val spark = df.sparkSession
     val wdf = broadcast(spark.createDataFrame(
       model.weights.zipWithIndex.map { case (w, b) => (b.toLong, w) }.toSeq)

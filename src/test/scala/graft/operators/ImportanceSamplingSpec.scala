@@ -67,6 +67,43 @@ class ImportanceSamplingSpec extends SparkSpec {
     assert(out === Map(1L -> 1, 2L -> 0)) // NULL lang -> source, never NULL
   }
 
+  // round 20: the md5 family routes through the map-only
+  // HashedGramBuckets/BucketArrayDot path — pin parity against the
+  // retained legacy column formulation on the edge shapes that could
+  // diverge (runs of spaces, empty/NULL text, multi-byte UTF-8, single
+  // token, repeated grams). n_grams must match EXACTLY; the weight's
+  // fold order changed (ascending bucket vs hash-aggregate), so it
+  // carries the documented ≤1-ulp-per-term envelope.
+  test("native md5 path matches the legacy column path") {
+    val tricky = Seq(
+      (1L, "the  quick   brown fox", 1),
+      (2L, "  leading and trailing  ", 0),
+      (3L, "", 0),
+      (4L, null.asInstanceOf[String], 0),
+      (5L, "único naïve café naïve café", 1),
+      (6L, "x", 0),
+      (7L, "a a a a a a a a", 1),
+      (8L, "Ωmega σχήμα shared vocab words here too", 0)
+    ).toDF("id", "text", "tgt")
+    val fast = ImportanceSampling.dsirWeights(tricky, "id", "text",
+        col("tgt") === 1, B)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("is_target"), r.getAs[Long]("n_grams"),
+          r.getAs[Double]("weight"))).toMap
+    val legacy = ImportanceSampling.dsirWeightsColumns(tricky, "id", "text",
+        col("tgt") === 1, B, graft.functions.TextFunctions.HashMd5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Int]("is_target"), r.getAs[Long]("n_grams"),
+          r.getAs[Double]("weight"))).toMap
+    assert(fast.keySet === legacy.keySet)
+    fast.keySet.foreach { id =>
+      assert(fast(id)._1 === legacy(id)._1, s"doc $id is_target")
+      assert(fast(id)._2 === legacy(id)._2, s"doc $id n_grams")
+      assert(math.abs(fast(id)._3 - legacy(id)._3) < 1e-12,
+        s"doc $id weight: ${fast(id)._3} vs ${legacy(id)._3}")
+    }
+  }
+
   test("weights are partitioning-invariant") {
     val df = (1L to 40L).map(i =>
       (i, s"tok$i common word plus tok${i % 7}", if (i % 5 == 0) 1 else 0))

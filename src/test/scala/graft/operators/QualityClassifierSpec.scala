@@ -79,4 +79,43 @@ class QualityClassifierSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept === expected)
   }
+
+  // round 20: the map-only HashedGramDot path replaced the explode →
+  // groupBy → array_sort column formulation — pin BIT-identity (z AND
+  // score, not approx) against the retained legacy path on a corpus with
+  // the edge shapes that could diverge: runs of spaces, leading/trailing
+  // spaces, empty text, NULL text, multi-byte UTF-8, single token (no
+  // bigram), repeated grams (multiplicity).
+  test("map-only scoring is bit-identical to the legacy column path") {
+    val tricky = Seq(
+      (1L, "the  quick   brown fox", 1),
+      (2L, "  leading and trailing  ", 0),
+      (3L, "", 0),
+      (4L, null.asInstanceOf[String], 0),
+      (5L, "único", 1),
+      (6L, "naïve café naïve café naïve", 0),
+      (7L, "x", 1),
+      (8L, "a a a a a a a a", 0),
+      (9L, "Ωmega σχήμα ΤΕΣΤ mixed CASE", 1)
+    ).toDF("doc_id", "text", "lbl")
+    val fast = QualityClassifier.scoreWithMargin(tricky, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("z"), r.getAs[Double]("score"))).toMap
+    val legacy = QualityClassifier.scoreWithMarginColumns(
+      tricky, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("z"), r.getAs[Double]("score"))).toMap
+    assert(fast.keySet === legacy.keySet)
+    fast.keySet.foreach { id =>
+      assert(fast(id) === legacy(id), s"doc $id") // exact tuple equality
+    }
+  }
+
+  test("map-only scoring plan has no Exchange and no Window") {
+    val plan = QualityClassifier.scoreWithMargin(
+      corpus.toDF("doc_id", "text", "lbl"), "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
