@@ -222,10 +222,27 @@ object TextAnalysis {
       .groupBy("key").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("key"), lit(1).as("__hot"))
-    df.select(col(idCol).as("id"),
+    if (broadcastHot) {
+      // round 20 (guide §2.4): the hot set was already assumed
+      // broadcast-bounded — collect it once and score each document
+      // map-only ([[graft.plans.LineDedupScore]]): the posexplode, the
+      // join, and the ObjectHashAggregate(collect_list + array_sort)
+      // Exchange are gone. Value parity (incl. the trim/lower key and
+      // line order) is pinned against the retained shuffle-join path
+      // in CurationOpsSpec; NULL-text docs drop exactly as posexplode
+      // dropped them.
+      val hotLines = hot.select("key").collect().map(_.getString(0)).toSeq
+      df.filter(col(textCol).isNotNull)
+        .select(col(idCol).as("id"),
+          graft.plans.LineDedupScore(col(textCol), hotLines).as("__ld"))
+        .select(col("id"), col("__ld.cleaned_text").as("cleaned_text"),
+          col("__ld.n_lines").as("n_lines"),
+          col("__ld.n_removed").as("n_removed"),
+          col("__ld.removed_frac").as("removed_frac"))
+    } else df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("key", norm(col("line")))
-      .join(if (broadcastHot) broadcast(hot) else hot, Seq("key"), "left")
+      .join(hot, Seq("key"), "left")
       .groupBy("id")
       .agg(
         // collect_list skips the when()'s nulls -> kept lines only;
@@ -747,6 +764,34 @@ object TextAnalysis {
     * (id, n_tokens, avg_logp) with empty docs at (0, 0.0). */
   def unigramQuality(df: DataFrame, idCol: String, textCol: String,
                      vocabSize: Int = 65536): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .materializeOnce(eager = false) // two consumers: total + vocab
+    val total = counts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0).toDouble
+    // round 20 (guide §2.4): the top-V vocabulary was ALREADY a
+    // driver-bounded table (TakeOrdered, <= vocabSize rows) feeding a
+    // broadcast join; collecting it instead and scoring through the
+    // map-only [[graft.plans.UnigramScore]] kernel removes the scoring
+    // explode, the broadcast join, and the groupBy(id) shuffle — the
+    // same text-order logp fold, value-pinned against the retained
+    // column path in TextAnalysisSpec/HashedGramExpressionsSpec.
+    val vocab = counts.orderBy(desc("c"), asc("tok")).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    df.select(col(idCol).as("id"),
+        graft.plans.UnigramScore(lower(col(textCol)), vocab,
+          total + 1.0).as("__u"))
+      .select(col("id"),
+        // NULL text -> NULL struct; legacy explode_outer scored zeros
+        coalesce(col("__u.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("__u.avg_logp"), lit(0.0)).as("avg_logp"))
+  }
+
+  /** The pre-round-20 column formulation of [[unigramQuality]] — the
+    * value-parity reference the spec pins the map-only kernel against. */
+  private[graft] def unigramQualityColumns(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
     val counts = df
       .select(explode(tokens(lower(col(textCol)))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))

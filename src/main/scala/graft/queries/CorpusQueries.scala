@@ -2452,13 +2452,30 @@ object CorpusQueries {
         val edges = GraphRank.knnGraphArtifact(emb, "vec_id", "embedding",
           k = 8)
         val ids = emb.select("vec_id")
-        val core = GraphRank.kCore(ids, "vec_id", edges, "src", "dst",
-          coreK = 4, rounds = 5)
-        val ht = GraphRank.hits(ids, "vec_id", edges, "src", "dst",
-          rounds = 3)
-        val sd = GraphRank.seedDistance(ids, "vec_id",
+        // round 20 (guide §2.6 — overlap independent jobs): the three
+        // scorecard algorithms are independent given the edge artifact;
+        // their iterative checkpoint chains used to run back to back,
+        // each leaving most of the local[N] executor idle during its
+        // per-round tail. Materialize them concurrently (FIFO scheduler
+        // back-fills the tails); each algorithm's own computation — and
+        // therefore every emitted value — is unchanged.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        import graft.util.Materialize.MatOps
+        val fCore = Future(GraphRank.kCore(ids, "vec_id", edges, "src",
+          "dst", coreK = 4, rounds = 5).materializeOnce())
+        val fHt = Future(GraphRank.hits(ids, "vec_id", edges, "src", "dst",
+          rounds = 3).materializeOnce())
+        val fSd = Future(GraphRank.seedDistance(ids, "vec_id",
           emb.filter(col("label") === 0).select("vec_id"), "vec_id",
-          edges, "src", "dst", rounds = 3)
+          edges, "src", "dst", rounds = 3).materializeOnce())
+        val (core, ht, sd) = try {
+          (Await.result(fCore, Duration.Inf), Await.result(fHt, Duration.Inf),
+            Await.result(fSd, Duration.Inf))
+        } finally pool.shutdown()
         core.join(ht, Seq("id")).join(sd, Seq("id"))
           .select(col("id").as("vec_id"), col("in_core"),
             col("hub"), col("authority"), col("hops"))

@@ -142,11 +142,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q71: DSIR bucket stats broadcast back into the scoring join") {
+  test("q71: DSIR scoring is map-only over the checkpointed histograms") {
+    // round 20: the ≤buckets-row ratio table rides into BucketArrayDot
+    // as a referenced array — the old stats broadcast join is gone from
+    // the scoring half entirely
     val df = SparkEntry.queries("q71_dsir_weights")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), "stats side must broadcast:\n" + p)
+    assert(!p.contains("Join"), "scoring must be map-only:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
@@ -192,18 +195,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(ranges <= 1, s"expected at most one range shuffle, got $ranges:\n$p")
   }
 
-  test("lineDedup: hot set joins back by broadcast; no window, no cross product") {
+  test("lineDedup: default path scores map-only; no join, no window, no cross product") {
+    // round 20: the hot set rides into the LineDedupScore kernel as a
+    // referenced set — the scoring half has NO join and NO aggregation
+    // exchange at all (the fallback broadcastHot=false path keeps the
+    // shuffle join and is value-pinned against this one in
+    // CurationOpsSpec)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .selectExpr("doc_id", "replace(text, ' scan ', '\n') AS text")
     val out = graft.operators.TextAnalysis.lineDedup(docs, "doc_id", "text",
       minDocs = 3)
     out.collect()
     val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"),
-      "default path must broadcast the hot-line set:\n" + p)
+    assert(!p.contains("Join"),
+      "default path must score map-only (hot set as expression state):\n" + p)
     assert(!p.contains("Window") && !p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "reconstruction must be a grouped sort, not a window/cross product:\n" + p)
+      !p.contains("Exchange"),
+      "scoring must be one map-only pass:\n" + p)
   }
 
   test("substringDedup: hot grams broadcast back; span merge is a fold, not a window") {
@@ -240,8 +248,13 @@ class PlanShapeSpec extends SparkSpec {
         !d.contains("BroadcastNestedLoopJoin") && !d.contains("Window"),
         s"minhash[$fam] must keep the banded equi-join shape:\n$d")
       val w = dsirPlan(fam)
-      assert(w.contains("BroadcastHashJoin"),
-        s"dsir[$fam] stats side must broadcast:\n$w")
+      // round 20: md5 scores map-only (ratio table as expression
+      // state); the xxh64 column path keeps the stats broadcast join
+      if (fam == "md5")
+        assert(!w.contains("Join"), s"dsir[md5] must score map-only:\n$w")
+      else
+        assert(w.contains("BroadcastHashJoin"),
+          s"dsir[$fam] stats side must broadcast:\n$w")
       assert(!w.contains("CartesianProduct"), w)
     }
   }
