@@ -77,8 +77,11 @@ object TextFunctions {
     * hex chars ARE the first 4 digest bytes) without the hex-string
     * round-trip and its three per-call allocations. Oracles keep
     * replaying the conv/substring form; only the engine-side evaluation
-    * changed. The cast is a no-op for string inputs and preserves the
-    * old implicit-cast behavior for the rest. */
+    * changed. The cast is a no-op for string inputs; non-string inputs
+    * (which the old md5 chain REJECTED at analysis — md5 only
+    * implicitly casts string to binary) are newly accepted and hash
+    * their string rendering. Every call site passes strings, so the
+    * widened input domain is unexercised. */
   def portableHash32(c: Column): Column =
     graft.plans.Md5Hash32(c.cast("string"))
 

@@ -60,7 +60,11 @@ object ImportanceSampling {
     *                 `CASE WHEN p THEN 1 ELSE 0` semantics)
     * @param buckets  hashed feature space size (DSIR's B; collisions
     *                 are shared by both distributions by construction)
-    */
+    *
+    * Contract (ADVICE r20): one output row per INPUT row — `idCol` is
+    * expected unique (the doc_id contract every caller satisfies); the
+    * legacy column path's groupBy(id) incidentally merged duplicate
+    * ids, an implementation artifact, not promised semantics. */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 4096,
                   hashFamily: String = graft.functions.TextFunctions.HashMd5): DataFrame = {

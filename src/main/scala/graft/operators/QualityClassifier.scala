@@ -111,6 +111,12 @@ object QualityClassifier {
     * family keeps the column formulation (its per-gram hash is already
     * codegen'd; only md5 paid the hex-string round-trip).
     *
+    * Contract (ADVICE r20): each input ROW scores independently —
+    * `idCol` is expected unique (the library-wide doc_id contract;
+    * every caller passes a primary key). The legacy column path
+    * incidentally MERGED duplicate ids through its groupBy(id), an
+    * implementation artifact, not a semantic this operator promises.
+    *
     * Output: (id, n_grams, z, score). */
   def scoreWithMargin(df: DataFrame, idCol: String, textCol: String,
                       model: LrQualityModel): DataFrame =

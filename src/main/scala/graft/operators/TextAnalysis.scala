@@ -230,7 +230,9 @@ object TextAnalysis {
       // Exchange are gone. Value parity (incl. the trim/lower key and
       // line order) is pinned against the retained shuffle-join path
       // in CurationOpsSpec; NULL-text docs drop exactly as posexplode
-      // dropped them.
+      // dropped them. One output row per input row — idCol is expected
+      // unique (ADVICE r20: the legacy join path's groupBy(id) merged
+      // duplicate ids as an implementation artifact, not a contract).
       val hotLines = hot.select("key").collect().map(_.getString(0)).toSeq
       df.filter(col(textCol).isNotNull)
         .select(col(idCol).as("id"),
@@ -761,7 +763,9 @@ object TextAnalysis {
     * it score as OOV, which at 100 TB is the honest contract (the tail
     * beyond top-64k carries negligible probability mass by Zipf). Total
     * token count is integer — exact and order-independent. Output:
-    * (id, n_tokens, avg_logp) with empty docs at (0, 0.0). */
+    * (id, n_tokens, avg_logp) with empty docs at (0, 0.0) — one row
+    * per input row; `idCol` is expected unique (ADVICE r20: the legacy
+    * path's groupBy(id) merged duplicate ids as an artifact). */
   def unigramQuality(df: DataFrame, idCol: String, textCol: String,
                      vocabSize: Int = 65536): DataFrame = {
     val counts = df

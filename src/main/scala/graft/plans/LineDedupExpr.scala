@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * only ever depends on one row's text plus the fixed hot set.
   *
   * Value contract vs the column formulation (pinned in
-  * LineDedupExprSpec): lines are `split(text, "\n")` segments in order
+  * CurationOpsSpec's lineDedup battery — the legacy column path is
+  * replayed there against this kernel): lines are `split(text, "\n")`
+  * segments in order
   * (trailing empties kept — split's -1 limit); the hot lookup key is
   * `trim(lower(line))` — Spark's Lower IS UTF8String.toLowerCase and
   * Spark's trim strips 0x20 only, both reproduced here via the same

@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `((d0&255)<<24 | (d1&255)<<16 | (d2&255)<<8 | (d3&255))` as an
   * unsigned value. NULL in → NULL out, matching the builtin chain
   * (md5/substring/conv are all null-propagating). Pinned value-for-value
-  * against the builtin chain in Md5Hash32Spec, and every oracle replays
+  * against the builtin chain in HashedGramExpressionsSpec (its
+  * Md5Hash32 battery), and every oracle replays
   * the same 8-hex-char parse — the SQL contract is untouched.
   *
   * Used by [[graft.functions.TextFunctions.portableHash32]], i.e. every
