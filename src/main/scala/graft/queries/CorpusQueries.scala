@@ -2472,9 +2472,17 @@ object CorpusQueries {
         val fSd = Future(GraphRank.seedDistance(ids, "vec_id",
           emb.filter(col("label") === 0).select("vec_id"), "vec_id",
           edges, "src", "dst", rounds = 3).materializeOnce())
+        // await the THREE as one future (ADVICE r20): if one algorithm
+        // throws, awaiting it alone would leave the two siblings'
+        // Spark jobs running (and their own failures unobserved) while
+        // the query unwinds — sequence them so every branch is awaited
+        // and the first error surfaces only after all three settled
         val (core, ht, sd) = try {
-          (Await.result(fCore, Duration.Inf), Await.result(fHt, Duration.Inf),
-            Await.result(fSd, Duration.Inf))
+          val settled = Await.result(
+            Future.sequence(Seq(fCore, fHt, fSd)
+              .map(_.transform(scala.util.Success(_)))), Duration.Inf)
+          val all = settled.map(_.get) // first error surfaces AFTER all settled
+          (all(0), all(1), all(2))
         } finally pool.shutdown()
         core.join(ht, Seq("id")).join(sd, Seq("id"))
           .select(col("id").as("vec_id"), col("in_core"),
